@@ -1,0 +1,175 @@
+"""Scalar expression library — the reference's §2.8 surface as Spark
+column expressions (zero Python UDFs; everything stays inside whole-stage
+codegen).
+
+Reference citations per function are in the docstrings; thresholds mirror
+``streamlit_dashboard.py:49-51`` and the severity/status CASE chains at
+``streamlit_dashboard.py:273-289,769-777``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Alert thresholds (reference ``streamlit_dashboard.py:49-51``).
+TEMP_HIGH = 30.0
+TEMP_LOW = 15.0
+HUMIDITY_HIGH = 80.0
+
+# Critical bands for severity classification
+# (reference ``streamlit_dashboard.py:273-289``, ``app.py:206-211``).
+TEMP_CRITICAL_HIGH = 35.0
+TEMP_CRITICAL_LOW = 10.0
+HUMIDITY_CRITICAL = 90.0
+
+
+def clean_label(col: Column | str) -> Column:
+    """``location.replace('_',' ').title()`` — reference
+    ``streamlit_dashboard.py:62-64`` — as a codegen'd expression."""
+    return F.initcap(F.regexp_replace(F.col(col) if isinstance(col, str) else col, "_", " "))
+
+
+def clip(col: Column, lo: float, hi: float) -> Column:
+    """``np.clip`` equivalent (reference ``app.py:94,100``)."""
+    return F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+
+
+def severity(metric: Column, critical_above: float | None = None, critical_below: float | None = None) -> Column:
+    """Threshold-band severity CASE (reference ``streamlit_dashboard.py:273-289``)."""
+    cond = F.lit(False)
+    if critical_above is not None:
+        cond = cond | (metric > F.lit(critical_above))
+    if critical_below is not None:
+        cond = cond | (metric < F.lit(critical_below))
+    return F.when(cond, F.lit("critical")).otherwise(F.lit("warning"))
+
+
+def status_color(temp: Column) -> Column:
+    """Temperature -> status color CASE (reference
+    ``streamlit_dashboard.py:769-777``, ``app.py:551-553``)."""
+    return (
+        F.when(temp > F.lit(TEMP_HIGH), F.lit("red"))
+        .when(temp < F.lit(TEMP_LOW), F.lit("blue"))
+        .otherwise(F.lit("green"))
+    )
+
+
+# --- decimal-exact aggregation helpers --------------------------------------
+# The fixture metrics are fixed-decimal (2dp) doubles.  Two cross-engine
+# hazards make naive ROUND(avg(x), p) non-portable:
+#   1. float sums are summation-order-dependent -> last-ulp differences;
+#   2. fixed-decimal data lands EXACTLY on .5 rounding boundaries, where
+#      Java (shortest-decimal-string HALF_UP) and C/DuckDB (binary *10^p
+#      + .5) legitimately disagree (observed: 66.55375 -> .5538 vs .5537).
+# Fix for (1): aggregate the exact integer representation (cents) so every
+# sum is exact and downstream IEEE ops are bit-identical regardless of
+# partitioning.  Fix for (2): break rounding ties consistently upward by
+# adding ROUND_EPS before rounding — applied identically in the oracle SQL,
+# it moves results off the .5 grid without disturbing non-boundary values
+# (decimal-grid spacing >> ROUND_EPS).
+
+ROUND_EPS = 1e-8
+
+
+def round_det(col: Column, out: int) -> Column:
+    """Cross-engine-deterministic ROUND for float expressions."""
+    return F.round(col + F.lit(ROUND_EPS), out)
+
+
+def round_det_sql(expr: str, out: int) -> str:
+    return f"ROUND(({expr}) + 1e-8, {out})"
+
+
+def as_cents(col: Column, decimals: int = 2) -> Column:
+    """Exact integer representation of a fixed-decimal double."""
+    return F.round(col * (10 ** decimals), 0).cast("long")
+
+
+def avg_fixed(col: Column, decimals: int = 2, out: int = 4) -> Column:
+    """Order-independent average of a fixed-decimal column (aggregate)."""
+    scale = float(10 ** decimals)
+    return round_det(F.sum(as_cents(col, decimals)) / (F.lit(scale) * F.count(col)), out)
+
+
+def sum_fixed(col: Column, decimals: int = 2, out: int = 2) -> Column:
+    """Order-independent sum of a fixed-decimal column (aggregate)."""
+    scale = float(10 ** decimals)
+    return round_det(F.sum(as_cents(col, decimals)) / F.lit(scale), out)
+
+
+def std_fixed(col: Column, decimals: int = 2, out: int = 4) -> Column:
+    """Order-independent sample stddev via exact integer moments:
+    var = (Σx² − (Σx)²/n) / (n−1) over the cents representation."""
+    c = as_cents(col, decimals)
+    n = F.count(col).cast("double")
+    sx = F.sum(c).cast("double")
+    sxx = F.sum(c * c).cast("double")
+    scale = float(10 ** decimals)
+    return round_det(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))) / F.lit(scale), out)
+
+
+def corr_int(x: Column, y: Column, out: int = 4) -> Column:
+    """Order-independent Pearson correlation of two INTEGER-valued columns
+    via exact moments (corr is scale/shift-invariant, so fixed-decimal
+    inputs are passed as their integer representations)."""
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return round_det(num / den, out)
+
+
+def avg_fixed_sql(col: str, decimals: int = 2, out: int = 4) -> str:
+    """DuckDB twin of avg_fixed (identical IEEE op sequence)."""
+    scale = 10 ** decimals
+    return round_det_sql(
+        f"sum(CAST(round({col} * {scale}, 0) AS BIGINT)) / ({scale}.0 * count({col}))", out
+    )
+
+
+def sum_fixed_sql(col: str, decimals: int = 2, out: int = 2) -> str:
+    scale = 10 ** decimals
+    return round_det_sql(f"sum(CAST(round({col} * {scale}, 0) AS BIGINT)) / {scale}.0", out)
+
+
+def std_fixed_sql(col: str, decimals: int = 2, out: int = 4) -> str:
+    scale = 10 ** decimals
+    c = f"CAST(round({col} * {scale}, 0) AS BIGINT)"
+    return round_det_sql(
+        f"sqrt((CAST(sum({c} * {c}) AS DOUBLE) - CAST(sum({c}) AS DOUBLE) * CAST(sum({c}) AS DOUBLE)"
+        f" / CAST(count({col}) AS DOUBLE)) / (CAST(count({col}) AS DOUBLE) - 1.0)) / {scale}.0",
+        out,
+    )
+
+
+def corr_int_sql(x: str, y: str, out: int = 4) -> str:
+    n = "CAST(count(*) AS DOUBLE)"
+    return round_det_sql(
+        f"({n} * CAST(sum(({x}) * ({y})) AS DOUBLE)"
+        f" - CAST(sum({x}) AS DOUBLE) * CAST(sum({y}) AS DOUBLE))"
+        f" / (sqrt({n} * CAST(sum(({x}) * ({x})) AS DOUBLE) - CAST(sum({x}) AS DOUBLE) * CAST(sum({x}) AS DOUBLE))"
+        f" * sqrt({n} * CAST(sum(({y}) * ({y})) AS DOUBLE) - CAST(sum({y}) AS DOUBLE) * CAST(sum({y}) AS DOUBLE)))",
+        out,
+    )
+
+
+# --- timezone-proof time helpers -------------------------------------------
+# Catalog outputs avoid rendered timestamps entirely: epoch integers hash
+# identically no matter the session timezone (SURVEY §7 risk list).
+
+def epoch_seconds(col: Column | str) -> Column:
+    return F.unix_seconds(F.col(col) if isinstance(col, str) else col)
+
+
+def epoch_micros(col: Column | str) -> Column:
+    return F.unix_micros(F.col(col) if isinstance(col, str) else col)
+
+
+def epoch_day(col: Column | str) -> Column:
+    """Day index since epoch — a timezone-free `date_trunc('day')`."""
+    return F.floor(epoch_seconds(col) / F.lit(86400)).cast("long")

@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): exact dedup,
+word-shingle n-gram Jaccard near-dup, MinHash+LSH, and SimHash.  All are
+pure DataFrame pipelines — hashing and banding happen JVM-side with
+`xxhash64` / `bit_count`, never in Python, and candidate generation is a
+shuffle on (band, hash) buckets rather than an O(n²) cross join, which is
+what makes MinHash/SimHash the 100 TB path while `ngram_jaccard_pairs`
+(exact, self-join on shared shingles) is the small/medium-corpus oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate statistics: one hash aggregation."""
+    per_text = df.groupBy(text_col).agg(F.count(F.lit(1)).alias("copies"))
+    return per_text.agg(
+        F.sum("copies").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("copies") - F.count(F.lit(1))).alias("n_dup_rows"),
+    )
+
+
+def canonicalize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the smallest id per text — deterministic,
+    unlike `dropDuplicates` whose survivor depends on partitioning."""
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("copies"))
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle) rows.
+
+    Built with `split` + `transform(sequence(...))` — array ops inside
+    codegen, no Python.  `explode` fans out; `distinct` is per-doc set
+    semantics (Jaccard is over sets).
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = ", ".join(f"toks[i + {j}]" for j in range(k))
+    shingle_arr = F.expr(
+        f"transform(sequence(0, size(toks) - {k}), i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs.
+
+    Candidates = pairs sharing >=1 shingle (equi-self-join on the shingle —
+    a key shuffle, not a cross join); Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    Exact and SQL-expressible (the DuckDB oracle mirrors it), at the cost
+    of candidate blowup on hot shingles — at 100 TB use
+    `minhash_near_dups` below, which bounds work via banding.
+    """
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", round_det(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, i).  Seeding by mixing the hash index into the input
+    gives `num_hashes` independent hash families from one JVM primitive;
+    the whole signature is one groupBy with `num_hashes` min-aggregates —
+    map-side partials keep the shuffle at one row per document."""
+    sh = word_shingles(df, id_col, text_col, k)
+    hashed = sh.select(
+        id_col,
+        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs — the scale path.
+
+    Signatures are banded (`bands` bands of `num_hashes/bands` rows); a
+    pair collides if any band hashes equal, so candidate generation is an
+    equi-join on (band_idx, band_hash) — work proportional to true
+    near-dups, not n².  Estimated Jaccard = fraction of matching signature
+    positions; pairs below `threshold` are dropped.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Token hash bits vote +1/-1 per position; the fingerprint takes the
+    sign.  Implemented as 64 conditional-sum aggregates over exploded
+    tokens — all JVM-side bit arithmetic (`shiftright`/`bit_count`-free
+    here; reconstruction uses shiftleft + bitwise OR via sum of disjoint
+    powers of two).
+    """
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fingerprint = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(2**i if i < 63 else -(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    )
+    return votes.select(id_col, fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into max_hamming+1
+    chunks; any pair within the distance budget must agree on >=1 chunk,
+    so candidates come from an equi-join on (chunk_idx, chunk_value) and
+    the exact Hamming check (`bit_count(a XOR b)`) runs only on those.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    sig = simhash(df, id_col, text_col).cache()
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
+            )
+            for c in range(nb)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

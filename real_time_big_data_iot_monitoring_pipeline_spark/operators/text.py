@@ -1,0 +1,114 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (regex + array higher-order functions) — the
+hot path never leaves the JVM, so these scale linearly with corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+#: symbols.  Kept to constructs shared by Java regex and RE2 so the DuckDB
+#: oracle can reuse the pattern verbatim.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic.  Deliberately minimal — the operator's value is the shape
+#: (per-language scoring + argmax), not lexicon quality.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "des"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, regex (BPE-ish)
+    tokens, character count, average token length."""
+    t = F.col(text_col)
+    ws_tokens = F.split(t, " ")
+    re_tokens = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
+    return df.select(
+        id_col,
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.size(re_tokens).alias("n_re_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        round_det(
+            F.aggregate(ws_tokens, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(ws_tokens),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length — combined into a 0..1 score.  The formula is
+    arbitrary but deterministic and monotone in the usual signals
+    (enough length, some stopwords, not symbol soup)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9 ]"), 0))
+    stop_re = "\\b(the|and|of|to|a|in|is|it)\\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_re), 0))
+    punct_ratio = round_det(n_punct / n_chars, 6)
+    stop_ratio = round_det(n_stop / n_words, 6)
+    length_ok = F.when((n_words >= 5) & (n_chars >= 20), 1.0).otherwise(0.0)
+    score = round_det(
+        0.4 * length_ok
+        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 10, F.lit(1.0))),
+        6,
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = marker-word hits per language,
+    prediction = argmax with deterministic tie-break on language code."""
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(F.regexp_extract_all(t, F.lit("\\b(" + "|".join(ws) + ")\\b"), 0))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # argmax via greatest + chained when (ties resolve in key order)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df.select(
+        id_col,
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over words
+    (mod 1e9+7): a cheap content fingerprint for shift-tolerant matching.
+    Word value = first-codepoint * 31 + length — engine-portable (no
+    reliance on a specific string-hash builtin)."""
+    words = F.split(F.col(text_col), " ")
+    word_vals = F.transform(words, lambda w: (F.ascii(w) * 31 + F.length(w)).cast("long"))
+    fp = F.aggregate(
+        word_vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % F.lit(1000000007).cast("long"),
+    )
+    return df.select(id_col, fp.alias("fingerprint"))

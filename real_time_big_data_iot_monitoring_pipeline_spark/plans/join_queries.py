@@ -1,0 +1,343 @@
+"""Join-surface catalog: the reference has only implicit dim-lookup joins
+(SURVEY §2.3 J1/J2), so the equi/semi/anti/outer/range/as-of join surface
+is exercised over the TPC-H-ish star schema — the shapes a Spark engine
+must get right at 100 TB (broadcast small dims, shuffle-hash/sort-merge
+big facts, AQE skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
+    as_cents,
+    avg_fixed,
+    avg_fixed_sql,
+    round_det,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_dim_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(c.c_custkey) AS n_customers,
+           ROUND((sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / (100.0 * count(c.c_acctbal))) + 1e-8, 4) AS avg_acctbal
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("joins", "J1", "J2", "broadcast"),
+)
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-lookup join chain (reference J1 location->coords dict as a real
+    broadcast hash join): customer LEFT-joined through nation->region.
+    Both dims are broadcast — the fact table never shuffles for the join."""
+    n, r, c = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"), _t(spark, sf_dir, "customer")
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        dim.join(c, c.c_nationkey == dim.n_nationkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            avg_fixed(F.col("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_star_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 + 1e-8, 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("joins", "headline", "tpch-q5"),
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue per nation for one region and a
+    two-year window.  Plan shape for scale: region/nation/customer are
+    broadcast; lineitem⋈orders is the one big shuffle, and the region +
+    date filters are pushed below it so the shuffle carries only
+    qualifying orders.  Dates are TIMESTAMP_NTZ (naive) — literal
+    comparisons are timezone-free and match DuckDB exactly."""
+    l, o, c = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            round_det(
+                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+               CAST(round(l_tax * 100, 0) AS BIGINT) AS tc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    )
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity) + 1e-8, 2) AS sum_qty,
+           ROUND(sum(epc) / 100.0 + 1e-8, 2) AS sum_base_price,
+           ROUND(sum(epc * (100 - dc)) / 10000.0 + 1e-8, 2) AS sum_disc_price,
+           ROUND(sum(epc * (100 - dc) * (100 + tc)) / 1000000.0 + 1e-8, 2) AS sum_charge,
+           ROUND(sum(l_quantity) / count(l_quantity) + 1e-8, 4) AS avg_qty,
+           ROUND(sum(epc) / (100.0 * count(epc)) + 1e-8, 4) AS avg_price,
+           ROUND(sum(dc) / (100.0 * count(dc)) + 1e-8, 4) AS avg_disc,
+           count(*) AS count_order
+    FROM c
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("joins", "headline", "tpch-q1"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the classic scan-heavy aggregation
+    benchmark.  Entirely map-side until a tiny (flag,status) shuffle; the
+    shipdate filter pushes into the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    epc = as_cents(F.col("l_extendedprice"))
+    dc = as_cents(F.col("l_discount"))
+    tc = as_cents(F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2001-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_det(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_det(F.sum(epc) / 100.0, 2).alias("sum_base_price"),
+            round_det(F.sum(epc * (100 - dc)) / 10000.0, 2).alias("sum_disc_price"),
+            round_det(F.sum(epc * (100 - dc) * (100 + tc)) / 1000000.0, 2).alias("sum_charge"),
+            round_det(F.sum("l_quantity") / F.count("l_quantity"), 4).alias("avg_qty"),
+            round_det(F.sum(epc) / (F.lit(100.0) * F.count(epc)), 4).alias("avg_price"),
+            round_det(F.sum(dc) / (F.lit(100.0) * F.count(dc)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("joins", "semi"),
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one finished order.  Semi
+    joins ship only the join key of the probe side — no payload shuffle."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "F"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("joins", "anti"),
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           ROUND(coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 0.0) + 1e-8, 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("joins", "outer"),
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregate: order count and spend per customer,
+    zeros preserved for order-less customers."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            round_det(F.coalesce(F.sum(as_cents(F.col("o_totalprice"))) / 100.0, F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, revenue FROM (
+        SELECT o_custkey AS c_custkey,
+               ROUND(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 + 1e-8, 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ) ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+    tags=("joins", "topk"),
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after aggregation: sort+limit compiles to
+    TakeOrderedAndProject over the agg output (k rows per partition, k-row
+    merge).  Revenue is rounded BEFORE ranking so cross-engine float-sum
+    ulps cannot flip the order; custkey breaks ties."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(round_det(F.sum(as_cents(F.col("o_totalprice"))) / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
+               ('upper', 950.0, 975.0), ('premium', 975.0, 10000.0)
+    )
+    SELECT b.band, count(*) AS n_parts, ROUND((sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)) / (100.0 * count(p.p_retailprice))) + 1e-8, 4) AS avg_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    tags=("joins", "range"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a literal band dim: Spark plans
+    BroadcastNestedLoopJoin — fine because the build side is 4 rows; at
+    scale the same shape works for any small banding table."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 925.0), ("mid", 925.0, 950.0), ("upper", 950.0, 975.0), ("premium", 975.0, 10000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(F.broadcast(bands), (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), avg_fixed(F.col("p_retailprice")).alias("avg_price"))
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH u AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        FROM events WHERE event_type IN ('click', 'error')
+    ),
+    filled AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               last_value(click_id IGNORE NULLS) OVER w AS prev_click_id,
+               last_value(click_us IGNORE NULLS) OVER w AS prev_click_us
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, prev_click_id,
+           CAST(floor((ts_us - prev_click_us) / 1000000) AS BIGINT) AS lag_seconds
+    FROM filled WHERE event_type = 'error'
+    """,
+    tags=("joins", "asof", "custom-operator"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (backward): for every error event, the same user's most
+    recent prior click.  Spark lacks a native as-of join; the idiomatic
+    composition is union-tag + `last(ignorenulls) over (rows unbounded
+    preceding)` — one sort per user partition instead of a per-row probe,
+    which is exactly how a 100 TB as-of should run (no row explosion)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    filled = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(click_id, ignorenulls=True).over(w).alias("prev_click_id"),
+        F.last(click_us, ignorenulls=True).over(w).alias("prev_click_us"),
+    )
+    return filled.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "prev_click_id",
+        F.floor((F.col("ts_us") - F.col("prev_click_us")) / 1000000).cast("long").alias("lag_seconds"),
+    )
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+    SELECT user_id, 'both' AS tag FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'click_only' AS tag FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    tags=("setops",),
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent in the reference, free in
+    Spark): intersect/except of user populations, tagged and unioned."""
+    e = load_table(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).select("user_id", F.lit("both").alias("tag"))
+    click_only = clickers.exceptAll(buyers).select("user_id", F.lit("click_only").alias("tag"))
+    return both.unionByName(click_only)

@@ -1,0 +1,328 @@
+"""North-star catalog (BASELINE.json): the LLM-training-data-pipeline
+operators beyond the reference surface — dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search over embeddings, text analysis,
+and multimodal binary plumbing.  SQL-expressible ops carry DuckDB oracles;
+the hash-based LSH families are rows-only (driver records the weaker
+check) because no portable SQL reproduces xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import dedup, multimodal, similarity, text
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    WITH t AS (SELECT text, count(*) AS copies FROM documents GROUP BY text)
+    SELECT sum(copies) AS n_rows, count(*) AS n_distinct,
+           sum(copies) - count(*) AS n_dup_rows
+    FROM t
+    """,
+    tags=("northstar", "dedup"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate statistics: one hash aggregation over text.  (At
+    100 TB, group on xxhash64(text) instead of the full text to keep the
+    shuffle narrow; exact text kept here for the oracle.)"""
+    return dedup.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_canonical",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS copies
+    FROM documents GROUP BY text
+    """,
+    tags=("northstar", "dedup"),
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup: smallest doc_id survives per distinct
+    text (dropDuplicates' survivor is partitioning-dependent; min isn't)."""
+    return dedup.canonicalize(_docs(spark, sf_dir)).select("doc_id", "copies")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(inter / (sa.sz + sb.sz - inter) + 1e-8, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter) + 1e-8, 6) >= 0.1
+    """,
+    tags=("northstar", "dedup", "headline"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.1).
+    Candidates via equi-self-join on shared shingles — a key shuffle, not
+    an O(n²) cross join.  The MinHash variant below is the 100 TB path."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based MinHash has no portable SQL twin
+    tags=("northstar", "dedup", "lsh", "rows-only"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 hashes) + LSH(16 bands) near-dup candidates with
+    estimated Jaccard >= 0.2.  Candidate generation is an equi-join on
+    (band, band_hash) — work scales with true near-dups, not pairs."""
+    return dedup.minhash_near_dups(_docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.2)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based SimHash has no portable SQL twin
+    tags=("northstar", "dedup", "simhash", "rows-only"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with Hamming distance <= 6 via
+    pigeonhole banding + bit_count(xor) verification."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROUND(list_dot_product(q.qv, c.v) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) + 1e-8, 6) AS cosine
+        FROM q, e c
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM s
+    ) WHERE rank <= 10
+    """,
+    tags=("northstar", "similarity", "headline"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors: the exact ANN
+    baseline.  Queries broadcast; dot products via zip_with/aggregate
+    (JVM-side, no Python); per-query top-k via row_number on the ROUNDED
+    score so float ulps can't flip ranks across engines."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+@register(
+    "embedding_lsh_topk",
+    oracle=None,  # hyperplane projections are engine-local constants
+    tags=("northstar", "similarity", "lsh", "rows-only"),
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucketing (6 planes,
+    seed 42), scoring only same-bucket candidates — the scale path where
+    a full scan per query stops being affordable."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, dim=64, k=10, n_planes=6).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS cnt, ROUND(avg(nrm) + 1e-8, 6) AS avg_norm,
+           ROUND(min(nrm) + 1e-8, 6) AS min_norm, ROUND(max(nrm) + 1e-8, 6) AS max_norm
+    FROM e GROUP BY label
+    """,
+    tags=("northstar", "similarity"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm statistics per label: array higher-order functions as
+    plain aggregation inputs (sanity layer for embedding pipelines)."""
+    e = similarity.as_double_vec(_emb(spark, sf_dir))
+    nrm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_det(F.avg("nrm"), 6).alias("avg_norm"),
+            round_det(F.min("nrm"), 6).alias("min_norm"),
+            round_det(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS n_re_tokens,
+           length(text) AS n_chars_actual,
+           ROUND(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum')
+                 / len(string_split(text, ' ')) + 1e-8, 4) AS avg_token_len
+    FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + average
+    token length — regex/array expressions shared verbatim with the
+    oracle (pattern restricted to the Java-regex ∩ RE2 dialect)."""
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_words,
+           ROUND(n_punct / n_chars + 1e-8, 6) AS punct_ratio,
+           ROUND(n_stop / n_words + 1e-8, 6) AS stop_ratio,
+           ROUND(0.4 * (CASE WHEN n_words >= 5 AND n_chars >= 20 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(ROUND(n_stop / n_words + 1e-8, 6) * 4, 1.0)
+                 + 0.3 * (1.0 - least(ROUND(n_punct / n_chars + 1e-8, 6) * 10, 1.0)) + 1e-8, 6) AS quality
+    FROM s
+    """,
+    tags=("northstar", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / stopword
+    signals), fully JVM-side."""
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b'))  AS score_en,
+               len(regexp_extract_all(lower(text), '\\b(der|und|die)\\b')) AS score_de,
+               len(regexp_extract_all(lower(text), '\\b(el|los|que)\\b'))  AS score_es,
+               len(regexp_extract_all(lower(text), '\\b(le|les|des)\\b'))  AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    tags=("northstar", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax tie-break
+    (de < en < es < fr resolution order, mirrored in the oracle CASE)."""
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+    tags=("northstar", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over words (mod 1e9+7) —
+    engine-portable document fingerprint, computed with `aggregate` in
+    Spark and `list_reduce` in the oracle."""
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               strlen(text) AS n_bytes,
+               list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+           ROUND(list_aggregate(bytes, 'sum') / CAST(n_bytes AS DOUBLE) + 1e-8, 6) AS feature
+    FROM chars
+    """,
+    tags=("northstar", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload column + Arrow-batched
+    `mapInPandas` feature extraction (operators/multimodal.py; decode
+    kernel is a deterministic stub — container has no codecs).  The oracle
+    recomputes the byte-level features in SQL (fixture text is pure
+    ASCII, so chars == bytes), hash-checking the whole Python batch path."""
+    payloads = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.decode_features(payloads)

@@ -1,0 +1,31 @@
+"""The local twin of the driver's correctness gate: every catalog query
+with an oracle is executed on Spark and DuckDB over the same fixtures and
+must match cell-for-cell (order-insensitive).  Rows-only queries are
+smoke-executed (>=0 rows, stable schema)."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+from tests.compare import assert_frames_match
+
+ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(name, spark, sf_dir, oracle):
+    q = REGISTRY[name]
+    spark_pdf = q.build(spark, sf_dir).toPandas()
+    oracle_pdf = oracle.sql(q.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_smoke(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.build(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
