@@ -95,18 +95,23 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, i).  Seeding by mixing the hash index into the input
-    gives `num_hashes` independent hash families from one JVM primitive;
-    the whole signature is one groupBy with `num_hashes` min-aggregates —
-    map-side partials keep the shuffle at one row per document."""
+    """MinHash signature per document as ONE array column:
+    sig[i] = min over shingles of xxhash64(shingle, i).
+
+    Per-shingle hashes are an array built by a single higher-order
+    `transform` (seeding by mixing the index into the hash input gives
+    `num_hashes` families from one JVM primitive); per-document the
+    element-wise mins are `num_hashes` min-aggregates packed into one
+    array on output — partial (map-side) aggregation applies, so the
+    shuffle carries one signature row per document, and downstream
+    operators see a single narrow array column instead of 64 named
+    columns (which measurably bloated codegen/planning on the bench)."""
     sh = word_shingles(df, id_col, text_col, k)
-    hashed = sh.select(
-        id_col,
-        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    hashes = F.expr(f"transform(sequence(0, {num_hashes - 1}), i -> xxhash64(shingle, i))")
+    return (
+        sh.select(id_col, hashes.alias("hs"))
+        .groupBy(id_col)
+        .agg(F.array(*[F.min(F.col("hs")[i]) for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -129,11 +134,11 @@ def minhash_near_dups(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+    band_key = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bh))"
+    )
+    banded = sig.select(id_col, F.explode(band_key).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
     a = banded.alias("a")
@@ -148,10 +153,12 @@ def minhash_near_dups(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
         cand.join(sa, "id_a")
