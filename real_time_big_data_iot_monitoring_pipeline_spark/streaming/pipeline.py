@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import avg_fixed
 from real_time_big_data_iot_monitoring_pipeline_spark.schemas import SENSOR_READING_SCHEMA
 
 
@@ -83,7 +84,12 @@ def windowed_aggregate_stream(
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     primary = metrics[0]
-    aggs = [F.avg(m).alias(f"avg_{m}") for m in metrics]
+    # avg via the cents-exact path: incremental streaming state merges sum
+    # in a different order than a batch scan, so a plain float avg differs
+    # in the last ulp between the two — exact integer sums make the batch
+    # and stream results literally identical (the equivalence tests assert
+    # exact equality).
+    aggs = [avg_fixed(F.col(m)).alias(f"avg_{m}") for m in metrics]
     aggs += [
         F.min(primary).alias(f"min_{primary}"),
         F.max(primary).alias(f"max_{primary}"),

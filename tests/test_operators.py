@@ -1,0 +1,295 @@
+"""Operator-level unit tests: each operator validated against an
+independent Python/numpy implementation (not against DuckDB — that's
+test_oracle_parity.py's job, and not against the operator itself)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions import scalars
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import (
+    alerts,
+    anomaly,
+    dedup,
+    multimodal,
+    regression,
+    similarity,
+    text,
+    windows,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import sensors
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def readings(spark):
+    return sensors.readings(spark, hours=6).cache()
+
+
+# --- scalar library ---------------------------------------------------------
+def test_clean_label(spark):
+    df = spark.createDataFrame([("industrial_zone",), ("city_park",)], ["location"])
+    got = [r[0] for r in df.select(scalars.clean_label("location")).collect()]
+    assert got == ["Industrial Zone", "City Park"]
+
+
+def test_clip_and_status(spark):
+    df = spark.createDataFrame([(5.0,), (20.0,), (120.0,)], ["x"])
+    clipped = [r[0] for r in df.select(scalars.clip(F.col("x"), 10, 98)).collect()]
+    assert clipped == [10.0, 20.0, 98.0]
+    status = [r[0] for r in df.select(scalars.status_color(F.col("x"))).collect()]
+    assert status == ["blue", "green", "red"]
+
+
+def test_severity(spark):
+    df = spark.createDataFrame([(36.0,), (31.0,)], ["t"])
+    got = [r[0] for r in df.select(scalars.severity(F.col("t"), critical_above=35.0)).collect()]
+    assert got == ["critical", "warning"]
+
+
+# --- IQR anomaly vs numpy ----------------------------------------------------
+def test_iqr_matches_numpy(spark, readings):
+    temps = np.array([r.temperature for r in readings.select("temperature").collect()])
+    q1, q3 = np.percentile(temps, [25, 75])  # linear interpolation, like Spark's percentile
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    expected = int(((temps < lo) | (temps > hi)).sum())
+    got = anomaly.anomalies(readings, ["temperature"]).count()
+    assert got == expected
+    assert got > 0  # the generator injects ~5% anomalies precisely so this fires
+
+
+# --- alert engine -----------------------------------------------------------
+def test_alert_engine_counts(spark, readings):
+    rules = [
+        alerts.AlertRule("high_temp", F.col("temperature") > 30.0, F.col("temperature") > 35.0),
+        alerts.AlertRule("low_temp", F.col("temperature") < 15.0, F.col("temperature") < 10.0),
+        alerts.AlertRule("high_humidity", F.col("humidity") > 80.0, F.col("humidity") > 90.0),
+    ]
+    out = alerts.apply_rules(readings, rules)
+    rows = readings.collect()
+    exp_high = sum(1 for r in rows if r.temperature > 30.0)
+    exp_low = sum(1 for r in rows if r.temperature < 15.0)
+    exp_hum = sum(1 for r in rows if r.humidity > 80.0)
+    by_type = {r.alert_type: r.cnt for r in alerts.severity_rollup(out).groupBy("alert_type").agg(F.sum("cnt").alias("cnt")).collect()}
+    assert by_type.get("high_temp", 0) == exp_high
+    assert by_type.get("low_temp", 0) == exp_low
+    assert by_type.get("high_humidity", 0) == exp_hum
+    sev = {(r.alert_type, r.severity): r.cnt for r in alerts.severity_rollup(out).collect()}
+    assert sev.get(("high_temp", "critical"), 0) == sum(1 for r in rows if r.temperature > 35.0)
+
+
+# --- regression vs numpy polyfit ---------------------------------------------
+def test_regression_matches_numpy(spark, readings):
+    feat = windows.elapsed_seconds(readings, "location", "timestamp", out="x")
+    fits = {
+        r.location: r
+        for r in regression.fit_per_group(feat, "location", "x", "temperature", forecast_dx=3600.0).collect()
+    }
+    rows = readings.select("location", "timestamp", "temperature").collect()
+    by_loc: dict[str, list] = {}
+    for r in rows:
+        by_loc.setdefault(r.location, []).append(r)
+    for loc, rs in by_loc.items():
+        t0 = min(r.timestamp for r in rs)
+        x = np.array([(r.timestamp - t0).total_seconds() for r in rs])
+        y = np.array([r.temperature for r in rs])
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        f = fits[loc]
+        assert f.slope == pytest.approx(slope, rel=1e-3, abs=1e-7)  # slope rounded to 8dp
+        assert f.intercept == pytest.approx(intercept, rel=1e-4)
+        assert f.r2 == pytest.approx(r2, rel=1e-3, abs=1e-6)
+        assert f.forecast == pytest.approx(intercept + slope * (x.max() + 3600), rel=1e-3)
+
+
+# --- rolling window vs pandas -----------------------------------------------
+def test_rolling_avg_matches_pandas(spark, readings):
+    import pandas as pd
+
+    got = (
+        windows.rolling_avg(readings, "sensor_id", ["timestamp"], "temperature")
+        .filter(F.col("sensor_id") == "SENSOR_001")
+        .orderBy("timestamp")
+        .select("rolling_avg")
+        .toPandas()["rolling_avg"]
+    )
+    pdf = (
+        readings.filter(F.col("sensor_id") == "SENSOR_001")
+        .orderBy("timestamp")
+        .select("temperature")
+        .toPandas()
+    )
+    want = pdf["temperature"].rolling(20, min_periods=1).mean().round(4)
+    assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1e-4)
+
+
+# --- similarity vs numpy ------------------------------------------------------
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = vecs[0]
+    sims = {
+        vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [(r.cand_id) for r in sorted(got, key=lambda r: r.rank)] == [w[0] for w in want]
+    for r in got:
+        assert r.cosine == pytest.approx(sims[r.cand_id], abs=1e-5)
+
+
+def test_lsh_finds_planted_neighbors(spark, sf_dir):
+    """LSH recall contract on data where it is meaningful: a vector and its
+    tiny perturbation (cosine ~0.9999) must land in the same hyperplane
+    bucket with near-certainty and be returned as the top neighbor.
+    (On uniform-random vectors the exact top-10 are near-orthogonal, so
+    bucket recall is legitimately low — not a useful assertion.)"""
+    import random as pyrandom
+
+    rng = pyrandom.Random(7)
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((2 * i, [float(x) for x in v], 0))
+        rows.append((2 * i + 1, [float(x + rng.gauss(0, 0.01)) for x in v], 0))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    queries = emb.filter(F.col("vec_id") % 2 == 0)
+    got = similarity.lsh_topk(emb, queries, dim=64, k=1, n_planes=6).collect()
+    top1 = {r.query_id: r.cand_id for r in got if r.rank == 1}
+    hits = sum(1 for q, c in top1.items() if c == q + 1)
+    assert hits >= 45  # >=90% of planted twins found despite bucketing
+
+
+# --- dedup family -------------------------------------------------------------
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Synthetic corpus with known near-dups: pairs (2i, 2i+1) share a long
+    prefix; unrelated docs share nothing."""
+    rows = []
+    for i in range(40):
+        base = " ".join(f"tok{i}w{j}" for j in range(30))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " extra tail words here"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, near_dup_docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert pairs == want
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, near_dup_docs):
+    got = {(r.id_a, r.id_b) for r in dedup.minhash_near_dups(near_dup_docs, threshold=0.5).collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    # LSH with 16 bands of 4 at true J~0.82 has collision prob >99.9%
+    assert want <= got
+    assert got == want  # no false positives across unrelated vocabularies
+
+
+def test_simhash_near_dups(spark, near_dup_docs):
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(near_dup_docs, max_hamming=12).collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert len(want & got) >= 30  # simhash over ~30-token docs: most planted pairs within 12 bits
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["doc_id", "text"]
+    )
+    stats = dedup.exact_dedup_stats(df).collect()[0]
+    assert (stats.n_rows, stats.n_distinct, stats.n_dup_rows) == (4, 2, 2)
+    canon = {r.doc_id: r.copies for r in dedup.canonicalize(df).collect()}
+    assert canon == {1: 3, 2: 1}
+
+
+# --- text ops vs python -------------------------------------------------------
+def test_token_stats_vs_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    import re
+
+    for row in docs.collect():
+        ws = row.text.split(" ")
+        re_toks = re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]", row.text)
+        g = got[row.doc_id]
+        assert g.n_ws_tokens == len(ws)
+        assert g.n_re_tokens == len(re_toks)
+        assert g.n_chars_actual == len(row.text)
+        assert g.avg_token_len == pytest.approx(sum(map(len, ws)) / len(ws), abs=1e-4)
+
+
+def test_fingerprint_vs_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    for row in docs.collect():
+        fp = 0
+        for w in row.text.split(" "):
+            v = (ord(w[0]) if w else 0) * 31 + len(w)
+            fp = (fp * 31 + v) % 1000000007
+        assert got[row.doc_id] == fp
+
+
+def test_lang_id_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.lang_id(docs)
+    langs = {r.lang_pred for r in out.collect()}
+    assert langs <= {"en", "de", "es", "fr", "und"}
+
+
+# --- multimodal ---------------------------------------------------------------
+def test_multimodal_decode_vs_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    got = {r.doc_id: r for r in multimodal.decode_features(multimodal.attach_payload(docs)).collect()}
+    for row in docs.collect():
+        payload = row.text.encode("utf-8")
+        checksum, total = 0, 0
+        for b in payload:
+            checksum = (checksum * 31 + b) % 1000000007
+            total += b
+        g = got[row.doc_id]
+        assert g.n_bytes == len(payload)
+        assert g.checksum == checksum
+        assert g.feature == pytest.approx(total / len(payload), abs=1e-5)
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    payloads = multimodal.attach_payload(docs)
+    frames = multimodal.frame_sample(payloads, every=100)
+    exp = {r.doc_id: len(r.text.encode()) // 100 for r in docs.collect()}
+    got: dict[int, int] = {}
+    for r in frames.collect():
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    for doc_id, n in exp.items():
+        assert got.get(doc_id, 0) == n
+
+
+# --- approx aggregates error bounds -------------------------------------------
+def test_approx_vs_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    exact = e.agg(
+        F.countDistinct("user_id").alias("d"),
+        F.expr("percentile(value, 0.5)").alias("m"),
+    ).collect()[0]
+    approx = e.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("d"),
+        F.percentile_approx("value", 0.5, 10000).alias("m"),
+    ).collect()[0]
+    assert abs(approx.d - exact.d) <= max(1, 0.05 * exact.d)
+    assert abs(approx.m - exact.m) <= 0.02 * max(1.0, abs(exact.m))

@@ -1,0 +1,138 @@
+"""Streaming-layer tests: batch/stream equivalence for the reference's
+core windowed aggregation, the dual-sink pipeline, watermark append-mode
+emission, and streaming dedup.  All run against the deterministic sensor
+generator (sources/sensors.py) replayed through a file source — the same
+DAG the Kafka path uses (streaming/pipeline.py)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import sensors
+from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline
+
+
+@pytest.fixture(scope="module")
+def reading_files(spark, tmp_path_factory):
+    """6 hours of sensor readings staged as multiple parquet files."""
+    path = str(tmp_path_factory.mktemp("readings"))
+    df = sensors.readings(spark, hours=6)
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    return path, df.schema
+
+
+def _normalize(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_stream_equivalence(spark, reading_files):
+    """The SAME windowed-agg DAG over the same rows must produce identical
+    results in batch and via micro-batched streaming (complete mode emits
+    all windows)."""
+    path, schema = reading_files
+    batch = spark.read.schema(schema).parquet(path)
+    expected = _normalize(pipeline.windowed_aggregate_stream(batch))
+
+    stream = pipeline.file_source(spark, path, schema=schema, max_files_per_trigger=2)
+    agg = pipeline.windowed_aggregate_stream(stream)
+    name = f"equiv_{uuid.uuid4().hex[:8]}"
+    pipeline.run_stream_to_memory(agg, name, output_mode="complete")
+    got = _normalize(spark.table(name))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_dual_sink_upsert(spark, reading_files, tmp_path):
+    """T5 dual-sink fan-out: raw + windowed-agg sinks fed from one parsed
+    stream, with the overwrite-by-partition (exactly-once-effective)
+    writer.  Both sinks must land complete data."""
+    path, schema = reading_files
+    raw_dir = str(tmp_path / "raw")
+    agg_dir = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = pipeline.file_source(spark, path, schema=schema, max_files_per_trigger=4)
+
+    def raw_writer(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(raw_dir)
+
+    agg_writer = pipeline.parquet_upsert_writer(agg_dir, partition_col="sensor_id")
+    raw_q, agg_q = pipeline.start_dual_sink(stream, raw_writer, agg_writer, ckpt)
+    raw_q.processAllAvailable()
+    agg_q.processAllAvailable()
+    raw_q.stop()
+    agg_q.stop()
+
+    n_src = spark.read.schema(schema).parquet(path).count()
+    assert spark.read.parquet(raw_dir).count() == n_src
+    agg = spark.read.parquet(agg_dir)
+    # append mode + watermark: only windows sealed by the watermark emit;
+    # with 6h of data and a 10-min watermark nearly all 5-min windows seal.
+    assert agg.count() > 0
+    assert set(agg.columns) >= {"window_start", "window_end", "avg_temperature", "reading_count"}
+
+
+def test_append_mode_holds_back_unsealed_windows(spark, reading_files, tmp_path):
+    """T4 semantics: in append mode the final (unsealed) window must NOT be
+    emitted — the watermark hasn't passed its end."""
+    path, schema = reading_files
+    stream = pipeline.file_source(spark, path, schema=schema, max_files_per_trigger=1000)
+    agg = pipeline.windowed_aggregate_stream(stream)
+    name = f"append_{uuid.uuid4().hex[:8]}"
+    pipeline.run_stream_to_memory(agg, name, output_mode="append")
+    emitted = spark.table(name)
+    batch = spark.read.schema(schema).parquet(path)
+    all_windows = pipeline.windowed_aggregate_stream(batch)
+    # strictly fewer windows than batch: at least the tail is held back
+    assert 0 < emitted.count() < all_windows.count()
+    # and every emitted row matches its batch twin exactly
+    assert emitted.exceptAll(all_windows).count() == 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes replayed readings within the
+    watermark horizon."""
+    base = sensors.readings(spark, hours=1)
+    dup_path = str(tmp_path / "dups")
+    base.union(base).repartition(4).write.mode("overwrite").parquet(dup_path)
+
+    stream = pipeline.file_source(spark, dup_path, schema=base.schema, max_files_per_trigger=4)
+    deduped = pipeline.dedup_stream(stream, ["sensor_id", "timestamp"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    pipeline.run_stream_to_memory(deduped, name, output_mode="append")
+    assert spark.table(name).count() == base.count()
+
+
+def test_kafka_parse_roundtrip(spark):
+    """S4 parse stage: JSON wire format -> strict schema -> flatten, fed
+    with synthetic Kafka-shaped rows (value bytes).  Malformed JSON yields
+    NULL fields (from_json semantics), not dropped rows."""
+    readings = sensors.readings(spark, hours=1).limit(10)
+    wire = readings.select(
+        F.to_json(
+            F.struct("sensor_id", "location", "timestamp", "temperature", "humidity", "pressure")
+        ).cast("binary").alias("value")
+    )
+    bad = spark.createDataFrame([("{not json",), ("42",)], ["s"]).select(
+        F.col("s").cast("binary").alias("value")
+    )
+    parsed = pipeline.parse_kafka_json(wire.union(bad))
+    rows = parsed.collect()
+    assert len(rows) == 12
+    ok = [r for r in rows if r.sensor_id is not None]
+    assert len(ok) == 10
+    got = {(r.sensor_id, r.timestamp, r.temperature) for r in ok}
+    want = {(r.sensor_id, r.timestamp, r.temperature) for r in readings.collect()}
+    assert got == want
+
+
+def test_generator_is_partition_independent(spark):
+    """The hash-derived randomness contract: same rows regardless of
+    parallelism (the property rand(seed) does NOT have)."""
+    a = sensors.readings(spark, hours=2).repartition(1).collect()
+    b = sensors.readings(spark, hours=2).repartition(32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
