@@ -45,3 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_with_raw_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with BOTH the converted `ts` (timestamp) and the raw `ts_ns`
+    (parquet-native long).  Predicates written against `ts_ns` are plain
+    column comparisons, so they push into the parquet scan (row-group
+    min/max skipping) — a filter on the derived `ts` cannot, because
+    Catalyst will not invert `timestamp_micros(ts DIV 1000)`.  At 100 TB
+    that pushdown is the difference between scanning a day and scanning
+    the table.  Epoch-second bound `t` converts as: ts_ns >= t * 1e9;
+    for inclusive upper bounds mirror the oracle's microsecond truncation
+    with ts_ns < (t * 1e6 + 1) * 1e3."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    # non-nano fixture: synthesize ts_ns from the timestamp
+    return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)

@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around must be visible in `explain` output — predicate pushdown
+reaching the parquet scan, broadcast joins for dim tables, partial
+aggregation, and partitioned (never global) windows.  These are the
+checks that keep a correctness-preserving refactor from silently turning
+a pruned scan into a full one."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_time_filter_pushes_to_parquet(spark, sf_dir):
+    """The time-range predicate must reach the scan as PushedFilters on
+    the raw ts_ns column — the engine's substitute for the reference's
+    B-tree index range scan."""
+    df = REGISTRY["filter_time_range"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_shipdate_filter_pushes_to_parquet(spark, sf_dir):
+    df = REGISTRY["pricing_summary"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """Q5 shape: every dimension side must broadcast; the lineitem side
+    must not be broadcast (it's the big side)."""
+    df = REGISTRY["join_star_revenue"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(REGISTRY["join_dim_broadcast"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_geo_map_broadcasts(spark, sf_dir):
+    plan = plan_of(REGISTRY["geo_status_map"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_has_partial_aggregation(spark, sf_dir):
+    """Partial (map-side) + final hash aggregation: shuffle volume is
+    windows, not rows."""
+    plan = plan_of(REGISTRY["flagship_window_agg"].build(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_windows_are_partitioned_not_global(spark, sf_dir):
+    """Window functions must partition by the group key — a global
+    orderBy window collapses to one task at scale."""
+    plan = plan_of(REGISTRY["rolling_avg_20"].build(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    """Sort+limit must compile to TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a full global sort."""
+    plan = plan_of(REGISTRY["scan_recent_topn"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A narrow projection must narrow the parquet ReadSchema."""
+    plan = plan_of(REGISTRY["filter_equality"].build(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "event_type" in read_schema and "value" in read_schema
+    assert "props" not in read_schema, "unused column not pruned from scan"
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """The scan->filter->project pipeline stays inside whole-stage
+    codegen (no interpreted row-at-a-time fallback)."""
+    plan = plan_of(REGISTRY["filter_equality"].build(spark, sf_dir), "simple")
+    assert "*(" in plan  # the `*(n)` prefix marks whole-stage-codegen spans
+
+
+def test_iqr_bounds_are_broadcast_not_collected(spark, sf_dir):
+    """The IQR fences must join in as a broadcast, proving the operator
+    has no driver-side collect step."""
+    plan = plan_of(REGISTRY["iqr_anomaly"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
