@@ -1,0 +1,314 @@
+"""Coverage-extension catalog: remaining SURVEY §2 scalar surface
+(compound predicates, clip, date formatting, schema'd JSON) plus engine
+completeness beyond the reference (ranking windows, term frequencies,
+n-gram counts, more TPC-H join shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
+    as_cents,
+    avg_fixed,
+    avg_fixed_sql,
+    clip,
+    round_det,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+_K_SQL = "CAST(json_extract_string(props, '$.k') AS DOUBLE)"
+
+
+@register(
+    "filter_compound_bool",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value, {_K_SQL} AS k FROM events)
+    SELECT event_id, user_id, value, k
+    FROM e
+    WHERE (value < 5.0 OR value > 400.0) AND k >= 20.0 AND k <= 90.0
+    """,
+    tags=("reference", "P7"),
+)
+def filter_compound_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean predicate (reference anomaly flag OR-chains,
+    streamlit_dashboard.py:203-205): (out-of-band value) AND k-range."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    return e.filter(
+        ((F.col("value") < 5.0) | (F.col("value") > 400.0))
+        & (F.col("k") >= 20.0)
+        & (F.col("k") <= 90.0)
+    ).select("event_id", "user_id", "value", "k")
+
+
+@register(
+    "clip_values",
+    oracle="""
+    SELECT least(greatest(value, 50.0), 150.0) AS clipped, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    tags=("reference", "F13"),
+)
+def clip_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.clip equivalent (reference app.py:94,100) as least/greatest,
+    grouped to exercise the expression under aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(clip(F.col("value"), 50.0, 150.0).alias("clipped"))
+        .groupBy("clipped")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "date_format_display",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate, count(*) AS cnt
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-03-01'
+    GROUP BY 1
+    """,
+    tags=("reference", "F3", "F4"),
+)
+def date_format_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display timestamp formatting (reference
+    streamlit_dashboard.py:483-528 strftime) — on TIMESTAMP_NTZ, where
+    `date_format` renders the stored naive value with no timezone
+    dependence, matching DuckDB strftime exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '2000-03-01 00:00:00'"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "props_struct_extract",
+    oracle=f"""
+    SELECT count({_K_SQL}) AS n_k,
+           CAST(min({_K_SQL}) AS BIGINT) AS min_k,
+           CAST(max({_K_SQL}) AS BIGINT) AS max_k,
+           count(*) AS n_rows
+    FROM events
+    """,
+    tags=("reference", "F12", "multimodal"),
+)
+def props_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON decode (`from_json` with an explicit StructType —
+    the engine's open-schema path for typed metadata on multimodal
+    columns), then struct-field aggregation."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.DoubleType())])
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "p", F.from_json("props", schema)
+    )
+    return e.agg(
+        F.count("p.k").alias("n_k"),
+        F.min("p.k").cast("long").alias("min_k"),
+        F.max("p.k").cast("long").alias("max_k"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rank_events_per_user",
+    oracle="""
+    SELECT event_id, user_id, rnk, drnk FROM (
+        SELECT event_id, user_id,
+               rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drnk
+        FROM events
+    ) WHERE rnk <= 3
+    """,
+    tags=("extension", "window", "ranking"),
+)
+def rank_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (absent from the reference; part of a
+    complete analytic surface): top-3 values per user by rank, with
+    dense_rank alongside, unique tie-break on event_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "term_frequency",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, count(*) AS freq FROM words
+    WHERE length(word) > 0
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+    tags=("northstar", "text"),
+)
+def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top-20: explode is a generator (no
+    shuffle), the count is partial-aggregated, and the top-k compiles to
+    TakeOrderedAndProject — the canonical word-count at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_counts",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2
+    ),
+    bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM idx)
+    SELECT bigram, count(*) AS freq FROM bg
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+    tags=("northstar", "text", "ngram"),
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies, top-20 — n-gram generation as a codegen'd
+    array transform, counted with partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i + 1]))")
+    return (
+        docs.select(toks.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "revenue_filter_agg",
+    oracle="""
+    SELECT ROUND(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0 + 1e-8, 2) AS promo_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("joins", "tpch-q6"),
+)
+def revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate with three pushable
+    predicates — the query whose entire cost is scan selectivity, i.e.
+    the purest test that pushdown/pruning works."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round_det(
+                F.sum(as_cents(F.col("l_extendedprice")) * as_cents(F.col("l_discount"))) / 10000.0, 2
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "unshipped_orders_topk",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 + 1e-8, 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("joins", "tpch-q3"),
+)
+def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer dim broadcast into the
+    orders⋈lineitem shuffle, grouped revenue, rounded-then-ranked top-10
+    (rounding before ordering keeps ranks ulp-stable across engines)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            round_det(
+                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "avg_order_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {avg_fixed_sql('o_totalprice')} AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("joins", "A2"),
+)
+def avg_order_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-band aggregation over orders (wider categorical
+    group-by surface on the star schema)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        avg_fixed(F.col("o_totalprice")).alias("avg_price"),
+    )
