@@ -326,3 +326,39 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII, so chars == bytes), hash-checking the whole Python batch path."""
     payloads = multimodal.attach_payload(_docs(spark, sf_dir))
     return multimodal.decode_features(payloads)
+
+
+@register(
+    "embedding_cosine_neardups",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) + 1e-8, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.35
+    """,
+    tags=("northstar", "dedup", "similarity"),
+)
+def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35): the
+    semantic-dedup primitive for training corpora.  Exact all-pairs here
+    (the oracle-checkable baseline); at corpus scale the identical
+    scoring expression runs after `similarity.lsh_bucket` candidate
+    generation instead of the n² self-join."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import _dot, _norm, as_double_vec
+
+    e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    scored = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round_det(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= 0.35)

@@ -1,0 +1,107 @@
+"""Tests for the custom stateful streaming operator
+(applyInPandasWithState EWMA) and the date-partitioned layout."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import layout, sensors
+from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline, stateful
+from tests.test_plans import plan_of
+
+
+def _python_ewma(values, alpha=0.2, threshold=30.0):
+    ewma, crossings = None, 0
+    for v in values:
+        prev = ewma
+        ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+        if prev is not None and (prev <= threshold) != (ewma <= threshold):
+            crossings += 1
+    return ewma, crossings
+
+
+def test_stateful_ewma_matches_python(spark, tmp_path):
+    """Run the stateful operator over a multi-micro-batch stream; final
+    per-sensor state must equal a sequential Python fold over the same
+    ordered readings — proving state carries correctly across batches."""
+    df = sensors.readings(spark, hours=4)
+    path = str(tmp_path / "readings")
+    # Stage in timestamp order so file-order == event order per sensor:
+    # maxFilesPerTrigger then replays deterministically ordered batches.
+    df.orderBy("timestamp").coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = pipeline.file_source(spark, path, schema=df.schema, max_files_per_trigger=1)
+    out = stateful.ewma_stream(stream)
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # last emitted row per sensor = final state
+    final = (
+        spark.table(name)
+        .groupBy("sensor_id")
+        .agg(F.max("n_seen").alias("n_seen"), F.expr("max_by(ewma, n_seen)").alias("ewma"),
+             F.expr("max_by(n_crossings, n_seen)").alias("n_crossings"))
+        .collect()
+    )
+    rows = df.orderBy("timestamp", "temperature").collect()
+    by_sensor: dict[str, list[float]] = {}
+    for r in rows:
+        by_sensor.setdefault(r.sensor_id, []).append(r.temperature)
+    assert len(final) == len(by_sensor)
+    for row in final:
+        want_ewma, want_cross = _python_ewma(by_sensor[row.sensor_id])
+        assert row.n_seen == len(by_sensor[row.sensor_id])
+        assert row.ewma == pytest.approx(want_ewma, abs=1e-5)
+        assert row.n_crossings == want_cross
+
+
+def test_state_is_bounded_per_key(spark, tmp_path):
+    """Emitted rows: one per (sensor, micro-batch) — the state footprint
+    is per-key, not per-event."""
+    df = sensors.readings(spark, hours=2)
+    path = str(tmp_path / "r2")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    stream = pipeline.file_source(spark, path, schema=df.schema, max_files_per_trigger=1)
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = stateful.ewma_stream(stream).writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table(name).count()
+    # <= sensors * batches (4 files -> 4 batches), >= sensors
+    assert sensors.N_SENSORS <= emitted <= sensors.N_SENSORS * 4
+
+
+def test_date_partitioned_layout_prunes(spark, tmp_path):
+    """A date predicate on the partitioned layout must appear as
+    PartitionFilters (directory pruning), and the data must round-trip."""
+    df = sensors.readings(spark, hours=72)  # 3 days
+    path = str(tmp_path / "bydate")
+    layout.write_date_partitioned(df, path)
+
+    got = layout.read_date_range(spark, path, "2024-01-02", "2024-01-03")
+    plan = plan_of(got)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # exactly day 2 rows
+    want = df.filter(
+        (F.col("timestamp") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("timestamp") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).count()
+    assert got.count() == want > 0
+
+
+def test_partition_overwrite_is_idempotent(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing the same day replaces it
+    instead of appending (the at-rest twin of the upsert sink)."""
+    df = sensors.readings(spark, hours=24)
+    path = str(tmp_path / "idem")
+    layout.write_date_partitioned(df, path)
+    n1 = spark.read.parquet(path).count()
+    layout.write_date_partitioned(df, path, mode="overwrite")
+    n2 = spark.read.parquet(path).count()
+    assert n1 == n2 == df.count()
