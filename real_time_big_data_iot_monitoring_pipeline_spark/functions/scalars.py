@@ -106,7 +106,7 @@ def std_fixed(col: Column, decimals: int = 2, out: int = 4) -> Column:
     sx = F.sum(c).cast("double")
     sxx = F.sum(c * c).cast("double")
     scale = float(10 ** decimals)
-    return round_det(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))) / F.lit(scale), out)
+    return round_det(F.sqrt(F.try_divide(sxx - sx * sx / n, n - F.lit(1.0))) / F.lit(scale), out)
 
 
 def corr_int(x: Column, y: Column, out: int = 4) -> Column:
@@ -121,7 +121,8 @@ def corr_int(x: Column, y: Column, out: int = 4) -> Column:
     sxy = F.sum(x * y).cast("double")
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    return round_det(num / den, out)
+    # try_divide: ANSI mode errors on x/0; DuckDB yields NULL — match it.
+    return round_det(F.try_divide(num, den), out)
 
 
 def avg_fixed_sql(col: str, decimals: int = 2, out: int = 4) -> str:

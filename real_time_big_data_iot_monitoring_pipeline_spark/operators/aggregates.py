@@ -70,7 +70,9 @@ def describe_stats(df: DataFrame, col: str) -> DataFrame:
     sx = F.sum(cc).cast("double")
     sxx = F.sum(cc * cc).cast("double")
     mean_u = sx / (F.lit(100.0) * F.count(c))
-    std_u = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))) / F.lit(100.0)
+    # try_divide on every 0-able denominator: ANSI mode raises on x/0,
+    # while the DuckDB oracle yields NULL — try_divide matches the oracle.
+    std_u = F.sqrt(F.try_divide(sxx - sx * sx / n, n - F.lit(1.0))) / F.lit(100.0)
     return df.agg(
         F.count(c).alias("n"),
         round_det(mean_u, 4).alias("mean_v"),
@@ -80,7 +82,7 @@ def describe_stats(df: DataFrame, col: str) -> DataFrame:
         round_det(F.expr(f"percentile({col}, 0.5)"), 4).alias("median_v"),
         round_det(F.expr(f"percentile({col}, 0.75)"), 4).alias("q3"),
         F.max(c).alias("max_v"),
-        round_det(std_u / mean_u * 100, 4).alias("cv_pct"),
+        round_det(F.try_divide(std_u, mean_u) * 100, 4).alias("cv_pct"),
         round_det(F.max(c) - F.min(c), 4).alias("range_v"),
     )
 
@@ -98,7 +100,13 @@ def corr_pairs(df: DataFrame, cols: Sequence[tuple[str, Column]]) -> DataFrame:
         for j in range(i + 1, len(named)):
             a, b = named[i][0], named[j][0]
             pairs.append((a, b))
-            aggs.append(round_det(F.corr(F.col(a), F.col(b)), 4).alias(f"corr_{a}_{b}"))
+            # covar/sqrt(var*var) instead of corr(): Spark's corr raises
+            # DIVIDE_BY_ZERO under ANSI when either column is constant.
+            corr_expr = F.try_divide(
+                F.covar_samp(F.col(a), F.col(b)),
+                F.sqrt(F.var_samp(F.col(a)) * F.var_samp(F.col(b))),
+            )
+            aggs.append(round_det(corr_expr, 4).alias(f"corr_{a}_{b}"))
     wide = projected.agg(*aggs)
     # unpivot the single wide row into (m1, m2, corr_v) rows
     stack_expr = ", ".join(f"'{a}', '{b}', corr_{a}_{b}" for a, b in pairs)
@@ -116,7 +124,7 @@ def histogram(df: DataFrame, col: str, nbins: int = 30) -> DataFrame:
     bounds = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
     binned = df.join(F.broadcast(bounds)).select(
         F.least(
-            F.floor((F.col(col) - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nbins)),
+            F.floor(F.try_divide(F.col(col) - F.col("lo"), (F.col("hi") - F.col("lo")) / nbins)),
             F.lit(nbins - 1),
         )
         .cast("long")

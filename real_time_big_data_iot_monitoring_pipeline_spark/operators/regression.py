@@ -32,9 +32,15 @@ def fit_per_group(
     are dropped (reference requires >=10, ``streamlit_dashboard.py:703``).
     If `forecast_dx` is given, also predict y at max(x) + dx (the
     reference's 1-hour-ahead forecast uses dx=3600 seconds)."""
-    slope = F.covar_samp(x, y) / F.var_samp(x)
+    # try_divide: a zero-variance group yields NULL (DuckDB regr_slope
+    # semantics) instead of an ANSI DIVIDE_BY_ZERO error.  r2 uses the
+    # covar²/(varx·vary) identity rather than corr(x,y)² because Spark's
+    # own `corr` raises DIVIDE_BY_ZERO under ANSI for constant input.
+    slope = F.try_divide(F.covar_samp(x, y), F.var_samp(x))
     intercept = F.avg(F.col(y)) - slope * F.avg(F.col(x))
-    r2 = F.pow(F.corr(x, y), 2)
+    r2 = F.try_divide(
+        F.covar_samp(x, y) * F.covar_samp(x, y), F.var_samp(x) * F.var_samp(y)
+    )
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.round(slope, 8).alias("slope"),

@@ -31,7 +31,7 @@ def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> D
     codegen'd expression (sequential left-to-right summation — matches
     DuckDB `list_cosine_similarity` bit-for-bit on the same doubles)."""
     a, b = F.col(a_col), F.col(b_col)
-    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+    return df.withColumn(out, F.try_divide(_dot(a, b), _norm(a) * _norm(b)))
 
 
 def as_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -59,7 +59,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", round_det(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6))
+        .withColumn("cosine", round_det(F.try_divide(_dot(F.col("qvec"), F.col("cvec")), _norm(F.col("qvec")) * _norm(F.col("cvec"))), 6))
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -107,7 +107,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", round_det(_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6))
+        .withColumn("cosine", round_det(F.try_divide(_dot(F.col("qvec"), F.col("cvec")), _norm(F.col("qvec")) * _norm(F.col("cvec"))), 6))
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))

@@ -59,8 +59,8 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9 ]"), 0))
     stop_re = "\\b(the|and|of|to|a|in|is|it)\\b"
     n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_re), 0))
-    punct_ratio = round_det(n_punct / n_chars, 6)
-    stop_ratio = round_det(n_stop / n_words, 6)
+    punct_ratio = round_det(F.try_divide(n_punct, n_chars), 6)
+    stop_ratio = round_det(F.try_divide(n_stop, n_words), 6)
     length_ok = F.when((n_words >= 5) & (n_chars >= 20), 1.0).otherwise(0.0)
     score = round_det(
         0.4 * length_ok

@@ -358,7 +358,7 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            round_det(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("cosine"),
+            round_det(F.try_divide(_dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("cosine"),
         )
     )
     return scored.filter(F.col("cosine") >= 0.35)

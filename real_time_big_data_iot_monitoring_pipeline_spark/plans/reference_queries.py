@@ -641,7 +641,10 @@ def ma_diff_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = windows.topn_per_group(ma, "user_id", ["ts", "event_id"], 21)
     agg = tail.groupBy("user_id").agg(
         round_det(
-            (F.expr("min_by(m, rn)") - F.expr("max_by(m, rn)")) / (F.count(F.lit(1)) - 1), 4
+            F.try_divide(
+                F.expr("min_by(m, rn)") - F.expr("max_by(m, rn)"), F.count(F.lit(1)) - 1
+            ),
+            4,
         ).alias("mean_diff"),
         F.count(F.lit(1)).alias("_n"),
     )
