@@ -37,19 +37,20 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """Distinct k-word shingles per document: (id, shingle) rows.
 
     Built with `split` + `transform(sequence(...))` — array ops inside
-    codegen, no Python.  `explode` fans out; `distinct` is per-doc set
-    semantics (Jaccard is over sets).
+    codegen, no Python.  Set semantics (Jaccard is over sets) come from
+    `array_distinct` BEFORE the explode: per-document dedup is a map-side
+    array op, so no shuffle — a global `.distinct()` after explode would
+    shuffle every (doc, shingle) pair for the same result.
     """
     toks = F.split(F.col(text_col), " ")
     parts = ", ".join(f"toks[i + {j}]" for j in range(k))
     shingle_arr = F.expr(
-        f"transform(sequence(0, size(toks) - {k}), i -> concat_ws(' ', {parts}))"
+        f"array_distinct(transform(sequence(0, size(toks) - {k}), i -> concat_ws(' ', {parts})))"
     )
     return (
         df.select(F.col(id_col), toks.alias("toks"))
         .filter(F.size("toks") >= k)
         .select(id_col, F.explode(shingle_arr).alias("shingle"))
-        .distinct()
     )
 
 
