@@ -241,3 +241,119 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- portable-hash variants (oracle-checkable) ------------------------------
+# xxhash64 has no SQL twin, so the fast MinHash above takes a rows-only
+# check.  These variants swap in an engine-portable polynomial hash
+# (char-level rolling hash mod 2^31-1, seeded affine family) that DuckDB
+# can reproduce exactly — the entire LSH pipeline becomes value-hash
+# verifiable.  Slower than xxhash64 (per-char fold) but bit-identical
+# across engines; use the xxhash64 path at scale.
+
+PORTABLE_P = 2147483647  # 2^31 - 1
+
+
+def _portable_hash(col):
+    """H(s) = fold(7, chars: a*131 + ascii(c) mod p) — same fold the
+    oracle writes with list_reduce."""
+    chars = F.split(col, "")
+    vals = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        vals,
+        F.lit(7).cast("long"),
+        lambda a, b: (a * 131 + b) % PORTABLE_P,
+    )
+
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH with the portable hash family
+    h_i(s) = ((2i+1)*H(s) + 1000003*i) mod p — every stage reproducible
+    in ANSI SQL, so the driver value-hash-checks the whole pipeline.
+    Same plan shape as `minhash_near_dups`: map-side shingle sets, one
+    signature row per doc, band equi-join candidates."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band == 2, "band key below is written for 2-row bands"
+    sh = word_shingles(df, id_col, text_col, k)
+    h = _portable_hash(F.col("shingle"))
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: ((2 * s + 1) * h + 1000003 * s) % PORTABLE_P,
+    )
+    sig = (
+        sh.select(id_col, hashes.alias("hs"))
+        .groupBy(id_col)
+        .agg(F.array(*[F.min(F.col("hs")[i]) for i in range(num_hashes)]).alias("sig"))
+        .cache()
+    )
+    band_key = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.element_at(F.col("sig"), 2 * b + 1).cast("string"),
+                    F.element_at(F.col("sig"), 2 * b + 2).cast("string"),
+                ).alias("bh"),
+            ),
+        )
+    )
+    banded = sig.select(id_col, "sig", band_key.alias("bk")).select(
+        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over the portable token hash: bit b of H(token)
+    votes +1/-1; fingerprint takes the sign — reproducible in SQL
+    (integer div/mod bit extraction), so oracle-checkable."""
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    votes = (
+        toks.withColumn("ph", _portable_hash(F.col("tok")))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.expr(f"(ph DIV {2**i}) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
+                ).alias(f"v{i}")
+                for i in range(31)
+            ]
+        )
+    )
+    fingerprint = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(31)
+    )
+    return votes.select(id_col, fingerprint.alias("simhash32"))

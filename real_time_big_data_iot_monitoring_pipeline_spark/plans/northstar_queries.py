@@ -365,3 +365,71 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("cosine") >= 0.35)
+
+
+_PORTABLE_H = """list_reduce(list_prepend(CAST(7 AS BIGINT),
+             list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 2147483647)"""
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle FROM idx),
+    hh AS (SELECT doc_id, {_PORTABLE_H.format(col='shingle')} AS h FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS s),
+    sig0 AS (SELECT doc_id, s, min(((2 * s + 1) * h + 1000003 * s) % 2147483647) AS m
+             FROM hh, seeds GROUP BY doc_id, s),
+    sigs AS (SELECT doc_id, list(m ORDER BY s) AS sig FROM sig0 GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS band FROM sigs),
+    bk AS (SELECT doc_id, sig, band,
+                  sig[2 * band + 1]::VARCHAR || ',' || sig[2 * band + 2]::VARCHAR AS bh
+           FROM banded),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.2
+    """,
+    tags=("northstar", "dedup", "lsh", "headline"),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with an engine-portable hash family — the ENTIRE LSH
+    pipeline (shingle sets -> 32 affine minhashes -> 16 two-row bands ->
+    candidate equi-join -> signature-agreement estimate) is value-hash
+    verified against the SQL oracle, not just rows-only.  The xxhash64
+    variant (`dedup_minhash_lsh`) is the faster scale path; this one is
+    the correctness anchor proving the algorithm, not just the shape."""
+    return dedup.minhash_near_dups_portable(_docs(spark, sf_dir), threshold=0.2)
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hh AS (
+        SELECT doc_id, {_PORTABLE_H.format(col='tok')} AS ph
+        FROM toks WHERE length(tok) > 0
+    ),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(f"sum(CASE WHEN (ph // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(31))}
+        FROM hh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(31))} AS simhash32
+    FROM votes
+    """,
+    tags=("northstar", "dedup", "simhash"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints with the portable hash — bit-vote
+    aggregation fully verified against the SQL oracle (the xxhash64
+    64-bit variant stays the scale path)."""
+    return dedup.simhash_portable(_docs(spark, sf_dir))
