@@ -58,12 +58,47 @@ def file_source(spark: SparkSession, path: str, schema: T.StructType | None = No
 def parse_kafka_json(raw: DataFrame, schema: T.StructType = SENSOR_READING_SCHEMA) -> DataFrame:
     """S4: CAST(value AS STRING) → from_json(strict schema) → flatten
     (reference ``spark_streaming.py:136-139``).  Malformed JSON becomes
-    NULLs (from_json semantics); rows with a NULL event time are routed
-    out as a dead-letter side rather than silently dropped."""
+    all-NULL rows (from_json semantics), exactly like the reference; use
+    `parse_kafka_json_with_dead_letter` to split those out instead of
+    carrying them downstream."""
     return (
         raw.selectExpr("CAST(value AS STRING) AS json_str")
         .select(F.from_json("json_str", schema).alias("data"))
         .select("data.*")
+    )
+
+
+def parse_kafka_json_with_dead_letter(
+    raw: DataFrame, schema: T.StructType = SENSOR_READING_SCHEMA, ts_col: str = "timestamp"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with an explicit dead-letter side (an improvement over the
+    reference, which lets NULL rows flow into the sink): returns
+    (good, dead) where `dead` keeps the original payload string for
+    replay/debugging.  Both sides derive from one parse — Catalyst
+    collapses the shared subtree, so the split costs no second scan."""
+    parsed = (
+        raw.selectExpr("CAST(value AS STRING) AS json_str")
+        .select("json_str", F.from_json("json_str", schema).alias("data"))
+    )
+    good = parsed.filter(F.col(f"data.{ts_col}").isNotNull()).select("data.*")
+    dead = parsed.filter(F.col(f"data.{ts_col}").isNull()).select(
+        F.col("json_str").alias("payload"), F.current_timestamp().alias("rejected_at")
+    )
+    return good, dead
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
+    """Kafka streaming sink: serialize all columns to a JSON value (the
+    reference's wire format, ``mqtt_to_kafka.py:58-61``) and write
+    streaming rows to a topic.  Gated on the spark-sql-kafka package like
+    `kafka_source`."""
+    wire = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        wire.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
 
 

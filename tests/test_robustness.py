@@ -1,0 +1,99 @@
+"""Cross-environment robustness: the driver runs the catalog in ITS OWN
+SparkSession, whose timezone we don't control — so every oracle-checked
+query must produce identical results under a non-UTC session timezone.
+Also covers the dead-letter parse split and streaming session windows."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import sensors
+from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline
+from tests.compare import assert_frames_match
+
+# Queries touching event-time in their outputs or grouping — the ones a
+# session-timezone change could plausibly corrupt.
+TZ_SENSITIVE = [
+    "flagship_window_agg",
+    "scan_recent_topn",
+    "filter_time_range",
+    "events_per_day",
+    "session_window_agg",
+    "sliding_window_agg",
+    "date_format_display",
+    "ingestion_rate_window",
+    "elapsed_seconds_feature",
+    "asof_join_events",
+]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_results_are_timezone_proof(name, spark, sf_dir, oracle):
+    """Run under America/New_York (DST-shifting, negative offset): the
+    oracle comparison must still match cell-for-cell."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = REGISTRY[name].build(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    want = oracle.sql(REGISTRY[name].oracle).df()
+    assert_frames_match(got, want, f"{name}@America/New_York")
+
+
+def test_dead_letter_split(spark):
+    """Malformed payloads route to the dead-letter side with the original
+    payload preserved; good rows parse completely."""
+    readings = sensors.readings(spark, hours=1).limit(5)
+    wire = readings.select(
+        F.to_json(
+            F.struct("sensor_id", "location", "timestamp", "temperature", "humidity", "pressure")
+        ).cast("binary").alias("value")
+    )
+    bad = spark.createDataFrame([("{oops",), ('{"sensor_id": "X"}',)], ["s"]).select(
+        F.col("s").cast("binary").alias("value")
+    )
+    good, dead = pipeline.parse_kafka_json_with_dead_letter(wire.union(bad))
+    assert good.count() == 5
+    assert good.filter(F.col("timestamp").isNull()).count() == 0
+    dead_rows = dead.collect()
+    # '{oops' fails to parse; the valid-JSON-wrong-shape row has no timestamp
+    assert len(dead_rows) == 2
+    assert {r.payload for r in dead_rows} == {"{oops", '{"sensor_id": "X"}'}
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window works under Structured Streaming and (complete
+    mode) equals its batch twin."""
+    df = sensors.readings(spark, hours=4)
+    path = str(tmp_path / "sess")
+    df.repartition(6).write.mode("overwrite").parquet(path)
+
+    def sessionize(frame):
+        return (
+            frame.groupBy("sensor_id", F.session_window("timestamp", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("sensor_id", F.unix_micros(F.col("w.start")).alias("s"), "cnt")
+        )
+
+    batch = sorted(tuple(r) for r in sessionize(spark.read.schema(df.schema).parquet(path)).collect())
+    stream = pipeline.file_source(spark, path, schema=df.schema, max_files_per_trigger=2)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    # Files replay in arbitrary (non-chronological) order, so the
+    # watermark must exceed the data span or late batches are (correctly)
+    # dropped — observed with a 1h watermark over a 4h shuffled replay.
+    q = (
+        sessionize(stream.withWatermark("timestamp", "6 hours"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == batch and len(got) > 0
