@@ -312,3 +312,169 @@ def avg_order_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         avg_fixed(F.col("o_totalprice")).alias("avg_price"),
     )
+
+
+@register(
+    "grouped_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value) + 1e-8, 4) AS q1,
+           ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value) + 1e-8, 4) AS median_v,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY value) + 1e-8, 4) AS q3,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value) + 1e-8, 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+    tags=("reference", "A11", "grouped"),
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (the grouped form of the reference's
+    quantile usage): exact `percentile` sorts within each hash-agg
+    group — per-group cost, no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        round_det(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
+        round_det(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
+        round_det(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
+        round_det(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "returned_items_report",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 + 1e-8, 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01' AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("joins", "tpch-q10"),
+)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Returnflag filter pushes into the lineitem scan; customer/nation
+    broadcast; one revenue shuffle on custkey; rounded-then-ranked."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            round_det(
+                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "big_orders_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           ROUND(sum(l.l_quantity) + 1e-8, 2) AS total_qty,
+           ROUND(CAST(round(max(o.o_totalprice) * 100, 0) AS BIGINT) / 100.0 + 1e-8, 2) AS order_price
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey
+    """,
+    tags=("joins", "tpch-q18"),
+)
+def big_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    aggregate-then-semi-join-then-reaggregate.  The HAVING subquery is a
+    first aggregation whose (small) result broadcasts back against
+    lineitem, so the big table is scanned twice but never shuffled for
+    the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("tq")).filter(F.col("tq") > 150).select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey")
+        .join(o.select("o_orderkey", "o_custkey", "o_totalprice"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            round_det(F.sum("l_quantity"), 2).alias("total_qty"),
+            round_det(as_cents(F.max("o_totalprice")) / 100.0, 2).alias("order_price"),
+        )
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0 + 1e-8, 2) AS volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    tags=("joins", "tpch-q7"),
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume by year — the same
+    dimension table (nation) joined twice under different roles, plus an
+    inequality predicate between the two join results."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sup = F.broadcast(s.join(F.broadcast(sn), s.s_nationkey == F.col("sk")).select("s_suppkey", "supp_nation"))
+    cus = F.broadcast(c.join(F.broadcast(cn), c.c_nationkey == F.col("ck")).select("c_custkey", "cust_nation"))
+    return (
+        l.join(o.select("o_orderkey", "o_custkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(sup, l.l_suppkey == sup.s_suppkey)
+        .join(cus, F.col("o_custkey") == cus.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            # year() on TIMESTAMP_NTZ reads the stored naive value —
+            # timezone-free, unlike an NTZ->TIMESTAMP cast+epoch path.
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            round_det(
+                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                2,
+            ).alias("volume")
+        )
+    )

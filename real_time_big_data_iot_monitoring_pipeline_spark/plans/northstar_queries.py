@@ -433,3 +433,140 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation fully verified against the SQL oracle (the xxhash64
     64-bit variant stays the scale path)."""
     return dedup.simhash_portable(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign0 AS (
+        SELECT e.vec_id, cent.cid,
+               list_dot_product(e.v, cent.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS sim,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                   cent.cid) AS rn
+        FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+    q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
+          FROM assign a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
+    c AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
+          FROM assign a JOIN e ON e.vec_id = a.vec_id),
+    s AS (
+        SELECT q.query_id, c.cand_id,
+               ROUND(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) + 1e-8, 6) AS cosine
+        FROM q JOIN c ON q.cid = c.cid AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+    tags=("northstar", "similarity", "ivf"),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, fully oracle-checked: a deterministic coarse
+    quantizer (the first 8 vectors as centroids), cosine-argmax
+    assignment of every vector to its nearest centroid (the inverted
+    lists), and per-query search restricted to the query's own list.
+    At corpus scale the assignment is one broadcast pass and each query
+    touches ~1/8 of the data; swap the fixed centroids for k-means
+    centers without changing the plan shape."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import _dot, _norm, as_double_vec
+    from pyspark.sql import Window
+
+    e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    sim = F.try_divide(
+        _dot(F.col("embedding"), F.col("cv")), _norm(F.col("embedding")) * _norm(F.col("cv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assign = (
+        e.join(cent)
+        .select("vec_id", "embedding", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+    )
+    c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round_det(
+                F.try_divide(_dot(F.col("qv"), F.col("cvv")), _norm(F.col("qv")) * _norm(F.col("cvv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= 5)
+
+
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               ROUND(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b'))
+                     / len(string_split(text, ' ')) + 1e-8, 6) AS stop_ratio,
+               min(doc_id) OVER (PARTITION BY text) AS canonical_id
+        FROM documents
+    ),
+    n AS (
+        SELECT vec_id,
+               ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) + 1e-8, 6) AS nrm
+        FROM embeddings
+    )
+    SELECT q.doc_id, q.n_words, q.stop_ratio, n.nrm
+    FROM q JOIN n ON n.vec_id = q.doc_id
+    WHERE q.doc_id = q.canonical_id      -- exact-dup removal (keep first)
+      AND q.n_words >= 10                -- length gate
+      AND n.nrm > 0.0                    -- embedding validity gate
+    """,
+    tags=("northstar", "curation", "headline"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation slice composing the north-star
+    operators: exact dedup (keep smallest doc_id per text), a length
+    gate, and an embedding-validity gate via the doc<->vector join —
+    the shape of a real corpus-cleaning pass, as ONE declarative plan
+    (dedup via a window over text, no self-join; dims broadcast)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    stop_re = "\\b(the|and|of|to|a|in|is|it)\\b"
+    q = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        round_det(
+            F.try_divide(
+                F.size(F.regexp_extract_all(F.lower("text"), F.lit(stop_re), 0)),
+                F.size(F.split("text", " ")),
+            ),
+            6,
+        ).alias("stop_ratio"),
+        F.min("doc_id").over(Window.partitionBy("text")).alias("canonical_id"),
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import as_double_vec
+
+    n = as_double_vec(_emb(spark, sf_dir)).select(
+        F.col("vec_id"),
+        round_det(F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6).alias("nrm"),
+    )
+    return (
+        q.join(n, q.doc_id == n.vec_id)
+        .filter((F.col("doc_id") == F.col("canonical_id")) & (F.col("n_words") >= 10) & (F.col("nrm") > 0.0))
+        .select("doc_id", "n_words", "stop_ratio", "nrm")
+    )
