@@ -22,10 +22,18 @@ TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from real_time_big_data_iot_monitoring_pipeline_spark.session import get_session
 
-    s = get_session(master="local[8]", shuffle_partitions=8, extra_conf={"spark.ui.enabled": "false"})
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_session(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": warehouse,
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
