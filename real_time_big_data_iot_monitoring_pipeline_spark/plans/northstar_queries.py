@@ -32,8 +32,8 @@ def _emb(spark, sf_dir):
     "dedup_exact_stats",
     oracle="""
     WITH t AS (SELECT text, count(*) AS copies FROM documents GROUP BY text)
-    SELECT sum(copies) AS n_rows, count(*) AS n_distinct,
-           sum(copies) - count(*) AS n_dup_rows
+    SELECT CAST(sum(copies) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+           CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_rows
     FROM t
     """,
     tags=("northstar", "dedup"),

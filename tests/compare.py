@@ -23,7 +23,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(dtype) -> str:
+    k = dtype.kind
+    return "i" if k in "iu" else k
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    # dtype-KIND equality before normalization: DuckDB quietly widens
+    # (e.g. sum(BIGINT) -> HUGEINT -> pandas float64) and a dtype-aware
+    # value hash would then mismatch even with equal values.
+    for c in spark_pdf.columns:
+        if c in oracle_pdf.columns:
+            ka, kb = _kind(spark_pdf[c].dtype), _kind(oracle_pdf[c].dtype)
+            assert ka == kb, (
+                f"{name}: column '{c}' dtype kind spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}"
+            )
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}"
