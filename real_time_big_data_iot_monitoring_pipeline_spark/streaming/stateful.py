@@ -93,3 +93,74 @@ def ewma_stream(readings: DataFrame, alpha: float = 0.2, threshold: float = 30.0
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ---------------
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ExtremesProcessor(StatefulProcessor):
+        """Per-sensor running extremes + exact cents-sum via the modern
+        arbitrary-state API (`transformWithStateInPandas`): ValueState
+        holds (n, min, max, sum_cents); each micro-batch folds its rows
+        in and emits the updated totals.  Functionally overlaps the
+        EWMA operator above but exercises the newer state surface the
+        engine standardizes on going forward.  NOTE: the
+        transformWithState protocol is protobuf-based; environments
+        without `google.protobuf` must use `ewma_stream`
+        (applyInPandasWithState) instead."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extremes", "n BIGINT, mn DOUBLE, mx DOUBLE, sc BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, mn, mx, sc = self._state.get()
+            else:
+                n, mn, mx, sc = 0, None, None, 0
+            for pdf in rows:
+                vals = pdf["temperature"]
+                n += len(vals)
+                bmn, bmx = float(vals.min()), float(vals.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+                sc += int(round(vals.sum() * 100))
+            self._state.update((n, mn, mx, sc))
+            yield pd.DataFrame(
+                {
+                    "sensor_id": [key[0]],
+                    "n_seen": [n],
+                    "min_temp": [mn],
+                    "max_temp": [mx],
+                    "avg_temp": [round(sc / (100.0 * n) + 1e-8, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    EXTREMES_OUTPUT_SCHEMA = (
+        "sensor_id STRING, n_seen BIGINT, min_temp DOUBLE, max_temp DOUBLE, avg_temp DOUBLE"
+    )
+
+    def extremes_stream(readings: DataFrame) -> DataFrame:
+        """Attach the ExtremesProcessor to a streaming readings frame."""
+        return readings.groupBy("sensor_id").transformWithStateInPandas(
+            statefulProcessor=ExtremesProcessor(),
+            outputStructType=EXTREMES_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older PySpark without the API
+    ExtremesProcessor = None
+
+    def extremes_stream(readings: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithStateInPandas requires PySpark >= 4.0")
