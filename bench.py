@@ -25,8 +25,11 @@ HEADLINE = [
     "session_window_agg",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
     "text_token_stats",
     "asof_join_events",
+    "returned_items_report",
+    "curation_pipeline",
 ]
 
 
