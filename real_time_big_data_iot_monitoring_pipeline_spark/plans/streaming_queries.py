@@ -11,6 +11,7 @@ batch/stream equivalence.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -142,6 +143,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
     pipeline.run_stream_to_memory(agg, name, output_mode="complete")
+    # the memory sink holds the rows now; the staging replay dir is done
+    shutil.rmtree(staging, ignore_errors=True)
     return spark.table(name)
 
 
