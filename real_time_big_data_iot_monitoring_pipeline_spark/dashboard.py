@@ -112,9 +112,9 @@ def metric_correlations(readings: DataFrame) -> DataFrame:
 
 def trend_series(readings: DataFrame) -> DataFrame:
     """Rolling-mean trend line per sensor (reference :676-689)."""
-    return windows.rolling_avg(
-        readings, "sensor_id", ["timestamp", "temperature"], "temperature"
-    )
+    # one row per (sensor_id, timestamp) by construction (sensors.readings),
+    # so timestamp alone is a unique, deterministic order key
+    return windows.rolling_avg(readings, "sensor_id", ["timestamp"], "temperature")
 
 
 def forecasts(readings: DataFrame) -> DataFrame:

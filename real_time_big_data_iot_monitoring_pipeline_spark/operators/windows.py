@@ -65,3 +65,12 @@ def elapsed_seconds(df: DataFrame, partition: str, ts_col: str, out: str = "elap
     w = Window.partitionBy(partition)
     e = F.unix_micros(F.col(ts_col))
     return df.withColumn(out, ((e - F.min(e).over(w)) / F.lit(1000000.0)))
+
+
+def elapsed_micros(df: DataFrame, partition: str, ts_col: str, out: str = "x_us") -> DataFrame:
+    """Exact-integer twin of `elapsed_seconds`: microseconds since the
+    group's first observation, kept as a long so downstream moment sums
+    (`regression.fit_per_group_exact`) stay exact."""
+    w = Window.partitionBy(partition)
+    e = F.unix_micros(F.col(ts_col))
+    return df.withColumn(out, e - F.min(e).over(w))

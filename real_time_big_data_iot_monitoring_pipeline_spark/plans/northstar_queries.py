@@ -180,7 +180,9 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
     )
-    SELECT label, count(*) AS cnt, ROUND(avg(nrm) + 1e-8, 6) AS avg_norm,
+    SELECT label, count(*) AS cnt,
+           ROUND((CAST(sum(CAST(round(nrm * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                  / (1000000.0 * count(*))) + 1e-8, 6) AS avg_norm,
            ROUND(min(nrm) + 1e-8, 6) AS min_norm, ROUND(max(nrm) + 1e-8, 6) AS max_norm
     FROM e GROUP BY label
     """,
@@ -188,15 +190,21 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-norm statistics per label: array higher-order functions as
-    plain aggregation inputs (sanity layer for embedding pipelines)."""
+    plain aggregation inputs (sanity layer for embedding pipelines).
+    avg_norm sums the exact 1e6-scaled integer representation of each
+    (cross-engine-identical) norm, so the mean is independent of
+    summation order; min/max are order-independent by nature."""
     e = similarity.as_double_vec(_emb(spark, sf_dir))
     nrm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    nrm_scaled = F.round(F.col("nrm") * 1000000, 0).cast("long")
     return (
         e.select("label", nrm.alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            round_det(F.avg("nrm"), 6).alias("avg_norm"),
+            round_det(
+                F.try_divide(F.sum(nrm_scaled), F.lit(1e6) * F.count(F.lit(1))), 6
+            ).alias("avg_norm"),
             round_det(F.min("nrm"), 6).alias("min_norm"),
             round_det(F.max("nrm"), 6).alias("max_norm"),
         )

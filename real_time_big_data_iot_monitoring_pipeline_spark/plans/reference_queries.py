@@ -719,50 +719,47 @@ def elapsed_seconds_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Per-group OLS regression + forecast + quality gate (M2, M3)
 # --------------------------------------------------------------------------
-_REG_X = "(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1000000.0"
+_REG_FIT_SQL = regression.fit_per_group_exact_sql(
+    "events", "user_id", "ts", "value", min_rows=10, forecast_dx=3600.0
+)
 
 @register(
     "regression_per_group",
-    oracle=f"""
-    WITH f AS (SELECT user_id, value AS y, {_REG_X} AS x FROM events)
-    SELECT user_id,
-           count(*) AS n,
-           ROUND(regr_slope(y, x), 8) AS slope,
-           ROUND(regr_intercept(y, x), 6) AS intercept,
-           ROUND(regr_r2(y, x), 6) AS r2,
-           ROUND(regr_intercept(y, x) + regr_slope(y, x) * (max(x) + 3600), 4) AS forecast
-    FROM f GROUP BY user_id HAVING count(*) >= 10
-    """,
+    oracle=_REG_FIT_SQL,
     tags=("reference", "M2", "headline"),
 )
 def regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor OLS fit + 1-hour forecast (reference
     streamlit_dashboard.py:699-739 fits sklearn per location).  Closed
-    form as pure aggregates — slope=covar_samp/var_samp,
-    intercept=avg(y)-slope*avg(x), r2=corr² — ONE groupBy, no Python in
-    the loop (SURVEY §2.10 M2 Spark mapping)."""
-    e = windows.elapsed_seconds(_events(spark, sf_dir), "user_id", "ts", out="x")
-    return regression.fit_per_group(e, "user_id", "x", "value", min_rows=10, forecast_dx=3600.0)
+    form as pure aggregates over EXACT integer moments (µs × cents in
+    DECIMAL(38,0)) — ONE groupBy, no Python in the loop, and the result
+    is independent of partitioning / summation order (SURVEY §2.10 M2)."""
+    e = windows.elapsed_micros(_events(spark, sf_dir), "user_id", "ts", out="x_us")
+    return regression.fit_per_group_exact(
+        e, "user_id", "x_us", "value", min_rows=10, forecast_dx=3600.0
+    )
 
 
 @register(
     "regression_quality_gate",
     oracle=f"""
-    WITH f AS (SELECT user_id, value AS y, {_REG_X} AS x FROM events),
-    fits AS (
-        SELECT user_id, ROUND(regr_r2(y, x), 6) AS r2
-        FROM f GROUP BY user_id HAVING count(*) >= 10
-    )
-    SELECT ROUND(avg(r2), 6) AS avg_r2,
-           CASE WHEN ROUND(avg(r2), 6) > 0.7 THEN 'good'
-                WHEN ROUND(avg(r2), 6) > 0.3 THEN 'moderate'
+    WITH fits AS ({regression.fit_per_group_exact_sql("events", "user_id", "ts", "value", min_rows=10)})
+    SELECT ROUND((CAST(sum(CAST(round(r2 * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                  / (1000000.0 * count(r2))) + 1e-8, 6) AS avg_r2,
+           CASE WHEN ROUND((CAST(sum(CAST(round(r2 * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                            / (1000000.0 * count(r2))) + 1e-8, 6) > 0.7 THEN 'good'
+                WHEN ROUND((CAST(sum(CAST(round(r2 * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                            / (1000000.0 * count(r2))) + 1e-8, 6) > 0.3 THEN 'moderate'
                 ELSE 'poor' END AS model_quality
     FROM fits
     """,
     tags=("reference", "M3"),
 )
 def regression_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R²-based model-quality gate (reference streamlit_dashboard.py:730-739)."""
-    e = windows.elapsed_seconds(_events(spark, sf_dir), "user_id", "ts", out="x")
-    fits = regression.fit_per_group(e, "user_id", "x", "value", min_rows=10)
+    """R²-based model-quality gate (reference streamlit_dashboard.py:730-739).
+    avg_r2 sums the exact 1e6-scaled integer representation of the
+    (already 6-dp-rounded) per-group r2 values, so it is summation-order
+    independent."""
+    e = windows.elapsed_micros(_events(spark, sf_dir), "user_id", "ts", out="x_us")
+    fits = regression.fit_per_group_exact(e, "user_id", "x_us", "value", min_rows=10)
     return regression.quality_gate(fits)

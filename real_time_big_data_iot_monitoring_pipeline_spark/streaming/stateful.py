@@ -131,7 +131,9 @@ try:
                 bmn, bmx = float(vals.min()), float(vals.max())
                 mn = bmn if mn is None else min(mn, bmn)
                 mx = bmx if mx is None else max(mx, bmx)
-                sc += int(round(vals.sum() * 100))
+                # per-element cents, then sum: keeps the state exact and
+                # independent of where micro-batch boundaries fall
+                sc += int((vals * 100).round().astype("int64").sum())
             self._state.update((n, mn, mx, sc))
             yield pd.DataFrame(
                 {
