@@ -53,6 +53,16 @@ def main() -> None:
     # Untimed warmup: JVM/codegen/file-listing startup shouldn't be billed
     # to whichever query happens to run first.
     REGISTRY["global_kpis"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ... nor should Python-runner startup (worker fork + numpy/pandas
+    # import) be billed to the first Arrow-kernel query: warm it with a
+    # tiny mapInPandas/pandas_udf pass.
+    from pyspark.sql import functions as F
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import norm2_q
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").limit(256).select(
+        norm2_q(F.col("embedding"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -11,8 +11,11 @@ what makes MinHash/SimHash the 100 TB path while `ngram_jaccard_pairs`
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
 
@@ -260,9 +263,10 @@ def simhash_near_dups(
 PORTABLE_P = 2147483647  # 2^31 - 1
 
 
-def _portable_hash(col):
+def _portable_hash_expr(col):
     """H(s) = fold(7, chars: a*131 + ascii(c) mod p) — same fold the
-    oracle writes with list_reduce."""
+    oracle writes with list_reduce.  Interpreted per-char lambda; kept as
+    the expression twin of `_portable_hash` (equivalence-tested)."""
     chars = F.split(col, "")
     vals = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
@@ -270,6 +274,34 @@ def _portable_hash(col):
         F.lit(7).cast("long"),
         lambda a, b: (a * 131 + b) % PORTABLE_P,
     )
+
+
+@pandas_udf(LongType())
+def _portable_hash_arrow(s: pd.Series) -> pd.Series:
+    """Arrow-batched portable hash: identical fold, vectorized across the
+    batch — one numpy pass per character POSITION instead of an
+    interpreted JVM lambda per character.  Exact int64 arithmetic
+    ((p-1)*131 + 255 < 2^63), so it equals `_portable_hash_expr`
+    bit-for-bit; the round-1 perf audit measured this interpreted-fold
+    shape as the repo's slowest query (6.7 s at sf0.1)."""
+    import numpy as np
+
+    arrs = [np.frombuffer(x.encode("utf-8"), dtype=np.uint8) for x in s.to_numpy()]
+    n = len(arrs)
+    maxlen = max((len(a) for a in arrs), default=0)
+    chars = np.zeros((n, maxlen), dtype=np.int64)
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    for i, a in enumerate(arrs):
+        chars[i, : len(a)] = a
+    acc = np.full(n, 7, dtype=np.int64)
+    for j in range(maxlen):
+        live = lens > j
+        acc[live] = (acc[live] * 131 + chars[live, j]) % PORTABLE_P
+    return pd.Series(acc)
+
+
+def _portable_hash(col):
+    return _portable_hash_arrow(col)
 
 
 def minhash_near_dups_portable(

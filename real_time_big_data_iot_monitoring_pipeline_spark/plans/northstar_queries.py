@@ -128,7 +128,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_topk",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
     s AS (
         SELECT q.query_id, c.vec_id AS cand_id,
@@ -146,9 +148,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors: the exact ANN
-    baseline.  Queries broadcast; dot products via zip_with/aggregate
-    (JVM-side, no Python); per-query top-k via row_number on the ROUNDED
-    score so float ulps can't flip ranks across engines."""
+    baseline.  Queries broadcast; scoring via the Arrow-batched exact
+    quantized kernel (`similarity.cosine_parts` — vectorized numpy, no
+    interpreted array lambdas in the per-candidate loop); per-query top-k
+    via row_number on the ROUNDED score so ulps can't flip ranks."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.brute_force_topk(emb, queries, k=10).select(
@@ -342,7 +345,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_neardups",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
     s AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_dot_product(a.v, b.v) /
@@ -357,20 +362,21 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35): the
     semantic-dedup primitive for training corpora.  Exact all-pairs here
     (the oracle-checkable baseline); at corpus scale the identical
-    scoring expression runs after `similarity.lsh_bucket` candidate
+    scoring kernel runs after `similarity.lsh_bucket` candidate
     generation instead of the n² self-join."""
-    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import _dot, _norm, as_double_vec
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_from_parts,
+        cosine_parts,
+    )
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     scored = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            round_det(F.try_divide(_dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("cosine"),
-        )
+        .withColumn("_cp", cosine_parts(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b", round_det(cosine_from_parts(F.col("_cp")), 6).alias("cosine"))
     )
     return scored.filter(F.col("cosine") >= 0.35)
 
@@ -446,7 +452,9 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ivf_topk",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
     cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
     assign0 AS (
         SELECT e.vec_id, cent.cid,
@@ -483,23 +491,30 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists), and per-query search restricted to the query's own list.
     At corpus scale the assignment is one broadcast pass and each query
     touches ~1/8 of the data; swap the fixed centroids for k-means
-    centers without changing the plan shape."""
-    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import _dot, _norm, as_double_vec
+    centers without changing the plan shape.  Assignment streams the
+    corpus once through the matmul scorer (centroid matrix broadcast);
+    final scores use the quantized JVM kernel (candidate sets are small,
+    so Arrow round-trip overhead would dominate).  Every kernel is exact
+    on the same quantized integers, so even the unrounded ORDER BY in
+    the argmax is bit-identical across engines."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_q6_jvm,
+        score_against_matrix,
+    )
     from pyspark.sql import Window
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
-    sim = F.try_divide(
-        _dot(F.col("embedding"), F.col("cv")), _norm(F.col("embedding")) * _norm(F.col("cv"))
-    )
+    cent_rows = [
+        (r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()
+    ]  # broadcast build side: 8 centroids by construction
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     assign = (
-        e.join(cent)
-        .select("vec_id", "embedding", "cid", sim.alias("sim"))
+        score_against_matrix(e, cent_rows, out_id="cid", cand_id="vec_id")
+        .withColumnRenamed("cosine", "sim")
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
+        .join(e, "vec_id")
         .select("vec_id", "embedding", "cid")
     )
     q = assign.filter(F.col("vec_id") < 5).select(
@@ -512,9 +527,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            round_det(
-                F.try_divide(_dot(F.col("qv"), F.col("cvv")), _norm(F.col("qv")) * _norm(F.col("cvv"))), 6
-            ).alias("cosine"),
+            round_det(cosine_q6_jvm(F.col("qv"), F.col("cvv")), 6).alias("cosine"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -534,7 +547,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (
         SELECT vec_id,
-               ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) + 1e-8, 6) AS nrm
+               ROUND(sqrt(list_dot_product(
+                         list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0 + (0.5 + 1e-8))),
+                         list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0 + (0.5 + 1e-8)))))
+                     / 1000000.0 + 1e-8, 6) AS nrm
         FROM embeddings
     )
     SELECT q.doc_id, q.n_words, q.stop_ratio, n.nrm
@@ -567,11 +583,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stop_ratio"),
         F.min("doc_id").over(Window.partitionBy("text")).alias("canonical_id"),
     )
-    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import as_double_vec
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import as_double_vec, norm2_q
 
+    # norm via the exact quantized Arrow kernel (scaled back to vector
+    # units) — no interpreted array lambdas in the corpus-wide gate
     n = as_double_vec(_emb(spark, sf_dir)).select(
         F.col("vec_id"),
-        round_det(F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6).alias("nrm"),
+        round_det(F.sqrt(norm2_q(F.col("embedding"))) / F.lit(1e6), 6).alias("nrm"),
     )
     return (
         q.join(n, q.doc_id == n.vec_id)

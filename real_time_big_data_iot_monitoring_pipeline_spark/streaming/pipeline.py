@@ -221,7 +221,24 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
     """Run a streaming aggregation to a memory sink until all available
     input is consumed (test/driver harness path).  Complete mode emits
     every window regardless of watermark, so the result equals the batch
-    twin — the basis of the batch/stream equivalence checks."""
+    twin — the basis of the batch/stream equivalence checks.  The memory
+    sink collects all rows to the driver: test-harness only — production
+    paths use `run_stream_to_parquet` / the foreachBatch writers."""
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def run_stream_to_parquet(df: DataFrame, path: str, output_mode: str = "complete") -> None:
+    """Run a streaming aggregation to a PARQUET result dir until all
+    available input is consumed.  In complete mode every micro-batch
+    carries the full aggregate state, so overwriting per batch leaves the
+    final state on disk — executors write it, nothing is collected to the
+    driver (the scale-safe twin of `run_stream_to_memory`)."""
+
+    def overwrite(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = df.writeStream.outputMode(output_mode).foreachBatch(overwrite).start()
     q.processAllAvailable()
     q.stop()

@@ -293,3 +293,35 @@ def test_approx_vs_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(approx.d - exact.d) <= max(1, 0.05 * exact.d)
     assert abs(approx.m - exact.m) <= 0.02 * max(1.0, abs(exact.m))
+
+
+# --- Arrow kernels vs their JVM expression twins ------------------------------
+def test_cosine_parts_equals_jvm_expression(spark, sf_dir):
+    """The Arrow cosine kernel and the pure-expression quantized twin
+    compute EXACT integer moments, so they must agree bit-for-bit."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings")).limit(200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") == F.col("id_b") - 1)
+    fast = pairs.withColumn("_cp", similarity.cosine_parts(F.col("va"), F.col("vb"))).select(
+        "id_a", similarity.cosine_from_parts(F.col("_cp")).alias("c")
+    )
+    jvm = pairs.select(
+        "id_a", similarity.cosine_q6_jvm(F.col("va"), F.col("vb")).alias("c")
+    )
+    f = {r.id_a: r.c for r in fast.collect()}
+    j = {r.id_a: r.c for r in jvm.collect()}
+    assert f == j  # exact equality, not approx
+
+
+def test_portable_hash_arrow_equals_expression(spark, sf_dir):
+    """The vectorized Arrow portable hash must equal the interpreted
+    per-char fold exactly on real corpus shingles."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    both = sh.select(
+        "shingle",
+        dedup._portable_hash_arrow(F.col("shingle")).alias("ha"),
+        dedup._portable_hash_expr(F.col("shingle")).alias("he"),
+    )
+    assert both.filter(F.col("ha") != F.col("he")).count() == 0
