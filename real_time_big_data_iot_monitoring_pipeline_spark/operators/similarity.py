@@ -187,6 +187,97 @@ def score_against_matrix(
     )
 
 
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cid",
+    quantized: bool = False,
+) -> DataFrame:
+    """(id, cid) of the L2-nearest centroid for every corpus vector —
+    the IVF coarse-assignment pass.  The centroid matrix (list of
+    (cid, vector)) is the broadcast build side; the corpus streams
+    through `mapInPandas` once, each Arrow batch resolved with a single
+    matmul.  All arithmetic is on the exact quantized integers
+    (squared distances < 2^53), so the argmin — ties broken toward the
+    LOWEST cid — is bit-identical across engines.  Pass
+    `quantized=True` when the centroid vectors are already on the
+    quantized grid (k-means iterates stay there)."""
+    import numpy as np
+
+    order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
+    cids = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
+    Cm = np.array([list(centroids[i][1]) for i in order], dtype=np.float64)
+    if not quantized:
+        Cm = np.floor(Cm * _QSCALE + _QHALF)
+    cn2 = np.einsum("ij,ij->i", Cm, Cm)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.floor(np.vstack(pdf[vec_col].to_numpy()) * _QSCALE + _QHALF)
+            # |a-c|^2 = |a|^2 - 2 a.c + |c|^2; |a|^2 constant per row, so
+            # argmin over (-2 a.c + |c|^2) suffices — exact integers.
+            d2 = -2.0 * (A @ Cm.T) + cn2[None, :]
+            # np.argmin takes the FIRST minimum; cids sorted ascending =>
+            # ties resolve to the lowest cid, matching the SQL row_number
+            # tie-break (ORDER BY dist, cid).
+            best = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out: cids[best]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, {out} long")
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    init_rows: list,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic Lloyd refinement of IVF coarse centroids, entirely
+    on the quantized-integer grid: assignment is the distributed
+    `assign_nearest_centroid` pass; the centroid update is a distributed
+    posexplode + groupBy(cid, pos) sum of quantized longs (map-side
+    combine; k*dim rows collected — the new build side, ~512 values).
+    New centroid components re-quantize via floor(sum/count + 0.5 + eps),
+    so every iterate stays integer and every distance stays exact —
+    DuckDB replays the identical iteration in SQL.  Empty clusters keep
+    their previous centroid.  Returns [(cid, quantized_vector)]."""
+    import math
+
+    import numpy as np
+
+    cent = {
+        int(r[0]): list(np.floor(np.array(list(r[1]), dtype=np.float64) * _QSCALE + _QHALF))
+        for r in init_rows
+    }
+    qlongs = F.transform(F.col(vec_col), lambda x: F.floor(x * F.lit(_QSCALE) + F.lit(_QHALF)))
+    for _ in range(iters):
+        assign = assign_nearest_centroid(
+            corpus, sorted(cent.items()), id_col, vec_col, quantized=True
+        )
+        sums = (
+            assign.join(corpus.select(id_col, vec_col), id_col)
+            .select("cid", F.posexplode(qlongs).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in sums:
+            new.setdefault(int(r.cid), {})[int(r.pos)] = math.floor(
+                r.s / r.n + 0.5 + 1e-8
+            )
+        for cid, comp in new.items():
+            cent[cid] = [float(comp[p]) for p in range(len(comp))]
+    return sorted(cent.items())
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

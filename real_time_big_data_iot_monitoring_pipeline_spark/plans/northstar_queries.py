@@ -534,6 +534,113 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= 5)
 
 
+def _ivf_kmeans_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
+    """DuckDB replay of the deterministic Lloyd refinement: the SAME
+    iteration `similarity.kmeans_refine` runs distributed, unrolled into
+    CTEs.  Every quantity is exact on the quantized-integer grid (dots
+    and squared distances < 2^53), so assignment argmins and centroid
+    floors agree bit-for-bit across engines."""
+    parts = [
+        """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+    a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c{i}.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       -2 * list_dot_product(e.v, c{i}.cv) + list_dot_product(c{i}.cv, c{i}.cv),
+                       c{i}.cid) AS rn
+            FROM e, c{i}) WHERE rn = 1
+    ),
+    s{i} AS (
+        SELECT a{i}.cid, g.pos, sum(e.v[g.pos]) AS s, count(*) AS n
+        FROM a{i} JOIN e USING (vec_id) CROSS JOIN generate_series(1, {dim}) AS g(pos)
+        GROUP BY 1, 2
+    ),
+    n{i} AS (SELECT cid, array_agg(floor(CAST(s AS DOUBLE) / n + 0.5 + 1e-8) ORDER BY pos) AS cv
+             FROM s{i} GROUP BY cid),
+    c{i + 1} AS (SELECT c{i}.cid, COALESCE(n{i}.cv, c{i}.cv) AS cv
+               FROM c{i} LEFT JOIN n{i} USING (cid))"""
+        )
+    f = iters
+    parts.append(
+        f"""
+    af AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c{f}.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       -2 * list_dot_product(e.v, c{f}.cv) + list_dot_product(c{f}.cv, c{f}.cv),
+                       c{f}.cid) AS rn
+            FROM e, c{f}) WHERE rn = 1
+    ),
+    q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
+          FROM af a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
+    cnd AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
+            FROM af a JOIN e ON e.vec_id = a.vec_id),
+    sc AS (
+        SELECT q.query_id, cnd.cand_id,
+               ROUND(list_dot_product(q.qv, cnd.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cnd.cv, cnd.cv))) + 1e-8, 6) AS cosine
+        FROM q JOIN cnd ON q.cid = cnd.cid AND cnd.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM sc
+    ) WHERE rank <= {topk}"""
+    )
+    return ",".join(parts)
+
+
+@register(
+    "embedding_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(),
+    tags=("northstar", "similarity", "ivf", "kmeans"),
+)
+def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-refined coarse quantizer (round-1 verdict,
+    next-round #4): 2 deterministic Lloyd iterations — distributed L2
+    assignment via the broadcast matmul pass, centroid update via
+    posexplode + groupBy(cid, pos) sums of quantized longs (map-side
+    combine; only k*dim sum rows ever reach the driver) — then per-query
+    search restricted to the query's refined list.  All arithmetic stays
+    on the exact quantized-integer grid, so the whole iterative algorithm
+    is value-hash-checked against the DuckDB replay.  At corpus scale:
+    each Lloyd pass is one corpus scan + one k*dim-row agg; search cost
+    unchanged from `embedding_ivf_topk`."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_nearest_centroid,
+        cosine_q6_jvm,
+        kmeans_refine,
+    )
+    from pyspark.sql import Window
+
+    e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    init = [(r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()]
+    cent = kmeans_refine(e, init, iters=2)
+    assign = assign_nearest_centroid(e, cent, quantized=True).join(e, "vec_id")
+    q = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+    )
+    c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round_det(cosine_q6_jvm(F.col("qv"), F.col("cvv")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= 5)
+
+
 @register(
     "curation_pipeline",
     oracle="""

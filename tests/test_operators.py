@@ -175,6 +175,61 @@ def test_lsh_finds_planted_neighbors(spark, sf_dir):
     assert hits >= 45  # >=90% of planted twins found despite bucketing
 
 
+def test_kmeans_ivf_recall_and_objective(spark):
+    """k-means-refined IVF must (a) co-assign planted twin pairs at least
+    as often as the fixed-centroid quantizer and (b) not increase the
+    true k-means objective (within-cluster SSE) — Lloyd monotonicity,
+    robust here because centroid rounding (<=0.5 quantized units) is ~12
+    orders below typical squared distances."""
+    import random as pyrandom
+
+    from pyspark.sql import types as T
+
+    rng = pyrandom.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((2 * i, [float(x) for x in v], 0))
+        rows.append((2 * i + 1, [float(x + rng.gauss(0, 0.01)) for x in v], 0))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    emb = similarity.as_double_vec(spark.createDataFrame(rows, schema)).select(
+        "vec_id", "embedding"
+    )
+    init = [(r[0], r[1]) for r in emb.filter(F.col("vec_id") < 8).collect()]
+    refined = similarity.kmeans_refine(emb, init, iters=2)
+
+    def assignments(cent, quantized):
+        got = similarity.assign_nearest_centroid(emb, cent, quantized=quantized).collect()
+        return {r.vec_id: r.cid for r in got}
+
+    a_fix = assignments(init, quantized=False)
+    a_km = assignments(refined, quantized=True)
+
+    def twin_recall(a):
+        return sum(1 for i in range(60) if a[2 * i] == a[2 * i + 1]) / 60
+
+    assert twin_recall(a_km) >= twin_recall(a_fix)
+
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    qv = {k: np.floor(v * 1e6 + 0.5 + 1e-8) for k, v in vecs.items()}
+
+    def sse(cent_list, a):
+        cm = {cid: np.array(cv, dtype=np.float64) for cid, cv in cent_list}
+        cm = {
+            cid: (cv if a is a_km else np.floor(cv * 1e6 + 0.5 + 1e-8))
+            for cid, cv in cm.items()
+        }
+        return sum(float(np.sum((qv[i] - cm[a[i]]) ** 2)) for i in qv)
+
+    assert sse(refined, a_km) <= sse(init, a_fix)
+
+
 # --- dedup family -------------------------------------------------------------
 @pytest.fixture(scope="module")
 def near_dup_docs(spark):
