@@ -147,6 +147,8 @@ def score_against_matrix(
     vec_col: str = "embedding",
     out_id: str = "query_id",
     cand_id: str = "cand_id",
+    min_cosine: float | None = None,
+    upper_only: bool = False,
 ) -> DataFrame:
     """Score every corpus vector against a SMALL in-memory query set
     (list of (id, vector) tuples — the broadcast build side, exactly like
@@ -155,12 +157,20 @@ def score_against_matrix(
     matmul on the exact quantized integers.  No pair rows are ever
     shipped — at 100 TB this moves |corpus| vectors through Python, not
     |corpus|·|queries|.  Emits (cand_id, query_id, cosine) with NULL
-    cosine for zero-norm operands (DuckDB division semantics)."""
+    cosine for zero-norm operands (DuckDB division semantics).
+
+    `min_cosine` prefilters INSIDE the kernel (pass threshold minus a
+    safety margin; apply the exact rounded threshold on the returned
+    column) so the all-pairs near-dup shape emits only qualifying pairs
+    instead of n*m rows.  `upper_only` keeps cand_id < query_id —
+    unordered-pair semantics.  NULL-cosine rows are dropped when either
+    filter is active (NaN/NULL fails every threshold, like SQL)."""
     import numpy as np
 
-    qids = [int(r[0]) for r in query_rows]
+    qids_arr = np.array([int(r[0]) for r in query_rows], dtype=np.int64)
     Q = np.floor(np.array([list(r[1]) for r in query_rows], dtype=np.float64) * _QSCALE + _QHALF)
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    filtered = min_cosine is not None or upper_only
 
     def score(batches):
         for pdf in batches:
@@ -171,11 +181,27 @@ def score_against_matrix(
             den = np.sqrt(np.einsum("ij,ij->i", C, C))[:, None] * qn[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / den
+            ids = pdf[id_col].to_numpy()
+            if filtered:
+                keep = ~np.isnan(cos)
+                if upper_only:
+                    keep &= ids[:, None] < qids_arr[None, :]
+                if min_cosine is not None:
+                    keep &= cos >= min_cosine
+                ci, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        cand_id: ids[ci],
+                        out_id: qids_arr[qi],
+                        "cosine": cos[ci, qi],
+                    }
+                )
+                continue
             n, m = cos.shape
             out = pd.DataFrame(
                 {
-                    cand_id: np.repeat(pdf[id_col].to_numpy(), m),
-                    out_id: np.tile(np.array(qids, dtype=np.int64), n),
+                    cand_id: np.repeat(ids, m),
+                    out_id: np.tile(qids_arr, n),
                     "cosine": pd.array(cos.ravel(), dtype="Float64"),
                 }
             )

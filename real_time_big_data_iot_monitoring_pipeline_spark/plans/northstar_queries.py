@@ -363,20 +363,25 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup primitive for training corpora.  Exact all-pairs here
     (the oracle-checkable baseline); at corpus scale the identical
     scoring kernel runs after `similarity.lsh_bucket` candidate
-    generation instead of the n² self-join."""
+    generation instead of the n² comparison.  The n² never materializes
+    as rows: the corpus streams ONCE through the matmul kernel against
+    the broadcast corpus matrix, the threshold prefilters inside numpy
+    (margin 1e-6 below the exact rounded cut), and only qualifying pairs
+    are emitted — the exact rounded filter is re-applied JVM-side."""
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
         as_double_vec,
-        cosine_from_parts,
-        cosine_parts,
+        score_against_matrix,
     )
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    scored = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("_cp", cosine_parts(F.col("va"), F.col("vb")))
-        .select("id_a", "id_b", round_det(cosine_from_parts(F.col("_cp")), 6).alias("cosine"))
+    corpus_rows = [(r[0], r[1]) for r in e.collect()]  # oracle-scale baseline: the
+    # matrix side IS the corpus here by definition of all-pairs; bounded by contract
+    scored = score_against_matrix(
+        e, corpus_rows, min_cosine=0.35 - 1e-6, upper_only=True
+    ).select(
+        F.col("cand_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        round_det(F.col("cosine"), 6).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.35)
 
@@ -703,3 +708,84 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") == F.col("canonical_id")) & (F.col("n_words") >= 10) & (F.col("nrm") > 0.0))
         .select("doc_id", "n_words", "stop_ratio", "nrm")
     )
+
+
+@register(
+    "embedding_ivf_multiprobe_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign0 AS (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                   cent.cid) AS rn
+        FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM assign0 WHERE rn <= 2 AND vec_id < 5),
+    q AS (SELECT p.query_id, e.v AS qv, p.cid
+          FROM probes p JOIN e ON e.vec_id = p.query_id),
+    c AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
+          FROM assign a JOIN e ON e.vec_id = a.vec_id),
+    s AS (
+        SELECT q.query_id, c.cand_id,
+               ROUND(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) + 1e-8, 6) AS cosine
+        FROM q JOIN c ON q.cid = c.cid AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+    tags=("northstar", "similarity", "ivf", "multiprobe"),
+)
+def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): each query searches its TWO nearest
+    inverted lists instead of one — the standard recall/cost knob for IVF
+    at scale (recall lost to boundary effects comes back for ~2x probe
+    cost, still ~corpus/4 per query instead of the full scan).  Corpus
+    assignment is unchanged (rn=1); only the tiny query side fans out to
+    rn<=2, so the extra cost is one more broadcast-join probe per query.
+    Candidates can't duplicate across probes (each corpus vector lives in
+    exactly one list)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_q6_jvm,
+        score_against_matrix,
+    )
+    from pyspark.sql import Window
+
+    e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    cent_rows = [(r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()]
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    ranked = (
+        score_against_matrix(e, cent_rows, out_id="cid", cand_id="vec_id")
+        .withColumnRenamed("cosine", "sim")
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = (
+        ranked.filter(F.col("rn") == 1)
+        .join(e, "vec_id")
+        .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
+    )
+    probes = (
+        ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
+        .join(e, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round_det(cosine_q6_jvm(F.col("qv"), F.col("cvv")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= 5)
