@@ -25,7 +25,9 @@ HEADLINE = [
     "session_window_agg",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
+    "embedding_cosine_neardups",
     "embedding_ivf_topk",
+    "embedding_ivf_kmeans_topk",
     "text_token_stats",
     "asof_join_events",
     "returned_items_report",

@@ -40,24 +40,33 @@ def main() -> None:
         norm2_q(F.col("embedding"))
     ).write.format("noop").mode("overwrite").save()
 
-    rows = []
-    for name in REGISTRY:
+    def run_once(name: str) -> tuple[float, str]:
         t0 = time.time()
         try:
             REGISTRY[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            rows.append((name, round(time.time() - t0, 2), ""))
+            return round(time.time() - t0, 2), ""
         except Exception as e:  # keep sweeping; a broken query must be visible
-            rows.append((name, round(time.time() - t0, 2), repr(e)[:80]))
+            return round(time.time() - t0, 2), repr(e)[:80]
+
+    # Two passes: the first includes one-time plan compile / codegen /
+    # Python-worker costs; the second is the steady-state data path —
+    # the number that actually scales with data volume.
+    rows = []
+    for name in REGISTRY:
+        cold, note = run_once(name)
+        warm, note2 = run_once(name)
+        rows.append((name, cold, warm, note or note2))
 
     if "--sort" in sys.argv:
-        rows.sort(key=lambda r: -r[1])
-    print("| query | sec | note |")
-    print("|---|---|---|")
-    for name, sec, note in rows:
-        print(f"| {name} | {sec} | {note} |")
-    total = round(sum(r[1] for r in rows), 1)
-    print(f"\ntotal: {total}s over {len(rows)} queries at {sf_dir}")
-    print(json.dumps({"total_sec": total, "n": len(rows)}))
+        rows.sort(key=lambda r: -r[2])
+    print("| query | cold s | warm s | note |")
+    print("|---|---|---|---|")
+    for name, cold, warm, note in rows:
+        print(f"| {name} | {cold} | {warm} | {note} |")
+    total_cold = round(sum(r[1] for r in rows), 1)
+    total_warm = round(sum(r[2] for r in rows), 1)
+    print(f"\ntotal: cold {total_cold}s / warm {total_warm}s over {len(rows)} queries at {sf_dir}")
+    print(json.dumps({"total_cold_sec": total_cold, "total_warm_sec": total_warm, "n": len(rows)}))
 
 
 if __name__ == "__main__":
