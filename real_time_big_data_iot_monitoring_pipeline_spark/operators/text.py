@@ -112,3 +112,50 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         lambda acc, v: (acc * 31 + v) % F.lit(1000000007).cast("long"),
     )
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document k-gram repetition ratio (1 - distinct/total shingles):
+    the standard repetition quality gate for training corpora (highly
+    repetitive documents are low-value or degenerate).  Built entirely as
+    array expressions over the row's own words — no explode, no shuffle;
+    cost is O(words per doc) like the other text maps.  Documents with
+    fewer than k words are excluded (no k-grams exist)."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), n - F.lit(k))
+    sh = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + F.lit(j + 1)) for j in range(k)]
+        ),
+    )
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return df.filter(n >= k).select(
+        F.col(id_col),
+        total.alias("total_shingles"),
+        distinct.alias("distinct_shingles"),
+        round_det(F.lit(1.0) - F.try_divide(distinct, total), 6).alias("rep_ratio"),
+    )
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic text normalization (the canonical pre-dedup pass):
+    lowercase, strip non-alphanumerics, collapse runs of spaces, trim.
+    Regex constructs are shared by Java regex and RE2, so the DuckDB
+    oracle runs the identical patterns.  Emits the normalized text plus
+    before/after lengths and the normalized word count."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(t).alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+        F.size(F.split(norm, " ")).alias("n_words_norm"),
+    )

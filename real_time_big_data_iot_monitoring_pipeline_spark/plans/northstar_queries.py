@@ -789,3 +789,44 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= 5)
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+        FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id, len(sh) AS total_shingles, len(list_distinct(sh)) AS distinct_shingles,
+           ROUND(1.0 - len(list_distinct(sh)) / len(sh) + 1e-8, 6) AS rep_ratio
+    FROM s
+    """,
+    tags=("northstar", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram repetition ratio per document — the repetition quality gate
+    for training corpora.  Pure array expressions over each row (no
+    explode/shuffle); scales linearly with corpus bytes."""
+    return text.repetition_ratio(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+           len(text) AS len_raw,
+           len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS len_norm,
+           len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_words_norm
+    FROM documents
+    """,
+    tags=("northstar", "text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pre-dedup normalization pass (lower / strip punct /
+    collapse spaces / trim) with before-after length accounting; the
+    normalized text itself is value-hash-checked against the RE2 twin."""
+    return text.normalize_text(_docs(spark, sf_dir))
