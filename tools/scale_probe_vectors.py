@@ -1,0 +1,70 @@
+"""Scale probe for the Arrow vector kernels (PERF.md evidence): replicate
+the sf0.1 embedding corpus 20x (100k vectors) and measure the warm
+steady-state throughput of (a) brute-force scoring of the corpus against
+a 100-query broadcast matrix, (b) L2 nearest-centroid assignment against
+64 centroids, (c) the thresholded near-dup kernel against a 1k-doc
+broadcast block.  Each measured twice; the second (warm) number is the
+one that scales.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import similarity as S
+from real_time_big_data_iot_monitoring_pipeline_spark.session import get_session
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+REPLICATE = 250
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = S.as_double_vec(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    reps = spark.range(REPLICATE).select(F.col("id").alias("rep"))
+    corpus = (
+        base.crossJoin(reps)
+        .select((F.col("vec_id") * REPLICATE + F.col("rep")).alias("vec_id"), "embedding")
+        .repartition(int(cpus))
+        .cache()
+    )
+    n = corpus.count()
+    print(f"corpus: {n} vectors x 64 dims")
+
+    queries = [(r[0], r[1]) for r in corpus.limit(100).collect()]
+    block = [(r[0], r[1]) for r in corpus.limit(1000).collect()]
+    cents = [(r[0], r[1]) for r in corpus.limit(64).collect()]
+
+    def run(label, df, m):
+        for i in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            print(f"{label} pass{i}: {dt:.2f}s  ({n / dt / 1e6:.2f}M vec/s, "
+                  f"{n * m / dt / 1e6:.0f}M scored pairs/s)")
+
+    run("topk_score_100q", S.score_against_matrix(corpus, queries), 100)
+    run("assign_64_centroids", S.assign_nearest_centroid(corpus, cents, quantized=False), 64)
+    run(
+        "neardup_vs_1k_block(thr=.35)",
+        S.score_against_matrix(corpus, block, min_cosine=0.35 - 1e-6, upper_only=True),
+        1000,
+    )
+
+
+if __name__ == "__main__":
+    main()
