@@ -81,3 +81,70 @@ def test_single_event_user_trend(spark):
         )
         out = REGISTRY["ma_diff_trend"].build(spark, d)
         assert out.count() == 0  # all groups filtered (n<2), and no ANSI error
+
+
+def test_score_matrix_zero_vector_filtered(spark):
+    """A zero-norm corpus vector yields NULL cosine unfiltered; with an
+    in-kernel threshold the NaN row must be DROPPED (NULL fails every
+    SQL threshold), never emitted as NaN."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    q = [(9, [1.0, 0.0, 0.0, 0.0])]
+    plain = {r.cand_id: r.cosine for r in S.score_against_matrix(df, q).collect()}
+    assert plain[1] is None and plain[2] == 1.0
+    filt = S.score_against_matrix(df, q, min_cosine=0.5).collect()
+    assert sorted(r.cand_id for r in filt) == [2, 3]
+    assert all(r.cosine == 1.0 for r in filt)
+
+
+def test_repetition_ratio_boundaries(spark):
+    """Docs with exactly k words (one shingle, ratio 0), all-identical
+    words (max repetition), and <k words (excluded)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x x x x x x"), (3, "too short")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in T.repetition_ratio(df, k=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].total_shingles == 1 and rows[1].rep_ratio == 0.0
+    assert rows[2].total_shingles == 4 and rows[2].distinct_shingles == 1
+    assert rows[2].rep_ratio == 0.75
+
+
+def test_normalize_text_edge_cases(spark):
+    """Empty text, punctuation-only text, and mixed-case with repeated
+    separators all normalize without error and with exact lengths."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "!!! ... ???"), (3, "  Hello,   WORLD!  ")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in T.normalize_text(df).collect()}
+    assert rows[1].norm_text == "" and rows[1].len_norm == 0
+    assert rows[2].norm_text == ""
+    assert rows[3].norm_text == "hello world" and rows[3].len_norm == 11
+
+
+def test_kmeans_refine_single_cluster_stability(spark):
+    """One centroid: every vector assigns to it and the refined centroid
+    is the floor-rounded per-dimension mean of the quantized corpus."""
+    import math
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [2.0, 5.0])], ["vec_id", "embedding"]
+    )
+    init = [(0, [0.0, 0.0])]
+    out = S.kmeans_refine(df, init, iters=1)
+    assert len(out) == 1
+    want = [
+        math.floor((1e6 + 2e6) / 2 + 0.5 + 1e-8),
+        math.floor((3e6 + 5e6) / 2 + 0.5 + 1e-8),
+    ]
+    assert out[0][1] == [float(w) for w in want]
