@@ -101,3 +101,22 @@ def test_iqr_bounds_are_broadcast_not_collected(spark, sf_dir):
     has no driver-side collect step."""
     plan = plan_of(REGISTRY["iqr_anomaly"].build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_embedding_kernel_scan_prunes_label(spark, sf_dir):
+    """The Arrow matmul kernels select only (vec_id, embedding) before
+    mapInPandas, so the parquet scan must not read `label` — at corpus
+    scale the pruned column is free, unpruned it's a full extra read."""
+    plan = plan_of(REGISTRY["embedding_cosine_topk"].build(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "embedding" in read_schema
+    assert "label" not in read_schema, "unused label column not pruned from scan"
+
+
+def test_text_ops_stay_in_codegen(spark, sf_dir):
+    """The new text maps (repetition ratio / normalize) are pure column
+    expressions: whole-stage codegen must cover them end to end."""
+    for name in ("text_repetition_ratio", "text_normalize"):
+        plan = plan_of(REGISTRY[name].build(spark, sf_dir), "simple")
+        assert "*(" in plan, f"{name} fell out of whole-stage codegen"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
