@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting / budgeting for training corpora.
+
+`df.sample()` is partition-dependent (seeded per-partition RNG), so its
+output changes with the file layout — useless for reproducible corpus
+curation and impossible to oracle-check.  Everything here derives
+pseudo-randomness from a Knuth multiplicative hash of the row's own id:
+
+    h(id) = (id * 2654435761) mod 2^32        (golden-ratio constant)
+
+which is a pure column expression (exact in int64: id * 2.6e9 stays
+below 2^63 for ids < 2^31), identical on every engine, and independent
+of partitioning — the same property the fixture generator and the
+portable MinHash family rely on.
+
+At 100 TB these are all one scan + (for stratified variants) one shuffle
+on the stratum key; nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+KNUTH = 2654435761  # 2^32 * (golden ratio - 1), the classic multiplicative hash
+MOD = 2**32
+
+
+def det_hash(id_col) -> F.Column:
+    """Deterministic uniform-ish hash of an integer id to [0, 2^32)."""
+    return (F.col(id_col) if isinstance(id_col, str) else id_col) * F.lit(KNUTH) % F.lit(MOD)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """EXACT per-stratum fraction: rank rows inside each stratum by the
+    deterministic hash (unique tie-break on id) and keep the first
+    ceil(fraction * n).  One shuffle on the stratum key; the hash order
+    makes the kept set a uniform draw that never changes across runs,
+    partitionings, or engines."""
+    w = Window.partitionBy(stratum_col).orderBy(det_hash(id_col), F.col(id_col))
+    n = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rk", "_n")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Reproducible train/val/test assignment: bucket = h(id) mod 100.
+    A pure map — no shuffle, no state; every engine and every re-run
+    assigns each id to the same split (the property `randomSplit`
+    lacks)."""
+    bucket = det_hash(id_col) % F.lit(100)
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def token_budget(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus token budget per group with each group's share of the total
+    and the cumulative share in descending-token order — the report that
+    drives mixture weighting when assembling a training corpus.  One hash
+    agg + one single-partition window over the (small) group rows."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("n_tokens")
+    )
+    # grand total via the 1-row-aggregate broadcast pattern (same shape as
+    # the IQR bounds — no driver collect); the cumulative window runs over
+    # AGGREGATED group rows only (cardinality = #groups, bounded), declared
+    # as one explicit partition rather than an implicit global window.
+    tot = agg.agg(F.sum("n_tokens").alias("_tot"))
+    cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("n_tokens").desc(), *[F.col(c) for c in group_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        round_det(F.try_divide(F.col("n_tokens"), F.col("_tot")), 6).alias("share"),
+        round_det(F.try_divide(F.sum("n_tokens").over(cum), F.col("_tot")), 6).alias(
+            "cum_share"
+        ),
+    )

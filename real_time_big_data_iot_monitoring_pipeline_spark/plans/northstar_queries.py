@@ -830,3 +830,90 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse spaces / trim) with before-after length accounting; the
     normalized text itself is value-hash-checked against the RE2 twin."""
     return text.normalize_text(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / splitting / budgeting (corpus assembly ops)
+# --------------------------------------------------------------------------
+@register(
+    "corpus_sample_stratified",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hv,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, n,
+               row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= ceil(n * 0.2)
+    """,
+    tags=("northstar", "sampling"),
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 20%-per-language stratified sample, reproducible by
+    construction: rows rank inside each stratum by a Knuth multiplicative
+    hash of doc_id (partitioning- and engine-independent, unlike
+    df.sample's per-partition RNG) and the first ceil(0.2*n) survive.
+    One shuffle on the stratum key."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), stratum_col="lang", fraction=0.2
+    ).select("doc_id", "lang")
+
+
+@register(
+    "corpus_split_counts",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2
+    """,
+    tags=("northstar", "sampling", "split"),
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment (hash-bucket of
+    doc_id — a pure map, the property randomSplit lacks), reported as
+    counts per (lang, split)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return (
+        sampling.split_assign(_docs(spark, sf_dir))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "corpus_token_budget",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n_tokens) AS tot FROM g)
+    SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+           ROUND(g.n_tokens / t.tot + 1e-8, 6) AS share,
+           ROUND(sum(g.n_tokens) OVER (ORDER BY g.n_tokens DESC, g.lang, g.source
+                                       ROWS UNBOUNDED PRECEDING) / t.tot + 1e-8, 6) AS cum_share
+    FROM g, t
+    """,
+    tags=("northstar", "sampling", "budget"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per (lang, source) with each group's share and the
+    cumulative share in descending-token order — the mixture-weighting
+    report for corpus assembly.  One hash agg over the corpus; the
+    cumulative window runs over the bounded set of group rows only."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return sampling.token_budget(_docs(spark, sf_dir), ["lang", "source"])
