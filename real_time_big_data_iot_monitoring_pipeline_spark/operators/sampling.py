@@ -104,3 +104,32 @@ def token_budget(
             "cum_share"
         ),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 2000,
+) -> DataFrame:
+    """Assign documents to ~shard_tokens-sized training shards: inside
+    each stratum, order by the deterministic hash (a reproducible
+    pseudo-random interleave) and cut a new shard every time the running
+    token total crosses the budget — shard = floor(tokens_before / budget)
+    over the exclusive prefix sum.  One partitioned window per stratum;
+    shard boundaries are identical on every engine and partitioning."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(det_hash(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        toks.alias("n_tokens"),
+        F.floor(
+            F.coalesce(F.sum(toks).over(w), F.lit(0)) / F.lit(shard_tokens)
+        ).alias("shard"),
+    )

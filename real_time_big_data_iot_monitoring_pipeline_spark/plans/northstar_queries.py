@@ -917,3 +917,38 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
 
     return sampling.token_budget(_docs(spark, sf_dir), ["lang", "source"])
+
+
+@register(
+    "corpus_shard_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+               (doc_id * 2654435761) % 4294967296 AS hv
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, n_tokens,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+                    AS BIGINT) AS shard
+        FROM d
+    )
+    SELECT lang, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM s GROUP BY 1, 2
+    """,
+    tags=("northstar", "sampling", "shard"),
+)
+def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard the corpus into ~2000-token training files per language:
+    deterministic hash order + exclusive-prefix-sum cut points (windows
+    partitioned by stratum), reported as docs/tokens per shard.  At
+    100 TB this is the shard-manifest job that feeds the packing stage."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return (
+        sampling.shard_assign(_docs(spark, sf_dir), stratum_col="lang", shard_tokens=2000)
+        .groupBy("lang", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
