@@ -247,8 +247,11 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the Hamming cut rejects most candidate
+        # pairs, so the dedup shuffle only carries true near-dups (a pair
+        # passes or fails identically from every chunk it collides in)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
