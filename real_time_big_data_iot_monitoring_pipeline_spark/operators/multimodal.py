@@ -89,3 +89,67 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id", every: int = 100) -> Dat
     ).filter(F.col("_x") == "x").select(
         id_col, F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                    T.StructField("target_w", T.IntegerType()),
+                    T.StructField("target_h", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int, real: bool = False) -> bytes:
+    """STUB resize kernel: no image codec ships in this container.  The
+    deterministic fake emits exactly w*h bytes by tiling/truncating the
+    source payload, so downstream schema/partitioning/batch-shape logic is
+    fully exercised; set real=True once PIL exists."""
+    if real:  # pragma: no cover - codec path for real deployments
+        raise NotImplementedError("image codecs unavailable in this container")
+    n = w * h
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", width: int = 32, height: int = 16
+) -> DataFrame:
+    """Resize stage over the binary column: Arrow-batched `mapInPandas`,
+    partition-preserving, emitting the resized payload plus typed metadata
+    carrying the target dimensions — the exact plumbing a real thumbnail/
+    normalization pass needs (swap `_resize_stub` for a PIL kernel; the
+    plan, schema, and batch shape do not change)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: _resize_stub(bytes(p), width, height))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "mime": "application/octet-stream",
+                            "n_bytes": len(r),
+                            "target_w": width,
+                            "target_h": height,
+                        }
+                        for r in resized
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

@@ -380,3 +380,24 @@ def test_portable_hash_arrow_equals_expression(spark, sf_dir):
         dedup._portable_hash_expr(F.col("shingle")).alias("he"),
     )
     assert both.filter(F.col("ha") != F.col("he")).count() == 0
+
+
+def test_resize_images_shape_and_determinism(spark, sf_dir):
+    """The resize stage must emit exactly w*h bytes per row with the
+    target dims in typed metadata, deterministically across runs."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = multimodal.attach_payload(docs)
+    out = multimodal.resize_images(payloads, width=32, height=16)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.payload) == 32 * 16
+        assert r.meta.target_w == 32 and r.meta.target_h == 16
+        assert r.meta.n_bytes == 32 * 16
+    again = {r.doc_id: bytes(r.payload) for r in out.collect()}
+    assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
+
+
+def test_resize_real_path_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal._resize_stub(b"abc", 4, 4, real=True)
