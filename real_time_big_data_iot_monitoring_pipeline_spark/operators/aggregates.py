@@ -17,7 +17,6 @@ from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     as_cents,
     avg_fixed,
     round_det,
-    std_fixed,
 )
 
 

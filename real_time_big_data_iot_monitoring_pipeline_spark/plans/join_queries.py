@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     as_cents,
     avg_fixed,
-    avg_fixed_sql,
     round_det,
 )
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register

@@ -10,18 +10,15 @@ proof), ordering ties broken on event_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     avg_fixed,
-    avg_fixed_sql,
     clean_label,
     corr_int,
     corr_int_sql,
     round_det,
-    round_det_sql,
-    std_fixed_sql,
 )
 from real_time_big_data_iot_monitoring_pipeline_spark.operators import aggregates, alerts, anomaly, regression, windows
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
