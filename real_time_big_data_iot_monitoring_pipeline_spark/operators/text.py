@@ -119,10 +119,49 @@ def repetition_ratio(
 ) -> DataFrame:
     """Per-document k-gram repetition ratio (1 - distinct/total shingles):
     the standard repetition quality gate for training corpora (highly
-    repetitive documents are low-value or degenerate).  Built entirely as
-    array expressions over the row's own words — no explode, no shuffle;
-    cost is O(words per doc) like the other text maps.  Documents with
-    fewer than k words are excluded (no k-grams exist)."""
+    repetitive documents are low-value or degenerate).
+
+    Shingles build via posexplode + `lead` windows + hash agg — every
+    expression codegen'd (measured ~5x faster at sf0.1 than the
+    interpreted array-lambda construction, which survives as
+    `repetition_ratio_arrays` for shuffle-free contexts).  The shuffle
+    partitions by doc_id, so work parallelizes across documents at any
+    corpus size.  Documents with fewer than k words are excluded (no
+    k-grams exist)."""
+    from pyspark.sql import Window
+
+    w = df.select(id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("word", j).over(win) for j in range(1, k)]
+    sh = w.select(
+        id_col,
+        F.concat_ws(" ", F.col("word"), *leads).alias("sh"),
+        leads[-1].alias("_tail"),
+    ).filter(F.col("_tail").isNotNull())
+    total = F.col("total_shingles")
+    distinct = F.col("distinct_shingles")
+    return (
+        sh.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.countDistinct("sh").alias("distinct_shingles"),
+        )
+        .select(
+            F.col(id_col),
+            "total_shingles",
+            "distinct_shingles",
+            round_det(F.lit(1.0) - F.try_divide(distinct, total), 6).alias("rep_ratio"),
+        )
+    )
+
+
+def repetition_ratio_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Shuffle-free twin of `repetition_ratio`: pure array expressions
+    over the row's own words (interpreted higher-order lambdas — slower
+    per byte, but a pure map).  Use where a shuffle is unavailable or
+    unwanted: streaming maps, already-partitioned pipelines."""
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
     starts = F.sequence(F.lit(0), n - F.lit(k))
