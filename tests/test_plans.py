@@ -114,9 +114,13 @@ def test_embedding_kernel_scan_prunes_label(spark, sf_dir):
 
 
 def test_text_ops_stay_in_codegen(spark, sf_dir):
-    """The new text maps (repetition ratio / normalize) are pure column
-    expressions: whole-stage codegen must cover them end to end."""
+    """The new text ops (repetition ratio / normalize) are pure column
+    expressions: no Python eval node may appear anywhere, and whole-stage
+    codegen must be visible whenever AQE isn't hiding the final plan
+    (shuffle-bearing plans print an unexecuted AdaptiveSparkPlan wrapper
+    with no `*(` markers — Python nodes would still be visible)."""
     for name in ("text_repetition_ratio", "text_normalize"):
         plan = plan_of(REGISTRY[name].build(spark, sf_dir), "simple")
-        assert "*(" in plan, f"{name} fell out of whole-stage codegen"
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        if "AdaptiveSparkPlan" not in plan:
+            assert "*(" in plan, f"{name} fell out of whole-stage codegen"
