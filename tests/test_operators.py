@@ -263,6 +263,37 @@ def test_simhash_near_dups(spark, near_dup_docs):
     assert len(want & got) >= 30  # simhash over ~30-token docs: most planted pairs within 12 bits
 
 
+def test_simhash_packed_lanes_match_python_votes(spark, near_dup_docs):
+    """The lane-packed vote counters must reproduce the textbook per-bit
+    SimHash exactly.  Reference fingerprints are recomputed in Python from
+    the same xxhash64 token hashes Spark produced, so this pins the
+    packing arithmetic (lane width, shift/mask extraction, sign rule)
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = near_dup_docs.limit(20)
+    tok_hashes = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    votes = {}
+    for r in tok_hashes:
+        v = votes.setdefault(r.doc_id, [0] * 64)
+        for i in range(64):
+            v[i] += 1 if (r.h >> i) & 1 else -1
+    want = {}
+    for doc_id, v in votes.items():
+        fp = 0
+        for i in range(64):
+            if v[i] > 0:
+                fp += 2**i if i < 63 else -(2**63)
+        want[doc_id] = fp
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert got == want
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["doc_id", "text"]
