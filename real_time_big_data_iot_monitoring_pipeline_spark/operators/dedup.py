@@ -442,3 +442,76 @@ def simhash_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         for i in range(31)
     )
     return votes.select(id_col, fingerprint.alias("simhash32"))
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in
+    a pair gets the MINIMUM doc id of its component as `component_id` —
+    the canonical-survivor labeling a dedup pipeline keeps one doc per
+    cluster with.
+
+    Pregel-style min-label propagation: labels start as the node id; each
+    round every node takes min(own label, neighbors' labels); converged
+    when no label changes.  Each round is one join + one hash agg on the
+    node key; the driver sees only a per-round scalar convergence count
+    (no row collect), the standard driver-coordinated iterative-algorithm
+    shape (same contract as `similarity.kmeans_refine`).  Rounds needed =
+    component diameter — near-dup clusters are shallow (pairs/chains of
+    near-identical docs), so convergence is a handful of rounds; at
+    100 TB swap in the large-star/small-star variant without changing the
+    output contract.
+
+    Output: (doc_id, component_id, component_size), one row per node that
+    appears in at least one pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    # Lineage MUST be truncated every round (localCheckpoint, eager):
+    # without it each iteration's plan embeds all previous joins and the
+    # optimizer/codegen cost grows exponentially with the diameter — a
+    # 12-hop chain OOMs the driver on plan bloat alone.  On a cluster,
+    # point `spark.sparkContext.setCheckpointDir` at durable storage and
+    # swap in `.checkpoint()` for executor-loss tolerance.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select("node", F.least("label", "nbr_label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        "component_size",
+    )
+    edges.unpersist()
+    return out

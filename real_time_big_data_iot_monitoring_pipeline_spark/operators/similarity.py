@@ -220,6 +220,7 @@ def assign_nearest_centroid(
     vec_col: str = "embedding",
     out: str = "cid",
     quantized: bool = False,
+    dist_col: str | None = None,
 ) -> DataFrame:
     """(id, cid) of the L2-nearest centroid for every corpus vector —
     the IVF coarse-assignment pass.  The centroid matrix (list of
@@ -229,7 +230,10 @@ def assign_nearest_centroid(
     (squared distances < 2^53), so the argmin — ties broken toward the
     LOWEST cid — is bit-identical across engines.  Pass
     `quantized=True` when the centroid vectors are already on the
-    quantized grid (k-means iterates stay there)."""
+    quantized grid (k-means iterates stay there).  With `dist_col`, the
+    exact quantized squared L2 distance |a-c|^2 to the chosen centroid
+    is emitted as a long (it is an exact integer < 2^53, so the cast is
+    lossless)."""
     import numpy as np
 
     order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
@@ -251,11 +255,16 @@ def assign_nearest_centroid(
             # ties resolve to the lowest cid, matching the SQL row_number
             # tie-break (ORDER BY dist, cid).
             best = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), out: cids[best]}
-            )
+            cols = {id_col: pdf[id_col].to_numpy(), out: cids[best]}
+            if dist_col is not None:
+                an2 = np.einsum("ij,ij->i", A, A)
+                cols[dist_col] = (an2 + d2[np.arange(len(best)), best]).astype(np.int64)
+            yield pd.DataFrame(cols)
 
-    return corpus.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, {out} long")
+    schema = f"{id_col} long, {out} long"
+    if dist_col is not None:
+        schema += f", {dist_col} long"
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def kmeans_refine(

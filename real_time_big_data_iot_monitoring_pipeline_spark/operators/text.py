@@ -7,7 +7,7 @@ hot path never leaves the JVM, so these scale linearly with corpus bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
@@ -197,4 +197,51 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.length(t).alias("len_raw"),
         F.length(norm).alias("len_norm"),
         F.size(F.split(norm, " ")).alias("n_words_norm"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count in the doc; idf = ln(N/df) + 1 (df = number of docs
+    containing the term).  Three hash aggregations — (doc, term), (term),
+    and the 1-row corpus count broadcast onto every term — then a
+    per-doc top-k window.  No vocabulary collect: the idf join is
+    term-keyed and the doc-count side is a broadcast scalar, so the
+    plan is corpus-size-independent in driver memory.
+
+    Cross-engine determinism: idf is quantized to integer micro-units
+    per TERM (floor(x*1e6 + 0.5 + 1e-8) — ln differs by <=1 ulp between
+    libm implementations, infinitesimal against the 1e-6 grid), and the
+    ranking score tf * idf_micro is then an EXACT integer product, so
+    ordering and values are bit-identical across engines.  Ties break on
+    the term string.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        F.floor(
+            (F.log(F.col("n_docs").cast("double") / F.col("df")) + F.lit(1.0)) * F.lit(1e6)
+            + F.lit(0.5 + 1e-8)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(), F.col("term"))
+    return (
+        tf.join(idf, "term")
+        .select(id_col, "term", "tf", "df", (F.col("tf") * F.col("idf_micro")).alias("score_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
     )

@@ -539,12 +539,14 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= 5)
 
 
-def _ivf_kmeans_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
-    """DuckDB replay of the deterministic Lloyd refinement: the SAME
-    iteration `similarity.kmeans_refine` runs distributed, unrolled into
-    CTEs.  Every quantity is exact on the quantized-integer grid (dots
-    and squared distances < 2^53), so assignment argmins and centroid
-    floors agree bit-for-bit across engines."""
+def _ivf_kmeans_prefix(iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of the deterministic Lloyd refinement, through the
+    final assignment CTE `af` (vec_id -> cid) with the refined centroids
+    in `c{iters}`: the SAME iteration `similarity.kmeans_refine` runs
+    distributed, unrolled into CTEs.  Every quantity is exact on the
+    quantized-integer grid (dots and squared distances < 2^53), so
+    assignment argmins and centroid floors agree bit-for-bit across
+    engines.  Shared by the IVF-search and cluster-stats oracles."""
     parts = [
         """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
@@ -582,7 +584,16 @@ def _ivf_kmeans_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
                        -2 * list_dot_product(e.v, c{f}.cv) + list_dot_product(c{f}.cv, c{f}.cv),
                        c{f}.cid) AS rn
             FROM e, c{f}) WHERE rn = 1
-    ),
+    )"""
+    )
+    return ",".join(parts)
+
+
+def _ivf_kmeans_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
+    """IVF search over the k-means-refined lists (see `_ivf_kmeans_prefix`)."""
+    return (
+        _ivf_kmeans_prefix(iters, dim)
+        + f""",
     q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
           FROM af a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
     cnd AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
@@ -598,7 +609,6 @@ def _ivf_kmeans_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
         FROM sc
     ) WHERE rank <= {topk}"""
     )
-    return ",".join(parts)
 
 
 @register(

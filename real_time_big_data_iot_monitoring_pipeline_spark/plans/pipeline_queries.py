@@ -1,0 +1,277 @@
+"""Round-2 pipeline catalog: time-series repair (resample/gap-fill,
+sessionization), corpus analytics (TF-IDF, duplicate components,
+k-means cluster stats), and the pivot surface.
+
+These extend the reference inventory the same way the north-star set
+does: the reference's dashboard assumes dense IoT feeds and a curated
+corpus; these are the operators that MAKE the feed dense and the corpus
+curated at 100 TB.  Every query keeps the determinism contract:
+epoch-integer timestamps, cents-exact / quantized-integer aggregation,
+unique-key tie-breaks, round-before-rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import dedup, text, timeseries
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.northstar_queries import _ivf_kmeans_prefix
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Time-series repair
+# --------------------------------------------------------------------------
+_AVG_FIXED_SQL = "ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value))) + 1e-8, 4)"
+
+
+@register(
+    "resample_gap_fill",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+               count(*) AS n_events,
+               {_AVG_FIXED_SQL} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS bucket FROM bounds)
+    SELECT g.event_type, g.bucket, g.bucket * 3600 AS bucket_start,
+           COALESCE(a.n_events, 0) AS n_events, a.avg_value,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS avg_value_ff,
+           CASE WHEN a.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+    """,
+    tags=("pipeline", "timeseries", "resample"),
+)
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type resample with forward fill — the repair a sparse
+    IoT feed needs before the reference's charting surface
+    (streamlit_dashboard.py:676-696 assumes dense series).  One hash agg
+    on (type, bucket), a per-type dense grid (O(types*hours), never the
+    raw rows again), one window carry."""
+    return timeseries.resample_gap_fill(_events(spark, sf_dir), "event_type", "ts", "value")
+
+
+_SUM_FIXED_SQL = "ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0) + 1e-8, 2)"
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+    ),
+    y AS (
+        SELECT user_id, event_id, tus, value,
+               CASE WHEN prev IS NULL OR tus - prev > 3600000000 THEN 1 ELSE 0 END AS ns
+        FROM x
+    ),
+    z AS (
+        SELECT user_id, tus, value,
+               CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM y
+    )
+    SELECT user_id, session_id,
+           min(tus) AS session_start_us, max(tus) AS session_end_us,
+           count(*) AS n_events,
+           {_SUM_FIXED_SQL} AS sum_value,
+           max(tus) - min(tus) AS duration_us
+    FROM z GROUP BY 1, 2
+    """,
+    tags=("pipeline", "timeseries", "sessionize"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (1-hour inactivity breaks a session) —
+    the batch twin of `session_window_agg` with explicit per-user session
+    ordinals (lag -> flag -> running sum, one key shuffle)."""
+    return timeseries.sessionize(
+        _events(spark, sf_dir), "user_id", "ts", "event_id", "value", gap_seconds=3600
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus analytics
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (
+        SELECT term, df,
+               CAST(floor((ln(CAST(n_docs AS DOUBLE) / df) + 1.0) * 1000000.0 + 0.5 + 1e-8) AS BIGINT) AS idf_micro
+        FROM dfreq, nd
+    ),
+    s AS (
+        SELECT tf.doc_id, tf.term, tf.tf, idf.df, tf.tf * idf.idf_micro AS score_micro
+        FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, tf, df, score_micro, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+    tags=("pipeline", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.  idf quantized to integer
+    micro-units per term, so the ranking score tf*idf_micro is an exact
+    integer — rank order and values bit-identical across engines."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), top_k=5)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter) + 1e-8, 6) >= 0.1
+    ),
+    edges(s, d) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, min(d) AS component_id FROM reach GROUP BY s),
+    csize AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+    SELECT comp.doc_id, comp.component_id, csize.component_size
+    FROM comp JOIN csize USING (component_id)
+    """,
+    tags=("pipeline", "dedup", "components"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: exact-Jaccard pairs (threshold 0.1, the
+    `dedup_ngram_jaccard` graph) closed into connected components by
+    min-label propagation; DuckDB closes the same graph with a recursive
+    transitive-closure CTE, value-hash-checking the iterative algorithm's
+    fixpoint."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+    return dedup.duplicate_components(pairs)
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=_ivf_kmeans_prefix()
+    + """,
+    st AS (
+        SELECT af.cid,
+               CAST(list_dot_product(e.v, e.v)
+                    - 2 * list_dot_product(e.v, cf.cv)
+                    + list_dot_product(cf.cv, cf.cv) AS BIGINT) AS d2
+        FROM af JOIN e USING (vec_id) JOIN c2 cf ON af.cid = cf.cid
+    )
+    SELECT cid, count(*) AS n_vectors,
+           ROUND(CAST(sum(d2) AS DOUBLE) / count(*) / 1000000000000.0 + 1e-8, 6) AS avg_d2,
+           min(d2) AS min_d2, max(d2) AS max_d2
+    FROM st GROUP BY cid
+    """,
+    tags=("pipeline", "similarity", "kmeans"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering report over the k-means-refined centroids (the
+    `embedding_ivf_kmeans_topk` quantizer): cluster sizes and squared-L2
+    spread.  The per-vector distance is an exact integer from the
+    assignment matmul itself (no second pass); sums aggregate as longs,
+    so the averages are summation-order-independent.  avg_d2 is rescaled
+    to ORIGINAL vector units (/ 1e12 = the 1e6 quantization grid squared)
+    before rounding: at the raw quantized magnitude (~1e12) a 4-decimal
+    double round sits below one ULP, where Java and C rounding
+    legitimately diverge — the scalars.py boundary hazard."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_nearest_centroid,
+        kmeans_refine,
+    )
+
+    e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    init = [(r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()]
+    cent = kmeans_refine(e, init, iters=2)
+    assign = assign_nearest_centroid(e, cent, quantized=True, dist_col="d2")
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        round_det(F.sum("d2").cast("double") / F.count(F.lit(1)) / F.lit(1e12), 6).alias("avg_d2"),
+        F.min("d2").alias("min_d2"),
+        F.max("d2").alias("max_d2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot surface
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_type_by_day",
+    oracle="""
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           (epoch_us(ts) // 86400000000) * 86400 AS day_start,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')) AS n_total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("pipeline", "pivot"),
+)
+def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event-type count matrix via `RelationalGroupedDataset.pivot`
+    with an EXPLICIT value list — no extra distinct-scan job to discover
+    the pivot domain, which is the difference between one pass and two at
+    100 TB.  Missing cells coalesce to 0."""
+    e = _events(spark, sf_dir).withColumn("day", F.expr("unix_micros(ts) DIV 86400000000"))
+    piv = e.groupBy("day").pivot("event_type", list(_EVENT_TYPES)).agg(F.count(F.lit(1)))
+    counts = [F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in _EVENT_TYPES).alias("n_total")
+    return piv.select(
+        "day", (F.col("day") * 86400).alias("day_start"), *counts, total
+    )

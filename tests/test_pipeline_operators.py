@@ -1,0 +1,147 @@
+"""Unit tests for the round-2 pipeline operators (timeseries repair,
+TF-IDF, duplicate components, driver-window contract) against
+hand-computed references on synthetic frames — the behavioral twin of
+the oracle-parity checks, pinned to small inputs a human can audit."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import dedup, text, timeseries
+
+
+# --- timeseries --------------------------------------------------------------
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, k, F.lit(None)) for i, (k, _, _) in enumerate(rows)],  # placeholder, replaced below
+        ["event_id", "key", "x"],
+    )
+
+
+def test_resample_gap_fill_semantics(spark):
+    # key 'a': data in hours 0, 1, 4 (gap at 2, 3); key 'b': hour 10 only.
+    rows = [
+        (1, "a", 3600 * 0 + 10, 1.0),
+        (2, "a", 3600 * 0 + 20, 3.0),
+        (3, "a", 3600 * 1 + 5, 5.0),
+        (4, "a", 3600 * 4 + 5, 9.0),
+        (5, "b", 3600 * 10 + 1, 2.5),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "sec", "value"]).select(
+        "event_id", "event_type", F.timestamp_seconds(F.col("sec")).alias("ts"), "value"
+    )
+    out = {
+        (r.event_type, r.bucket): r
+        for r in timeseries.resample_gap_fill(df, "event_type", "ts", "value").collect()
+    }
+    assert set(out) == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10)}
+    assert out[("a", 0)].n_events == 2 and out[("a", 0)].avg_value == 2.0
+    for b in (2, 3):
+        gap = out[("a", b)]
+        assert gap.is_gap == 1 and gap.n_events == 0 and gap.avg_value is None
+        assert gap.avg_value_ff == 5.0  # carried from hour 1
+    assert out[("a", 4)].avg_value_ff == 9.0
+    assert out[("a", 2)].bucket_start == 2 * 3600
+    assert out[("b", 10)].n_events == 1
+
+
+def test_sessionize_gap_boundaries(spark):
+    # user 1: events at t=0, 30min, 90min+1s (gap>1h breaks), user 2: one event
+    rows = [
+        (1, 1, 0, 1.0),
+        (2, 1, 1800, 2.0),
+        (3, 1, 1800 + 3600 + 1, 4.0),
+        (4, 2, 50, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "sec", "value"]).select(
+        "event_id", "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "value"
+    )
+    out = {
+        (r.user_id, r.session_id): r
+        for r in timeseries.sessionize(df, "user_id", "ts", "event_id", "value").collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11.n_events == 2 and s11.sum_value == 3.0
+    assert s11.session_start_us == 0 and s11.session_end_us == 1800 * 1_000_000
+    assert s11.duration_us == 1800 * 1_000_000
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].sum_value == 4.0
+    # an exactly-1h gap does NOT break a session (strict > semantics)
+    df2 = spark.createDataFrame(
+        [(1, 1, 0, 1.0), (2, 1, 3600, 1.0)], ["event_id", "user_id", "sec", "value"]
+    ).select("event_id", "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "value")
+    out2 = timeseries.sessionize(df2, "user_id", "ts", "event_id", "value").collect()
+    assert len(out2) == 1 and out2[0].n_events == 2
+
+
+def test_tfidf_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry banana cherry")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.term): r for r in text.tfidf_top_terms(docs, top_k=5).collect()
+    }
+    n = 3
+    # df: apple=1, banana=3, cherry=2
+    for (doc, term, tf, df_) in [
+        (1, "apple", 2, 1),
+        (1, "banana", 1, 3),
+        (2, "banana", 1, 3),
+        (2, "cherry", 1, 2),
+        (3, "cherry", 2, 2),
+        (3, "banana", 1, 3),
+    ]:
+        r = got[(doc, term)]
+        idf_micro = math.floor((math.log(n / df_) + 1.0) * 1e6 + 0.5 + 1e-8)
+        assert (r.tf, r.df, r.score_micro) == (tf, df_, tf * idf_micro), (doc, term)
+    # ranking: doc 1 'apple' (tf=2, idf=ln3+1) outranks 'banana' (tf=1, idf=1)
+    assert got[(1, "apple")].rank == 1 and got[(1, "banana")].rank == 2
+    # tie in score breaks on term string: doc 2 banana(1e6) vs cherry(~1.405e6)
+    assert got[(2, "cherry")].rank == 1 and got[(2, "banana")].rank == 2
+
+
+# --- duplicate components ----------------------------------------------------
+def test_components_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),
+    # triangle 10-11-12, disjoint pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_components(pairs).collect()}
+    assert {n: r.component_id for n, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+    }
+    assert out[4].component_size == 4
+    assert out[12].component_size == 3
+    assert out[20].component_size == 2
+
+
+def test_components_long_chain_converges(spark):
+    # a 12-node path: worst-case diameter for min-label propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    out = dedup.duplicate_components(pairs).collect()
+    assert len(out) == 13
+    assert {r.component_id for r in out} == {0}
+    assert all(r.component_size == 13 for r in out)
+
+
+# --- driver window contract --------------------------------------------------
+def test_driver_window_is_first_50_and_oracle_backed():
+    import __spark_entry__ as contract
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import DRIVER_WINDOW, REGISTRY
+
+    names = list(contract.queries())
+    assert names[:50] == list(DRIVER_WINDOW)
+    assert len(set(names)) == len(names) == len(REGISTRY)
+    # every window entry except the by-design rows-only LSH/sketch
+    # queries must carry an oracle (the window exists to win hash rows)
+    rows_only = {n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None}
+    assert rows_only <= {"dedup_minhash_lsh", "dedup_simhash", "embedding_lsh_topk", "approx_distinct_users"}
+    # oracle dict preserves the same order for its window members
+    onames = list(contract.oracle_sql())
+    window_oracles = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is not None]
+    assert onames[: len(window_oracles)] == window_oracles
