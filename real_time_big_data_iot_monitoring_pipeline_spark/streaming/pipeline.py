@@ -153,6 +153,44 @@ def dedup_stream(readings: DataFrame, keys: list[str], ts_col: str = "timestamp"
     return readings.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    left rows match right rows of the same key with
+    ``right_ts <= left_ts < right_ts + upper`` — the enrichment join
+    (reading x latest calibration/config window) the reference performs
+    dashboard-side on collected pandas frames.
+
+    Both inputs are watermarked, and the join carries BOTH an equality
+    key (state is hash-partitioned on it — the shuffle key at scale) and
+    the time-range bound, which lets the state store evict rows once the
+    watermark passes ``right_ts + upper``: bounded state, no unbounded
+    buffering of either stream.  Works identically on batch frames (no
+    watermark applied), which the equivalence test exploits.
+
+    `left_ts` / `right_ts` must be distinct column names (the condition
+    references both sides unambiguously)."""
+    assert left_ts != right_ts, "use distinct timestamp column names for the two sides"
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}"))
+        & (F.col(f"l.{left_ts}") < F.col(f"r.{right_ts}") + F.expr(f"interval {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
 def parquet_upsert_writer(path: str, partition_col: str = "window_start"):
     """foreachBatch writer with overwrite-by-partition semantics: replays
     of a micro-batch rewrite the same partitions instead of appending

@@ -107,6 +107,40 @@ def test_streaming_dedup(spark, tmp_path):
     assert spark.table(name).count() == base.count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (reading x its 30-min calibration
+    window) produces exactly the rows of the same join run as a batch —
+    watermark + interval bound keep state finite without dropping any
+    in-horizon match."""
+    base = sensors.readings(spark, hours=1)
+    calib = (
+        base.select(
+            "sensor_id",
+            F.timestamp_seconds(
+                F.expr("unix_seconds(timestamp) DIV 1800") * 1800
+            ).alias("calib_ts"),
+        )
+        .distinct()
+        .withColumn("gain", F.lit(1.5))
+    )
+    read_path, calib_path = str(tmp_path / "readings"), str(tmp_path / "calib")
+    base.repartition(4).write.mode("overwrite").parquet(read_path)
+    calib.repartition(2).write.mode("overwrite").parquet(calib_path)
+
+    expected = pipeline.interval_join_stream(
+        spark.read.parquet(read_path), spark.read.parquet(calib_path),
+        "sensor_id", "timestamp", "calib_ts",
+    ).count()
+    assert expected >= base.count()  # every reading has its own half-hour row
+
+    ls = pipeline.file_source(spark, read_path, schema=base.schema, max_files_per_trigger=2)
+    rs = pipeline.file_source(spark, calib_path, schema=calib.schema, max_files_per_trigger=1)
+    joined = pipeline.interval_join_stream(ls, rs, "sensor_id", "timestamp", "calib_ts")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    pipeline.run_stream_to_memory(joined, name, output_mode="append")
+    assert spark.table(name).count() == expected
+
+
 def test_kafka_parse_roundtrip(spark):
     """S4 parse stage: JSON wire format -> strict schema -> flatten, fed
     with synthetic Kafka-shaped rows (value bytes).  Malformed JSON yields
