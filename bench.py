@@ -32,6 +32,8 @@ HEADLINE = [
     "asof_join_events",
     "returned_items_report",
     "curation_pipeline",
+    "tfidf_top_terms",
+    "resample_gap_fill",
 ]
 
 
