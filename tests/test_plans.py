@@ -124,3 +124,45 @@ def test_text_ops_stay_in_codegen(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         if "AdaptiveSparkPlan" not in plan:
             assert "*(" in plan, f"{name} fell out of whole-stage codegen"
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """sessionize: the lag window, the running-sum window, and the final
+    (user, session) aggregation must all ride ONE exchange on user_id —
+    the groupBy key set extends the window partition key, so no second
+    shuffle is allowed to appear."""
+    df = REGISTRY["sessionize_events"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan  # partial aggregation before the final
+
+
+def test_resample_grid_join_broadcasts(spark, sf_dir):
+    """resample_gap_fill: the dense grid joins the per-bucket aggregates
+    with a broadcast hash join (the agg side is windows-count-sized, tiny
+    next to the events it summarizes), and the event scans prune to the
+    3 referenced columns."""
+    df = REGISTRY["resample_gap_fill"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pivot_uses_explicit_values_two_level_agg(spark, sf_dir):
+    """pivot_type_by_day passes the pivot domain explicitly, which must
+    show up as pivotfirst over the literal value list (no extra
+    distinct-discovery scan) on top of a partial-agg'd (day, type)
+    count."""
+    df = REGISTRY["pivot_type_by_day"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "pivotfirst" in plan and "click, error, purchase, signup, view" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_tfidf_no_cartesian_and_broadcast_corpus_count(spark, sf_dir):
+    """tfidf: the 1-row corpus count joins via broadcast (never a shuffle)
+    and nothing in the plan is a cartesian product over terms."""
+    df = REGISTRY["tfidf_top_terms"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
