@@ -455,16 +455,19 @@ def duplicate_components(
     the canonical-survivor labeling a dedup pipeline keeps one doc per
     cluster with.
 
-    Pregel-style min-label propagation: labels start as the node id; each
-    round every node takes min(own label, neighbors' labels); converged
-    when no label changes.  Each round is one join + one hash agg on the
-    node key; the driver sees only a per-round scalar convergence count
-    (no row collect), the standard driver-coordinated iterative-algorithm
-    shape (same contract as `similarity.kmeans_refine`).  Rounds needed =
-    component diameter — near-dup clusters are shallow (pairs/chains of
-    near-identical docs), so convergence is a handful of rounds; at
-    100 TB swap in the large-star/small-star variant without changing the
-    output contract.
+    Pregel-style min-label propagation with POINTER JUMPING: each round
+    every node takes min(own label, neighbors' labels) and then contracts
+    through its label's own label (label <- label[label]) — the classic
+    doubling step, so the propagation distance doubles per round and
+    convergence needs O(log diameter) rounds, not O(diameter).  (The
+    1-hop-only variant silently fragmented a 24-hop chain at the default
+    iteration cap — caught by tools/scale_probe_components.py.)  Each
+    round is two joins + one hash agg on the node key; the driver sees
+    only a per-round scalar convergence count (no row collect), the
+    standard driver-coordinated iterative-algorithm shape (same contract
+    as `similarity.kmeans_refine`).  Raises RuntimeError instead of
+    returning a half-closed labeling if `max_iters` is ever exhausted —
+    no silent caps.
 
     Output: (doc_id, component_id, component_size), one row per node that
     appears in at least one pair.
@@ -487,15 +490,23 @@ def duplicate_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+            "node", F.least("label", "nbr_label").alias("label")
+        )
+        # pointer jump: follow the label's own label (labels are node ids
+        # of the same component, so the lookup side is always present) —
+        # doubles the effective propagation distance each round
+        lut = hop.select(F.col("node").alias("pn"), F.col("label").alias("pl"))
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select("node", F.least("label", "nbr_label").alias("label"))
+            hop.join(lut, hop.label == lut.pn, "left")
+            .select("node", F.least("label", F.coalesce("pl", "label")).alias("label"))
             .localCheckpoint()
         )
         changed = (
@@ -506,7 +517,13 @@ def duplicate_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_components: no fixpoint after {max_iters} rounds "
+            f"(graph diameter > 2^{max_iters}); raise max_iters"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     out = labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
