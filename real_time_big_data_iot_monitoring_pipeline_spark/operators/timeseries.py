@@ -24,9 +24,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import avg_fixed, sum_fixed
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import avg_fixed, round_det, sum_fixed
 
 US_PER_SEC = 1_000_000
+
+
+def _dense_bucket_grid(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str, bucket_seconds: int
+) -> DataFrame:
+    """(key, bucket, n_events, avg_value) over each key's dense
+    [min, max] bucket span; gap buckets carry n_events NULL / avg NULL."""
+    bucket_us = bucket_seconds * US_PER_SEC
+    # exact integer division (epochs are positive, DIV == floor) — the
+    # oracle's `epoch_us(ts) // N`; a double divide + cast would also work
+    # at current magnitudes but DIV needs no precision argument at all
+    bucket = F.expr(f"unix_micros({ts_col}) DIV {bucket_us}")
+    per_bucket = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            avg_fixed(F.col(val_col)).alias("avg_value"),
+        )
+    )
+    # Dense grid per key: sequence(min..max) explodes to one row per
+    # bucket — O(keys * span), never touches the event rows again.
+    grid = (
+        per_bucket.groupBy(key_col)
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(key_col, F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    return grid.join(per_bucket, [key_col, "bucket"], "left")
 
 
 def resample_gap_fill(
@@ -48,40 +75,71 @@ def resample_gap_fill(
     of every key has data by construction (the grid starts at the key's
     min observed bucket), so the fill never emits NULL.
     """
-    bucket_us = bucket_seconds * US_PER_SEC
-    # exact integer division (epochs are positive, DIV == floor) — the
-    # oracle's `epoch_us(ts) // N`; a double divide + cast would also work
-    # at current magnitudes but DIV needs no precision argument at all
-    bucket = F.expr(f"unix_micros({ts_col}) DIV {bucket_us}")
-    per_bucket = (
-        df.groupBy(F.col(key_col), bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            avg_fixed(F.col(val_col)).alias("avg_value"),
-        )
-    )
-    # Dense grid per key: sequence(min..max) explodes to one row per
-    # bucket — O(keys * span), never touches the event rows again.
-    grid = (
-        per_bucket.groupBy(key_col)
-        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
-        .select(key_col, F.explode(F.sequence("b0", "b1")).alias("bucket"))
-    )
     w = (
         Window.partitionBy(key_col)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return _dense_bucket_grid(df, key_col, ts_col, val_col, bucket_seconds).select(
+        key_col,
+        "bucket",
+        (F.col("bucket") * bucket_seconds).alias("bucket_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    bucket_seconds: int = 3600,
+    out_decimals: int = 4,
+) -> DataFrame:
+    """Per-key fixed-width resample with LINEAR interpolation across
+    gaps: a missing bucket gets
+    ``prev + (next - prev) * (bucket - prev_bucket) / (next_bucket -
+    prev_bucket)`` from the nearest observed buckets on each side —
+    pandas `interpolate(method='linear')` semantics, distributed.
+
+    Interior gaps always have both anchors (the grid spans observed
+    buckets), so the interpolation denominator is >= 2 on every gap row
+    and the expression never divides by zero.  Determinism: the anchors
+    are already-rounded fixed-grid doubles, the bucket offsets are small
+    exact integers, and the single rounding happens after the one
+    interpolation expression — identical IEEE ops in both engines.
+    """
+    wb = Window.partitionBy(key_col).orderBy("bucket")
+    prev_w = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    anchor_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("bucket") - F.col("pb")) / (F.col("nb") - F.col("pb"))
+    )
     return (
-        grid.join(per_bucket, [key_col, "bucket"], "left")
+        _dense_bucket_grid(df, key_col, ts_col, val_col, bucket_seconds)
         .select(
             key_col,
             "bucket",
-            (F.col("bucket") * bucket_seconds).alias("bucket_start"),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             "avg_value",
-            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
-            F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+            F.last("avg_value", ignorenulls=True).over(prev_w).alias("pv"),
+            F.last(anchor_bucket, ignorenulls=True).over(prev_w).alias("pb"),
+            F.first("avg_value", ignorenulls=True).over(next_w).alias("nv"),
+            F.first(anchor_bucket, ignorenulls=True).over(next_w).alias("nb"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            "n_events",
+            "avg_value",
+            F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+            .otherwise(round_det(interp, out_decimals))
+            .alias("avg_value_interp"),
+            F.when(F.col("avg_value").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
         )
     )
 

@@ -69,6 +69,49 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.resample_gap_fill(_events(spark, sf_dir), "event_type", "ts", "value")
 
 
+@register(
+    "resample_interpolate",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+               count(*) AS n_events,
+               {_AVG_FIXED_SQL} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS bucket FROM bounds),
+    j AS (
+        SELECT g.event_type, g.bucket,
+               COALESCE(a.n_events, 0) AS n_events, a.avg_value,
+               last_value(a.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN a.avg_value IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS pb,
+               first_value(a.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN a.avg_value IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+    )
+    SELECT event_type, bucket, n_events, avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                ELSE ROUND(pv + (nv - pv) * ((bucket - pb) / CAST(nb - pb AS DOUBLE)) + 1e-8, 4)
+           END AS avg_value_interp,
+           CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+    tags=("pipeline", "timeseries", "resample"),
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type resample with LINEAR interpolation across gaps —
+    the `interpolate(method='linear')` counterpart of
+    `resample_gap_fill`'s forward fill; anchors come from IGNORE-NULLS
+    windows on both sides of the gap."""
+    return timeseries.resample_interpolate(_events(spark, sf_dir), "event_type", "ts", "value")
+
+
 _SUM_FIXED_SQL = "ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0) + 1e-8, 2)"
 
 

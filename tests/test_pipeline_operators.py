@@ -47,6 +47,26 @@ def test_resample_gap_fill_semantics(spark):
     assert out[("b", 10)].n_events == 1
 
 
+def test_resample_interpolate_linear(spark):
+    # data at hours 0 (avg 2.0) and 3 (avg 8.0): gaps at 1, 2 interpolate
+    # to 4.0 and 6.0
+    rows = [
+        (1, "a", 10, 2.0),
+        (2, "a", 3 * 3600 + 10, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "sec", "value"]).select(
+        "event_id", "event_type", F.timestamp_seconds(F.col("sec")).alias("ts"), "value"
+    )
+    out = {
+        r.bucket: r
+        for r in timeseries.resample_interpolate(df, "event_type", "ts", "value").collect()
+    }
+    assert out[0].avg_value_interp == 2.0 and out[0].is_gap == 0
+    assert out[1].avg_value_interp == 4.0 and out[1].is_gap == 1
+    assert out[2].avg_value_interp == 6.0 and out[2].is_gap == 1
+    assert out[3].avg_value_interp == 8.0
+
+
 def test_sessionize_gap_boundaries(spark):
     # user 1: events at t=0, 30min, 90min+1s (gap>1h breaks), user 2: one event
     rows = [
