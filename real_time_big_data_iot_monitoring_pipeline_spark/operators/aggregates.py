@@ -139,3 +139,19 @@ def grouping_rollup(df: DataFrame, keys: Sequence[str], value_col: str) -> DataF
         df.rollup(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"), avg_fixed(F.col(value_col)).alias("avg_value"))
     )
+
+
+def grouping_cube(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """CUBE grouping-sets aggregation: all 2^k key subsets in one shuffle
+    (Spark expands the sets map-side, same as rollup).  `gid` is
+    `grouping_id()` — it disambiguates a genuine NULL key value from the
+    "aggregated over this key" NULL, which makes the output joinable and
+    the oracle comparison exact."""
+    return (
+        df.cube(*keys)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            avg_fixed(F.col(value_col)).alias("avg_value"),
+        )
+    )

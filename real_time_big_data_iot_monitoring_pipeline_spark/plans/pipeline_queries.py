@@ -318,3 +318,28 @@ def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "day", (F.col("day") * 86400).alias("day_start"), *counts, total
     )
+
+
+@register(
+    "cube_type_day_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events
+    )
+    SELECT event_type, day, GROUPING(event_type, day) AS gid,
+           count(*) AS cnt,
+           {_AVG_FIXED_SQL} AS avg_value
+    FROM e GROUP BY CUBE(event_type, day)
+    """,
+    tags=("pipeline", "grouping-sets", "cube"),
+)
+def cube_type_day_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets — cells, both
+    marginals, grand total — in ONE shuffle (Spark expands the sets
+    map-side).  `gid` is the grouping_id bitmask, which distinguishes an
+    aggregated-away NULL from a data NULL; DuckDB's GROUPING(a, b) uses
+    the identical bit order."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import aggregates
+
+    e = _events(spark, sf_dir).withColumn("day", F.expr("unix_micros(ts) DIV 86400000000"))
+    return aggregates.grouping_cube(e, ["event_type", "day"], "value")
