@@ -498,24 +498,28 @@ def duplicate_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         hop = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
-            "node", F.least("label", "nbr_label").alias("label")
+            "node",
+            F.col("label").alias("old_label"),
+            F.least("label", "nbr_label").alias("label"),
         )
         # pointer jump: follow the label's own label (labels are node ids
         # of the same component, so the lookup side is always present) —
         # doubles the effective propagation distance each round
         lut = hop.select(F.col("node").alias("pn"), F.col("label").alias("pl"))
+        # the old label rides along so convergence is a filter-count on
+        # the checkpointed frame — one materialization job + one cheap
+        # cached-read count per round, no extra join
         new_labels = (
             hop.join(lut, hop.label == lut.pn, "left")
-            .select("node", F.least("label", F.coalesce("pl", "label")).alias("label"))
+            .select(
+                "node",
+                "old_label",
+                F.least("label", F.coalesce("pl", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
