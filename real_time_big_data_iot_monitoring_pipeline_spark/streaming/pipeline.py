@@ -161,8 +161,9 @@ def interval_join_stream(
     right_ts: str,
     upper: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
+    """Stream-stream join with an event-time interval condition:
     left rows match right rows of the same key with
     ``right_ts <= left_ts < right_ts + upper`` — the enrichment join
     (reading x latest calibration/config window) the reference performs
@@ -172,8 +173,12 @@ def interval_join_stream(
     key (state is hash-partitioned on it — the shuffle key at scale) and
     the time-range bound, which lets the state store evict rows once the
     watermark passes ``right_ts + upper``: bounded state, no unbounded
-    buffering of either stream.  Works identically on batch frames (no
-    watermark applied), which the equivalence test exploits.
+    buffering of either stream.  ``how='leftOuter'`` additionally emits
+    null-padded left rows — but only once the watermark proves no match
+    can still arrive, so unmatched rows in the final watermark window
+    stay in state until later input advances it (the streaming-outer
+    caveat the test pins down).  Works identically on batch frames (no
+    watermark applied), which the equivalence tests exploit.
 
     `left_ts` / `right_ts` must be distinct column names (the condition
     references both sides unambiguously)."""
@@ -188,7 +193,7 @@ def interval_join_stream(
         & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}"))
         & (F.col(f"l.{left_ts}") < F.col(f"r.{right_ts}") + F.expr(f"interval {upper}"))
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
 
 
 def parquet_upsert_writer(path: str, partition_col: str = "window_start"):

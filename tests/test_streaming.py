@@ -141,6 +141,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert spark.table(name).count() == expected
 
 
+def test_stream_stream_left_outer_join_flushes_unmatched(spark, tmp_path):
+    """leftOuter stream-stream join: calibrations exist only for even
+    sensors, so odd sensors' readings must surface as null-padded rows —
+    emitted once the watermark proves no match can arrive.  The streamed
+    result must (a) contain every inner match, (b) be a subset of the
+    batch outer join, and (c) actually contain null-padded rows for the
+    unmatched region older than the final watermark."""
+    base = sensors.readings(spark, hours=1)
+    calib = (
+        base.filter(F.substring("sensor_id", -1, 1).cast("int") % 2 == 0)
+        .select(
+            "sensor_id",
+            F.timestamp_seconds(
+                F.expr("unix_seconds(timestamp) DIV 1800") * 1800
+            ).alias("calib_ts"),
+        )
+        .distinct()
+        .withColumn("gain", F.lit(1.5))
+    )
+    read_path, calib_path = str(tmp_path / "readings"), str(tmp_path / "calib")
+    base.repartition(4).write.mode("overwrite").parquet(read_path)
+    calib.repartition(2).write.mode("overwrite").parquet(calib_path)
+
+    batch_l, batch_r = spark.read.parquet(read_path), spark.read.parquet(calib_path)
+    outer = pipeline.interval_join_stream(
+        batch_l, batch_r, "sensor_id", "timestamp", "calib_ts", how="leftOuter"
+    )
+    batch_keys = {(r.sensor_id, r.timestamp, r.calib_ts) for r in outer.collect()}
+    inner_keys = {k for k in batch_keys if k[2] is not None}
+
+    ls = pipeline.file_source(spark, read_path, schema=base.schema, max_files_per_trigger=2)
+    rs = pipeline.file_source(spark, calib_path, schema=calib.schema, max_files_per_trigger=1)
+    joined = pipeline.interval_join_stream(
+        ls, rs, "sensor_id", "timestamp", "calib_ts", how="leftOuter"
+    )
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    pipeline.run_stream_to_memory(joined, name, output_mode="append")
+    got = {(r.sensor_id, r.timestamp, r.calib_ts) for r in spark.table(name).collect()}
+
+    assert inner_keys <= got  # no inner match lost
+    assert got <= batch_keys  # nothing fabricated
+    nulls = [k for k in got if k[2] is None]
+    assert nulls and all(int(k[0][-1]) % 2 == 1 for k in nulls)  # odd sensors flushed null-padded
+
+
 def test_kafka_parse_roundtrip(spark):
     """S4 parse stage: JSON wire format -> strict schema -> flatten, fed
     with synthetic Kafka-shaped rows (value bytes).  Malformed JSON yields
