@@ -245,3 +245,100 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: flag corpus documents sharing >=
+    `min_shared` distinct k-word shingles with any held-out document.
+
+    The join key is the shingle hash (one long per row through the
+    shuffle) and the held-out side is tiny by construction (an eval set),
+    so Spark broadcasts it: the corpus streams through ONE map-side join
+    — no corpus shuffle at all, which is what makes this runnable as a
+    routine gate over 100 TB of training text.
+
+    Output: (corpus doc, held-out doc, shared shingle count, the
+    held-out doc's shingle count, containment fraction).
+    """
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.dedup import word_shingles
+
+    c_sh = word_shingles(corpus, id_col, text_col, k).select(
+        F.col(id_col).alias("corpus_id"), F.xxhash64("shingle").alias("sh")
+    )
+    h_sh = word_shingles(heldout, id_col, text_col, k).select(
+        F.col(id_col).alias("heldout_id"), F.xxhash64("shingle").alias("sh")
+    )
+    h_sizes = h_sh.groupBy("heldout_id").agg(F.count(F.lit(1)).alias("heldout_sz"))
+    shared = (
+        c_sh.join(F.broadcast(h_sh), "sh")
+        .filter(F.col("corpus_id") != F.col("heldout_id"))
+        .groupBy("corpus_id", "heldout_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+    return shared.join(F.broadcast(h_sizes), "heldout_id").select(
+        "corpus_id",
+        "heldout_id",
+        "shared_shingles",
+        "heldout_sz",
+        round_det(F.col("shared_shingles") / F.col("heldout_sz"), 6).alias("containment"),
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the classic cheap fluency/quality signal (a
+    document of rare or garbled tokens scores low; boilerplate scores
+    high).
+
+    Two hash aggregations build the "model" (token counts + the 1-row
+    total broadcast); scoring is a broadcast-joined sum over the doc's
+    tokens.  Determinism: each token's log-prob ln(count/total) is
+    quantized to integer micro-nats PER DISTINCT TOKEN (the tfidf
+    pattern), so per-document sums are exact integer arithmetic and the
+    final mean is one exact division, rounded once.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")).filter(
+        F.length("term") > 0
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        # floor(x + 0.5) is round-half-up for NEGATIVE values too (the
+        # log-probs are all <= 0), so the same quantization rule the
+        # positive-valued kernels use stays cross-engine exact here
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double")) * F.lit(1e6)
+            + F.lit(0.5 + 1e-8)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            round_det(
+                F.col("sum_lp_micro").cast("double") / F.col("n_tokens") / F.lit(1e6), 4
+            ).alias("mean_logprob"),
+        )
+    )

@@ -343,3 +343,69 @@ def cube_type_day_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir).withColumn("day", F.expr("unix_micros(ts) DIV 86400000000"))
     return aggregates.grouping_cube(e, ["event_type", "day"], "value")
+
+
+@register(
+    "decontamination_overlap",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    h AS (SELECT doc_id AS heldout_id, shingle FROM sh WHERE doc_id < 20),
+    hs AS (SELECT heldout_id, count(*) AS heldout_sz FROM h GROUP BY 1),
+    shared AS (
+        SELECT c.doc_id AS corpus_id, h.heldout_id, count(*) AS shared_shingles
+        FROM sh c JOIN h ON c.shingle = h.shingle AND c.doc_id <> h.heldout_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT corpus_id, heldout_id, shared_shingles, hs.heldout_sz,
+           ROUND(shared_shingles / hs.heldout_sz + 1e-8, 6) AS containment
+    FROM shared JOIN hs USING (heldout_id)
+    """,
+    tags=("pipeline", "text", "decontamination"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct
+    3-word shingles with the held-out slice (doc_id < 20 as the stand-in
+    eval set).  The held-out shingle set broadcasts, so the corpus
+    streams through one map-side join — no corpus shuffle."""
+    docs = _docs(spark, sf_dir)
+    heldout = docs.filter(F.col("doc_id") < 20)
+    return text.ngram_overlap_contamination(docs, heldout, min_shared=2)
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    counts AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1),
+    total AS (SELECT count(*) AS total FROM t2),
+    lp AS (
+        SELECT term,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5 + 1e-8) AS BIGINT) AS lp_micro
+        FROM counts, total
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           ROUND(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0 + 1e-8, 4) AS mean_logprob
+    FROM t2 JOIN lp USING (term) GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram distribution — the cheap fluency/quality signal.  Per-token
+    log-probs quantize to integer micro-nats per distinct term, so the
+    per-doc sums are exact integers and the mean is one exact division."""
+    return text.unigram_logprob_score(_docs(spark, sf_dir))

@@ -165,3 +165,74 @@ def test_driver_window_is_first_50_and_oracle_backed():
     onames = list(contract.oracle_sql())
     window_oracles = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is not None]
     assert onames[: len(window_oracles)] == window_oracles
+
+
+def test_decontamination_containment(spark):
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),      # shares all 3 shingles with 1
+            (101, "alpha beta gamma delta zeta"),         # shares 2 shingles with 1
+            (102, "one two three four"),                  # shares none
+        ],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    got = {
+        (r.corpus_id, r.heldout_id): r
+        for r in text_ops.ngram_overlap_contamination(corpus, heldout, min_shared=2).collect()
+    }
+    # held-out doc has 3 distinct shingles; doc 100 shares all 3, 101 shares 2
+    assert set(got) == {(100, 1), (101, 1)}
+    assert got[(100, 1)].shared_shingles == 3 and got[(100, 1)].containment == 1.0
+    assert got[(101, 1)].shared_shingles == 2
+    assert abs(got[(101, 1)].containment - round(2 / 3, 6)) < 1e-9
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    # counts: a=2, b=2, c=1; total=5
+    lp = {t: math.floor(math.log(c / 5) * 1e6 + 0.5 + 1e-8) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    got = {r.doc_id: r for r in text_ops.unigram_logprob_score(docs).collect()}
+    want1 = round((2 * lp["a"] + lp["b"]) / 3 / 1e6 + 1e-8, 4)
+    want2 = round((lp["b"] + lp["c"]) / 2 / 1e6 + 1e-8, 4)
+    assert got[1].n_tokens == 3 and abs(got[1].mean_logprob - want1) < 1e-9
+    assert got[2].n_tokens == 2 and abs(got[2].mean_logprob - want2) < 1e-9
+    # rarer vocabulary scores lower
+    assert got[2].mean_logprob < got[1].mean_logprob
+
+
+def test_new_operators_degenerate_inputs(spark):
+    """Empty / tiny inputs must not error: empty pair graph, single-event
+    sessionize, single-bucket resample, empty corpus tfidf."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.duplicate_components(empty_pairs).count() == 0
+
+    one = spark.createDataFrame([(1, 1, 0, 2.0)], ["event_id", "user_id", "sec", "value"]).select(
+        "event_id", "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "value"
+    )
+    s = timeseries.sessionize(one, "user_id", "ts", "event_id", "value").collect()
+    assert len(s) == 1 and s[0].n_events == 1 and s[0].duration_us == 0
+    r = timeseries.resample_gap_fill(
+        one.withColumnRenamed("user_id", "event_type"), "event_type", "ts", "value"
+    ).collect()
+    assert len(r) == 1 and r[0].is_gap == 0
+    ri = timeseries.resample_interpolate(
+        one.withColumnRenamed("user_id", "event_type"), "event_type", "ts", "value"
+    ).collect()
+    assert len(ri) == 1 and ri[0].avg_value_interp == 2.0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text_ops.tfidf_top_terms(empty_docs).count() == 0
+    assert text_ops.unigram_logprob_score(empty_docs).count() == 0
