@@ -117,6 +117,19 @@ def trend_series(readings: DataFrame) -> DataFrame:
     return windows.rolling_avg(readings, "sensor_id", ["timestamp"], "temperature")
 
 
+def trend_series_dense(readings: DataFrame, bucket_seconds: int = 300) -> DataFrame:
+    """Gap-tolerant trend line: 5-minute resample per sensor with forward
+    fill, so the chart the reference draws from its (assumed dense) pandas
+    frame stays correct when sensors drop samples.  Engine extension —
+    the reference has no gap repair (its charts silently connect across
+    holes, :676-696)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import timeseries
+
+    return timeseries.resample_gap_fill(
+        readings, "sensor_id", "timestamp", "temperature", bucket_seconds=bucket_seconds
+    )
+
+
 def forecasts(readings: DataFrame) -> DataFrame:
     """Per-location 1-hour temperature forecast + fit quality
     (reference :699-739)."""
@@ -158,6 +171,7 @@ def full_dashboard(readings: DataFrame, location_dim: DataFrame) -> dict[str, Da
         "histogram": temperature_histogram(readings),
         "correlations": metric_correlations(readings),
         "trend": trend_series(readings),
+        "trend_dense": trend_series_dense(readings),
         "forecasts": forecasts(readings),
         "model_quality": model_quality(readings),
         "geo": geo_map(readings, location_dim),

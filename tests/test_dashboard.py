@@ -75,3 +75,25 @@ def test_whole_surface_is_lazy_single_scan(spark, readings, panels):
     dashboard.full_dashboard(readings, sensors.location_dim(spark))
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+def test_trend_dense_fills_dropped_samples(spark):
+    """The dense trend panel must emit a row for every 5-min bucket even
+    when a sensor drops samples, forward-filling the last average."""
+    base = sensors.readings(spark, hours=2)
+    # drop 30 minutes in the middle for one sensor
+    holey = base.filter(
+        ~(
+            (F.col("sensor_id") == "SENSOR_001")
+            & (F.minute("timestamp") >= 20)
+            & (F.minute("timestamp") < 50)
+            & (F.hour("timestamp") == 0)
+        )
+    )
+    dense = dashboard.trend_series_dense(holey).filter(F.col("sensor_id") == "SENSOR_001")
+    rows = {r.bucket: r for r in dense.collect()}
+    buckets = sorted(rows)
+    # contiguous bucket grid despite the hole
+    assert buckets == list(range(buckets[0], buckets[-1] + 1))
+    gaps = [r for r in rows.values() if r.is_gap == 1]
+    assert gaps and all(r.avg_value_ff is not None for r in gaps)
