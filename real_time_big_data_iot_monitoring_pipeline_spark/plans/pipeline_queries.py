@@ -409,3 +409,57 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probs quantize to integer micro-nats per distinct term, so the
     per-doc sums are exact integers and the mean is one exact division."""
     return text.unigram_logprob_score(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_dedup_components",
+    oracle="""
+    WITH RECURSIVE e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) + 1e-8, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    pairs AS (SELECT id_a, id_b FROM s WHERE cosine >= 0.35),
+    edges(s2, d) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(s2, d) AS (
+        SELECT DISTINCT s2, s2 FROM edges
+        UNION
+        SELECT r.s2, ed.d FROM reach r JOIN edges ed ON r.d = ed.s2
+    ),
+    comp AS (SELECT s2 AS doc_id, min(d) AS component_id FROM reach GROUP BY s2),
+    csize AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+    SELECT comp.doc_id, comp.component_id, csize.component_size
+    FROM comp JOIN csize USING (component_id)
+    """,
+    tags=("pipeline", "dedup", "similarity", "components"),
+)
+def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: embedding-cosine near-dup pairs (the
+    `embedding_cosine_neardups` kernel, threshold 0.35) closed into
+    connected components — the cluster labeling a semantic-dedup pass
+    keeps one representative per group with.  Composition of the
+    quantized Arrow matmul kernel and the pointer-jumping components
+    operator; the oracle replays both (all-pairs scoring CTE + recursive
+    transitive closure)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        score_against_matrix,
+    )
+
+    e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    corpus_rows = [(r[0], r[1]) for r in e.collect()]  # all-pairs oracle baseline
+    pairs = (
+        score_against_matrix(e, corpus_rows, min_cosine=0.35 - 1e-6, upper_only=True)
+        .select(
+            F.col("cand_id").alias("id_a"),
+            F.col("query_id").alias("id_b"),
+            round_det(F.col("cosine"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return dedup.duplicate_components(pairs)

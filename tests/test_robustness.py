@@ -97,3 +97,27 @@ def test_streaming_session_windows(spark, tmp_path):
     q.stop()
     got = sorted(tuple(r) for r in spark.table(name).collect())
     assert got == batch and len(got) > 0
+
+
+def test_salted_join_equals_direct_join(spark):
+    """The salted join must produce exactly the direct join's rows, with
+    a 90%-hot-key fact distribution (the case it exists for)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.range(5000).select(
+        F.col("id").alias("row_id"),
+        # 90% of rows share key 0 — the straggler shape
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") * 3 % 100).alias("payload"),
+    )
+    dim = spark.createDataFrame([(i, f"name_{i}") for i in range(7)], ["k", "k_name"])
+    direct = {tuple(r) for r in fact.join(dim, "k").collect()}
+    salted = {tuple(r) for r in salted_join(fact, dim, "k").collect()}
+    assert salted == direct
+    # left-outer keeps unmatched fact rows exactly once
+    fact2 = fact.withColumn("k", F.col("k") + 100)  # no matches at all
+    lo = salted_join(fact2, dim, "k", how="left")
+    assert lo.count() == fact2.count()
+    assert lo.filter(F.col("k_name").isNotNull()).count() == 0
