@@ -74,3 +74,21 @@ def elapsed_micros(df: DataFrame, partition: str, ts_col: str, out: str = "x_us"
     w = Window.partitionBy(partition)
     e = F.unix_micros(F.col(ts_col))
     return df.withColumn(out, e - F.min(e).over(w))
+
+
+def rolling_median(
+    df: DataFrame,
+    partition: str,
+    order: list[str],
+    col: str,
+    frame: int = 5,
+    out: str = "rolling_median",
+) -> DataFrame:
+    """Trailing rolling MEDIAN — the outlier-robust smoother a noisy
+    sensor feed needs where the rolling mean chases spikes.  Exact
+    interpolated percentile over the trailing frame (both engines use
+    linear interpolation, and `grouped_percentiles` already proves the
+    formulas agree); partitioned by series, ties broken on the unique
+    order key."""
+    w = _win(partition, order).rowsBetween(-(frame - 1), 0)
+    return df.withColumn(out, round_det(F.expr(f"percentile({col}, 0.5)").over(w), 4))

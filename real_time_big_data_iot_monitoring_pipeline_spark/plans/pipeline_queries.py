@@ -463,3 +463,25 @@ def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return dedup.duplicate_components(pairs)
+
+
+@register(
+    "rolling_median_smooth",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id ROWS 4 PRECEDING) + 1e-8, 4) AS rolling_median
+    FROM events
+    """,
+    tags=("pipeline", "window", "smoothing"),
+)
+def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row trailing rolling median per sensor — the outlier-robust twin
+    of `rolling_avg_20` (a single spike shifts the mean for 20 rows but
+    never moves the median of 5).  One window shuffle on the series key."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import windows as win_ops
+
+    e = _events(spark, sf_dir)
+    return win_ops.rolling_median(
+        e.select("event_id", "user_id", "ts", "value"), "user_id", ["ts", "event_id"], "value"
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value", "rolling_median")
