@@ -155,3 +155,31 @@ def grouping_cube(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFra
             avg_fixed(F.col(value_col)).alias("avg_value"),
         )
     )
+
+
+def histogram_equidepth(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
+    """Equi-DEPTH histogram: bucket edges are the (i/nbins)-quantiles, so
+    every bucket holds ~the same row count — the shape that stays useful
+    when the distribution is skewed (a fixed-width histogram collapses
+    into one hot bar).  Same two-pass plan as the fixed-width variant:
+    one exact-percentile aggregation produces the nbins-1 interior
+    cutpoints as a broadcast 1-row frame; the scan then bins each row by
+    counting cutpoints below it (values equal to a cutpoint fall in the
+    lower bucket).  The cutpoint doubles are bit-identical cross-engine
+    (same linear interpolation — `grouped_percentiles` proves it), so
+    bucket membership is exact."""
+    qs = [(i + 1) / nbins for i in range(nbins - 1)]
+    cuts = df.agg(
+        *[F.expr(f"percentile({col}, {q})").alias(f"_c{i}") for i, q in enumerate(qs)]
+    )
+    bin_expr = sum(
+        F.when(F.col(col) > F.col(f"_c{i}"), 1).otherwise(0) for i in range(nbins - 1)
+    )
+    binned = df.join(F.broadcast(cuts)).select(
+        bin_expr.cast("long").alias("bin"), F.col(col)
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(col).alias("lo_v"),
+        F.max(col).alias("hi_v"),
+    )

@@ -485,3 +485,33 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.rolling_median(
         e.select("event_id", "user_id", "ts", "value"), "user_id", ["ts", "event_id"], "value"
     ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value", "rolling_median")
+
+
+def _equidepth_oracle(nbins: int = 10) -> str:
+    qs = [(i + 1) / nbins for i in range(nbins - 1)]
+    cut_cols = ", ".join(
+        f"quantile_cont(value, {q}) AS c{i}" for i, q in enumerate(qs)
+    )
+    bin_expr = " + ".join(
+        f"CASE WHEN value > c{i} THEN 1 ELSE 0 END" for i in range(nbins - 1)
+    )
+    return f"""
+    WITH cuts AS (SELECT {cut_cols} FROM events)
+    SELECT CAST({bin_expr} AS BIGINT) AS bin,
+           count(*) AS cnt, min(value) AS lo_v, max(value) AS hi_v
+    FROM events, cuts GROUP BY 1
+    """
+
+
+@register(
+    "histogram_equidepth",
+    oracle=_equidepth_oracle(),
+    tags=("pipeline", "histogram", "A13"),
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values — the skew-robust
+    companion to the fixed-width `histogram_value`; edges from one exact
+    percentile pass, broadcast into the binning scan."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import aggregates
+
+    return aggregates.histogram_equidepth(_events(spark, sf_dir), "value", 10)
