@@ -166,3 +166,21 @@ def test_tfidf_no_cartesian_and_broadcast_corpus_count(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_median_window_is_partitioned(spark, sf_dir):
+    """rolling_median_smooth: the percentile window must partition by the
+    series key — never a global (single-task) window."""
+    df = REGISTRY["rolling_median_smooth"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Window" in plan and "partitionBy" not in plan  # physical plan syntax differs
+    assert "windowspecdefinition(user_id" in plan, plan
+
+
+def test_equidepth_cuts_broadcast(spark, sf_dir):
+    """histogram_equidepth: the 1-row cutpoint frame joins via broadcast
+    nested loop (no shuffle of the fact side before binning)."""
+    df = REGISTRY["histogram_equidepth"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 2  # bounds pass + binning pass
