@@ -131,7 +131,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
                FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 5),
     s AS (
         SELECT q.query_id, c.vec_id AS cand_id,
                ROUND(list_dot_product(q.qv, c.v) /
@@ -151,9 +151,12 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline.  Queries broadcast; scoring via the Arrow-batched exact
     quantized kernel (`similarity.cosine_parts` — vectorized numpy, no
     interpreted array lambdas in the per-candidate loop); per-query top-k
-    via row_number on the ROUNDED score so ulps can't flip ranks."""
+    via row_number on the ROUNDED score so ulps can't flip ranks.
+    Query set = the FIRST 5 vectors by id order (TakeOrdered, any id
+    domain), not `vec_id < 5` (round-2 verdict: id-range filters silently
+    degenerate on fixtures whose ids don't start at 0)."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = emb.orderBy("vec_id").limit(5)
     return similarity.brute_force_topk(emb, queries, k=10).select(
         "query_id", "cand_id", "cosine", "rank"
     )
@@ -169,7 +172,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed 42), scoring only same-bucket candidates — the scale path where
     a full scan per query stops being affordable."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = emb.orderBy("vec_id").limit(5)
     return similarity.lsh_topk(emb, queries, dim=64, k=10, n_planes=6).select(
         "query_id", "cand_id", "cosine", "rank"
     )
@@ -460,7 +463,8 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
                FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    qid AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 5),
     assign0 AS (
         SELECT e.vec_id, cent.cid,
                list_dot_product(e.v, cent.cv) /
@@ -473,7 +477,8 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
     q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
-          FROM assign a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
+          FROM assign a JOIN e ON e.vec_id = a.vec_id
+          WHERE a.vec_id IN (SELECT vec_id FROM qid)),
     c AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
           FROM assign a JOIN e ON e.vec_id = a.vec_id),
     s AS (
@@ -510,9 +515,11 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    cent_rows = [
-        (r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()
-    ]  # broadcast build side: 8 centroids by construction
+    # broadcast build side: the first 8 vectors BY ID ORDER (seed_rows
+    # raises on empty input; an id-range filter would silently yield a
+    # degenerate quantizer on offset ids — round-2 verdict #2)
+    cent_rows = similarity.seed_rows(e, 8)
+    qids = [cid for cid, _ in cent_rows[:5]]  # first 5 = prefix of first 8
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     assign = (
         score_against_matrix(e, cent_rows, out_id="cid", cand_id="vec_id")
@@ -522,7 +529,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e, "vec_id")
         .select("vec_id", "embedding", "cid")
     )
-    q = assign.filter(F.col("vec_id") < 5).select(
+    q = assign.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
     )
     c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
@@ -551,7 +558,7 @@ def _ivf_kmeans_prefix(iters: int = 2, dim: int = 64) -> str:
         """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
                FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)"""
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8)"""
     ]
     for i in range(iters):
         parts.append(
@@ -595,7 +602,8 @@ def _ivf_kmeans_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
         _ivf_kmeans_prefix(iters, dim)
         + f""",
     q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
-          FROM af a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
+          FROM af a JOIN e ON e.vec_id = a.vec_id
+          WHERE a.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 5)),
     cnd AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
             FROM af a JOIN e ON e.vec_id = a.vec_id),
     sc AS (
@@ -636,10 +644,11 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    init = [(r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()]
+    init = similarity.seed_rows(e, 8)
+    qids = [cid for cid, _ in init[:5]]
     cent = kmeans_refine(e, init, iters=2)
     assign = assign_nearest_centroid(e, cent, quantized=True).join(e, "vec_id")
-    q = assign.filter(F.col("vec_id") < 5).select(
+    q = assign.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
     )
     c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
@@ -726,7 +735,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
                FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    qid AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 5),
     assign0 AS (
         SELECT e.vec_id, cent.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -736,7 +746,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e, cent
     ),
     assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
-    probes AS (SELECT vec_id AS query_id, cid FROM assign0 WHERE rn <= 2 AND vec_id < 5),
+    probes AS (SELECT vec_id AS query_id, cid FROM assign0
+               WHERE rn <= 2 AND vec_id IN (SELECT vec_id FROM qid)),
     q AS (SELECT p.query_id, e.v AS qv, p.cid
           FROM probes p JOIN e ON e.vec_id = p.query_id),
     c AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
@@ -771,7 +782,8 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    cent_rows = [(r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()]
+    cent_rows = similarity.seed_rows(e, 8)
+    qids = [cid for cid, _ in cent_rows[:5]]
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     ranked = (
         score_against_matrix(e, cent_rows, out_id="cid", cand_id="vec_id")
@@ -784,7 +796,7 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
     )
     probes = (
-        ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
+        ranked.filter((F.col("rn") <= 2) & F.col("vec_id").isin(qids))
         .join(e, "vec_id")
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     )

@@ -271,10 +271,11 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_vec,
         assign_nearest_centroid,
         kmeans_refine,
+        seed_rows,
     )
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    init = [(r[0], r[1]) for r in e.filter(F.col("vec_id") < 8).collect()]
+    init = seed_rows(e, 8)
     cent = kmeans_refine(e, init, iters=2)
     assign = assign_nearest_centroid(e, cent, quantized=True, dist_col="d2")
     return assign.groupBy("cid").agg(

@@ -148,3 +148,45 @@ def test_kmeans_refine_single_cluster_stability(spark):
         math.floor((3e6 + 5e6) / 2 + 0.5 + 1e-8),
     ]
     assert out[0][1] == [float(w) for w in want]
+
+
+def test_seed_rows_offset_id_domain(spark):
+    """seed_rows is deterministic on ANY id domain: ids starting at 100
+    still yield the first-n-by-order seeds, where the old `id < n` filter
+    silently returned zero centroids (round-2 verdict #2)."""
+    df = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    rows = similarity.seed_rows(df, 8)
+    assert [r[0] for r in rows] == list(range(100, 108))
+    with pytest.raises(ValueError, match="no rows"):
+        similarity.seed_rows(df.filter(F.col("vec_id") < 0), 8)
+
+
+def test_ivf_offset_ids_not_degenerate(spark, tmp_path):
+    """End-to-end IVF on a fixture whose vec_ids start at 5000: the
+    quantizer must seed all 8 centroids and the query set all 5 queries
+    — non-empty results, ids drawn from the offset domain."""
+    import numpy as np
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (5000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(64)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    emb = spark.createDataFrame([(i, v, "x") for i, v in rows], schema)
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    for name in ("embedding_ivf_topk", "embedding_ivf_kmeans_topk"):
+        got = REGISTRY[name].build(spark, str(tmp_path)).collect()
+        assert got, f"{name}: empty result on offset-id fixture"
+        qids = {r.query_id for r in got}
+        assert qids == set(range(5000, 5005)), f"{name}: degenerate query set {qids}"

@@ -58,6 +58,26 @@ def main() -> None:
                   f"{n * m / dt / 1e6:.0f}M scored pairs/s)")
 
     run("topk_score_100q", S.score_against_matrix(corpus, queries), 100)
+
+    # Broadcast-ceiling probe (round-2 verdict #5): 10k queries ~ 5 MB of
+    # float64 matrix.  As an explicit sc.broadcast it ships once per
+    # executor, so per-task overhead stays flat vs the 100-query run —
+    # the un-replicated corpus keeps the matmul cost itself small enough
+    # that any per-task re-serialization would dominate the timing.
+    nb = base.count()
+    q10k = [
+        (i, queries[i % len(queries)][1]) for i in range(10_000)
+    ]
+    for i in range(2):
+        t0 = time.time()
+        S.score_against_matrix(base, q10k, min_cosine=0.999).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.time() - t0
+        print(
+            f"broadcast_10k_queries pass{i}: {dt:.2f}s over {nb} vectors "
+            f"({nb * 10_000 / dt / 1e6:.0f}M scored pairs/s)"
+        )
     run("assign_64_centroids", S.assign_nearest_centroid(corpus, cents, quantized=False), 64)
     run(
         "neardup_vs_1k_block(thr=.35)",
