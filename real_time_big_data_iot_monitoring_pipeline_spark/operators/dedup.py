@@ -18,6 +18,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.operators.partitioning import ensure_min_parallelism
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -50,6 +51,9 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_arr = F.expr(
         f"array_distinct(transform(sequence(0, size(toks) - {k}), i -> concat_ws(' ', {parts})))"
     )
+    # the shingle transform + explode is the expensive map of every dedup
+    # pipeline; never let a single-row-group scan serialize it
+    df = ensure_min_parallelism(df.select(id_col, text_col))
     return (
         df.select(F.col(id_col), toks.alias("toks"))
         .filter(F.size("toks") >= k)
@@ -208,8 +212,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     overflow only past 2^21-1 tokens in one document (~8 MB of text),
     documented as the operator's input bound.
     """
-    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(
-        F.length("tok") > 0
+    toks = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
     )
     h = F.xxhash64("tok")
     n_longs = (64 + _SIMHASH_LANES_PER_LONG - 1) // _SIMHASH_LANES_PER_LONG
@@ -422,8 +428,10 @@ def simhash_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """32-bit SimHash over the portable token hash: bit b of H(token)
     votes +1/-1; fingerprint takes the sign — reproducible in SQL
     (integer div/mod bit extraction), so oracle-checkable."""
-    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(
-        F.length("tok") > 0
+    toks = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
     )
     votes = (
         toks.withColumn("ph", _portable_hash(F.col("tok")))

@@ -32,6 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.operators.partitioning import ensure_min_parallelism
 
 # 1e-6 quantization grid; the +0.5+eps floor is the cross-engine
 # deterministic round-half-up (plain rint/round differ between banker's
@@ -235,7 +236,9 @@ def score_against_matrix(
             out.loc[np.ravel(den == 0.0), "cosine"] = pd.NA  # NULL, not NaN
             yield out
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    # a single-row-group scan would serialize the matmul on one core;
+    # the guard is a no-op whenever the scan is already parallel
+    return ensure_min_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         score, f"{cand_id} long, {out_id} long, cosine double"
     )
 
@@ -248,50 +251,106 @@ def assign_nearest_centroid(
     out: str = "cid",
     quantized: bool = False,
     dist_col: str | None = None,
+    metric: str = "l2",
+    top: int = 1,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cid) of the L2-nearest centroid for every corpus vector —
-    the IVF coarse-assignment pass.  The centroid matrix (list of
-    (cid, vector)) is the broadcast build side; the corpus streams
+    """(id, cid) of the nearest centroid for every corpus vector — the
+    IVF coarse-assignment pass.  The centroid matrix (list of
+    (cid, vector)) ships as an `sc.broadcast`; the corpus streams
     through `mapInPandas` once, each Arrow batch resolved with a single
-    matmul.  All arithmetic is on the exact quantized integers
-    (squared distances < 2^53), so the argmin — ties broken toward the
-    LOWEST cid — is bit-identical across engines.  Pass
-    `quantized=True` when the centroid vectors are already on the
-    quantized grid (k-means iterates stay there).  With `dist_col`, the
-    exact quantized squared L2 distance |a-c|^2 to the chosen centroid
-    is emitted as a long (it is an exact integer < 2^53, so the cast is
-    lossless)."""
+    matmul.  The argmin/argmax happens INSIDE the kernel, so the
+    assignment is a pure map — no k*n scored pairs ever leave the
+    executor and no row_number window shuffle is needed (at 100 TB the
+    window alternative shuffles k times the corpus).
+
+    `metric="l2"`: argmin of the exact quantized squared distance (ties
+    to the LOWEST cid — np.argmin takes the first minimum over the
+    ascending-cid columns — matching SQL's ORDER BY dist, cid).
+    `metric="cosine"`: argmax of dot/(|a||c|).  The dots/norms are exact
+    quantized integers; sqrt/divide are correctly-rounded IEEE doubles,
+    so numpy and DuckDB produce the same float and the same argmax.
+    NaN scores (zero-norm operands) are mapped to -inf before the
+    argsort — SQL's NULLS LAST — so an all-NULL row resolves to the
+    lowest cid in both engines.
+
+    `top > 1` emits one row per (vector, probe rank) with a `rank`
+    column (1-based) — multi-probe IVF's query-side fan-out; ranking is
+    by (score, cid) via a stable argsort, matching
+    row_number() OVER (ORDER BY sim DESC, cid).
+
+    Pass `quantized=True` when the centroid vectors are already on the
+    quantized grid (k-means iterates stay there).  With `dist_col` (L2,
+    top=1 only), the exact quantized |a-c|^2 is emitted as a long.
+    `keep_vec=True` (top=1 only) passes the input vector through the
+    kernel, so callers that need (id, cid, vector) — the IVF inverted
+    lists — get it from the one map pass instead of re-joining the
+    corpus to itself (a full sort-merge shuffle at scale)."""
     import numpy as np
 
+    if dist_col is not None and (metric != "l2" or top != 1):
+        raise ValueError("dist_col requires metric='l2', top=1")
+    if keep_vec and top != 1:
+        raise ValueError("keep_vec requires top=1")
     order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
     cids = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
     Cm = np.array([list(centroids[i][1]) for i in order], dtype=np.float64)
     if not quantized:
         Cm = np.floor(Cm * _QSCALE + _QHALF)
     cn2 = np.einsum("ij,ij->i", Cm, Cm)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, Cm, cn2))
+    cosine = metric == "cosine"
 
     def assign(batches):
+        cids, Cm, cn2 = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.floor(np.vstack(pdf[vec_col].to_numpy()) * _QSCALE + _QHALF)
-            # |a-c|^2 = |a|^2 - 2 a.c + |c|^2; |a|^2 constant per row, so
-            # argmin over (-2 a.c + |c|^2) suffices — exact integers.
-            d2 = -2.0 * (A @ Cm.T) + cn2[None, :]
-            # np.argmin takes the FIRST minimum; cids sorted ascending =>
-            # ties resolve to the lowest cid, matching the SQL row_number
-            # tie-break (ORDER BY dist, cid).
-            best = np.argmin(d2, axis=1)
-            cols = {id_col: pdf[id_col].to_numpy(), out: cids[best]}
-            if dist_col is not None:
-                an2 = np.einsum("ij,ij->i", A, A)
-                cols[dist_col] = (an2 + d2[np.arange(len(best)), best]).astype(np.int64)
-            yield pd.DataFrame(cols)
+            if cosine:
+                den = np.sqrt(np.einsum("ij,ij->i", A, A))[:, None] * np.sqrt(cn2)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    score = (A @ Cm.T) / den
+                # NULLS LAST: a NaN score never beats a real one; an
+                # all-NaN row falls through to the lowest cid.
+                key = np.where(np.isnan(score), -np.inf, -score)
+            else:
+                # |a-c|^2 = |a|^2 - 2 a.c + |c|^2; |a|^2 constant per
+                # row, so ranking by (-2 a.c + |c|^2) suffices — exact
+                # integers.
+                key = -2.0 * (A @ Cm.T) + cn2[None, :]
+            ids = pdf[id_col].to_numpy()
+            if top == 1:
+                # first minimum over ascending-cid columns = lowest-cid
+                # tie-break, matching ORDER BY key, cid
+                best = np.argmin(key, axis=1)
+                cols = {id_col: ids, out: cids[best]}
+                if dist_col is not None:
+                    an2 = np.einsum("ij,ij->i", A, A)
+                    cols[dist_col] = (an2 + key[np.arange(len(best)), best]).astype(np.int64)
+                if keep_vec:
+                    cols[vec_col] = pdf[vec_col].to_numpy()  # positional, not index-aligned
+                yield pd.DataFrame(cols)
+            else:
+                # stable sort keeps ascending-cid order among ties
+                idx = np.argsort(key, axis=1, kind="stable")[:, :top]
+                n = len(ids)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids, top),
+                        out: cids[idx].ravel(),
+                        "rank": np.tile(np.arange(1, top + 1), n),
+                    }
+                )
 
     schema = f"{id_col} long, {out} long"
     if dist_col is not None:
         schema += f", {dist_col} long"
-    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+    if keep_vec:
+        schema += f", {vec_col} array<double>"
+    if top > 1:
+        schema += ", rank int"
+    return ensure_min_parallelism(corpus.select(id_col, vec_col)).mapInPandas(assign, schema)
 
 
 def kmeans_refine(

@@ -501,16 +501,21 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists), and per-query search restricted to the query's own list.
     At corpus scale the assignment is one broadcast pass and each query
     touches ~1/8 of the data; swap the fixed centroids for k-means
-    centers without changing the plan shape.  Assignment streams the
-    corpus once through the matmul scorer (centroid matrix broadcast);
-    final scores use the quantized JVM kernel (candidate sets are small,
-    so Arrow round-trip overhead would dominate).  Every kernel is exact
-    on the same quantized integers, so even the unrounded ORDER BY in
-    the argmax is bit-identical across engines."""
+    centers without changing the plan shape.  Assignment is a PURE MAP:
+    the corpus streams once through the matmul kernel and the
+    cosine-argmax happens inside it (`assign_nearest_centroid`,
+    metric="cosine") — no k*n scored pairs leave the executor and no
+    row_number window shuffle (the round-2 shape shuffled 8x the corpus
+    to rank centroids; the oracle's assign0/rn=1 CTE replays exactly
+    the argmax the kernel computes).  Final scores use the quantized
+    JVM kernel (candidate sets are small, so Arrow round-trip overhead
+    would dominate).  Every kernel is exact on the same quantized
+    integers, so even the unrounded argmax is bit-identical across
+    engines."""
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
         as_double_vec,
+        assign_nearest_centroid,
         cosine_q6_jvm,
-        score_against_matrix,
     )
     from pyspark.sql import Window
 
@@ -520,15 +525,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate quantizer on offset ids — round-2 verdict #2)
     cent_rows = similarity.seed_rows(e, 8)
     qids = [cid for cid, _ in cent_rows[:5]]  # first 5 = prefix of first 8
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assign = (
-        score_against_matrix(e, cent_rows, out_id="cid", cand_id="vec_id")
-        .withColumnRenamed("cosine", "sim")
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .join(e, "vec_id")
-        .select("vec_id", "embedding", "cid")
-    )
+    assign = assign_nearest_centroid(e, cent_rows, metric="cosine", keep_vec=True)
     q = assign.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
     )
@@ -647,7 +644,7 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = similarity.seed_rows(e, 8)
     qids = [cid for cid, _ in init[:5]]
     cent = kmeans_refine(e, init, iters=2)
-    assign = assign_nearest_centroid(e, cent, quantized=True).join(e, "vec_id")
+    assign = assign_nearest_centroid(e, cent, quantized=True, keep_vec=True)
     q = assign.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
     )
@@ -773,31 +770,27 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     assignment is unchanged (rn=1); only the tiny query side fans out to
     rn<=2, so the extra cost is one more broadcast-join probe per query.
     Candidates can't duplicate across probes (each corpus vector lives in
-    exactly one list)."""
+    exactly one list).  Corpus assignment is the pure-map kernel argmax
+    (`assign_nearest_centroid`); only the 5-query side runs the top-2
+    kernel — both replayed by the oracle's assign0 ranking CTE."""
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
         as_double_vec,
+        assign_nearest_centroid,
         cosine_q6_jvm,
-        score_against_matrix,
     )
     from pyspark.sql import Window
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
     cent_rows = similarity.seed_rows(e, 8)
     qids = [cid for cid, _ in cent_rows[:5]]
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    ranked = (
-        score_against_matrix(e, cent_rows, out_id="cid", cand_id="vec_id")
-        .withColumnRenamed("cosine", "sim")
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
-    assign = (
-        ranked.filter(F.col("rn") == 1)
-        .join(e, "vec_id")
-        .select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
+    assign = assign_nearest_centroid(e, cent_rows, metric="cosine", keep_vec=True).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid"
     )
     probes = (
-        ranked.filter((F.col("rn") <= 2) & F.col("vec_id").isin(qids))
-        .join(e, "vec_id")
+        assign_nearest_centroid(
+            e.filter(F.col("vec_id").isin(qids)), cent_rows, metric="cosine", top=2
+        )
+        .join(e.filter(F.col("vec_id").isin(qids)), "vec_id")
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     )
     scored = (
