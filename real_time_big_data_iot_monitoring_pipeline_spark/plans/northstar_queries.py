@@ -526,9 +526,13 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = similarity.seed_rows(e, 8)
     qids = [cid for cid, _ in cent_rows[:5]]  # first 5 = prefix of first 8
     assign = assign_nearest_centroid(e, cent_rows, metric="cosine", keep_vec=True)
-    q = assign.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
-    )
+    # the query side assigns ONLY the 5 query vectors (pushdown filter on
+    # vec_id, then the same kernel) — filtering the corpus-wide `assign`
+    # here would re-run the full-corpus map pass a second time, since a
+    # pure map has no exchange for Spark to reuse
+    q = assign_nearest_centroid(
+        e.filter(F.col("vec_id").isin(qids)), cent_rows, metric="cosine", keep_vec=True
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
     scored = (
         c.join(F.broadcast(q), "cid")
@@ -645,9 +649,11 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = [cid for cid, _ in init[:5]]
     cent = kmeans_refine(e, init, iters=2)
     assign = assign_nearest_centroid(e, cent, quantized=True, keep_vec=True)
-    q = assign.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
-    )
+    # assign only the 5 query vectors on the query side — see
+    # embedding_ivf_topk: filtering `assign` would re-run the corpus map
+    q = assign_nearest_centroid(
+        e.filter(F.col("vec_id").isin(qids)), cent, quantized=True, keep_vec=True
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
     scored = (
         c.join(F.broadcast(q), "cid")
