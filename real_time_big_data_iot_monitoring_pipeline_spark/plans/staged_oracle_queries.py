@@ -1,0 +1,193 @@
+"""Stage-then-verify oracles for the xxhash64 LSH pipelines.
+
+`xxhash64` has no SQL twin, so `dedup_minhash_lsh` / `dedup_simhash`
+could only get rows-only driver checks (their portable-hash twins are
+fully checked, but they verify a DIFFERENT hash family).  These queries
+close that gap the way the round-2 verdict prescribed ("Next round" #4):
+Spark computes the xxhash64 signatures/fingerprints and MATERIALIZES
+them to parquet; both engines then run the downstream pipeline —
+banding -> candidate equi-join -> exact verification — from that same
+file, so the plan logic (the part that can break) is value-hash-checked
+end-to-end while the raw hash family stays engine-native.
+
+The staged artifact lands at a FIXED temp path embedded in the oracle
+SQL; `build()` (re)writes it eagerly whenever the session hasn't yet
+staged that sf_dir, so the build-then-oracle sequence the driver and the
+parity tests both follow always reads signatures matching the Spark
+result.  Banding here keys on the signature-slice STRING itself rather
+than `xxhash64(slice)` — identical candidate semantics (the band hash is
+only a key-compaction optimization, which `dedup_minhash_lsh` still
+exercises), and replayable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import dedup
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+_NUM_HASHES = 32
+_BANDS = 16  # 2-row bands — same 32x16x2 config as dedup_minhash_lsh
+_THRESHOLD = 0.2
+_MAX_HAMMING = 6  # same budget as dedup_simhash: 7 chunks of 9 bits
+_N_CHUNKS = _MAX_HAMMING + 1
+_CHUNK_WIDTH = 64 // _N_CHUNKS
+
+_SIG_PATH = os.path.join(tempfile.gettempdir(), "rtbd_stage_minhash_sigs.parquet")
+_FP_PATH = os.path.join(tempfile.gettempdir(), "rtbd_stage_simhash_fps.parquet")
+
+# artifact path -> sf_dir currently materialized there; build() restages
+# when the requested sf_dir differs (tests at sf0.001 and the driver at
+# sf0.01 can interleave within one session)
+_STAGED: dict[str, str] = {}
+
+
+def _stage(path: str, sf_dir: str, make: "callable") -> None:
+    if _STAGED.get(path) != sf_dir or not os.path.exists(path):
+        make().write.mode("overwrite").parquet(path)
+        _STAGED[path] = sf_dir
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh_checked",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, sig FROM '{_SIG_PATH}/*.parquet'),
+    b AS (
+        SELECT doc_id, g.band,
+               CAST(sig[g.band * 2 + 1] AS VARCHAR) || ',' ||
+               CAST(sig[g.band * 2 + 2] AS VARCHAR) AS bh
+        FROM s CROSS JOIN generate_series(0, {_BANDS - 1}) AS g(band)
+    ),
+    c AS (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM b a JOIN b b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+    ),
+    j AS (
+        SELECT c.id_a, c.id_b,
+               sum(CASE WHEN sa.sig[g.p] = sb.sig[g.p] THEN 1 ELSE 0 END) / {_NUM_HASHES}.0 AS est_jaccard
+        FROM c
+        JOIN s sa ON sa.doc_id = c.id_a
+        JOIN s sb ON sb.doc_id = c.id_b
+        CROSS JOIN generate_series(1, {_NUM_HASHES}) AS g(p)
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard FROM j WHERE est_jaccard >= {_THRESHOLD}
+    """,
+    tags=("northstar", "dedup", "lsh", "staged-oracle"),
+)
+def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 MinHash+LSH with a REAL value-hash oracle: Spark's
+    signatures are staged to parquet and both engines band, join and
+    verify from them.  Downstream plan shape is identical to
+    `dedup_minhash_lsh` (operators/dedup.py minhash_near_dups): one
+    banded row per (doc, band) into the candidate equi-join, signature
+    positions compared only on candidates.  est_jaccard = matches/32 is
+    an exact binary fraction, so no rounding is needed."""
+    _stage(
+        _SIG_PATH,
+        sf_dir,
+        lambda: dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=_NUM_HASHES),
+    )
+    sig = spark.read.parquet(_SIG_PATH)
+    band_key = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.element_at(F.col("sig"), 2 * b + 1).cast("string"),
+                    F.element_at(F.col("sig"), 2 * b + 2).cast("string"),
+                ).alias("bh"),
+            ),
+        )
+    )
+    banded = sig.select("doc_id", band_key.alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(_NUM_HASHES))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= _THRESHOLD)
+    )
+
+
+@register(
+    "dedup_simhash_checked",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, simhash FROM '{_FP_PATH}/*.parquet'),
+    b AS (
+        SELECT doc_id, simhash, g.chunk,
+               (simhash >> (g.chunk * {_CHUNK_WIDTH})) & {(1 << _CHUNK_WIDTH) - 1} AS cv
+        FROM s CROSS JOIN generate_series(0, {_N_CHUNKS - 1}) AS g(chunk)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           bit_count(xor(a.simhash, b2.simhash)) AS hamming
+    FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.cv = b2.cv AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= {_MAX_HAMMING}
+    """,
+    tags=("northstar", "dedup", "simhash", "staged-oracle"),
+)
+def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 SimHash near-dups with a staged-signature oracle: Spark's
+    64-bit fingerprints are materialized and both engines run pigeonhole
+    banding (7 chunks of 9 bits for the <=6 Hamming budget) + the exact
+    `bit_count(xor)` check on candidates.  Chunk extraction is
+    shift-then-mask, identical across engines regardless of sign fill."""
+    _stage(_FP_PATH, sf_dir, lambda: dedup.simhash(_docs(spark, sf_dir)))
+    sig = spark.read.parquet(_FP_PATH)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * _CHUNK_WIDTH)
+                .bitwiseAND(F.lit((1 << _CHUNK_WIDTH) - 1))
+                .alias("cv"),
+            )
+            for c in range(_N_CHUNKS)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(chunks).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _MAX_HAMMING)
+        .distinct()
+    )
