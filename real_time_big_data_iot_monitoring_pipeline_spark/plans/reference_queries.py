@@ -110,18 +110,18 @@ def scan_recent_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-interval time-range scan (reference
-    streamlit_dashboard.py:74-80).  The predicate is written against the
-    RAW nanosecond column (sources.tables.events_with_raw_ts), so it
-    pushes into the parquet scan — `PushedFilters` + row-group min/max
-    skipping, the Spark analogue of the reference's B-tree range scan
-    (init.sql:29-31).  A filter on the derived timestamp column would
-    scan everything.  The upper bound mirrors the oracle's microsecond
-    truncation: ts_ns < (T1*1e6 + 1)*1e3."""
-    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import events_with_raw_ts
-
-    e = events_with_raw_ts(spark, sf_dir)
+    streamlit_dashboard.py:74-80).  The predicate compares the scan-native
+    `ts` column against foldable timestamp literals, so it pushes into the
+    parquet scan — `PushedFilters` + row-group min/max skipping, the Spark
+    analogue of the reference's B-tree range scan (init.sql:29-31).  A
+    filter wrapped in non-invertible arithmetic on `ts` would scan
+    everything.  Bounds are closed on both ends, matching the oracle's
+    `epoch(ts) BETWEEN T0 AND T1` (DuckDB epoch() keeps the fractional
+    part, so `<= T1` means the instant T1 exactly — as does ours)."""
+    e = _events(spark, sf_dir)
     return e.filter(
-        (F.col("ts_ns") >= T0 * 1_000_000_000) & (F.col("ts_ns") < (T1 * 1_000_000 + 1) * 1_000)
+        (F.col("ts") >= F.timestamp_seconds(F.lit(T0)))
+        & (F.col("ts") <= F.timestamp_seconds(F.lit(T1)))
     ).select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value")
 
 

@@ -30,9 +30,16 @@ ENGINE_CONF: dict[str, str] = {
     # host timezone.  All catalog queries additionally emit epoch integers
     # rather than rendered timestamps (see plans/catalog.py).
     "spark.sql.session.timeZone": "UTC",
-    # The driver fixture `events.parquet` stores TIMESTAMP(NANOS,false),
-    # which Spark's vectorized reader rejects; read it as raw nanos and
-    # convert (sources/tables.py).  Runtime-settable, verified on 4.1.x.
+    # The driver fixtures store timestamps as parquet TIMESTAMP(MICROS)
+    # with isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ for
+    # those, which breaks epoch arithmetic (`unix_micros`) and diverges
+    # from DuckDB's naive-as-UTC reading.  Disabling inference reads them
+    # as plain TIMESTAMP (instants, UTC session) — bit-identical epochs
+    # on both engines.  Runtime-settable.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Older fixture generations stored TIMESTAMP(NANOS,false), which the
+    # vectorized reader rejects outright; keep the raw-nanos escape hatch
+    # so those files stay readable (sources/tables.py converts).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Exchange reuse + pushdown are on by default; stated for visibility.
     "spark.sql.parquet.filterPushdown": "true",
@@ -68,6 +75,7 @@ def get_session(
     # re-assert the runtime-settable confs the engine relies on.
     for k in (
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.adaptive.enabled",
     ):
         spark.conf.set(k, ENGINE_CONF[k])
@@ -78,4 +86,5 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Assert the runtime-settable engine confs on an externally-built
     session (the driver passes us its own SparkSession)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -26,20 +26,29 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing types.
+    """Load one fixture table, normalizing timestamp types.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as a LongType nano count.  We convert via integer division to
-    microseconds — the same truncation DuckDB applies when it narrows
-    TIMESTAMP_NS to its native microsecond TIMESTAMP, so the oracle and the
-    engine see identical instants.  (`timestamp_micros` interprets the long
-    as a UTC instant: no session-timezone dependence.)
+    The fixtures store timestamps as parquet TIMESTAMP(MICROS,
+    isAdjustedToUTC=false).  Spark 4's default NTZ inference would read
+    those as TIMESTAMP_NTZ — breaking epoch arithmetic (`unix_micros`
+    rejects NTZ) and diverging from DuckDB, which treats naive micros as
+    plain TIMESTAMP.  We disable inference so the stored micros are read
+    as instants (session tz is pinned to UTC), giving both engines
+    bit-identical epoch values.  Two fallbacks keep older fixture
+    generations working: a TIMESTAMP(NANOS) file arrives as a raw long
+    (``nanosAsLong``) and is truncated to micros exactly like DuckDB
+    narrows TIMESTAMP_NS; an NTZ column that slips through (conf set
+    after a cached scan) is cast to TIMESTAMP under the UTC session —
+    value-preserving.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -48,20 +57,21 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def events_with_raw_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with BOTH the converted `ts` (timestamp) and the raw `ts_ns`
-    (parquet-native long).  Predicates written against `ts_ns` are plain
-    column comparisons, so they push into the parquet scan (row-group
-    min/max skipping) — a filter on the derived `ts` cannot, because
-    Catalyst will not invert `timestamp_micros(ts DIV 1000)`.  At 100 TB
-    that pushdown is the difference between scanning a day and scanning
-    the table.  Epoch-second bound `t` converts as: ts_ns >= t * 1e9;
-    for inclusive upper bounds mirror the oracle's microsecond truncation
-    with ts_ns < (t * 1e6 + 1) * 1e3."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    """events with BOTH `ts` (timestamp) and a raw `ts_ns` long.
+
+    On a TIMESTAMP(NANOS) fixture the raw long is the scan-native column,
+    so predicates against `ts_ns` push into the parquet scan while a
+    filter on the derived `ts` would not (Catalyst will not invert
+    `timestamp_micros(ts DIV 1000)`).  On the current TIMESTAMP(MICROS)
+    fixtures `ts` itself is scan-native — time predicates should be
+    written directly against `ts` (they push down as timestamp min/max
+    row-group skipping); `ts_ns` here is derived, provided only for
+    callers that want uniform nano arithmetic."""
+    df = load_table(spark, sf_dir, "events")
+    if "ts_ns" in df.columns:
+        return df
     if dict(df.dtypes).get("ts") == "bigint":
         return df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
-    # non-nano fixture: synthesize ts_ns from the timestamp
     return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
