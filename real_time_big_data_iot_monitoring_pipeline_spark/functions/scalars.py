@@ -55,6 +55,35 @@ def status_color(temp: Column) -> Column:
     )
 
 
+# --- session-timezone-proof timestamp helpers -------------------------------
+# The fixtures store naive micros that both engines read as UTC instants
+# (sources/tables.py).  The driver runs the catalog in ITS OWN session,
+# whose timezone we don't control, so every timestamp literal and every
+# rendered date must be written in session-tz-independent form: a
+# `TIMESTAMP '...'` literal or `date_format(ltz_col, ...)` silently
+# re-interprets under the session zone and shifts the result.
+
+
+def utc_ts(naive: str) -> Column:
+    """Foldable instant literal for a naive-UTC datetime string
+    ('YYYY-MM-DD HH:MM:SS').  `timestamp_seconds(epoch)` constructs the
+    instant from epoch arithmetic, so the bound is identical under any
+    session timezone AND remains a plain column-vs-literal comparison
+    that pushes into the parquet scan."""
+    from datetime import datetime, timezone
+
+    dt = datetime.strptime(naive, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+    return F.timestamp_seconds(F.lit(int(dt.timestamp())))
+
+
+def utc_naive(col: Column | str) -> Column:
+    """Session-tz-proof rendering: convert an instant column to the
+    TIMESTAMP_NTZ of its UTC reading, so `date_format` / `year` / `to_date`
+    on the result extract the same fields under any session timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.convert_timezone(None, F.lit("UTC"), c)
+
+
 # --- decimal-exact aggregation helpers --------------------------------------
 # The fixture metrics are fixed-decimal (2dp) doubles.  Two cross-engine
 # hazards make naive ROUND(avg(x), p) non-portable:

@@ -13,69 +13,77 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # The driver's correctness gate hashes the FIRST 50 registry entries, in
 # `queries()` iteration order (round-1 verdict, "What's wrong" #1).  The
 # window below makes that ordering EXPLICIT instead of an import-order
-# side effect: exactly these 50 queries — the reference-parity core, the
-# streaming surface, and the LLM-pipeline operators whose implementations
-# changed or landed this round — get driver-grade value-hash rows.
-# Everything else (the join/extension set, and queries unchanged since
-# their green CORRECTNESS_r01.json rows: dedup_exact_stats,
-# dedup_canonical, text_token_stats, text_quality_score, text_lang_id,
-# text_fingerprint) follows after the window, still covered by the local
-# oracle-parity + partition-invariance suites every round.
+# side effect.  ROUND-3 ROTATION (round-2 verdict, "Next round" #2):
+# round 2's window value-hash-checked the reference-parity core, the
+# streaming surface, and the LLM-pipeline set (46/46 green,
+# CORRECTNESS_r02.json); this round rotates in every oracle-bearing
+# query that did NOT get a driver row in round 2 — the join set, the
+# extension set, the text/corpus set, and the queries registered this
+# round (salted skew plans, staged-signature LSH oracles, the
+# stream-stream interval join) — so the UNION of r2+r3 driver rows
+# covers the entire oracle-bearing catalog.  `flagship_window_agg`
+# stays pinned as the every-round sentinel.  Queries rotated out remain
+# covered by the local oracle-parity + partition-invariance suites,
+# which run the full catalog every round.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reference-parity core (SURVEY.md §2, dashboard + stream analytics)
+    # pinned sentinel (driver-green r1 + r2)
     "flagship_window_agg",
-    "scan_recent_topn",
-    "filter_time_range",
-    "filter_equality",
-    "ingestion_rate_window",
-    "distinct_types_sorted",
-    "clean_labels",
-    "group_type_stats",
-    "global_kpis",
-    "describe_stats",
-    "histogram_value",
-    "corr_matrix",
-    "events_per_day",
-    "rollup_type_user",
-    "json_props_stats",
-    "alerts_threshold",
-    "severity_rollup",
-    "status_colors",
-    "geo_status_map",
-    "iqr_anomaly",
-    "rolling_avg_20",
-    "ma_diff_trend",
-    "topn_per_group",
-    "last_value_per_group",
-    "elapsed_seconds_feature",
-    "regression_per_group",
-    "regression_quality_gate",
-    # streaming surface
-    "sliding_window_agg",
-    "session_window_agg",
-    "stream_tumbling_window",
-    "approx_distinct_users",
-    # LLM-pipeline operators: new this round or rebuilt on the quantized
-    # Arrow kernels this round
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_cosine_topk",
-    "embedding_lsh_topk",
-    "embedding_norm_stats",
-    "multimodal_decode",
-    "embedding_cosine_neardups",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "embedding_ivf_topk",
-    "embedding_ivf_kmeans_topk",
-    "curation_pipeline",
-    "resample_gap_fill",
-    "sessionize_events",
-    "tfidf_top_terms",
-    "dedup_components",
-    "embedding_kmeans_clusters",
-    "pivot_type_by_day",
+    # streaming: new this round
+    "stream_interval_join",
+    # reference-parity queries without an r2 driver row
+    "pricing_summary",
+    "filter_compound_bool",
+    "clip_values",
+    "date_format_display",
+    "props_struct_extract",
+    "rank_events_per_user",
+    "rolling_median_smooth",
+    "histogram_equidepth",
+    "cube_type_day_stats",
+    "resample_interpolate",
+    # join set (driver-green r1, rotated back in)
+    "join_dim_broadcast",
+    "join_star_revenue",
+    "semi_join_customers",
+    "anti_join_customers",
+    "outer_join_order_counts",
+    "top_customers_by_revenue",
+    "range_join_price_bands",
+    "asof_join_events",
+    "set_ops_users",
+    # extension set (TPC-H-shaped analytics, driver-green r1)
+    "revenue_filter_agg",
+    "unshipped_orders_topk",
+    "avg_order_by_priority",
+    "grouped_percentiles",
+    "returned_items_report",
+    "big_orders_customers",
+    "volume_shipping",
+    # text / corpus set
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition_ratio",
+    "text_normalize",
+    "term_frequency",
+    "bigram_counts",
+    "corpus_sample_stratified",
+    "corpus_split_counts",
+    "corpus_token_budget",
+    "corpus_shard_stats",
+    "decontamination_overlap",
+    "unigram_logprob_score",
+    # dedup / embedding queries without an r2 driver row
+    "dedup_exact_stats",
+    "dedup_canonical",
+    "embedding_ivf_multiprobe_topk",
+    "embedding_dedup_components",
+    # registered this round: skew-resilient plans + staged LSH oracles
+    "salted_type_stats",
+    "salted_join_brand_revenue",
+    "dedup_minhash_lsh_checked",
+    "dedup_simhash_checked",
 )
 
 

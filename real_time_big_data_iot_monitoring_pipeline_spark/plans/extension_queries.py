@@ -14,6 +14,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     avg_fixed_sql,
     clip,
     round_det,
+    utc_naive,
+    utc_ts,
 )
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
 from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
@@ -75,16 +77,19 @@ def clip_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def date_format_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Display timestamp formatting (reference
-    streamlit_dashboard.py:483-528 strftime) — on TIMESTAMP_NTZ, where
-    `date_format` renders the stored naive value with no timezone
-    dependence, matching DuckDB strftime exactly."""
+    streamlit_dashboard.py:483-528 strftime).  The instant bounds push
+    into the parquet scan; rendering goes through `utc_naive` so the
+    emitted strings are the UTC reading of each instant under ANY
+    session timezone — matching DuckDB strftime exactly."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.filter(
-            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
-            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '2000-03-01 00:00:00'"))
+            (F.col("o_orderdate") >= utc_ts("2000-01-01 00:00:00"))
+            & (F.col("o_orderdate") < utc_ts("2000-03-01 00:00:00"))
         )
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"))
+        .groupBy(
+            F.date_format(utc_naive("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("odate")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -229,8 +234,8 @@ def revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
-            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            (F.col("l_shipdate") >= utc_ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < utc_ts("1998-01-01 00:00:00"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -269,10 +274,10 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounding before ordering keeps ranks ulp-stable across engines)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        F.col("o_orderdate") < utc_ts("1998-01-01 00:00:00")
     )
     l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        F.col("l_shipdate") > utc_ts("1998-01-01 00:00:00")
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -287,7 +292,7 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            F.date_format(utc_naive("o_orderdate"), "yyyy-MM-dd").alias("odate"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -364,8 +369,8 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
-        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+        (F.col("o_orderdate") >= utc_ts("1998-01-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1999-01-01 00:00:00"))
     )
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     dim = F.broadcast(
@@ -467,9 +472,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation",
             "cust_nation",
-            # year() on TIMESTAMP_NTZ reads the stored naive value —
-            # timezone-free, unlike an NTZ->TIMESTAMP cast+epoch path.
-            F.year("o_orderdate").cast("long").alias("o_year"),
+            # year() of the UTC reading — session-tz-proof field extract
+            F.year(utc_naive("o_orderdate")).cast("long").alias("o_year"),
         )
         .agg(
             round_det(

@@ -14,6 +14,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     as_cents,
     avg_fixed,
     round_det,
+    utc_ts,
 )
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
 from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
@@ -75,13 +76,13 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-year window.  Plan shape for scale: region/nation/customer are
     broadcast; lineitem⋈orders is the one big shuffle, and the region +
     date filters are pushed below it so the shuffle carries only
-    qualifying orders.  Dates are TIMESTAMP_NTZ (naive) — literal
-    comparisons are timezone-free and match DuckDB exactly."""
+    qualifying orders.  Date bounds are `utc_ts` instant literals —
+    session-timezone-proof and pushdown-friendly."""
     l, o, c = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     o = o.filter(
-        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
-        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        (F.col("o_orderdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1998-01-01 00:00:00"))
     )
     dim = F.broadcast(
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -135,7 +136,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = as_cents(F.col("l_discount"))
     tc = as_cents(F.col("l_tax"))
     return (
-        l.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2001-09-01 00:00:00'"))
+        l.filter(F.col("l_shipdate") <= utc_ts("2001-09-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round_det(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -98,17 +98,19 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-session staging/result dirs keyed by sf_dir: the replay input is
 # written ONCE per (session, sf_dir), not on every catalog call (round-1
-# verdict, "What's wrong" #3).  Cleaned up by the tempdir prefix on reboot;
-# a session re-invoking the query reuses both the staged input and the
-# streaming result it already computed from it.
-_STREAM_DIRS: dict[str, tuple[str, str]] = {}
+# verdict, "What's wrong" #3), and is SHARED by every streaming catalog
+# query; each query gets its own result dir under the same base.  Cleaned
+# up by the tempdir prefix on reboot; a session re-invoking a query
+# reuses both the staged input and the streaming result it already
+# computed from it.
+_STREAM_BASES: dict[str, str] = {}
 
 
-def _stream_dirs(sf_dir: str) -> tuple[str, str]:
-    if sf_dir not in _STREAM_DIRS:
-        base = tempfile.mkdtemp(prefix="rtbd_stream_")
-        _STREAM_DIRS[sf_dir] = (os.path.join(base, "staging"), os.path.join(base, "result"))
-    return _STREAM_DIRS[sf_dir]
+def _stream_dirs(sf_dir: str, result_name: str = "result") -> tuple[str, str]:
+    if sf_dir not in _STREAM_BASES:
+        _STREAM_BASES[sf_dir] = tempfile.mkdtemp(prefix="rtbd_stream_")
+    base = _STREAM_BASES[sf_dir]
+    return os.path.join(base, "staging"), os.path.join(base, result_name)
 
 
 @register(
@@ -160,6 +162,67 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         pipeline.run_stream_to_parquet(agg, result, output_mode="complete")
+    return spark.read.parquet(result)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           r.event_id AS error_event_id, epoch_us(r.ts) AS error_ts_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_type = 'error'
+     AND l.ts >= r.ts
+     AND l.ts < r.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "interval", "equivalence"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join, oracle-checked: events replay
+    through a file source in micro-batches on BOTH sides — the full
+    stream joined to its own error sub-stream — matching each event to
+    the error events of the same user in the preceding 30 minutes (the
+    "activity within an incident window" enrichment).  State is
+    hash-partitioned on user_id (the shuffle key at scale); the replay
+    runs without a watermark (`interval_join_stream(watermark=None)`)
+    because the staged files are not in event-time order, so watermark
+    eviction would drop late-arriving matches — exact equivalence to the
+    batch interval join is the point, and the driver's value-hash check
+    proves it.  Append mode: each match is emitted exactly once, and the
+    executors append it straight to the result parquet."""
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_interval_join")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        left = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        right = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "error")
+            .select(
+                "user_id",
+                F.col("event_id").alias("error_event_id"),
+                F.col("ts").alias("error_ts"),
+            )
+        )
+        joined = pipeline.interval_join_stream(
+            left.select("event_id", "user_id", "ts", "value"),
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="error_ts",
+            upper="30 minutes",
+            watermark=None,
+        ).select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "error_event_id",
+            F.unix_micros("error_ts").alias("error_ts_us"),
+        )
+        pipeline.run_stream_to_parquet(joined, result, output_mode="append")
     return spark.read.parquet(result)
 
 

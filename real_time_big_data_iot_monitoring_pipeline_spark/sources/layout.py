@@ -22,10 +22,14 @@ def write_date_partitioned(
     mode: str = "overwrite",
 ) -> None:
     """Write with an `event_date` partition column derived from event
-    time.  `partitionOverwriteMode=dynamic` keeps re-writes idempotent
-    per partition (only touched dates are replaced)."""
+    time — the UTC calendar date of the instant (`utc_naive`), so the
+    layout is identical no matter the session timezone of the writer.
+    `partitionOverwriteMode=dynamic` keeps re-writes idempotent per
+    partition (only touched dates are replaced)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import utc_naive
+
     (
-        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        df.withColumn("event_date", F.to_date(utc_naive(F.col(ts_col))))
         .write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")

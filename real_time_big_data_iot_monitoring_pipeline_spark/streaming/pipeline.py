@@ -160,7 +160,7 @@ def interval_join_stream(
     left_ts: str,
     right_ts: str,
     upper: str = "30 minutes",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join with an event-time interval condition:
@@ -180,13 +180,22 @@ def interval_join_stream(
     caveat the test pins down).  Works identically on batch frames (no
     watermark applied), which the equivalence tests exploit.
 
+    ``watermark=None`` skips watermarking entirely — for INNER joins
+    Spark then buffers both sides indefinitely, which trades bounded
+    state for exact batch equivalence on replays whose file order is NOT
+    event-time order (a time-ordered stream would drop nothing either
+    way; an arbitrarily-ordered replay with a watermark can drop
+    late-arriving matches).  Use it for finite replays / equivalence
+    checks; production unbounded streams should keep a watermark.
+
     `left_ts` / `right_ts` must be distinct column names (the condition
     references both sides unambiguously)."""
     assert left_ts != right_ts, "use distinct timestamp column names for the two sides"
+    assert watermark is not None or how == "inner", "outer modes require a watermark to flush"
     l, r = left.alias("l"), right.alias("r")
-    if left.isStreaming:
+    if left.isStreaming and watermark is not None:
         l = left.withWatermark(left_ts, watermark).alias("l")
-    if right.isStreaming:
+    if right.isStreaming and watermark is not None:
         r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
@@ -273,15 +282,18 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
 
 
 def run_stream_to_parquet(df: DataFrame, path: str, output_mode: str = "complete") -> None:
-    """Run a streaming aggregation to a PARQUET result dir until all
-    available input is consumed.  In complete mode every micro-batch
-    carries the full aggregate state, so overwriting per batch leaves the
-    final state on disk — executors write it, nothing is collected to the
-    driver (the scale-safe twin of `run_stream_to_memory`)."""
+    """Run a streaming query to a PARQUET result dir until all available
+    input is consumed.  In complete mode every micro-batch carries the
+    full aggregate state, so overwriting per batch leaves the final state
+    on disk; in append mode each micro-batch carries only newly-final
+    rows, so batches accumulate.  Either way executors write the rows —
+    nothing is collected to the driver (the scale-safe twin of
+    `run_stream_to_memory`)."""
+    batch_mode = "append" if output_mode == "append" else "overwrite"
 
-    def overwrite(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(path)
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(batch_mode).parquet(path)
 
-    q = df.writeStream.outputMode(output_mode).foreachBatch(overwrite).start()
+    q = df.writeStream.outputMode(output_mode).foreachBatch(write).start()
     q.processAllAvailable()
     q.stop()

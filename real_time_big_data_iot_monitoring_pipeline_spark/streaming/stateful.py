@@ -95,6 +95,76 @@ def ewma_stream(readings: DataFrame, alpha: float = 0.2, threshold: float = 30.0
     )
 
 
+EXTREMES_COMPAT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("min_temp", T.DoubleType()),
+        T.StructField("max_temp", T.DoubleType()),
+        T.StructField("avg_temp", T.DoubleType()),
+    ]
+)
+
+EXTREMES_COMPAT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("min_temp", T.DoubleType()),
+        T.StructField("max_temp", T.DoubleType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def extremes_update(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-sensor running extremes + exact cents-sum — the
+    `applyInPandasWithState` twin of `ExtremesProcessor` below, so the
+    extremes fold is executed (not just implemented) in environments
+    where the transformWithState protobuf protocol is unavailable.  The
+    fold is identical: state = (n, min, max, sum_cents); per-element
+    cents rounding keeps the running sum exact and independent of where
+    micro-batch boundaries fall."""
+    if state.exists:
+        n, mn, mx, sc = state.get
+    else:
+        n, mn, mx, sc = 0, None, None, 0
+    for pdf in batches:
+        vals = pdf["temperature"]
+        if len(vals) == 0:
+            continue
+        n += len(vals)
+        bmn, bmx = float(vals.min()), float(vals.max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+        sc += int((vals * 100).round().astype("int64").sum())
+    state.update((n, mn, mx, sc))
+    yield pd.DataFrame(
+        {
+            "sensor_id": [key[0]],
+            "n_seen": [n],
+            "min_temp": [mn],
+            "max_temp": [mx],
+            "avg_temp": [round(sc / (100.0 * n) + 1e-8, 4) if n else None],
+        }
+    )
+
+
+def extremes_stream_compat(readings: DataFrame) -> DataFrame:
+    """Attach the extremes fold via `applyInPandasWithState` (update
+    mode, one row per sensor per micro-batch) — same output schema and
+    values as `extremes_stream`."""
+    return readings.groupBy("sensor_id").applyInPandasWithState(
+        extremes_update,
+        outputStructType=EXTREMES_COMPAT_OUTPUT_SCHEMA,
+        stateStructType=EXTREMES_COMPAT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithStateInPandas (Spark 4 arbitrary-state API) ---------------
 try:
     from pyspark.sql.streaming.stateful_processor import (

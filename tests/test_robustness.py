@@ -28,6 +28,16 @@ TZ_SENSITIVE = [
     "ingestion_rate_window",
     "elapsed_seconds_feature",
     "asof_join_events",
+    # date-literal-filtered / date-rendering TPC-H shapes: their bounds
+    # are `utc_ts` instants and their renderings go through `utc_naive`,
+    # both of which this test proves session-tz-independent
+    "join_star_revenue",
+    "pricing_summary",
+    "revenue_filter_agg",
+    "unshipped_orders_topk",
+    "big_orders_customers",
+    "volume_shipping",
+    "stream_interval_join",
 ]
 
 

@@ -107,6 +107,57 @@ def test_partition_overwrite_is_idempotent(spark, tmp_path):
     assert n1 == n2 == df.count()
 
 
+def test_stateful_extremes_compat_matches_batch(spark, tmp_path):
+    """applyInPandasWithState extremes twin: final per-sensor extremes
+    and cents-exact average over a multi-micro-batch replay must equal
+    the batch aggregates — the ungated execution of the extremes fold
+    that `transformWithStateInPandas` carries where protobuf exists."""
+    df = sensors.readings(spark, hours=3)
+    path = str(tmp_path / "extc")
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    stream = pipeline.file_source(spark, path, schema=df.schema, max_files_per_trigger=1)
+    name = f"extc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful.extremes_stream_compat(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {
+        r.sensor_id: r
+        for r in spark.table(name)
+        .groupBy("sensor_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.expr("max_by(min_temp, n_seen)").alias("min_temp"),
+            F.expr("max_by(max_temp, n_seen)").alias("max_temp"),
+            F.expr("max_by(avg_temp, n_seen)").alias("avg_temp"),
+        )
+        .collect()
+    }
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import avg_fixed
+
+    want = {
+        r.sensor_id: r
+        for r in df.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("temperature").alias("mn"),
+            F.max("temperature").alias("mx"),
+            avg_fixed(F.col("temperature")).alias("avg"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for sid, w in want.items():
+        g = final[sid]
+        assert (g.n_seen, g.min_temp, g.max_temp) == (w.n, w.mn, w.mx)
+        assert g.avg_temp == pytest.approx(w.avg, abs=1e-4)
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401

@@ -1,0 +1,58 @@
+"""Local simulation of the driver's correctness gate: run every
+DRIVER_WINDOW query on Spark AND its DuckDB oracle at sf0.01 (the
+driver's scale) and compare with the same row/schema/value contract.
+Usage: python tools/driver_sim.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+from tests.compare import assert_frames_match
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import DRIVER_WINDOW, REGISTRY
+    from real_time_big_data_iot_monitoring_pipeline_spark.session import get_session
+
+    spark = get_session(master="local[32]", shuffle_partitions=32,
+                        extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name in DRIVER_WINDOW:
+        if ONLY and name not in ONLY:
+            continue
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            spark_pdf = q.build(spark, SF_DIR).toPandas()
+            if q.oracle is None:
+                print(f"  {name}: rows-only, {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+                continue
+            oracle_pdf = con.sql(q.oracle).df()
+            assert_frames_match(spark_pdf, oracle_pdf, name)
+            print(f"  {name}: OK {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failures.append(name)
+            print(f"  {name}: FAIL {type(e).__name__}: {str(e)[:300]}")
+    print(f"\n{'FAILURES: ' + ', '.join(failures) if failures else 'ALL GREEN'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
