@@ -24,12 +24,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# Target bytes of input per repartitioned task.  128 KiB of 64-dim
+# double vectors is ~250 rows — enough per-task work that the Arrow
+# round trip amortizes; a frame smaller than this never fans out at
+# all (a 5-row query-side scan must NOT become 32 python-worker tasks
+# of zero work each — measured at ~0.8 s of pure dispatch overhead).
+_MIN_BYTES_PER_TASK = 128 * 1024
+
+
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition `df` up to `min_parts` (default: the session's
-    `sparkContext.defaultParallelism`) iff it currently has fewer
-    partitions; otherwise return it unchanged (no exchange added)."""
+    """Repartition `df` up to `min_parts` iff it currently has fewer
+    partitions; otherwise return it unchanged (no exchange added).
+
+    When `min_parts` is not given it defaults to the session's
+    `defaultParallelism`, CAPPED by Catalyst's size estimate of the
+    input at `_MIN_BYTES_PER_TASK` per task — so a megabyte-scale frame
+    fans out to a handful of tasks, not the full core count, and a
+    frame under 128 KiB stays where it is.  Unknown sizes (Catalyst's
+    8-EiB default for un-stat'd sources) leave the full-width default
+    in place."""
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            by_size = (size + _MIN_BYTES_PER_TASK - 1) // _MIN_BYTES_PER_TASK
+            min_parts = max(1, min(min_parts, by_size))
+        except Exception:  # noqa: BLE001 - stats are a best-effort hint
+            pass
     if df.rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)

@@ -254,6 +254,7 @@ def assign_nearest_centroid(
     metric: str = "l2",
     top: int = 1,
     keep_vec: bool = False,
+    min_parts: int | None = None,
 ) -> DataFrame:
     """(id, cid) of the nearest centroid for every corpus vector — the
     IVF coarse-assignment pass.  The centroid matrix (list of
@@ -285,7 +286,12 @@ def assign_nearest_centroid(
     `keep_vec=True` (top=1 only) passes the input vector through the
     kernel, so callers that need (id, cid, vector) — the IVF inverted
     lists — get it from the one map pass instead of re-joining the
-    corpus to itself (a full sort-merge shuffle at scale)."""
+    corpus to itself (a full sort-merge shuffle at scale).
+
+    `min_parts=1` skips the parallelism guard entirely — for a
+    filtered handful of query vectors, Catalyst's size estimate still
+    reflects the unfiltered scan, and fanning 5 rows across the core
+    count costs ~0.5 s of pure task dispatch for zero work."""
     import numpy as np
 
     if dist_col is not None and (metric != "l2" or top != 1):
@@ -350,7 +356,7 @@ def assign_nearest_centroid(
         schema += f", {vec_col} array<double>"
     if top > 1:
         schema += ", rank int"
-    return ensure_min_parallelism(corpus.select(id_col, vec_col)).mapInPandas(assign, schema)
+    return ensure_min_parallelism(corpus.select(id_col, vec_col), min_parts).mapInPandas(assign, schema)
 
 
 def kmeans_refine(

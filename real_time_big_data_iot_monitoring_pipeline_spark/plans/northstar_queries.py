@@ -531,7 +531,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here would re-run the full-corpus map pass a second time, since a
     # pure map has no exchange for Spark to reuse
     q = assign_nearest_centroid(
-        e.filter(F.col("vec_id").isin(qids)), cent_rows, metric="cosine", keep_vec=True
+        e.filter(F.col("vec_id").isin(qids)), cent_rows, metric="cosine", keep_vec=True,
+        min_parts=1,
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
     scored = (
@@ -652,7 +653,8 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assign only the 5 query vectors on the query side — see
     # embedding_ivf_topk: filtering `assign` would re-run the corpus map
     q = assign_nearest_centroid(
-        e.filter(F.col("vec_id").isin(qids)), cent, quantized=True, keep_vec=True
+        e.filter(F.col("vec_id").isin(qids)), cent, quantized=True, keep_vec=True,
+        min_parts=1,
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     c = assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvv"), "cid")
     scored = (
@@ -794,7 +796,8 @@ def embedding_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     probes = (
         assign_nearest_centroid(
-            e.filter(F.col("vec_id").isin(qids)), cent_rows, metric="cosine", top=2
+            e.filter(F.col("vec_id").isin(qids)), cent_rows, metric="cosine", top=2,
+            min_parts=1,
         )
         .join(e.filter(F.col("vec_id").isin(qids)), "vec_id")
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
