@@ -133,3 +133,67 @@ def shard_assign(
             F.coalesce(F.sum(toks).over(w), F.lit(0)) / F.lit(shard_tokens)
         ).alias("shard"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_tokens: int = 512,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: lay the corpus out into fixed-`seq_tokens`
+    training sequences and emit one row per (document, sequence) SPAN —
+    the packing manifest an LLM training loader consumes.  Unlike
+    `shard_assign` (whole documents per shard), a document whose token
+    range crosses a sequence boundary is SPLIT: it contributes a span
+    `(span_offset, span_tokens)` to every sequence its range overlaps,
+    so concatenating spans in (seq, then offset) order reproduces the
+    token stream exactly with zero padding between documents.
+
+    Plan shape: one exclusive-prefix-sum window per stratum gives each
+    document its absolute token interval [start, start+n); the spans are
+    a `sequence(first_seq, last_seq)` explode — fan-out 1 + the number
+    of boundary crossings, i.e. output rows = docs + total_tokens/budget,
+    never quadratic.  Deterministic hash order makes the layout
+    reproducible on any engine or partitioning; at 100 TB this is one
+    shuffle on the stratum key and a near-1x explode.
+
+    Pass `tokens_col` to pack on a precomputed token count (the shape a
+    real pipeline has after its tokenizer stage) instead of counting
+    whitespace tokens from `text_col`."""
+    toks = (
+        F.col(tokens_col) if tokens_col else F.size(F.split(F.col(text_col), " "))
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(det_hash(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(seq_tokens)
+    laid = df.select(
+        F.col(stratum_col),
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).cast("long").alias("start"),
+    )
+    end = F.col("start") + F.col("n_tokens")  # exclusive
+    spans = laid.select(
+        stratum_col,
+        id_col,
+        "n_tokens",
+        "start",
+        F.explode(
+            F.sequence(F.floor(F.col("start") / b), F.floor((end - 1) / b))
+        ).alias("seq"),
+    )
+    span_start = F.greatest(F.col("seq") * b, F.col("start"))
+    span_end = F.least((F.col("seq") + 1) * b, F.col("start") + F.col("n_tokens"))
+    return spans.select(
+        stratum_col,
+        F.col("seq"),
+        id_col,
+        (span_start - F.col("start")).cast("long").alias("span_offset"),
+        (span_end - span_start).cast("long").alias("span_tokens"),
+    )

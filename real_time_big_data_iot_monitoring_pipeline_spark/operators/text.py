@@ -342,3 +342,30 @@ def unigram_logprob_score(
             ).alias("mean_logprob"),
         )
     )
+
+
+def redact_terms(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Deny-list scrubbing: replace every whole-word occurrence of the
+    given terms and report the per-document redaction count — the
+    PII/sensitive-term removal stage of a curation pipeline (the deny
+    list here stands in for email/phone/credential patterns, which the
+    synthetic fixtures don't contain).  Pure map over corpus bytes: the
+    word-boundary alternation compiles once per task and runs inside
+    codegen; no shuffle, flat per-executor throughput at any corpus
+    size.  The pattern sticks to `\\b(...)\\b` alternation — semantics
+    identical across Java regex and RE2, so the DuckDB oracle replays
+    it verbatim."""
+    assert terms, "redact_terms: empty deny list"
+    pattern = r"\b(" + "|".join(terms) + r")\b"
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(pattern), 0)).alias("n_redactions"),
+        F.regexp_replace(t, pattern, replacement).alias("red_text"),
+    )

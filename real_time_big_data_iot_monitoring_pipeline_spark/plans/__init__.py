@@ -21,10 +21,13 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # extension set, the text/corpus set, and the queries registered this
 # round (salted skew plans, staged-signature LSH oracles, the
 # stream-stream interval join) — so the UNION of r2+r3 driver rows
-# covers the entire oracle-bearing catalog.  `flagship_window_agg`
-# stays pinned as the every-round sentinel.  Queries rotated out remain
-# covered by the local oracle-parity + partition-invariance suites,
-# which run the full catalog every round.
+# covers the entire oracle-bearing catalog as of the rotation.
+# `flagship_window_agg` stays pinned as the every-round sentinel.
+# Queries rotated out, and queries registered AFTER this rotation
+# (corpus_pack_sequences, text_redact_terms, stream_static_join — due
+# a window slot in round 4), remain covered by the local oracle-parity
+# + partition-invariance suites, which run the full catalog every
+# round.
 DRIVER_WINDOW: tuple[str, ...] = (
     # pinned sentinel (driver-green r1 + r2)
     "flagship_window_agg",

@@ -976,3 +976,71 @@ def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "shard")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
     )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+               (doc_id * 2654435761) % 4294967296 AS hv
+        FROM documents
+    ),
+    p AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM d
+    ),
+    s AS (
+        SELECT lang, doc_id, n_tokens, start,
+               unnest(generate_series(
+                   CAST(floor(start / 512.0) AS BIGINT),
+                   CAST(floor((start + n_tokens - 1) / 512.0) AS BIGINT))) AS seq
+        FROM p
+    )
+    SELECT lang, seq, doc_id,
+           CAST(greatest(seq * 512, start) - start AS BIGINT) AS span_offset,
+           CAST(least((seq + 1) * 512, start + n_tokens)
+                - greatest(seq * 512, start) AS BIGINT) AS span_tokens
+    FROM s
+    """,
+    tags=("northstar", "sampling", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: the corpus laid out into fixed
+    512-token training sequences per language, one row per (document,
+    sequence) span — documents crossing a boundary are split, so spans
+    concatenated in (seq, offset) order reproduce the token stream with
+    zero inter-document padding (`operators/sampling.pack_sequences`).
+    One prefix-sum window per stratum + a near-1x explode; the oracle
+    replays the identical layout with generate_series."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return sampling.pack_sequences(
+        _docs(spark, sf_dir), stratum_col="lang", seq_tokens=512
+    )
+
+
+@register(
+    "text_redact_terms",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(customer|value)\b')) AS INT) AS n_redactions,
+           regexp_replace(text, '\b(customer|value)\b', '[REDACTED]', 'g') AS red_text
+    FROM documents
+    """,
+    tags=("northstar", "text", "redaction"),
+)
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list scrubbing over the corpus: whole-word occurrences of
+    the deny terms replaced and counted per document
+    (`operators/text.redact_terms`) — the PII-removal stage of a
+    curation pipeline, exercised here with dictionary terms the
+    synthetic fixtures actually contain.  Pure map; the word-boundary
+    alternation is Java-regex/RE2-portable so DuckDB replays it
+    verbatim."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    return text_ops.redact_terms(_docs(spark, sf_dir), ["customer", "value"])

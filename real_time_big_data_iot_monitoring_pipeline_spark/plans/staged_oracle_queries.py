@@ -39,8 +39,11 @@ _MAX_HAMMING = 6  # same budget as dedup_simhash: 7 chunks of 9 bits
 _N_CHUNKS = _MAX_HAMMING + 1
 _CHUNK_WIDTH = 64 // _N_CHUNKS
 
-_SIG_PATH = os.path.join(tempfile.gettempdir(), "rtbd_stage_minhash_sigs.parquet")
-_FP_PATH = os.path.join(tempfile.gettempdir(), "rtbd_stage_simhash_fps.parquet")
+# pid-suffixed: the oracle SQL embeds the path at import time, so each
+# process (driver, test runner) stages and reads ITS OWN artifact —
+# concurrent sessions can never race on a shared staging file
+_SIG_PATH = os.path.join(tempfile.gettempdir(), f"rtbd_stage_minhash_sigs_{os.getpid()}.parquet")
+_FP_PATH = os.path.join(tempfile.gettempdir(), f"rtbd_stage_simhash_fps_{os.getpid()}.parquet")
 
 # artifact path -> sf_dir currently materialized there; build() restages
 # when the requested sf_dir differs (tests at sf0.001 and the driver at
@@ -191,3 +194,81 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _MAX_HAMMING)
         .distinct()
     )
+
+
+_BK_PATH = os.path.join(tempfile.gettempdir(), f"rtbd_stage_lsh_buckets_{os.getpid()}.parquet")
+_LSH_PLANES = 6
+_LSH_TOPK = 10
+
+
+@register(
+    "embedding_lsh_topk_checked",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, bucket FROM '{_BK_PATH}/*.parquet'),
+    e AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+          FROM embeddings),
+    q AS (SELECT b.vec_id AS query_id, e.v AS qv, b.bucket
+          FROM b JOIN e USING (vec_id)
+          WHERE b.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)),
+    c AS (SELECT b.vec_id AS cand_id, e.v AS cv, b.bucket FROM b JOIN e USING (vec_id)),
+    s AS (
+        SELECT q.query_id, c.cand_id,
+               ROUND(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) + 1e-8, 6) AS cosine
+        FROM q JOIN c ON q.bucket = c.bucket AND c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM s
+    ) WHERE rank <= {_LSH_TOPK}
+    """,
+    tags=("northstar", "similarity", "lsh", "staged-oracle"),
+)
+def embedding_lsh_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with a REAL value-hash oracle: Spark's bucket
+    assignments (sign bits of 6 seeded hyperplane projections — float
+    signs that are deterministic per engine but not a portable SQL
+    expression) are staged to parquet, and both engines run the
+    downstream search from them: same-bucket candidate equi-join, exact
+    quantized cosine, per-query top-10.  Plan shape matches
+    `embedding_lsh_topk` (`similarity.lsh_topk`) except the bucket
+    arrives from the staged file instead of the in-plan projection —
+    the join/score/rank logic, the part that can break, is checked
+    end-to-end.  Complements the planted-neighbor recall test, which
+    bounds the quality of the bucketing itself."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import similarity
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_q6_jvm,
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+    from pyspark.sql import Window
+
+    def make():
+        emb = as_double_vec(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        return similarity.lsh_bucket(emb, "embedding", dim=64, n_planes=_LSH_PLANES).select(
+            "vec_id", "bucket"
+        )
+
+    _stage(_BK_PATH, sf_dir, make)
+    bk = spark.read.parquet(_BK_PATH)
+    e = as_double_vec(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    qids = [r[0] for r in e.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    c = bk.join(e, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"), "bucket"
+    )
+    q = bk.filter(F.col("vec_id").isin(qids)).join(e, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", round_det(cosine_q6_jvm(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _LSH_TOPK)

@@ -227,6 +227,45 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+           c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("streaming", "join", "enrichment", "equivalence"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the replayed event stream joined
+    per micro-batch against the (batch) customer dimension — the
+    standard streaming enrichment shape.  The static side is broadcast,
+    so each micro-batch is a stateless map-side hash join: no streaming
+    state at all, no shuffle of the stream, and the dimension is read
+    once per batch with full pushdown.  Append mode emits each enriched
+    row exactly once; the driver's value-hash check proves the streamed
+    result equals the batch join."""
+    e = load_table(spark, sf_dir, "events")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    )
+    staging, result = _stream_dirs(sf_dir, "result_static_join")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        enriched = stream.join(dim, stream.user_id == dim.c_custkey).select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "c_name",
+            "c_mktsegment",
+        )
+        pipeline.run_stream_to_parquet(enriched, result, output_mode="append")
+    return spark.read.parquet(result)
+
+
+@register(
     "approx_distinct_users",
     oracle=None,  # HLL sketch estimates are engine-specific by design
     tags=("streaming", "approx", "rows-only"),

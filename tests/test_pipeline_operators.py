@@ -236,3 +236,51 @@ def test_new_operators_degenerate_inputs(spark):
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert text_ops.tfidf_top_terms(empty_docs).count() == 0
     assert text_ops.unigram_logprob_score(empty_docs).count() == 0
+
+
+# --- sequence packing / redaction (round 3) ---------------------------------
+def test_pack_sequences_reconstructs_token_stream(spark):
+    """Spans must tile each stratum's token stream exactly: per-doc span
+    tokens sum to the doc's token count, every sequence except the last
+    holds exactly the budget, and offsets are contiguous within a doc."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", " ".join(["w"] * (3 + (i * 7) % 20))) for i in range(40)],
+        ["doc_id", "lang", "text"],
+    )
+    out = sampling.pack_sequences(docs, "lang", seq_tokens=16).collect()
+    toks = {r.doc_id: len(r.text.split(" ")) for r in docs.collect()}
+
+    by_doc: dict[int, int] = {}
+    by_seq: dict[tuple, int] = {}
+    for r in out:
+        assert 0 < r.span_tokens <= 16
+        assert 0 <= r.span_offset < toks[r.doc_id]
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.span_tokens
+        by_seq[(r.lang, r.seq)] = by_seq.get((r.lang, r.seq), 0) + r.span_tokens
+    assert by_doc == toks  # every token placed exactly once
+    for lang in ("en", "de"):
+        seqs = sorted(k[1] for k in by_seq if k[0] == lang)
+        assert seqs == list(range(len(seqs)))  # dense sequence ids from 0
+        for s in seqs[:-1]:
+            assert by_seq[(lang, s)] == 16  # all but the last are full
+
+
+def test_redact_terms_scrubs_whole_words(spark):
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "customer value customers valued customer"),
+            (2, "no denied terms here"),
+            (3, "value"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text_ops.redact_terms(docs, ["customer", "value"]).collect()}
+    # whole words only: 'customers'/'valued' survive
+    assert got[1].n_redactions == 3
+    assert got[1].red_text == "[REDACTED] [REDACTED] customers valued [REDACTED]"
+    assert got[2].n_redactions == 0 and got[2].red_text == "no denied terms here"
+    assert got[3].red_text == "[REDACTED]"
