@@ -34,6 +34,9 @@ HEADLINE = [
     "curation_pipeline",
     "tfidf_top_terms",
     "resample_gap_fill",
+    # round 3: sequence-packing manifest + skew-proof salted join
+    "corpus_pack_sequences",
+    "salted_join_brand_revenue",
 ]
 
 

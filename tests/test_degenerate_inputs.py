@@ -190,3 +190,30 @@ def test_ivf_offset_ids_not_degenerate(spark, tmp_path):
         assert got, f"{name}: empty result on offset-id fixture"
         qids = {r.query_id for r in got}
         assert qids == set(range(5000, 5005)), f"{name}: degenerate query set {qids}"
+
+
+def test_pack_sequences_degenerate_inputs(spark):
+    """Empty corpus -> empty manifest; a single document far longer than
+    the budget tiles into ceil(n/budget) contiguous spans."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    schema = "doc_id long, lang string, text string"
+    empty = spark.createDataFrame([], schema)
+    assert sampling.pack_sequences(empty, "lang", seq_tokens=8).count() == 0
+
+    one = spark.createDataFrame([(1, "en", " ".join(["w"] * 37))], schema)
+    spans = sorted(
+        sampling.pack_sequences(one, "lang", seq_tokens=8).collect(),
+        key=lambda r: r.seq,
+    )
+    assert [r.seq for r in spans] == [0, 1, 2, 3, 4]
+    assert [r.span_tokens for r in spans] == [8, 8, 8, 8, 5]
+    assert [r.span_offset for r in spans] == [0, 8, 16, 24, 32]
+
+
+def test_redact_terms_rejects_empty_deny_list(spark):
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="empty deny list"):
+        text_ops.redact_terms(df, [])
