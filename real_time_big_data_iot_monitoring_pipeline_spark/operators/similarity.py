@@ -441,7 +441,13 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: i
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        d = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
+        # inline multiply-add chain: the plane weights are plan-time
+        # literals, so the projection stays in whole-stage codegen
+        # instead of an interpreted zip_with/aggregate fold; the chain
+        # keeps the fold's left-to-right order, so signs are identical
+        d = F.element_at(F.col(vec_col), 1) * F.lit(plane[0])
+        for i in range(1, dim):
+            d = d + F.element_at(F.col(vec_col), i + 1) * F.lit(plane[i])
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket.cast("int"))
 
@@ -470,7 +476,12 @@ def lsh_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         # bucket candidate sets are small (corpus / 2^planes): the JVM
         # quantized kernel avoids the Arrow round-trip overhead and is
-        # bit-identical to the matmul/pair kernels
+        # bit-identical to the matmul/pair kernels.  (Measured: an
+        # unrolled element_at form of the cosine is SLOWER here — the
+        # 384-term tree overflows whole-stage codegen and loses common
+        # subexpression reuse — so the HOF fold stays for column-column
+        # dots; unrolling only wins for column-vs-literal projections
+        # like lsh_bucket's.)
         .withColumn("cosine", round_det(cosine_q6_jvm(F.col("qvec"), F.col("cvec")), 6))
         .select("query_id", "cand_id", "cosine")
     )
