@@ -97,3 +97,23 @@ def test_trend_dense_fills_dropped_samples(spark):
     assert buckets == list(range(buckets[0], buckets[-1] + 1))
     gaps = [r for r in rows.values() if r.is_gap == 1]
     assert gaps and all(r.avg_value_ff is not None for r in gaps)
+
+
+def test_cli_demo_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """`python -m real_time_big_data_iot_monitoring_pipeline_spark` lifecycle: generate -> replay stream
+    -> dual sink -> dashboard panels, in-process with a small feed."""
+    import sys
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.__main__ import main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["real_time_big_data_iot_monitoring_pipeline_spark", "--hours", "1", "--rows", "3", "--out", str(tmp_path / "demo")],
+    )
+    # main() calls spark.stop() on the shared fixture session; neuter it
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    main()
+    out = capsys.readouterr().out
+    assert "sink row counts" in out
+    for panel in ("kpis", "alerts", "severity", "location_stats", "trend", "geo"):
+        assert f"=== {panel}" in out, f"panel {panel} missing from CLI output"
