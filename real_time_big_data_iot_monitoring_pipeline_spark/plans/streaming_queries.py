@@ -266,6 +266,44 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM events
+    """,
+    tags=("streaming", "dedup", "equivalence"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, oracle-checked: the events table is staged
+    TWICE (every row duplicated across different files) and replayed in
+    micro-batches through `dropDuplicates(event_id)`; append mode emits
+    each event exactly once, so the streamed result equals the distinct
+    input — the at-most-once ingestion guard in front of a pipeline
+    whose upstream (reference `mqtt_to_kafka.py`) is at-least-once.
+    This variant keeps ALL keys in state (exact forever-dedup, the
+    correctness anchor); the production path for unbounded streams is
+    `pipeline.dedup_stream` (`dropDuplicatesWithinWatermark`), which
+    bounds state to the watermark horizon and is covered by
+    `tests/test_streaming.py::test_streaming_dedup`."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    _, result = _stream_dirs(sf_dir, "result_dedup_exact")
+    dup_staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(dup_staging):
+            e.union(e).repartition(8).write.mode("overwrite").parquet(dup_staging)
+        stream = pipeline.file_source(
+            spark, dup_staging, schema=e.schema, max_files_per_trigger=2
+        )
+        deduped = stream.dropDuplicates(["event_id"]).select(
+            "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+        )
+        pipeline.run_stream_to_parquet(deduped, result, output_mode="append")
+    return spark.read.parquet(result)
+
+
+@register(
     "approx_distinct_users",
     oracle=None,  # HLL sketch estimates are engine-specific by design
     tags=("streaming", "approx", "rows-only"),

@@ -151,3 +151,44 @@ def test_gap_fill_matches_python(spark, raw):
             assert got[b] == (len(cents), avg, avg, 0), b
         else:
             assert got[b] == (0, None, last, 1), b
+
+
+# --- sequence packing vs a sequential reference ------------------------------
+pack_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(1, 50)),  # (stratum, n_tokens)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(docs=pack_strategy, budget=st.integers(2, 24))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_sequential_reference(spark, docs, budget):
+    """pack_sequences must equal a sequential Python layout: walk each
+    stratum's docs in (knuth_hash(id), id) order, append token ranges,
+    and slice at every multiple of the budget."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    rows = [(i, str(s), n) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {
+        (r.lang, r.seq, r.doc_id): (r.span_offset, r.span_tokens)
+        for r in sampling.pack_sequences(
+            df, "lang", seq_tokens=budget, tokens_col="n_tokens"
+        ).collect()
+    }
+
+    want = {}
+    by_stratum: dict[str, list[tuple[int, int]]] = {}
+    for i, (s, n) in enumerate(docs):
+        by_stratum.setdefault(str(s), []).append((i, n))
+    for lang, members in by_stratum.items():
+        members.sort(key=lambda t: ((t[0] * 2654435761) % 2**32, t[0]))
+        pos = 0
+        for doc_id, n in members:
+            start, end = pos, pos + n
+            for seq in range(start // budget, (end - 1) // budget + 1):
+                lo, hi = max(seq * budget, start), min((seq + 1) * budget, end)
+                want[(lang, seq, doc_id)] = (lo - start, hi - lo)
+            pos = end
+    assert got == want
