@@ -350,32 +350,25 @@ def _portable_hash(col):
     return _portable_hash_arrow(col)
 
 
-def minhash_near_dups_portable(
+def minhash_signatures_portable(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 32,
-    bands: int = 16,
-    threshold: float = 0.2,
 ) -> DataFrame:
-    """MinHash+LSH with the portable hash family
+    """(id, sig) with the portable hash family
     h_i(s) = ((2i+1)*H(s) + 1000003*i) mod p — every stage reproducible
-    in ANSI SQL, so the driver value-hash-checks the whole pipeline.
-    Same plan shape as `minhash_near_dups`: map-side shingle sets, one
-    signature row per doc, band equi-join candidates."""
-    rows_per_band = num_hashes // bands
-    assert rows_per_band == 2, "band key below is written for 2-row bands"
+    in ANSI SQL.  Seed fan-out as EXPLODED ROWS, not an array transform:
+    higher-order array lambdas run interpreted (no whole-stage codegen)
+    and measured ~9x slower than the row-exploded scalar expression +
+    min aggregation (27s -> 3s at sf0.1).  Rows stay map-side until the
+    (doc, seed) partial min."""
     sh = word_shingles(df, id_col, text_col, k)
-    # Seed fan-out as EXPLODED ROWS, not an array transform: higher-order
-    # array lambdas run interpreted (no whole-stage codegen) and measured
-    # ~9x slower than the row-exploded scalar expression + min aggregation
-    # (27s -> 3s at sf0.1).  Rows stay map-side until the (doc, seed)
-    # partial min.
     hh = sh.select(id_col, _portable_hash(F.col("shingle")).alias("h")).select(
         id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
     )
-    sig = (
+    return (
         hh.select(
             id_col, "s", (((2 * F.col("s") + 1) * F.col("h") + 1000003 * F.col("s")) % PORTABLE_P).alias("a")
         )
@@ -383,8 +376,12 @@ def minhash_near_dups_portable(
         .agg(F.min("a").alias("m"))
         .groupBy(id_col)
         .agg(F.expr("transform(array_sort(collect_list(struct(s, m))), x -> x.m)").alias("sig"))
-        .cache()
     )
+
+
+def _band_signatures(sig: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, sig, band, bh) — one row per (doc, band) with the 2-row band
+    key rendered as a string (replayable in ANSI SQL)."""
     band_key = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -398,9 +395,28 @@ def minhash_near_dups_portable(
             ),
         )
     )
-    banded = sig.select(id_col, "sig", band_key.alias("bk")).select(
+    return sig.select(id_col, "sig", band_key.alias("bk")).select(
         id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
+
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH with the portable hash family — every stage
+    reproducible in ANSI SQL, so the driver value-hash-checks the whole
+    pipeline.  Same plan shape as `minhash_near_dups`: map-side shingle
+    sets, one signature row per doc, band equi-join candidates."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band == 2, "band key below is written for 2-row bands"
+    sig = minhash_signatures_portable(df, id_col, text_col, k, num_hashes).cache()
+    banded = _band_signatures(sig, id_col, bands)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -420,6 +436,48 @@ def minhash_near_dups_portable(
     matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (
         cand.select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_incremental_portable(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental near-dup check: signatures for the NEW batch only,
+    banded and joined against an EXISTING signature store — the shape a
+    production pipeline runs on every ingest increment (the corpus is
+    never re-shingled; the store is the persisted output of
+    `minhash_signatures_portable`).  Candidate volume is
+    |new batch| x (collision rate), independent of corpus size; at
+    100 TB the store-side band join is an equi-join on (band, bh) that
+    the store can be pre-bucketed on, so only the matching band buckets
+    are ever read.  Output: (new_id, dup_of, est_jaccard) — new docs
+    whose estimated Jaccard vs some stored doc clears the threshold."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band == 2, "band key is written for 2-row bands"
+    new_sig = minhash_signatures_portable(new_docs, id_col, text_col, k, num_hashes)
+    nb = _band_signatures(new_sig, id_col, bands).alias("n")
+    sb = _band_signatures(store_sigs, id_col, bands).alias("s")
+    cand = (
+        nb.join(sb, (F.col("n.band") == F.col("s.band")) & (F.col("n.bh") == F.col("s.bh")))
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"s.{id_col}").alias("dup_of"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("s.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.select("new_id", "dup_of", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

@@ -1044,3 +1044,45 @@ def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
 
     return text_ops.redact_terms(_docs(spark, sf_dir), ["customer", "value"])
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle FROM idx),
+    hh AS (SELECT doc_id, {_PORTABLE_H.format(col='shingle')} AS h FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS s),
+    sig0 AS (SELECT doc_id, s, min(((2 * s + 1) * h + 1000003 * s) % 2147483647) AS m
+             FROM hh, seeds GROUP BY doc_id, s),
+    sigs AS (SELECT doc_id, list(m ORDER BY s) AS sig FROM sig0 GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS band FROM sigs),
+    bk AS (SELECT doc_id, sig, band,
+                  sig[2 * band + 1]::VARCHAR || ',' || sig[2 * band + 2]::VARCHAR AS bh
+           FROM banded),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, st.doc_id AS dup_of,
+                    n.sig AS sig_a, st.sig AS sig_b
+             FROM bk n JOIN bk st ON n.band = st.band AND n.bh = st.bh
+             WHERE n.doc_id % 10 = 0 AND st.doc_id % 10 <> 0)
+    SELECT new_id, dup_of,
+           len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.2
+    """,
+    tags=("northstar", "dedup", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup, fully oracle-checked: docs with
+    doc_id % 10 == 0 play the NEW batch, the rest the existing corpus,
+    whose signature store is computed once (`minhash_signatures_portable`
+    — in production it is persisted parquet, bucketed on the band key).
+    Only the new batch is shingled; the banded equi-join touches
+    |new| x collision-rate candidates regardless of corpus size
+    (`operators/dedup.minhash_incremental_portable`)."""
+    docs = _docs(spark, sf_dir)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    store = docs.filter(F.col("doc_id") % 10 != 0)
+    store_sigs = dedup.minhash_signatures_portable(store)
+    return dedup.minhash_incremental_portable(new_docs, store_sigs, threshold=0.2)
