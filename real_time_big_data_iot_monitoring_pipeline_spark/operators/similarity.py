@@ -487,3 +487,72 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVF index: k-means-refined coarse centroids
+    (`kmeans_refine`, exact quantized grid) plus the inverted lists —
+    one corpus pass assigning every vector, written as parquet
+    PARTITIONED BY cid.  Partitioning is the scale feature: a query
+    that probes `nprobe` lists reads exactly those cid directories
+    (partition pruning), so search I/O is nprobe/k of the corpus no
+    matter how large the corpus grows.  Build once, query many — the
+    standard ANN serving shape."""
+    spark = corpus.sparkSession
+    init = seed_rows(corpus, k, id_col, vec_col)
+    cent = kmeans_refine(corpus, init, iters, id_col, vec_col)
+    assign = assign_nearest_centroid(corpus, cent, id_col, vec_col, quantized=True, keep_vec=True)
+    assign.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/lists")
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent],
+        schema=f"cid long, {vec_col} array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: load the (k-row) centroid table,
+    assign the query vectors to their lists (pure map over the handful
+    of queries — `min_parts=1`), then read ONLY the matching cid
+    partitions of the inverted lists (the `isin` filter prunes at the
+    directory level — assert `PartitionFilters` in the plan) and score
+    with the exact quantized kernel.  Driver traffic is bounded by the
+    centroid table and the query count, never the corpus."""
+    cent = sorted(
+        (int(r[0]), list(r[1]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    q = assign_nearest_centroid(
+        queries, cent, id_col, vec_col, quantized=True, keep_vec=True, min_parts=1
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid")
+    probe_cids = [r.cid for r in q.select("cid").distinct().collect()]
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(probe_cids))
+        .select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvv"), "cid")
+    )
+    scored = (
+        lists.join(F.broadcast(q), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round_det(cosine_q6_jvm(F.col("qv"), F.col("cvv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)

@@ -1086,3 +1086,43 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = docs.filter(F.col("doc_id") % 10 != 0)
     store_sigs = dedup.minhash_signatures_portable(store)
     return dedup.minhash_incremental_portable(new_docs, store_sigs, threshold=0.2)
+
+
+# Per-session persisted IVF index dirs keyed by sf_dir (build once,
+# query many — the ANN serving shape).
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf_dir) and return the persisted IVF
+    index path for the embeddings fixture."""
+    import tempfile
+
+    if sf_dir not in _IVF_INDEX_DIRS:
+        path = tempfile.mkdtemp(prefix="rtbd_ivf_idx_")
+        e = similarity.as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+        similarity.build_ivf_index(e, path, k=8, iters=2)
+        _IVF_INDEX_DIRS[sf_dir] = path
+    return _IVF_INDEX_DIRS[sf_dir]
+
+
+@register(
+    "embedding_ivf_persisted_topk",
+    oracle=_ivf_kmeans_oracle(),
+    tags=("northstar", "similarity", "ivf", "persisted-index"),
+)
+def embedding_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search against a PERSISTED IVF index: centroids + inverted
+    lists written once as parquet partitioned by cid
+    (`similarity.build_ivf_index`), then every query reads ONLY its
+    probed cid partitions — directory-level pruning, so search I/O is
+    nprobe/k of the corpus at any scale (`similarity.query_ivf_index`;
+    the plan shows `PartitionFilters` on the lists scan).  Same
+    quantizer, query set, and scoring as `embedding_ivf_kmeans_topk`,
+    so the search result is value-hash-checked against the identical
+    DuckDB Lloyd-replay oracle — proving the persisted index returns
+    exactly what the in-session pipeline computes."""
+    e = similarity.as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    path = ivf_index_dir(spark, sf_dir)
+    queries = e.orderBy("vec_id").limit(5)
+    return similarity.query_ivf_index(spark, path, queries, topk=5)

@@ -184,3 +184,14 @@ def test_equidepth_cuts_broadcast(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("FileScan parquet") == 2  # bounds pass + binning pass
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir):
+    """embedding_ivf_persisted_topk: the inverted-lists scan must carry a
+    cid PartitionFilter (directory pruning — the reason the index is
+    partitioned by cid), and the query side must not rescan the corpus."""
+    df = REGISTRY["embedding_ivf_persisted_topk"].build(spark, sf_dir)
+    plan = plan_of(df)
+    seg = plan.split("PartitionFilters")
+    assert len(seg) >= 2, plan
+    assert "cid" in seg[1][:200], plan
