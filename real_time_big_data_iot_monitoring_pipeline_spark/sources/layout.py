@@ -49,3 +49,30 @@ def read_date_range(
     return df.filter(
         (F.col("event_date") >= F.lit(start_date)) & (F.col("event_date") < F.lit(end_date))
     )
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~`target_file_bytes` files and return the output file count.
+
+    Streaming sinks and per-batch upserts accumulate thousands of tiny
+    files; at scale every query then pays file-listing + per-file open
+    overhead and loses row-group-sized reads.  The rewrite sizes its
+    output from Catalyst's scan estimate (`ceil(bytes / target)`) and
+    uses round-robin `repartition(n)` for evenly-sized files — a full
+    shuffle, which is the point: compaction IS data movement, run it as
+    a scheduled maintenance job per partition, not inline.
+
+    Writes to `dst_path` (swap directories after success): an in-place
+    overwrite would delete the files it is still reading."""
+    assert src_path != dst_path, "compact: in-place rewrite would read-after-delete"
+    df = spark.read.parquet(src_path)
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, -(-size // target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    return n

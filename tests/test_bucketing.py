@@ -60,3 +60,22 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_compact_small_files(spark, tmp_path):
+    """compact() collapses a many-tiny-files dataset into the computed
+    file count with identical rows."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import layout, sensors
+
+    df = sensors.readings(spark, hours=6)
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compacted")
+    df.repartition(64).write.mode("overwrite").parquet(src)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    n = layout.compact(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b

@@ -131,3 +131,52 @@ def test_salted_join_equals_direct_join(spark):
     lo = salted_join(fact2, dim, "k", how="left")
     assert lo.count() == fact2.count()
     assert lo.filter(F.col("k_name").isNotNull()).count() == 0
+
+
+def test_legacy_nanos_fixture_roundtrip(spark, tmp_path):
+    """Older fixture generations stored `events.ts` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright;
+    `load_table` reads it as a raw long (nanosAsLong) and truncates to
+    micros exactly like DuckDB narrows TIMESTAMP_NS.  The current
+    fixtures are TIMESTAMP(MICROS), so this synthesizes a nanos file to
+    keep the fallback path covered."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    ns = np.array(
+        [1704067200_123456789, 1704067201_987654321, 1704067202_000000999],
+        dtype="int64",
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"), use_deprecated_int96_timestamps=False)
+
+    df = load_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.us for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()}
+    want = {i + 1: int(v) // 1000 for i, v in enumerate(ns)}  # truncation, not rounding
+    assert got == want
+
+    import duckdb
+
+    con = duckdb.connect()
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT event_id, epoch_us(ts) FROM '{d}/events.parquet'"
+        ).fetchall()
+    }
+    assert got == oracle  # bit-identical epochs on both engines
