@@ -24,10 +24,12 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # covers the entire oracle-bearing catalog as of the rotation.
 # `flagship_window_agg` stays pinned as the every-round sentinel.
 # Queries rotated out, and queries registered AFTER this rotation
-# (corpus_pack_sequences, text_redact_terms, stream_static_join — due
-# a window slot in round 4), remain covered by the local oracle-parity
-# + partition-invariance suites, which run the full catalog every
-# round.
+# (corpus_pack_sequences, text_redact_terms, stream_static_join,
+# stream_dedup_exact, dedup_minhash_incremental,
+# embedding_lsh_topk_checked, embedding_ivf_persisted_topk,
+# multimodal_frame_sample — due a
+# window slot in round 4), remain covered by the local oracle-parity +
+# partition-invariance suites, which run the full catalog every round.
 DRIVER_WINDOW: tuple[str, ...] = (
     # pinned sentinel (driver-green r1 + r2)
     "flagship_window_agg",

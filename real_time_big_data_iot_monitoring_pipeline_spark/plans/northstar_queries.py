@@ -1126,3 +1126,26 @@ def embedding_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ivf_index_dir(spark, sf_dir)
     queries = e.orderBy("vec_id").limit(5)
     return similarity.query_ivf_index(spark, path, queries, topk=5)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) AS nf
+        FROM documents
+    )
+    SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame_idx
+    FROM d WHERE nf >= 1
+    """,
+    tags=("northstar", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the binary payload column: one row
+    per 100-byte "frame" (`multimodal.frame_sample` — the explode shape
+    real video frame extraction needs; the decode itself is stubbed,
+    the fan-out and indexing are real and oracle-checked via byte
+    lengths)."""
+    docs = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.frame_sample(docs, every=100)
