@@ -197,3 +197,30 @@ def pack_sequences(
         (span_start - F.col("start")).cast("long").alias("span_offset"),
         (span_end - span_start).cast("long").alias("span_tokens"),
     )
+
+
+def stratified_sample_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Mixture re-weighting: an EXACT, per-stratum sampling fraction —
+    the corpus-assembly step that up/down-samples each (language,
+    source, ...) group to its target share of the training mix.  Same
+    deterministic machinery as `stratified_sample` (hash-rank inside
+    each stratum, keep the first ceil(n*frac)), but the fraction comes
+    from a per-stratum map; strata absent from the map get `default`.
+    One shuffle on the stratum key; reproducible on any engine or
+    partitioning."""
+    w = Window.partitionBy(stratum_col).orderBy(det_hash(id_col), F.col(id_col))
+    n = Window.partitionBy(stratum_col)
+    mapping = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    frac = F.coalesce(mapping.getItem(F.col(stratum_col)), F.lit(float(default)))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * frac))
+        .drop("_rk", "_n")
+    )

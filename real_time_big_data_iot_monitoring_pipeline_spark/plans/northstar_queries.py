@@ -1149,3 +1149,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths)."""
     docs = multimodal.attach_payload(_docs(spark, sf_dir))
     return multimodal.frame_sample(docs, every=100)
+
+
+@register(
+    "corpus_sample_mixture",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r
+    WHERE rk <= ceil(n * CASE lang
+        WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.75
+        WHEN 'fr' THEN 1.0 ELSE 0.1 END)
+    """,
+    tags=("northstar", "sampling", "mixture"),
+)
+def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: sample each language to a DIFFERENT target
+    fraction (down-sample dominant en to 25%, keep all fr, etc.) — the
+    deterministic corpus-assembly step that hits exact per-group shares
+    (`sampling.stratified_sample_fractions`).  Hash-rank order makes
+    the kept set identical on every engine, so the whole mixture is
+    value-hash-checked."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return sampling.stratified_sample_fractions(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0},
+        default=0.1,
+    ).select("doc_id", "lang")
