@@ -362,7 +362,11 @@ def redact_terms(
     identical across Java regex and RE2, so the DuckDB oracle replays
     it verbatim."""
     assert terms, "redact_terms: empty deny list"
-    pattern = r"\b(" + "|".join(terms) + r")\b"
+    import re
+
+    # escape metacharacters so a deny term like "a.b" matches literally;
+    # re.escape's output is valid in both Java regex and RE2
+    pattern = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
