@@ -1183,3 +1183,34 @@ def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0},
         default=0.1,
     ).select("doc_id", "lang")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           substring(repeat(text, CAST(ceil(512.0 / length(text)) AS INT)), 1, 512) AS resized_text,
+           512 AS n_bytes, 32 AS target_w, 16 AS target_h
+    FROM documents WHERE length(text) > 0
+    """,
+    tags=("northstar", "multimodal", "resize"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over the binary payload column
+    (`multimodal.resize_images`): Arrow mapInPandas emitting exactly
+    target_w x target_h bytes per payload plus typed metadata.  The
+    decode is a stub (no codecs in this container: deterministic
+    tile/truncate of the source bytes), which makes the WHOLE stage
+    oracle-checkable — the fixture payloads are ASCII, so DuckDB
+    replays the tiling with repeat+substring and the driver hash-checks
+    the batch plumbing, schema, and byte math end-to-end.  Swapping the
+    stub for a PIL kernel changes no plan or schema."""
+    docs = multimodal.attach_payload(_docs(spark, sf_dir))
+    out = multimodal.resize_images(docs, width=32, height=16)
+    return out.select(
+        "doc_id",
+        F.decode(F.col("payload"), "utf-8").alias("resized_text"),
+        F.col("meta.n_bytes").cast("int").alias("n_bytes"),
+        F.col("meta.target_w").alias("target_w"),
+        F.col("meta.target_h").alias("target_h"),
+    )
