@@ -62,7 +62,7 @@ def main() -> None:
     # 2. streaming pipeline: dual sink ---------------------------------
     raw_q, agg_q = pipeline.start_dual_sink(
         parsed,
-        raw_writer=pipeline.parquet_upsert_writer(raw_path, partition_col="location"),
+        raw_writer=pipeline.parquet_append_writer(raw_path),
         agg_writer=pipeline.parquet_upsert_writer(agg_path, partition_col="window_start"),
         checkpoint_dir=ckpt,
     )

@@ -224,6 +224,25 @@ def parquet_upsert_writer(path: str, partition_col: str = "window_start"):
     return write
 
 
+def parquet_append_writer(path: str):
+    """foreachBatch writer for the RAW sink: plain per-batch append (the
+    reference's raw-table semantics, ``spark_streaming.py:52-62``).  Use
+    `parquet_upsert_writer` ONLY for sinks whose batches carry the
+    COMPLETE updated state of the partitions they touch (windowed
+    aggregates): pointing the upsert writer at raw event batches makes
+    every batch overwrite the partitions the previous batches wrote.
+    Append is at-least-once on micro-batch RETRY (checkpoint replay);
+    downstream exact consumers should dedup on a row key — or use the
+    date-partitioned upsert layout where batches align to partitions."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(path)
+
+    return write
+
+
 def jdbc_append_writer(url: str, table: str, properties: dict[str, str], batchsize: int = 10000):
     """JDBC sink writer mirroring the reference (``spark_streaming.py:52-62``)
     with explicit batch sizing; gated behind runtime availability of a

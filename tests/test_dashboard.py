@@ -117,3 +117,12 @@ def test_cli_demo_end_to_end(spark, tmp_path, monkeypatch, capsys):
     assert "sink row counts" in out
     for panel in ("kpis", "alerts", "severity", "location_stats", "trend", "geo"):
         assert f"=== {panel}" in out, f"panel {panel} missing from CLI output"
+    # the raw sink must hold the COMPLETE feed (an overwrite-style raw
+    # writer silently keeps only the last micro-batch — regression guard)
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import sensors
+
+    expected = sensors.readings(spark, hours=1).count()
+    import re as _re
+
+    raw_n = int(_re.search(r"raw=(\d+)", out).group(1))
+    assert raw_n == expected, f"raw sink {raw_n} != generated feed {expected}"
