@@ -52,9 +52,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "session_window_agg",
-    oracle="""
+_SESSION_WINDOW_ORACLE = """
     WITH x AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -74,7 +72,12 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS cnt,
            ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value))) + 1e-8, 4) AS avg_value
     FROM y GROUP BY user_id, grp
-    """,
+    """
+
+
+@register(
+    "session_window_agg",
+    oracle=_SESSION_WINDOW_ORACLE,
     tags=("streaming", "T2", "session"),
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,6 +265,40 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
         pipeline.run_stream_to_parquet(enriched, result, output_mode="append")
+    return spark.read.parquet(result)
+
+
+@register(
+    "stream_session_window",
+    oracle=_SESSION_WINDOW_ORACLE,
+    tags=("streaming", "T2", "T3", "session", "equivalence"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under REAL Structured Streaming: the events
+    replay merges per-user sessions incrementally across micro-batches
+    (session_window state MERGES adjacent sessions as gap-bridging rows
+    arrive — the hardest stateful-window path), in complete output mode
+    so the final state equals the batch twin and shares its oracle.
+    Third real streaming replay in the catalog, exercising a different
+    state shape than the tumbling window (merge, not accumulate)."""
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_session_window")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = (
+            stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"), avg_fixed(F.col("value")).alias("avg_value"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                F.unix_micros(F.col("w.end")).alias("session_end_us"),
+                "cnt",
+                "avg_value",
+            )
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="complete")
     return spark.read.parquet(result)
 
 
