@@ -524,6 +524,7 @@ def query_ivf_index(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Search a persisted IVF index: load the (k-row) centroid table,
     assign the query vectors to their lists (pure map over the handful
@@ -531,14 +532,27 @@ def query_ivf_index(
     partitions of the inverted lists (the `isin` filter prunes at the
     directory level — assert `PartitionFilters` in the plan) and score
     with the exact quantized kernel.  Driver traffic is bounded by the
-    centroid table and the query count, never the corpus."""
+    centroid table and the query count, never the corpus.
+
+    `nprobe > 1` probes each query's n nearest lists (L2 order, ties to
+    the lower cid — the standard recall/IO dial): the lists scan reads
+    up to nprobe/k of the corpus instead of 1/k."""
     cent = sorted(
         (int(r[0]), list(r[1]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
-    q = assign_nearest_centroid(
-        queries, cent, id_col, vec_col, quantized=True, keep_vec=True, min_parts=1
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid")
+    if nprobe <= 1:
+        q = assign_nearest_centroid(
+            queries, cent, id_col, vec_col, quantized=True, keep_vec=True, min_parts=1
+        ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid")
+    else:
+        probes = assign_nearest_centroid(
+            queries, cent, id_col, vec_col, quantized=True, top=nprobe, min_parts=1
+        ).select(F.col(id_col).alias("query_id"), "cid")
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        q = probes.join(qv, "query_id")
     probe_cids = [r.cid for r in q.select("cid").distinct().collect()]
     lists = (
         spark.read.parquet(f"{path}/lists")

@@ -1214,3 +1214,55 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.target_w").alias("target_w"),
         F.col("meta.target_h").alias("target_h"),
     )
+
+
+def _ivf_kmeans_multiprobe_oracle(iters: int = 2, dim: int = 64, topk: int = 5, nprobe: int = 2) -> str:
+    """IVF search over the k-means-refined PERSISTED lists with
+    `nprobe` query-side probes: the Lloyd prefix (`_ivf_kmeans_prefix`)
+    plus a top-n probe ranking over the final centroids (exact
+    quantized -2*dot + |c|^2 ordering, ties to the lower cid — the same
+    order `assign_nearest_centroid(top=n)` emits)."""
+    f = iters
+    return (
+        _ivf_kmeans_prefix(iters, dim)
+        + f""",
+    qid AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 5),
+    probes0 AS (
+        SELECT e.vec_id AS query_id, c{f}.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   -2 * list_dot_product(e.v, c{f}.cv) + list_dot_product(c{f}.cv, c{f}.cv),
+                   c{f}.cid) AS rn
+        FROM e, c{f} WHERE e.vec_id IN (SELECT vec_id FROM qid)
+    ),
+    q AS (SELECT p.query_id, e.v AS qv, p.cid
+          FROM probes0 p JOIN e ON e.vec_id = p.query_id WHERE p.rn <= {nprobe}),
+    cnd AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
+            FROM af a JOIN e ON e.vec_id = a.vec_id),
+    sc AS (
+        SELECT q.query_id, cnd.cand_id,
+               ROUND(list_dot_product(q.qv, cnd.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cnd.cv, cnd.cv))) + 1e-8, 6) AS cosine
+        FROM q JOIN cnd ON q.cid = cnd.cid AND cnd.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM sc
+    ) WHERE rank <= {topk}"""
+    )
+
+
+@register(
+    "embedding_ivf_persisted_multiprobe",
+    oracle=_ivf_kmeans_multiprobe_oracle(),
+    tags=("northstar", "similarity", "ivf", "persisted-index", "multiprobe"),
+)
+def embedding_ivf_persisted_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe search against the persisted IVF index (nprobe=2 —
+    the recall/IO dial): each query reads its TWO nearest cid
+    partitions instead of one, still pruned at the directory level.
+    The oracle replays the Lloyd refinement AND the probe ranking, so
+    the persisted multi-probe path is value-hash-checked end-to-end."""
+    e = similarity.as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    path = ivf_index_dir(spark, sf_dir)
+    queries = e.orderBy("vec_id").limit(5)
+    return similarity.query_ivf_index(spark, path, queries, topk=5, nprobe=2)
