@@ -489,6 +489,67 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def score_lists_against_probes(
+    lists: DataFrame,
+    probe_rows: list,
+    id_col: str = "cand_id",
+    vec_col: str = "cvv",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Score partitioned inverted lists against the queries probing
+    them: `probe_rows` is the SMALL in-memory [(query_id, qvec, cid)]
+    set, shipped as an `sc.broadcast` dict cid -> query matrix; the
+    pruned lists stream ONCE through `mapInPandas`, each Arrow batch
+    grouped by cid and matmul'd against that cid's queries.  No
+    (candidate, query) vector pairs are ever materialized — the join
+    alternative ships ~1 KB of vector data per candidate row (measured
+    10x slower at 125k candidates).  Exact quantized math identical to
+    `score_against_matrix`."""
+    import numpy as np
+
+    by_cid: dict[int, list] = {}
+    for qid, qv, cid in probe_rows:
+        by_cid.setdefault(int(cid), []).append((int(qid), list(qv)))
+    prep = {}
+    for cid, rows in by_cid.items():
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        Q = np.floor(np.array([r[1] for r in rows], dtype=np.float64) * _QSCALE + _QHALF)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        prep[cid] = (qids, Q, qn)
+    bc = lists.sparkSession.sparkContext.broadcast(prep)
+
+    def score(batches):
+        prep = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cid, grp in pdf.groupby(cid_col):
+                entry = prep.get(int(cid))
+                if entry is None:
+                    continue
+                qids, Q, qn = entry
+                C = np.floor(np.vstack(grp[vec_col].to_numpy()) * _QSCALE + _QHALF)
+                dots = C @ Q.T
+                den = np.sqrt(np.einsum("ij,ij->i", C, C))[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / den
+                ids = grp[id_col].to_numpy()
+                n, m = cos.shape
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids, n),
+                        id_col: np.repeat(ids, m),
+                        "cosine": pd.array(cos.ravel(), dtype="Float64"),
+                    }
+                )
+                out.loc[np.ravel(den == 0.0), "cosine"] = pd.NA  # NULL, not NaN
+                yield out
+
+    return ensure_min_parallelism(lists.select(id_col, vec_col, cid_col)).mapInPandas(
+        score, f"query_id long, {id_col} long, cosine double"
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -553,20 +614,21 @@ def query_ivf_index(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
         q = probes.join(qv, "query_id")
-    probe_cids = [r.cid for r in q.select("cid").distinct().collect()]
+    # bounded driver pull: nqueries x nprobe rows — the probe set, same
+    # class as the centroid-table collect above
+    probe_rows = [(r.query_id, r.qv, r.cid) for r in q.collect()]
+    probe_cids = sorted({cid for _, _, cid in probe_rows})
     lists = (
         spark.read.parquet(f"{path}/lists")
         .filter(F.col("cid").isin(probe_cids))
         .select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvv"), "cid")
     )
-    scored = (
-        lists.join(F.broadcast(q), "cid")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            round_det(cosine_q6_jvm(F.col("qv"), F.col("cvv")), 6).alias("cosine"),
-        )
-    )
+    # stream the pruned lists ONCE through the per-cid matmul kernel —
+    # no (candidate, query) vector pairs are materialized (a vector-pair
+    # join measured 10x slower at 125k candidates, and the interpreted
+    # HOF cosine 10x slower again)
+    scored = score_lists_against_probes(lists, probe_rows).filter(
+        F.col("cand_id") != F.col("query_id")
+    ).select("query_id", "cand_id", round_det(F.col("cosine"), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)

@@ -30,7 +30,16 @@ def main() -> None:
     spark = get_session(
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # the probe caches a 256 MB corpus and pushes ~500 MB/pass of
+            # Arrow traffic through 32 concurrent tasks: the 1 GiB local
+            # defaults for heap AND netty's direct-buffer pool both
+            # overflow.  4 GiB is enough without entering the
+            # large-heap GC regime that slowed the array kernels at 16g.
+            "spark.driver.memory": "4g",
+            "spark.driver.extraJavaOptions": "-XX:MaxDirectMemorySize=4g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,6 +93,33 @@ def main() -> None:
         S.score_against_matrix(corpus, block, min_cosine=0.35 - 1e-6, upper_only=True),
         1000,
     )
+
+    # Persisted-index serving shape at 500k vectors: one-time build
+    # (k-means + assignment pass + cid-partitioned write) then pruned
+    # queries that read ~nprobe/k of the corpus.
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="rtbd_ivf_idx_probe_")
+    # keep_vec carries the 512-byte vectors back through Arrow output on
+    # 32 concurrent tasks; cap the batch size so direct memory stays
+    # bounded (default 10k-row batches x 32 tasks exceeds the 1 GiB
+    # default MaxDirectMemorySize on this single-JVM probe)
+    spark_sess = corpus.sparkSession
+    spark_sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+    t0 = time.time()
+    S.build_ivf_index(corpus, idx, k=8, iters=1)
+    bt = time.time() - t0
+    print(f"ivf_index_build(k=8, 1 Lloyd iter): {bt:.2f}s  ({n / bt / 1e6:.2f}M vec/s indexed)")
+    spark = corpus.sparkSession
+    queries_df = corpus.limit(5)
+    for i in range(2):
+        t0 = time.time()
+        S.query_ivf_index(spark, idx, queries_df, topk=10, nprobe=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.time() - t0
+        print(f"ivf_index_query(5q, nprobe=2) pass{i}: {dt:.2f}s (reads ~2/8 of corpus via partition pruning)")
+    spark_sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
 
 
 if __name__ == "__main__":
