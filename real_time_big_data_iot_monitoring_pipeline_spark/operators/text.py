@@ -373,3 +373,24 @@ def redact_terms(
         F.size(F.regexp_extract_all(t, F.lit(pattern), 0)).alias("n_redactions"),
         F.regexp_replace(t, pattern, replacement).alias("red_text"),
     )
+
+
+def truncate_tokens(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Max-length truncation: keep each document's first `max_tokens`
+    whitespace tokens — the context-window guard every training
+    pipeline applies before packing.  Pure map (split -> slice ->
+    rejoin stays inside codegen); emits the kept text plus original and
+    kept token counts so downstream budgeting sees the loss."""
+    toks = F.split(F.col(text_col), " ")
+    kept = F.slice(toks, 1, max_tokens)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.least(F.size(toks), F.lit(max_tokens)).cast("long").alias("kept_tokens"),
+    )

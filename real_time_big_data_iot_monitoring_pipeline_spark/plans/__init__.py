@@ -28,7 +28,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # stream_dedup_exact, dedup_minhash_incremental,
 # embedding_lsh_topk_checked, embedding_ivf_persisted_topk,
 # multimodal_frame_sample, multimodal_resize, corpus_sample_mixture,
-# stream_session_window, embedding_ivf_persisted_multiprobe —
+# stream_session_window, embedding_ivf_persisted_multiprobe,
+# text_truncate_tokens —
 # due a
 # window slot in round 4), remain covered by the local oracle-parity +
 # partition-invariance suites, which run the full catalog every round.

@@ -1266,3 +1266,26 @@ def embedding_ivf_persisted_multiprobe(spark: SparkSession, sf_dir: str) -> Data
     path = ivf_index_dir(spark, sf_dir)
     queries = e.orderBy("vec_id").limit(5)
     return similarity.query_ivf_index(spark, path, queries, topk=5, nprobe=2)
+
+
+@register(
+    "text_truncate_tokens",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           array_to_string(ws[1:64], ' ') AS text,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(least(len(ws), 64) AS BIGINT) AS kept_tokens
+    FROM w
+    """,
+    tags=("northstar", "text", "truncation"),
+)
+def text_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation: each document cut to its first 64
+    whitespace tokens with original/kept counts
+    (`operators/text.truncate_tokens`) — the max-length guard applied
+    before sequence packing.  Pure map; the oracle replays the slice
+    with DuckDB list syntax."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    return text_ops.truncate_tokens(_docs(spark, sf_dir), max_tokens=64)
