@@ -56,7 +56,11 @@ def main() -> None:
         raw = pipeline.kafka_source(spark, args.brokers, args.topic)
         parsed = pipeline.parse_kafka_json(raw)
     else:
-        feed.repartition(8).write.mode("overwrite").parquet(staging)
+        # Stage as event-time-ordered slices: a round-robin repartition(8)
+        # replays out of order, the watermark jumps to ~max-10min after the
+        # first micro-batch, and the agg sink silently aggregates a
+        # fraction of the feed (round-3 advice; see stage_event_time_slices)
+        pipeline.stage_event_time_slices(feed, staging, n_slices=8)
         parsed = pipeline.file_source(spark, staging, schema=feed.schema, max_files_per_trigger=2)
 
     # 2. streaming pipeline: dual sink ---------------------------------

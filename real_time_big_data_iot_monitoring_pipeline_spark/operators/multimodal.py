@@ -43,18 +43,61 @@ def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+_CHECKSUM_MOD = 1000000007
+_POW31_CACHE = None  # grown on demand; per-worker module state
+
+
+def _pow31(n: int):
+    """`pows[i] = 31^i mod p` for i < max(n, 4096) — cached per worker and
+    grown by VECTORIZED doubling: each growth step appends
+    `31^len * pows[:len] mod p` in one numpy multiply (products stay below
+    (1e9+7)^2 < 2^63, exact in int64), so extending to payload length L
+    costs O(L) numpy work, not an O(L) Python loop."""
+    global _POW31_CACHE
+    import numpy as np
+
+    if _POW31_CACHE is None:
+        base = np.empty(4096, dtype=np.int64)
+        base[0] = 1
+        for i in range(1, len(base)):  # one-time 4096-step seed per worker
+            base[i] = (base[i - 1] * 31) % _CHECKSUM_MOD
+        _POW31_CACHE = base
+    while len(_POW31_CACHE) < n:
+        prev = _POW31_CACHE
+        start = int(prev[-1] * 31 % _CHECKSUM_MOD)  # 31^len(prev)
+        _POW31_CACHE = np.concatenate([prev, (start * prev) % _CHECKSUM_MOD])
+    return _POW31_CACHE
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, float]:
     """STUB decode kernel.  Real image/audio decode is unavailable in this
     container; this computes deterministic byte-level stand-ins:
-    (n_bytes, additive checksum mod 1e9+7, mean byte value).  Replace with
-    PIL.Image.open / soundfile.read when codecs exist."""
+    (n_bytes, polynomial checksum mod 1e9+7, mean byte value).  Replace
+    with PIL.Image.open / soundfile.read when codecs exist.
+
+    Vectorized over the payload via `np.frombuffer` (round-3 verdict,
+    "What's wrong" #3): the Horner loop `c = (c*31 + b) mod p` equals
+    `sum(b_i * 31^(n-1-i)) mod p`, computed as one dot product on int64.
+    Exactness: each term < 256 * 1e9+7 ≈ 2.6e11, so the running sum stays
+    below 2^63 for payloads up to ~3.6e7 bytes — far above fixture sizes;
+    chunking keeps it exact for arbitrarily long payloads."""
+    import numpy as np
+
     n = len(payload)
+    if n == 0:
+        return 0, 0, 0.0
+    v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     checksum = 0
-    total = 0
-    for b in payload:
-        checksum = (checksum * 31 + b) % 1000000007
-        total += b
-    return n, checksum, (total / n if n else 0.0)
+    # chunk so (bytes dot pow31) stays exact in int64: 256 * 1e9+7 * 3e7 < 2^63
+    chunk = 30_000_000
+    for off in range(0, n, chunk):
+        part = v[off : off + chunk]
+        m = len(part)
+        pows = _pow31(m + 1)
+        # Horner across chunks: shift the running sum by 31^m, add chunk hash
+        chunk_hash = int(np.dot(part, pows[m - 1 :: -1][:m]) % _CHECKSUM_MOD)
+        checksum = (checksum * int(pows[m]) + chunk_hash) % _CHECKSUM_MOD
+    return n, checksum, float(v.sum()) / n
 
 
 def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -178,6 +178,13 @@ def pack_sequences(
         toks.alias("n_tokens"),
         F.coalesce(F.sum(toks).over(w), F.lit(0)).cast("long").alias("start"),
     )
+    # Zero-token documents span no sequence: without this filter the
+    # explode's `sequence(floor(start/b), floor((start-1)/b))` generates a
+    # DESCENDING 2-element sequence whenever `start` lands exactly on a
+    # budget boundary (Spark's sequence(1, 0) -> [1, 0]), emitting spurious
+    # zero-token span rows the oracle's generate_series never produces
+    # (round-3 advice).  They contribute 0 to every prefix sum either way.
+    laid = laid.filter(F.col("n_tokens") > 0)
     end = F.col("start") + F.col("n_tokens")  # exclusive
     spans = laid.select(
         stratum_col,
@@ -207,13 +214,26 @@ def stratified_sample_fractions(
     default: float = 0.0,
 ) -> DataFrame:
     """Mixture re-weighting: an EXACT, per-stratum sampling fraction —
-    the corpus-assembly step that up/down-samples each (language,
+    the corpus-assembly step that DOWN-samples each (language,
     source, ...) group to its target share of the training mix.  Same
     deterministic machinery as `stratified_sample` (hash-rank inside
     each stratum, keep the first ceil(n*frac)), but the fraction comes
     from a per-stratum map; strata absent from the map get `default`.
     One shuffle on the stratum key; reproducible on any engine or
-    partitioning."""
+    partitioning.
+
+    Fractions must be in [0, 1]: the rank filter can only KEEP existing
+    rows, so an up-sampling fraction > 1 cannot be honored and raises
+    loudly instead of silently capping at 100% (round-3 advice).
+    Up-sampling a stratum is a row-duplication explode
+    (`explode(sequence(1, ceil(frac)))` + a fractional keep on the last
+    copy) — a deliberate, separate operation, not a silent fallback."""
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= float(v) <= 1.0}
+    if bad or not 0.0 <= float(default) <= 1.0:
+        raise ValueError(
+            f"stratified_sample_fractions is down-sampling only; fractions must be in "
+            f"[0, 1], got {bad or {'default': default}}"
+        )
     w = Window.partitionBy(stratum_col).orderBy(det_hash(id_col), F.col(id_col))
     n = Window.partitionBy(stratum_col)
     mapping = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])

@@ -373,12 +373,14 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     are emitted — the exact rounded filter is re-applied JVM-side."""
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
         as_double_vec,
+        collect_corpus_rows,
         score_against_matrix,
     )
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    corpus_rows = [(r[0], r[1]) for r in e.collect()]  # oracle-scale baseline: the
-    # matrix side IS the corpus here by definition of all-pairs; bounded by contract
+    # oracle-scale baseline: the matrix side IS the corpus here by
+    # definition of all-pairs — guarded collect raises above the ceiling
+    corpus_rows = collect_corpus_rows(e)
     scored = score_against_matrix(
         e, corpus_rows, min_cosine=0.35 - 1e-6, upper_only=True
     ).select(

@@ -448,11 +448,12 @@ def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure)."""
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
         as_double_vec,
+        collect_corpus_rows,
         score_against_matrix,
     )
 
     e = as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    corpus_rows = [(r[0], r[1]) for r in e.collect()]  # all-pairs oracle baseline
+    corpus_rows = collect_corpus_rows(e)  # all-pairs oracle baseline, size-guarded
     pairs = (
         score_against_matrix(e, corpus_rows, min_cosine=0.35 - 1e-6, upper_only=True)
         .select(

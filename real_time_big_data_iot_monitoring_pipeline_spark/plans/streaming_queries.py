@@ -15,8 +15,9 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import avg_fixed
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import avg_fixed, round_det
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
 from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
 from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline
@@ -338,6 +339,92 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipeline.run_stream_to_parquet(deduped, result, output_mode="append")
     return spark.read.parquet(result)
+
+
+#: Wire schema for the dead-letter parse query: event-time as epoch
+#: micros (to_json's timestamp rendering is millisecond-precision, so a
+#: raw-timestamp round trip would silently truncate micros — the long
+#: survives exactly and stays timezone-proof).
+_DEAD_LETTER_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "stream_dead_letter_rate",
+    oracle="""
+    WITH m AS (SELECT *, (event_id % 29 = 0) AS corrupt FROM events)
+    SELECT count(*) FILTER (WHERE NOT corrupt) AS n_good,
+           count(*) FILTER (WHERE corrupt) AS n_dead,
+           ROUND(100.0 * (count(*) FILTER (WHERE corrupt)) / count(*) + 1e-8, 4) AS malformed_pct,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) FILTER (WHERE NOT corrupt) AS BIGINT) AS sum_value_cents,
+           max(epoch_us(ts)) FILTER (WHERE NOT corrupt) AS max_ts_us,
+           CAST(sum(15 + length(CAST(event_id AS VARCHAR))) FILTER (WHERE corrupt) AS BIGINT) AS dead_payload_chars
+    FROM m
+    """,
+    tags=("streaming", "S4", "dead-letter"),
+)
+def stream_dead_letter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter parse path, oracle-checked end-to-end (round-3 verdict,
+    "Next round" #8): the events table is serialized onto the Kafka wire
+    shape (`to_json` of the reading struct), a deterministic subset
+    (event_id % 29 == 0) is corrupted into invalid JSON frames, and the
+    stream parser's dead-letter split (`parse_kafka_json_with_dead_letter`,
+    an improvement over the reference's silent-NULL `from_json` at
+    ``spark_streaming.py:136-139``) routes every frame.  The result audits
+    BOTH sides: good-row aggregates prove the JSON round trip is lossless
+    (value cents, event-time micros), dead-row payload-length totals prove
+    the rejects keep their original bytes for replay.  The oracle computes
+    the same audit from the pre-wire rows — any parser drop, garble, or
+    misroute breaks the hash."""
+    e = load_table(spark, sf_dir, "events")
+    wire = e.select(
+        F.when(
+            F.col("event_id") % 29 == 0,
+            # unterminated object -> from_json yields a NULL struct
+            F.concat(F.lit("{corrupt-frame "), F.col("event_id").cast("string")),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    good, dead = pipeline.parse_kafka_json_with_dead_letter(
+        wire, schema=_DEAD_LETTER_WIRE_SCHEMA, ts_col="ts_us"
+    )
+    g = good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    d = dead.agg(
+        F.count(F.lit(1)).alias("n_dead"),
+        F.sum(F.length("payload")).alias("dead_payload_chars"),
+    )
+    return g.crossJoin(F.broadcast(d)).select(
+        "n_good",
+        "n_dead",
+        round_det(
+            F.lit(100.0) * F.col("n_dead") / (F.col("n_good") + F.col("n_dead")), 4
+        ).alias("malformed_pct"),
+        "sum_value_cents",
+        "max_ts_us",
+        "dead_payload_chars",
+    )
 
 
 @register(

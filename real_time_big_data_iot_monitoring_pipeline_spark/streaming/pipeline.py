@@ -55,6 +55,46 @@ def file_source(spark: SparkSession, path: str, schema: T.StructType | None = No
     return reader.load(path)
 
 
+def stage_event_time_slices(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+    n_slices: int = 8,
+) -> None:
+    """Stage a FINITE frame as `n_slices` sequentially-written files whose
+    event-time ranges are disjoint and ascending — so a file-source replay
+    (oldest file first) arrives in event-time order like a real feed, and
+    a watermarked append-mode aggregate downstream emits every sealed
+    window instead of dropping most rows as late.
+
+    A round-robin `repartition(n)` staging dir replays out of event-time
+    order: the first micro-batch spans the full time range, the watermark
+    jumps to ~max-10min, and nearly everything after it is dropped as
+    "late" — correct streaming semantics, pathological replay
+    (tools/scale_probe_streaming.py documents the measurement; round-3
+    advice flagged the demo for exactly this).
+
+    One bounded driver collect (the 2-value min/max bounds row); each
+    slice is one filtered pass over the cached input."""
+    df = df.cache()
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+    span_s = (hi - lo).total_seconds() + 1
+    slice_s = span_s / n_slices
+    for i in range(n_slices):
+        s_lo = int(i * slice_s)
+        s_hi = int((i + 1) * slice_s) + (1 if i == n_slices - 1 else 0)
+        (
+            df.filter(
+                (F.col(ts_col) >= F.lit(lo) + F.expr(f"interval {s_lo} seconds"))
+                & (F.col(ts_col) < F.lit(lo) + F.expr(f"interval {s_hi} seconds"))
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    df.unpersist()
+
+
 def parse_kafka_json(raw: DataFrame, schema: T.StructType = SENSOR_READING_SCHEMA) -> DataFrame:
     """S4: CAST(value AS STRING) → from_json(strict schema) → flatten
     (reference ``spark_streaming.py:136-139``).  Malformed JSON becomes

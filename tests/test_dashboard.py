@@ -126,3 +126,38 @@ def test_cli_demo_end_to_end(spark, tmp_path, monkeypatch, capsys):
 
     raw_n = int(_re.search(r"raw=(\d+)", out).group(1))
     assert raw_n == expected, f"raw sink {raw_n} != generated feed {expected}"
+
+    # the AGG sink must equal the batch twin of the windowed aggregation
+    # over the complete feed — the round-3 advice pathology was an
+    # out-of-event-time-order replay whose watermark silently dropped most
+    # rows, leaving an agg sink computed from a fraction of the data while
+    # this test only checked the raw count.  (Append mode still holds back
+    # windows the final watermark never seals, so compare on the sealed
+    # prefix: every sunk window must match its batch value, and the sunk
+    # set must cover all but the trailing watermark horizon.)
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline as _pipeline
+
+    feed = sensors.readings(spark, hours=1)
+    batch = {
+        (r["sensor_id"], r["window_start"]): r
+        for r in _pipeline.windowed_aggregate_stream(feed).collect()
+    }
+    sunk = spark.read.parquet(str(tmp_path / "demo" / "agg")).collect()
+    assert sunk, "agg sink is empty"
+    for r in sunk:
+        b = batch[(r["sensor_id"], r["window_start"])]
+        assert (
+            r["avg_temperature"] == b["avg_temperature"]
+            and r["reading_count"] == b["reading_count"]
+        ), f"agg sink row diverges from batch twin: {r} vs {b}"
+    # coverage: only windows inside the trailing 10-min watermark horizon
+    # (plus the one window the final file may leave unsealed) may be absent
+    horizon = max(b["window_end"] for b in batch.values())
+    missing = {k for k in batch if k not in {(r["sensor_id"], r["window_start"]) for r in sunk}}
+    import datetime as _dt
+
+    for _sid, wstart in missing:
+        assert wstart >= horizon - _dt.timedelta(minutes=15), (
+            f"window {wstart} missing from agg sink but outside the "
+            f"trailing watermark horizon (max batch window end {horizon})"
+        )

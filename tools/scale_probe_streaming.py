@@ -55,19 +55,7 @@ def main() -> None:
     # batch the watermark jumps to near max event time and 7/8 of the
     # data arrives "late" — correct streaming semantics, pathological
     # replay.)
-    e = e.cache()
-    bounds = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
-    lo, hi = bounds[0], bounds[1]
-    span = (hi - lo).total_seconds() + 1
-    slice_s = span / 16
-    for i in range(16):
-        s = (
-            e.filter(
-                (F.col("timestamp") >= F.lit(lo) + F.expr(f"interval {int(i * slice_s)} seconds"))
-                & (F.col("timestamp") < F.lit(lo) + F.expr(f"interval {int((i + 1) * slice_s) + (1 if i == 15 else 0)} seconds"))
-            )
-        )
-        s.coalesce(1).write.mode("append").parquet(staging)
+    pipeline.stage_event_time_slices(e, staging, n_slices=16)
 
     run = os.path.join(base, "run")
     stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
