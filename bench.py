@@ -37,6 +37,10 @@ HEADLINE = [
     # round 3: sequence-packing manifest + skew-proof salted join
     "corpus_pack_sequences",
     "salted_join_brand_revenue",
+    # round 4: the partition-pruned ANN serving path (persisted IVF index
+    # + multi-probe search) and the mixture re-weighting corpus op
+    "embedding_ivf_persisted_multiprobe",
+    "corpus_sample_mixture",
 ]
 
 

@@ -215,3 +215,29 @@ def test_generator_is_partition_independent(spark):
     a = sensors.readings(spark, hours=2).repartition(1).collect()
     b = sensors.readings(spark, hours=2).repartition(32).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stream_replay_cached_per_session(spark, monkeypatch):
+    """Catalog streaming queries replay their file-source stream ONCE per
+    (session, sf_dir): a second build() must reuse the persisted result
+    parquet, never re-run the streaming query (round-3 verdict, "Next
+    round" #7 — replay cost is one-time per process, not per call)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import streaming_queries as sq
+
+    calls: list[str] = []
+    orig = sq.pipeline.run_stream_to_parquet
+
+    def counting(df, path, output_mode="complete"):
+        calls.append(path)
+        return orig(df, path, output_mode)
+
+    monkeypatch.setattr(sq.pipeline, "run_stream_to_parquet", counting)
+    sf = "/root/testdata/sf0.001"
+    n1 = REGISTRY["stream_tumbling_window"].build(spark, sf).count()
+    after_first = len(calls)  # 0 if an earlier test in this session already built it
+    n2 = REGISTRY["stream_tumbling_window"].build(spark, sf).count()
+    assert n2 == n1
+    assert len(calls) == after_first, (
+        f"second build() re-ran the streaming replay: {calls[after_first:]}"
+    )
