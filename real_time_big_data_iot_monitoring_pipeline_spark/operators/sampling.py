@@ -206,6 +206,53 @@ def pack_sequences(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 128,
+    stride: int = 96,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Overlapping-chunk manifest (the RAG / context-window chunker):
+    emit one row per (document, chunk) with `tok_start` / `tok_len`,
+    where chunks start every `stride` tokens and span `chunk` tokens —
+    consecutive chunks overlap by `chunk - stride` so no boundary
+    context is lost.  The last chunk starts at
+    `ceil(max(n - chunk, 0) / stride) * stride`, which always covers the
+    document tail; a document shorter than one chunk yields exactly one
+    row of its full length; zero-token documents yield nothing.
+
+    Unlike `pack_sequences` (which concatenates documents into fixed
+    training sequences), chunking is per-document and needs NO prefix
+    sum: it is a pure map + bounded explode (fan-out ~ n/stride), no
+    shuffle at all — at 100 TB this runs at scan speed.  Pass
+    `tokens_col` to chunk on a precomputed token count."""
+    assert 0 < stride <= chunk, "stride must be in (0, chunk] for gapless coverage"
+    toks = (
+        F.col(tokens_col) if tokens_col else F.size(F.split(F.col(text_col), " "))
+    ).cast("long")
+    last = F.ceil(
+        F.greatest(F.col("n_tokens") - F.lit(chunk), F.lit(0)) / F.lit(stride)
+    ).cast("long")
+    spans = (
+        df.select(F.col(id_col), toks.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0).cast("long"), last)).alias("chunk_idx"),
+        )
+    )
+    start = F.col("chunk_idx") * F.lit(stride)
+    return spans.select(
+        id_col,
+        "chunk_idx",
+        start.alias("tok_start"),
+        F.least(F.lit(chunk).cast("long"), F.col("n_tokens") - start).alias("tok_len"),
+    )
+
+
 def stratified_sample_fractions(
     df: DataFrame,
     stratum_col: str,

@@ -520,6 +520,88 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bands: int = 16,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-band hyperplane LSH: one (id, band, bucket) row per band,
+    where each band's bucket packs the sign bits of `n_planes` seeded
+    hyperplane projections (seeds differ per band).  A near pair
+    collides in SOME band with probability 1-(1-p^planes)^bands for
+    per-plane agreement p = 1 - angle/pi — the amplification construction
+    that trades one low-recall table for several independent ones.  Pure
+    map + fixed n_bands fan-out; no shuffle."""
+    bands = []
+    for band in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + 7919 * band)
+        bucket = F.lit(0)
+        for p, plane in enumerate(planes):
+            d = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
+            bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bands.append(
+            F.struct(F.lit(band).alias("band"), bucket.cast("int").alias("bucket"))
+        )
+    return df.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    min_cosine: float = 0.35,
+    n_bands: int = 16,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """The SCALE PATH for `embedding_cosine_neardups`: near-duplicate
+    pairs from banded LSH candidates instead of the all-pairs comparison.
+    Candidates come from a (band, bucket) self-equi-join — at scale this
+    shuffles one row per (vector, band), and the n^2 never materializes;
+    every candidate is then verified with the exact quantized cosine, so
+    false positives cost only a dot product and the output contains no
+    approximation beyond missed candidates (recall is a function of
+    bands x planes — the planted-neighbor and recall tests bound it).
+    Pass `buckets` to reuse a persisted (id, band, bucket) table (the
+    staged-oracle twin does, making the banding itself replayable)."""
+    e = as_double_vec(corpus, vec_col).select(id_col, vec_col)
+    if buckets is None:
+        buckets = lsh_band_buckets(e, vec_col, dim, n_bands, n_planes, seed, id_col)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_det(cosine_q6_jvm(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def score_lists_against_probes(
     lists: DataFrame,
     probe_rows: list,

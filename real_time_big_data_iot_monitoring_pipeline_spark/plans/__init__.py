@@ -24,7 +24,11 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   * the remaining 35 slots go to the STALEST queries (r2 rows, none
 #     since — two rounds old).
 # `flagship_window_agg` stays pinned as the every-round sentinel.
-# Ten r2-covered queries stay out one more round; each was chosen
+# Queries REGISTERED AFTER this rotation (round-4 additions:
+# corpus_chunk_overlap, late_supplier_blame,
+# embedding_neardups_lsh_checked) have no driver row yet and are due a
+# round-5 slot, together with the ten r2-covered queries below.
+# Those ten stay out one more round; each was chosen
 # because a NEAR-TWIN sharing its plan/kernel is freshly green
 # (r3 or this window) and the full-catalog local oracle-parity +
 # partition-invariance suites still run them every round.  They are

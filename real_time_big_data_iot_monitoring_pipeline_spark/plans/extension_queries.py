@@ -482,3 +482,78 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+
+
+@register(
+    "late_supplier_blame",
+    oracle="""
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    po AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        FROM lo GROUP BY 1
+    ),
+    blame AS (
+        SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+        FROM lo JOIN po USING (l_orderkey)
+        WHERE lo.late AND po.n_supp >= 2 AND po.n_late_supp = 1
+    )
+    SELECT s.s_name, CAST(count(DISTINCT b.l_orderkey) AS BIGINT) AS numwait
+    FROM blame b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+    tags=("extension", "tpch", "anti-join", "decorrelated"),
+)
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept waiting orders) adapted to
+    the fixture schema: the SOLE late shipper (l_shipdate more than 60
+    days after o_orderdate) on finished multi-supplier orders.  The
+    classic formulation is a correlated EXISTS + NOT EXISTS pair; here
+    both are DECORRELATED into one per-order aggregate (distinct
+    suppliers / distinct late suppliers) — Spark-first, because the
+    lineitem->orders join, the per-order aggregate, and the blame
+    re-join all share the l_orderkey shuffle key, so Catalyst reuses one
+    exchange where the correlated form would re-probe lineitem twice.
+    Supplier dim is broadcast; the final s_name rollup is a top-k
+    (TakeOrdered), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    blame = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blame.join(F.broadcast(supplier), blame.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -1188,6 +1188,32 @@ def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_chunk_overlap",
+    oracle="""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    x AS (SELECT doc_id, n,
+                 unnest(generate_series(0, CAST(ceil(greatest(n - 128, 0) / 96.0) AS BIGINT))) AS chunk_idx
+          FROM d WHERE n > 0)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 96 AS tok_start,
+           CAST(least(128, n - chunk_idx * 96) AS BIGINT) AS tok_len
+    FROM x
+    """,
+    tags=("northstar", "sampling", "chunking", "rag"),
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-chunk manifest (the RAG / retrieval-index chunker):
+    128-token chunks every 96 tokens, so consecutive chunks share 32
+    tokens of context (`sampling.chunk_tokens`).  Pure map + ~n/stride
+    explode per document — no prefix sum, no shuffle; the complement of
+    `corpus_pack_sequences` (which concatenates docs into training
+    sequences, needing per-stratum prefix sums)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    return sampling.chunk_tokens(_docs(spark, sf_dir), chunk=128, stride=96)
+
+
+@register(
     "multimodal_resize",
     oracle="""
     SELECT doc_id,

@@ -200,6 +200,71 @@ _BK_PATH = os.path.join(tempfile.gettempdir(), f"rtbd_stage_lsh_buckets_{os.getp
 _LSH_PLANES = 6
 _LSH_TOPK = 10
 
+_BANDS_PATH = os.path.join(
+    tempfile.gettempdir(), f"rtbd_stage_lsh_bands_{os.getpid()}.parquet"
+)
+_ND_BANDS = 16
+_ND_PLANES = 4
+_ND_THRESHOLD = 0.35
+
+
+@register(
+    "embedding_neardups_lsh_checked",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, band, bucket FROM '{_BANDS_PATH}/*.parquet'),
+    e AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+          FROM embeddings),
+    c AS (
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    s AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) + 1e-8, 6) AS cosine
+        FROM c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cosine FROM s WHERE cosine >= {_ND_THRESHOLD}
+    """,
+    tags=("northstar", "dedup", "similarity", "lsh", "staged-oracle"),
+)
+def embedding_neardups_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of `embedding_cosine_neardups`, value-hash-checked:
+    near-dup pairs from multi-band hyperplane LSH candidates (16 bands x
+    4 planes) + exact quantized cosine verification, instead of the
+    all-pairs comparison the guarded oracle baseline runs.  Spark's band
+    buckets (engine-native float sign bits) are staged to parquet; both
+    engines replay candidates -> verify from that file, so the banded
+    self-join + threshold logic — the shape that carries a 100 TB
+    semantic dedup — is checked end-to-end.  Candidate volume shuffles
+    one row per (vector, band); the n^2 never materializes as rows.
+    Recall of the bucketing itself is bounded separately by
+    `tests/test_operators.py::test_lsh_neardup_pairs_recall`."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import similarity
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import as_double_vec
+
+    def make():
+        emb = as_double_vec(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        return similarity.lsh_band_buckets(
+            emb, "embedding", dim=64, n_bands=_ND_BANDS, n_planes=_ND_PLANES
+        )
+
+    _stage(_BANDS_PATH, sf_dir, make)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.lsh_neardup_pairs(
+        emb,
+        dim=64,
+        min_cosine=_ND_THRESHOLD,
+        n_bands=_ND_BANDS,
+        n_planes=_ND_PLANES,
+        buckets=spark.read.parquet(_BANDS_PATH),
+    )
+
 
 @register(
     "embedding_lsh_topk_checked",

@@ -175,6 +175,79 @@ def test_lsh_finds_planted_neighbors(spark, sf_dir):
     assert hits >= 45  # >=90% of planted twins found despite bucketing
 
 
+def test_lsh_neardup_pairs_recall(spark):
+    """The banded-LSH near-dup path must (a) emit ONLY true pairs (every
+    candidate is exactly verified, so false positives are impossible by
+    construction) and (b) recover >=90% of the all-pairs >=0.35 result on
+    the sf0.001 fixture with the catalog's 16x4 band config — the recall
+    bound backing `embedding_neardups_lsh_checked`'s staged oracle.
+    Deterministic: seeded hyperplanes over a fixed fixture."""
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.lsh_neardup_pairs(
+            emb, dim=64, min_cosine=0.35, n_bands=16, n_planes=4
+        ).collect()
+    }
+    # all-pairs truth via the guarded matrix kernel
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        collect_corpus_rows,
+        score_against_matrix,
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    e = as_double_vec(emb)
+    truth = {
+        (r.cand_id, r.query_id): r.cosine
+        for r in score_against_matrix(
+            e, collect_corpus_rows(e), min_cosine=0.35 - 1e-6, upper_only=True
+        )
+        .select("cand_id", "query_id", round_det(F.col("cosine"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .collect()
+    }
+    assert set(lsh) <= set(truth), "LSH path emitted a pair the exact check rejects"
+    for pair, cos in lsh.items():
+        assert cos == truth[pair], f"cosine mismatch on {pair}"
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.90, f"recall {recall:.3f} below bound ({len(lsh)}/{len(truth)})"
+
+
+def test_chunk_tokens_layout(spark):
+    """Chunk manifest edge semantics: short doc -> one full-length chunk,
+    exact-boundary doc -> one chunk, boundary+1 -> overlapping tail
+    chunk, zero-token doc -> nothing; chunks always cover [0, n) with
+    stride spacing."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 128), (3, 129), (4, 224), (5, 225), (6, 0)],
+        "doc_id long, n_tok long",
+    )
+    rows = sampling.chunk_tokens(
+        docs, tokens_col="n_tok", chunk=128, stride=96
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.tok_start, r.tok_len))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc[1] == [(0, 0, 50)]
+    assert by_doc[2] == [(0, 0, 128)]
+    assert by_doc[3] == [(0, 0, 128), (1, 96, 33)]
+    assert by_doc[4] == [(0, 0, 128), (1, 96, 128)]
+    assert by_doc[5] == [(0, 0, 128), (1, 96, 128), (2, 192, 33)]
+    assert 6 not in by_doc
+    # coverage: every token index < n falls in at least one chunk
+    for doc, n in [(1, 50), (2, 128), (3, 129), (4, 224), (5, 225)]:
+        covered = set()
+        for _, s, ln in by_doc[doc]:
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n)), f"doc {doc} coverage hole"
+
+
 def test_kmeans_ivf_recall_and_objective(spark):
     """k-means-refined IVF must (a) co-assign planted twin pairs at least
     as often as the fixed-centroid quantizer and (b) not increase the
