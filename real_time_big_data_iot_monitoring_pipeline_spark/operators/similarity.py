@@ -551,27 +551,67 @@ def lsh_band_buckets(
     )
 
 
+def perturb_twins(
+    df: DataFrame,
+    every: int = 5,
+    id_offset: int = 10_000_000,
+    scale: float = 0.02,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a deterministically perturbed twin for every `every`-th
+    vector: twin id = id + `id_offset`, each element scaled by
+    1 ± `scale` via a Knuth hash of (id, dim index).  Models the
+    re-ingested / re-encoded duplicate a dedup pass must catch (same
+    content, slightly different bytes after a re-crawl or a different
+    encoder build): twin cosine ~ 1 - scale^2/6 ≈ 0.9999.  Pure column
+    expressions — no UDF, no driver data."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.sampling import KNUTH, MOD
+
+    e = as_double_vec(df, vec_col).select(id_col, vec_col)
+    jitter = lambda x, j: x * (  # noqa: E731 - local expression helper
+        1.0
+        + (((F.col(id_col) * 64 + j) * F.lit(KNUTH) % F.lit(MOD)) / F.lit(float(MOD)) - 0.5)
+        * F.lit(2.0 * scale)
+    )
+    twins = e.filter(F.col(id_col) % every == 0).select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        F.transform(F.col(vec_col), jitter).alias(vec_col),
+    )
+    return e.unionByName(twins)
+
+
 def lsh_neardup_pairs(
     corpus: DataFrame,
     dim: int,
-    min_cosine: float = 0.35,
-    n_bands: int = 16,
-    n_planes: int = 4,
+    min_cosine: float = 0.9,
+    n_bands: int = 8,
+    n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     buckets: DataFrame | None = None,
 ) -> DataFrame:
-    """The SCALE PATH for `embedding_cosine_neardups`: near-duplicate
-    pairs from banded LSH candidates instead of the all-pairs comparison.
+    """NEAR-IDENTICAL duplicate pairs from banded LSH candidates — the
+    scale path for embedding dedup of re-ingested / re-encoded content.
     Candidates come from a (band, bucket) self-equi-join — at scale this
     shuffles one row per (vector, band), and the n^2 never materializes;
     every candidate is then verified with the exact quantized cosine, so
     false positives cost only a dot product and the output contains no
-    approximation beyond missed candidates (recall is a function of
-    bands x planes — the planted-neighbor and recall tests bound it).
-    Pass `buckets` to reuse a persisted (id, band, bucket) table (the
-    staged-oracle twin does, making the banding itself replayable)."""
+    approximation beyond missed candidates.
+
+    Parameter honesty (measured on the fixtures): sign-LSH discriminates
+    when duplicate pairs are far from the background cosine distribution.
+    At the default 16 planes / 8 bands, a 0.9998-cosine twin collides in
+    some band with probability ~1-1e-8 while background pairs (p99
+    cosine 0.29 on the fixture) collide at ~3% — candidates are ~3% of
+    all pairs and recall is effectively total.  For LOW thresholds
+    (e.g. the 0.35 all-pairs analytics cut) no bucketing scheme
+    separates the tail of the background distribution from itself —
+    use the guarded all-pairs kernel (`score_against_matrix`) or IVF
+    blocking there, not LSH.  Pass `buckets` to reuse a persisted
+    (id, band, bucket) table (the staged-oracle twin does, making the
+    banding itself replayable)."""
     e = as_double_vec(corpus, vec_col).select(id_col, vec_col)
     if buckets is None:
         buckets = lsh_band_buckets(e, vec_col, dim, n_bands, n_planes, seed, id_col)

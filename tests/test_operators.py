@@ -176,43 +176,49 @@ def test_lsh_finds_planted_neighbors(spark, sf_dir):
 
 
 def test_lsh_neardup_pairs_recall(spark):
-    """The banded-LSH near-dup path must (a) emit ONLY true pairs (every
-    candidate is exactly verified, so false positives are impossible by
-    construction) and (b) recover >=90% of the all-pairs >=0.35 result on
-    the sf0.001 fixture with the catalog's 16x4 band config — the recall
-    bound backing `embedding_neardups_lsh_checked`'s staged oracle.
-    Deterministic: seeded hyperplanes over a fixed fixture."""
+    """The banded-LSH dup path on a corpus with re-ingested twins
+    (`perturb_twins`) must recover EXACTLY the planted twin pairs at the
+    catalog's 8x16 config: total recall (twin cosine ~0.9999 collides in
+    some band with prob ~1-1e-8), zero extras (no natural fixture pair
+    reaches 0.9 — the max is 0.48 at sf0.001), and candidates a small
+    fraction of all pairs (the pruning that makes LSH the scale path for
+    near-identical dedup).  Deterministic end to end."""
     sf = "/root/testdata/sf0.001"
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    lsh = {
+    aug = similarity.perturb_twins(emb, every=5, id_offset=10_000_000)
+    got = {
         (r.id_a, r.id_b): r.cosine
         for r in similarity.lsh_neardup_pairs(
-            emb, dim=64, min_cosine=0.35, n_bands=16, n_planes=4
+            aug, dim=64, min_cosine=0.9, n_bands=8, n_planes=16
         ).collect()
     }
-    # all-pairs truth via the guarded matrix kernel
-    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
-        as_double_vec,
-        collect_corpus_rows,
-        score_against_matrix,
-    )
-    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
-
-    e = as_double_vec(emb)
-    truth = {
-        (r.cand_id, r.query_id): r.cosine
-        for r in score_against_matrix(
-            e, collect_corpus_rows(e), min_cosine=0.35 - 1e-6, upper_only=True
-        )
-        .select("cand_id", "query_id", round_det(F.col("cosine"), 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
-        .collect()
+    planted = {
+        (vid, vid + 10_000_000)
+        for (vid,) in emb.select("vec_id").filter(F.col("vec_id") % 5 == 0).collect()
     }
-    assert set(lsh) <= set(truth), "LSH path emitted a pair the exact check rejects"
-    for pair, cos in lsh.items():
-        assert cos == truth[pair], f"cosine mismatch on {pair}"
-    recall = len(lsh) / len(truth)
-    assert recall >= 0.90, f"recall {recall:.3f} below bound ({len(lsh)}/{len(truth)})"
+    assert set(got) == planted, (
+        f"twin set mismatch: missing {planted - set(got)}, extra {set(got) - planted}"
+    )
+    assert all(c >= 0.99 for c in got.values()), "twin cosine unexpectedly low"
+    # pruning: the banded candidate join must touch far fewer pairs than n^2/2
+    bands = similarity.lsh_band_buckets(
+        similarity.as_double_vec(aug), "embedding", dim=64, n_bands=8, n_planes=16
+    )
+    n = aug.count()
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    frac = cand / (n * (n - 1) / 2)
+    assert frac < 0.10, f"candidate fraction {frac:.3f} — banding is not pruning"
 
 
 def test_chunk_tokens_layout(spark):
