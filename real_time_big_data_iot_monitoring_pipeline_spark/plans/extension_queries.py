@@ -517,12 +517,13 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     days after o_orderdate) on finished multi-supplier orders.  The
     classic formulation is a correlated EXISTS + NOT EXISTS pair; here
     both are DECORRELATED into one per-order aggregate (distinct
-    suppliers / distinct late suppliers) — Spark-first, because the
-    lineitem->orders join, the per-order aggregate, and the blame
-    re-join all share the l_orderkey shuffle key, so Catalyst reuses one
-    exchange where the correlated form would re-probe lineitem twice.
-    Supplier dim is broadcast; the final s_name rollup is a top-k
-    (TakeOrdered), never a global sort."""
+    suppliers / distinct late suppliers) joined back to the late rows —
+    Spark-first, because a correlated form would probe lineitem once per
+    quantifier while this is two scans of one cached shape.  Plan
+    (verified with explain("formatted")): orders and supplier broadcast
+    (the fact table never shuffles for any join), each branch shuffles
+    on l_orderkey only for its aggregate, and the final s_name rollup is
+    a TakeOrderedAndProject top-k, never a global sort."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
