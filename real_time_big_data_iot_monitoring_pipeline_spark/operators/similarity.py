@@ -520,6 +520,55 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def quantize_int8_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: codes =
+    clamp(round(x / scale)) with scale = max|x| / 127, plus the
+    reconstruction-error stats (saturated lanes, max / mean abs error)
+    a serving deployment checks before switching its ANN memory format
+    to 1 byte/dim (4x smaller lists than float32, 8x than float64).
+    Every step is a pure map in IEEE double arithmetic with explicit
+    half-up rounding (`floor(x + 0.5)`), so an ANSI-SQL engine replays
+    it bit-for-bit — the catalog query's DuckDB oracle does.  Zero
+    vectors quantize to all-zero codes (no division).
+
+    The float stats are emitted as e8-quantized INTEGERS
+    (`floor(x * 1e8 + 0.5)`), not ROUND(x, n): the error magnitudes are
+    arbitrary reals (not on a decimal grid), and decimal ROUND of an
+    arbitrary double is a DIFFERENT function in Spark (BigDecimal
+    half-up on the exact binary expansion) vs DuckDB (binary-scaled
+    rounding) near .5 boundaries — measured divergence on 4 of 500
+    fixture vectors.  `floor` of the identical double is the same
+    everywhere."""
+    e = as_double_vec(df, vec_col).select(id_col, F.col(vec_col).alias("v"))
+    scale = (F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)).alias(
+        "scale"
+    )
+    e = e.select(id_col, "v", scale)
+    code = lambda x: F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.least(
+            F.lit(127.0),
+            F.greatest(F.lit(-127.0), F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")),
+        )
+    )
+    e = e.select(id_col, "v", "scale", F.transform(F.col("v"), code).alias("codes"))
+    errs = F.zip_with("v", "codes", lambda a, c: F.abs(c * F.col("scale") - a))
+    e8 = lambda c: F.floor(c * F.lit(1e8) + F.lit(0.5)).cast("long")  # noqa: E731
+    return e.select(
+        id_col,
+        e8(F.col("scale")).alias("scale_e8"),
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127.0)).alias("n_sat"),
+        e8(F.array_max(errs)).alias("max_abs_err_e8"),
+        e8(F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / F.lit(float(dim))).alias(
+            "mean_abs_err_e8"
+        ),
+    )
+
+
 def lsh_band_buckets(
     df: DataFrame,
     vec_col: str,

@@ -394,3 +394,36 @@ def truncate_tokens(
         F.size(toks).cast("long").alias("n_tokens"),
         F.least(F.size(toks), F.lit(max_tokens)).cast("long").alias("kept_tokens"),
     )
+
+
+#: Structured-PII patterns restricted to the Java-regex ∩ RE2 common
+#: subset (explicit character classes, no lookaround, no \d shorthands
+#: with dialect-divergent unicode semantics) so the DuckDB oracle can
+#: replay them verbatim.
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Structured-PII detection + masking: count and replace email
+    addresses and NNN-NNN-NNNN phone numbers — the pattern-based scrub
+    stage that runs before a corpus is eligible for training (the
+    deny-list `redact_terms` handles known sensitive TERMS; this handles
+    structured FORMATS).  Pure map over corpus bytes: both patterns
+    compile once per task, no shuffle, flat per-executor throughput.
+    Emits the masked text plus per-document counts so a downstream
+    audit can aggregate leakage rates."""
+    t = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_PATTERN), 0)).alias("n_phones"),
+        masked.alias("scrubbed_text"),
+    )

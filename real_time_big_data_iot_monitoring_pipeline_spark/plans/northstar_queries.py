@@ -1049,6 +1049,58 @@ def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com ph 415-555-'
+                         || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed_text
+    FROM w
+    """,
+    tags=("northstar", "text", "pii", "redaction"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII scrub (`text.pii_scrub`): emails and phone numbers
+    detected and masked, with per-document counts.  The synthetic corpus
+    contains no real PII, so a deterministic subset (doc_id % 7 == 0)
+    gets a derived contact line appended BEFORE the scrub — both engines
+    derive the same injection from the table itself, and the driver
+    hash-checks detection AND masking end-to-end (counts + full
+    scrubbed text).  Complements `text_redact_terms` (deny-list TERMS)
+    with structured FORMATS; patterns stay inside the Java-regex ∩ RE2
+    subset so the oracle replays them verbatim.  Pure map — no shuffle."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
+
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com ph 415-555-"),
+                F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text_ops.pii_scrub(injected)
+
+
+@register(
     "dedup_minhash_incremental",
     oracle=f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1185,6 +1237,42 @@ def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0},
         default=0.1,
     ).select("doc_id", "lang")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    c AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                     ELSE least(127.0, greatest(-127.0, floor(x / scale + 0.5))) END) AS codes
+          FROM s),
+    r AS (SELECT vec_id, scale, codes,
+                 list_transform(generate_series(1, 64),
+                                i -> abs(codes[i] * scale - v[i])) AS errs
+          FROM c)
+    SELECT vec_id,
+           CAST(floor(scale * 1e8 + 0.5) AS BIGINT) AS scale_e8,
+           CAST(len(list_filter(codes, x -> abs(x) = 127.0)) AS INT) AS n_sat,
+           CAST(floor(list_max(errs) * 1e8 + 0.5) AS BIGINT) AS max_abs_err_e8,
+           CAST(floor(list_reduce(list_prepend(0.0, errs), (a, b) -> a + b) / 64.0 * 1e8 + 0.5) AS BIGINT) AS mean_abs_err_e8
+    FROM r
+    """,
+    tags=("northstar", "similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit over the embedding corpus
+    (`similarity.quantize_int8_stats`): per-vector scale, saturated
+    lanes, and reconstruction-error stats — the check run before
+    switching ANN inverted lists to 1 byte/dim.  Exact half-up integer
+    rounding in IEEE doubles, so the DuckDB oracle replays the whole
+    quantize -> reconstruct -> error pipeline bit-for-bit.  Pure map;
+    at 100 TB this is a scan-speed pass whose output is 4-8x smaller
+    serving memory."""
+    return similarity.quantize_int8_stats(_emb(spark, sf_dir))
 
 
 @register(

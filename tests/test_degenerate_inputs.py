@@ -274,3 +274,17 @@ def test_redact_terms_rejects_empty_deny_list(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError, match="empty deny list"):
         text_ops.redact_terms(df, [])
+
+
+def test_quantize_int8_zero_vector(spark):
+    """A zero vector must quantize to all-zero codes with zero error and
+    no ANSI division-by-zero (scale = 0 guard)."""
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] + [0.0] * 63)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8_stats(emb).collect()}
+    assert rows[1].scale_e8 == 0 and rows[1].n_sat == 0
+    assert rows[1].max_abs_err_e8 == 0 and rows[1].mean_abs_err_e8 == 0
+    # the unit vector saturates exactly one lane and reconstructs exactly
+    assert rows[2].n_sat == 1 and rows[2].max_abs_err_e8 == 0
