@@ -427,3 +427,59 @@ def pii_scrub(
         F.size(F.regexp_extract_all(t, F.lit(PHONE_PATTERN), 0)).alias("n_phones"),
         masked.alias("scrubbed_text"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability
+    ln P(w2 | w1) under the corpus's own bigram counts — the next step
+    up from `unigram_logprob_score` as a fluency signal (word salad with
+    plausible unigrams scores low once order matters).  Documents with
+    fewer than two tokens have no bigrams and are absent from the
+    output.
+
+    Plan shape: bigram extraction is a PURE MAP (adjacent pairs from the
+    pre-filtered token array — no window, no self-join); the "model" is
+    two hash aggregations (bigram counts, context counts) joined on the
+    context key; scoring re-joins docs' bigrams against the model keyed
+    by (w1, w2) — a join, deliberately NOT a broadcast, because a bigram
+    vocabulary grows ~quadratically with unigram vocabulary and exceeds
+    broadcast budgets at corpus scale.  Determinism: per-distinct-bigram
+    log-probs quantize to integer micro-nats (floor half-up, exact for
+    the all-negative values), so per-doc sums are exact integers."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0)
+    d = df.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") >= 2)
+    pair = lambda i: F.struct(  # noqa: E731
+        F.element_at(F.col("ws"), i - 1).alias("w1"),
+        F.element_at(F.col("ws"), i).alias("w2"),
+    )
+    bg = d.select(
+        id_col, F.explode(F.transform(F.sequence(F.lit(2), F.size("ws")), pair)).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    lp = counts.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double")) * F.lit(1e6)
+            + F.lit(0.5 + 1e-8)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_micro").alias("sum_lp_micro"))
+        .select(
+            id_col,
+            "n_bigrams",
+            round_det(
+                F.col("sum_lp_micro").cast("double") / F.col("n_bigrams") / F.lit(1e6), 4
+            ).alias("mean_logprob"),
+        )
+    )

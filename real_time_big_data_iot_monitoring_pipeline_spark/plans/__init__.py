@@ -27,8 +27,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # Queries REGISTERED AFTER this rotation (round-4 additions:
 # corpus_chunk_overlap, late_supplier_blame,
 # embedding_neardups_lsh_checked, text_pii_scrub,
-# embedding_quantize_int8) have no driver row yet and are due a
-# round-5 slot, together with the ten r2-covered queries below.
+# embedding_quantize_int8, bigram_logprob_score) have no driver row yet
+# and are due a round-5 slot, together with the ten r2-covered queries
+# below.
 # Those ten stay out one more round; each was chosen
 # because a NEAR-TWIN sharing its plan/kernel is freshly green
 # (r3 or this window) and the full-catalog local oracle-parity +

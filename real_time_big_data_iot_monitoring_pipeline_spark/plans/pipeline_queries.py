@@ -413,6 +413,40 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ws
+        FROM documents
+    ),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(2, len(ws))) AS i
+            FROM w WHERE len(ws) >= 2),
+    bg AS (SELECT doc_id, ws[i - 1] AS w1, ws[i] AS w2 FROM idx),
+    counts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY 1),
+    lp AS (
+        SELECT w1, w2,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)) * 1000000.0 + 0.5 + 1e-8) AS BIGINT) AS lp_micro
+        FROM counts JOIN ctx USING (w1)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           ROUND(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0 + 1e-8, 4) AS mean_logprob
+    FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality", "lm"),
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean conditional bigram log-probability ln P(w2|w1) per document
+    under the corpus's own bigram counts (`text.bigram_logprob_score`) —
+    the order-aware fluency signal.  Bigram extraction is a pure map
+    over the token array (no window shuffle); the model join is keyed,
+    not broadcast, because bigram vocabulary outgrows broadcast budgets
+    at corpus scale."""
+    return text.bigram_logprob_score(_docs(spark, sf_dir))
+
+
+@register(
     "embedding_dedup_components",
     oracle="""
     WITH RECURSIVE e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
