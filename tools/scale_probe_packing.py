@@ -12,7 +12,11 @@ Checks printed:
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -58,6 +62,27 @@ def main() -> None:
     print(f"tiling_exact={'OK' if agg.tokens == total_tokens else 'MISMATCH'}")
     assert agg.tokens == total_tokens
     assert agg.spans / n_docs <= bound + 1e-9
+
+    # --- overlapping chunking (RAG manifest) at the same 5M docs -------
+    # Pure map + explode, no shuffle at all (vs packing's per-stratum
+    # prefix-sum window) — the probe shows the shuffle-free plan's
+    # throughput and checks the closed-form coverage invariant:
+    # every non-final chunk is full, so
+    #   sum(tok_len) == total_tokens + (chunks - docs) * (chunk - stride)
+    chunk, stride = 512, 384
+    t0 = time.perf_counter()
+    chunks = sampling.chunk_tokens(docs, tokens_col="n_tokens", chunk=chunk, stride=stride)
+    cagg = chunks.agg(
+        F.count(F.lit(1)).alias("chunks"), F.sum("tok_len").alias("tokens")
+    ).collect()[0]
+    cdt = time.perf_counter() - t0
+    overlap_tokens = (cagg.chunks - n_docs) * (chunk - stride)
+    print(f"chunking: wall={cdt:.2f}s  docs/sec={n_docs / cdt:,.0f}  chunks={cagg.chunks:,}")
+    print(
+        "coverage_exact="
+        + ("OK" if cagg.tokens == total_tokens + overlap_tokens else "MISMATCH")
+    )
+    assert cagg.tokens == total_tokens + overlap_tokens
     spark.stop()
 
 
