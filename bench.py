@@ -109,7 +109,13 @@ def main() -> None:
         # Force analysis + Catalyst optimization + physical planning
         # untimed too: driver-side plan compilation is not engine work
         # (codegen compile + execution still land inside the timed save).
-        df._jdf.queryExecution().executedPlan()
+        # explain() materializes the executed plan via the PUBLIC API;
+        # swallow its stdout.
+        import contextlib
+        import io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            df.explain("formatted")
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
