@@ -192,3 +192,40 @@ def test_pack_sequences_matches_sequential_reference(spark, docs, budget):
                 want[(lang, seq, doc_id)] = (lo - start, hi - lo)
             pos = end
     assert got == want
+
+
+# --- overlapping chunking vs a sequential reference --------------------------
+chunk_strategy = st.lists(st.integers(0, 200), min_size=1, max_size=40)
+
+
+@given(lens=chunk_strategy, chunk=st.integers(2, 32), overlap=st.integers(0, 1))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_tokens_matches_sequential_reference(spark, lens, chunk, overlap):
+    """chunk_tokens must equal the obvious per-document Python chunker:
+    starts at every stride until the tail is covered, each chunk
+    min(chunk, n - start) tokens, zero-token docs absent.  Stride is
+    chunk or chunk-1 (overlap 0/1 scaled down to the tiny budgets)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import sampling
+
+    stride = chunk - overlap
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.tok_start, r.tok_len)
+        for r in sampling.chunk_tokens(
+            df, tokens_col="n_tok", chunk=chunk, stride=stride
+        ).collect()
+    }
+    want = {}
+    for i, n in enumerate(lens):
+        if n == 0:
+            continue
+        idx = 0
+        start = 0
+        while True:
+            want[(i, idx)] = (start, min(chunk, n - start))
+            if start + chunk >= n:
+                break
+            idx += 1
+            start += stride
+    assert got == want
