@@ -1,0 +1,425 @@
+"""Classic OLAP decision-support shapes (round-4 widening).
+
+The reference's analytics surface is flat scans + group-bys over one
+events table (SURVEY §2.4); a user replacing it with this engine will
+immediately point the same API at warehouse-shaped data.  This module
+fills the remaining canonical decision-support plan shapes over the
+TPC-H-ish fixture star schema — the ones whose PLANS differ structurally
+from anything already in the catalog:
+
+* correlated EXISTS        -> conditional semi join       (Q4 shape)
+* market-share ratio       -> two-level conditional agg over a 5-way
+                              star join                   (Q8 shape)
+* COUNT distribution       -> outer join + double group-by (Q13 shape)
+* conditional promo ratio  -> broadcast dim + CASE agg     (Q14 shape)
+* argmax via scalar subquery -> self-agg + 1-row broadcast (Q15 shape)
+* correlated scalar per key  -> per-key avg joined back    (Q17 shape)
+* disjunctive multi-range predicate pushed into a join     (Q19 shape)
+* NOT EXISTS + scalar subquery -> anti join + 1-row bcast  (Q22 shape)
+
+Every query keeps money math in exact integer cents (see
+functions/scalars.py) so the DuckDB oracle hashes bit-identically under
+any partitioning, and every date literal is a session-timezone-proof
+instant (`utc_ts`).
+
+Scale notes are per-query; the common theme: the lineitem fact table
+never shuffles for a dimension join (dims broadcast), and the only big
+shuffles are keyed on l_orderkey / c_custkey where the data genuinely
+must meet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
+    as_cents,
+    round_det,
+    utc_naive,
+    utc_ts,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# Exact-cents discounted revenue: epc * (100 - dc) is an exact int64;
+# /10000.0 only at the end, after the (exact) integer sum.
+def _disc_price_cents(price="l_extendedprice", disc="l_discount"):
+    return as_cents(F.col(price)) * (100 - as_cents(F.col(disc)))
+
+
+_DISC_SQL = "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+
+
+@register(
+    "order_priority_exists",
+    oracle=f"""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("olap", "tpch-q4", "semi-join", "exists"),
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one quarter) that had at least one slow
+    line (shipped >30 days after order), counted per priority.  The
+    correlated EXISTS becomes a LEFT SEMI join whose condition mixes the
+    equi key with the correlated inequality — Spark shuffles both sides
+    on l_orderkey once and evaluates the inequality inside the join, so
+    lineitem is scanned exactly once (vs once per order for a naive
+    correlated probe).  The quarter filter is pushed to the orders scan
+    before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= utc_ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1996-10-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, slow, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "market_share_by_year",
+    oracle=f"""
+    WITH flat AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_DISC_SQL} AS rev_cents,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey  = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        JOIN part p      ON l.l_partkey  = p.p_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND((sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_cents ELSE 0 END)
+                  / CAST(sum(rev_cents) AS DOUBLE)) + 1e-8, 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    tags=("olap", "tpch-q8", "star-join", "conditional-agg"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ECONOMY-part revenue sold to
+    ASIA customers, per order year.  Five dimensions hang off the two
+    facts; ALL are broadcast (part, supplier->nation, customer->nation->
+    region), so the only shuffle in the plan is lineitem><orders on
+    l_orderkey.  The share is a conditional sum over one grouped pass —
+    numerator and denominator never require two scans.  Year extraction
+    goes through `utc_naive` so the grouping key is identical under any
+    driver session timezone."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c, n, r = (_t(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    s, p = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "part")
+
+    asia_cust = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+               s.s_nationkey == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    econ_part = F.broadcast(p.filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+
+    rev = F.col("rev_cents")
+    return (
+        l.join(econ_part, l.l_partkey == econ_part.p_partkey)
+        .join(supp_nation, l.l_suppkey == supp_nation.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(asia_cust, o.o_custkey == asia_cust.c_custkey)
+        .select(
+            F.year(utc_naive("o_orderdate")).cast("long").alias("o_year"),
+            _disc_price_cents().alias("rev_cents"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            round_det(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0)))
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    tags=("olap", "tpch-q13", "outer-join", "distribution"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    keeping zero-order customers via the LEFT OUTER join (the filter
+    lives in the JOIN CONDITION, not a WHERE — pushing it to WHERE would
+    silently drop the zero bucket).  Two shuffles, both small: one on
+    c_custkey for the per-customer count (partial map-side counts make
+    the shuffle rows-per-customer, not rows-per-order), then one on the
+    count value itself — whose cardinality is the max order count, i.e.
+    tiny at any data scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT ROUND((100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_DISC_SQL} ELSE 0 END)
+                  / CAST(sum({_DISC_SQL}) AS DOUBLE)) + 1e-8, 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    tags=("olap", "tpch-q14", "broadcast", "conditional-agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of one month's revenue from PROMO parts.
+    part is broadcast (it's a dimension), the month filter pushes to the
+    lineitem parquet scan, and the ratio is one conditional aggregate —
+    the whole query is a single scan with zero fact shuffles (the final
+    1-row agg moves bytes, not rows)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= utc_ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1997-10-01 00:00:00"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = _disc_price_cents()
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            round_det(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, sum({_DISC_SQL}) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.rev_cents / 10000.0 + 1e-8, 2) AS total_revenue
+    FROM revenue r JOIN supplier s ON r.supplier_no = s.s_suppkey
+    WHERE r.rev_cents = (SELECT max(rev_cents) FROM revenue)
+    """,
+    tags=("olap", "tpch-q15", "scalar-subquery", "argmax"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    Naive decorrelation (agg + broadcast the scalar max back) would
+    duplicate the whole revenue subtree — Spark has no common-subplan
+    reuse across a self-referencing scalar, so lineitem would be scanned
+    TWICE (verified on the explain output).  Instead the global max is a
+    window max over the ALREADY per-supplier-aggregated frame: one
+    lineitem scan, and the single-partition exchange carries only
+    aggregated supplier rows (#suppliers, not #lineitems).  Revenue
+    equality is exact (integer cents), so the argmax filter is
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1996-04-01 00:00:00"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price_cents()).alias("rev_cents")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.withColumn("max_cents", F.max("rev_cents").over(Window.partitionBy()))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_det(F.col("rev_cents") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "small_qty_order_revenue",
+    oracle="""
+    WITH brand AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13'
+    ), part_avg AS (
+        SELECT l_partkey, 0.2 * (sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE)) AS qty_cut
+        FROM brand GROUP BY l_partkey
+    )
+    SELECT ROUND(sum(CAST(round(b.l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0 + 1e-8, 2) AS avg_yearly
+    FROM brand b JOIN part_avg a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < a.qty_cut
+    """,
+    tags=("olap", "tpch-q17", "correlated-scalar", "self-join"),
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not taken, for one
+    brand.  The correlated per-part scalar (avg quantity) is decorrelated
+    into a per-partkey aggregate joined back on l_partkey — both sides
+    of that join are ALREADY restricted to the brand via the broadcast
+    part dim, so the shuffle carries only the brand's rows.  Quantities
+    are integral, so sum(long)/count is bit-identical in both engines
+    and the strict `<` cut is deterministic."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand = l.join(p, l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = brand.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1)).cast("double"))
+        ).alias("qty_cut")
+    )
+    return (
+        brand.join(part_avg.withColumnRenamed("l_partkey", "a_partkey"),
+                   F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            round_det(
+                F.sum(as_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    oracle=f"""
+    SELECT ROUND(sum({_DISC_SQL}) / 10000.0 + 1e-8, 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("olap", "tpch-q19", "disjunctive-predicate", "broadcast"),
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-branch disjunctive predicate
+    mixing dim attributes (brand, size) with fact attributes (quantity).
+    part is broadcast; the brand/size half of each branch prunes the
+    broadcast build side and the OR evaluates inside the join — one
+    lineitem scan, no shuffle at all (the 1-row agg is bytes).  At 100 TB
+    the win is that the disjunction never forces a cartesian or a
+    UNION-of-three-scans plan."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50) & qty.between(20, 30))
+    )
+    return (
+        l.join(p, (l.l_partkey == p.p_partkey) & branch)
+        .agg(round_det(F.sum(_disc_price_cents()) / 10000.0, 2).alias("revenue"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / (100.0 * count(*)) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           ROUND(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0 + 1e-8, 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg_bal FROM cutoff)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+    tags=("olap", "tpch-q22", "anti-join", "scalar-subquery"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never placed
+    an order, rolled up per nation.  The scalar subquery (average
+    positive balance, exact cents) is a 1-row broadcast; the NOT EXISTS
+    is a LEFT ANTI join against the DISTINCT o_custkey projection — at
+    scale the anti join shuffles only distinct customer keys, never full
+    orders rows, and the balance cut applies BEFORE the shuffle so the
+    probe side is already thinned."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cutoff = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(
+            (F.sum(as_cents(F.col("c_acctbal"))) / (100.0 * F.count(F.lit(1)))).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(cutoff)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round_det(F.sum(as_cents(F.col("c_acctbal"))) / 100.0, 2).alias("totacctbal"),
+        )
+    )

@@ -195,3 +195,59 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir):
     seg = plan.split("PartitionFilters")
     assert len(seg) >= 2, plan
     assert "cid" in seg[1][:200], plan
+
+
+def test_q4_exists_is_one_pass_semi_join(spark, sf_dir):
+    """order_priority_exists: the correlated EXISTS must compile to ONE
+    left-semi join (single lineitem scan), never a per-order re-probe or
+    a nested-loop over the inequality."""
+    df = REGISTRY["order_priority_exists"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan  # orders + lineitem, once each
+
+
+def test_q8_star_broadcasts_every_dim(spark, sf_dir):
+    """market_share_by_year: part/supplier/customer/nation/region all
+    broadcast; the ONLY exchange of fact rows is lineitem><orders on the
+    order key."""
+    df = REGISTRY["market_share_by_year"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    # part, supplier(+nation), orders (small enough to broadcast at this
+    # SF; sort-merge at scale), customer(+nation+region) — and never a
+    # shuffle of lineitem feeding a dim join
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q14_promo_is_scan_plus_broadcast_only(spark, sf_dir):
+    """promo_revenue_share: month filter pushed to the lineitem scan,
+    part broadcast, and no shuffle other than the 1-row final aggregate."""
+    df = REGISTRY["promo_revenue_share"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q15_argmax_broadcasts_scalar(spark, sf_dir):
+    """top_supplier_revenue: the argmax must be a window max over the
+    per-supplier AGGREGATED frame — exactly one lineitem scan (the naive
+    scalar-subquery decorrelation duplicates the whole revenue subtree),
+    and no global sort."""
+    df = REGISTRY["top_supplier_revenue"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "TakeOrdered" not in plan and "Sort " not in plan.replace("SortMergeJoin", ""), plan
+
+
+def test_q22_anti_join_on_distinct_keys(spark, sf_dir):
+    """idle_rich_customers: NOT EXISTS compiles to a LEFT ANTI join whose
+    build side is the distinct o_custkey projection — the orders scan
+    must read just that one column."""
+    df = REGISTRY["idle_rich_customers"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
