@@ -1,0 +1,260 @@
+"""Analytic window-function surface (round-4 widening).
+
+The reference's window usage stops at rolling means / diffs / tail-N
+(SURVEY §2.6 W1-W5).  A warehouse user leans on four more analytic
+shapes constantly; each gets a catalog query with a DuckDB oracle and a
+plan pinned to PARTITIONED windows (the scale rule: a window spec
+without partitionBy collapses the data to one task — every spec here
+partitions on a real key):
+
+* cumulative share-of-total        (running sum + windowed total)
+* LAG-based inter-event gaps       (ordered diff per key, then rollup)
+* NTILE decile profiling           (equi-count banding of a whole table)
+* gaps-and-islands streaks         (dense_rank arithmetic, zero joins)
+
+Plus `null_rate_audit`: per-column null/distinct profiling — the
+data-quality scan every ingest pipeline runs before trusting a feed.
+
+Determinism: money in exact cents, date fields extracted via
+session-timezone-proof `utc_naive`, every NTILE/rank ordering carries a
+unique tie-break key so both engines band identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
+    as_cents,
+    round_det,
+    utc_naive,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "running_revenue_share",
+    oracle="""
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(EXTRACT(year FROM o.o_orderdate) * 100 + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS ym,
+               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY segment, ym
+    )
+    SELECT segment, ym,
+           ROUND(rev_cents / 100.0 + 1e-8, 2) AS revenue,
+           ROUND(sum(rev_cents) OVER (PARTITION BY segment ORDER BY ym
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 + 1e-8, 2) AS cum_revenue,
+           ROUND((sum(rev_cents) OVER (PARTITION BY segment ORDER BY ym
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(rev_cents) OVER (PARTITION BY segment) AS DOUBLE)) + 1e-8, 6) AS cum_share
+    FROM monthly
+    """,
+    tags=("analytics", "window", "cumulative"),
+)
+def running_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue and share-of-segment-total per market
+    segment.  The windows run over the PRE-AGGREGATED monthly frame
+    (#segments x #months rows), so the expensive part stays a plain
+    grouped agg; the running sum partitions by segment — parallel across
+    segments, never a global sort.  Exact-cents sums make the cumulative
+    and total bit-identical across engines and partitionings."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    d = utc_naive("o_orderdate")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year(d) * 100 + F.month(d)).cast("long").alias("ym"),
+        )
+        .agg(F.sum(as_cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    cum = Window.partitionBy("segment").orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("segment")
+    return monthly.select(
+        "segment",
+        "ym",
+        round_det(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        round_det(F.sum("rev_cents").over(cum) / 100.0, 2).alias("cum_revenue"),
+        round_det(F.sum("rev_cents").over(cum) / F.sum("rev_cents").over(tot).cast("double"), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(EXTRACT(epoch FROM o.o_orderdate) / 86400 AS BIGINT)
+               - lag(CAST(EXTRACT(epoch FROM o.o_orderdate) / 86400 AS BIGINT))
+                 OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey) AS gap_days
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(sum(gap_days) / CAST(count(gap_days) AS DOUBLE) + 1e-8, 4) AS avg_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL GROUP BY segment
+    """,
+    tags=("analytics", "window", "lag"),
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics (LAG) rolled up per market segment:
+    how long customers wait between orders.  The LAG window partitions
+    by customer — per-partition sorts run parallel across customers, and
+    the subsequent segment rollup is a tiny shuffle.  Gap days are exact
+    integers (epoch-day arithmetic, timezone-free), so the averages are
+    order-independent."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    day = F.floor(F.unix_seconds(F.col("o_orderdate")) / 86400).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), (day - F.lag(day).over(w)).alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        round_det(F.sum("gap_days") / F.count("gap_days").cast("double"), 4).alias("avg_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+@register(
+    "acctbal_decile_profile",
+    oracle="""
+    WITH banded AS (
+        SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM customer
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(min(bal_cents) / 100.0 + 1e-8, 2) AS min_bal,
+           ROUND(max(bal_cents) / 100.0 + 1e-8, 2) AS max_bal,
+           ROUND(sum(bal_cents) / (100.0 * count(*)) + 1e-8, 4) AS avg_bal
+    FROM banded GROUP BY decile
+    """,
+    tags=("analytics", "window", "ntile"),
+)
+def acctbal_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) banding of customers by account balance with per-decile
+    profiles.  NTILE needs a total order, so this is the one deliberate
+    global sort in the analytics set — over the SKINNY projection
+    (two columns), which is the honest way to run an equi-count banding:
+    at larger scale swap to percentile-bound banding (histogram_equidepth
+    shows that pattern) when a total sort stops being worth it.  The
+    ordering carries c_custkey as a unique tie-break so both engines
+    band identically."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    banded = c.select(
+        F.ntile(10).over(w).alias("decile"), as_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    return banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        round_det(F.min("bal_cents") / 100.0, 2).alias("min_bal"),
+        round_det(F.max("bal_cents") / 100.0, 2).alias("max_bal"),
+        round_det(F.sum("bal_cents") / (100.0 * F.count(F.lit(1))), 4).alias("avg_bal"),
+    )
+
+
+@register(
+    "order_month_streaks",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12 + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+        FROM orders
+    ), islands AS (
+        SELECT o_custkey,
+               m - dense_rank() OVER (PARTITION BY o_custkey ORDER BY m) AS island
+        FROM months
+    ), streaks AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak_len
+        FROM islands GROUP BY o_custkey, island
+    ), best AS (
+        SELECT o_custkey, max(streak_len) AS best_streak FROM streaks GROUP BY o_custkey
+    )
+    SELECT best_streak, CAST(count(*) AS BIGINT) AS n_customers
+    FROM best GROUP BY best_streak
+    """,
+    tags=("analytics", "window", "gaps-and-islands"),
+)
+def order_month_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active months per
+    customer, then the distribution of best streaks.  The island id is
+    pure window arithmetic (month_index - dense_rank) — no self-join, no
+    explode; every shuffle is keyed on o_custkey and operates on the
+    deduplicated (customer, month) frame, which is <= 84 rows per
+    customer regardless of order volume."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    d = utc_naive("o_orderdate")
+    months = o.select(
+        "o_custkey",
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1).cast("long").alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    islands = months.select("o_custkey", (F.col("m") - F.dense_rank().over(w)).alias("island"))
+    streaks = islands.groupBy("o_custkey", "island").agg(F.count(F.lit(1)).alias("streak_len"))
+    best = streaks.groupBy("o_custkey").agg(F.max("streak_len").alias("best_streak"))
+    return best.groupBy("best_streak").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "null_rate_audit",
+    oracle="""
+    SELECT 'event_type' AS col_name, CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+           ROUND((count(*) - count(event_type)) / CAST(count(*) AS DOUBLE) + 1e-8, 6) AS null_rate,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
+           ROUND((count(*) - count(props)) / CAST(count(*) AS DOUBLE) + 1e-8, 6),
+           CAST(count(DISTINCT props) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+           ROUND((count(*) - count(user_id)) / CAST(count(*) AS DOUBLE) + 1e-8, 6),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+           ROUND((count(*) - count(value)) / CAST(count(*) AS DOUBLE) + 1e-8, 6),
+           CAST(count(DISTINCT value) AS BIGINT)
+    FROM events
+    """,
+    tags=("analytics", "data-quality", "profiling"),
+)
+def null_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (null count / null rate / exact
+    distinct count) for the event feed — the scan every ingest pipeline
+    runs before trusting a source.  All columns profile in ONE pass:
+    a single aggregate computes every count jointly (count-distinct
+    expansion gives one shuffle total), then the 1-row result unpivots
+    driver-free via stack().  The oracle's UNION-ALL formulation scans
+    once per column — the Spark plan is strictly better and produces the
+    identical frame."""
+    e = _t(spark, sf_dir, "events")
+    cols = ["event_type", "props", "user_id", "value"]
+    aggs = []
+    for col in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nn"),
+            round_det((F.count(F.lit(1)) - F.count(col)) / F.count(F.lit(1)).cast("double"), 6).alias(f"{col}__nr"),
+            F.countDistinct(col).alias(f"{col}__nd"),
+        ]
+    one = e.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', {c}__nn, {c}__nr, {c}__nd" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col_name, n_null, null_rate, n_distinct)"
+    )

@@ -251,3 +251,32 @@ def test_q22_anti_join_on_distinct_keys(spark, sf_dir):
     plan = plan_of(df)
     assert "LeftAnti" in plan, plan
     assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+
+
+def test_running_share_windows_on_preaggregated_frame(spark, sf_dir):
+    """running_revenue_share: the cumulative/total windows must consume
+    the grouped monthly aggregate (one shuffle for the agg, windows
+    partitioned by segment), never window over raw orders."""
+    df = REGISTRY["running_revenue_share"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "HashAggregate" in plan, plan
+    # Window comes AFTER (above) the aggregate in the plan text
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+    assert "BroadcastHashJoin" in plan, plan  # customer dim broadcast
+
+
+def test_gap_stats_window_partitioned_by_customer(spark, sf_dir):
+    """customer_order_gap_stats: the LAG window partitions by customer
+    key — per-partition sorts, no global sort."""
+    df = REGISTRY["customer_order_gap_stats"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Window" in plan, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_null_audit_is_single_scan(spark, sf_dir):
+    """null_rate_audit: all per-column profiles compute in ONE events
+    scan (the UNION-ALL oracle scans 4x; the engine must not)."""
+    df = REGISTRY["null_rate_audit"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("events.parquet") == 1, plan
