@@ -280,3 +280,24 @@ def test_null_audit_is_single_scan(spark, sf_dir):
     df = REGISTRY["null_rate_audit"].build(spark, sf_dir)
     plan = plan_of(df, "simple")
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark, sf_dir):
+    """bucketed_join_revenue: both fact scans are bucket-aligned on the
+    join key, so the SortMergeJoin must sit directly on the (sorted)
+    scans — the ONLY Exchange allowed in the plan is the final 5-group
+    rollup."""
+    df = REGISTRY["bucketed_join_revenue"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("Exchange") < plan.index("SortMergeJoin"), plan  # rollup above join
+
+
+def test_bucketed_lookup_prunes_to_one_bucket(spark, sf_dir):
+    """bucketed_key_lookup: the equality predicate on the bucket column
+    must prune the scan to a single file-bucket at planning time."""
+    df = REGISTRY["bucketed_key_lookup"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
