@@ -834,3 +834,67 @@ def query_ivf_index(
     ).select("query_id", "cand_id", round_det(F.col("cosine"), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+# Dimensionality reduction for embedding pipelines: project d-dim vectors
+# onto k pseudo-random +-1 (Rademacher) directions.  Achlioptas (2001)
+# shows +-1 entries satisfy the JL distance-preservation guarantee while
+# replacing the float matmul with adds/subtracts.  The sign matrix is
+# derived from a Knuth multiplicative hash of the (row, col) index — no
+# RNG state, so any engine (or the DuckDB oracle) regenerates it exactly,
+# and the projection of q6-quantized values is INTEGER arithmetic: every
+# product is +-q(x) and every sum stays far below 2^53, so double math is
+# bit-exact under any summation order or partitioning.
+
+
+def rademacher_signs(dim_in: int, dim_out: int) -> list[list[int]]:
+    """dim_out rows of dim_in +-1 signs, s[k][i] from a Knuth hash of the
+    flat index — deterministic, engine-independent."""
+    return [
+        [1 if ((k * dim_in + i) * 2654435761) % (2**32) < 2**31 else -1 for i in range(dim_in)]
+        for k in range(dim_out)
+    ]
+
+
+def rademacher_project(
+    df: DataFrame, dim_in: int, dim_out: int, vec_col: str = "embedding", prefix: str = "p"
+) -> DataFrame:
+    """Append dim_out projection columns `p00..` = q6(vec) . signs_k /
+    1e6, rounded to 6dp.  Pure column expressions over the quantized
+    vector — a map-only plan (no shuffle, no Python), scan-speed at any
+    corpus size."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    q = _qvec(F.col(vec_col))
+    out = df
+    for k, signs in enumerate(rademacher_signs(dim_in, dim_out)):
+        s = F.array(*[F.lit(float(v)) for v in signs])
+        out = out.withColumn(
+            f"{prefix}{k:02d}", round_det(_dot(q, s) / _QSCALE, 6)
+        )
+    return out
+
+
+def rademacher_project_sql(
+    dim_in: int, dim_out: int, vec_col: str = "embedding", prefix: str = "p"
+) -> list[str]:
+    """DuckDB twins of `rademacher_project`'s output columns (exact same
+    integer-valued double arithmetic).
+
+    The quantizer casts each component to DOUBLE before scaling: DuckDB
+    evaluates `float_col * 1000000.0` in FLOAT precision inside a list
+    lambda, which lands on different integers at quantization boundaries
+    (observed: 0.16866849*1e6 -> 168668 in double, 168669 in float).
+    Spark's side always works on the double-cast vector, so the oracle
+    must too — an exact integer dot product gives the ulp nowhere to
+    hide, unlike the rounded cosine queries that share `qvec_sql`."""
+    q = f"list_transform({vec_col}, x -> floor(CAST(x AS DOUBLE) * 1000000.0 + (0.5 + 1e-8)))"
+    frags = []
+    for k, signs in enumerate(rademacher_signs(dim_in, dim_out)):
+        lit = "[" + ", ".join(f"{v}.0" for v in signs) + "]"
+        frags.append(
+            f"ROUND(list_dot_product({q}, {lit}) / 1000000.0 + 1e-8, 6)"
+            f" AS {prefix}{k:02d}"
+        )
+    return frags

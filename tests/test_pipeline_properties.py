@@ -229,3 +229,49 @@ def test_chunk_tokens_matches_sequential_reference(spark, lens, chunk, overlap):
             idx += 1
             start += stride
     assert got == want
+
+
+def test_rademacher_projection_preserves_distances(spark, sf_dir):
+    """Johnson-Lindenstrauss sanity: the 64->16 Rademacher projection
+    must roughly preserve pairwise geometry — squared-distance ratios
+    (scaled by dim_in/dim_out) concentrate near 1, and the sign matrix
+    is balanced."""
+    import numpy as np
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        rademacher_signs,
+    )
+
+    S = np.array(rademacher_signs(64, 16), dtype=np.float64)
+    # balanced signs: each direction is near-zero-mean
+    assert abs(S.mean()) < 0.2
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    proj = (
+        REGISTRY["embedding_random_projection"]
+        .build(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(40)
+        .toPandas()
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+    orig = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(40)
+        .toPandas()
+    )
+    X = np.vstack(orig["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    P = proj.drop(columns=["vec_id"]).to_numpy()
+    rng = np.random.default_rng(7)
+    ratios = []
+    for _ in range(60):
+        i, j = rng.choice(len(X), 2, replace=False)
+        d_orig = np.sum((X[i] - X[j]) ** 2)
+        d_proj = np.sum((P[i] - P[j]) ** 2)
+        if d_orig > 1e-9:
+            # E[d_proj] = dim_out * d_orig for +-1 signs (no 1/sqrt(k) scaling)
+            ratios.append(d_proj / (16.0 * d_orig))
+    ratios = np.array(ratios)
+    assert 0.5 < np.median(ratios) < 2.0, ratios

@@ -301,3 +301,13 @@ def test_bucketed_lookup_prunes_to_one_bucket(spark, sf_dir):
     df = REGISTRY["bucketed_key_lookup"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    """embedding_random_projection: pure column expressions — no
+    exchange, no Python eval, single scan."""
+    df = REGISTRY["embedding_random_projection"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
