@@ -12,6 +12,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans import olap_queries 
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import analytics_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import storage_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import mlprep_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import incremental_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY, Query, register
 
 # The driver's correctness gate hashes the FIRST 50 registry entries, in

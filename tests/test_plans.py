@@ -311,3 +311,15 @@ def test_random_projection_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_incremental_merge_never_rescans_history(spark, sf_dir):
+    """incremental_agg_merge: the raw-events scan must carry the pushed
+    cutoff predicate (only the new batch is read); history arrives solely
+    via the partial-aggregate store scan."""
+    df = REGISTRY["incremental_agg_merge"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "rtbd_aggstore_" in plan, plan
+    events_scan = [seg for seg in plan.split("FileScan parquet") if "events.parquet" in seg]
+    assert len(events_scan) == 1, plan
+    assert "GreaterThanOrEqual(ts" in events_scan[0], events_scan[0][:500]
