@@ -41,6 +41,11 @@ HEADLINE = [
     # + multi-probe search) and the mixture re-weighting corpus op
     "embedding_ivf_persisted_multiprobe",
     "corpus_sample_mixture",
+    # round 4 (late additions): the widest star join in the catalog and
+    # the bucketed co-located fact join (staging is build-time work, like
+    # the persisted IVF index; the timed region is the query itself)
+    "market_share_by_year",
+    "bucketed_join_revenue",
 ]
 
 

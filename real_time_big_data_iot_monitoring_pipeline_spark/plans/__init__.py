@@ -13,6 +13,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans import analytics_que
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import storage_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import mlprep_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import incremental_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import sketch_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY, Query, register
 
 # The driver's correctness gate hashes the FIRST 50 registry entries, in
@@ -29,12 +30,25 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   * the remaining 35 slots go to the STALEST queries (r2 rows, none
 #     since — two rounds old).
 # `flagship_window_agg` stays pinned as the every-round sentinel.
-# Queries REGISTERED AFTER this rotation (round-4 additions:
-# corpus_chunk_overlap, late_supplier_blame,
-# embedding_neardups_lsh_checked, text_pii_scrub,
-# embedding_quantize_int8, bigram_logprob_score) have no driver row yet
-# and are due a round-5 slot, together with the ten r2-covered queries
-# below.
+# Queries REGISTERED AFTER this rotation have no driver row yet and are
+# due a round-5 slot, together with the ten r2-covered queries below.
+# Round-4 additions, in registration order: corpus_chunk_overlap,
+# late_supplier_blame, embedding_neardups_lsh_checked, text_pii_scrub,
+# embedding_quantize_int8, bigram_logprob_score; then the late-round-4
+# widening — OLAP shapes (order_priority_exists, market_share_by_year,
+# customer_order_distribution, promo_revenue_share,
+# top_supplier_revenue, small_qty_order_revenue,
+# disjunctive_part_revenue, idle_rich_customers), analytics
+# (running_revenue_share, customer_order_gap_stats,
+# acctbal_decile_profile, order_month_streaks, null_rate_audit),
+# bucketed storage (bucketed_join_revenue, bucketed_key_lookup),
+# ML prep (vocab_build_topk, embedding_random_projection),
+# incremental_agg_merge, the deterministic count-min sketch
+# (cms_heavy_hitters), and the window-frame pair
+# (trailing_week_revenue, acctbal_relative_standing).  That is 27
+# first-in-line r5 candidates + the ten listed below; all are exercised
+# every round by the full-catalog local oracle-parity +
+# partition-invariance suites.
 # Those ten stay out one more round; each was chosen
 # because a NEAR-TWIN sharing its plan/kernel is freshly green
 # (r3 or this window) and the full-catalog local oracle-parity +

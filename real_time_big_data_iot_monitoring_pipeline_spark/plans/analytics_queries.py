@@ -258,3 +258,72 @@ def null_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(cols)}, {stack_expr}) AS (col_name, n_null, null_rate, n_distinct)"
     )
+
+
+@register(
+    "trailing_week_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_custkey,
+               CAST(floor(EXTRACT(epoch FROM o_orderdate) / 86400) AS BIGINT) AS day_idx,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY o_custkey, day_idx
+    )
+    SELECT o_custkey, day_idx,
+           CAST(sum(rev_cents) OVER w / 1 AS BIGINT) AS trail_cents,
+           CAST(count(*) OVER w AS BIGINT) AS active_days_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("analytics", "window", "range-frame"),
+)
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer via a RANGE (value-based)
+    window frame — the time-interval frame ROWS BETWEEN cannot express
+    when days are missing.  Pre-aggregating to (customer, day) first
+    keeps the window input at one row per active day; the frame then
+    partitions by customer (parallel across customers) and the range
+    bound works on the integer epoch-day key, which is timezone-free
+    and makes peer handling identical in both engines.  Exact-cents
+    sums keep the trailing totals bit-identical."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    daily = o.groupBy(
+        "o_custkey",
+        F.floor(F.unix_seconds("o_orderdate") / F.lit(86400)).cast("long").alias("day_idx"),
+    ).agg(F.sum(as_cents(F.col("o_totalprice"))).alias("rev_cents"))
+    w = Window.partitionBy("o_custkey").orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "o_custkey",
+        "day_idx",
+        F.sum("rev_cents").over(w).alias("trail_cents"),
+        F.count(F.lit(1)).over(w).alias("active_days_7d"),
+    )
+
+
+@register(
+    "acctbal_relative_standing",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER w + 1e-8, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w + 1e-8, 6) AS cume_d
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("analytics", "window", "distribution"),
+)
+def acctbal_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per market segment: each customer's
+    relative standing within their segment.  Partitioned by segment (the
+    sort parallelizes across segments); the ordering carries c_custkey
+    as a unique tie-break so rank positions — and therefore both
+    distribution values — are identical across engines.  Both functions
+    ride ONE window spec, so one sort serves both outputs."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        round_det(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_det(F.cume_dist().over(w), 6).alias("cume_d"),
+    )

@@ -391,22 +391,32 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > (SELECT avg_bal FROM cutoff)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
     GROUP BY n.n_name
     """,
     tags=("olap", "tpch-q22", "anti-join", "scalar-subquery"),
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers who never placed
-    an order, rolled up per nation.  The scalar subquery (average
-    positive balance, exact cents) is a 1-row broadcast; the NOT EXISTS
-    is a LEFT ANTI join against the DISTINCT o_custkey projection — at
-    scale the anti join shuffles only distinct customer keys, never full
-    orders rows, and the balance cut applies BEFORE the shuffle so the
-    probe side is already thinned."""
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    order (none since 2000-01-01), rolled up per nation.  The scalar
+    subquery (average positive balance, exact cents) is a 1-row
+    broadcast; the NOT EXISTS is a LEFT ANTI join against the DISTINCT
+    recent-o_custkey projection — at scale the anti join shuffles only
+    distinct customer keys, never full orders rows; the date filter
+    pushes to the orders scan and the balance cut applies BEFORE the
+    shuffle so the probe side is already thinned."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
-    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= utc_ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+        .distinct()
+    )
     cutoff = F.broadcast(
         c.filter(F.col("c_acctbal") > 0.0).agg(
             (F.sum(as_cents(F.col("c_acctbal"))) / (100.0 * F.count(F.lit(1)))).alias("avg_bal")

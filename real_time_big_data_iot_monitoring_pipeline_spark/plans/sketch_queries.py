@@ -1,0 +1,115 @@
+"""Deterministic sketch queries (round-4 widening).
+
+`approx_distinct_users` already covers Spark's built-in HLL (rows-only —
+engine-specific registers).  This module adds a COUNT-MIN SKETCH whose
+every ingredient is engine-portable — the same per-char fold hash the
+portable MinHash family uses (`operators/dedup.PORTABLE_P`), Knuth-style
+row seeds, fixed width — so the full sketch pipeline (hash -> bucket ->
+counters -> min-estimate) is value-hash-checked against DuckDB, unusual
+for a probabilistic structure.  The point the query demonstrates: sketch
+ERROR IS OBSERVABLE — the output carries exact count, estimate, and the
+(provably non-negative) overestimate side by side.
+
+Scale design: term frequencies aggregate FIRST (one shuffle, vocab-sized
+output); the per-token hash runs once per DISTINCT token, not per
+occurrence; the counter table is d x w = 1024 rows — broadcastable
+forever; estimates join probe tokens against it map-side.  At 100 TB the
+only cost that grows is the initial word count, which is the canonical
+scan-speed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.operators.dedup import (
+    PORTABLE_P,
+    _portable_hash,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+_D, _W = 4, 256  # sketch depth (hash rows) and width (buckets per row)
+
+_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a * 131 + b) % {PORTABLE_P})"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE length(token) > 0
+        GROUP BY token
+    ), hashed AS (
+        SELECT token, exact_freq, {_HASH_SQL} AS h FROM freq
+    ), buckets AS (
+        SELECT token, exact_freq, i,
+               ((2 * i + 1) * h + 1000003 * i) % {PORTABLE_P} % {_W} AS bucket
+        FROM hashed, (SELECT unnest(generate_series(0, {_D - 1})) AS i)
+    ), counters AS (
+        SELECT i, bucket, sum(exact_freq) AS cnt FROM buckets GROUP BY i, bucket
+    ), probes AS (
+        SELECT token, exact_freq FROM freq
+        ORDER BY exact_freq DESC, token LIMIT 20
+    ), est AS (
+        SELECT p.token, p.exact_freq, min(c.cnt) AS cms_estimate
+        FROM probes p
+        JOIN buckets b ON b.token = p.token
+        JOIN counters c ON c.i = b.i AND c.bucket = b.bucket
+        GROUP BY p.token, p.exact_freq
+    )
+    SELECT token, exact_freq, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_freq AS BIGINT) AS overestimate
+    FROM est
+    """,
+    tags=("sketch", "count-min", "approximate"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=256) over corpus tokens, evaluated on
+    the 20 most frequent terms with exact count, sketch estimate, and
+    the overestimate (always >= 0 — CMS never undercounts) side by side.
+    Every stage is deterministic: the portable per-char fold hash runs
+    once per DISTINCT token over the pre-aggregated frequency table, the
+    d x w = 1024-row counter table broadcasts into the probe join, and
+    the min-over-rows estimate is exact integer arithmetic — so the
+    whole probabilistic structure value-hashes against the DuckDB
+    replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_freq"))
+    )
+    hashed = freq.withColumn("h", _portable_hash(F.col("token")))
+    buckets = hashed.select(
+        "token",
+        "exact_freq",
+        F.explode(F.array(*[F.lit(i) for i in range(_D)])).alias("i"),
+        "h",
+    ).withColumn(
+        "bucket", ((2 * F.col("i") + 1) * F.col("h") + 1000003 * F.col("i")) % PORTABLE_P % _W
+    )
+    counters = F.broadcast(
+        buckets.groupBy("i", "bucket").agg(F.sum("exact_freq").alias("cnt"))
+    )
+    probes = freq.orderBy(F.col("exact_freq").desc(), "token").limit(20)
+    est = (
+        probes.join(buckets.select("token", "i", "bucket"), "token")
+        .join(counters, ["i", "bucket"])
+        .groupBy("token", "exact_freq")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_freq",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_freq")).alias("overestimate"),
+    )

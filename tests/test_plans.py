@@ -245,12 +245,13 @@ def test_q15_argmax_broadcasts_scalar(spark, sf_dir):
 
 def test_q22_anti_join_on_distinct_keys(spark, sf_dir):
     """idle_rich_customers: NOT EXISTS compiles to a LEFT ANTI join whose
-    build side is the distinct o_custkey projection — the orders scan
-    must read just that one column."""
+    build side is the distinct recent-o_custkey projection — the orders
+    scan must read only the key + the pushed date filter's column."""
     df = REGISTRY["idle_rich_customers"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "LeftAnti" in plan, plan
-    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp>" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
 
 
 def test_running_share_windows_on_preaggregated_frame(spark, sf_dir):
