@@ -288,3 +288,62 @@ def test_quantize_int8_zero_vector(spark):
     assert rows[1].max_abs_err_e8 == 0 and rows[1].mean_abs_err_e8 == 0
     # the unit vector saturates exactly one lane and reconstructs exactly
     assert rows[2].n_sat == 1 and rows[2].max_abs_err_e8 == 0
+
+
+def test_rademacher_project_empty_and_zero_vec(spark):
+    """Empty input projects to an empty frame with the full schema; a
+    zero vector projects to exact zeros (no NaNs from the fold)."""
+    from pyspark.sql import types as T
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        rademacher_project,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = rademacher_project(empty, 8, 4)
+    assert out.count() == 0
+    assert [c for c in out.columns if c.startswith("p")] == ["p00", "p01", "p02", "p03"]
+
+    zero = spark.createDataFrame([(1, [0.0] * 8)], schema)
+    row = rademacher_project(zero, 8, 4).collect()[0]
+    assert all(row[f"p{k:02d}"] == 0.0 for k in range(4))
+
+
+def test_incremental_merge_empty_batch_equals_store(spark, tmp_path):
+    """Merging an EMPTY batch must reproduce the store's rollup exactly
+    (identity property of the partial-aggregate merge)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans.incremental_queries import (
+        _partials,
+    )
+
+    events = spark.createDataFrame(
+        [(i, f"t{i % 2}", float(i)) for i in range(20)], "event_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 3600).alias("ts"),
+        "event_type",
+        "value",
+    )
+    store = _partials(events)
+    empty = events.filter(F.lit(False))
+    merged = (
+        store.unionByName(_partials(empty))
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    a = sorted(map(tuple, store.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b

@@ -324,3 +324,22 @@ def test_incremental_merge_never_rescans_history(spark, sf_dir):
     events_scan = [seg for seg in plan.split("FileScan parquet") if "events.parquet" in seg]
     assert len(events_scan) == 1, plan
     assert "GreaterThanOrEqual(ts" in events_scan[0], events_scan[0][:500]
+
+
+def test_cms_counters_broadcast_into_probe_join(spark, sf_dir):
+    """cms_heavy_hitters: the d x w counter table must broadcast (it is
+    bounded at 1024 rows forever); the probe join must not shuffle the
+    corpus-sized side."""
+    df = REGISTRY["cms_heavy_hitters"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_trailing_week_uses_range_frame_partitioned(spark, sf_dir):
+    """trailing_week_revenue: RANGE frame window partitioned by customer
+    over the pre-aggregated daily frame — aggregate below the window."""
+    df = REGISTRY["trailing_week_revenue"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Window" in plan, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
