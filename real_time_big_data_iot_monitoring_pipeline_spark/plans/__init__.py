@@ -44,8 +44,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # bucketed storage (bucketed_join_revenue, bucketed_key_lookup),
 # ML prep (vocab_build_topk, embedding_random_projection),
 # incremental_agg_merge, the deterministic count-min sketch
-# (cms_heavy_hitters), and the window-frame pair
-# (trailing_week_revenue, acctbal_relative_standing).  That is 27
+# (cms_heavy_hitters), the window-frame pair
+# (trailing_week_revenue, acctbal_relative_standing), and
+# asof_join_forward_tolerance.  That is 28
 # first-in-line r5 candidates + the ten listed below; all are exercised
 # every round by the full-catalog local oracle-parity +
 # partition-invariance suites.

@@ -341,3 +341,64 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = clickers.intersect(buyers).select("user_id", F.lit("both").alias("tag"))
     click_only = clickers.exceptAll(buyers).select("user_id", F.lit("click_only").alias("tag"))
     return both.unionByName(click_only)
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH u AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        FROM events WHERE event_type IN ('click', 'error')
+    ),
+    filled AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               first_value(click_id IGNORE NULLS) OVER w AS next_click_id,
+               first_value(click_us IGNORE NULLS) OVER w AS next_click_us
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN next_click_us - ts_us <= 300000000 THEN next_click_id END AS next_click_id,
+           CASE WHEN next_click_us - ts_us <= 300000000
+                THEN CAST(floor((next_click_us - ts_us) / 1000000) AS BIGINT) END AS lead_seconds
+    FROM filled WHERE event_type = 'error'
+    """,
+    tags=("joins", "asof", "forward", "tolerance", "custom-operator"),
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, FORWARD direction with a tolerance bound: for every
+    error event, the same user's NEXT click — but only if it lands
+    within 5 minutes (pandas `merge_asof(direction='forward',
+    tolerance=...)` semantics).  Same scale shape as the backward twin
+    (`asof_join_events`): union-tag + `first(ignorenulls)` over the
+    forward frame — one per-user sort, no row explosion, and the
+    tolerance is a post-window null-out, not a join condition, so the
+    plan stays a single window pass."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    filled = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.first(click_id, ignorenulls=True).over(w).alias("next_click_id"),
+        F.first(click_us, ignorenulls=True).over(w).alias("next_click_us"),
+    )
+    within = (F.col("next_click_us") - F.col("ts_us")) <= 300_000_000
+    return filled.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("next_click_id")).alias("next_click_id"),
+        F.when(within, F.floor((F.col("next_click_us") - F.col("ts_us")) / 1_000_000).cast("long")).alias(
+            "lead_seconds"
+        ),
+    )
