@@ -24,7 +24,7 @@ incremental path loses nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
@@ -113,4 +113,73 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.col("sum_cents") / (100.0 * F.col("cnt")), 4).alias("avg_value"),
         "vmin",
         "vmax",
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH snap1 AS (
+        SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+               1 AS version
+        FROM customer
+    ), snap2 AS (
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT)
+               + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal_cents,
+               2 AS version
+        FROM customer
+    ), snaps AS (
+        SELECT * FROM snap1 UNION ALL SELECT * FROM snap2
+    ), changed AS (
+        SELECT c_custkey, bal_cents, version,
+               lag(bal_cents) OVER w AS prev_bal
+        FROM snaps
+        WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+    ), hist AS (
+        SELECT c_custkey, bal_cents, version AS valid_from,
+               lead(version) OVER (PARTITION BY c_custkey ORDER BY version) AS next_from
+        FROM changed
+        WHERE prev_bal IS NULL OR bal_cents <> prev_bal
+    )
+    SELECT c_custkey,
+           ROUND(bal_cents / 100.0 + 1e-8, 2) AS acctbal,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(next_from - 1 AS BIGINT) AS valid_to,
+           next_from IS NULL AS is_current
+    FROM hist
+    """,
+    tags=("incremental", "scd2", "dimension-history"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from versioned snapshots:
+    union the snapshots, keep only rows whose tracked attribute CHANGED
+    vs the previous version (lag), then derive [valid_from, valid_to]
+    intervals with lead — every unchanged snapshot row collapses away,
+    which is what keeps an SCD2 table proportional to CHANGES, not
+    snapshots x rows.  All three windows share one partition key
+    (c_custkey), so the whole build rides a single exchange.  The second
+    snapshot is derived deterministically (+100.00 for every 7th key) so
+    the oracle replays the identical history."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bal = as_cents(F.col("c_acctbal"))
+    snap1 = c.select("c_custkey", bal.alias("bal_cents"), F.lit(1).alias("version"))
+    snap2 = c.select(
+        "c_custkey",
+        (bal + F.when(F.col("c_custkey") % 7 == 0, 10000).otherwise(0)).alias("bal_cents"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    changed = (
+        snap1.unionByName(snap2)
+        .withColumn("prev_bal", F.lag("bal_cents").over(w))
+        .filter(F.col("prev_bal").isNull() | (F.col("bal_cents") != F.col("prev_bal")))
+    )
+    hist = changed.withColumn("next_from", F.lead("version").over(w))
+    return hist.select(
+        "c_custkey",
+        round_det(F.col("bal_cents") / 100.0, 2).alias("acctbal"),
+        F.col("version").cast("long").alias("valid_from"),
+        (F.col("next_from") - 1).cast("long").alias("valid_to"),
+        F.col("next_from").isNull().alias("is_current"),
     )
