@@ -44,12 +44,14 @@ _DIM_IN, _DIM_OUT = 64, 16
 def vocab_build_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (top 50, min count 2) with stable ids:
     the step that turns a corpus into a tokenizer table.  The heavy work
-    is the token count (explode + partial agg — scan-speed); the
-    row_number window then runs over the AGGREGATED vocabulary, whose
-    cardinality is vocab-sized (bounded by language, not corpus bytes),
-    so the single-partition ranking of the top slice is deliberate and
-    cheap.  (freq desc, token) ordering carries the unique token as a
-    tie-break so ids are deterministic across engines."""
+    is the token count (explode + partial agg — scan-speed).  The top-50
+    slice is taken FIRST via sort+limit — which Spark compiles to
+    TakeOrderedAndProject (per-partition top-k + k-row merge, never a
+    global sort of the vocabulary) — and the row_number id assignment
+    then runs over just those 50 rows; ranking before limiting would
+    drag the entire vocab through a single-partition window.  (freq
+    desc, token) ordering carries the unique token as a tie-break so ids
+    are deterministic across engines."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -58,12 +60,9 @@ def vocab_build_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 2)
     )
+    top = vocab.orderBy(F.col("freq").desc(), F.col("token")).limit(50)
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    return (
-        vocab.select(F.row_number().over(w).cast("long").alias("vocab_id"), "token", "freq")
-        .orderBy("vocab_id")
-        .limit(50)
-    )
+    return top.select(F.row_number().over(w).cast("long").alias("vocab_id"), "token", "freq")
 
 
 @register(

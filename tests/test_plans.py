@@ -343,3 +343,13 @@ def test_trailing_week_uses_range_frame_partitioned(spark, sf_dir):
     assert "Window" in plan, plan
     assert "hashpartitioning(o_custkey" in plan, plan
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_vocab_topk_takes_ordered_before_ranking(spark, sf_dir):
+    """vocab_build_topk: the top-50 slice must compile to
+    TakeOrderedAndProject BELOW the id-assignment window, so the global
+    row_number only ever sees 50 rows — never the whole vocabulary."""
+    df = REGISTRY["vocab_build_topk"].build(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
