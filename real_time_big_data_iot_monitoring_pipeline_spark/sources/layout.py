@@ -135,3 +135,67 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) key: interleave the low `bits` bits of two
+    non-negative integer columns into one long.
+
+    Sorting a file layout by this key clusters rows that are close in
+    BOTH dimensions into the same parquet row groups, so min/max
+    row-group statistics prune two-dimensional predicates (e.g.
+    `user BETWEEN ... AND day BETWEEN ...`) — a single-column sort can
+    only prune one of the two.  This is the open-table-format "Z-ORDER
+    BY" as a pure column expression: a fixed chain of shift/or terms,
+    fully inside whole-stage codegen.
+
+    Columns must already be bounded to `bits` bits (mask or bucket them
+    first); values are clamped defensively with a mask so an outlier
+    cannot corrupt the ordering of unrelated rows.
+
+    NORMALIZE both dimensions to the full bit width before calling: a
+    column whose domain uses fewer bits than the other contributes
+    constant high interleave bits, and the Morton order degenerates to
+    a single-column sort for it.  Measured in
+    tools/scale_probe_zorder.py: a 9-bit day raw-interleaved with a
+    14-bit user pruned NOTHING on day; scaling day into the 14-bit
+    range gave 17% row groups read on day-only predicates and 5% on the
+    two-dimensional box."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    mask = F.lit((1 << bits) - 1)
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("long").bitwiseAND(mask)
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("long").bitwiseAND(mask)
+    key: Column = F.lit(0).cast("long")
+    one = F.lit(1)
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1))
+    return key
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    key,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` range-partitioned and sorted by a clustering key
+    (typically `zorder_key(...)`): each output file covers a tight key
+    range, and within a file the rows are key-ordered, so every parquet
+    row group carries tight min/max statistics on the clustered
+    columns.  The one-time range shuffle is the investment; every
+    predicate on the clustered dimensions afterwards reads a fraction
+    of the row groups."""
+    tmp = "_cluster_key"
+    (
+        df.withColumn(tmp, key)
+        .repartitionByRange(n_files, F.col(tmp))
+        .sortWithinPartitions(tmp)
+        .drop(tmp)
+        .write.mode(mode)
+        .parquet(path)
+    )
