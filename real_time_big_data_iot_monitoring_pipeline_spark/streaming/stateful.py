@@ -236,3 +236,110 @@ except ImportError:  # pragma: no cover - older PySpark without the API
 
     def extremes_stream(readings: DataFrame) -> DataFrame:
         raise NotImplementedError("transformWithStateInPandas requires PySpark >= 4.0")
+
+
+# --- CUSUM drift detection ---------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("n_alarms", T.LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("n_alarms", T.LongType()),
+    ]
+)
+
+
+def _lindley_scan(s0: float, d):
+    """Vectorized Lindley recursion s_i = max(0, s_{i-1} + d_i): with
+    prefix sums C_i = s0 + cumsum(d), the reflected walk is
+    s_i = C_i - min(0, min_{j<=i} C_j) — one cumsum + one cummin instead
+    of a Python loop per row."""
+    import numpy as np
+
+    C = s0 + np.cumsum(d)
+    floor = np.minimum(np.minimum.accumulate(C), 0.0)
+    return C - floor
+
+
+def cusum_update(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    target: float = 22.0,
+    slack: float = 0.5,
+    h: float = 5.0,
+) -> Iterator[pd.DataFrame]:
+    """Two-sided CUSUM drift detector (Page 1954): accumulate deviations
+    beyond `slack` from the `target` mean; an upward (downward) drift
+    alarm fires each time the positive (negative) accumulator crosses
+    the decision threshold `h` from below.  State per key is O(1) —
+    (count, the two accumulators, alarm count) — so, like the EWMA,
+    state-store size scales with key count, not stream length.
+
+    The per-batch fold is VECTORIZED: the max(0, .) recurrence is a
+    reflected random walk, computed with a cumsum + running-min (Lindley
+    scan) instead of a per-row Python loop; alarm crossings count the
+    below->above transitions of the scanned series.  Rows are processed
+    in (timestamp, value) order so replayed micro-batches rebuild
+    identical state."""
+    import numpy as np
+
+    if state.exists:
+        n_seen, s_pos, s_neg, n_alarms = state.get
+    else:
+        n_seen, s_pos, s_neg, n_alarms = 0, 0.0, 0.0, 0
+
+    for pdf in batches:
+        pdf = pdf.sort_values(["timestamp", "temperature"])
+        x = pdf["temperature"].to_numpy(dtype=float)
+        if len(x) == 0:
+            continue
+        pos_series = _lindley_scan(s_pos, x - target - slack)
+        neg_series = _lindley_scan(s_neg, target - x - slack)
+        for series, prev in ((pos_series, s_pos), (neg_series, s_neg)):
+            above = series > h
+            prev_above = np.concatenate(([prev > h], above[:-1]))
+            n_alarms += int(np.sum(above & ~prev_above))
+        s_pos = float(pos_series[-1])
+        s_neg = float(neg_series[-1])
+        n_seen += len(x)
+
+    state.update((n_seen, s_pos, s_neg, n_alarms))
+    yield pd.DataFrame(
+        {
+            "sensor_id": [key[0]],
+            "n_seen": [n_seen],
+            "s_pos": [round(s_pos + 1e-8, 6)],
+            "s_neg": [round(s_neg + 1e-8, 6)],
+            "n_alarms": [n_alarms],
+        }
+    )
+
+
+def cusum_stream(
+    readings: DataFrame, target: float = 22.0, slack: float = 0.5, h: float = 5.0
+) -> DataFrame:
+    """Attach the stateful CUSUM operator to a (streaming) readings
+    frame.  Emits one updated row per sensor per micro-batch."""
+
+    def fn(key, batches, state):
+        return cusum_update(key, batches, state, target=target, slack=slack, h=h)
+
+    return readings.groupBy("sensor_id").applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -223,3 +223,61 @@ def test_transform_with_state_extremes(spark, tmp_path):
         g = final[sid]
         assert (g.n_seen, g.min_temp, g.max_temp) == (w.n, w.mn, w.mx)
         assert g.avg_temp == pytest.approx(w.avg, abs=1e-4)
+
+
+def _python_cusum(values, target=22.0, slack=0.5, h=5.0):
+    s_pos = s_neg = 0.0
+    alarms = 0
+    for v in values:
+        p_prev, n_prev = s_pos, s_neg
+        s_pos = max(0.0, s_pos + (v - target - slack))
+        s_neg = max(0.0, s_neg + (target - v - slack))
+        if s_pos > h and p_prev <= h:
+            alarms += 1
+        if s_neg > h and n_prev <= h:
+            alarms += 1
+    return s_pos, s_neg, alarms
+
+
+def test_stateful_cusum_matches_python(spark, tmp_path):
+    """Multi-micro-batch CUSUM replay equals the sequential Python fold
+    — proving both the cross-batch state carry AND the vectorized
+    Lindley-scan kernel (cumsum + running-min) against the one-row-at-a-
+    time reference recurrence."""
+    df = sensors.readings(spark, hours=4)
+    path = str(tmp_path / "readings")
+    df.orderBy("timestamp").coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = pipeline.file_source(spark, path, schema=df.schema, max_files_per_trigger=1)
+    out = stateful.cusum_stream(stream)
+    name = f"cusum_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+    final = (
+        spark.table(name)
+        .groupBy("sensor_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.expr("max_by(s_pos, n_seen)").alias("s_pos"),
+            F.expr("max_by(s_neg, n_seen)").alias("s_neg"),
+            F.expr("max_by(n_alarms, n_seen)").alias("n_alarms"),
+        )
+        .collect()
+    )
+    rows = df.orderBy("timestamp", "temperature").collect()
+    by_sensor: dict[str, list[float]] = {}
+    for r in rows:
+        by_sensor.setdefault(r.sensor_id, []).append(r.temperature)
+    assert len(final) == len(by_sensor)
+    total_alarms = 0
+    for row in final:
+        want_pos, want_neg, want_alarms = _python_cusum(by_sensor[row.sensor_id])
+        assert row.n_seen == len(by_sensor[row.sensor_id])
+        assert row.s_pos == pytest.approx(want_pos, abs=1e-5)
+        assert row.s_neg == pytest.approx(want_neg, abs=1e-5)
+        assert row.n_alarms == want_alarms
+        total_alarms += row.n_alarms
+    # the synthetic diurnal feed must actually exercise the detector
+    assert total_alarms > 0
