@@ -87,6 +87,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_freq"))
+        # the frequency table feeds THREE consumers (probes, bucket
+        # fan-out, counters); without materialization Spark re-derives
+        # it from the corpus each time — three corpus scans where one
+        # suffices.  A lazy localCheckpoint pins the vocab-sized frame
+        # on first use (same pattern as the components closure).
+        .localCheckpoint(eager=False)
     )
     hashed = freq.withColumn("h", _portable_hash(F.col("token")))
     buckets = hashed.select(
