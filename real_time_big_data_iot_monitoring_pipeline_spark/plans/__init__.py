@@ -46,7 +46,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # incremental_agg_merge, the deterministic count-min sketch
 # (cms_heavy_hitters), the window-frame pair
 # (trailing_week_revenue, acctbal_relative_standing), and
-# asof_join_forward_tolerance and scd2_customer_history.  That is 29
+# asof_join_forward_tolerance, scd2_customer_history,
+# ewma_batch_per_user, and mad_anomaly.  That is 31
 # first-in-line r5 candidates + the ten listed below; all are exercised
 # every round by the full-catalog local oracle-parity +
 # partition-invariance suites.

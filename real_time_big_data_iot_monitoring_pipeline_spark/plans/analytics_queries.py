@@ -327,3 +327,98 @@ def acctbal_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.percent_rank().over(w), 6).alias("pct_rank"),
         round_det(F.cume_dist().over(w), 6).alias("cume_d"),
     )
+
+
+@register(
+    "ewma_batch_per_user",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               array_agg(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) + 1e-8, 6) AS ewma
+    FROM per_user
+    """,
+    tags=("analytics", "recurrence", "ewma"),
+)
+def ewma_batch_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.2) as a BATCH recurrence with an exact
+    oracle — the sequential fold ewma_i = a*x_i + (1-a)*ewma_{i-1} that
+    no window frame can express.  Each user's ordered values collect
+    into an array (sort_array over (ts, event_id, value) structs — a
+    deterministic total order) and `aggregate` folds it left-to-right;
+    DuckDB's `list_reduce` executes the IDENTICAL IEEE operation
+    sequence, so even this order-sensitive float recurrence value-hashes
+    across engines.  One shuffle on user_id; per-user arrays are
+    event-count-bounded per key (the same bound any per-key recurrence
+    needs), and the streaming twin (`stateful.ewma_stream`) is the
+    unbounded-stream form of the same fold."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        F.expr("slice(vals, 2, size(vals))"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(arr.alias("_arr"))
+        .select(
+            "user_id",
+            F.transform(F.col("_arr"), lambda s: s.getField("value")).alias("vals"),
+        )
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n_events"),
+            round_det(fold, 6).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "mad_anomaly",
+    oracle="""
+    WITH med AS (
+        SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m FROM events
+    ), dev AS (
+        SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med.m)) AS mad, any_value(med.m) AS m
+        FROM events, med
+    )
+    SELECT e.event_id, e.value,
+           ROUND(abs(e.value - dev.m) / (1.4826 * dev.mad) + 1e-8, 4) AS robust_z
+    FROM events e, dev
+    WHERE abs(e.value - dev.m) > 3.5 * 1.4826 * dev.mad
+    """,
+    tags=("analytics", "anomaly", "robust"),
+)
+def mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust twin of
+    `iqr_anomaly` (a single wild value cannot move the MAD the way it
+    moves a standard deviation).  Two exact-percentile passes (median,
+    then median of absolute deviations), each a 1-row aggregate
+    BROADCAST into the row-level flag pass — the same no-driver-collect
+    shape as the IQR fences; 1.4826 rescales MAD to sigma-equivalent
+    units and 3.5 is the conventional robust-z cut."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    med = F.broadcast(e.agg(F.expr("percentile(value, 0.5)").alias("m")))
+    dev = F.broadcast(
+        e.crossJoin(med)
+        .agg(
+            F.expr("percentile(abs(value - m), 0.5)").alias("mad"),
+            F.first("m").alias("m"),
+        )
+    )
+    return (
+        e.crossJoin(dev)
+        .filter(F.abs(F.col("value") - F.col("m")) > 3.5 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "value",
+            round_det(F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("mad")), 4).alias(
+                "robust_z"
+            ),
+        )
+    )
