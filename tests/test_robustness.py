@@ -38,6 +38,20 @@ TZ_SENSITIVE = [
     "big_orders_customers",
     "volume_shipping",
     "stream_interval_join",
+    # round-4 additions with date extraction / date-literal bounds /
+    # epoch-day arithmetic
+    "market_share_by_year",
+    "running_revenue_share",
+    "order_month_streaks",
+    "customer_order_gap_stats",
+    "trailing_week_revenue",
+    "order_priority_exists",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "idle_rich_customers",
+    "incremental_agg_merge",
+    "asof_join_forward_tolerance",
+    "ewma_batch_per_user",
 ]
 
 
