@@ -347,3 +347,44 @@ def test_incremental_merge_empty_batch_equals_store(spark, tmp_path):
     a = sorted(map(tuple, store.collect()))
     b = sorted(map(tuple, merged.collect()))
     assert a == b
+
+
+def test_scd2_identical_snapshots_collapse_to_current(spark):
+    """If nothing changed between snapshots, the SCD2 build must emit
+    exactly one CURRENT row per key (the unchanged second snapshot
+    collapses away)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = spark.createDataFrame([(1, 10.0), (2, 20.0)], "c_custkey long, c_acctbal double")
+    snap1 = c.select("c_custkey", F.col("c_acctbal").alias("bal"), F.lit(1).alias("version"))
+    snap2 = c.select("c_custkey", F.col("c_acctbal").alias("bal"), F.lit(2).alias("version"))
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    changed = (
+        snap1.unionByName(snap2)
+        .withColumn("prev", F.lag("bal").over(w))
+        .filter(F.col("prev").isNull() | (F.col("bal") != F.col("prev")))
+    )
+    hist = changed.withColumn("next_from", F.lead("version").over(w)).collect()
+    assert len(hist) == 2
+    assert all(r.next_from is None for r in hist)  # every row is current
+
+
+def test_lindley_scan_empty_and_matches_loop(spark):
+    """The vectorized CUSUM scan handles empty input and equals the
+    sequential recurrence on random walks crossing zero repeatedly."""
+    import numpy as np
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming.stateful import _lindley_scan
+
+    assert list(_lindley_scan(3.0, np.array([]))) == []
+    rng = np.random.default_rng(11)
+    for s0 in (0.0, 2.5):
+        d = rng.normal(0, 1, 500)
+        want = []
+        s = s0
+        for x in d:
+            s = max(0.0, s + x)
+            want.append(s)
+        got = _lindley_scan(s0, d)
+        assert np.allclose(got, want)
