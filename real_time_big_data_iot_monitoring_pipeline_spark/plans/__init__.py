@@ -47,7 +47,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # (cms_heavy_hitters), the window-frame pair
 # (trailing_week_revenue, acctbal_relative_standing), and
 # asof_join_forward_tolerance, scd2_customer_history,
-# ewma_batch_per_user, and mad_anomaly.  That is 31
+# ewma_batch_per_user, mad_anomaly, and stream_sliding_window.  That
+# is 32
 # first-in-line r5 candidates + the ten listed below; all are exercised
 # every round by the full-catalog local oracle-parity +
 # partition-invariance suites.

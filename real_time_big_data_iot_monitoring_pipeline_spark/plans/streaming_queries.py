@@ -443,3 +443,50 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
     )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 - o.off AS BIGINT) AS window_start,
+           count(*) AS cnt,
+           ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value))) + 1e-8, 4) AS avg_value
+    FROM events, (VALUES (0), (300)) o(off)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "T2", "sliding", "equivalence"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streamed SLIDING windows (10-minute windows every 5), the
+    last windowed-agg shape without a streaming replay: each event feeds
+    TWO live window states at once, so the incremental merge is
+    exercised with overlapping state — strictly more state churn than
+    the tumbling replay.  Same harness as `stream_tumbling_window`
+    (multi-micro-batch file replay, complete mode, executor-side parquet
+    sink, computed once per session+sf_dir); the oracle is the batch
+    sliding aggregation, so the driver's value-hash doubles as the
+    batch/stream equivalence proof for overlapping windows."""
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_sliding_window")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = (
+            stream.groupBy(
+                "event_type", F.window("ts", "10 minutes", "5 minutes").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                avg_fixed(F.col("value")).alias("avg_value"),
+            )
+            .select(
+                "event_type",
+                F.unix_seconds(F.col("w.start")).alias("window_start"),
+                "cnt",
+                "avg_value",
+            )
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="complete")
+    return spark.read.parquet(result)
