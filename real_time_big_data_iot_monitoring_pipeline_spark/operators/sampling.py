@@ -72,6 +72,27 @@ def split_assign(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Frequency capping: keep at most `cap` rows per group, chosen as a
+    deterministic uniform draw (hash rank, unique id tie-break) — the
+    domain-capping step every web-scale corpus applies so one mega-domain
+    cannot dominate the training mix.  One shuffle on the group key; the
+    per-group state is a bounded top-`cap` heap (row_number + filter
+    lowers to a rank-limited sort within each group), so a 100 TB corpus
+    with a million domains streams through without any group ever
+    materializing beyond its partition."""
+    w = Window.partitionBy(group_col).orderBy(det_hash(id_col), F.col(id_col))
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= F.lit(cap))
+    )
+
+
 def token_budget(
     df: DataFrame,
     group_cols: list[str],

@@ -14,62 +14,46 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans import storage_queri
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import mlprep_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import incremental_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import sketch_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import behavior_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import matching_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY, Query, register
 
 # The driver's correctness gate hashes the FIRST 50 registry entries, in
-# `queries()` iteration order (round-1 verdict, "What's wrong" #1).  The
-# window below makes that ordering EXPLICIT instead of an import-order
-# side effect.  ROUND-4 ROTATION (round-3 verdict, "Next round" #1):
-# the r2 window hash-checked the reference-parity core + LLM-pipeline
-# set (46/46 green, CORRECTNESS_r02.json); the r3 window hash-checked
-# the join/extension/text/corpus sets + round-3 registrations (50/50
-# green, CORRECTNESS_r03.json).  This round:
-#   * every oracle-bearing query that has NEVER had a driver row — the
-#     13 registered after the r3 rotation plus this round's
-#     `stream_dead_letter_rate` — gets its first one;
-#   * the remaining 35 slots go to the STALEST queries (r2 rows, none
-#     since — two rounds old).
-# `flagship_window_agg` stays pinned as the every-round sentinel.
-# Queries REGISTERED AFTER this rotation have no driver row yet and are
-# due a round-5 slot, together with the ten r2-covered queries below.
-# Round-4 additions, in registration order: corpus_chunk_overlap,
-# late_supplier_blame, embedding_neardups_lsh_checked, text_pii_scrub,
-# embedding_quantize_int8, bigram_logprob_score; then the late-round-4
-# widening — OLAP shapes (order_priority_exists, market_share_by_year,
-# customer_order_distribution, promo_revenue_share,
-# top_supplier_revenue, small_qty_order_revenue,
-# disjunctive_part_revenue, idle_rich_customers), analytics
-# (running_revenue_share, customer_order_gap_stats,
-# acctbal_decile_profile, order_month_streaks, null_rate_audit),
-# bucketed storage (bucketed_join_revenue, bucketed_key_lookup),
-# ML prep (vocab_build_topk, embedding_random_projection),
-# incremental_agg_merge, the deterministic count-min sketch
-# (cms_heavy_hitters), the window-frame pair
-# (trailing_week_revenue, acctbal_relative_standing), and
-# asof_join_forward_tolerance, scd2_customer_history,
-# ewma_batch_per_user, mad_anomaly, and stream_sliding_window.  That
-# is 32
-# first-in-line r5 candidates + the ten listed below; all are exercised
-# every round by the full-catalog local oracle-parity +
-# partition-invariance suites.
-# Those ten stay out one more round; each was chosen
-# because a NEAR-TWIN sharing its plan/kernel is freshly green
-# (r3 or this window) and the full-catalog local oracle-parity +
-# partition-invariance suites still run them every round.  They are
-# FIRST IN LINE for the round-5 window:
-#   dedup_minhash_portable / dedup_simhash_portable (staged *_checked
-#     twins green r3), embedding_ivf_topk / embedding_ivf_kmeans_topk
-#     (multiprobe green r3, persisted variants in this window),
-#   embedding_cosine_neardups / dedup_components (same kernels as
-#     embedding_dedup_components, green r3), rollup_type_user
-#     (cube_type_day_stats green r3), histogram_value
-#     (histogram_equidepth green r3), status_colors (geo_status_map in
-#     this window), sessionize_events (session_window_agg in this
-#     window).
+# `queries()` iteration order.  The window below makes that ordering
+# EXPLICIT instead of an import-order side effect.
+#
+# ROUND-5 ROTATION.  Round 4's verify/judge step never ran (no
+# CORRECTNESS_r04.json exists), so every query slated for its first
+# driver row in the round-4 window is STILL unchecked, and so are the
+# 32 queries registered during round 4.  Driver-hash history therefore
+# stands at: r1∪r2∪r3 cover 95 of the catalog's oracle-bearing
+# queries; exactly 46 oracle-bearing queries have NEVER had a driver
+# row.  This window is computed directly from that union:
+#   * `flagship_window_agg` stays pinned as the every-round sentinel
+#     (driver-green r1 + r2 + r3);
+#   * all 46 never-hashed oracle-bearing queries take the next slots —
+#     the r3-registration stragglers (stream_static_join ...
+#     multimodal_resize), round-4's dead-letter/stream/text/embedding
+#     additions, the late-round-4 OLAP/analytics/storage/ML-prep
+#     widening, and the window-frame + SCD2 + sketch set;
+#   * the remaining 3 slots go to round-5 registrations (first driver
+#     rows): funnel_conversion, cohort_retention, fk_orphan_audit.
+# Round-5 registrations beyond those 3 slots are FIRST IN LINE for the
+# round-6 window (this list must be kept current as queries are added):
+#   domain_cap_sample (deferred by choice: det_hash rank kernel ==
+#     corpus_sample_stratified, green r3),
+#   entity_match_candidates, snapshot_cdc_diff, bloom_prune_semijoin
+#     (registered after the 3 slots filled; all locally oracle-green
+#     via tools/driver_sim.py explicit-name runs at sf0.01).
+# Every query in the catalog — windowed or not — is exercised each
+# round by the full-catalog local oracle-parity and
+# partition-invariance suites (tests/test_oracle_parity.py), so "out of
+# window" only ever means "no fresh driver-side hash this round", never
+# "untested".
 DRIVER_WINDOW: tuple[str, ...] = (
     # pinned sentinel (driver-green r1 + r2 + r3)
     "flagship_window_agg",
-    # first driver rows: registered after the r3 rotation
+    # first driver rows: never hashed by any driver run (46)
     "stream_static_join",
     "stream_session_window",
     "stream_dedup_exact",
@@ -83,46 +67,43 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_ivf_persisted_multiprobe",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # first driver row: registered this round
     "stream_dead_letter_rate",
-    # stalest: reference-parity core (driver rows from r2, 2 rounds old)
-    "scan_recent_topn",
-    "filter_time_range",
-    "filter_equality",
-    "ingestion_rate_window",
-    "distinct_types_sorted",
-    "clean_labels",
-    "group_type_stats",
-    "global_kpis",
-    "describe_stats",
-    "corr_matrix",
-    "events_per_day",
-    "json_props_stats",
-    "alerts_threshold",
-    "severity_rollup",
-    "geo_status_map",
-    "iqr_anomaly",
-    "rolling_avg_20",
-    "ma_diff_trend",
-    "topn_per_group",
-    "last_value_per_group",
-    "elapsed_seconds_feature",
-    "regression_per_group",
-    "regression_quality_gate",
-    "pivot_type_by_day",
-    # stalest: streaming / windows (r2)
-    "sliding_window_agg",
-    "session_window_agg",
-    "stream_tumbling_window",
-    # stalest: LLM-pipeline set (r2)
-    "dedup_ngram_jaccard",
-    "embedding_cosine_topk",
-    "embedding_norm_stats",
-    "embedding_kmeans_clusters",
-    "multimodal_decode",
-    "curation_pipeline",
-    "resample_gap_fill",
-    "tfidf_top_terms",
+    "stream_sliding_window",
+    "text_pii_scrub",
+    "embedding_quantize_int8",
+    "corpus_chunk_overlap",
+    "bigram_logprob_score",
+    "asof_join_forward_tolerance",
+    "late_supplier_blame",
+    "embedding_neardups_lsh_checked",
+    "order_priority_exists",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "disjunctive_part_revenue",
+    "idle_rich_customers",
+    "running_revenue_share",
+    "customer_order_gap_stats",
+    "acctbal_decile_profile",
+    "order_month_streaks",
+    "null_rate_audit",
+    "trailing_week_revenue",
+    "acctbal_relative_standing",
+    "ewma_batch_per_user",
+    "mad_anomaly",
+    "bucketed_join_revenue",
+    "bucketed_key_lookup",
+    "vocab_build_topk",
+    "embedding_random_projection",
+    "incremental_agg_merge",
+    "scd2_customer_history",
+    "cms_heavy_hitters",
+    # first driver rows: registered round 5
+    "funnel_conversion",
+    "cohort_retention",
+    "fk_orphan_audit",
 )
 
 

@@ -1,0 +1,288 @@
+"""Behavioral / data-quality analytics (round-5 widening).
+
+Four query shapes a warehouse user runs daily that had no catalog entry
+yet, each expressed as a declarative plan Catalyst can optimize and each
+with a DuckDB oracle:
+
+* ordered event funnel      (view -> click -> purchase, strictly ordered
+                             per user; staged min-timestamp joins keyed
+                             on the user — never a per-user collect)
+* cohort retention          (first-order month x month-offset activity
+                             matrix with retention rates)
+* referential-integrity     (orphan / childless-row audit across the
+  audit                      star schema's FK edges via anti-joins)
+* domain frequency capping  (at most N docs per source, deterministic
+                             uniform draw — the anti-mega-domain step of
+                             a web-scale corpus mix)
+
+Scale notes are in each docstring; the common rule: every shuffle here is
+keyed on a real high-cardinality key (user_id, custkey, orderkey,
+source), aggregates reduce map-side first, and the only broadcast sides
+are bounded dimension/lookup frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det, utc_naive
+from real_time_big_data_iot_monitoring_pipeline_spark.operators.sampling import cap_per_group
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT CAST(stage AS INT) AS stage, event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(n_users / CAST(lag(n_users, 1, n_users)
+                 OVER (ORDER BY stage) AS DOUBLE) + 1e-8, 6) AS step_conversion
+    FROM counts
+    """,
+    tags=("behavior", "funnel", "events"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel (view -> click -> purchase):
+    a user counts for stage k only with an event AFTER their stage-k-1
+    completion time.  Each stage is a filtered min-timestamp aggregate
+    joined to the previous stage on user_id — three shuffles on the same
+    key (AQE coalesces them; at 100 TB the stage frames shrink
+    monotonically, so each join is smaller than the last).  The final
+    3-row frame computes step conversion with a LAG over one explicit
+    tiny partition.  No per-user state ever leaves the executors."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("tus").alias("t1"))
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("event_type"), "n_users"
+        )
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("event_type"), "n_users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("event_type"), "n_users"
+            )
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("stage")
+    return counts.select(
+        F.col("stage").cast("int").alias("stage"),
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        round_det(
+            F.col("n_users") / F.lag("n_users", 1, None).over(w).cast("double"),
+            6,
+        ).alias("step_conversion"),
+    ).fillna({"step_conversion": 1.0})
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT o_custkey,
+               CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS am
+        FROM orders
+    ),
+    coh AS (
+        SELECT o_custkey, min(am) AS cohort_am FROM act GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort_am, count(*) AS cohort_size FROM coh GROUP BY cohort_am
+    ),
+    ret AS (
+        SELECT c.cohort_am, a.am - c.cohort_am AS offset_months,
+               count(DISTINCT a.o_custkey) AS n_active
+        FROM act a JOIN coh c ON a.o_custkey = c.o_custkey
+        WHERE a.am - c.cohort_am <= 12
+        GROUP BY 1, 2
+    )
+    SELECT (r.cohort_am // 12) * 100 + (r.cohort_am % 12 + 1) AS cohort_ym,
+           CAST(r.offset_months AS BIGINT) AS offset_months,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           ROUND(r.n_active / CAST(s.cohort_size AS DOUBLE) + 1e-8, 6) AS retention
+    FROM ret r JOIN sizes s ON r.cohort_am = s.cohort_am
+    """,
+    tags=("behavior", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix over orders: customers grouped by their
+    first-order month, tracked for 12 month-offsets.  The plan is three
+    aggregates over a distinct (custkey, month) activity frame — the
+    distinct collapses ~10 orders/customer/month before any join, the
+    cohort frame joins back on custkey (high-cardinality shuffle key),
+    and cohort sizes broadcast into the final rate.  Months are absolute
+    month indices (year*12+month), timezone-proof and engine-exact."""
+    d = utc_naive("o_orderdate")
+    act = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.year(d) * 12 + F.month(d) - 1).cast("long").alias("am"),
+        )
+        .distinct()
+    )
+    coh = act.groupBy("o_custkey").agg(F.min("am").alias("cohort_am"))
+    sizes = coh.groupBy("cohort_am").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = (
+        act.join(coh, "o_custkey")
+        .withColumn("offset_months", F.col("am") - F.col("cohort_am"))
+        .filter(F.col("offset_months") <= 12)
+        .groupBy("cohort_am", "offset_months")
+        .agg(F.count_distinct("o_custkey").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_am").select(
+        (F.floor(F.col("cohort_am") / 12) * 100 + (F.col("cohort_am") % 12 + 1))
+        .cast("long")
+        .alias("cohort_ym"),
+        F.col("offset_months").cast("long").alias("offset_months"),
+        F.col("n_active").cast("long").alias("n_active"),
+        round_det(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias("retention"),
+    )
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parent
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM part p WHERE NOT EXISTS
+                (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+    """,
+    tags=("quality", "integrity", "anti-join"),
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges:
+    orphaned children (anti-join child->parent) and childless parents
+    (anti-join parent->child) for lineitem->orders, orders->customer,
+    lineitem->part.  Anti-joins let Spark pick broadcast or shuffled-hash
+    per side size (the customer/part sides broadcast; the big-big
+    lineitem->orders edge becomes a shuffled hash join on the key).  The
+    audit emits one row per edge — the health report an ingest pipeline
+    gates on before publishing a snapshot."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+
+    def edge(name, child, ckey, parent, pkey):
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphan = child.join(parent, child[ckey] == parent[pkey], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan")
+        )
+        childless = parent.join(child, parent[pkey] == child[ckey], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_childless_parent")
+        )
+        return (
+            n_child.crossJoin(orphan)
+            .crossJoin(childless)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                F.col("n_child").cast("long"),
+                F.col("n_orphan").cast("long"),
+                F.col("n_childless_parent").cast("long"),
+            )
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+    )
+
+
+@register(
+    "domain_cap_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS keep_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(keep_rank AS INT) AS keep_rank
+    FROM ranked WHERE keep_rank <= 10
+    """,
+    tags=("corpus", "sampling", "domain-cap"),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain frequency capping: at most 10 documents per source, chosen
+    by deterministic Knuth-hash rank (unique doc_id tie-break) — the
+    anti-mega-domain guard of a web-corpus mixture.  One shuffle keyed on
+    source; row_number + filter lowers to a rank-limited sort inside each
+    group, so no domain's documents ever collect anywhere.  At 100 TB
+    the same plan holds: per-domain work is O(docs-in-domain) local to
+    its partition, and a skewed mega-domain is exactly the case the cap
+    exists to neutralize (its partition emits 10 rows)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(d, "source", id_col="doc_id", cap=10).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("keep_rank").cast("int").alias("keep_rank"),
+    )

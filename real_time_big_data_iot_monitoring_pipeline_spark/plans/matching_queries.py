@@ -1,0 +1,288 @@
+"""Record matching & change-data-capture (round-5 widening).
+
+Three pipeline shapes between "exact dedup" and "analytics" that every
+warehouse/data-curation stack needs and the catalog lacked:
+
+* blocked fuzzy entity matching — candidate pairs via a cheap blocking
+  key, verified by edit distance INSIDE each block.  The blocking join
+  is the whole scale story: it turns an O(n^2) all-pairs comparison
+  into per-block work, exactly like MinHash banding does for documents
+  (`operators/dedup.py`).
+* snapshot CDC diff — classify insert/update/delete between two table
+  snapshots with one full-outer join on the key; the report an
+  incremental loader emits before applying a merge.
+* bloom-pruned semi-join — build a Bloom bitset from the small filtered
+  side entirely with JVM expressions (explode -> bit_or, no driver
+  collect), broadcast it as ONE row, and pre-filter the fact scan
+  before the exact semi-join.  At 100 TB this is the manual version of
+  Spark's runtime row-group/bloom filters: the fact table drops
+  non-matching rows AT THE SCAN, so the shuffle only carries survivors.
+
+Dirty inputs are derived deterministically from the fixtures (the SCD2
+precedent, `incremental_queries.py`): both engines synthesize the same
+corruption, so every query stays value-hash checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents, round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# One deterministically-corrupted twin per part: a '~' written at
+# position (partkey mod len)+1 of the name.  Length-preserving, so the
+# (length, prefix) blocking key survives the corruption except when the
+# corrupted position falls inside the prefix — the honest recall loss
+# any real blocking scheme has.
+_DIRTY_SQL = """
+    SELECT p_partkey + 1000000000 AS rec_id,
+           concat(substr(p_name, 1, (p_partkey % length(p_name))),
+                  '~',
+                  substr(p_name, (p_partkey % length(p_name)) + 2)) AS name
+    FROM part
+"""
+
+
+@register(
+    "entity_match_candidates",
+    oracle=f"""
+    WITH recs AS (
+        SELECT p_partkey AS rec_id, p_name AS name FROM part
+        UNION ALL
+        {_DIRTY_SQL}
+    ),
+    pairs AS (
+        SELECT l.rec_id AS left_id, r.rec_id AS right_id,
+               levenshtein(l.name, r.name) AS lev_distance
+        FROM recs l JOIN recs r
+          ON length(l.name) = length(r.name)
+         AND substr(l.name, 1, 2) = substr(r.name, 1, 2)
+         AND l.rec_id < r.rec_id
+    )
+    SELECT CAST(lev_distance AS INT) AS lev_distance,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE right_id = left_id + 1000000000) AS BIGINT)
+               AS n_planted_twins
+    FROM pairs WHERE lev_distance <= 2
+    GROUP BY lev_distance
+    """,
+    tags=("matching", "entity-resolution", "blocking"),
+)
+def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching over part names plus their
+    deterministically-corrupted twins: block on (name length, 2-char
+    prefix), generate candidate pairs only INSIDE blocks, verify with
+    Levenshtein <= 2, and report the per-distance match census with the
+    planted-twin recall column.  The equi-join on the blocking key is an
+    ordinary shuffled hash join — O(sum of block^2) comparisons instead
+    of O(n^2), the same banding idea MinHash LSH uses for documents —
+    and the edit distance runs as a JVM codegen'd expression on
+    candidates only.  At 100 TB you'd widen the key (phonetic code +
+    brand + size) to shrink blocks; the plan shape is unchanged."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    clean = p.select(F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name"))
+    dirty = p.select(
+        (F.col("p_partkey") + 1000000000).alias("rec_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, p_partkey % length(p_name))"),
+            F.lit("~"),
+            F.expr("substr(p_name, (p_partkey % length(p_name)) + 2)"),
+        ).alias("name"),
+    )
+    recs = clean.unionByName(dirty)
+    l = recs.alias("l")
+    r = recs.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.length(F.col("l.name")) == F.length(F.col("r.name")))
+            & (F.substring(F.col("l.name"), 1, 2) == F.substring(F.col("r.name"), 1, 2))
+            & (F.col("l.rec_id") < F.col("r.rec_id")),
+        )
+        .select(
+            F.col("l.rec_id").alias("left_id"),
+            F.col("r.rec_id").alias("right_id"),
+            F.levenshtein(F.col("l.name"), F.col("r.name")).alias("lev_distance"),
+        )
+        .filter(F.col("lev_distance") <= 2)
+    )
+    return pairs.groupBy(F.col("lev_distance").cast("int").alias("lev_distance")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("right_id") == F.col("left_id") + 1000000000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_planted_twins"),
+    )
+
+
+# Snapshot B is derived from orders (snapshot A) deterministically:
+#   deletes:  every 11th key vanishes
+#   updates:  every 7th surviving key gains +1.00
+#   inserts:  every 13th surviving key also appears re-keyed (+3e9)
+_CDC_B_SQL = """
+    SELECT o_orderkey AS okey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price_cents
+    FROM orders WHERE o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey + 3000000000 AS okey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 = 0
+"""
+
+
+@register(
+    "snapshot_cdc_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    b AS ({_CDC_B_SQL}),
+    diff AS (
+        SELECT CASE WHEN a.okey IS NULL THEN 'insert'
+                    WHEN b.okey IS NULL THEN 'delete'
+                    WHEN a.price_cents <> b.price_cents THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               COALESCE(b.price_cents, a.price_cents) AS price_cents
+        FROM a FULL OUTER JOIN b ON a.okey = b.okey
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(price_cents) / 100.0 + 1e-8, 2) AS total_price
+    FROM diff GROUP BY change_type
+    """,
+    tags=("cdc", "snapshot-diff", "incremental"),
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two order snapshots: one full-outer
+    join on the key classifies every row insert / update / delete /
+    unchanged, then a rollup reports counts and money per class — the
+    preflight report an incremental MERGE emits.  The join keys both
+    sides on okey (high-cardinality, shuffle-friendly); comparing the
+    exact cents column makes 'update' detection bit-deterministic.  At
+    100 TB both snapshots arrive partition-pruned from day-partitioned
+    storage and the outer join is the only shuffle."""
+    a = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        as_cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    surv = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 != 0)
+    b = (
+        surv.select(
+            F.col("o_orderkey").alias("okey"),
+            (
+                as_cents(F.col("o_totalprice"))
+                + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0)
+            ).alias("price_cents"),
+        )
+        .unionByName(
+            surv.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 3000000000).alias("okey"),
+                as_cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.okey") == F.col("b.okey"), "full_outer")
+    diff = j.select(
+        F.when(F.col("a.okey").isNull(), "insert")
+        .when(F.col("b.okey").isNull(), "delete")
+        .when(F.col("a.price_cents") != F.col("b.price_cents"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("b.price_cents"), F.col("a.price_cents")).alias("price_cents"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        round_det(F.sum("price_cents") / 100.0, 2).alias("total_price"),
+    )
+
+
+# Bloom geometry: m bits across m/64 longs, 3 seeded xxhash64 probes.
+_BLOOM_BITS = 1 << 17  # 131072 bits -> 2048 longs, 16 KiB broadcast
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (1, 2, 3)
+_HIGH_VALUE = 400000.0  # o_totalprice threshold for the build side
+
+
+@register(
+    "bloom_prune_semijoin",
+    oracle=f"""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) / 100.0 + 1e-8, 2)
+               AS revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > {_HIGH_VALUE})
+    GROUP BY l.l_linestatus
+    """,
+    tags=("join", "bloom-filter", "scan-pruning"),
+)
+def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of lineitem against high-value orders with a
+    Bloom-filter pre-prune built entirely from JVM expressions: the
+    filtered order keys explode into 3 seeded xxhash64 bit positions,
+    bit_or folds them into a 2048-long bitset grouped to ONE row (never
+    a driver collect), and that row broadcasts into the fact scan where
+    three bit-tests drop non-members before anything shuffles.  An
+    exact semi-join then removes Bloom false positives, so the result
+    equals the plain semi-join the oracle runs — the Bloom stage is
+    pure scan-reduction, the manual analogue of Spark's runtime
+    row-group filters.  At 100 TB the bitset scales as m bits for any
+    build-side count (pick m for the target false-positive rate); the
+    fact side reads, tests 3 bits, and ships only survivors."""
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _HIGH_VALUE)
+        .select(F.col("o_orderkey").alias("key"))
+    )
+
+    def bitpos(col, seed):
+        h = F.xxhash64(col, F.lit(seed))
+        return F.pmod(h, F.lit(_BLOOM_BITS))
+
+    # build: key -> 3 (word, bit) pairs -> bit_or per word -> dense 1-row bitset
+    probes = keys.select(
+        F.explode(F.array(*[bitpos(F.col("key"), s) for s in _BLOOM_SEEDS])).alias("pos")
+    )
+    words = probes.groupBy((F.col("pos") / 64).cast("int").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("word")
+    )
+    bitset = words.agg(
+        F.aggregate(
+            F.collect_list(F.struct("word_idx", "word")),
+            F.array_repeat(F.lit(0).cast("long"), _BLOOM_WORDS),
+            lambda acc, x: F.transform(
+                acc,
+                lambda v, i: F.when(i == x["word_idx"], v.bitwiseOR(x["word"])).otherwise(v),
+            ),
+        ).alias("bits")
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_extendedprice")
+    with_bits = li.crossJoin(F.broadcast(bitset))
+    member = F.lit(True)
+    for s in _BLOOM_SEEDS:
+        test = F.expr(
+            f"(shiftright(element_at(bits, CAST(pmod(xxhash64(l_orderkey, {s}), {_BLOOM_BITS}) / 64 AS INT) + 1), "
+            f"CAST(pmod(xxhash64(l_orderkey, {s}), {_BLOOM_BITS}) % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        )
+        member = member & test
+    pruned = with_bits.filter(member).drop("bits")
+    exact = pruned.join(keys, pruned.l_orderkey == keys.key, "left_semi")
+    return exact.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        round_det(F.sum(as_cents(F.col("l_extendedprice"))) / 100.0, 2).alias("revenue"),
+    )

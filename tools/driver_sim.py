@@ -39,10 +39,19 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    # Explicit names may name ANY registry query (not just the window) —
+    # that is how a freshly-registered query gets its pre-window check;
+    # a typo must fail loudly, not silently check nothing (round-5 fix:
+    # names outside the window used to be dropped by the filter, letting
+    # a vacuous 'ALL GREEN' pass for a query that never ran).
+    if ONLY:
+        unknown = ONLY - set(REGISTRY)
+        assert not unknown, f"not in REGISTRY: {sorted(unknown)}"
+        names = [n for n in REGISTRY if n in ONLY]
+    else:
+        names = list(DRIVER_WINDOW)
     failures = []
-    for name in DRIVER_WINDOW:
-        if ONLY and name not in ONLY:
-            continue
+    for name in names:
         q = REGISTRY[name]
         t0 = time.time()
         try:
