@@ -898,3 +898,107 @@ def rademacher_project_sql(
             f" AS {prefix}{k:02d}"
         )
     return frags
+
+
+# --- product quantization (ADC) ---------------------------------------------
+# The memory-bound ANN serving shape: each vector compresses to m
+# sub-codes (one byte each at k<=256) against per-subspace codebooks, and
+# a query scores candidates by summing m table lookups instead of a
+# 64-dim dot product.  Squared-L2 on the q6 integer grid keeps every
+# distance an exact double (dsub * (2e6)^2 * m << 2^53), so codes, LUTs
+# and ADC sums are bit-identical across numpy-free Python, the JVM
+# expressions below, and the DuckDB oracle replay.
+
+
+def _qint(x: float) -> int:
+    """Python twin of `_qvec` / `qvec_sql` for driver-side seed rows."""
+    import math
+
+    return int(math.floor(float(x) * _QSCALE + _QHALF))
+
+
+def pq_codebooks(df: DataFrame, m: int, dsub: int, k: int) -> list:
+    """Per-subspace codebooks from the first `k` vectors by id order
+    (the deterministic `seed_rows` quantizer-seeding rule): codebooks[s][j]
+    is the s-th dsub-slice of seed j as exact q6 integers.  Driver traffic
+    = k rows, never the corpus."""
+    seeds = seed_rows(df, k)
+    return [
+        [[_qint(v) for v in vec[s * dsub : (s + 1) * dsub]] for (_id, vec) in seeds]
+        for s in range(m)
+    ]
+
+
+def _sq_dist_expr(sub: F.Column, centroid: list, self_dot: F.Column) -> F.Column:
+    """||a-c||^2 = a.a - 2 a.c + c.c with c.c folded to a Python constant —
+    exact integer-valued doubles end to end."""
+    c_arr = F.array(*[F.lit(float(v)) for v in centroid])
+    c_dot = float(sum(v * v for v in centroid))
+    return self_dot - 2.0 * _dot(sub, c_arr) + F.lit(c_dot)
+
+
+def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding") -> DataFrame:
+    """Append code_00..code_{m-1}: per subspace, the index of the nearest
+    codebook entry (first-min tie-break via array_position-of-min, which
+    both engines replicate as ORDER BY dist, j LIMIT 1).  A pure map —
+    the whole encode is scan-speed column expressions, no shuffle, no
+    Python; at 100 TB this is the one-pass compression job that turns
+    256 GB of float32 vectors into 8 GB of codes."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = _qvec(F.col(vec_col))
+    out = df
+    for s in range(m):
+        sub = F.slice(q, s * dsub + 1, dsub)
+        self_dot = _dot(sub, sub)
+        dists = F.array(*[_sq_dist_expr(sub, c, self_dot) for c in codebooks[s]])
+        out = out.withColumn(f"code_{s:02d}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: list,
+    n_queries: int = 5,
+    k_out: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the first `n_queries` vectors by id
+    order are the query set; each query's per-subspace LUT (distance of
+    its sub-vector to every codebook entry) is computed driver-side from
+    the bounded query rows and shipped as literal arrays in ONE broadcast
+    frame.  The encoded corpus cross-joins that m*k*n_queries-float
+    frame, sums m `element_at` lookups per (query, candidate), and takes
+    per-query top-k by (adc_dist, cand_id).  One corpus scan total for
+    all queries; per-row work is m array lookups — the reason PQ serves
+    ANN at memory bandwidth."""
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    queries = seed_rows(corpus, n_queries, id_col=id_col, vec_col=vec_col)
+    lut_rows = []
+    for qid, vec in queries:
+        qsub = [[_qint(v) for v in vec[s * dsub : (s + 1) * dsub]] for s in range(m)]
+        luts = [
+            [float(sum((a - b) ** 2 for a, b in zip(qsub[s], c))) for c in codebooks[s]]
+            for s in range(m)
+        ]
+        lut_rows.append((qid, *luts))
+    lut_schema = ["query_id"] + [f"lut_{s:02d}" for s in range(m)]
+    lut_df = spark.createDataFrame(lut_rows, lut_schema)
+
+    encoded = pq_encode(corpus, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), *[f"code_{s:02d}" for s in range(m)]
+    )
+    joined = encoded.crossJoin(F.broadcast(lut_df)).filter(F.col("cand_id") != F.col("query_id"))
+    adc = sum(
+        F.element_at(F.col(f"lut_{s:02d}"), F.col(f"code_{s:02d}") + 1) for s in range(m)
+    )
+    scored = joined.select("query_id", "cand_id", adc.cast("long").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_out)
+        .select("query_id", "cand_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )

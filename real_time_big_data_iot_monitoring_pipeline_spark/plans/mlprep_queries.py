@@ -86,3 +86,128 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return similarity.rademacher_project(e, _DIM_IN, _DIM_OUT).drop("embedding")
+
+
+# Deterministic linear-probe weights: w_i = knuth(i)/2^32 - 0.5, an exact
+# binary fraction both engines represent identically.
+_PROBE_W = [((i * 2654435761) % (2**32)) / (2**32) - 0.5 for i in range(_DIM_IN)]
+
+
+@register(
+    "embedding_linear_probe",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(label AS INT) AS label,
+           ROUND(list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}])
+                 / 1000000.0 + 1e-8, 6) AS score,
+           list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}]) > 0 AS predicted
+    FROM e
+    """,
+    tags=("mlprep", "embedding", "batch-inference"),
+)
+def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched linear-model scoring over the embedding column — the
+    plan shape of large-scale batch inference (classifier readout /
+    reward-model gating over a training corpus): broadcast weight
+    vector, one fused map computing a dot product per row, no shuffle
+    anywhere.  The weights are hash-derived exact binary fractions, and
+    each product of a q6 integer with one fits in 53 bits, so the
+    left-fold sum is bit-identical across engines and the query stays
+    value-hash-checkable — a stand-in for real model weights with the
+    exact plumbing a real probe needs.  At 100 TB this runs at scan
+    speed; swapping in a real model turns the expression into a
+    batch-vectorized Pandas UDF with the same shape
+    (`operators/multimodal.py` shows that plumbing)."""
+    e = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = similarity._qvec(F.col("embedding"))
+    w = F.array(*[F.lit(v) for v in _PROBE_W])
+    dot = similarity._dot(q, w)
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    return e.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        round_det(dot / 1000000.0, 6).alias("score"),
+        (dot > 0).alias("predicted"),
+    )
+
+
+_PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 16
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    cent AS (
+        SELECT seeds.j, t.s,
+               v[t.s * {_PQ_DSUB} + 1 : t.s * {_PQ_DSUB} + {_PQ_DSUB}] AS c
+        FROM seeds CROSS JOIN range(0, {_PQ_M}) t(s)
+    ),
+    dists AS (
+        SELECT e.vec_id, c.s, c.j,
+               list_dot_product(e.v[c.s * {_PQ_DSUB} + 1 : c.s * {_PQ_DSUB} + {_PQ_DSUB}],
+                                e.v[c.s * {_PQ_DSUB} + 1 : c.s * {_PQ_DSUB} + {_PQ_DSUB}])
+               - 2 * list_dot_product(e.v[c.s * {_PQ_DSUB} + 1 : c.s * {_PQ_DSUB} + {_PQ_DSUB}], c.c)
+               + list_dot_product(c.c, c.c) AS dist
+        FROM e CROSS JOIN cent c
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM e ORDER BY vec_id LIMIT 5),
+    lut AS (
+        SELECT q.query_id, c.s, c.j,
+               list_dot_product(q.v[c.s * {_PQ_DSUB} + 1 : c.s * {_PQ_DSUB} + {_PQ_DSUB}],
+                                q.v[c.s * {_PQ_DSUB} + 1 : c.s * {_PQ_DSUB} + {_PQ_DSUB}])
+               - 2 * list_dot_product(q.v[c.s * {_PQ_DSUB} + 1 : c.s * {_PQ_DSUB} + {_PQ_DSUB}], c.c)
+               + list_dot_product(c.c, c.c) AS dist
+        FROM q CROSS JOIN cent c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS cand_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+        FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+        FROM adc
+    ) WHERE rank <= 10
+    """,
+    tags=("mlprep", "embedding", "ann", "product-quantization"),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces x 16 codes, asymmetric
+    distance): encode the corpus once into 8 one-byte codes per vector
+    (map-only, scan speed), then answer 5 queries by summing 8 LUT
+    lookups per candidate instead of a 64-dim dot product.  This is the
+    memory-bound serving shape IVF lacks — at 100 TB the codes are 32x
+    smaller than the float32 vectors, the LUT frame broadcast is
+    m*k*n_queries floats, and the only shuffle is the per-query top-k.
+    Exact q6 integer arithmetic end-to-end makes codes, LUTs and ADC
+    sums bit-identical to the full-SQL DuckDB replay."""
+    e = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    books = similarity.pq_codebooks(e, _PQ_M, _PQ_DSUB, _PQ_K)
+    return similarity.pq_adc_topk(e, books, n_queries=5, k_out=10)
