@@ -483,3 +483,36 @@ def bigram_logprob_score(
             ).alias("mean_logprob"),
         )
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document quality rule flags (Rae et al. 2021's
+    repetition/format heuristics family, re-parameterized for the
+    fixture corpus): each rule is an independent boolean column so a
+    curation pipeline can log WHICH rule killed a document, not just a
+    composite score (`quality_score` keeps the composite role).  Pure
+    map over corpus bytes — scan-speed at any size.
+
+    Rules (all engine-portable expressions):
+      * r_min_words      — at least 8 whitespace words
+      * r_word_len       — mean word length within [3, 10]
+      * r_symbol_ratio   — non-alnum-space chars <= 10% of characters
+      * r_stopwords      — at least 2 DISTINCT common stopwords appear
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    # sum of word lengths == chars excluding separators
+    n_word_chars = F.length(F.regexp_replace(t, " ", ""))
+    mean_wl = F.try_divide(n_word_chars, n_words)
+    n_sym = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9 ]"), 0))
+    sym_ratio = F.try_divide(n_sym, F.length(t))
+    stop_re = "\\b(the|and|of|to|a|in|is|it)\\b"
+    n_stop_distinct = F.size(F.array_distinct(F.regexp_extract_all(F.lower(t), F.lit(stop_re), 0)))
+    return df.select(
+        id_col,
+        (n_words >= 8).alias("r_min_words"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("r_word_len"),
+        (sym_ratio <= 0.10).alias("r_symbol_ratio"),
+        (n_stop_distinct >= 2).alias("r_stopwords"),
+    )

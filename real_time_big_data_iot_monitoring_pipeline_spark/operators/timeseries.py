@@ -188,3 +188,66 @@ def sessionize(
         )
         .withColumn("duration_us", F.col("session_end_us") - F.col("session_start_us"))
     )
+
+
+def seasonal_anomaly_census(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    z: float = 2.0,
+) -> DataFrame:
+    """Season-relative anomaly census: per (key, hour-of-day) the
+    baseline mean/std come from exact integer cents moments, and an
+    event is anomalous when |value - mean| > z * std OF ITS OWN SEASON
+    — the detector that catches "hot for 3am" readings a global
+    IQR/MAD bound (operators/anomaly.py) calls normal.
+
+    Two passes, both scale-flat: one hash agg builds the 24 x #keys
+    baseline (exact moments, partitioning-independent), then the
+    baseline broadcast-joins back and a second agg counts deviants.
+    Hour-of-day via epoch arithmetic — timezone-free on any session.
+    Exactness: mean and std derive from integer sums, so both engines
+    compare value against bit-identical doubles; no row's verdict can
+    flip across engines or partitionings."""
+    cents = F.round(F.col(val_col) * 100, 0).cast("long")
+    hod = (F.floor(F.unix_seconds(F.col(ts_col)) / 3600) % 24).cast("int")
+    base = (
+        df.groupBy(F.col(key_col).alias("k"), hod.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+        .withColumn("mean_v", F.col("s1") / (100.0 * F.col("n")))
+        .withColumn(
+            "std_v",
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (F.col("n") * (F.col("n") - F.lit(1)).cast("double"))
+            )
+            / 100.0,
+        )
+    )
+    flagged = df.select(
+        F.col(key_col).alias("k"), hod.alias("h"), F.col(val_col).alias("v")
+    ).join(F.broadcast(base), ["k", "h"])
+    return (
+        flagged.groupBy("k", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.abs(F.col("v") - F.col("mean_v")) > z * F.col("std_v"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+            F.first("mean_v").alias("mean_v"),
+            F.first("std_v").alias("std_v"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("h").alias("hour_of_day"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_anomalies").cast("long").alias("n_anomalies"),
+            round_det(F.col("mean_v"), 4).alias("baseline_mean"),
+            round_det(F.col("std_v"), 4).alias("baseline_std"),
+        )
+    )

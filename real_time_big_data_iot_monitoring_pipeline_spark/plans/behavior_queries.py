@@ -286,3 +286,154 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("keep_rank").cast("int").alias("keep_rank"),
     )
+
+
+@register(
+    "text_gopher_census",
+    oracle="""
+    WITH flags AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) >= 8 AS r_min_words,
+               (length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                   BETWEEN 3.0 AND 10.0 AS r_word_len,
+               (len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                   / CAST(length(text) AS DOUBLE)) <= 0.10 AS r_symbol_ratio,
+               len(list_distinct(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b')))
+                   >= 2 AS r_stopwords
+        FROM documents
+    ),
+    per_rule AS (
+        SELECT 'r_min_words' AS rule, count(*) FILTER (WHERE NOT r_min_words) AS n_fail FROM flags
+        UNION ALL
+        SELECT 'r_word_len', count(*) FILTER (WHERE NOT r_word_len) FROM flags
+        UNION ALL
+        SELECT 'r_symbol_ratio', count(*) FILTER (WHERE NOT r_symbol_ratio) FROM flags
+        UNION ALL
+        SELECT 'r_stopwords', count(*) FILTER (WHERE NOT r_stopwords) FROM flags
+        UNION ALL
+        SELECT 'all_rules', count(*) FILTER (
+            WHERE NOT (r_min_words AND r_word_len AND r_symbol_ratio AND r_stopwords)) FROM flags
+    )
+    SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+           ROUND(n_fail / CAST((SELECT count(*) FROM flags) AS DOUBLE) + 1e-8, 6) AS fail_rate
+    FROM per_rule
+    """,
+    tags=("corpus", "quality", "gopher-rules"),
+)
+def text_gopher_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule quality-filter census over the corpus (Gopher-style
+    independent rules from `operators/text.gopher_rules`): for each rule,
+    how many documents fail it, plus the all-rules composite — the
+    report a curation run logs so threshold changes are reviewable.  One
+    scan computes all flags (pure map), one tiny aggregate sums them;
+    at 100 TB the census costs exactly one pass over corpus bytes."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.text import gopher_rules
+
+    flags = gopher_rules(_t(spark, sf_dir, "documents"))
+    rules = ["r_min_words", "r_word_len", "r_symbol_ratio", "r_stopwords"]
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(c) for c in rules],
+        F.sum(
+            F.when(~(F.col(rules[0]) & F.col(rules[1]) & F.col(rules[2]) & F.col(rules[3])), 1)
+            .otherwise(0)
+        ).alias("all_rules"),
+    )
+    stacked = agg.selectExpr(
+        "_n",
+        "stack(5, 'r_min_words', r_min_words, 'r_word_len', r_word_len, "
+        "'r_symbol_ratio', r_symbol_ratio, 'r_stopwords', r_stopwords, "
+        "'all_rules', all_rules) AS (rule, n_fail)"
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        round_det(F.col("n_fail") / F.col("_n").cast("double"), 6).alias("fail_rate"),
+    )
+
+
+@register(
+    "seasonal_anomaly_census",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS k,
+               CAST(floor(epoch(ts) / 3600) % 24 AS INT) AS h,
+               CAST(round(value * 100, 0) AS BIGINT) AS c,
+               value AS v
+        FROM events
+    ),
+    base AS (
+        SELECT k, h, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2 FROM x GROUP BY k, h
+    ),
+    stats AS (
+        SELECT k, h, n,
+               s1 / (100.0 * n) AS mean_v,
+               sqrt((n * s2 - s1 * s1) / (n * CAST(n - 1 AS DOUBLE))) / 100.0 AS std_v
+        FROM base
+    )
+    SELECT x.k AS event_type, x.h AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE abs(x.v - s.mean_v) > 2.0 * s.std_v) AS BIGINT)
+               AS n_anomalies,
+           ROUND(s.mean_v + 1e-8, 4) AS baseline_mean,
+           ROUND(s.std_v + 1e-8, 4) AS baseline_std
+    FROM x JOIN stats s ON x.k = s.k AND x.h = s.h
+    GROUP BY x.k, x.h, s.mean_v, s.std_v
+    """,
+    tags=("timeseries", "anomaly", "seasonal"),
+)
+def seasonal_anomaly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly census over events (see
+    `operators/timeseries.seasonal_anomaly_census` for the exactness and
+    plan story): one agg builds the per-(type, hour) baseline from exact
+    integer moments, the 24 x #types baseline broadcasts back over the
+    feed, and a second agg counts season-relative deviants."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.timeseries import (
+        seasonal_anomaly_census as _op,
+    )
+
+    return _op(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "distinct_users_lpc_sketch",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT ((user_id * 2654435761) % 4294967296) // 1048576 AS bucket
+        FROM events
+    ),
+    occ AS (SELECT count(*) AS occupied FROM b),
+    ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT CAST(occ.occupied AS BIGINT) AS occupied_buckets,
+           CAST(4096 AS BIGINT) AS n_buckets,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM occ, ex
+    """,
+    tags=("sketch", "cardinality", "linear-counting"),
+)
+def distinct_users_lpc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probabilistic counting (Whang et al. 1990) with a
+    deterministic bucket hash: the sketch is the set of occupied
+    buckets of h(user_id) in [0, 4096) — the TOP 12 bits of the Knuth
+    multiplicative hash, so dense ids scatter and genuinely collide —
+    and the classic estimate is -m*ln(empty/m) over the two exact
+    columns returned.  Unlike `approx_distinct_users` (HLL,
+    engine-local sketch => rows-only check), the occupied-bucket count
+    is an exact integer both engines reproduce, so the sketch state
+    itself is value-hash-checkable; the ln() readout is left out of the
+    hashed result because libm/JVM ln may differ in the last ulp.  At
+    100 TB the sketch is a 512-byte bitmap per partition OR-merged in
+    one reduce — the distinct-on-bucket plan below is the DataFrame
+    spelling of exactly that merge (4096-value key space, map-side
+    dedup, bytes on the wire).  exact_distinct is the accuracy report
+    column."""
+    e = _t(spark, sf_dir, "events")
+    h = F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(4294967296))
+    buckets = e.select(F.floor(h / F.lit(1048576)).cast("long").alias("bucket")).distinct()
+    occ = buckets.agg(F.count(F.lit(1)).cast("long").alias("occupied_buckets"))
+    ex = e.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return occ.crossJoin(F.broadcast(ex)).select(
+        "occupied_buckets",
+        F.lit(4096).cast("long").alias("n_buckets"),
+        "exact_distinct",
+    )
