@@ -46,6 +46,10 @@ HEADLINE = [
     # the persisted IVF index; the timed region is the query itself)
     "market_share_by_year",
     "bucketed_join_revenue",
+    # round 5: the Bloom-pruned semi-join (scan-reduction before the
+    # shuffle) and the PQ ADC serving path (code-compressed ANN)
+    "bloom_prune_semijoin",
+    "embedding_pq_topk",
 ]
 
 

@@ -988,12 +988,13 @@ def pq_adc_topk(
     lut_schema = ["query_id"] + [f"lut_{s:02d}" for s in range(m)]
     lut_df = spark.createDataFrame(lut_rows, lut_schema)
 
-    encoded = pq_encode(corpus, codebooks, vec_col=vec_col).select(
-        F.col(id_col).alias("cand_id"), *[f"code_{s:02d}" for s in range(m)]
+    encoded = pq_encode_fast(corpus, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
     )
     joined = encoded.crossJoin(F.broadcast(lut_df)).filter(F.col("cand_id") != F.col("query_id"))
     adc = sum(
-        F.element_at(F.col(f"lut_{s:02d}"), F.col(f"code_{s:02d}") + 1) for s in range(m)
+        F.element_at(F.col(f"lut_{s:02d}"), F.element_at(F.col("codes"), s + 1) + 1)
+        for s in range(m)
     )
     scored = joined.select("query_id", "cand_id", adc.cast("long").alias("adc_dist"))
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
@@ -1002,3 +1003,37 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k_out)
         .select("query_id", "cand_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_encode_fast(
+    df: DataFrame, codebooks: list, vec_col: str = "embedding", out_col: str = "codes"
+) -> DataFrame:
+    """Arrow-vectorized twin of `pq_encode` (same exact integers): one
+    numpy broadcast per subspace computes all candidate distances for a
+    whole batch, `argmin` takes the first minimum (the expression twin's
+    array_position-of-min tie-break).  The expression encoder builds
+    m*k higher-order-function nodes that Catalyst evaluates interpreted
+    per element — fine for the oracle twin, ~6x slower per row; this is
+    the hot path, exactly the fast/exact kernel split the cosine
+    queries use (`cosine_parts` vs `cosine_q6_jvm`)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    C = np.asarray(codebooks, dtype=np.float64)  # exact small ints
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(a: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.floor(np.vstack(a.to_numpy()).astype(np.float64) * _QSCALE + _QHALF)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            Vs = V[:, s * dsub : (s + 1) * dsub]
+            D = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = D.argmin(axis=1)
+        return pd.Series([c for c in codes])
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))

@@ -437,3 +437,108 @@ def distinct_users_lpc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4096).cast("long").alias("n_buckets"),
         "exact_distinct",
     )
+
+
+@register(
+    "open_orders_backlog",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(EXTRACT(year FROM o.o_orderdate) * 12 + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT) AS am_open,
+               CAST(EXTRACT(year FROM s.ship_end) * 12 + EXTRACT(month FROM s.ship_end) - 1 AS BIGINT) AS am_close
+        FROM orders o
+        JOIN (SELECT l_orderkey, max(l_shipdate) AS ship_end FROM lineitem GROUP BY l_orderkey) s
+          ON s.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+        SELECT am_open AS am, 1 AS d FROM spans
+        UNION ALL
+        SELECT am_close + 1 AS am, -1 FROM spans
+    ),
+    monthly AS (SELECT am, sum(d) AS delta FROM deltas GROUP BY am)
+    SELECT (am // 12) * 100 + (am % 12 + 1) AS ym,
+           CAST(sum(delta) OVER (ORDER BY am ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM monthly
+    """,
+    tags=("behavior", "interval", "backlog"),
+)
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per month (an order is open from its order
+    month through its last ship month, inclusive) computed by DELTA
+    ENCODING: each order contributes +1 at open and -1 after close, a
+    tiny per-month aggregate sums the deltas, and one prefix sum over
+    the ~#months rows yields the backlog curve.  This is the
+    scale-correct plan for interval counting — the naive
+    month-x-open-order explode is O(orders x span) rows, the delta plan
+    is O(orders) through the shuffle and O(months) through the window.
+    The only big shuffle is the orderkey join to find each order's last
+    ship date."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
+    od = utc_naive("o_orderdate")
+    sd = utc_naive("ship_end")
+    spans = o.join(ship, o.o_orderkey == ship.l_orderkey).select(
+        (F.year(od) * 12 + F.month(od) - 1).cast("long").alias("am_open"),
+        (F.year(sd) * 12 + F.month(sd) - 1).cast("long").alias("am_close"),
+    )
+    deltas = spans.select(F.col("am_open").alias("am"), F.lit(1).alias("d")).unionByName(
+        spans.select((F.col("am_close") + 1).alias("am"), F.lit(-1).alias("d"))
+    )
+    monthly = deltas.groupBy("am").agg(F.sum("d").alias("delta"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("am")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        (F.floor(F.col("am") / 12) * 100 + (F.col("am") % 12 + 1)).cast("long").alias("ym"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@register(
+    "ship_delay_profile",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(floor(epoch(l.l_shipdate) / 86400) - floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
+                   AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(sum(delay_days) / CAST(count(*) AS DOUBLE) + 1e-8, 4) AS avg_delay,
+           ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY delay_days) + 1e-8, 4) AS median_delay,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY delay_days) + 1e-8, 4) AS p95_delay,
+           CAST(max(delay_days) AS BIGINT) AS max_delay
+    FROM d GROUP BY priority
+    """,
+    tags=("behavior", "percentiles", "join"),
+)
+def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order priority: the big-big
+    lineitem-orders join (shuffle on orderkey; at 100 TB both sides
+    arrive bucketed on the key — `sources/layout.py` — and the exchange
+    disappears), then exact per-group percentiles over integer epoch-day
+    gaps.  Day arithmetic is timezone-free and the gap is an exact
+    integer, so avg/percentile outputs are bit-stable across engines and
+    partitionings."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    day = lambda c: F.floor(F.unix_seconds(F.col(c)) / 86400)  # noqa: E731
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (day("l_shipdate") - day("o_orderdate")).cast("long").alias("delay_days"),
+    )
+    return d.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        round_det(F.sum("delay_days") / F.count(F.lit(1)).cast("double"), 4).alias("avg_delay"),
+        round_det(F.expr("percentile(delay_days, 0.5)"), 4).alias("median_delay"),
+        round_det(F.expr("percentile(delay_days, 0.95)"), 4).alias("p95_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )

@@ -96,3 +96,14 @@ def test_linear_probe_score_exact(spark, sf_dir):
             acc += similarity._qint(x) * w  # same left-fold order as both engines
         assert r.score == round(acc / 1e6 + 1e-8, 6)
         assert r.predicted == (acc > 0)
+
+
+def test_pq_encode_fast_matches_expression_twin(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    books = similarity.pq_codebooks(e, M, DSUB, K)
+    slow = {
+        r.vec_id: tuple(r[f"code_{s:02d}"] for s in range(M))
+        for r in similarity.pq_encode(e, books).collect()
+    }
+    fast = {r.vec_id: tuple(r.codes) for r in similarity.pq_encode_fast(e, books).collect()}
+    assert fast == slow
