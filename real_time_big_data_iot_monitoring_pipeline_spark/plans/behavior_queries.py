@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det, utc_naive
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents, round_det, utc_naive
 from real_time_big_data_iot_monitoring_pipeline_spark.operators.sampling import cap_per_group
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
 from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
@@ -541,4 +541,111 @@ def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.expr("percentile(delay_days, 0.5)"), 4).alias("median_delay"),
         round_det(F.expr("percentile(delay_days, 0.95)"), 4).alias("p95_delay"),
         F.max("delay_days").cast("long").alias("max_delay"),
+    )
+
+
+@register(
+    "feature_standardize",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS s1,
+               sum(CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)) AS s2
+        FROM events GROUP BY event_type
+    ),
+    st AS (
+        SELECT event_type, s1 / (100.0 * n) AS mu,
+               sqrt((n * s2 - s1 * s1) / (n * CAST(n - 1 AS DOUBLE))) / 100.0 AS sd
+        FROM m
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - st.mu) / st.sd + 1e-8, 6) AS z_value
+    FROM events e JOIN st ON e.event_type = st.event_type
+    """,
+    tags=("mlprep", "feature-scaling", "standardize"),
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (the feature-scaling step of
+    every tabular ML prep): group moments from exact integer cents (one
+    hash agg), broadcast back, then a pure map emits (v - mean)/std.
+    Both engines derive mean/std from the same exact integers, so every
+    z-value is a deterministic double.  At 100 TB: one scan for
+    moments, one scan to standardize — the group-stat frame is KB-sized
+    regardless of row count."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    st = m.select(
+        "event_type",
+        (F.col("s1") / (100.0 * F.col("n"))).alias("mu"),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (F.col("n") * (F.col("n") - F.lit(1)).cast("double"))
+            )
+            / 100.0
+        ).alias("sd"),
+    )
+    return e.join(F.broadcast(st), "event_type").select(
+        "event_id",
+        "event_type",
+        round_det((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z_value"),
+    )
+
+
+@register(
+    "supplier_nation_share",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_regionkey AS rkey, n.n_name AS nation,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY rkey, nation
+    )
+    SELECT r.r_name AS region, rev.nation,
+           ROUND(rev.cents / 100.0 + 1e-8, 2) AS revenue,
+           ROUND(rev.cents / CAST(sum(rev.cents) OVER (PARTITION BY rev.rkey) AS DOUBLE) + 1e-8, 6)
+               AS share_of_region,
+           ROUND(rev.cents / CAST(sum(rev.cents) OVER () AS DOUBLE) + 1e-8, 6)
+               AS share_of_total
+    FROM rev JOIN region r ON rev.rkey = r.r_regionkey
+    """,
+    tags=("olap", "hierarchy", "percent-of-parent"),
+)
+def supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy report: supplier revenue per nation
+    with its share of the region and of the world — the drill-down
+    header every BI tool renders.  The heavy work is ONE fact-side agg
+    (lineitem shuffles only for the supplier join; nation/region
+    broadcast); the share windows run over the 25-row nation rollup,
+    partitioned by region and as one explicit tiny global partition.
+    Exact cents make every share bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name"))
+    r = F.broadcast(_t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("rkey"), F.col("n_name").alias("nation"))
+        .agg(F.sum(as_cents(F.col("l_extendedprice"))).alias("cents"))
+    )
+    wr = Window.partitionBy("rkey")
+    wt = Window.partitionBy(F.lit(0))
+    return rev.join(r, rev.rkey == r.r_regionkey).select(
+        F.col("r_name").alias("region"),
+        "nation",
+        round_det(F.col("cents") / 100.0, 2).alias("revenue"),
+        round_det(F.col("cents") / F.sum("cents").over(wr).cast("double"), 6).alias(
+            "share_of_region"
+        ),
+        round_det(F.col("cents") / F.sum("cents").over(wt).cast("double"), 6).alias(
+            "share_of_total"
+        ),
     )

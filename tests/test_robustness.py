@@ -52,6 +52,14 @@ TZ_SENSITIVE = [
     "incremental_agg_merge",
     "asof_join_forward_tolerance",
     "ewma_batch_per_user",
+    # round-5 additions with month extraction / hour-of-day / epoch-day
+    # arithmetic over event-time columns
+    "cohort_retention",
+    "open_orders_backlog",
+    "seasonal_anomaly_census",
+    "funnel_conversion",
+    "ship_delay_profile",
+    "snapshot_cdc_diff",
 ]
 
 
