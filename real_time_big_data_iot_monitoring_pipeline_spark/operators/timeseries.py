@@ -251,3 +251,55 @@ def seasonal_anomaly_census(
             round_det(F.col("std_v"), 4).alias("baseline_std"),
         )
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Greedy per-key debounce: keep an event iff at least `gap_seconds`
+    have passed since the last KEPT event of the same key (first event
+    always kept; ties broken by id).  The kept set depends on the chain
+    of previous keeps, so this is NOT a window function — it is the
+    canonical sequential per-key scan, implemented as `applyInPandas`
+    over key groups (Arrow batch per key partition, one pass over the
+    sorted group inside the worker).  Shuffle = one exchange on the key;
+    state = one timestamp per key; at 100 TB each group streams through
+    a worker independently — the same contract as the streaming
+    `applyInPandasWithState` operators (`streaming/stateful.py`), here
+    in batch form.  Exact integer-microsecond arithmetic keeps the kept
+    set bit-deterministic across engines and partitionings."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_us = gap_seconds * US_PER_SEC
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts_us", id_col], kind="mergesort")
+        ts = pdf["_ts_us"].to_numpy()
+        keep = []
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= gap_us:
+                keep.append(i)
+                last = t
+        out = pdf.iloc[keep]
+        return pd.DataFrame(
+            {key_col: out[key_col], id_col: out[id_col], "ts_us": out["_ts_us"]}
+        )
+
+    prepared = df.select(
+        F.col(key_col), F.col(id_col), F.unix_micros(F.col(ts_col)).alias("_ts_us")
+    )
+    return prepared.groupBy(key_col).applyInPandas(fn, out_schema)

@@ -649,3 +649,39 @@ def supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@register(
+    "events_debounce",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    kept AS (
+        (SELECT user_id, event_id, ts_us FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+            FROM e
+         ) WHERE rn = 1)
+        UNION ALL
+        SELECT nxt.user_id, nxt.event_id, nxt.ts_us
+        FROM kept k, LATERAL (
+            SELECT e.user_id, e.event_id, e.ts_us FROM e
+            WHERE e.user_id = k.user_id AND e.ts_us >= k.ts_us + 3600000000
+            ORDER BY e.ts_us, e.event_id LIMIT 1
+        ) nxt
+    )
+    SELECT user_id, event_id, ts_us FROM kept
+    """,
+    tags=("timeseries", "debounce", "stateful-batch"),
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 1-hour debounce per user (see `operators/timeseries.
+    debounce`): the kept set depends on the chain of previous keeps —
+    a sequential per-key scan no window function expresses — run as an
+    Arrow `applyInPandas` kernel per user group.  The DuckDB oracle
+    replays the same greedy chain with a recursive CTE + LATERAL
+    next-kept probe, so even this custom stateful batch operator is
+    value-hash-checked."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.timeseries import debounce
+
+    return debounce(_t(spark, sf_dir, "events"), gap_seconds=3600)

@@ -114,3 +114,31 @@ def test_fk_orphan_audit_counts(spark, sf_dir, oracle):
     assert out["orders->customer"].n_childless_parent == n_childless
     n_li = oracle.execute("SELECT count(*) FROM lineitem").fetchone()[0]
     assert out["lineitem->orders"].n_child == n_li
+
+
+def test_debounce_greedy_chain(spark):
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.timeseries import debounce
+
+    # user 1: events at 0s, 30m, 60m, 90m with 1h gap -> keep 0s and 60m
+    # (the 30m drop must NOT reset the clock: greedy chains off KEPT
+    # events only); 90m is only 30m after the kept 60m -> dropped.
+    # user 2: tie at the same instant -> smaller event_id wins;
+    # an event at EXACTLY the gap boundary is kept (>=).
+    rows = [
+        (1, 1, 0),
+        (2, 1, 1800),
+        (3, 1, 3600),
+        (4, 1, 5400),
+        (10, 2, 100),
+        (11, 2, 100),
+        (12, 2, 100 + 3600),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "sec"]).select(
+        "event_id", "user_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    kept = sorted(
+        (r.user_id, r.event_id) for r in debounce(df, gap_seconds=3600).collect()
+    )
+    assert kept == [(1, 1), (1, 3), (2, 10), (2, 12)]
