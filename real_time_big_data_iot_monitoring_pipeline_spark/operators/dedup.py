@@ -602,3 +602,64 @@ def duplicate_components(
     )
     edges.unpersist()
     return out
+
+
+def exact_substring_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level exact-duplicate profile (ExactSubstr-lite): for every
+    document, how many of its length-``n`` token windows also occur in at
+    least one OTHER document.  This is the per-span view the doc-level
+    families (Jaccard / MinHash / SimHash) cannot give — the signal used
+    to CUT duplicated spans out of training text rather than drop whole
+    documents (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", 2022; suffix-array ExactSubstr).
+
+    Plan shape, and why it holds at 100 TB: the rolling windows are a
+    map-side array transform (`transform(sequence(...))` + explode — no
+    Python, no shuffle); the only shuffle is the groupBy on the window
+    key, exactly one row per token position.  Here the key is the gram
+    STRING so the DuckDB oracle can replay it; the at-scale swap is
+    `xxhash64(gram)` — same plan, 8-byte keys — which is the standard
+    fingerprint compromise vs. the true suffix-array approach (a
+    suffix array is not expressible as a dataflow; rolling fingerprints
+    over-approximate it within hash-collision probability).  Documents
+    with fewer than ``n`` tokens carry no window and are excluded (also
+    guards `sequence()`'s descending-range surprise when size < n).
+
+    Returns (id, n_spans, n_dup_spans, dup_span_share).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+    )
+    df = ensure_min_parallelism(df.select(id_col, text_col))
+    g = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(id_col, F.explode(grams).alias("gram"))
+    )
+    # cross-document duplicated window keys; one count-distinct agg
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_counts = g.join(dup, "gram").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            round_det(
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_span_share"),
+        )
+    )

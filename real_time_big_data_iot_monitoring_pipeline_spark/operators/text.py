@@ -516,3 +516,84 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         (sym_ratio <= 0.10).alias("r_symbol_ratio"),
         (n_stop_distinct >= 2).alias("r_stopwords"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 40,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the inner statistic of one BPE
+    merge round (Sennrich et al. 2016), the step a tokenizer trainer
+    repeats until the vocab is full.
+
+    Scale shape (the reason BPE training is feasible on a 100 TB corpus):
+    the corpus is touched ONCE to build the distinct-word frequency
+    table; pair counting then runs over that table — orders of magnitude
+    smaller than the corpus — weighting each word's pairs by its count.
+    Both steps are codegen'd aggs (explode + substring), no Python.  A
+    full trainer iterates: apply the winning merge to the word table
+    (a map over distinct words, corpus never re-read) and recount; this
+    operator is that recount, the dominant cost per round.
+
+    Returns the top-``top_k`` (pair, pair_count) rows, (count desc, pair)
+    ordered so ranks are deterministic across engines.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+    )
+    # single-char words carry no pair; the filter also keeps sequence()
+    # ascending (sequence(1, 0) would generate a DESCENDING range)
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "word_freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("word_freq").alias("pair_count"))
+    )
+    return pairs.orderBy(F.col("pair_count").desc(), "pair").limit(top_k)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a token vocabulary
+    (one `token` column): the coverage check run after building a
+    tokenizer table, deciding whether the vocab is big enough for the
+    corpus mix.  The vocab is broadcast (tokenizer vocabularies are
+    bounded — 32k-256k rows — by construction), so the corpus streams
+    through one map-side left join and a per-doc agg; no corpus shuffle
+    on the token key.
+
+    Returns (id, n_tokens, n_oov, oov_rate).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    hit = toks.join(
+        F.broadcast(vocab.select(F.col("token"), F.lit(True).alias("in_vocab"))),
+        "token",
+        "left",
+    )
+    return hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        round_det(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )

@@ -46,7 +46,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   embedding_linear_probe, embedding_pq_topk, stream_dedup_bounded,
 #   text_gopher_census, seasonal_anomaly_census, distinct_users_lpc_sketch,
 #   open_orders_backlog, ship_delay_profile, feature_standardize,
-#   supplier_nation_share, events_debounce
+#   supplier_nation_share, events_debounce,
+#   dedup_exact_substring, bpe_pair_counts, vocab_oov_rate,
+#   asof_join_nearest
 #     (registered after the 3 slots filled; all locally oracle-green
 #     via tools/driver_sim.py explicit-name runs at sf0.01).
 # Every query in the catalog — windowed or not — is exercised each

@@ -402,3 +402,120 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lead_seconds"
         ),
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        FROM events WHERE event_type IN ('click', 'error')
+    ),
+    filled AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               last_value(click_id IGNORE NULLS) OVER wb AS prev_click_id,
+               last_value(click_us IGNORE NULLS) OVER wb AS prev_click_us,
+               first_value(click_id IGNORE NULLS) OVER wf AS next_click_id,
+               first_value(click_us IGNORE NULLS) OVER wf AS next_click_us
+        FROM u
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    scored AS (
+        SELECT event_id, user_id,
+               CASE WHEN prev_click_us IS NOT NULL
+                         AND ts_us - prev_click_us <= 120000000
+                    THEN ts_us - prev_click_us END AS back_gap,
+               prev_click_id,
+               CASE WHEN next_click_us IS NOT NULL
+                         AND next_click_us - ts_us <= 120000000
+                    THEN next_click_us - ts_us END AS fwd_gap,
+               next_click_id
+        FROM filled WHERE event_type = 'error'
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back_gap IS NOT NULL AND (fwd_gap IS NULL OR back_gap <= fwd_gap)
+                THEN prev_click_id
+                WHEN fwd_gap IS NOT NULL THEN next_click_id END AS matched_click_id,
+           CASE WHEN back_gap IS NOT NULL AND (fwd_gap IS NULL OR back_gap <= fwd_gap)
+                THEN -CAST(floor(back_gap / 1000000) AS BIGINT)
+                WHEN fwd_gap IS NOT NULL
+                THEN CAST(floor(fwd_gap / 1000000) AS BIGINT) END AS signed_gap_seconds
+    FROM scored
+    """,
+    tags=("joins", "asof", "nearest", "tolerance", "custom-operator"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, NEAREST direction with tolerance: for every error
+    event, the same user's closest click within +-2 minutes — pandas
+    `merge_asof(direction='nearest', tolerance=...)` semantics, the one
+    as-of variant the backward/forward twins don't cover.  Ties prefer
+    the earlier (backward) click.
+
+    Scale shape: both candidate frames (backward `last(ignorenulls)` and
+    forward `first(ignorenulls)`) share one window partitioning and
+    ordering, so Spark computes them in a SINGLE per-user sort pass — no
+    second shuffle, no row explosion, and picking the nearer candidate
+    is a plain CASE projection.  A range-join formulation would explode
+    every error x click pair inside the tolerance; this stays one row
+    per event at any corpus size."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tol_us = 120_000_000
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    filled = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_click_id"),
+        F.last(click_us, ignorenulls=True).over(wb).alias("prev_click_us"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_click_id"),
+        F.first(click_us, ignorenulls=True).over(wf).alias("next_click_us"),
+    )
+    scored = filled.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("prev_click_us").isNotNull()
+            & ((F.col("ts_us") - F.col("prev_click_us")) <= tol_us),
+            F.col("ts_us") - F.col("prev_click_us"),
+        ).alias("back_gap"),
+        "prev_click_id",
+        F.when(
+            F.col("next_click_us").isNotNull()
+            & ((F.col("next_click_us") - F.col("ts_us")) <= tol_us),
+            F.col("next_click_us") - F.col("ts_us"),
+        ).alias("fwd_gap"),
+        "next_click_id",
+    )
+    back_wins = F.col("back_gap").isNotNull() & (
+        F.col("fwd_gap").isNull() | (F.col("back_gap") <= F.col("fwd_gap"))
+    )
+    return scored.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("prev_click_id"))
+        .when(F.col("fwd_gap").isNotNull(), F.col("next_click_id"))
+        .alias("matched_click_id"),
+        F.when(back_wins, -F.floor(F.col("back_gap") / 1_000_000).cast("long"))
+        .when(
+            F.col("fwd_gap").isNotNull(),
+            F.floor(F.col("fwd_gap") / 1_000_000).cast("long"),
+        )
+        .alias("signed_gap_seconds"),
+    )

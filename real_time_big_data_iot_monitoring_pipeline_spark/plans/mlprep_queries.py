@@ -211,3 +211,77 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = similarity.pq_codebooks(e, _PQ_M, _PQ_DSUB, _PQ_K)
     return similarity.pq_adc_topk(e, books, n_queries=5, k_out=10)
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS word_freq FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+        ) WHERE length(word) > 0 GROUP BY word
+    ),
+    p AS (
+        SELECT substr(word, i, 2) AS pair, word_freq
+        FROM (SELECT word, word_freq, unnest(generate_series(1, length(word) - 1)) AS i
+              FROM words WHERE length(word) >= 2)
+    )
+    SELECT pair, CAST(sum(word_freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 40
+    """,
+    tags=("mlprep", "text", "tokenizer", "bpe"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round's pair statistic: adjacent-character pair
+    frequencies weighted by word frequency, top 40.  The corpus is read
+    once for the word table; pair counting runs over distinct words only
+    — the property that makes BPE training tractable at corpus scale.
+    See `operators/text.bpe_pair_counts`."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text
+
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=40)
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ) WHERE length(token) > 0
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS freq FROM t
+            GROUP BY token HAVING count(*) >= 2
+            ORDER BY freq DESC, token LIMIT 50
+        )
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / count(*) + 1e-8, 6) AS oov_rate
+    FROM t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    tags=("mlprep", "text", "vocabulary", "coverage"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: per-document OOV rate against the
+    `vocab_build_topk` vocabulary (same spec: whitespace tokens, min
+    count 2, top 50 by (freq desc, token)).  The vocab side broadcasts —
+    tokenizer tables are bounded by construction — so the corpus streams
+    through a map-side join; no shuffle on the token key.  See
+    `operators/text.oov_rate`."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+    vocab = toks.orderBy(F.col("freq").desc(), F.col("token")).limit(50).select("token")
+    return text.oov_rate(docs, vocab)

@@ -1405,3 +1405,37 @@ def text_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_iot_monitoring_pipeline_spark.operators import text as text_ops
 
     return text_ops.truncate_tokens(_docs(spark, sf_dir), max_tokens=64)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ws
+        FROM documents
+    ),
+    wn AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+    g AS (
+        SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM wn)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY 1),
+    dc AS (SELECT doc_id, count(*) AS n_dup_spans FROM g JOIN dup USING (gram) GROUP BY 1)
+    SELECT tot.doc_id, tot.n_spans,
+           COALESCE(dc.n_dup_spans, 0) AS n_dup_spans,
+           ROUND(COALESCE(dc.n_dup_spans, 0) / tot.n_spans + 1e-8, 6) AS dup_span_share
+    FROM tot LEFT JOIN dc ON tot.doc_id = dc.doc_id
+    """,
+    tags=("northstar", "dedup", "exact-substring"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicated-text profile (ExactSubstr-lite): per
+    document, the count and share of its 8-token windows that also occur
+    in another document — the signal for cutting duplicated spans rather
+    than dropping documents.  See `operators/dedup.exact_substring_profile`
+    for the plan-shape / 100 TB notes (map-side rolling windows, one
+    shuffle on the window key; `xxhash64(gram)` is the at-scale key
+    swap, the gram string is kept here so the oracle replays exactly)."""
+    return dedup.exact_substring_profile(_docs(spark, sf_dir), n=8)
