@@ -538,3 +538,135 @@ def stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipeline.run_stream_to_parquet(deduped, result, output_mode="append")
     return spark.read.parquet(result)
+
+
+@register(
+    "stream_late_data_audit",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo,
+               max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+        FROM events
+    ),
+    r AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+    se AS (
+        SELECT r.*,
+               LEAST(LEAST(((us - b.lo) * 8) // b.span, 7)
+                     + CASE WHEN event_id % 17 = 0 THEN 4 ELSE 0 END, 7) AS s_eff
+        FROM r, b
+    ),
+    ba AS (SELECT *, s_eff // 2 AS batch,
+                  (us // 1000000 // 300) * 300 AS win_s
+           FROM se),
+    bmax AS (SELECT batch, max(us // 1000) AS bmax_ms FROM ba GROUP BY 1),
+    effwm AS (
+        SELECT g.batch,
+               COALESCE(max(p.bmax_ms) - 600000, 0) AS wm_ms
+        FROM (SELECT unnest(generate_series(0, 4)) AS batch) g
+        LEFT JOIN bmax p ON p.batch < g.batch
+        GROUP BY g.batch
+    ),
+    seal AS (
+        SELECT w.win_s, min(e.batch) AS seal_batch
+        FROM (SELECT DISTINCT win_s FROM ba) w
+        JOIN effwm e ON (w.win_s + 300) * 1000 <= e.wm_ms
+        GROUP BY 1
+    ),
+    audit AS (
+        SELECT ba.event_type, ba.win_s,
+               count(*) AS batch_cnt,
+               sum(CASE WHEN ba.batch <= s.seal_batch THEN 1 ELSE 0 END) AS streamed_cnt
+        FROM ba JOIN seal s ON ba.win_s = s.win_s
+        GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(win_s AS BIGINT) AS window_start,
+           CAST(batch_cnt AS BIGINT) AS batch_cnt,
+           CAST(streamed_cnt AS BIGINT) AS streamed_cnt,
+           CAST(batch_cnt - streamed_cnt AS BIGINT) AS late_dropped
+    FROM audit
+    """,
+    tags=("streaming", "T1", "watermark", "late-data", "audit", "equivalence"),
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data watermark audit — the side-output the reference lacks
+    (SURVEY §2.9: late rows vanish silently; here they are counted).
+
+    The events table is replayed as 8 event-time-ordered files in which
+    a deterministic subset (event_id % 17 == 0) arrives FOUR files late
+    (`pipeline.stage_late_slices`); a watermarked (10 min) 5-minute
+    tumbling count runs over the replay in append mode.  The audit
+    compares, per (event_type, window), the batch ground truth against
+    what the stream actually emitted: `late_dropped` is the rows the
+    engine silently discarded because they arrived after the watermark
+    sealed their window.  Windows never sealed by the final watermark
+    (the trailing 10 minutes) are excluded on both sides — append mode
+    never emits them.
+
+    Measured engine semantics the oracle replays analytically (verified
+    emission-multiset-exact on this replay shape): the watermark in
+    effect during micro-batch b is the ms-truncated running max event
+    time over batches < b minus the delay; state for a window is evicted
+    (and the window emitted once) at the end of the first batch whose
+    in-effect watermark passes the window end ("seal batch"); an input
+    row is dropped by the lateness filter only when it arrives in a
+    batch STRICTLY AFTER its window's seal batch (the filter lags
+    eviction by one batch — a row landing in its seal batch still merges
+    and emits; `numRowsDroppedByWatermark` confirms: 0 dropped when rows
+    land on the seal batch, all post-seal arrivals dropped).  The
+    engine's own per-batch telemetry (watermark + dropped-row counts) is
+    persisted alongside the result; tests cross-check the audit's
+    `late_dropped` total against the engine-reported metric."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_late_audit")
+    staging = result + "_staging"
+    wm_sidecar = result + "_wm"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=17, delay_slices=4
+            )
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "event_type",
+                F.unix_seconds(F.col("w.start")).alias("window_start"),
+                "cnt",
+            )
+        )
+        telemetry = pipeline.run_stream_to_parquet(
+            agg, result, output_mode="append", with_batch_id=True
+        )
+        spark.createDataFrame(
+            telemetry, "batch long, wm_ms long, rows_dropped long"
+        ).coalesce(1).write.mode("overwrite").parquet(wm_sidecar)
+    res = spark.read.parquet(result)
+    wm = spark.read.parquet(wm_sidecar)
+    # ground truth straight from the batch table, restricted to windows
+    # the final engine watermark sealed (1-row broadcast of max wm).
+    final_wm = wm.agg(F.max("wm_ms").alias("final_wm_ms"))
+    truth = (
+        e.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("batch_cnt"))
+        .select("event_type", F.unix_seconds(F.col("w.start")).alias("window_start"), "batch_cnt")
+        .crossJoin(F.broadcast(final_wm))
+        .filter((F.col("window_start") + 300) * 1000 <= F.col("final_wm_ms"))
+        .drop("final_wm_ms")
+    )
+    streamed = res.groupBy("event_type", "window_start").agg(
+        F.sum("cnt").cast("long").alias("streamed_cnt")
+    )
+    return (
+        truth.join(streamed, ["event_type", "window_start"], "left")
+        .select(
+            "event_type",
+            "window_start",
+            "batch_cnt",
+            F.coalesce(F.col("streamed_cnt"), F.lit(0)).cast("long").alias("streamed_cnt"),
+            (F.col("batch_cnt") - F.coalesce(F.col("streamed_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("late_dropped"),
+        )
+    )

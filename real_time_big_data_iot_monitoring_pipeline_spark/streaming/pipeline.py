@@ -340,19 +340,97 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
     q.stop()
 
 
-def run_stream_to_parquet(df: DataFrame, path: str, output_mode: str = "complete") -> None:
+def run_stream_to_parquet(
+    df: DataFrame, path: str, output_mode: str = "complete", with_batch_id: bool = False
+) -> list[tuple[int, int]]:
     """Run a streaming query to a PARQUET result dir until all available
     input is consumed.  In complete mode every micro-batch carries the
     full aggregate state, so overwriting per batch leaves the final state
     on disk; in append mode each micro-batch carries only newly-final
     rows, so batches accumulate.  Either way executors write the rows —
     nothing is collected to the driver (the scale-safe twin of
-    `run_stream_to_memory`)."""
+    `run_stream_to_memory`).  `with_batch_id` stamps each row with the
+    micro-batch id that emitted it — the provenance column the late-data
+    audit needs to tell a window's first (sealed) emission from re-opened
+    late emissions.
+
+    Returns the engine's own per-batch event-time telemetry: one
+    `(batch_id, watermark_ms, rows_dropped)` tuple per micro-batch,
+    where `watermark_ms` is the watermark IN EFFECT during that batch
+    (epoch ms) and `rows_dropped` is the state operator's
+    `numRowsDroppedByWatermark`, both as reported by
+    `StreamingQueryProgress` — bounded driver data (one tuple per
+    batch), used by the late-data audit to cross-check its analytic
+    drop accounting against what the engine says it did."""
+    from datetime import datetime
+
     batch_mode = "append" if output_mode == "append" else "overwrite"
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if with_batch_id:
+            batch_df = batch_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
         batch_df.write.mode(batch_mode).parquet(path)
 
     q = df.writeStream.outputMode(output_mode).foreachBatch(write).start()
     q.processAllAvailable()
     q.stop()
+    telemetry: list[tuple[int, int, int]] = []
+    for p in q.recentProgress:
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm is None:
+            continue
+        ms = int(datetime.fromisoformat(wm.replace("Z", "+00:00")).timestamp() * 1000)
+        ops = p.get("stateOperators") or []
+        dropped = sum(int(o.get("numRowsDroppedByWatermark", 0)) for o in ops)
+        telemetry.append((int(p["batchId"]), ms, dropped))
+    return telemetry
+
+
+def stage_late_slices(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_slices: int = 8,
+    delay_mod: int = 17,
+    delay_slices: int = 2,
+) -> None:
+    """Stage a FINITE frame as `n_slices` event-time-ordered files in
+    which a deterministic subset of rows (id % `delay_mod` == 0) is
+    shifted `delay_slices` files later than its event time — a replay
+    feed with KNOWN stragglers, for exercising watermark semantics
+    end-to-end (the late-data audit).
+
+    Every arithmetic step is exact int64 (`unix_micros`, `div`) so a SQL
+    oracle can reproduce the slice assignment bit-for-bit:
+    ``s0 = least((us - lo) * n div span, n-1)``,
+    ``s_eff = least(s0 + (id % mod == 0 ? d : 0), n-1)``.
+    One bounded driver collect (the min/max bounds row); files are
+    written sequentially so the file source replays them in order."""
+    df = df.cache()
+    lo, hi = df.agg(F.min(F.unix_micros(ts_col)), F.max(F.unix_micros(ts_col))).collect()[0]
+    span = hi - lo + 1
+    staged = (
+        df.withColumn("_us", F.unix_micros(ts_col))
+        .withColumn(
+            "_s0",
+            F.least(F.expr(f"((_us - {lo}) * {n_slices}) div {span}"), F.lit(n_slices - 1)),
+        )
+        .withColumn(
+            "_s_eff",
+            F.least(
+                F.col("_s0")
+                + F.when(F.col(id_col) % delay_mod == 0, delay_slices).otherwise(0),
+                F.lit(n_slices - 1),
+            ),
+        )
+    )
+    for i in range(n_slices):
+        (
+            staged.filter(F.col("_s_eff") == i)
+            .drop("_us", "_s0", "_s_eff")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    df.unpersist()

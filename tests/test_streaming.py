@@ -241,3 +241,25 @@ def test_stream_replay_cached_per_session(spark, monkeypatch):
     assert len(calls) == after_first, (
         f"second build() re-ran the streaming replay: {calls[after_first:]}"
     )
+
+
+def test_late_data_audit_matches_engine_dropped_metric(spark):
+    """The audit's late_dropped total must equal the engine's own
+    numRowsDroppedByWatermark across batches (persisted telemetry), plus
+    the audit must actually observe lateness (the staged feed delays
+    event_id % 17 == 0 by four files)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans.streaming_queries import _stream_dirs
+
+    sf = "/root/testdata/sf0.001"
+    audit = REGISTRY["stream_late_data_audit"].build(spark, sf)
+    total_late = audit.agg(F.sum("late_dropped")).collect()[0][0]
+    _, result = _stream_dirs(sf, "result_late_audit")
+    telemetry = spark.read.parquet(result + "_wm")
+    engine_dropped = telemetry.agg(F.sum("rows_dropped")).collect()[0][0]
+    assert total_late > 0, "staged stragglers should produce dropped late rows"
+    assert total_late == engine_dropped, (
+        f"audit says {total_late} late-dropped, engine reported {engine_dropped}"
+    )
