@@ -422,3 +422,88 @@ def mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PR_ITER = """
+    c{i} AS (
+        SELECT e.dst AS node, sum((r.rank_micro * e.w) // o.out_w) AS s
+        FROM edges e
+        JOIN r{p} r ON e.src = r.node
+        JOIN outw o ON e.src = o.src
+        GROUP BY 1
+    ),
+    r{i} AS (
+        SELECT n.node,
+               CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT) AS rank_micro
+        FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )"""
+
+_PR_ORACLE = (
+    """
+    WITH e0 AS (
+        SELECT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst, w FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst AS node FROM edges
+    ),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),"""
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT r3.node - 10000000 AS s_suppkey, s.s_name, r3.rank_micro
+    FROM r3 JOIN supplier s ON r3.node - 10000000 = s.s_suppkey
+    WHERE r3.node >= 10000000
+    ORDER BY rank_micro DESC, s_suppkey LIMIT 20
+    """
+)
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle=_PR_ORACLE,
+    tags=("analytics", "graph", "iterative", "pagerank"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, damping 0.85) over the
+    customer<->supplier trade graph (edge weight = number of lineitems
+    traded), reporting the 20 most central suppliers — the iterative
+    weighted-propagation shape `dedup_components`' transitive closure
+    does not cover.  Ranks are exact integer micro-units
+    (`operators/graph.pagerank_micro`), so the 3-iteration fixpoint is
+    bit-identical in both engines and survives any partitioning; the
+    oracle unrolls the same three iterations as chained CTEs."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.graph import pagerank_micro
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    ranks = pagerank_micro(edges, iterations=3)
+    return (
+        ranks.filter(F.col("node") >= 10_000_000)
+        .select((F.col("node") - 10_000_000).alias("s_suppkey"), "rank_micro")
+        .join(sup.select("s_suppkey", "s_name"), "s_suppkey")
+        .select("s_suppkey", "s_name", "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "s_suppkey")
+        .limit(20)
+    )

@@ -670,3 +670,64 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late_dropped"),
         )
     )
+
+
+@register(
+    "stream_update_upsert",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           count(*) AS cnt,
+           ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value))) + 1e-8, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "T3", "T6", "update-mode", "changelog", "upsert", "equivalence"),
+)
+def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming replay in UPDATE output mode feeding a CHANGELOG
+    sink, compacted to a snapshot at read — the third output mode
+    (append and complete have their own replays) and the
+    exactly-once-effective upsert the reference lacks (its JDBC sink
+    blindly appends partial aggregates, spark_streaming.py:52-75; SURVEY
+    §7 hard-part #4).
+
+    Each micro-batch emits the CURRENT state of every (event_type,
+    window) it touched; the sink appends those rows stamped with the
+    micro-batch id, producing a keyed changelog.  The snapshot is one
+    `max_by(value, _batch_id)` aggregation — latest version per key wins
+    — which must equal the batch groupBy, and the DuckDB oracle checks
+    exactly that.  This is the scale-correct upsert shape (cheap
+    appends + one compaction agg, the Delta/Iceberg merge pattern);
+    the tempting alternative — dynamic partition-overwrite keyed by the
+    full aggregate key — was measured at sf0.01 to create one directory
+    PER KEY (~9k dirs, 5,900 write tasks, 87 s): a small-files
+    pathology that only gets worse with scale.  No watermark: state must
+    stay mutable across the whole (finite, out-of-event-time-order)
+    replay; watermarked eviction is `stream_late_data_audit`'s
+    subject."""
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_update_upsert")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = (
+            stream.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                avg_fixed(F.col("value")).alias("avg_value"),
+            )
+            .select(
+                "event_type",
+                F.unix_seconds(F.col("w.start")).alias("window_start"),
+                "cnt",
+                "avg_value",
+            )
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="update", with_batch_id=True)
+    res = spark.read.parquet(result)
+    return res.groupBy("event_type", "window_start").agg(
+        F.max_by("cnt", "_batch_id").alias("cnt"),
+        F.max_by("avg_value", "_batch_id").alias("avg_value"),
+    )

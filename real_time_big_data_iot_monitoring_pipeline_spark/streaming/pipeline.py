@@ -245,11 +245,14 @@ def interval_join_stream(
     return l.join(r, cond, how).drop(F.col(f"r.{key}"))
 
 
-def parquet_upsert_writer(path: str, partition_col: str = "window_start"):
+def parquet_upsert_writer(path: str, partition_col: str | list[str] = "window_start"):
     """foreachBatch writer with overwrite-by-partition semantics: replays
     of a micro-batch rewrite the same partitions instead of appending
     duplicates — exactly-once-effective where the reference is
-    at-least-once (``spark_streaming.py:52-75``)."""
+    at-least-once (``spark_streaming.py:52-75``).  `partition_col` may be
+    a list for a composite partition key (e.g. the update-mode upsert
+    sink partitions by the full aggregate key so every upsert targets
+    exactly one row's directory)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T9 empty-batch skip (reference :67)
@@ -364,7 +367,11 @@ def run_stream_to_parquet(
     drop accounting against what the engine says it did."""
     from datetime import datetime
 
-    batch_mode = "append" if output_mode == "append" else "overwrite"
+    # complete mode re-emits full state per batch -> overwrite leaves the
+    # final state; append AND update emit incremental rows -> accumulate
+    # (update-mode output is a changelog: latest row per key wins, see
+    # stream_update_upsert's compaction read).
+    batch_mode = "overwrite" if output_mode == "complete" else "append"
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if with_batch_id:
