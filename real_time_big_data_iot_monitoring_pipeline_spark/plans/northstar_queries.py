@@ -1439,3 +1439,73 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the window key; `xxhash64(gram)` is the at-scale key
     swap, the gram string is kept here so the oracle replays exactly)."""
     return dedup.exact_substring_profile(_docs(spark, sf_dir), n=8)
+
+
+@register(
+    "multimodal_phash_neardups",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+               strlen(text) AS n
+        FROM documents WHERE strlen(text) > 0
+    ),
+    sums AS (
+        SELECT doc_id, n, bytes,
+               CAST(list_aggregate(bytes, 'sum') AS BIGINT) AS total
+        FROM chars
+    ),
+    bits AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63), i ->
+                   CASE WHEN ((i + 1) * n) // 64 > (i * n) // 64
+                        AND list_aggregate(bytes[(i * n) // 64 + 1 : ((i + 1) * n) // 64], 'sum') * n
+                            > total * (((i + 1) * n) // 64 - (i * n) // 64)
+                        THEN 1 ELSE 0 END) AS bit
+        FROM sums
+    ),
+    bands AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3), b ->
+                   list_sum(list_transform(generate_series(0, 15),
+                                           j -> bit[16 * b + j + 1] * (1 << j)))) AS bv
+        FROM bits
+    ),
+    bexp AS (
+        SELECT doc_id, g.i AS band_idx, CAST(bv[g.i + 1] AS BIGINT) AS band_val
+        FROM bands, (SELECT unnest(generate_series(0, 3)) AS i) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bexp a JOIN bexp b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(CAST(x.bv[1] AS BIGINT), CAST(y.bv[1] AS BIGINT)))
+              + bit_count(xor(CAST(x.bv[2] AS BIGINT), CAST(y.bv[2] AS BIGINT)))
+              + bit_count(xor(CAST(x.bv[3] AS BIGINT), CAST(y.bv[3] AS BIGINT)))
+              + bit_count(xor(CAST(x.bv[4] AS BIGINT), CAST(y.bv[4] AS BIGINT))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON c.id_a = x.doc_id
+    JOIN bands y ON c.id_b = y.doc_id
+    WHERE bit_count(xor(CAST(x.bv[1] AS BIGINT), CAST(y.bv[1] AS BIGINT)))
+        + bit_count(xor(CAST(x.bv[2] AS BIGINT), CAST(y.bv[2] AS BIGINT)))
+        + bit_count(xor(CAST(x.bv[3] AS BIGINT), CAST(y.bv[3] AS BIGINT)))
+        + bit_count(xor(CAST(x.bv[4] AS BIGINT), CAST(y.bv[4] AS BIGINT))) <= 6
+    """,
+    tags=("northstar", "multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the binary payload
+    column: blockwise 64-bit average-hash in an Arrow `mapInPandas`
+    kernel (`multimodal.ahash_bands` — exact integer cross-multiply
+    bits, so the oracle replays the hash bit-for-bit over the ASCII
+    fixture payloads), 4x16-bit banding for candidate generation, exact
+    Hamming verification on candidates only.  Completes the multimodal
+    story (decode / resize / frame-sample / NEAR-DUP) with the same
+    candidates-then-verify plan the MinHash/SimHash text families use —
+    the only shuffle is the banded equi-join."""
+    payloads = multimodal.attach_payload(_docs(spark, sf_dir))
+    payloads = payloads.filter(F.octet_length("payload") > 0)
+    return multimodal.phash_near_dups(payloads, max_hamming=6)

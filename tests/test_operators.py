@@ -511,3 +511,47 @@ def test_resize_images_shape_and_determinism(spark, sf_dir):
 def test_resize_real_path_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal._resize_stub(b"abc", 4, 4, real=True)
+
+
+def test_phash_near_dups_planted(spark):
+    """Planted perceptual near-duplicates: byte payloads with 1-2 flipped
+    characters must surface as banded candidates with small Hamming
+    distance; unrelated random-ish payloads must not pair up."""
+    import random
+
+    rng = random.Random(7)
+    base = ["".join(rng.choice("abcdefgh ") for _ in range(200)) for _ in range(5)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        flipped = list(t)
+        flipped[37] = "z"  # one byte changed -> one block sum nudged
+        rows.append((100 + i, "".join(flipped)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    payloads = multimodal.attach_payload(df)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in multimodal.phash_near_dups(payloads).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"planted near-dup {i} not detected"
+        assert pairs[(i, 100 + i)] <= 6
+    for (a, b), h in pairs.items():
+        assert b - a == 100, f"unrelated pair surfaced: {(a, b)} hamming={h}"
+
+
+def test_ahash_bands_match_python_reference(spark):
+    """The Arrow kernel's band values equal a direct per-payload Python
+    recomputation (independent of numpy vectorization details)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 20), (2, "abc"), (3, "x" * 64), (4, "s")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in
+           multimodal.ahash_bands(multimodal.attach_payload(docs)).collect()}
+    for doc_id, text in [(1, "hello world " * 20), (2, "abc"), (3, "x" * 64), (4, "s")]:
+        data = text.encode()
+        n, total = len(data), sum(data)
+        bits = []
+        for i in range(64):
+            s, e = (i * n) // 64, ((i + 1) * n) // 64
+            bs = sum(data[s:e])
+            bits.append(1 if bs * n > total * (e - s) else 0)
+        want = tuple(sum(bits[16 * b + j] << j for j in range(16)) for b in range(4))
+        assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
