@@ -119,3 +119,70 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_freq")).alias("overestimate"),
     )
+
+
+# Per-session persisted daily sketch tables, keyed by sf_dir — written
+# once, then every query merges the stored sketches without rescanning
+# the events table (same persist-once pattern as the IVF index).
+_HLL_SKETCH_DIRS: dict[str, str] = {}
+
+
+def hll_daily_sketch_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _HLL_SKETCH_DIRS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="rtbd_hll_") + "/daily"
+        e = load_table(spark, sf_dir, "events")
+        from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import utc_naive
+
+        (
+            e.groupBy(F.date_format(utc_naive(F.col("ts")), "yyyy-MM-dd").alias("day"))
+            .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _HLL_SKETCH_DIRS[sf_dir] = path
+    return _HLL_SKETCH_DIRS[sf_dir]
+
+
+@register(
+    "distinct_users_hll_daily",
+    oracle=None,  # Datasketches HLL registers are engine-specific; the
+    # merge-consistency and error-bound contracts are pinned by
+    # tests/test_operators.py::test_hll_daily_union_consistency
+    tags=("sketch", "hll", "mergeable", "persisted", "rows-only-by-design"),
+)
+def distinct_users_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-day HLL sketches (lgK=14
+    Datasketches, `hll_sketch_agg`) are MATERIALIZED once as a sketch
+    table, and the query computes each day's distinct users plus the
+    cumulative distinct-users-to-date by UNIONING stored sketches —
+    no rescan of the events table, ever.  This is the pattern that makes
+    COUNT(DISTINCT) tractable on a 100 TB feed: distinct is not
+    additive, but sketches are mergeable, so a day's ingest appends one
+    sketch row and any date-range distinct count is a union over
+    (bounded, kilobyte-sized) sketch rows instead of a full-history
+    shuffle.  The cumulative union is a triangular self-join over the
+    (tiny) sketch table — day count squared rows, never corpus rows.
+
+    Rows-only by design: HLL registers are engine-specific (DuckDB has
+    no Datasketches HLL), so no SQL oracle exists; the binding contracts
+    — union-of-shards == sketch-of-union, relative error vs exact — are
+    asserted by unit test instead."""
+    path = hll_daily_sketch_dir(spark, sf_dir)
+    daily = spark.read.parquet(path)
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sketch").cast("long").alias("day_users_est")
+    )
+    cum = (
+        daily.alias("d")
+        .join(daily.alias("p"), F.col("p.day") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("p.sketch"), F.lit(False)))
+            .cast("long")
+            .alias("cum_users_est")
+        )
+    )
+    return per_day.join(cum, "day").orderBy("day")

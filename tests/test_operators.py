@@ -555,3 +555,39 @@ def test_ahash_bands_match_python_reference(spark):
             bits.append(1 if bs * n > total * (e - s) else 0)
         want = tuple(sum(bits[16 * b + j] << j for j in range(16)) for b in range(4))
         assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
+
+
+def test_hll_daily_union_consistency(spark):
+    """Binding contracts for the rows-only HLL sketch query: (1) the
+    cumulative union over stored per-day sketches equals a direct sketch
+    over the same prefix of the raw data (merge consistency — the
+    property that makes the persisted-sketch pattern sound); (2) the
+    final estimate is within 2% of the exact distinct count at lgK=14;
+    (3) cumulative estimates are non-decreasing."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import utc_naive
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["distinct_users_hll_daily"].build(spark, sf).orderBy("day").collect()
+    assert len(out) > 1
+    cums = [r.cum_users_est for r in out]
+    assert cums == sorted(cums), "cumulative distinct estimate must be non-decreasing"
+
+    e = load_table(spark, sf, "events").withColumn(
+        "day", F.date_format(utc_naive(F.col("ts")), "yyyy-MM-dd")
+    )
+    # (1) merge consistency on a mid-stream prefix and the full range
+    for upto in (out[len(out) // 2].day, out[-1].day):
+        direct = (
+            e.filter(F.col("day") <= upto)
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).cast("long"))
+            .collect()[0][0]
+        )
+        merged = next(r.cum_users_est for r in out if r.day == upto)
+        assert merged == direct, f"union-of-days {merged} != direct sketch {direct} at {upto}"
+    # (2) error bound vs exact
+    exact = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(cums[-1] - exact) / exact < 0.02, (cums[-1], exact)
