@@ -50,6 +50,11 @@ HEADLINE = [
     # shuffle) and the PQ ADC serving path (code-compressed ANN)
     "bloom_prune_semijoin",
     "embedding_pq_topk",
+    # round 5 (late additions): span-level exact-substring dedup (the
+    # heaviest text map+shuffle in the catalog) and the iterative-join
+    # PageRank over the trade graph
+    "dedup_exact_substring",
+    "pagerank_trade_graph",
 ]
 
 
