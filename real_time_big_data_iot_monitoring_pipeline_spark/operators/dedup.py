@@ -663,3 +663,75 @@ def exact_substring_profile(
             ).alias("dup_span_share"),
         )
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """APPLY span-level dedup: remove every length-``n`` token window
+    that duplicates an earlier occurrence (corpus-wide), keeping the
+    single canonical (smallest (doc, position)) copy — the intervention
+    ExactSubstr dedup performs on training text, where
+    `exact_substring_profile` only measures.  Overlapping cut windows
+    merge naturally (a token is dropped if ANY covering window is cut).
+
+    Plan: rolling windows explode map-side; one agg keys each gram with
+    its occurrence count and canonical occurrence (encoded as
+    ``doc*1e6+pos`` so min() is a single long — portable to SQL);
+    non-canonical occurrences of duplicated grams explode to covered
+    token positions; an anti join drops covered tokens; per-doc
+    reassembly is a sort_array over (pos, token) structs.  Shuffles:
+    gram agg, gram join, anti join, doc agg — all keyed, no row
+    explosion beyond the n-per-position cover lists.  Documents shorter
+    than ``n`` tokens carry no window and pass through uncut.
+
+    Returns (id, n_tokens, n_cut_tokens, cleaned_text).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0)
+    base = ensure_min_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("toks")
+    )
+    tok = base.select(
+        id_col, F.posexplode("toks").alias("tpos0", "token")
+    ).select(id_col, (F.col("tpos0") + 1).alias("tpos"), "token")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.struct(i.alias("pos"), F.array_join(F.slice(F.col("toks"), i, n), " ").alias("gram")),
+    )
+    g = (
+        base.filter(F.size("toks") >= n)
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    occ_key = F.col(id_col) * 1_000_000 + F.col("pos")
+    st = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(occ_key).alias("canonical_key")
+    )
+    cut = (
+        g.join(st, "gram")
+        .filter((F.col("cnt") >= 2) & (occ_key != F.col("canonical_key")))
+        .select(id_col, "pos")
+    )
+    covered = cut.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tpos")
+    ).distinct()
+    kept = tok.join(covered, [id_col, "tpos"], "left_anti")
+    totals = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "token"))), lambda s: s["token"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_cut_tokens"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

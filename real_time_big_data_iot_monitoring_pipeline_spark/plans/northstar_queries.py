@@ -1509,3 +1509,63 @@ def multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_payload(_docs(spark, sf_dir))
     payloads = payloads.filter(F.octet_length("payload") > 0)
     return multimodal.phash_near_dups(payloads, max_hamming=6)
+
+
+@register(
+    "dedup_cut_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ws
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS tpos, ws[i] AS token
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)
+    ),
+    g AS (
+        SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+              FROM w WHERE len(ws) >= 8)
+    ),
+    st AS (
+        SELECT gram, count(*) AS cnt,
+               min(doc_id * 1000000 + pos) AS canonical_key
+        FROM g GROUP BY 1
+    ),
+    cut AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN st USING (gram)
+        WHERE st.cnt >= 2 AND g.doc_id * 1000000 + g.pos <> st.canonical_key
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+            SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tpos FROM cut
+        )
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tpos, t.token
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        WHERE c.doc_id IS NULL
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+    reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(token, ' ' ORDER BY tpos) AS cleaned_text
+        FROM kept GROUP BY 1
+    )
+    SELECT tot.doc_id, CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_tokens - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+           COALESCE(reb.cleaned_text, '') AS cleaned_text
+    FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+    """,
+    tags=("northstar", "dedup", "exact-substring", "transform"),
+)
+def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut dedup applied: rebuild every document with duplicated
+    8-token windows REMOVED (canonical first occurrence kept corpus-wide,
+    overlapping cuts merged) — the text-surgery counterpart of the
+    `dedup_exact_substring` profile, i.e. what an ExactSubstr pipeline
+    actually writes back to the training corpus.  See
+    `operators/dedup.cut_duplicate_spans` for plan shape."""
+    return dedup.cut_duplicate_spans(_docs(spark, sf_dir), n=8)
