@@ -281,7 +281,11 @@ def phash_near_dups(
 
     Returns (id_a, id_b, hamming).
     """
-    sig = ahash_bands(df, id_col=id_col)
+    # The signature table is referenced four times below (both sides of
+    # the banded join, both sides of the Hamming join); materialize it
+    # once — 5 longs per payload — or the Arrow hash kernel re-runs per
+    # reference (measured: 4 MapInPandas stages without this).
+    sig = ahash_bands(df, id_col=id_col).localCheckpoint(eager=True)
     bexp = sig.select(
         F.col(id_col),
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),

@@ -353,3 +353,52 @@ def test_vocab_topk_takes_ordered_before_ranking(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_vocab_oov_join_broadcasts(spark, sf_dir):
+    """The OOV join probes the bounded vocab side as a broadcast — the
+    corpus must never shuffle on the token key."""
+    plan = plan_of(REGISTRY["vocab_oov_rate"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_nearest_single_window_pass(spark, sf_dir):
+    """Backward and forward candidate frames share one window
+    partitioning/ordering, so the plan must contain exactly ONE Window
+    node (one per-user sort), not two."""
+    plan = plan_of(REGISTRY["asof_join_nearest"].build(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # the formatted plan lists each physical Window operator as a
+    # numbered node "(n) Window"; require exactly one
+    import re
+
+    nodes = re.findall(r"\(\d+\) Window", plan)
+    assert len(nodes) == 1, f"expected 1 Window node, got {len(nodes)}:\n{plan}"
+
+
+def test_exact_substring_partial_aggregation(spark, sf_dir):
+    """The gram-count aggregation must run partial (map-side combine)
+    before the shuffle — the property that keeps the span-dedup shuffle
+    at one row per distinct gram per partition, not per occurrence."""
+    plan = plan_of(REGISTRY["dedup_exact_substring"].build(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "Exchange" in plan
+
+
+def test_pagerank_edges_checkpointed_once(spark, sf_dir):
+    """The weighted edge table must be lineage-truncated: the physical
+    plan of the 3-iteration PageRank must scan the checkpointed RDD, not
+    re-derive the lineitem x orders join per iteration."""
+    plan = plan_of(REGISTRY["pagerank_trade_graph"].build(spark, sf_dir))
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # lineitem appears only via the checkpoint, never as repeated scans
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_phash_hamming_stays_jvm_side(spark, sf_dir):
+    """Only the hash kernel itself is Python (one ArrowEvalPython /
+    mapInPandas stage); banding, candidate join, and Hamming
+    verification must stay JVM-side (no second Python stage)."""
+    plan = plan_of(REGISTRY["multimodal_phash_neardups"].build(spark, sf_dir))
+    assert "MapInPandas" not in plan, plan  # sig table checkpointed once
+    assert "bit_count" in plan, plan
