@@ -507,3 +507,79 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "holt_forecast_per_user",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               array_agg(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    ),
+    fit AS (
+        SELECT user_id, len(vals) AS n_events,
+               list_reduce(list_transform(vals::DOUBLE[], v -> [v, 0.0::DOUBLE]),
+                           (acc, x) -> [0.2::DOUBLE * x[1] + 0.8::DOUBLE * (acc[1] + acc[2]),
+                                        0.1::DOUBLE * ((0.2::DOUBLE * x[1] + 0.8::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                                          + 0.9::DOUBLE * acc[2]]) AS st
+        FROM per_user
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(st[1] + 1e-8, 6) AS level,
+           ROUND(st[2] + 1e-8, 6) AS trend,
+           ROUND(st[1] + st[2] + 1e-8, 6) AS forecast_next
+    FROM fit
+    """,
+    tags=("analytics", "recurrence", "holt", "forecast"),
+)
+def holt_forecast_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (alpha=0.2, gamma=0.1,
+    level init = first value, trend init = 0) with a one-step-ahead
+    forecast — the trend-aware big sibling of `ewma_batch_per_user`'s
+    single-state fold, and a second doubly-recursive shape no window
+    frame expresses.  Exactness: the two-variable state folds as a
+    2-element DOUBLE ARRAY on both engines with the identical IEEE
+    operation sequence — a struct accumulator is NOT portable here:
+    DuckDB's `list_reduce` updates struct fields in place, so the second
+    field's expression reads the first field's NEW value (measured);
+    list accumulators construct fresh values on both engines.  Same
+    scale shape as the EWMA: one shuffle on user_id, per-key
+    event-bounded arrays."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        F.expr("slice(vals, 2, size(vals))"),
+        F.array(F.element_at(F.col("vals"), 1), F.lit(0.0)),
+        lambda acc, x: F.array(
+            F.lit(0.2) * x + F.lit(0.8) * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            F.lit(0.1)
+            * (
+                (F.lit(0.2) * x + F.lit(0.8) * (F.element_at(acc, 1) + F.element_at(acc, 2)))
+                - F.element_at(acc, 1)
+            )
+            + F.lit(0.9) * F.element_at(acc, 2),
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(arr.alias("_arr"))
+        .select(
+            "user_id",
+            F.transform(F.col("_arr"), lambda s: s.getField("value")).alias("vals"),
+        )
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n_events"),
+            fold.alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            round_det(F.element_at(F.col("st"), 1), 6).alias("level"),
+            round_det(F.element_at(F.col("st"), 2), 6).alias("trend"),
+            round_det(F.element_at(F.col("st"), 1) + F.element_at(F.col("st"), 2), 6).alias(
+                "forecast_next"
+            ),
+        )
+    )
