@@ -519,3 +519,102 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("signed_gap_seconds"),
     )
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM x
+    ),
+    sessions AS (
+        SELECT user_id,
+               epoch_us(min(ts)) AS s_start,
+               epoch_us(max(ts)) + 1800000000 AS s_end
+        FROM y GROUP BY user_id, grp
+    ),
+    incidents AS (
+        SELECT user_id, event_id AS incident_event_id,
+               epoch_us(ts) - 900000000 AS i_start,
+               epoch_us(ts) + 900000000 AS i_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, CAST(s.s_start AS BIGINT) AS session_start_us,
+           i.incident_event_id,
+           CAST(floor((least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start)) / 1000000) AS BIGINT)
+               AS overlap_seconds
+    FROM sessions s JOIN incidents i
+      ON s.user_id = i.user_id
+     AND s.s_start < i.i_end AND i.i_start < s.s_end
+    """,
+    tags=("joins", "interval-overlap", "temporal", "custom-operator"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP (temporal theta) join: each user's activity
+    sessions (30-min-gap `session_window`s) joined to the same user's
+    incident windows (error event +- 15 min) wherever the two intervals
+    overlap — the temporal join shape the as-of family (point-to-point)
+    and range join (point-to-band) don't cover.
+
+    Scale shape: a direct theta join would be a per-user cross product.
+    Instead both interval sets explode onto a 30-minute GRID (an
+    interval covers ceil(len/30min) bucket rows — bounded fan-out), the
+    candidate join is a plain equi-join on (user, bucket), duplicate
+    bucket-pair hits collapse with one distinct, and the exact strict
+    overlap predicate + overlap length verify candidates JVM-side.
+    That is the standard relational interval-join compromise (grid
+    bucketing), and the only shuffle is the bucketed equi-join.  The
+    DuckDB oracle runs the direct theta join over gaps-and-islands
+    sessions — value-hashing proves the bucketed plan loses no pair."""
+    e = load_table(spark, sf_dir, "events")
+    bucket_us = 1_800_000_000
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("s_start"),
+            F.unix_micros(F.col("w.end")).alias("s_end"),
+        )
+    )
+    incidents = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_event_id"),
+        (F.unix_micros("ts") - 900_000_000).alias("i_start"),
+        (F.unix_micros("ts") + 900_000_000).alias("i_end"),
+    )
+
+    def gridded(df, lo, hi):
+        return df.withColumn(
+            "bucket",
+            F.explode(F.sequence(F.floor(F.col(lo) / bucket_us), F.floor(F.col(hi) / bucket_us))),
+        )
+
+    cand = (
+        gridded(sessions, "s_start", "s_end")
+        .join(gridded(incidents, "i_start", "i_end"), ["user_id", "bucket"])
+        .drop("bucket")
+        .distinct()
+    )
+    return cand.filter(
+        (F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end"))
+    ).select(
+        "user_id",
+        F.col("s_start").alias("session_start_us"),
+        "incident_event_id",
+        F.floor(
+            (F.least("s_end", "i_end") - F.greatest("s_start", "i_start")) / 1_000_000
+        )
+        .cast("long")
+        .alias("overlap_seconds"),
+    )
