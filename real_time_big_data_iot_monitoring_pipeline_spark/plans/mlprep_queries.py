@@ -285,3 +285,57 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = toks.orderBy(F.col("freq").desc(), F.col("token")).limit(50).select("token")
     return text.oov_rate(docs, vocab)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label, g.i AS dim, CAST(v[g.i + 1] AS BIGINT) AS qv
+        FROM q, (SELECT unnest(generate_series(0, 63)) AS i) g
+    )
+    SELECT label, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
+           ROUND(CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 + 1e-8, 6) AS centroid
+    FROM e GROUP BY 1, 2
+    """,
+    tags=("mlprep", "embedding", "centroid", "array-agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid of the embedding column per label — the
+    vertical (per-dimension) array aggregation shape: class prototypes
+    for nearest-centroid classification / semantic-dedup seeding.
+    Exactness: vectors quantize to q6 integers first, so the per-(label,
+    dim) sums are exact integers under any partitioning and the mean is
+    one exact division.  Scale shape: posexplode is a map-side fan-out
+    of exactly dim rows per vector; the only shuffle keys on (label,
+    dim) — at 100 TB this is the canonical 'transpose then reduce'
+    plan, and the output (labels x dims) is tiny regardless of corpus
+    size."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    e = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    q = e.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(floor(x * 1000000.0 + (0.5 + 1e-8)) as bigint))"
+        ).alias("v"),
+    )
+    return (
+        q.select("label", F.posexplode("v").alias("dim", "qv"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("qv").alias("_s"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            "n_vecs",
+            round_det(F.col("_s").cast("double") / F.col("n_vecs") / F.lit(1000000.0), 6).alias(
+                "centroid"
+            ),
+        )
+    )

@@ -433,3 +433,75 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.sum(as_cents(F.col("c_acctbal"))) / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "brand_basket_affinity",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT okey) AS total FROM b),
+    brand_cnt AS (SELECT brand, count(*) AS cnt FROM b GROUP BY 1),
+    pairs AS (
+        SELECT a.brand AS brand_a, c.brand AS brand_b, count(*) AS both_cnt
+        FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(both_cnt AS BIGINT) AS both_cnt,
+           ROUND((CAST(both_cnt AS DOUBLE) * total) /
+                 (CAST(x.cnt AS DOUBLE) * y.cnt) + 1e-8, 4) AS lift
+    FROM pairs
+    JOIN brand_cnt x ON brand_a = x.brand
+    JOIN brand_cnt y ON brand_b = y.brand
+    CROSS JOIN n_orders
+    ORDER BY both_cnt DESC, brand_a, brand_b LIMIT 25
+    """,
+    tags=("olap", "market-basket", "self-join"),
+)
+def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs co-purchased within one order,
+    with lift = P(a,b) / (P(a)P(b)) — the classic co-occurrence self-join
+    the decision-support set doesn't otherwise exercise.  Scale shape:
+    the self-join keys on l_orderkey, so the pair fan-out is bounded by
+    (basket size choose 2) per order — baskets are small by construction
+    (TPC-H: <= 7 lineitems), so the join output is linear in orders, not
+    quadratic in anything global; brand marginals and the order total
+    are tiny aggregates broadcast into the lift projection.  Lift's
+    numerator/denominator multiply in a fixed order (both_cnt*total,
+    cnt_a*cnt_b) so the rounded double is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    total = F.broadcast(b.agg(F.count_distinct("okey").alias("total")))
+    brand_cnt = b.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.okey") == F.col("c.okey")) & (F.col("a.brand") < F.col("c.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("c.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    x = F.broadcast(brand_cnt.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a")))
+    y = F.broadcast(brand_cnt.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b")))
+    return (
+        pairs.join(x, "brand_a")
+        .join(y, "brand_b")
+        .crossJoin(total)
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("both_cnt").cast("long").alias("both_cnt"),
+            round_det(
+                (F.col("both_cnt").cast("double") * F.col("total"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("both_cnt").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )

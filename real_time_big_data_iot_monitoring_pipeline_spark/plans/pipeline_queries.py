@@ -551,3 +551,125 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_iot_monitoring_pipeline_spark.operators import aggregates
 
     return aggregates.histogram_equidepth(_events(spark, sf_dir), "value", 10)
+
+
+@register(
+    "tfidf_similar_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS term
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM w WHERE len(ws) >= 3)
+    ),
+    df AS (SELECT term, count(*) AS df FROM g GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM g),
+    wt AS (
+        SELECT g.doc_id, g.term, df.df,
+               CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0 + 0.5 + 1e-8) AS BIGINT) AS w
+        FROM g JOIN df USING (term) CROSS JOIN n
+    ),
+    norm2 AS (SELECT doc_id, sum(w * w) AS nn FROM wt GROUP BY 1),
+    rare AS (SELECT doc_id, term FROM wt WHERE df BETWEEN 2 AND 10),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    dot AS (
+        SELECT c.id_a, c.id_b, sum(wa.w * wb.w) AS d
+        FROM cand c
+        JOIN wt wa ON wa.doc_id = c.id_a
+        JOIN wt wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) + 1e-8, 6) AS cosine
+    FROM dot
+    JOIN norm2 na ON id_a = na.doc_id
+    JOIN norm2 nb ON id_b = nb.doc_id
+    WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.2
+    """,
+    tags=("pipeline", "text", "similarity", "sparse", "tfidf"),
+)
+def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity JOIN over idf-weighted 3-word shingles:
+    document pairs with cosine >= 0.2, candidates blocked on SHARED RARE
+    SHINGLES (2 <= df <= 10) — the lexical near-dup/search shape that
+    complements the embedding (dense) and MinHash (set-sketch) families
+    with EXACT idf-weighted scoring.  Features are shingle SETS (the
+    word-level vocab of the fixture is a closed ~31-token set, so
+    word-unigram tf-idf has no rare terms to block on — measured;
+    shingles restore the sparse tail every real corpus has).  The
+    standard sparse trick: ubiquitous features can't lift cosine over
+    the threshold alone but would explode the blocking join, so
+    candidate generation keys on rare features only, and the exact
+    integer dot product + norms then score candidates over ALL shared
+    features.  Exactness: weights are micro-quantized idf integers, so
+    dots and norms are exact int64 sums under any partitioning.  Scale:
+    shuffles key on shingle (df/blocking) and candidate pair — never an
+    all-pairs product; the df cap bounds blocking fan-out per feature
+    at (df_max choose 2)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    g = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(shingle_arr).alias("term"))
+    )
+    df = g.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.broadcast(g.agg(F.count_distinct("doc_id").alias("n_docs")))
+    wt = (
+        g.join(df, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.floor(
+                F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000.0
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    norm2 = wt.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+    rare = wt.filter(F.col("df").between(2, 10)).select("doc_id", "term")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    wa = wt.select(F.col("doc_id").alias("id_a"), F.col("term").alias("tok_a"), F.col("w").alias("w_a"))
+    wb = wt.select(F.col("doc_id").alias("wb_id"), F.col("term").alias("tok_b"), F.col("w").alias("w_b"))
+    dot = (
+        cand.join(wa, "id_a")
+        .join(wb, (F.col("id_b") == F.col("wb_id")) & (F.col("tok_a") == F.col("tok_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("d"))
+    )
+    na = norm2.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("nn_a"))
+    nb = norm2.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nn_b"))
+    cosine = F.col("d").cast("double") / (
+        F.sqrt(F.col("nn_a").cast("double")) * F.sqrt(F.col("nn_b").cast("double"))
+    )
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cosine >= 0.2)
+        .select("id_a", "id_b", round_det(cosine, 6).alias("cosine"))
+    )
