@@ -583,3 +583,57 @@ def holt_forecast_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+        WHERE o_totalprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c
+    ),
+    n AS (SELECT count(*) AS total FROM d),
+    obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1)
+    SELECT obs.digit, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / total + 1e-8, 6) AS observed_share,
+           CAST(floor(ln(1.0 + 1.0 / obs.digit) / ln(10.0) * 1000000.0 + 0.5 + 1e-8) AS BIGINT)
+               AS benford_share_micro
+    FROM obs CROSS JOIN n
+    """,
+    tags=("analytics", "data-quality", "benford"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the fraud/synthetic-
+    data screen finance pipelines run on money columns.  The leading
+    digit comes from the exact-cents integer's decimal STRING (never
+    log10 of a float: libm log10 at exact powers of ten differs across
+    engines; string heads don't), and the Benford expectation
+    ln(1+1/d)/ln(10) is micro-quantized the same way the catalog's other
+    transcendentals are, so every output cell is engine-stable.  One
+    scan + a 9-group agg + a broadcast total: scan-speed at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(as_cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    total = F.broadcast(d.agg(F.count(F.lit(1)).alias("total")))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(total)
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            round_det(F.col("n_obs").cast("double") / F.col("total"), 6).alias("observed_share"),
+            F.floor(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)) * 1000000.0
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("benford_share_micro"),
+        )
+    )

@@ -685,3 +685,69 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.timeseries import debounce
 
     return debounce(_t(spark, sf_dir, "events"), gap_seconds=3600)
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), anchor.mx) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+        FROM orders, anchor GROUP BY o_custkey, anchor.mx
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score,
+               recency_days, frequency, monetary_cents
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(min(o_custkey) AS BIGINT) AS sample_custkey,
+           ROUND(avg(CAST(monetary_cents AS DOUBLE)) / 100.0 + 1e-8, 2) AS avg_spend
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("behavior", "rfm", "segmentation", "ntile"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value scoring: recency
+    (days since last order, against the dataset's own max date so the
+    query is reproducible), frequency (order count), monetary (exact
+    cents spend), each banded 1-5 with NTILE over a UNIQUE tie-broken
+    ordering (metric, custkey) so both engines band identically, then
+    rolled up to segment counts.  Scale: one orders-keyed agg, then
+    three windows over the (customer-sized, not order-sized) RFM table;
+    at 100 TB the windows' single-partition ORDER BY is the bottleneck —
+    the documented swap is ntile -> percent_rank-derived buckets or
+    pre-computed quantile fences, same output contract."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.broadcast(o.agg(F.max("o_orderdate").alias("mx")))
+    rfm = (
+        o.crossJoin(anchor)
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(as_cents(F.col("o_totalprice"))).alias("monetary_cents"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").cast("long").alias("sample_custkey"),
+        round_det(F.avg(F.col("monetary_cents").cast("double")) / 100.0, 2).alias("avg_spend"),
+    )
