@@ -751,3 +751,50 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("long").alias("sample_custkey"),
         round_det(F.avg(F.col("monetary_cents").cast("double")) / 100.0, 2).alias("avg_spend"),
     )
+
+
+@register(
+    "event_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+           CAST((length(s) - length(replace(s, 'ccp', ''))) / 3 AS BIGINT) AS n_ccp
+    FROM seq
+    WHERE length(s) - length(replace(s, 'ccp', '')) > 0
+    """,
+    tags=("behavior", "sequence", "pattern-match"),
+)
+def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern detection: users whose
+    ordered event stream contains the strict consecutive pattern
+    click,click,purchase — found by collapsing each user's history into
+    a symbol string (one char per event, deterministic (ts, event_id)
+    order) and counting non-overlapping pattern hits with the portable
+    length/replace trick (both engines' `replace` substitutes
+    left-to-right non-overlapping, so counts agree; no regex — regex
+    dialects differ across engines).  Scale shape: one shuffle on
+    user_id, per-user state is the bounded symbol string (1 byte/event)
+    — the same per-key-sequence bound every CEP engine needs; the
+    funnel family (`funnel_conversion`) covers ORDERED-BUT-GAPPY
+    steps, this covers STRICTLY-CONSECUTIVE ones."""
+    e = load_table(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)
+    seq = (
+        e.select("user_id", F.struct("ts", "event_id", sym.alias("c")).alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("x")), lambda s: s.getField("c")), ""
+            ).alias("s")
+        )
+    )
+    hits = F.length("s") - F.length(F.replace(F.col("s"), F.lit("ccp"), F.lit("")))
+    return seq.filter(hits > 0).select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        (hits / 3).cast("long").alias("n_ccp"),
+    )
