@@ -60,6 +60,11 @@ TZ_SENSITIVE = [
     "funnel_conversion",
     "ship_delay_profile",
     "snapshot_cdc_diff",
+    # round-5 late additions: epoch-window / session-window / DATE
+    # arithmetic shapes
+    "asof_join_nearest",
+    "interval_overlap_join",
+    "customer_rfm_segments",
 ]
 
 
