@@ -143,3 +143,72 @@ def bucketed_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         round_det(rev / 10000.0, 2).alias("net_price"),
     )
+
+
+# --- schema-on-read JSONL ingestion (batch twin of the stream
+# dead-letter path) ------------------------------------------------------
+import os as _os
+import tempfile as _tempfile
+
+_JSONL_PATH = _os.path.join(_tempfile.gettempdir(), f"rtbd_stage_events_jsonl_{_os.getpid()}")
+_JSONL_STAGED: dict[str, str] = {}
+
+
+def _stage_jsonl(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the events table as JSON-lines with a deterministic subset
+    of malformed records (event_id % 97 == 0 -> closing chars cut)."""
+    if _JSONL_STAGED.get("path") == sf_dir and _os.path.exists(_JSONL_PATH):
+        return
+    e = load_table(spark, sf_dir, "events")
+    j = F.to_json(F.struct("event_id", "event_type", "value"))
+    line = F.when(
+        F.col("event_id") % 97 == 0, F.substring(j, 1, F.length(j) - 5)
+    ).otherwise(j)
+    e.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(_JSONL_PATH)
+    _JSONL_STAGED["path"] = sf_dir
+
+
+@register(
+    "jsonl_ingest_audit",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_corrupt' AS event_type, count(*) AS n_rows,
+           CAST(NULL AS BIGINT) AS sum_value_cents
+    FROM events WHERE event_id % 97 = 0
+    """,
+    tags=("storage", "source", "json", "schema-on-read", "dead-letter"),
+)
+def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced JSON-lines ingestion with corrupt-record capture —
+    the BATCH twin of the streaming dead-letter path (SURVEY §1.3: the
+    reference's `from_json` silently nulls malformed payloads; this
+    keeps them observable).  The events table is staged once per session
+    as JSONL with a deterministic ~1% of lines truncated mid-record;
+    the query re-reads it with an explicit schema in PERMISSIVE mode
+    (`columnNameOfCorruptRecord`) and reports per-type good-row counts +
+    exact value sums plus the '_corrupt' bucket.  The oracle derives
+    the same audit from the original table and the corruption rule, so
+    a value-hash match proves the full serialize -> corrupt -> parse ->
+    quarantine path: every good row's fields survive the JSON round
+    trip exactly (doubles re-parse bit-identically) and every corrupt
+    line is quarantined, never silently dropped or nulled.  Scale: JSON
+    scan is a pure map; the audit agg is a handful of groups."""
+    _stage_jsonl(spark, sf_dir)
+    schema = "event_id long, event_type string, value double, _corrupt string"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(_JSONL_PATH)
+    )
+    tag = F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt")).otherwise(F.col("event_type"))
+    return parsed.groupBy(tag.alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNull(), as_cents(F.col("value")))).alias(
+            "sum_value_cents"
+        ),
+    )
