@@ -505,3 +505,72 @@ def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("both_cnt").desc(), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@register(
+    "multi_grain_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 1000000 AS es,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT '5m' AS grain, event_type,
+           CAST((es // 300) * 300 AS BIGINT) AS window_start,
+           count(*) AS cnt,
+           ROUND((sum(cents) / (100.0 * count(*))) + 1e-8, 4) AS avg_value
+    FROM e GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT '1h', event_type, CAST((es // 3600) * 3600 AS BIGINT), count(*),
+           ROUND((sum(cents) / (100.0 * count(*))) + 1e-8, 4)
+    FROM e GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT '1d', event_type, CAST((es // 86400) * 86400 AS BIGINT), count(*),
+           ROUND((sum(cents) / (100.0 * count(*))) + 1e-8, 4)
+    FROM e GROUP BY 1, 2, 3
+    """,
+    tags=("olap", "grouping-sets", "multi-grain", "rollup"),
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup in ONE scan: 5-minute, 1-hour, and 1-day
+    aggregates per event type via GROUPING SETS — the continuous-
+    aggregate / hypertable-rollup shape (TimescaleDB's caggs, Druid's
+    multiple granularities) that would otherwise cost three scans.
+    Spark expands the sets map-side and partial-aggregates before the
+    single shuffle, so the cost is one pass + union-sized agg state —
+    at 100 TB the scan dominates and the two coarser grains are nearly
+    free.  Grain is decoded from which window column survived
+    (NULL-pattern, equivalent to grouping_id but portable); epoch-second
+    bucket arithmetic keeps every output cell session-tz-independent."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.unix_seconds("ts") / 300).cast("long") * 300).alias("ws5"),
+        ((F.unix_seconds("ts") / 3600).cast("long") * 3600).alias("ws1h"),
+        ((F.unix_seconds("ts") / 86400).cast("long") * 86400).alias("ws1d"),
+        as_cents(F.col("value")).alias("cents"),
+    )
+    grain = (
+        F.when(F.col("ws5").isNotNull(), "5m")
+        .when(F.col("ws1h").isNotNull(), "1h")
+        .otherwise("1d")
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "ws5"], ["event_type", "ws1h"], ["event_type", "ws1d"]],
+            "event_type",
+            "ws5",
+            "ws1h",
+            "ws1d",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_det(F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1))), 4).alias("avg_value"),
+        )
+        .select(
+            grain.alias("grain"),
+            "event_type",
+            F.coalesce("ws5", "ws1h", "ws1d").cast("long").alias("window_start"),
+            "cnt",
+            "avg_value",
+        )
+    )
