@@ -402,3 +402,15 @@ def test_phash_hamming_stays_jvm_side(spark, sf_dir):
     plan = plan_of(REGISTRY["multimodal_phash_neardups"].build(spark, sf_dir))
     assert "MapInPandas" not in plan, plan  # sig table checkpointed once
     assert "bit_count" in plan, plan
+
+
+def test_multi_grain_rollup_single_scan_expand(spark, sf_dir):
+    """GROUPING SETS must expand map-side over ONE events scan (the
+    continuous-aggregate payoff) — three separate scans would show three
+    parquet scan nodes."""
+    import re
+
+    plan = plan_of(REGISTRY["multi_grain_rollup"].build(spark, sf_dir))
+    assert "Expand" in plan, plan
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, f"expected 1 scan node, got {len(scans)}:\n{plan}"
