@@ -1037,3 +1037,30 @@ def pq_encode_fast(
         return pd.Series([c for c in codes])
 
     return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def append_to_ivf_index(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index maintenance: assign a new vector batch against
+    the index's FROZEN coarse quantizer (standard IVF practice — the
+    quantizer is trained once; lists grow) and append the rows to the
+    cid-partitioned lists.  Cost is one map pass over the new batch plus
+    a partitioned append touching only the cids the batch lands in —
+    the existing corpus is never re-read, the exact analogue of
+    `dedup.minhash_incremental`'s persisted-signature-store pattern on
+    the ANN side.  Centroid drift is the operator's documented limit:
+    after enough appends the lists skew and the quantizer should be
+    retrained (a rebuild), which is a policy decision, not a plan
+    change."""
+    spark = new_vectors.sparkSession
+    cent = sorted(
+        (int(r[0]), list(r[1])) for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assign = assign_nearest_centroid(
+        new_vectors, cent, id_col, vec_col, quantized=True, keep_vec=True
+    )
+    assign.write.partitionBy("cid").mode("append").parquet(f"{path}/lists")

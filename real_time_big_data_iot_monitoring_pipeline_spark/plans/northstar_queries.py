@@ -1569,3 +1569,106 @@ def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually writes back to the training corpus.  See
     `operators/dedup.cut_duplicate_spans` for plan shape."""
     return dedup.cut_duplicate_spans(_docs(spark, sf_dir), n=8)
+
+
+def _ivf_incremental_oracle(iters: int = 2, dim: int = 64, topk: int = 5) -> str:
+    """Lloyd replay TRAINED on the old corpus slice (vec_id % 5 != 0)
+    with the final assignment over ALL vectors — the frozen-quantizer
+    incremental-append semantics of `similarity.append_to_ivf_index`."""
+    parts = [
+        """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
+    et AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM et ORDER BY vec_id LIMIT 8)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+    a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT et.vec_id, c{i}.cid,
+                   row_number() OVER (PARTITION BY et.vec_id ORDER BY
+                       -2 * list_dot_product(et.v, c{i}.cv) + list_dot_product(c{i}.cv, c{i}.cv),
+                       c{i}.cid) AS rn
+            FROM et, c{i}) WHERE rn = 1
+    ),
+    s{i} AS (
+        SELECT a{i}.cid, g.pos, sum(et.v[g.pos]) AS s, count(*) AS n
+        FROM a{i} JOIN et USING (vec_id) CROSS JOIN generate_series(1, {dim}) AS g(pos)
+        GROUP BY 1, 2
+    ),
+    n{i} AS (SELECT cid, array_agg(floor(CAST(s AS DOUBLE) / n + 0.5 + 1e-8) ORDER BY pos) AS cv
+             FROM s{i} GROUP BY cid),
+    c{i + 1} AS (SELECT c{i}.cid, COALESCE(n{i}.cv, c{i}.cv) AS cv
+               FROM c{i} LEFT JOIN n{i} USING (cid))"""
+        )
+    f = iters
+    parts.append(
+        f"""
+    af AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c{f}.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       -2 * list_dot_product(e.v, c{f}.cv) + list_dot_product(c{f}.cv, c{f}.cv),
+                       c{f}.cid) AS rn
+            FROM e, c{f}) WHERE rn = 1
+    )"""
+    )
+    return ",".join(parts) + f""",
+    q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
+          FROM af a JOIN e ON e.vec_id = a.vec_id
+          WHERE a.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 5)),
+    cnd AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
+            FROM af a JOIN e ON e.vec_id = a.vec_id),
+    sc AS (
+        SELECT q.query_id, cnd.cand_id,
+               ROUND(list_dot_product(q.qv, cnd.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cnd.cv, cnd.cv))) + 1e-8, 6) AS cosine
+        FROM q JOIN cnd ON q.cid = cnd.cid AND cnd.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM sc
+    ) WHERE rank <= {topk}"""
+
+
+_IVF_INCR_DIRS: dict[str, str] = {}
+
+
+def ivf_incremental_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf_dir) an IVF index from the OLD corpus
+    slice (vec_id % 5 != 0), then incrementally append the NEW slice
+    (vec_id % 5 == 0) against the frozen quantizer."""
+    import tempfile
+
+    if sf_dir not in _IVF_INCR_DIRS:
+        path = tempfile.mkdtemp(prefix="rtbd_ivf_incr_")
+        e = similarity.as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+        similarity.build_ivf_index(e.filter(F.col("vec_id") % 5 != 0), path, k=8, iters=2)
+        similarity.append_to_ivf_index(path, e.filter(F.col("vec_id") % 5 == 0))
+        _IVF_INCR_DIRS[sf_dir] = path
+    return _IVF_INCR_DIRS[sf_dir]
+
+
+@register(
+    "embedding_ivf_append_search",
+    oracle=_ivf_incremental_oracle(),
+    tags=("northstar", "similarity", "ivf", "incremental", "persisted-index"),
+)
+def embedding_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search an INCREMENTALLY-MAINTAINED persisted IVF index: quantizer
+    trained on the original corpus (vec_id % 5 != 0), a later ingest
+    batch (vec_id % 5 == 0) appended against the frozen centroids
+    without touching the existing lists
+    (`similarity.append_to_ivf_index`), then the standard
+    partition-pruned search over the grown index.  The oracle replays
+    Lloyd on the training slice and assigns ALL vectors with the frozen
+    result — a value-hash match proves appended vectors land in exactly
+    the lists the quantizer dictates and are immediately searchable,
+    the maintenance story (`dedup_minhash_incremental`'s ANN twin)
+    that makes a persisted index viable on a growing 100 TB corpus."""
+    e = similarity.as_double_vec(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    path = ivf_incremental_dir(spark, sf_dir)
+    queries = e.orderBy("vec_id").limit(5)
+    return similarity.query_ivf_index(spark, path, queries, topk=5)
