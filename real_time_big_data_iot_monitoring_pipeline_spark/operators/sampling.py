@@ -312,3 +312,43 @@ def stratified_sample_fractions(
         .filter(F.col("_rk") <= F.ceil(F.col("_n") * frac))
         .drop("_rk", "_n")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws a deterministic uniform u = h(id)/2^32 and scores
+    key = ln(u)/w — the top-k keys are a weighted-without-replacement
+    draw (heavier rows get keys nearer zero).  The exponential key turns
+    weighted sampling into a plain top-k, which Spark executes as a
+    per-partition heap + k-row merge per stratum: one shuffle on the
+    stratum key, state bounded by k — the only distributed-safe way to
+    draw a weighted sample from a 100 TB corpus in one pass.
+
+    Keys are micro-quantized (floor(key * 1e6), unique id tie-break)
+    before ranking so the ordering is integer-exact across engines: raw
+    float keys would let a last-ulp `ln`/division difference flip a rank
+    at the boundary.  The distortion is confined to keys within 1e-6 of
+    each other — probability ~0 for continuous weights, and when it does
+    happen the (deterministic) id tie-break picks the same row on every
+    engine.  Weights must be strictly positive.
+    """
+    u = (det_hash(id_col) + 1).cast("double") / F.lit(float(MOD + 1))  # (0, 1]
+    key_micro = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * 1000000.0 + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(F.col("_key").desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_key", key_micro)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "sample_rank")
+        .drop("_key")
+    )

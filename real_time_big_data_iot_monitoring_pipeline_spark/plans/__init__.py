@@ -53,7 +53,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   holt_forecast_per_user, interval_overlap_join,
 #   brand_basket_affinity, embedding_label_centroids, tfidf_similar_pairs,
 #   customer_rfm_segments, benford_digit_audit, event_sequence_pattern,
-#   jsonl_ingest_audit, multi_grain_rollup, embedding_ivf_append_search
+#   jsonl_ingest_audit, multi_grain_rollup, embedding_ivf_append_search,
+#   corpus_weighted_sample
 #   (rows-only, not window-eligible: distinct_users_hll_daily)
 #     (registered after the 3 slots filled; all locally oracle-green
 #     via tools/driver_sim.py explicit-name runs at sf0.01).

@@ -1672,3 +1672,38 @@ def embedding_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ivf_incremental_dir(spark, sf_dir)
     queries = e.orderBy("vec_id").limit(5)
     return similarity.query_ivf_index(spark, path, queries, topk=5)
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(floor(ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) / 4294967297.0)
+                          / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5 + 1e-8) AS BIGINT) AS key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+        FROM k
+    ) WHERE rk <= 10
+    """,
+    tags=("northstar", "sampling", "weighted", "a-es"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 10 documents per language without
+    replacement (Efraimidis-Spirakis exponential keys, weight =
+    n_chars) — the draw a data-mixing pipeline uses when long documents
+    should be proportionally likelier.  See
+    `operators/sampling.weighted_sample_topk` for why the key is
+    micro-quantized (integer-exact rank order across engines) and why
+    the top-k formulation is the one-pass distributed shape."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    out = weighted_sample_topk(docs, weight_col="n_chars", k=10, stratum_col="lang")
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long"), "sample_rank")
