@@ -609,6 +609,7 @@ def exact_substring_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Span-level exact-duplicate profile (ExactSubstr-lite): for every
     document, how many of its length-``n`` token windows also occur in at
@@ -643,6 +644,12 @@ def exact_substring_profile(
         .filter(F.size("toks") >= n)
         .select(id_col, F.explode(grams).alias("gram"))
     )
+    if hash_grams:
+        # the at-scale key swap: 8-byte fingerprints instead of n-word
+        # strings through the shuffle (same plan; collision probability
+        # ~ windows^2 / 2^64).  The catalog query keeps the string key
+        # so the DuckDB oracle replays it; the probe measures this path.
+        g = g.select(id_col, F.xxhash64("gram").alias("gram"))
     # cross-document duplicated window keys; one count-distinct agg
     dup = (
         g.groupBy("gram")
