@@ -1707,3 +1707,129 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
     out = weighted_sample_topk(docs, weight_col="n_chars", k=10, stratum_col="lang")
     return out.select("doc_id", "lang", F.col("n_chars").cast("long"), "sample_rank")
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b'))  AS score_en,
+               len(regexp_extract_all(lower(text), '\\b(der|und|die)\\b')) AS score_de,
+               len(regexp_extract_all(lower(text), '\\b(el|los|que)\\b'))  AS score_es,
+               len(regexp_extract_all(lower(text), '\\b(le|les|des)\\b'))  AS score_fr
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, lang AS true_lang,
+               CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                    WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    ),
+    tot AS (SELECT true_lang, count(*) AS n_true FROM p GROUP BY 1)
+    SELECT p.true_lang, p.pred_lang, count(*) AS n,
+           ROUND(count(*) / CAST(tot.n_true AS DOUBLE) + 1e-8, 6) AS row_share
+    FROM p JOIN tot USING (true_lang)
+    GROUP BY p.true_lang, p.pred_lang, tot.n_true
+    """,
+    tags=("northstar", "text", "evaluation", "confusion-matrix"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: confusion matrix of the
+    stopword-profile language-ID heuristic against the corpus's labeled
+    `lang` column, with per-true-language row shares — the
+    precision/recall raw material every model-quality dashboard needs,
+    computed in one pass + a tiny marginals join.  Scale: prediction is
+    a pure map; the matrix is (langs x langs) regardless of corpus
+    size."""
+    pred = text.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+    truth = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+    p = truth.join(pred, "doc_id").select("true_lang", F.col("lang_pred").alias("pred_lang"))
+    tot = p.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        p.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            round_det(F.col("n") / F.col("n_true").cast("double"), 6).alias("row_share"),
+        )
+    )
+
+
+@register(
+    "embedding_ann_recall",
+    oracle=_ivf_kmeans_prefix()
+    + """,
+    q AS (SELECT a.vec_id AS query_id, e.v AS qv, a.cid
+          FROM af a JOIN e ON e.vec_id = a.vec_id
+          WHERE a.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 5)),
+    cnd AS (SELECT a.vec_id AS cand_id, e.v AS cv, a.cid
+            FROM af a JOIN e ON e.vec_id = a.vec_id),
+    ivf AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, cnd.cand_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qv, cnd.cv) /
+                             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cnd.cv, cnd.cv))) + 1e-8, 6) DESC,
+                       cnd.cand_id) AS rank
+            FROM q JOIN cnd ON q.cid = cnd.cid AND cnd.cand_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qv, c.v) /
+                             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) + 1e-8, 6) DESC,
+                       c.vec_id) AS rank
+            FROM q, e c WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT exact.query_id,
+           CAST(count(ivf.cand_id) AS BIGINT) AS n_hits,
+           ROUND(count(ivf.cand_id) / 5.0 + 1e-8, 6) AS recall_at_5
+    FROM exact LEFT JOIN ivf
+      ON exact.query_id = ivf.query_id AND exact.cand_id = ivf.cand_id
+    GROUP BY exact.query_id
+    """,
+    tags=("northstar", "similarity", "evaluation", "recall"),
+)
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a query: recall@5 of the k-means IVF search
+    (nprobe=1) against the exact brute-force top-5, per query — the
+    accuracy/IO trade-off number an ANN deployment monitors, computed
+    inside the engine and value-hash-checked (both the approximate and
+    the exact side replay in the oracle).  Scale: the exact side is the
+    5-query brute-force pass (bounded by the query count, not corpus
+    pairs); the IVF side reads one list per query; the recall join
+    touches 25 rows."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY as _R
+
+    ivf = (
+        _R["embedding_ivf_kmeans_topk"].build(spark, sf_dir)
+        .select("query_id", F.col("cand_id").alias("ivf_cand"))
+    )
+    exact = (
+        _R["embedding_cosine_topk"].build(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id) & (exact.cand_id == ivf.ivf_cand),
+            "left",
+        )
+        .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("ivf_cand").cast("long").alias("n_hits"),
+            round_det(F.count("ivf_cand") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
