@@ -59,34 +59,46 @@ _DIRTY_SQL = """
         UNION ALL
         {_DIRTY_SQL}
     ),
+    names AS (
+        SELECT name, count(*) AS n_recs FROM recs GROUP BY name
+    ),
     pairs AS (
-        SELECT l.rec_id AS left_id, r.rec_id AS right_id,
+        SELECT l.name AS name_l, r.name AS name_r,
+               l.n_recs AS cnt_l, r.n_recs AS cnt_r,
                levenshtein(l.name, r.name) AS lev_distance
-        FROM recs l JOIN recs r
+        FROM names l JOIN names r
           ON length(l.name) = length(r.name)
          AND substr(l.name, 1, 2) = substr(r.name, 1, 2)
-         AND l.rec_id < r.rec_id
+         AND l.name < r.name
+    ),
+    hits AS (
+        SELECT * FROM pairs WHERE lev_distance BETWEEN 1 AND 2
     )
     SELECT CAST(lev_distance AS INT) AS lev_distance,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(*) FILTER (WHERE right_id = left_id + 1000000000) AS BIGINT)
-               AS n_planted_twins
-    FROM pairs WHERE lev_distance <= 2
-    GROUP BY lev_distance
+           CAST(count(*) AS BIGINT) AS n_name_pairs,
+           CAST(sum(cnt_l * cnt_r) AS BIGINT) AS n_record_pairs,
+           CAST(count(*) FILTER (WHERE (name_l LIKE '%~%') <> (name_r LIKE '%~%'))
+                AS BIGINT) AS n_clean_dirty_pairs
+    FROM hits GROUP BY lev_distance
     """,
-    tags=("matching", "entity-resolution", "blocking"),
+    tags=("matching", "entity-resolution", "blocking", "distinct-first"),
 )
 def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity matching over part names plus their
-    deterministically-corrupted twins: block on (name length, 2-char
-    prefix), generate candidate pairs only INSIDE blocks, verify with
-    Levenshtein <= 2, and report the per-distance match census with the
-    planted-twin recall column.  The equi-join on the blocking key is an
-    ordinary shuffled hash join — O(sum of block^2) comparisons instead
-    of O(n^2), the same banding idea MinHash LSH uses for documents —
-    and the edit distance runs as a JVM codegen'd expression on
-    candidates only.  At 100 TB you'd widen the key (phonetic code +
-    brand + size) to shrink blocks; the plan shape is unchanged."""
+    deterministically-corrupted twins — DISTINCT-FIRST: records collapse
+    to (name, multiplicity) before any pairwise work, because fuzzy
+    comparison between two identical strings is wasted and real catalogs
+    duplicate attribute values heavily (this fixture: 20k records over
+    64 distinct clean names — the naive record-level blocked join was
+    measured at 62M levenshtein calls / 27 s warm at sf0.1, dominated by
+    distance-0 pairs of identical names; the distinct-first plan does
+    ~thousands).  Exact-duplicate collapse is step zero of every
+    production ER pipeline; multiplicities ride along so the census
+    still reports RECORD-pair counts.  Blocking on (length, 2-char
+    prefix) bounds candidates inside blocks; Levenshtein 1-2 verifies
+    (0 excluded — identical names are exact dedup's job); the
+    clean-vs-dirty column pins twin recall (the '~' corruption marker
+    appears on exactly one side of a planted pair)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     clean = p.select(F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name"))
     dirty = p.select(
@@ -97,30 +109,30 @@ def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(p_name, (p_partkey % length(p_name)) + 2)"),
         ).alias("name"),
     )
-    recs = clean.unionByName(dirty)
-    l = recs.alias("l")
-    r = recs.alias("r")
-    pairs = (
+    names = clean.unionByName(dirty).groupBy("name").agg(F.count(F.lit(1)).alias("n_recs"))
+    l = names.alias("l")
+    r = names.alias("r")
+    hits = (
         l.join(
             r,
             (F.length(F.col("l.name")) == F.length(F.col("r.name")))
             & (F.substring(F.col("l.name"), 1, 2) == F.substring(F.col("r.name"), 1, 2))
-            & (F.col("l.rec_id") < F.col("r.rec_id")),
+            & (F.col("l.name") < F.col("r.name")),
         )
         .select(
-            F.col("l.rec_id").alias("left_id"),
-            F.col("r.rec_id").alias("right_id"),
+            F.col("l.name").alias("name_l"),
+            F.col("r.name").alias("name_r"),
+            F.col("l.n_recs").alias("cnt_l"),
+            F.col("r.n_recs").alias("cnt_r"),
             F.levenshtein(F.col("l.name"), F.col("r.name")).alias("lev_distance"),
         )
-        .filter(F.col("lev_distance") <= 2)
+        .filter(F.col("lev_distance").between(1, 2))
     )
-    return pairs.groupBy(F.col("lev_distance").cast("int").alias("lev_distance")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(
-            F.when(F.col("right_id") == F.col("left_id") + 1000000000, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_planted_twins"),
+    one_dirty = F.col("name_l").contains("~") != F.col("name_r").contains("~")
+    return hits.groupBy(F.col("lev_distance").cast("int").alias("lev_distance")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_name_pairs"),
+        F.sum(F.col("cnt_l") * F.col("cnt_r")).cast("long").alias("n_record_pairs"),
+        F.sum(one_dirty.cast("long")).cast("long").alias("n_clean_dirty_pairs"),
     )
 
 
