@@ -12,22 +12,31 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 def test_entity_match_finds_planted_twins(spark, sf_dir, oracle):
     out = {r.lev_distance: r for r in REGISTRY["entity_match_candidates"].build(spark, sf_dir).collect()}
     assert out, "candidate census must not be empty"
-    # every planted twin whose corruption avoided the 2-char blocking
-    # prefix MUST be found (exactly one char rewritten -> distance <= 1);
-    # a twin corrupted INSIDE the prefix lands in another block — the
-    # documented recall loss — so the recall census equals this count.
-    n_in_block = oracle.execute(
+    # distance 0 is excluded by design (identical names are exact dedup's
+    # job, not fuzzy matching's)
+    assert 0 not in out
+    # every DISTINCT (base, dirty) name pair whose corruption avoided the
+    # 2-char blocking prefix MUST surface as a clean-vs-dirty pair at
+    # distance 1 (one char rewritten); corruption inside the prefix lands
+    # in another block — the documented recall loss.  Accidental
+    # clean-dirty collisions across bases can only ADD pairs.
+    expected = oracle.execute(
         """
-        SELECT count(*) FROM part
-        WHERE (p_partkey % length(p_name)) >= 2
+        WITH d AS (
+            SELECT DISTINCT p_name AS base,
+                   substr(p_name, 1, p_partkey % length(p_name)) || '~' ||
+                   substr(p_name, (p_partkey % length(p_name)) + 2) AS dirty
+            FROM part WHERE (p_partkey % length(p_name)) >= 2
+        )
+        SELECT count(*) FROM d
         """
     ).fetchone()[0]
-    found = sum(r.n_planted_twins for d, r in out.items() if d <= 1)
-    assert found == n_in_block
-    # distance-0 pairs exist (the fixture reuses names) and none of them
-    # can be a planted twin (the twin always differs by its '~')
-    if 0 in out:
-        assert out[0].n_planted_twins == 0
+    found = out[1].n_clean_dirty_pairs if 1 in out else 0
+    assert found >= expected > 0
+    # record-pair counts must be at least the name-pair counts (every
+    # name pair represents >= 1 record pair via multiplicities)
+    for r in out.values():
+        assert r.n_record_pairs >= r.n_name_pairs
 
 
 def test_snapshot_cdc_class_counts(spark, sf_dir, oracle):
