@@ -731,3 +731,90 @@ def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cnt", "_batch_id").alias("cnt"),
         F.max_by("avg_value", "_batch_id").alias("avg_value"),
     )
+
+
+@register(
+    "stream_dim_refresh_join",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo,
+               max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+        FROM events
+    ),
+    r AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+    ),
+    ba AS (
+        SELECT event_id, user_id,
+               LEAST(((us - b.lo) * 8) // b.span, 7) // 2 AS batch
+        FROM r, b
+    )
+    SELECT ba.event_id, ba.user_id,
+           CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+             + CASE WHEN ba.batch >= 1 AND c.c_custkey % 7 = 0 THEN 100 ELSE 0 END
+             AS bal_cents
+    FROM ba JOIN customer c ON ba.user_id = c.c_custkey
+    """,
+    tags=("streaming", "join", "dim-refresh", "foreachBatch", "equivalence"),
+)
+def stream_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against a dimension that CHANGES MID-STREAM —
+    the slowly-changing-dim freshness problem `stream_static_join`
+    (static snapshot) cannot express.  A DAG-side stream-static join
+    against plain parquet does NOT survive a dim update: the static
+    side's file index is cached at stream start, and an overwrite makes
+    later micro-batches fail with fileNotExistError on the deleted
+    files (measured — pinned by
+    `test_dag_side_static_join_breaks_on_dim_overwrite`).  The
+    refresh-correct pattern is to join INSIDE `foreachBatch`, where
+    each micro-batch re-reads the dimension path and therefore sees
+    whatever version is current at that batch — exactly how a
+    production enrichment picks up dim updates without restarting the
+    stream.
+
+    The replay stages events as 8 event-time slices (maxFilesPerTrigger
+    = 2 -> 4 batches); after batch 0 commits, the dimension is
+    overwritten with v2 (+1.00 for every 7th customer).  Every enriched
+    row is stamped with its batch id, and the oracle replays the
+    versioning analytically: rows in batch 0 carry v1 balances, rows in
+    batches 1-3 carry v2 — a value-hash match proves per-batch dim
+    re-read end-to-end.  Scale: the per-batch dim read is one broadcast-
+    sized scan; the stream side never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    _, result = _stream_dirs(sf_dir, "result_dim_refresh")
+    staging = result + "_staging"
+    dim_dir = result + "_dim"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+        from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents
+
+        v1 = cust.select("c_custkey", as_cents(F.col("c_acctbal")).alias("bal_cents"))
+        v2 = cust.select(
+            "c_custkey",
+            (
+                as_cents(F.col("c_acctbal"))
+                + F.when(F.col("c_custkey") % 7 == 0, 100).otherwise(0)
+            ).alias("bal_cents"),
+        )
+        v1.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+        def write(batch_df, batch_id: int) -> None:
+            dim = spark.read.parquet(dim_dir)  # fresh read: current dim version
+            enriched = (
+                batch_df.join(dim, batch_df.user_id == dim.c_custkey)
+                .select("event_id", "user_id", "bal_cents")
+                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+            )
+            enriched.write.mode("append").parquet(result)
+            if batch_id == 0:
+                v2.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        q = stream.writeStream.outputMode("append").foreachBatch(write).start()
+        q.processAllAvailable()
+        q.stop()
+    return spark.read.parquet(result).select("event_id", "user_id", "bal_cents")

@@ -304,3 +304,42 @@ def test_checkpoint_offset_recovery_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 60, "restart lost or duplicated rows"
     assert out.select("event_id").distinct().count() == 60, "restart reprocessed old files"
+
+
+def test_dag_side_static_join_breaks_on_dim_overwrite(spark, tmp_path):
+    """Negative evidence for stream_dim_refresh_join's design note: a
+    DAG-side stream-static join against plain parquet caches the static
+    side's file index at stream start, so overwriting the dimension
+    mid-stream makes later batches fail (file-not-found on the deleted
+    files) instead of picking up the new version.  The foreachBatch-side
+    join (the catalog query) is the refresh-correct pattern."""
+    from pyspark.sql import functions as F
+
+    src, dim, sink = str(tmp_path / "src"), str(tmp_path / "dim"), str(tmp_path / "sink")
+    rows = spark.range(40).select(F.col("id").alias("event_id"), (F.col("id") % 4).alias("k"))
+    for i in range(4):
+        rows.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+    spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("v")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dim)
+
+    static_dim = spark.read.parquet(dim)
+    stream = (
+        spark.readStream.schema("event_id long, k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def write(df, bid):
+        df.write.mode("append").parquet(sink)
+        if bid == 0:
+            spark.range(4).select(F.col("id").alias("k"), F.lit(2).alias("v")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(dim)
+
+    q = stream.join(static_dim, "k").writeStream.outputMode("append").foreachBatch(write).start()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not exist|FileNotFound|FAILED_READ_FILE"):
+        q.processAllAvailable()
+    q.stop()
