@@ -679,3 +679,151 @@ def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine >= 0.2)
         .select("id_a", "id_b", round_det(cosine, 6).alias("cosine"))
     )
+
+
+# Incremental-components label store: built once per (session, sf_dir)
+# from the OLD corpus slice (doc_id % 5 != 0), then every call solves
+# only the delta subgraph.
+_COMPONENT_STORES: dict[str, str] = {}
+
+
+def _component_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir not in _COMPONENT_STORES:
+        path = tempfile.mkdtemp(prefix="rtbd_comp_store_") + "/labels"
+        old_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+        old_pairs = dedup.ngram_jaccard_pairs(old_docs, k=3, threshold=0.1)
+        dedup.duplicate_components(old_pairs).select("doc_id", "component_id").write.mode(
+            "overwrite"
+        ).parquet(path)
+        _COMPONENT_STORES[sf_dir] = path
+    return _COMPONENT_STORES[sf_dir]
+
+
+@register(
+    "dedup_components_incremental",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter) + 1e-8, 6) >= 0.1
+    ),
+    edges(s, d) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, min(d) AS component_id FROM reach GROUP BY s),
+    csize AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+    SELECT comp.doc_id, comp.component_id, csize.component_size
+    FROM comp JOIN csize USING (component_id)
+    """,
+    tags=("pipeline", "dedup", "components", "incremental"),
+)
+def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-duplicate clustering: the old corpus slice's
+    component labels are PERSISTED once; when the new slice (doc_id % 5
+    == 0) arrives, only the DELTA subgraph is solved — new-vs-corpus
+    candidate pairs (the new docs' shingles joined against the corpus
+    shingle set: work proportional to the BATCH, not the corpus), with
+    old endpoints CONTRACTED to their stored component label before the
+    closure runs.  Min-labels make contraction sound: the merged
+    component's label is the min over (stored labels U new ids), so
+    solving the contracted delta graph and relabeling the affected old
+    components reproduces the full-graph answer exactly — which is what
+    the oracle checks (full recursive-CTE closure over ALL documents).
+    Unaffected old components keep their stored rows untouched.  This is
+    the graph twin of `dedup_minhash_incremental` / `embedding_ivf_
+    append_search`: the corpus-sized work is paid once, each ingest pays
+    for its delta."""
+    docs = _docs(spark, sf_dir)
+    store = spark.read.parquet(_component_store_dir(spark, sf_dir))
+
+    # --- delta candidate pairs: new docs vs the whole corpus ------------
+    sh_all = dedup.word_shingles(docs, k=3)
+    sh_new = sh_all.filter(F.col("doc_id") % 5 == 0)
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    joined = (
+        sh_new.alias("n")
+        .join(sh_all.alias("o"), F.col("n.shingle") == F.col("o.shingle"))
+        .filter(F.col("n.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_b"),
+            F.col("n.shingle").alias("shingle"),
+        )
+    )
+    inter = joined.groupBy("id_a", "id_b").agg(F.count_distinct("shingle").alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    delta_pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            round_det(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            )
+            >= 0.1
+        )
+        .select("id_a", "id_b")
+    )
+
+    # --- contract old endpoints to their stored labels ------------------
+    lbl = store.select(F.col("doc_id").alias("_d"), F.col("component_id").alias("_l"))
+    mapped = (
+        delta_pairs.join(lbl.withColumnRenamed("_d", "id_a").withColumnRenamed("_l", "la"), "id_a", "left")
+        .join(lbl.withColumnRenamed("_d", "id_b").withColumnRenamed("_l", "lb"), "id_b", "left")
+        .select(
+            F.coalesce(F.col("la"), F.col("id_a")).alias("id_a"),
+            F.coalesce(F.col("lb"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    solve = dedup.duplicate_components(mapped).select(
+        F.col("doc_id").alias("node"), F.col("component_id").alias("new_label")
+    )
+
+    # --- final labeling --------------------------------------------------
+    # old docs: relabel the affected components, keep the rest
+    docs_old = (
+        store.join(solve, store.component_id == solve.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("new_label"), F.col("component_id")).alias("component_id"),
+        )
+    )
+    # endpoints of the delta graph that have no store row (new docs and
+    # previously-isolated old docs) carry their own id as supernode
+    direct_nodes = (
+        delta_pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(delta_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .join(store.select("doc_id"), "doc_id", "left_anti")
+    )
+    docs_direct = direct_nodes.join(solve, direct_nodes.doc_id == solve.node).select(
+        "doc_id", F.col("new_label").alias("component_id")
+    )
+    comp = docs_old.unionByName(docs_direct)
+    csize = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(csize, "component_id").select("doc_id", "component_id", "component_size")
