@@ -827,3 +827,77 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = docs_old.unionByName(docs_direct)
     csize = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
     return comp.join(csize, "component_id").select("doc_id", "component_id", "component_size")
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter) + 1e-8, 6) >= 0.1
+    ),
+    edges(s, d) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, min(d) AS component_id FROM reach GROUP BY s),
+    m AS (
+        SELECT c.component_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT component_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+           CAST(min(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS survivor_n_chars
+    FROM m GROUP BY component_id
+    """,
+    tags=("pipeline", "dedup", "survivorship", "entity-resolution"),
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship selection — the last step of the match -> cluster ->
+    SURVIVE entity-resolution pipeline: per near-duplicate component,
+    keep the canonical record by an explicit rule (longest text, then
+    lowest id — the deterministic tie-break matters: 'keep any' is
+    partitioning-dependent) and report the cluster profile.  One window
+    pass over the (cluster-sized) membership table after the closure;
+    the rule is a plain composite ordering, so swapping in richer
+    survivorship criteria (most-recent, most-complete, source-priority)
+    is an ORDER BY change, not a plan change."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+    comp = dedup.duplicate_components(pairs).select("doc_id", "component_id")
+    m = comp.join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = m.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("long").alias("survivor_doc_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias("survivor_n_chars"),
+    )
