@@ -339,3 +339,113 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BPE_ROUND = """
+    p{i} AS (
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT arr[i] AS a, arr[i + 1] AS b, freq FROM (
+                SELECT list_filter(string_split(enc, ','), x -> x <> '') AS arr, freq
+                FROM w{p}
+            ), unnest(generate_series(1, len(arr) - 1)) AS g(i)
+        ) GROUP BY a, b
+    ),
+    t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{i} AS (
+        SELECT replace(enc, ',' || t{i}.a || ',' || t{i}.b || ',',
+                            ',' || t{i}.a || t{i}.b || ',') AS enc, freq
+        FROM w{p}, t{i}
+    )"""
+
+_BPE_ORACLE = (
+    """
+    WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+        ) GROUP BY 1
+    ),
+    w0 AS (
+        SELECT ',' || array_to_string(string_split(word, ''), ',') || ',' AS enc, freq
+        FROM words
+    ),"""
+    + ",".join(_BPE_ROUND.format(i=i, p=i - 1) for i in (1, 2, 3, 4, 5))
+    + """
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM t1
+        UNION ALL SELECT CAST(2 AS INT), a, b, cnt FROM t2
+        UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM t3
+        UNION ALL SELECT CAST(4 AS INT), a, b, cnt FROM t4
+        UNION ALL SELECT CAST(5 AS INT), a, b, cnt FROM t5
+    )
+    """
+)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_BPE_ORACLE,
+    tags=("mlprep", "text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real (5-round) distributed BPE TRAINER: the full
+    count-pairs -> pick-merge -> apply-merge loop (Sennrich et al.
+    2016), not just one round's statistic (`bpe_pair_counts`).  Words
+    are encoded as comma-delimited symbol strings (symbols are
+    comma-free, and the pattern `,a,b,` carries both delimiters, so a
+    merge can never match across a symbol boundary); each round counts
+    adjacent symbol pairs over the DISTINCT-WORD table (never the
+    corpus), pulls ONE argmax row to the driver (bounded, the same
+    contract as the k-means centroid collect), and applies the merge as
+    a single `replace` — whose left-to-right non-overlapping semantics
+    are byte-identical in Spark and DuckDB (verified; canonical BPE
+    differs only for immediately-repeated pairs like 'a a a', a
+    documented deviation).  The word table is checkpointed per round so
+    round r never re-derives rounds 1..r-1.  The oracle unrolls the
+    identical five rounds as chained CTEs.  Returns the merge table
+    (round, sym_a, sym_b, pair_count) — the artifact a tokenizer ships."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc = F.concat(F.lit(","), F.array_join(F.split("word", ""), ","), F.lit(","))
+    w = words.select(enc.alias("enc"), "freq").localCheckpoint(eager=True)
+    merges = []
+    for rnd in range(1, 6):
+        arr = F.filter(F.split("enc", ","), lambda x: x != F.lit(""))
+        pairs = (
+            w.select(arr.alias("arr"), "freq")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("arr") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("arr"), i).alias("a"),
+                            F.element_at(F.col("arr"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        merges.append((rnd, top.a, top.b, int(top.cnt)))
+        w = w.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(f",{top.a},{top.b},"),
+                F.lit(f",{top.a}{top.b},"),
+            ).alias("enc"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, pair_count long"
+    )
