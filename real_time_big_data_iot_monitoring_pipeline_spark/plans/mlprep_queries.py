@@ -449,3 +449,69 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, sym_a string, sym_b string, pair_count long"
     )
+
+
+_BPE_APPLY_ROUND = """
+    e{i} AS (
+        SELECT doc_id,
+               replace(enc, ',' || t{i}.a || ',' || t{i}.b || ',',
+                            ',' || t{i}.a || t{i}.b || ',') AS enc
+        FROM e{p}, t{i}
+    )"""
+
+_BPE_APPLY_ORACLE = (
+    _BPE_ORACLE[: _BPE_ORACLE.index("\n    SELECT * FROM (")]
+    + ","
+    + """
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    e0 AS (
+        SELECT doc_id, ',' || array_to_string(string_split(word, ''), ',') || ',' AS enc
+        FROM dw
+    ),"""
+    + ",".join(_BPE_APPLY_ROUND.format(i=i, p=i - 1) for i in (1, 2, 3, 4, 5))
+    + """
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(list_filter(string_split(enc, ','), x -> x <> ''))) AS BIGINT)
+               AS n_tokens
+    FROM e5 GROUP BY doc_id
+    """
+)
+
+
+@register(
+    "bpe_apply_tokenize",
+    oracle=_BPE_APPLY_ORACLE,
+    tags=("mlprep", "text", "tokenizer", "bpe"),
+)
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the 5 merges
+    `bpe_train_merges` learned — train on the corpus once (bounded
+    driver traffic: the 5-row merge table), then tokenization is a pure
+    per-word map (5 chained `replace`s over the symbol encoding) that
+    scales at scan speed, embarrassingly parallel, exactly how a
+    trained tokenizer deploys.  Output (doc_id, n_words, n_tokens)
+    shows the per-document compression the merges bought; the oracle
+    re-derives the merges AND the application end-to-end."""
+    merges = REGISTRY_LOOKUP("bpe_train_merges").build(spark, sf_dir).orderBy("round").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("word"),
+    )
+    enc = F.concat(F.lit(","), F.array_join(F.split("word", ""), ","), F.lit(","))
+    for m in merges:
+        enc = F.replace(enc, F.lit(f",{m.sym_a},{m.sym_b},"), F.lit(f",{m.sym_a}{m.sym_b},"))
+    toks = F.size(F.filter(F.split(enc, ","), lambda x: x != F.lit("")))
+    return dw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def REGISTRY_LOOKUP(name: str):
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY
+
+    return REGISTRY[name]
