@@ -818,3 +818,43 @@ def stream_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     return spark.read.parquet(result).select("event_id", "user_id", "bal_cents")
+
+
+@register(
+    "stream_available_now_catchup",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "trigger", "available-now", "equivalence"),
+)
+def stream_available_now_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow catch-up run — the 'execute the stream as a
+    scheduled batch job' mode: the query processes everything available
+    in rate-limited micro-batches (maxFilesPerTrigger still applies,
+    so state is still exercised incrementally) and then TERMINATES ON
+    ITS OWN, unlike the continuous trigger the other replays drive with
+    processAllAvailable.  This is how a 100 TB backfill or an
+    hourly-cron streaming job runs: same checkpointed incremental
+    semantics, bounded lifetime.  Complete mode makes the final state
+    equal the batch aggregation, which the oracle checks."""
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_available_now")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = (
+            stream.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "event_type",
+                F.unix_seconds(F.col("w.start")).alias("window_start"),
+                "cnt",
+            )
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="complete", available_now=True)
+    return spark.read.parquet(result)

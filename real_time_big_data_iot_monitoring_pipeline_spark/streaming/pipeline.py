@@ -344,8 +344,12 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
 
 
 def run_stream_to_parquet(
-    df: DataFrame, path: str, output_mode: str = "complete", with_batch_id: bool = False
-) -> list[tuple[int, int]]:
+    df: DataFrame,
+    path: str,
+    output_mode: str = "complete",
+    with_batch_id: bool = False,
+    available_now: bool = False,
+) -> list[tuple[int, int, int]]:
     """Run a streaming query to a PARQUET result dir until all available
     input is consumed.  In complete mode every micro-batch carries the
     full aggregate state, so overwriting per batch leaves the final state
@@ -378,9 +382,17 @@ def run_stream_to_parquet(
             batch_df = batch_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
         batch_df.write.mode(batch_mode).parquet(path)
 
-    q = df.writeStream.outputMode(output_mode).foreachBatch(write).start()
-    q.processAllAvailable()
-    q.stop()
+    writer = df.writeStream.outputMode(output_mode).foreachBatch(write)
+    if available_now:
+        # AvailableNow: process everything currently available in
+        # rate-limited batches, then terminate on its own — the
+        # "run the stream as a scheduled job" trigger.
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
     telemetry: list[tuple[int, int, int]] = []
     for p in q.recentProgress:
         wm = (p.get("eventTime") or {}).get("watermark")
