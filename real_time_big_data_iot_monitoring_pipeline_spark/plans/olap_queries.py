@@ -574,3 +574,40 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+_NAAJ_SQL = """
+    SELECT 'not_in' AS semantics,
+           (SELECT count(*) FROM {cust} WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM {orders} WHERE o_orderkey % 3 = 0
+                UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_customers
+    UNION ALL
+    SELECT 'not_exists',
+           (SELECT count(*) FROM {cust} c WHERE NOT EXISTS
+               (SELECT 1 FROM (SELECT o_custkey FROM {orders} WHERE o_orderkey % 3 = 0
+                               UNION ALL SELECT CAST(NULL AS BIGINT)) s
+                WHERE s.o_custkey = c.c_custkey))
+"""
+
+
+@register(
+    "null_aware_not_in",
+    oracle=_NAAJ_SQL.format(cust="customer", orders="orders"),
+    tags=("olap", "null-semantics", "anti-join", "sql-surface"),
+)
+def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated and correctly planned: with a
+    NULL in the subquery, ANSI `NOT IN` is three-valued — no row can
+    prove it is different from NULL, so the count is ZERO — while `NOT
+    EXISTS` (null-agnostic equality) returns the real complement.  Spark
+    plans the first as a null-aware anti join (a dedicated physical
+    strategy: broadcast + null-key tracking) and the second as an
+    ordinary left-anti; both semantics land in one result so the
+    difference is value-hash-pinned, the trap every SQL user eventually
+    hits in production.  Also the catalog's exercise of the `spark.sql`
+    ENTRY PATH — identical ANSI text runs on both engines verbatim.
+    Scale: both branches broadcast the (aggregated) subquery key set;
+    the probe side never shuffles."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_naaj_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_naaj_orders")
+    return spark.sql(_NAAJ_SQL.format(cust="v_naaj_cust", orders="v_naaj_orders"))
