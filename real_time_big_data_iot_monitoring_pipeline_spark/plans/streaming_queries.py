@@ -858,3 +858,59 @@ def stream_available_now_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipeline.run_stream_to_parquet(agg, result, output_mode="complete", available_now=True)
     return spark.read.parquet(result)
+
+
+@register(
+    "stream_stateful_extremes",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           count(*) AS n_seen,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(*))) + 1e-8, 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "custom-stateful", "applyInPandasWithState", "equivalence"),
+)
+def stream_stateful_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR, value-hash-checked: the events feed
+    replays through `stateful.extremes_stream_compat` — an
+    `applyInPandasWithState` fold keeping (n, min, max, exact cents
+    sum) per key across micro-batches, update mode, one state row per
+    key — and the changelog compaction (latest batch per key) must
+    equal the batch aggregation.  This puts the Arrow-stateful API
+    surface itself under the driver's oracle, not just under unit
+    tests: a hash match proves state merge order, batch boundaries, and
+    the per-batch Arrow round trip all preserve the fold exactly (the
+    cents-integer state is what makes the float-free sum
+    order-independent).  Scale: state is O(keys) and each batch touches
+    only the keys it carries — the canonical custom-stateful shape."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming import stateful
+
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_stateful_extremes")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(
+            spark, staging, schema=e.schema, max_files_per_trigger=2
+        ).select(
+            F.col("user_id").cast("string").alias("sensor_id"),
+            F.col("value").alias("temperature"),
+        )
+        out = stateful.extremes_stream_compat(stream)
+        pipeline.run_stream_to_parquet(out, result, output_mode="update", with_batch_id=True)
+    res = spark.read.parquet(result)
+    return res.groupBy("sensor_id").agg(
+        F.max_by("n_seen", "_batch_id").alias("n_seen"),
+        F.max_by("min_temp", "_batch_id").alias("min_value"),
+        F.max_by("max_temp", "_batch_id").alias("max_value"),
+        F.max_by("avg_temp", "_batch_id").alias("avg_value"),
+    ).select(
+        F.col("sensor_id").cast("long").alias("user_id"),
+        "n_seen",
+        "min_value",
+        "max_value",
+        "avg_value",
+    )
