@@ -57,7 +57,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   corpus_weighted_sample, lang_id_confusion_matrix, embedding_ann_recall,
 #   stream_dim_refresh_join, dedup_components_incremental, dedup_survivorship,
 #   bpe_train_merges, bpe_apply_tokenize, stream_available_now_catchup,
-#   null_aware_not_in, stream_stateful_extremes
+#   null_aware_not_in, stream_stateful_extremes, event_markov_transitions,
+#   text_zipf_fit
 #   (rows-only, not window-eligible: distinct_users_hll_daily)
 #     (registered after the 3 slots filled; all locally oracle-green
 #     via tools/driver_sim.py explicit-name runs at sf0.01).

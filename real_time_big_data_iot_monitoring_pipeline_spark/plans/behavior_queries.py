@@ -798,3 +798,51 @@ def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").cast("long").alias("seq_len"),
         (hits / 3).cast("long").alias("n_ccp"),
     )
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT from_type, sum(n) AS row_total FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           ROUND(t.n / CAST(m.row_total AS DOUBLE) + 1e-8, 6) AS p
+    FROM t JOIN m USING (from_type)
+    """,
+    tags=("behavior", "markov", "sequence", "model-estimation"),
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type), estimated from LAG pairs —
+    the behavioral model the funnel/retention family consumes (predicted
+    next step, anomalous-journey scoring).  One per-user window pass for
+    the pairs, one (types x types)-sized agg, one marginal join: at
+    100 TB the matrix is constant-size however large the event log, and
+    the only corpus-sized shuffle keys on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = t.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(F.broadcast(m), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            round_det(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
+        )
+    )

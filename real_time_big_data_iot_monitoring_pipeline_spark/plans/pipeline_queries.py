@@ -901,3 +901,85 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("long").alias("survivor_doc_id"),
         F.min(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias("survivor_n_chars"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT array_to_string(ws[i:i+2], ' ') AS term, count(*) AS freq
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM w WHERE len(ws) >= 3)
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM g
+    ),
+    q AS (
+        SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000 + 0.5 + 1e-8) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000 + 0.5 + 1e-8) AS BIGINT) AS y
+        FROM r
+    ),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM q)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-8, 4)
+               AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+                 / n / 1000.0 + 1e-8, 4) AS zipf_intercept_ln
+    FROM s
+    """,
+    tags=("pipeline", "text", "statistics", "zipf", "regression"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus's shingle frequency distribution:
+    OLS slope/intercept of ln(freq) ~ ln(rank) — the corpus-statistics
+    health check (natural text fits slope ~ -1; heavy machine spam or
+    template boilerplate bends it).  Same exact-moment trick as the
+    closed-form regressions: ln values quantize to milli-nat integers,
+    so the five OLS moments are exact int64 sums under any partitioning
+    (milli not micro: x^2 sums must stay < 2^63 at million-term
+    vocabularies) and the two float divisions are fixed-order.  The rank
+    window is vocabulary-sized by construction — never corpus-sized."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+    shingle_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    )
+    g = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(F.explode(shingle_arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    r = g.select("freq", F.row_number().over(Window.orderBy(F.col("freq").desc(), "term")).alias("rank"))
+    mq = lambda c: F.floor(F.log(c.cast("double")) * 1000 + F.lit(0.5 + 1e-8)).cast("long")  # noqa: E731
+    q = r.select(mq(F.col("rank")).alias("x"), mq(F.col("freq")).alias("y"))
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        round_det(slope, 4).alias("zipf_slope"),
+        round_det(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") / F.lit(1000.0), 4
+        ).alias("zipf_intercept_ln"),
+    )
