@@ -60,6 +60,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   null_aware_not_in, stream_stateful_extremes, event_markov_transitions,
 #   text_zipf_fit
 #   (rows-only, not window-eligible: distinct_users_hll_daily)
+#     (rows-only, not window-eligible: quantile_approx_error_audit)
 #     (registered after the 3 slots filled; all locally oracle-green
 #     via tools/driver_sim.py explicit-name runs at sf0.01).
 # Every query in the catalog — windowed or not — is exercised each

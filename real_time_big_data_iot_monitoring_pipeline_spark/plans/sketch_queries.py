@@ -186,3 +186,39 @@ def distinct_users_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.join(cum, "day").orderBy("day")
+
+
+@register(
+    "quantile_approx_error_audit",
+    oracle=None,  # percentile_approx's merge result depends on partition
+    # layout (Greenwald-Khanna summaries), so no cross-engine hash
+    # exists; the error-bound contract is pinned by
+    # tests/test_operators.py::test_quantile_approx_error_bounded
+    tags=("sketch", "quantile", "approximation", "rows-only-by-design"),
+)
+def quantile_approx_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-observable approximate quantiles: per event type, the exact
+    p50/p95/p99 of `value` next to `percentile_approx` (accuracy 1000)
+    and the absolute error — the third member of the
+    approximation-with-visible-error family (count-min overestimates,
+    HLL relative error, quantile rank error).  At 100 TB the exact
+    percentile's full sort per group is the cost ceiling and the GK
+    summary is the practical path; this query is the calibration that
+    justifies the swap, run on a sample or a canary slice."""
+    e = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.95, 0.99]
+    exact = [F.expr(f"percentile(value, {q})").alias(f"exact_p{int(q * 100)}") for q in qs]
+    approx = [
+        F.expr(f"percentile_approx(value, {q}, 1000)").alias(f"approx_p{int(q * 100)}")
+        for q in qs
+    ]
+    out = e.groupBy("event_type").agg(*exact, *approx)
+    errs = [
+        F.abs(F.col(f"approx_p{int(q * 100)}") - F.col(f"exact_p{int(q * 100)}")).alias(
+            f"abs_err_p{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    return out.select("event_type", *[c for q in qs for c in
+                                      (F.col(f"exact_p{int(q*100)}"), F.col(f"approx_p{int(q*100)}"))],
+                      *errs)

@@ -591,3 +591,28 @@ def test_hll_daily_union_consistency(spark):
     # (2) error bound vs exact
     exact = e.agg(F.count_distinct("user_id")).collect()[0][0]
     assert abs(cums[-1] - exact) / exact < 0.02, (cums[-1], exact)
+
+
+def test_quantile_approx_error_bounded(spark):
+    """The rows-only quantile audit's contract: at accuracy=1000 the
+    GK summary's rank error is <= 1/1000, so the approx quantile must
+    sit within the exact values at q +- 0.005 (rank-error bound)."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["quantile_approx_error_audit"].build(spark, sf).collect()
+    assert rows
+    e = load_table(spark, sf, "events")
+    for r in rows:
+        for q in (50, 95, 99):
+            lo_q = max(q / 100 - 0.005, 0.0)
+            hi_q = min(q / 100 + 0.005, 1.0)
+            lo, hi = (
+                e.filter(F.col("event_type") == r.event_type)
+                .agg(F.expr(f"percentile(value, {lo_q})"), F.expr(f"percentile(value, {hi_q})"))
+                .collect()[0]
+            )
+            assert lo <= getattr(r, f"approx_p{q}") <= hi, (r.event_type, q)
