@@ -1064,3 +1064,38 @@ def append_to_ivf_index(
         new_vectors, cent, id_col, vec_col, quantized=True, keep_vec=True
     )
     assign.write.partitionBy("cid").mode("append").parquet(f"{path}/lists")
+
+
+GRAM_SCHEMA = "i int, j int, g long"
+
+
+def gram_matrix_partial(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Distributed Gram matrix over q6-quantized vectors: each Arrow
+    batch contributes its exact int64 partial `M^T M` (one vectorized
+    numpy matmul per batch — the right kernel shape: dim^2 output rows
+    per BATCH, never per input row), and a (dim^2)-keyed agg merges the
+    partials.  All integer arithmetic, so the result is bit-identical
+    under any partitioning; products are ~1e12 and per-batch sums stay
+    far below 2^63.  This is the covariance/PCA-prep primitive: at
+    100 TB the corpus streams through once and only dim^2 rows ever
+    shuffle."""
+    import numpy as np
+
+    q = df.select(
+        F.expr(
+            f"transform(cast({vec_col} as array<double>), x -> cast(floor(x * 1000000.0 + (0.5 + 1e-8)) as bigint))"
+        ).alias("v")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        idx = np.indices((dim, dim)).reshape(2, -1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].map(lambda a: np.asarray(a, dtype=np.int64)))
+            g = m.T @ m
+            yield pd.DataFrame({"i": idx[0], "j": idx[1], "g": g.reshape(-1)})
+
+    return q.mapInPandas(run, GRAM_SCHEMA).groupBy("i", "j").agg(F.sum("g").alias("g"))

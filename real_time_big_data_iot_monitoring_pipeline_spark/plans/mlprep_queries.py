@@ -515,3 +515,77 @@ def REGISTRY_LOOKUP(name: str):
     from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY
 
     return REGISTRY[name]
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000.0 + (0.5 + 1e-8)) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    sx AS (
+        SELECT g.i AS i, CAST(sum(v[g.i + 1]) AS BIGINT) AS s
+        FROM q, (SELECT unnest(generate_series(0, 63)) AS i) g
+        GROUP BY 1
+    ),
+    gram AS (
+        SELECT gi.i AS i, gj.j AS j, CAST(sum(v[gi.i + 1] * v[gj.j + 1]) AS BIGINT) AS g
+        FROM q,
+             (SELECT unnest(generate_series(0, 63)) AS i) gi,
+             (SELECT unnest(generate_series(0, 63)) AS j) gj
+        GROUP BY 1, 2
+    )
+    SELECT gram.i, gram.j,
+           ROUND((CAST(gram.g AS DOUBLE) - CAST(a.s AS DOUBLE) * b.s / n.n)
+                 / (n.n - 1) / 1000000000000.0 + 1e-8, 8) AS cov
+    FROM gram
+    JOIN sx a ON gram.i = a.i
+    JOIN sx b ON gram.j = b.i
+    CROSS JOIN n
+    """,
+    tags=("mlprep", "embedding", "covariance", "pca-prep"),
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 64x64 sample covariance matrix of the embedding corpus —
+    PCA preparation: the eigen-decomposition of this (dim^2-sized,
+    corpus-independent) output is a driver-side numpy call, so the
+    distributed job is exactly the Gram accumulation
+    (`similarity.gram_matrix_partial`: one vectorized int64 `M^T M` per
+    Arrow batch, dim^2-keyed merge; the JVM-side per-dimension sums ride
+    a posexplode agg).  All moments are exact integers, the one float
+    expression is identical on both engines, and the oracle replays the
+    whole thing in SQL."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.similarity import (
+        gram_matrix_partial,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    gram = gram_matrix_partial(e, dim=64)
+    q = e.select(
+        F.expr(
+            "transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000.0 + (0.5 + 1e-8)) as bigint))"
+        ).alias("v")
+    )
+    sx = q.select(F.posexplode("v").alias("i", "x")).groupBy("i").agg(F.sum("x").alias("s"))
+    n = F.broadcast(q.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    a = sx.select(F.col("i"), F.col("s").alias("s_i"))
+    b = sx.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        gram.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(n)
+        .select(
+            "i",
+            "j",
+            round_det(
+                (F.col("g").cast("double") - F.col("s_i").cast("double") * F.col("s_j") / F.col("n"))
+                / (F.col("n") - 1)
+                / F.lit(1e12),
+                8,
+            ).alias("cov"),
+        )
+    )
