@@ -58,7 +58,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   stream_dim_refresh_join, dedup_components_incremental, dedup_survivorship,
 #   bpe_train_merges, bpe_apply_tokenize, stream_available_now_catchup,
 #   null_aware_not_in, stream_stateful_extremes, event_markov_transitions,
-#   text_zipf_fit, embedding_covariance_matrix
+#   text_zipf_fit, embedding_covariance_matrix, anova_value_by_type
 #   (rows-only, not window-eligible: distinct_users_hll_daily)
 #     (rows-only, not window-eligible: quantile_approx_error_audit)
 #     (registered after the 3 slots filled; all locally oracle-green

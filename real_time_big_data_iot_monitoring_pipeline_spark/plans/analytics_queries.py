@@ -637,3 +637,89 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("benford_share_micro"),
         )
     )
+
+
+@register(
+    "anova_value_by_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS x FROM events
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(x) AS BIGINT) AS s_g
+        FROM c GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss, CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        FROM c
+    ),
+    parts AS (
+        SELECT tot.n, tot.k,
+               CAST(tot.ss AS DOUBLE) - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ss_total,
+               sum(CAST(g.s_g AS DOUBLE) * g.s_g / g.n_g) - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ss_between
+        FROM g CROSS JOIN tot
+        GROUP BY tot.n, tot.k, tot.ss, tot.s
+    )
+    SELECT n, k,
+           ROUND(ss_total / 10000.0 + 1e-8, 4) AS ss_total,
+           ROUND(ss_between / 10000.0 + 1e-8, 4) AS ss_between,
+           ROUND((ss_total - ss_between) / 10000.0 + 1e-8, 4) AS ss_within,
+           ROUND((ss_between / (k - 1)) / ((ss_total - ss_between) / (n - k)) + 1e-8, 6) AS f_stat,
+           ROUND(ss_between / ss_total + 1e-8, 6) AS eta_squared
+    FROM parts
+    """,
+    tags=("analytics", "anova", "statistics"),
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: total / between /
+    within sum-of-squares, the F statistic, and eta-squared (effect
+    size) — does the grouping explain the variance?  All moments are
+    exact integer cents sums (x, x^2, per-group sums), so only the
+    final fixed-order float identities differ from integers; one
+    corpus scan + a k-row rollup, the same no-driver-collect shape as
+    the catalog's other closed-form statistics."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select("event_type", as_cents(F.col("value")).alias("x"))
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"), F.sum("x").alias("s_g")
+    )
+    tot = F.broadcast(
+        c.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.count_distinct("event_type").cast("long").alias("k"),
+        )
+    )
+    parts = (
+        g.crossJoin(tot)
+        .groupBy("n", "k", "ss", "s")
+        .agg(
+            F.sum(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")).alias("sb_raw")
+        )
+        .select(
+            "n",
+            "k",
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+                "ss_total"
+            ),
+            (F.col("sb_raw") - F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+                "ss_between"
+            ),
+        )
+    )
+    return parts.select(
+        "n",
+        "k",
+        round_det(F.col("ss_total") / 10000.0, 4).alias("ss_total"),
+        round_det(F.col("ss_between") / 10000.0, 4).alias("ss_between"),
+        round_det((F.col("ss_total") - F.col("ss_between")) / 10000.0, 4).alias("ss_within"),
+        round_det(
+            (F.col("ss_between") / (F.col("k") - 1))
+            / ((F.col("ss_total") - F.col("ss_between")) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        round_det(F.col("ss_between") / F.col("ss_total"), 6).alias("eta_squared"),
+    )
