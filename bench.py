@@ -55,6 +55,10 @@ HEADLINE = [
     # PageRank over the trade graph
     "dedup_exact_substring",
     "pagerank_trade_graph",
+    # round 5 (closing): the single-scan grouping-sets rollup and the
+    # grid-bucketed interval-overlap join
+    "multi_grain_rollup",
+    "interval_overlap_join",
 ]
 
 
