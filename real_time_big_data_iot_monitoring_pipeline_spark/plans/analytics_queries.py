@@ -148,17 +148,17 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def acctbal_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(10) banding of customers by account balance with per-decile
-    profiles.  NTILE needs a total order, so this is the one deliberate
-    global sort in the analytics set — over the SKINNY projection
-    (two columns), which is the honest way to run an equi-count banding:
-    at larger scale swap to percentile-bound banding (histogram_equidepth
-    shows that pattern) when a total sort stops being worth it.  The
-    ordering carries c_custkey as a unique tie-break so both engines
-    band identically."""
+    profiles — banded by `operators/windows.global_ntile` (range
+    repartition + per-partition rank + 1-row broadcast offset map), so
+    the equi-count banding runs with NO single-task global sort while
+    reproducing NTILE's uneven-bucket assignment bit-for-bit against
+    the oracle.  The ordering carries c_custkey as a unique tie-break
+    so both engines band identically."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    banded = c.select(
-        F.ntile(10).over(w).alias("decile"), as_cents(F.col("c_acctbal")).alias("bal_cents")
+    banded = global_ntile(c, ["c_acctbal", "c_custkey"], 10, out="decile").select(
+        "decile", as_cents(F.col("c_acctbal")).alias("bal_cents")
     )
     return banded.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

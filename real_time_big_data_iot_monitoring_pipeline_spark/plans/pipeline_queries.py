@@ -946,8 +946,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form regressions: ln values quantize to milli-nat integers,
     so the five OLS moments are exact int64 sums under any partitioning
     (milli not micro: x^2 sums must stay < 2^63 at million-term
-    vocabularies) and the two float divisions are fixed-order.  The rank
-    window is vocabulary-sized by construction — never corpus-sized."""
+    vocabularies) and the two float divisions are fixed-order.  Ranks
+    come from `operators/windows.global_row_number` (range repartition +
+    per-partition rank + 1-row broadcast offsets), so even a
+    million-term vocabulary never funnels through a single-task
+    window."""
     docs = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
     shingle_arr = F.transform(
@@ -961,9 +964,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    from pyspark.sql import Window
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_row_number
 
-    r = g.select("freq", F.row_number().over(Window.orderBy(F.col("freq").desc(), "term")).alias("rank"))
+    r = global_row_number(g, [F.col("freq").desc(), F.col("term")], out="rank").select(
+        "freq", "rank"
+    )
     mq = lambda c: F.floor(F.log(c.cast("double")) * 1000 + F.lit(0.5 + 1e-8)).cast("long")  # noqa: E731
     q = r.select(mq(F.col("rank")).alias("x"), mq(F.col("freq")).alias("y"))
     s = q.agg(
