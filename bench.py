@@ -59,6 +59,10 @@ HEADLINE = [
     # grid-bucketed interval-overlap join
     "multi_grain_rollup",
     "interval_overlap_join",
+    # round 5 (verdict item 6): one heavy-tail iterative query, so
+    # regressions in the driver-coordinated closure family are caught by
+    # the per-round driver bench, not only by the full-catalog sweep
+    "dedup_survivorship",
 ]
 
 
