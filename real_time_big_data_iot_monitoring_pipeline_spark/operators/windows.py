@@ -149,6 +149,39 @@ def global_row_number(df: DataFrame, order_cols, out: str = "rank") -> DataFrame
     )
 
 
+def global_running_sum(df: DataFrame, order_cols, weight_col: str, out: str = "running") -> DataFrame:
+    """Exact global prefix sum of `weight_col` (long) over a TOTAL
+    order, same no-single-task plan as `global_ntile`: range repartition
+    → per-partition cumulative sum → P-entry broadcast map of preceding
+    partitions' weight totals.  `out` includes the current row's weight
+    (inclusive prefix sum); a `_grs_total` long column carries the grand
+    total on every row (it is a broadcast scalar, not a window).
+    Requires a unique ordering — this is the scale-safe kernel for
+    weighted medians / quantile fences / running shares."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*cols).withColumn("_gnt_pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "_gnt_ws",
+        F.sum(weight_col).over(
+            Window.partitionBy("_gnt_pid")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    counts = ranged.groupBy("_gnt_pid").agg(F.sum(weight_col).alias("_gnt_cnt"))
+    offsets = _pid_offsets(counts)
+    return (
+        local.crossJoin(F.broadcast(offsets))
+        .withColumn(
+            out,
+            F.coalesce(F.element_at(F.col("_gnt_off.m"), F.col("_gnt_pid")), F.lit(0))
+            + F.col("_gnt_ws"),
+        )
+        .withColumn("_grs_total", F.col("_gnt_off.total"))
+        .drop("_gnt_pid", "_gnt_ws", "_gnt_off")
+    )
+
+
 def _global_rank(df: DataFrame, order_cols) -> DataFrame:
     """Shared kernel: adds `_gnt_i` (0-based exact global rank under
     `order_cols`) and `_gnt_off` (struct holding total row count) via
@@ -160,7 +193,20 @@ def _global_rank(df: DataFrame, order_cols) -> DataFrame:
         "_gnt_rn", F.row_number().over(Window.partitionBy("_gnt_pid").orderBy(*cols))
     )
     counts = ranged.groupBy("_gnt_pid").agg(F.count(F.lit(1)).alias("_gnt_cnt"))
-    offsets = counts.agg(
+    offsets = _pid_offsets(counts)
+    return local.crossJoin(F.broadcast(offsets)).withColumn(
+        "_gnt_i",
+        F.element_at(F.col("_gnt_off.m"), F.col("_gnt_pid")) + F.col("_gnt_rn") - F.lit(1),
+    )
+
+
+def _pid_offsets(counts: DataFrame) -> DataFrame:
+    """Fold per-partition totals (_gnt_pid, _gnt_cnt) into ONE row:
+    `_gnt_off.m` maps pid -> sum of all PRECEDING partitions' totals,
+    `_gnt_off.total` is the grand total.  P entries, never data-sized,
+    no driver collect (same 1-row broadcast pattern as the Bloom
+    bitset)."""
+    return counts.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("_gnt_pid", "_gnt_cnt"))),
             F.struct(
@@ -176,8 +222,4 @@ def _global_rank(df: DataFrame, order_cols) -> DataFrame:
                 ).alias("m"),
             ),
         ).alias("_gnt_off")
-    )
-    return local.crossJoin(F.broadcast(offsets)).withColumn(
-        "_gnt_i",
-        F.element_at(F.col("_gnt_off.m"), F.col("_gnt_pid")) + F.col("_gnt_rn") - F.lit(1),
     )

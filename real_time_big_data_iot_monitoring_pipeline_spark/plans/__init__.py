@@ -33,8 +33,14 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #     queries except `domain_cap_sample` (deferred by choice — its
 #     det_hash rank kernel is `corpus_sample_stratified`, green r3),
 #     which is FIRST IN LINE for round 6.
-# After this window lands green, every oracle-bearing catalog query has
-# had at least one driver-side hash.
+# After this window lands green, every oracle-bearing catalog query
+# registered BEFORE round 5 has had at least one driver-side hash.
+# Round-5 registrations awaiting their first driver row (next in line
+# after domain_cap_sample; all locally oracle-green via
+# tools/driver_sim.py explicit-name runs at sf0.01):
+#   nation_product_profit, brand_value_concentration,
+#   dominant_part_suppliers, bm25_search_topk, weighted_median_price,
+#   chi2_type_value, stream_scd2_apply.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

@@ -723,3 +723,129 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         round_det(F.col("ss_between") / F.col("ss_total"), 6).alias("eta_squared"),
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH pv AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS wt
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT v, wt,
+               sum(wt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT sum(wt) FROM pv) AS tot
+        FROM pv
+    )
+    SELECT ROUND(min(v) FILTER (WHERE 2 * cum >= tot) / 100.0 + 1e-8, 2) AS median_price,
+           ROUND(any_value(tot) / 100.0 + 1e-8, 2) AS total_weight
+    FROM c
+    """,
+    tags=("analytics", "weighted-median", "prefix-sum"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price — the
+    inventory-weighted "typical price" a pricing analyst wants, which no
+    built-in percentile computes (they weight rows equally).  Definition:
+    smallest price v whose cumulative quantity weight reaches half the
+    total.  Plan: prices collapse to DISTINCT values first (the weight
+    table is value-sized, and the crossing value is invariant to how
+    ties are ordered), then `operators/windows.global_running_sum`
+    produces the exact inclusive prefix sum with NO single-task window
+    (range repartition + per-partition cumsum + P-entry broadcast
+    offsets) and the answer is one more global min-aggregate.  All
+    weights are exact integer cents-of-quantity."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.select(
+            as_cents(F.col("l_extendedprice")).alias("v"),
+            as_cents(F.col("l_quantity")).alias("wt"),
+        )
+        .groupBy("v")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    c = global_running_sum(pv, ["v"], "wt", out="cum")
+    return c.agg(
+        round_det(
+            F.min(F.when(2 * F.col("cum") >= F.col("_grs_total"), F.col("v"))) / 100.0, 2
+        ).alias("median_price"),
+        round_det(F.first("_grs_total") / 100.0, 2).alias("total_weight"),
+    )
+
+
+@register(
+    "chi2_type_value",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CASE WHEN value < 25 THEN 'lo' WHEN value < 50 THEN 'mid'
+                    WHEN value < 100 THEN 'hi' ELSE 'xhi' END AS band,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT band, sum(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+        SELECT obs.o, rt.r, ct.c, n.n,
+               CAST(floor(
+                   CAST(obs.o * n.n - rt.r * ct.c AS DOUBLE)
+                   * CAST(obs.o * n.n - rt.r * ct.c AS DOUBLE)
+                   / (CAST(n.n AS DOUBLE) * rt.r * ct.c)
+                   * 1000000 + 0.5 + 1e-8) AS BIGINT) AS term_micro
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (band) CROSS JOIN n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+           ROUND(sum(term_micro) / 1000000.0 + 1e-8, 4) AS chi2
+    FROM cells
+    """,
+    tags=("analytics", "chi-square", "independence-test"),
+)
+def chi2_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and a
+    fixed value band — the categorical association check a feature-
+    selection / drift-detection pass runs (is `value` distributed the
+    same across event types?).  Numerically exact pattern: each cell's
+    statistic is computed as (o*N - r*c)^2 / (N*r*c) — the numerator
+    difference is an EXACT int64 before the (identical-in-both-engines)
+    float square/divide — then micro-quantized per cell so the final
+    chi2 is an order-independent integer sum over the (bounded,
+    |types| x |bands|) cell table.  Plan: one events scan -> cell
+    counts; row/column margins re-aggregate the CELL table (never the
+    fact table); margins and N attach by broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") < 25, "lo")
+        .when(F.col("value") < 50, "mid")
+        .when(F.col("value") < 100, "hi")
+        .otherwise("xhi")
+        .alias("band"),
+    )
+    obs = e.groupBy("event_type", "band").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("band").agg(F.sum("o").alias("c"))
+    n = F.broadcast(obs.agg(F.sum("o").alias("n")))
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = diff * diff / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(n)
+        .select(
+            "r",
+            "c",
+            F.floor(term * 1000000 + F.lit(0.5 + 1e-8)).cast("long").alias("term_micro"),
+        )
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        ((F.count_distinct("r") - 1) * (F.count_distinct("c") - 1))
+        .cast("long")
+        .alias("dof"),
+        round_det(F.sum("term_micro") / 1000000.0, 4).alias("chi2"),
+    )

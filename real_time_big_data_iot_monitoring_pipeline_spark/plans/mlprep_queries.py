@@ -589,3 +589,123 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# BM25 retrieval: fixed query set (terms drawn from the synthetic
+# vocabulary), Lucene-style idf, k1=1.2 b=0.75.  Per-term scores are
+# quantized to 1e-4 units BEFORE the per-(query, doc) sum so the
+# cross-engine result is an exact integer sum regardless of the order
+# the engines add term contributions in (same precedent as the
+# micro-nat log-prob queries).
+_BM25_QUERIES = ((1, "spark"), (1, "join"), (2, "window"), (2, "agg"),
+                 (3, "data"), (3, "table"), (3, "scan"), (4, "fast"), (4, "value"))
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(floor(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * dl.dl * stats.n_docs / stats.total_tokens))
+                   * 10000 + 0.5 + 1e-8) AS BIGINT) AS s4
+        FROM q
+        JOIN tf ON tf.term = q.term
+        JOIN df ON df.term = q.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    agg AS (
+        SELECT query_id, doc_id, sum(s4) AS s4 FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY s4 DESC, doc_id) AS rnk,
+               s4
+        FROM agg
+    )
+    SELECT CAST(query_id AS INT) AS query_id, doc_id,
+           CAST(rnk AS INT) AS rnk,
+           ROUND(s4 / 10000.0 + 1e-8, 4) AS bm25
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "bm25_search_topk",
+    oracle=_BM25_SQL,
+    tags=("mlprep", "retrieval", "bm25", "inverted-index"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval — top-5 documents per query for a fixed
+    query set, the retrieval half of a RAG pipeline (`corpus_chunk_
+    overlap` is the chunking half).  Plan = the distributed inverted
+    index: the term-frequency table IS the posting list, the query set
+    broadcasts onto it (term-keyed, touching only matching postings —
+    at 100 TB with the tf table laid out term-partitioned this reads
+    only the queried terms' partitions), document length and the two
+    corpus scalars (N, total tokens) attach via doc-keyed join + 1-row
+    broadcast, and the final top-k is a per-query window over ONLY the
+    scored candidates (bounded by postings hit, never corpus-sized).
+    Scoring: Lucene BM25 (k1=1.2, b=0.75); each term's contribution is
+    quantized to exact 1e-4 units before summation so the per-document
+    score is an order-independent integer sum — float ln/division
+    happen on identically-derived doubles in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = F.broadcast(
+        docs.sparkSession.createDataFrame(list(_BM25_QUERIES), "query_id int, term string")
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_tokens"))
+    )
+    s4 = F.floor(idf * tf_norm * 10000 + F.lit(0.5 + 1e-8)).cast("long")
+    scored = (
+        tf.join(q, "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("query_id", "doc_id", s4.alias("s4"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s4").alias("s4"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s4").desc(), "doc_id")
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            round_det(F.col("s4") / 10000.0, 4).alias("bm25"),
+        )
+    )

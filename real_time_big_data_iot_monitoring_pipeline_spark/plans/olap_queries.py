@@ -611,3 +611,152 @@ def null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_naaj_cust")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_naaj_orders")
     return spark.sql(_NAAJ_SQL.format(cust="v_naaj_cust", orders="v_naaj_orders"))
+
+
+@register(
+    "nation_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+           ROUND(sum({_DISC_SQL}
+                     - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                       * CAST(round(l.l_quantity * 100, 0) AS BIGINT))
+                 / 10000.0 + 1e-8, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("olap", "tpch-q9", "star-join", "profit"),
+)
+def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (ref workload family: the reference's group-by
+    dashboards over one table, generalized to the star schema a
+    warehouse user will point this engine at): profit per nation per
+    ship-year for one product family — revenue minus cost, the fixture's
+    cost proxy being retailprice x quantity (no partsupp table in the
+    fixture).  Plan: the p_name LIKE filter prunes part BEFORE its
+    broadcast, so the fact table inner-joins against a ~12% dim subset
+    and non-matching lineitem rows drop at the (broadcast) join — never
+    shuffled.  supplier and nation broadcast too; the only shuffle is
+    the final (nation, year) agg, pre-aggregated map-side.  Money math:
+    both terms land in exact 1e-4-dollar int64 units (price-cents x
+    discount-percent and retail-cents x quantity-cents), summed exactly,
+    divided once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    profit_1e4 = _disc_price_cents() - as_cents(F.col("p_retailprice")) * qty_cents
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(utc_naive(F.col("l_shipdate"))).cast("int").alias("o_year"),
+        )
+        .agg(round_det(F.sum(profit_1e4) / 10000.0, 2).alias("profit"))
+    )
+
+
+@register(
+    "brand_value_concentration",
+    oracle=f"""
+    WITH brand_value AS (
+        SELECT p.p_brand, sum({_DISC_SQL}) AS v
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    total AS (SELECT sum(v) AS tv FROM brand_value)
+    SELECT p_brand, ROUND(v / 10000.0 + 1e-8, 2) AS brand_value,
+           ROUND(v / tv + 1e-8, 6) AS share
+    FROM brand_value, total
+    WHERE v * 25 > tv
+    """,
+    tags=("olap", "tpch-q11", "global-scalar-having"),
+)
+def brand_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate clears a threshold
+    defined by the GLOBAL aggregate — the `HAVING sum(...) > fraction *
+    (SELECT sum(...) ...)` pattern (here: brands holding >1/25 of total
+    discounted revenue; the fixture has no partsupp so revenue stands in
+    for stock value).  The scalar subquery becomes a 1-row broadcast
+    crossJoin — the same pattern as `top_supplier_revenue` (Q15) — so
+    the brand-level agg is computed ONCE and reused for both the
+    threshold and the output, never recomputed per group.  The
+    threshold compare stays in exact integer units (v * 25 > tv, no
+    division)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bv = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_disc_price_cents()).alias("v"))
+    )
+    total = F.broadcast(bv.agg(F.sum("v").alias("tv")))
+    return (
+        bv.crossJoin(total)
+        .filter(F.col("v") * 25 > F.col("tv"))
+        .select(
+            "p_brand",
+            round_det(F.col("v") / 10000.0, 2).alias("brand_value"),
+            round_det(F.col("v") / F.col("tv"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT l_partkey, sum(qty_cents) AS part_total
+        FROM ps GROUP BY 1
+    ),
+    dom AS (
+        SELECT ps.l_suppkey, ps.l_partkey
+        FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+        WHERE ps.qty_cents * 5 > pt.part_total
+    )
+    SELECT s.s_name AS supplier, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_dominant_parts
+    FROM dom
+    JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("olap", "tpch-q20", "correlated-threshold", "semi-join"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the correlated `> 0.5 * (SELECT sum(...) WHERE
+    same key)` threshold — suppliers who shipped more than 20% of a
+    part's total quantity (the fixture's supplier fan-out is too even
+    for a literal half-share to ever fire; 20% keeps the plan shape and
+    a non-vacuous result), rolled up per supplier with nation attached.
+    The correlated scalar becomes a second-level aggregate of the first
+    (per-part totals derive from the (part, supplier) agg — lineitem is
+    read and shuffled ONCE, on l_partkey, and both aggregation grains
+    reuse that partitioning; the per-part total join is part-keyed and
+    co-partitioned).  The share-threshold compare is exact integer
+    (qty x 5 > total).  Supplier and nation dims broadcast onto the
+    (tiny) dominant set."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_cents).alias("qty_cents"))
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty_cents").alias("part_total"))
+    dom = ps.join(pt, "l_partkey").filter(F.col("qty_cents") * 5 > F.col("part_total"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -913,4 +913,101 @@ def stream_stateful_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
         "avg_value",
+    )
+
+
+@register(
+    "stream_scd2_apply",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo,
+               max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS val_cents
+        FROM events
+    ),
+    ba AS (
+        SELECT user_id, event_id, us, val_cents,
+               LEAST(((us - b.lo) * 8) // b.span, 7) // 2 AS batch
+        FROM r, b
+    ),
+    latest AS (
+        SELECT user_id, batch, val_cents,
+               row_number() OVER (PARTITION BY user_id, batch
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM ba
+    ),
+    versions AS (
+        SELECT user_id, CAST(batch AS BIGINT) AS valid_from_batch, val_cents
+        FROM latest WHERE rn = 1
+    )
+    SELECT user_id, valid_from_batch,
+           COALESCE(lead(valid_from_batch) OVER (PARTITION BY user_id
+                    ORDER BY valid_from_batch) - 1, 9223372036854775807)
+               AS valid_to_batch,
+           (lead(valid_from_batch) OVER (PARTITION BY user_id
+                    ORDER BY valid_from_batch) IS NULL) AS is_current,
+           ROUND(val_cents / 100.0 + 1e-8, 2) AS value
+    FROM versions
+    """,
+    tags=("streaming", "T4", "T6", "scd2", "cdc-apply", "foreachBatch", "equivalence"),
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A type-2 slowly-changing dimension BUILT BY THE STREAM: each
+    micro-batch is treated as a CDC delta (per user, the batch's latest
+    reading becomes that user's new version) and `foreachBatch` APPLIES
+    it by appending version rows — the streaming twin of the batch
+    `scd2_customer_history` (incremental_queries.py).  The apply step is
+    append-only on purpose: closing out the previous version in place
+    per batch would rewrite the dimension every trigger (the small-files
+    / rewrite pathology `stream_update_upsert` measured); instead
+    validity intervals are RECONSTRUCTED at read with one per-user
+    window over the (user-keyed, version-sized) history — the
+    Delta/Iceberg merge-on-read shape.  The batch-local `max_by` picks
+    each user's latest event by (ts, event_id) INSIDE foreachBatch
+    (per-batch delta semantics — a streaming groupBy would carry
+    cumulative state instead, which is exactly wrong for CDC apply).
+    The oracle replays the slice->batch assignment analytically
+    (8 event-time slices, 2 files per trigger -> batch = slice div 2,
+    same contract as `stream_dim_refresh_join`) and reconstructs the
+    identical history, so the CDC apply is value-hash-checked
+    end-to-end.  Open versions carry valid_to = Long.MAX (a sentinel
+    both engines share), is_current = true."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_scd2_apply")
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+
+        def apply_cdc(batch_df, batch_id: int) -> None:
+            delta = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    F.expr("max_by(CAST(round(value * 100, 0) AS BIGINT), struct(ts, event_id))").alias(
+                        "val_cents"
+                    )
+                )
+                .withColumn("valid_from_batch", F.lit(batch_id).cast("long"))
+            )
+            delta.write.mode("append").parquet(result)
+
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        q = stream.writeStream.outputMode("append").foreachBatch(apply_cdc).start()
+        q.processAllAvailable()
+        q.stop()
+    hist = spark.read.parquet(result)
+    w = Window.partitionBy("user_id").orderBy("valid_from_batch")
+    nxt = F.lead("valid_from_batch").over(w)
+    return hist.select(
+        "user_id",
+        "valid_from_batch",
+        F.coalesce(nxt - 1, F.lit(9223372036854775807)).alias("valid_to_batch"),
+        nxt.isNull().alias("is_current"),
+        round_det(F.col("val_cents") / 100.0, 2).alias("value"),
     )

@@ -436,3 +436,41 @@ def test_global_banding_has_no_unpartitioned_window(spark, sf_dir, name):
     assert window_args, plan
     for args in window_args:
         assert not re.search(r"\], \[\], \[", args), f"unpartitioned Window in {name}: {args}"
+
+
+def test_nation_product_profit_broadcasts_all_dims(spark, sf_dir):
+    """Q9 shape: part/supplier/nation must all broadcast; the lineitem
+    fact side must never feed a SortMergeJoin."""
+    plan = plan_of(REGISTRY["nation_product_profit"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_brand_concentration_single_brand_agg(spark, sf_dir):
+    """Q11 shape: the brand-level aggregate feeds BOTH the global
+    threshold and the output — lineitem must be scanned at most twice
+    (once per branch Spark cannot dedup), never once per brand."""
+    import re
+
+    plan = plan_of(REGISTRY["brand_value_concentration"].build(spark, sf_dir))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) <= 4, plan
+
+
+def test_weighted_median_no_unpartitioned_window(spark, sf_dir):
+    """The exact weighted median must run on global_running_sum's
+    partitioned plan, never a whole-table ORDER BY window."""
+    import re
+
+    plan = plan_of(REGISTRY["weighted_median_price"].build(spark, sf_dir))
+    window_args = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    assert window_args, plan
+    for args in window_args:
+        assert not re.search(r"\], \[\], \[", args), f"unpartitioned Window: {args}"
+
+
+def test_bm25_broadcasts_query_set(spark, sf_dir):
+    """The fixed query set must broadcast onto the posting (tf) table —
+    the inverted-index probe — not shuffle it."""
+    plan = plan_of(REGISTRY["bm25_search_topk"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
