@@ -182,6 +182,62 @@ def global_running_sum(df: DataFrame, order_cols, weight_col: str, out: str = "r
     )
 
 
+def global_running_max(
+    df: DataFrame, order_cols, value_col: str, out: str = "run_max", inclusive: bool = True
+) -> DataFrame:
+    """Exact global running MAX of `value_col` (long) over a TOTAL
+    order, same no-single-task plan as the other global kernels.  With
+    ``inclusive=False`` the prefix EXCLUDES the current row (the shape a
+    skyline/frontier scan needs: "best value among all strictly-earlier
+    rows"), and the first row's prefix is NULL.  Requires a unique
+    ordering."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*cols).withColumn("_gnt_pid", F.spark_partition_id())
+    frame_end = 0 if inclusive else -1
+    local = ranged.withColumn(
+        "_gnt_lm",
+        F.max(value_col).over(
+            Window.partitionBy("_gnt_pid")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, frame_end)
+        ),
+    )
+    counts = ranged.groupBy("_gnt_pid").agg(F.max(value_col).alias("_gnt_cnt"))
+    # prefix-max fold over the P-entry per-partition maxima: map each pid
+    # to the max over all PRECEDING partitions (null for the first).
+    offsets = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_gnt_pid", "_gnt_cnt"))),
+            F.struct(
+                F.lit(None).cast("long").alias("run"),
+                F.map_from_arrays(
+                    F.array().cast("array<int>"), F.array().cast("array<long>")
+                ).alias("m"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(acc["run"], x["_gnt_cnt"]).alias("run"),
+                F.map_concat(
+                    acc["m"],
+                    F.create_map(
+                        x["_gnt_pid"],
+                        F.coalesce(acc["run"], F.lit(None).cast("long")),
+                    ),
+                ).alias("m"),
+            ),
+        ).alias("_gnt_off")
+    )
+    return (
+        local.crossJoin(F.broadcast(offsets))
+        .withColumn(
+            out,
+            F.greatest(
+                F.element_at(F.col("_gnt_off.m"), F.col("_gnt_pid")), F.col("_gnt_lm")
+            ),
+        )
+        .drop("_gnt_pid", "_gnt_lm", "_gnt_off")
+    )
+
+
 def _global_rank(df: DataFrame, order_cols) -> DataFrame:
     """Shared kernel: adds `_gnt_i` (0-based exact global rank under
     `order_cols`) and `_gnt_off` (struct holding total row count) via

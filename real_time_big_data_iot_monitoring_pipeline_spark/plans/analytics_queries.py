@@ -849,3 +849,124 @@ def chi2_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         round_det(F.sum("term_micro") / 1000000.0, 4).alias("chi2"),
     )
+
+
+@register(
+    "grouped_weighted_median",
+    oracle="""
+    WITH pv AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS v,
+               sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS wt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT p_brand, v, wt,
+               sum(wt) OVER (PARTITION BY p_brand ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(wt) OVER (PARTITION BY p_brand) AS tot
+        FROM pv
+    )
+    SELECT p_brand,
+           ROUND(min(v) FILTER (WHERE 2 * cum >= tot) / 100.0 + 1e-8, 2) AS median_price,
+           ROUND(any_value(tot) / 100.0 + 1e-8, 2) AS total_weight
+    FROM c GROUP BY p_brand
+    """,
+    tags=("analytics", "weighted-median", "per-group"),
+)
+def grouped_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price PER BRAND — the grouped twin of
+    `weighted_median_price`.  Prices collapse to DISTINCT (brand, price)
+    weights first, so the per-brand cumulative window runs over the
+    price-cardinality frame, not the fact table: with few heavy groups
+    (25 brands here) a group-partitioned window over RAW rows would put
+    1/25th of the fact table in one task — pre-aggregation is what makes
+    the partitioned window safe.  (For a GLOBAL weighted median, or
+    groups whose distinct-value set is itself huge, use the
+    `global_running_sum` kernel — `weighted_median_price` shows that
+    path.)  All weights exact integer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    pv = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", as_cents(F.col("l_extendedprice")).alias("v"))
+        .agg(F.sum(as_cents(F.col("l_quantity"))).alias("wt"))
+    )
+    wc = Window.partitionBy("p_brand").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt_ = Window.partitionBy("p_brand")
+    c = pv.select(
+        "p_brand",
+        "v",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        round_det(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))) / 100.0, 2
+        ).alias("median_price"),
+        round_det(F.first("tot") / 100.0, 2).alias("total_weight"),
+    )
+
+
+@register(
+    "pareto_frontier_customers",
+    oracle="""
+    WITH xy AS (
+        SELECT CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+               max(cnt.n) AS best_orders
+        FROM customer c
+        JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1) cnt
+          ON cnt.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    scan AS (
+        SELECT bal_cents, best_orders,
+               max(best_orders) OVER (ORDER BY bal_cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better_y
+        FROM xy
+    )
+    SELECT ROUND(bal_cents / 100.0 + 1e-8, 2) AS acctbal,
+           best_orders AS n_orders
+    FROM scan
+    WHERE better_y IS NULL OR best_orders > better_y
+    """,
+    tags=("analytics", "skyline", "pareto-frontier"),
+)
+def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the customers not dominated on
+    (account balance, order count) — no other customer has BOTH a
+    higher balance and at least as many orders.  The classic skyline
+    algorithm is a sort + running-max scan; here the scan runs on
+    `operators/windows.global_running_max` with an EXCLUSIVE prefix
+    (max order count among all strictly-richer customers), so the
+    frontier extraction is distributed end-to-end: collapse to per-
+    balance best order count (one agg), range-partition by balance
+    descending, per-partition running max + P-entry broadcast prefix —
+    never a single-task ORDER BY.  A point survives iff its y beats
+    every larger-x point's y."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import (
+        global_running_max,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    xy = (
+        c.join(cnt, c.c_custkey == cnt.o_custkey)
+        .groupBy(as_cents(F.col("c_acctbal")).alias("bal_cents"))
+        .agg(F.max("n").alias("best_orders"))
+    )
+    scan = global_running_max(
+        xy, [F.col("bal_cents").desc()], "best_orders", out="better_y", inclusive=False
+    )
+    return scan.filter(
+        F.col("better_y").isNull() | (F.col("best_orders") > F.col("better_y"))
+    ).select(
+        round_det(F.col("bal_cents") / 100.0, 2).alias("acctbal"),
+        F.col("best_orders").alias("n_orders"),
+    )

@@ -867,3 +867,71 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
         )
     )
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS line_cents
+        FROM lineitem GROUP BY 1
+    ),
+    rec AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS header_cents,
+               COALESCE(l.line_cents, 0) AS line_cents
+        FROM orders o LEFT JOIN line_sums l ON l.l_orderkey = o.o_orderkey
+    ),
+    banded AS (
+        SELECT CASE
+                 WHEN line_cents = 0 THEN 'no_lines'
+                 WHEN header_cents = line_cents THEN 'exact'
+                 WHEN abs(header_cents - line_cents) * 100 <= header_cents THEN 'within_1pct'
+                 WHEN abs(header_cents - line_cents) * 10 <= header_cents THEN 'within_10pct'
+                 ELSE 'divergent'
+               END AS band,
+               header_cents, line_cents
+        FROM rec
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(header_cents) / 100.0 + 1e-8, 2) AS header_total,
+           ROUND(sum(line_cents) / 100.0 + 1e-8, 2) AS line_total
+    FROM banded GROUP BY band
+    """,
+    tags=("data-quality", "reconciliation", "cross-table-audit"),
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table RECONCILIATION audit — does each order header's total
+    agree with the sum of its lines?  The financial-close check every
+    warehouse runs between a header table and its detail table (and the
+    natural sequel to `fk_orphan_audit`'s referential check): orders
+    band into exact / within-1% / within-10% / divergent / no-lines by
+    EXACT integer-cents comparison (the percent thresholds are integer
+    cross-multiplications — abs(diff)*100 <= header — so no float ever
+    decides a band).  Plan: one lineitem-keyed agg, one orderkey-keyed
+    left join (header side keeps orders with no lines), one tiny band
+    rollup; at 100 TB both shuffles are on the natural join key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(as_cents(F.col("l_extendedprice"))).alias("line_cents")
+    )
+    rec = o.join(line_sums, o.o_orderkey == line_sums.l_orderkey, "left").select(
+        as_cents(F.col("o_totalprice")).alias("header_cents"),
+        F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+    )
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    band = (
+        F.when(F.col("line_cents") == 0, "no_lines")
+        .when(F.col("header_cents") == F.col("line_cents"), "exact")
+        .when(diff * 100 <= F.col("header_cents"), "within_1pct")
+        .when(diff * 10 <= F.col("header_cents"), "within_10pct")
+        .otherwise("divergent")
+    )
+    return rec.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        round_det(F.sum("header_cents") / 100.0, 2).alias("header_total"),
+        round_det(F.sum("line_cents") / 100.0, 2).alias("line_total"),
+    )

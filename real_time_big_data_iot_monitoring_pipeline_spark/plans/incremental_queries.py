@@ -183,3 +183,84 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_from") - 1).cast("long").alias("valid_to"),
         F.col("next_from").isNull().alias("is_current"),
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo,
+               (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    hist AS (
+        SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+               CAST('-9223372036854775808' AS BIGINT) AS from_us,
+               (SELECT mid FROM b) AS to_us
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT)
+               + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END,
+               (SELECT mid FROM b),
+               9223372036854775807
+        FROM customer
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND(h.bal_cents / 100.0 + 1e-8, 2) AS acctbal_asof
+    FROM events e
+    JOIN hist h
+      ON h.c_custkey = e.user_id
+     AND epoch_us(e.ts) >= h.from_us AND epoch_us(e.ts) < h.to_us
+    """,
+    tags=("incremental", "scd2", "point-in-time", "asof"),
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME lookup against a type-2 dimension: every event
+    reads the customer-balance version that was valid AT ITS OWN event
+    time — the query every SCD2 table exists to answer, and the one a
+    plain snapshot join silently gets wrong (it backdates today's
+    values onto yesterday's facts).  The dimension carries two versions
+    split at the feed's midpoint instant (exact integer micros, so both
+    engines cut identically).  Plan: the interval predicate rides a
+    plain EQUI-join on the customer key — versions-per-key is bounded
+    (here 2, in production rarely >tens), so the join fans out
+    key-matched candidates and the validity filter keeps exactly one;
+    the dim broadcasts, the fact side never shuffles.  This composes
+    `scd2_customer_history`'s build with the as-of family's temporal
+    semantics."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bounds = F.broadcast(
+        e.agg(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+            .cast("long")
+            .alias("mid")
+        )
+    )
+    bal = as_cents(F.col("c_acctbal"))
+    v1 = c.crossJoin(bounds).select(
+        "c_custkey",
+        bal.alias("bal_cents"),
+        F.lit(-(2**63)).cast("long").alias("from_us"),
+        F.col("mid").alias("to_us"),
+    )
+    v2 = c.crossJoin(bounds).select(
+        "c_custkey",
+        (bal + F.when(F.col("c_custkey") % 7 == 0, 10000).otherwise(0)).alias("bal_cents"),
+        F.col("mid").alias("from_us"),
+        F.lit(2**63 - 1).cast("long").alias("to_us"),
+    )
+    hist = v1.unionByName(v2)
+    us = F.unix_micros(F.col("ts"))
+    return (
+        e.join(
+            F.broadcast(hist),
+            (F.col("user_id") == F.col("c_custkey")) & (us >= F.col("from_us")) & (us < F.col("to_us")),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            round_det(F.col("bal_cents") / 100.0, 2).alias("acctbal_asof"),
+        )
+    )

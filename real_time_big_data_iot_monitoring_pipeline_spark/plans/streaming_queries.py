@@ -1011,3 +1011,70 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         round_det(F.col("val_cents") / 100.0, 2).alias("value"),
     )
+
+
+@register(
+    "stream_hysteresis_alerts",
+    oracle="""
+    WITH cls AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN value > 100 THEN 1 WHEN value < 25 THEN -1 END AS cl
+        FROM events
+    ),
+    car AS (
+        SELECT user_id, cl,
+               last_value(cl IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+               last_value(cl IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fin
+        FROM cls
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(count(*) FILTER (WHERE cl = 1 AND (prev IS NULL OR prev = -1))
+                AS BIGINT) AS n_fired,
+           CAST(count(*) FILTER (WHERE cl = -1 AND prev = 1) AS BIGINT) AS n_cleared,
+           COALESCE(any_value(fin) = 1, FALSE) AS in_alert
+    FROM car GROUP BY user_id
+    """,
+    tags=("streaming", "custom-stateful", "alerts", "hysteresis", "equivalence"),
+)
+def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful ALERT ENGINE with hysteresis, value-hash-checked: fire
+    above 100, clear below 25, dead band in between — the
+    order-DEPENDENT state machine that extends the reference's
+    stateless threshold alert (M4, `alerts_threshold`) into streaming,
+    where alert state must survive micro-batch boundaries.  The replay
+    stages event-time-ordered slices (so batch order == event order)
+    and folds them through `stateful.hysteresis_stream`
+    (applyInPandasWithState, O(1) state per user); the changelog
+    compaction (latest batch per key) must equal the SQL oracle's
+    carried-regime walk, built from IGNORE-NULLS last_value windows —
+    proving the cross-batch state carry is exact even for an operator
+    whose output depends on the complete event ORDER, not just the
+    event multiset (contrast `stream_stateful_extremes`, whose fold is
+    order-free)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming import stateful
+
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_hysteresis")
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+        stream = pipeline.file_source(
+            spark, staging, schema=e.schema, max_files_per_trigger=2
+        ).select("user_id", "ts", "event_id", "value")
+        out = stateful.hysteresis_stream(stream)
+        pipeline.run_stream_to_parquet(out, result, output_mode="update", with_batch_id=True)
+    res = spark.read.parquet(result)
+    return res.groupBy("user_id").agg(
+        F.max_by("n_seen", "_batch_id").alias("n_seen"),
+        F.max_by("n_fired", "_batch_id").alias("n_fired"),
+        F.max_by("n_cleared", "_batch_id").alias("n_cleared"),
+        F.max_by("in_alert", "_batch_id").alias("in_alert"),
+    )

@@ -343,3 +343,85 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HYSTERESIS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_fired", T.LongType()),
+        T.StructField("n_cleared", T.LongType()),
+        T.StructField("in_alert", T.BooleanType()),
+    ]
+)
+
+HYSTERESIS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("carried", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_fired", T.LongType()),
+        T.StructField("n_cleared", T.LongType()),
+    ]
+)
+
+
+def hysteresis_update(
+    key: tuple,
+    batches,
+    state: GroupState,
+    hi: float = 100.0,
+    lo: float = 25.0,
+):
+    """Per-key threshold alert state machine WITH HYSTERESIS — the alert
+    engine the reference's M4 threshold scan cannot express, because
+    firing depends on history: an alert FIRES when the value crosses
+    above `hi` while not already in alert, and CLEARS when it drops
+    below `lo` while in alert; values in the dead band (lo..hi) change
+    nothing, so a reading oscillating around one threshold cannot spam
+    alerts (the reason real monitoring uses two thresholds).  State per
+    key is O(1): (carried regime, n_seen, n_fired, n_cleared).  Rows
+    are folded in (ts, event_id) order within each batch, and the
+    replay stages event-time-ordered slices, so the state walk equals
+    the batch-ordered walk the SQL oracle performs."""
+    if state.exists:
+        carried, n_seen, n_fired, n_cleared = state.get
+    else:
+        carried, n_seen, n_fired, n_cleared = 0, 0, 0, 0
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            if v > hi:
+                if carried != 1:
+                    n_fired += 1
+                carried = 1
+            elif v < lo:
+                if carried == 1:
+                    n_cleared += 1
+                carried = -1
+            n_seen += 1
+    state.update((carried, n_seen, n_fired, n_cleared))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_seen": [n_seen],
+            "n_fired": [n_fired],
+            "n_cleared": [n_cleared],
+            "in_alert": [carried == 1],
+        }
+    )
+
+
+def hysteresis_stream(events: DataFrame, hi: float = 100.0, lo: float = 25.0) -> DataFrame:
+    """Attach the hysteresis alert machine to a (streaming) events frame
+    keyed by user_id (update mode, one state row per key per batch)."""
+
+    def fn(key, batches, state):
+        return hysteresis_update(key, batches, state, hi=hi, lo=lo)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=HYSTERESIS_OUTPUT_SCHEMA,
+        stateStructType=HYSTERESIS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

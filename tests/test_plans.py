@@ -474,3 +474,23 @@ def test_bm25_broadcasts_query_set(spark, sf_dir):
     the inverted-index probe — not shuffle it."""
     plan = plan_of(REGISTRY["bm25_search_topk"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pareto_frontier_no_unpartitioned_window(spark, sf_dir):
+    """The skyline scan must run on global_running_max's partitioned
+    plan — no whole-table ORDER BY window."""
+    import re
+
+    plan = plan_of(REGISTRY["pareto_frontier_customers"].build(spark, sf_dir))
+    window_args = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    assert window_args, plan
+    for args in window_args:
+        assert not re.search(r"\], \[\], \[", args), f"unpartitioned Window: {args}"
+
+
+def test_scd2_asof_lookup_broadcasts_dim(spark, sf_dir):
+    """The versioned dimension must broadcast; the events fact side must
+    not shuffle for the temporal join."""
+    plan = plan_of(REGISTRY["scd2_asof_lookup"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

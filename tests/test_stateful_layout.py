@@ -281,3 +281,59 @@ def test_stateful_cusum_matches_python(spark, tmp_path):
         total_alarms += row.n_alarms
     # the synthetic diurnal feed must actually exercise the detector
     assert total_alarms > 0
+
+
+def _python_hysteresis(values, hi=100.0, lo=25.0):
+    carried, fired, cleared = 0, 0, 0
+    for v in values:
+        if v > hi:
+            if carried != 1:
+                fired += 1
+            carried = 1
+        elif v < lo:
+            if carried == 1:
+                cleared += 1
+            carried = -1
+    return fired, cleared, carried == 1
+
+
+def test_stateful_hysteresis_matches_python(spark, tmp_path):
+    """The hysteresis alert machine is order-DEPENDENT: run it over a
+    multi-batch replay in event order and compare each user's
+    (n_fired, n_cleared, in_alert) against a sequential Python fold —
+    proving cross-batch state carry for an operator where batch
+    boundaries could corrupt the walk (not just the totals)."""
+    import uuid as _uuid
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    path = str(tmp_path / "hyst")
+    # one totally-ordered file: any maxFilesPerTrigger replays in event order
+    df.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(path)
+    stream = pipeline.file_source(spark, path, schema=df.schema, max_files_per_trigger=1)
+    out = stateful.hysteresis_stream(stream)
+    name = f"hyst_{_uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(n_fired, n_seen)").alias("n_fired"),
+            F.expr("max_by(n_cleared, n_seen)").alias("n_cleared"),
+            F.expr("max_by(in_alert, n_seen)").alias("in_alert"),
+        )
+        .collect()
+    )
+    rows = df.orderBy("ts", "event_id").collect()
+    by_user: dict[int, list[float]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.value)
+    assert len(final) == len(by_user)
+    for row in final:
+        fired, cleared, in_alert = _python_hysteresis(by_user[row.user_id])
+        assert (row.n_fired, row.n_cleared, row.in_alert) == (fired, cleared, in_alert), row
