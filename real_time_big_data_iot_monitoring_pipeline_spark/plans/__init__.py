@@ -42,7 +42,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   dominant_part_suppliers, bm25_search_topk, weighted_median_price,
 #   chi2_type_value, stream_scd2_apply, scd2_asof_lookup,
 #   grouped_weighted_median, pareto_frontier_customers,
-#   order_total_reconciliation, stream_hysteresis_alerts.
+#   order_total_reconciliation, stream_hysteresis_alerts,
+#   part_supplier_variety, twap_per_user, ohlc_hourly_bars,
+#   region_nation_revenue_share.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

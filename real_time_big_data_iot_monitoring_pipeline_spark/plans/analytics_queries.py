@@ -970,3 +970,106 @@ def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.col("bal_cents") / 100.0, 2).alias("acctbal"),
         F.col("best_orders").alias("n_orders"),
     )
+
+
+@register(
+    "twap_per_user",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS val_cents,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(next_us) AS BIGINT) AS n_intervals,
+           ROUND(sum(val_cents * (next_us - us))
+                 / (100.0 * sum(next_us - us)) + 1e-8, 4) AS twap,
+           CAST(sum(next_us - us) AS BIGINT) AS span_us
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("analytics", "timeseries", "twap", "duration-weighted"),
+)
+def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average value per user (TWAP): each reading is
+    weighted by how long it remained current (until the next reading) —
+    the correct "average level" for irregularly-sampled series, where
+    the plain mean over-weights bursts (the reference's dashboards
+    average rows, which is wrong whenever sampling is adaptive).  The
+    duration comes from one LEAD over the user-partitioned order; the
+    weighted sum is exact int64 (cents x microseconds, bounded:
+    490*100 * feed-span-us < 2^63 for spans up to ~3,700 years) and one
+    fixed-order division lands the float."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "user_id",
+        as_cents(F.col("value")).alias("val_cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("us")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        round_det(F.sum(F.col("val_cents") * dur) / (100.0 * F.sum(dur)), 4).alias("twap"),
+        F.sum(dur).cast("long").alias("span_us"),
+    )
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bar_start,
+               CAST(round(value * 100, 0) AS BIGINT) AS val_cents,
+               epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, bar_start, val_cents,
+               row_number() OVER (PARTITION BY user_id, bar_start
+                                  ORDER BY us, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY user_id, bar_start
+                                  ORDER BY us DESC, event_id DESC) AS rn_close
+        FROM pts
+    )
+    SELECT user_id, bar_start,
+           ROUND(max(CASE WHEN rn_open = 1 THEN val_cents END) / 100.0 + 1e-8, 2) AS open,
+           ROUND(max(val_cents) / 100.0 + 1e-8, 2) AS high,
+           ROUND(min(val_cents) / 100.0 + 1e-8, 2) AS low,
+           ROUND(max(CASE WHEN rn_close = 1 THEN val_cents END) / 100.0 + 1e-8, 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=("analytics", "timeseries", "ohlc", "resample"),
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — open/high/low/close per (user, hour), the
+    canonical downsampling for any tick-like series (and a strictly
+    richer summary than the reference dashboard's per-window min/max,
+    streamlit_dashboard.py's gauge row).  ONE hash aggregation does all
+    five statistics: open/close are `min_by`/`max_by` on the exact
+    (micros, event_id) tie-broken order — no window, no sort, no second
+    shuffle (the oracle spells the same semantics with rank windows;
+    Spark's min_by gets it in the agg).  Values in exact cents."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ord_key = F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_id").alias("eid"))
+    vc = as_cents(F.col("value"))
+    return (
+        e.groupBy(
+            "user_id",
+            (F.floor(F.unix_seconds(F.col("ts")) / 3600) * 3600).cast("long").alias("bar_start"),
+        )
+        .agg(
+            round_det(F.min_by(vc, ord_key) / 100.0, 2).alias("open"),
+            round_det(F.max(vc) / 100.0, 2).alias("high"),
+            round_det(F.min(vc) / 100.0, 2).alias("low"),
+            round_det(F.max_by(vc, ord_key) / 100.0, 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+    )

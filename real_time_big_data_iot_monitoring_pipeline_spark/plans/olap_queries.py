@@ -30,7 +30,7 @@ must meet.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
@@ -759,4 +759,120 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
+    )
+
+
+@register(
+    "part_supplier_variety",
+    oracle="""
+    WITH excluded AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    ),
+    ps AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    )
+    SELECT p.p_brand, p.p_type,
+           CASE WHEN p.p_size <= 15 THEN 'small'
+                WHEN p.p_size <= 35 THEN 'medium' ELSE 'large' END AS size_band,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("olap", "tpch-q16", "count-distinct", "not-in-exclusion"),
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier VARIETY per product segment — how many
+    distinct suppliers ship each (brand, type, size band), excluding a
+    blacklisted supplier set via NOT IN (here: negative account balance;
+    the fixture has no comment column).  Plan: the exclusion list is a
+    small aggregate -> broadcast null-aware anti join (the exclusion
+    set has no NULLs by construction, so this is a plain anti join);
+    the (part, supplier) pairs DISTINCT first (collapsing repeat
+    shipments map-side before any wide work); count(DISTINCT suppkey)
+    re-shuffles the deduplicated pair table only.  Completes the
+    catalog's TPC-H shape sweep (Q2/4/8/9/11/13-15/17-22 already
+    present)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    ps = li.join(
+        F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti"
+    ).distinct()
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.when(F.col("p_size") <= 15, "small")
+            .when(F.col("p_size") <= 35, "medium")
+            .otherwise("large")
+            .alias("size_band"),
+        )
+    )
+    return (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "size_band")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "region_nation_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum({_DISC_SQL}) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(v) AS world FROM nat)
+    SELECT region, nation,
+           ROUND(v / 10000.0 + 1e-8, 2) AS revenue,
+           ROUND(v / CAST(sum(v) OVER (PARTITION BY region) AS DOUBLE) + 1e-8, 6)
+               AS share_of_region,
+           ROUND(v / CAST(tot.world AS DOUBLE) + 1e-8, 6) AS share_of_world
+    FROM nat, tot
+    """,
+    tags=("olap", "hierarchy", "share-of-parent"),
+)
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchical rollup: each nation's supplier
+    revenue as a fraction of its REGION's total and of the WORLD total —
+    the drill-down ratio every BI hierarchy needs, and a different plan
+    shape from ROLLUP (which stacks grains; this RELATES them).  One
+    fact aggregation at the leaf grain (nation), then the parent totals
+    derive from the LEAF table: a region-partitioned window over the
+    25-row nation frame and a 1-row broadcast for the world — the fact
+    table is scanned and shuffled exactly once, and the two ratios are
+    float divisions of exact integer sums."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    r = F.broadcast(_t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    nat = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_disc_price_cents()).alias("v"))
+    )
+    world = F.broadcast(nat.agg(F.sum("v").alias("world")))
+    wr = Window.partitionBy("region")
+    return (
+        nat.crossJoin(world)
+        .select(
+            "region",
+            "nation",
+            round_det(F.col("v") / 10000.0, 2).alias("revenue"),
+            round_det(F.col("v") / F.sum("v").over(wr).cast("double"), 6).alias(
+                "share_of_region"
+            ),
+            round_det(F.col("v") / F.col("world").cast("double"), 6).alias("share_of_world"),
+        )
     )
