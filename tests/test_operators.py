@@ -616,3 +616,86 @@ def test_quantile_approx_error_bounded(spark):
                 .collect()[0]
             )
             assert lo <= getattr(r, f"approx_p{q}") <= hi, (r.event_type, q)
+
+
+# --- global-order kernels (windows.global_*) -------------------------------
+
+
+@pytest.mark.parametrize("n", [1, 4, 37, 9973])
+def test_global_ntile_equals_window_ntile(spark, n):
+    """`global_ntile` must reproduce NTILE's uneven-bucket assignment
+    bit-for-bit at every N, including N < n buckets — the kernel is the
+    scale-safe replacement, so any divergence is a correctness bug."""
+    from pyspark.sql import Window
+
+    df = spark.range(n).withColumn("v", F.pmod(F.xxhash64("id"), F.lit(997)))
+    for buckets in (5, 10):
+        want = df.select(
+            "id", F.ntile(buckets).over(Window.orderBy("v", "id")).alias("want")
+        )
+        got = windows.global_ntile(df, ["v", "id"], buckets, out="got")
+        bad = want.join(got, "id").filter(F.col("want") != F.col("got")).count()
+        assert bad == 0
+    # descending order too
+    want = df.select(
+        "id", F.ntile(5).over(Window.orderBy(F.col("v").desc(), "id")).alias("want")
+    )
+    got = windows.global_ntile(df, [F.col("v").desc(), F.col("id")], 5, out="got")
+    assert want.join(got, "id").filter(F.col("want") != F.col("got")).count() == 0
+
+
+def test_global_row_number_and_running_sum(spark):
+    from pyspark.sql import Window
+
+    n = 9973
+    df = (
+        spark.range(n)
+        .withColumn("v", F.pmod(F.xxhash64("id"), F.lit(997)))
+        .withColumn("wt", F.pmod(F.xxhash64("id", F.lit(7)), F.lit(50)) + 1)
+    )
+    w = Window.orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("wr"),
+        F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("ws"),
+    )
+    got = windows.global_running_sum(
+        windows.global_row_number(df, ["v", "id"], out="gr"), ["v", "id"], "wt", out="gs"
+    )
+    bad = (
+        want.join(got, "id")
+        .filter((F.col("wr") != F.col("gr")) | (F.col("ws") != F.col("gs")))
+        .count()
+    )
+    assert bad == 0
+    # the broadcast grand total matches the plain aggregate
+    assert got.select("_grs_total").first()[0] == df.agg(F.sum("wt")).first()[0]
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_global_running_max(spark, inclusive):
+    from pyspark.sql import Window
+
+    n = 9973
+    df = (
+        spark.range(n)
+        .withColumn("v", F.pmod(F.xxhash64("id"), F.lit(997)))
+        .withColumn("y", F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)))
+    )
+    end = 0 if inclusive else -1
+    want = df.select(
+        "id",
+        F.max("y")
+        .over(Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, end))
+        .alias("want"),
+    )
+    got = windows.global_running_max(df, ["v", "id"], "y", out="got", inclusive=inclusive)
+    bad = (
+        want.join(got, "id")
+        .filter(
+            (F.col("want").isNotNull() != F.col("got").isNotNull())
+            | (F.col("want") != F.col("got"))
+        )
+        .count()
+    )
+    assert bad == 0
