@@ -65,6 +65,12 @@ TZ_SENSITIVE = [
     "asof_join_nearest",
     "interval_overlap_join",
     "customer_rfm_segments",
+    # this round: year extraction (Q9), epoch-hour bars, micros
+    # midpoint versioning, duration weighting
+    "nation_product_profit",
+    "ohlc_hourly_bars",
+    "scd2_asof_lookup",
+    "twap_per_user",
 ]
 
 
