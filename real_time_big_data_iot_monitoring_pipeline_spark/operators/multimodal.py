@@ -310,3 +310,152 @@ def phash_near_dups(
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- REAL codec path: WAV/PCM (no external libs needed) ---------------------
+#
+# PCM-in-RIFF needs only `struct` + numpy, so unlike the image/video
+# kernels above this is NOT a stub: payloads are real WAV files (44-byte
+# RIFF/fmt/data header + little-endian int16 frames), the decoder walks
+# the chunk list like any WAV reader, and the features are real DSP
+# (frame RMS, zero-crossing count).  Synthesis is deterministic integer
+# math so a SQL oracle can replay the decoded sample stream exactly.
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_samples", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _synth_samples(doc_id: int, n: int):
+    """Deterministic int16 test signal: s_i = ((doc_id*31 + i*17) mod
+    2003) - 1001 — integer math a SQL oracle replays verbatim."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 31 + i * 17) % 2003) - 1001).astype("<i2")
+
+
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """REAL RIFF/WAVE writer: canonical 44-byte header (PCM, mono,
+    16-bit) + little-endian frames."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes):
+    """REAL WAV parser: verify RIFF/WAVE magic, walk the chunk list
+    (tolerating extra chunks before `data`), read the fmt block, return
+    (sample_rate, int16 sample array).  Raises on non-PCM/non-16-bit —
+    loud, not silent, like every decode gate in this module."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1:
+                raise ValueError(f"non-PCM WAV (fmt tag {fmt_tag})")
+        elif cid == b"data":
+            if sr is None:
+                raise ValueError("data chunk before fmt")
+            if bits != 16 or channels != 1:
+                raise ValueError(f"unsupported WAV layout ({bits}-bit, {channels}ch)")
+            return sr, np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 8000, sample_rate: int = 8000) -> DataFrame:
+    """Attach a REAL WAV payload per row (mapInPandas, map-only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        wav_encode(_synth_samples(int(d), n_samples), sample_rate)
+                        for d in ids
+                    ],
+                    "meta": [
+                        {"mime": "audio/wav", "sample_rate": sample_rate, "n_samples": n_samples}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, WAV_SCHEMA)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (REAL parse, `np.frombuffer`) and compute
+    real DSP features: RMS level (exact int64 sum of squares, one float
+    sqrt/divide, round_det-compatible rounding) and the zero-crossing
+    count (strict sign product < 0 — integer-exact).  Map-only Arrow
+    stage, constant memory per batch."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "sample_rate": [], "n_samples": [], "rms": [], "zero_crossings": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, s = wav_decode(bytes(payload))
+                v = s.astype(np.int64)
+                n = len(v)
+                ss = int((v * v).sum())
+                rms = math.floor(
+                    (math.sqrt(ss / n) + 1e-8) * 10000 + 0.5
+                ) / 10000.0 if n else 0.0
+                zc = int(((v[1:] * v[:-1]) < 0).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(int(sr))
+                rows["n_samples"].append(n)
+                rows["rms"].append(rms)
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, WAV_FEATURE_SCHEMA)

@@ -44,7 +44,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   grouped_weighted_median, pareto_frontier_customers,
 #   order_total_reconciliation, stream_hysteresis_alerts,
 #   part_supplier_variety, twap_per_user, ohlc_hourly_bars,
-#   region_nation_revenue_share.
+#   region_nation_revenue_share, audio_wav_features.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

@@ -1833,3 +1833,51 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.count("ivf_cand") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "audio_wav_features",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (
+        SELECT doc_id, unnest(generate_series(0, 7999)) AS i FROM ids
+    ),
+    v AS (
+        SELECT doc_id, i, ((doc_id * 31 + i * 17) % 2003) - 1001 AS smp FROM s
+    ),
+    w AS (
+        SELECT doc_id, smp,
+               lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM v
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           ROUND(sqrt(sum(smp * smp) / CAST(count(*) AS DOUBLE)) + 1e-8, 4) AS rms,
+           CAST(count(*) FILTER (WHERE smp * prev < 0) AS BIGINT) AS zero_crossings
+    FROM w GROUP BY doc_id
+    """,
+    tags=("northstar", "multimodal", "audio", "real-codec"),
+)
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's REAL codec path — not a stub: every 10th
+    document gets a genuine 1-second 8 kHz mono WAV payload (RIFF header
+    written by `multimodal.wav_encode`, byte-validated against Python's
+    stdlib `wave` reader in tests), which `multimodal.wav_features` then
+    actually PARSES (chunk walk, fmt block, `np.frombuffer` int16) to
+    compute real DSP features — RMS level and zero-crossing count.  The
+    synthesis signal is deterministic integer math, so the DuckDB oracle
+    regenerates the decoded sample stream with generate_series and must
+    match the full encode -> container bytes -> decode -> DSP pipeline
+    value-for-value: a wrong header offset, endianness slip, or off-by-
+    one in the chunk walk breaks the hash.  Plan: two chained map-only
+    Arrow stages (synth, decode+feature), no shuffle until the
+    (bounded) result; at 100 TB the payloads stream batch-at-a-time
+    through constant executor memory — the same shape the stubbed
+    image/video kernels plumb, now proven end-to-end on a format the
+    container can host."""
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    wav = multimodal.synth_wav(ids, n_samples=8000, sample_rate=8000)
+    return multimodal.wav_features(wav)
