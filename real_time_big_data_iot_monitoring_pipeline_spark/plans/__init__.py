@@ -16,6 +16,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans import incremental_q
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import sketch_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import behavior_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import matching_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import connector_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY, Query, register
 
 # The driver's correctness gate hashes the FIRST 50 registry entries, in
@@ -44,7 +45,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   grouped_weighted_median, pareto_frontier_customers,
 #   order_total_reconciliation, stream_hysteresis_alerts,
 #   part_supplier_variety, twap_per_user, ohlc_hourly_bars,
-#   region_nation_revenue_share, audio_wav_features.
+#   region_nation_revenue_share, audio_wav_features,
+#   pyds_sensor_fleet_summary, pyds_pushdown_single_sensor,
+#   pyds_stream_counts.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

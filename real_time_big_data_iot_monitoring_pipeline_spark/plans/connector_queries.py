@@ -1,0 +1,154 @@
+"""Catalog queries for the `rtbd_sensors` Python DataSource connector
+(`sources/pydatasource.py`) — the S-family (SURVEY §2.1) upgraded from
+"gated external infrastructure" to an executable, value-hash-checked
+custom source: batch scan with range partitions, source-side filter
+pushdown, and a streaming read with real offset management.
+
+The feed is a deterministic integer formula, so every query's DuckDB
+oracle regenerates the identical rows with generate_series — the
+connector (partition planning, pushdown bookkeeping, offset stepping)
+is under the same correctness gate as every operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+_N_ROWS, _N_SENSORS = 20_000, 50
+
+# the feed formula, verbatim in SQL (constants from sources/pydatasource.py)
+_FEED_SQL = f"""
+        SELECT i AS reading_id,
+               CAST(i % {_N_SENSORS} AS INT) AS sensor_id,
+               {pydatasource.BASE_US} + i * {pydatasource.INTERVAL_US} AS ts_us,
+               CAST((i * {pydatasource.KNUTH}) % 4294967296 % {pydatasource.TEMP_MOD}
+                    + {pydatasource.TEMP_OFF} AS INT) AS temp_centi
+        FROM (SELECT unnest(generate_series(0, {_N_ROWS - 1})) AS i)
+"""
+
+
+def _read(spark: SparkSession) -> DataFrame:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pydatasource.register(spark)
+    return (
+        spark.read.format("rtbd_sensors")
+        .option("n_rows", _N_ROWS)
+        .option("n_sensors", _N_SENSORS)
+        .option("n_partitions", 8)
+        .load()
+    )
+
+
+_SUMMARY_SQL = f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           ROUND(sum(temp_centi) / (100.0 * count(*)) + 1e-8, 4) AS avg_temp,
+           CAST(min(ts_us) AS BIGINT) AS first_us,
+           CAST(max(ts_us) AS BIGINT) AS last_us
+    FROM feed GROUP BY sensor_id
+"""
+
+
+@register(
+    "pyds_sensor_fleet_summary",
+    oracle=_SUMMARY_SQL,
+    tags=("connector", "python-datasource", "batch-scan"),
+)
+def pyds_sensor_fleet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fleet scan THROUGH the custom connector: 8 range
+    `InputPartition`s generate the feed in parallel, and the per-sensor
+    rollup must match the oracle's regeneration of the same formula —
+    a wrong partition boundary (gap or overlap) or a dropped row breaks
+    counts and extrema.  This is the reference's `SELECT ... GROUP BY
+    sensor` dashboard scan served by an in-engine source instead of a
+    broker."""
+    return _read(spark).groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        round_det(F.sum("temp_centi") / (100.0 * F.count(F.lit(1))), 4).alias("avg_temp"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
+@register(
+    "pyds_pushdown_single_sensor",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           ROUND(sum(temp_centi) / (100.0 * count(*)) + 1e-8, 4) AS avg_temp
+    FROM feed WHERE sensor_id = 7 GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "filter-pushdown"),
+)
+def pyds_pushdown_single_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-side FILTER PUSHDOWN through the Python DataSource API:
+    the `sensor_id = 7` predicate is consumed by
+    `SensorBatchReader.pushFilters` and applied DURING generation (the
+    generator strides directly over that sensor's indices), so the scan
+    materializes 1/50th of the feed — the Python-source analogue of
+    parquet PushedFilters.  The unit suite pins the reader-level
+    behavior (filter consumed, stride generation); this query pins the
+    end-to-end values."""
+    return (
+        _read(spark)
+        .filter(F.col("sensor_id") == 7)
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            round_det(F.sum("temp_centi") / (100.0 * F.count(F.lit(1))), 4).alias("avg_temp"),
+        )
+    )
+
+
+@register(
+    "pyds_stream_counts",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "streaming", "offsets", "equivalence"),
+)
+def pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom source's STREAMING reader under the oracle: offsets
+    advance the row cursor in 4k steps and cap at the feed size, each
+    micro-batch splits into two partitions, and the complete-mode
+    aggregate after `processAllAvailable` must equal the batch formula —
+    exactly-once across the connector's own offset bookkeeping (a
+    skipped or replayed offset range breaks the integer totals).  The
+    result is cached per (session, sf-independent feed) like the other
+    streaming replays."""
+    import tempfile
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline
+
+    key = "_pyds_stream_result"
+    cache = getattr(pyds_stream_counts, key, None)
+    if cache is None or not os.path.exists(cache):
+        cache = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_"), "result")
+        pydatasource.register(spark)
+        stream = (
+            spark.readStream.format("rtbd_sensors")
+            .option("n_rows", _N_ROWS)
+            .option("n_sensors", _N_SENSORS)
+            .option("rows_per_batch", 4_000)
+            .load()
+        )
+        agg = stream.groupBy("sensor_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        pipeline.run_stream_to_parquet(agg, cache, output_mode="complete")
+        setattr(pyds_stream_counts, key, cache)
+    return spark.read.parquet(cache)

@@ -1,0 +1,155 @@
+"""A REAL custom connector via the Spark 4 Python DataSource API — the
+engine's answer to the reference's MQTT/Kafka edge sources in an
+environment with no broker: `rtbd_sensors` is a registerable format
+(`spark.read.format("rtbd_sensors")` / `spark.readStream.format(...)`)
+with
+
+  * a BATCH reader that splits the feed into range partitions
+    (`InputPartition` subclass carrying [start, end)) and supports
+    FILTER PUSHDOWN (`pushFilters`): an `EqualTo("sensor_id", k)`
+    predicate is consumed by the source and applied during generation,
+    so filtered reads materialize ~1/n_sensors of the rows instead of
+    generating everything and filtering in the plan;
+  * a STREAMING reader with real offset management — `initialOffset` /
+    `latestOffset` advance a row cursor in `rows_per_batch` steps and
+    cap at `n_rows`, so a `processAllAvailable()` replay terminates
+    with exactly the batch feed's contents, micro-batched.
+
+The feed itself is a deterministic integer formula (Knuth
+multiplicative hash of the reading index), so a SQL oracle regenerates
+it exactly — the connector is value-hash-checkable end-to-end, like
+every other source in this engine (`sources/sensors.py` precedent).
+
+Reference parity: ref:mqtt_publisher.py + ref:spark_streaming.py:125-130
+(the Kafka readStream) — this module is the same contract (schema'd
+feed, offsets, partitions) implemented as an in-engine source instead
+of gated external infrastructure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = "reading_id bigint, sensor_id int, ts_us bigint, temp_centi int"
+
+#: feed constants — mirrored verbatim in the SQL oracles
+BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+INTERVAL_US = 250_000  # 4 readings/sec across the fleet
+KNUTH = 2654435761
+TEMP_MOD = 4000
+TEMP_OFF = 1000  # temp_centi in [1000, 5000) -> 10.00-50.00 degrees
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+def gen_rows(start: int, end: int, n_sensors: int, only_sensor: int | None = None):
+    """The deterministic feed: reading i -> (i, i % n_sensors,
+    BASE + i*INTERVAL, knuth-hash temp).  With `only_sensor` the loop
+    strides directly over that sensor's indices — the pushed-down
+    filter costs O(rows/n_sensors), not O(rows)."""
+    if only_sensor is None:
+        idx = range(start, end)
+    else:
+        first = start + ((only_sensor - start) % n_sensors)
+        idx = range(first, end, n_sensors)
+    for i in idx:
+        temp = ((i * KNUTH) % 4294967296) % TEMP_MOD + TEMP_OFF
+        yield (i, i % n_sensors, BASE_US + i * INTERVAL_US, temp)
+
+
+class SensorBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_sensors = int(options.get("n_sensors", 50))
+        self.n_parts = int(options.get("n_partitions", 8))
+        self.only_sensor: int | None = None
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("sensor_id",)
+                and self.only_sensor is None
+            ):
+                self.only_sensor = int(f.value)  # consumed: applied at generation
+            else:
+                yield f  # unsupported -> Spark keeps it in the plan
+
+    def partitions(self):
+        step = max(1, self.n_rows // self.n_parts)
+        return [
+            RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: RangePartition):
+        yield from gen_rows(
+            partition.start, partition.end, self.n_sensors, self.only_sensor
+        )
+
+
+class SensorStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_sensors = int(options.get("n_sensors", 50))
+        self.rows_per_batch = int(options.get("rows_per_batch", 20_000))
+        self.cursor = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self.cursor = min(self.cursor + self.rows_per_batch, self.n_rows)
+        return {"offset": self.cursor}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], end["offset"]
+        if hi <= lo:
+            return [RangePartition(lo, lo)]
+        mid = (lo + hi) // 2
+        return [RangePartition(lo, mid), RangePartition(mid, hi)]
+
+    def read(self, partition: RangePartition):
+        yield from gen_rows(partition.start, partition.end, self.n_sensors)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derivable; nothing external to ack
+
+    def stop(self) -> None:
+        pass
+
+
+class SensorDataSource(DataSource):
+    """`rtbd_sensors`: options n_rows, n_sensors, n_partitions
+    (batch), rows_per_batch (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rtbd_sensors"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> SensorBatchReader:
+        return SensorBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> SensorStreamReader:
+        return SensorStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration."""
+    spark.dataSource.register(SensorDataSource)

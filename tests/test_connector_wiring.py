@@ -147,3 +147,55 @@ def test_jdbc_writer_skips_empty_batch(spark, monkeypatch):
     writer = pipeline.jdbc_append_writer("jdbc:x", "t", {})
     empty = spark.createDataFrame([], "x int")
     writer(empty, 0)  # must be a no-op
+
+
+# --- rtbd_sensors Python DataSource (sources/pydatasource.py) --------------
+
+
+def test_pyds_pushdown_consumes_sensor_filter():
+    """`pushFilters` must CONSUME an EqualTo on sensor_id (returning it
+    would make Spark re-apply it, which is fine, but keeping it source-
+    side is the point) and leave every other predicate to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import SensorBatchReader
+
+    r = SensorBatchReader({"n_rows": "1000", "n_sensors": "10"})
+    leftover = list(
+        r.pushFilters([EqualTo(("sensor_id",), 3), GreaterThan(("temp_centi",), 2000)])
+    )
+    assert r.only_sensor == 3
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+
+
+def test_pyds_stride_generation_matches_filtered_full_scan():
+    """The pushed-down generator (stride over one sensor's indices) must
+    produce exactly the rows a full generation + filter would."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import gen_rows
+
+    for start, end in ((0, 500), (123, 987)):
+        full = [r for r in gen_rows(start, end, 10) if r[1] == 3]
+        strided = list(gen_rows(start, end, 10, only_sensor=3))
+        assert full == strided
+
+
+def test_pyds_partitions_cover_feed_exactly():
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import SensorBatchReader
+
+    r = SensorBatchReader({"n_rows": "10007", "n_sensors": "7", "n_partitions": "8"})
+    parts = r.partitions()
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 10007
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2  # no gap, no overlap
+
+
+def test_pyds_stream_offsets_cap_at_feed_end():
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import SensorStreamReader
+
+    r = SensorStreamReader({"n_rows": "9000", "rows_per_batch": "4000"})
+    assert r.initialOffset() == {"offset": 0}
+    seen = [r.latestOffset()["offset"] for _ in range(4)]
+    assert seen == [4000, 8000, 9000, 9000]  # caps, then idles
+    parts = r.partitions({"offset": 4000}, {"offset": 8000})
+    assert sorted((p.start, p.end) for p in parts) == [(4000, 6000), (6000, 8000)]
