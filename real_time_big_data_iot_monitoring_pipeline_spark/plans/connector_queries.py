@@ -152,3 +152,39 @@ def pyds_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline.run_stream_to_parquet(agg, cache, output_mode="complete")
         setattr(pyds_stream_counts, key, cache)
     return spark.read.parquet(cache)
+
+
+@register(
+    "pyds_sink_roundtrip",
+    oracle=_SUMMARY_SQL,
+    tags=("connector", "python-datasource", "sink", "two-phase-commit"),
+)
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the connector under the oracle: the feed goes
+    out through `rtbd_manifest_sink` — a two-phase-commit custom sink
+    (executors write underscore-hidden part files + per-task
+    `WriterCommitMessage`s; the driver's commit renames them visible
+    and atomically publishes a manifest; abort deletes orphans) — and
+    comes back via the manifest reader.  The per-sensor rollup over the
+    ROUNDTRIPPED rows must equal the feed formula: a lost task, double
+    commit, or manifest/rename slip changes counts or totals.  This is
+    the transactional-sink contract (S5/S6) the gated JDBC writer
+    needs, executed end-to-end in-engine."""
+    import tempfile
+
+    key = "_pyds_sink_dir"
+    path = getattr(pyds_sink_roundtrip, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "manifest.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_sink_"), "out")
+        pydatasource.register_sink(spark)
+        _read(spark).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "append"
+        ).save()
+        setattr(pyds_sink_roundtrip, key, path)
+    back, _manifest = pydatasource.read_manifest(spark, path)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        round_det(F.sum("temp_centi") / (100.0 * F.count(F.lit(1))), 4).alias("avg_temp"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )

@@ -34,9 +34,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -151,5 +153,116 @@ class SensorDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent format registration."""
+    """Idempotent format registration.  Also enables the (runtime-
+    settable) Python-source filter-pushdown flag: Spark refuses to plan
+    a reader that implements `pushFilters` while the flag is off, so
+    registration without it would leave a format that errors on read."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SensorDataSource)
+
+
+# --- transactional SINK: manifest-committed parquet -------------------------
+#
+# The write half of the connector story (SURVEY §2.1 S5/S6): the JDBC
+# sink is environment-gated, but the two-phase-commit CONTRACT it needs
+# is executable here.  Executors write parquet part files under
+# `_uncommitted_` names and return a `WriterCommitMessage` per task; the
+# driver's `commit()` atomically publishes a manifest listing exactly
+# the committed files (rename-free: readers only trust the manifest),
+# and `abort()` deletes the orphans.  A reader that joins the manifest
+# therefore sees all-or-nothing job output — the same
+# visible-only-after-commit semantics a transactional JDBC/Delta sink
+# provides, value-hash-checked by `pyds_sink_roundtrip`.
+
+import dataclasses
+import json as _json
+
+
+@dataclasses.dataclass
+class PartFileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ManifestParquetWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rtbd_manifest_sink requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        fname = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+        os.makedirs(self.path, exist_ok=True)
+        if rows:
+            table = pa.Table.from_pylist(rows)
+            pq.write_table(table, os.path.join(self.path, fname))
+        return PartFileCommit(filename=fname if rows else "", n_rows=len(rows))
+
+    def commit(self, messages):
+        import os
+
+        # Underscore-prefixed files are invisible to Spark's parquet
+        # reader (its hidden-file rule) — exactly right while tasks are
+        # in flight.  Commit = rename each part to a visible name, then
+        # atomically publish the manifest that lists them.
+        files = []
+        for m in messages:
+            if m is not None and m.filename:
+                visible = m.filename.replace("_uncommitted_", "part-", 1)
+                os.replace(
+                    os.path.join(self.path, m.filename),
+                    os.path.join(self.path, visible),
+                )
+                files.append(visible)
+        manifest = {
+            "files": sorted(files),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, "_manifest.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic publish
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestSinkDataSource(DataSource):
+    """`rtbd_manifest_sink`: option path=<dir>."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rtbd_manifest_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> ManifestParquetWriter:
+        return ManifestParquetWriter(self.options, overwrite)
+
+
+def read_manifest(spark, path: str):
+    """Reader side of the contract: only manifest-listed files exist to
+    the query — uncommitted/aborted orphans are invisible."""
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    return spark.read.parquet(*files), manifest
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(ManifestSinkDataSource)

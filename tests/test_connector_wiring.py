@@ -199,3 +199,37 @@ def test_pyds_stream_offsets_cap_at_feed_end():
     assert seen == [4000, 8000, 9000, 9000]  # caps, then idles
     parts = r.partitions({"offset": 4000}, {"offset": 8000})
     assert sorted((p.start, p.end) for p in parts) == [(4000, 6000), (6000, 8000)]
+
+
+def test_pyds_sink_commit_visibility_and_abort(spark, tmp_path):
+    """Two-phase-commit semantics: before commit, part files are
+    underscore-hidden (invisible to any parquet read); after commit the
+    manifest lists exactly the renamed visible files; abort removes
+    orphans."""
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "sink")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    m1 = w.write(iter([Row(a=1, b=10), Row(a=2, b=20)]))
+    m2 = w.write(iter([Row(a=3, b=30)]))
+    assert m1.filename.startswith("_uncommitted_") and m1.n_rows == 2
+    # uncommitted: no manifest yet, files hidden from spark's reader
+    assert not os.path.exists(os.path.join(path, "manifest.json"))
+    w.commit([m1, m2])
+    back, manifest = read_manifest(spark, path)
+    assert manifest["n_rows"] == 3 and len(manifest["files"]) == 2
+    assert all(f.startswith("part-") for f in manifest["files"])
+    assert back.count() == 3
+    # abort path: a fresh uncommitted file is deleted, committed ones stay
+    m3 = w.write(iter([Row(a=4, b=40)]))
+    assert os.path.exists(os.path.join(path, m3.filename))
+    w.abort([m3, None])  # None = failed task with no message
+    assert not os.path.exists(os.path.join(path, m3.filename))
+    assert read_manifest(spark, path)[1]["n_rows"] == 3
