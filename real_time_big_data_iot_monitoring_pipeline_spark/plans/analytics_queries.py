@@ -1073,3 +1073,76 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_ticks"),
         )
     )
+
+
+@register(
+    "exact_quantiles_distributed",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem
+    )
+    SELECT 0.25 AS q,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY v) / 100.0 + 1e-8, 4)
+               AS quantile_price
+    FROM vals
+    UNION ALL
+    SELECT 0.5 AS q,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY v) / 100.0 + 1e-8, 4)
+               AS quantile_price
+    FROM vals
+    UNION ALL
+    SELECT 0.75 AS q,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY v) / 100.0 + 1e-8, 4)
+               AS quantile_price
+    FROM vals
+    UNION ALL
+    SELECT 0.95 AS q,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY v) / 100.0 + 1e-8, 4)
+               AS quantile_price
+    FROM vals
+    """"",
+    tags=("analytics", "quantiles", "prefix-sum", "distributed-exact"),
+)
+def exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles with NO single-node sort buffer:
+    Spark's built-in `percentile` is exact but materializes the value
+    multiset per reduce task — at 100 TB that buffer is the bottleneck.
+    This plan needs only (distinct value, count) + the
+    `global_running_sum` prefix kernel: for each q, the two ranks that
+    bracket position q*(N-1) are located by a filter on the cumulative
+    interval [cum-cnt+1, cum] (each rank hits exactly ONE distinct
+    value), and the standard linear interpolation reconstructs
+    percentile_cont — which is exactly what the DuckDB oracle computes,
+    via its own independent implementation.  Memory per task is O(
+    distinct values in its range partition), never O(rows)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(as_cents(F.col("l_extendedprice")).alias("v"))
+    pv = li.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    c = global_running_sum(pv, ["v"], "cnt", out="cum")
+    qs = F.broadcast(
+        li.sparkSession.createDataFrame([(0.25,), (0.5,), (0.75,), (0.95,)], "q double")
+    )
+    j = c.crossJoin(qs)
+    n = F.col("_grs_total")
+    p = F.col("q") * (n - 1).cast("double")  # 0-based fractional position
+    lo_rank = (F.floor(p) + 1).cast("long")  # 1-based bracketing ranks
+    hi_rank = F.least(lo_rank + 1, n)
+    covers = lambda r: (F.col("cum") >= r) & ((F.col("cum") - F.col("cnt")) < r)  # noqa: E731
+    hits = j.filter(covers(lo_rank) | covers(hi_rank)).select(
+        "q",
+        p.alias("p"),
+        F.when(covers(lo_rank), F.col("v")).alias("v_lo"),
+        F.when(covers(hi_rank), F.col("v")).alias("v_hi"),
+    )
+    frac = F.col("p") - F.floor(F.col("p"))
+    return hits.groupBy("q").agg(
+        round_det(
+            (
+                F.min("v_lo").cast("double")
+                + F.first(frac) * (F.min("v_hi") - F.min("v_lo")).cast("double")
+            )
+            / 100.0,
+            4,
+        ).alias("quantile_price")
+    )

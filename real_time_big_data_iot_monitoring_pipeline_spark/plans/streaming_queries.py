@@ -1078,3 +1078,88 @@ def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("n_cleared", "_batch_id").alias("n_cleared"),
         F.max_by("in_alert", "_batch_id").alias("in_alert"),
     )
+
+
+@register(
+    "stream_outer_interval_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS error_event_id,
+           epoch_us(r.ts) AS error_ts_us
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id AND r.event_type = 'error'
+     AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "outer", "watermark-padding", "equivalence"),
+)
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    replay (`stream_interval_join`) cannot express: purchases with no
+    error in their preceding 30 minutes must STILL emit, null-padded,
+    and in streaming that padding may only happen once the watermark
+    PROVES no matching error can ever arrive.  The replay stages
+    event-time-ordered slices (10-minute watermark never outruns
+    in-order arrival — no dropped matches) and appends a far-future
+    FLUSH SENTINEL file (+1 day, user_id = -1, both event types) whose
+    batch pushes the watermark past every real row, so ALL eligible
+    unmatched purchases get their null-padded emission before the
+    replay terminates — the standard finite-replay flush for
+    watermark-gated state.  The sentinel is excluded at read; the
+    result must equal the batch LEFT OUTER interval join, which is
+    exactly what the oracle runs.  State is keyed on user_id and
+    evicted by the watermark: bounded, shuffle-partitioned — the 100 TB
+    shape."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_outer_interval")
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+            mx = e.agg(F.max("ts").alias("mx")).first()[0]
+            sentinel = spark.createDataFrame(
+                [(-1, mx, -1, t, 0.0, None) for t in ("purchase", "error")],
+                schema=e.schema,
+            ).select(
+                "event_id",
+                (F.col("ts") + F.expr("interval 1 day")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(staging)
+        left = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+        )
+        right = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("r_user_id"),
+                F.col("event_id").alias("error_event_id"),
+                F.col("ts").alias("error_ts"),
+            )
+        )
+        joined = pipeline.interval_join_stream(
+            left,
+            right.withColumnRenamed("r_user_id", "user_id"),
+            key="user_id",
+            left_ts="ts",
+            right_ts="error_ts",
+            upper="30 minutes",
+            watermark="10 minutes",
+            how="leftOuter",
+        ).select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "error_event_id",
+            F.unix_micros("error_ts").alias("error_ts_us"),
+        )
+        pipeline.run_stream_to_parquet(joined, result, output_mode="append")
+    return spark.read.parquet(result).filter(F.col("user_id") >= 0)
