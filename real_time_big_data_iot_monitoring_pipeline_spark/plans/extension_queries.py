@@ -558,3 +558,45 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("semi-structured", "variant", "spark4-surface"),
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type — the modern
+    path for JSON columns (`json_props_stats` / `props_struct_extract`
+    cover the classic get_json_object / from_json routes): `parse_json`
+    builds the binary variant ONCE per row, `try_variant_get` extracts
+    typed fields with null-on-mismatch semantics, and downstream
+    aggregation runs on the decoded value.  At 100 TB variant's binary
+    encoding beats repeated string re-parsing when several fields are
+    extracted from one payload (one parse, many shredded gets) — the
+    same reason warehouses added a VARIANT/JSONB type.  DuckDB oracle
+    uses its native json_extract; both engines see the identical typed
+    integers."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
