@@ -10,10 +10,13 @@ with
     predicate is consumed by the source and applied during generation,
     so filtered reads materialize ~1/n_sensors of the rows instead of
     generating everything and filtering in the plan;
-  * a STREAMING reader with real offset management — `initialOffset` /
-    `latestOffset` advance a row cursor in `rows_per_batch` steps and
-    cap at `n_rows`, so a `processAllAvailable()` replay terminates
-    with exactly the batch feed's contents, micro-batched.
+  * a STREAMING reader with real offset management — start-driven
+    `read(start)` chunks the feed `rows_per_batch` at a time and caps
+    at `n_rows`, so a `processAllAvailable()` replay terminates with
+    exactly the batch feed's contents, micro-batched, and a RESTART
+    resumes from the checkpointed offset with zero duplicates (see the
+    class docstring for the latestOffset-cursor bug this design
+    replaced).
 
 The feed itself is a deterministic integer formula (Knuth
 multiplicative hash of the reading index), so a SQL oracle regenerates
@@ -33,11 +36,11 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -103,35 +106,46 @@ class SensorBatchReader(DataSourceReader):
         )
 
 
-class SensorStreamReader(DataSourceStreamReader):
+class SensorStreamReader(SimpleDataSourceStreamReader):
+    """START-DRIVEN offset progression (`read(start)` returns the next
+    chunk AND the next offset): Spark passes the CHECKPOINTED offset on
+    restart, so exactly-once across restarts holds by construction.
+
+    The first cut of this reader kept a process-local cursor behind
+    `DataSourceStreamReader.latestOffset()` — measured to VIOLATE
+    exactly-once on restart (the fresh process's cursor restarts at 0,
+    the engine trusts the stale offsets, and a mid-feed restart
+    re-emitted 16k duplicate rows; pinned by
+    `test_pyds_stream_restart_exactly_once`).  A latestOffset-style
+    reader is only restart-safe when the offset is derived from the
+    external system itself, which a synthetic feed does not have —
+    hence the simple reader, whose progression state lives in Spark's
+    offset WAL, not in the reader.  (Caveat per the API contract:
+    `read` runs on the driver — right for this feed's demo rate; the
+    PARTITIONED batch reader above is the high-throughput path.)"""
+
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 100_000))
         self.n_sensors = int(options.get("n_sensors", 50))
         self.rows_per_batch = int(options.get("rows_per_batch", 20_000))
-        self.cursor = 0
 
     def initialOffset(self):
         return {"offset": 0}
 
-    def latestOffset(self):
-        self.cursor = min(self.cursor + self.rows_per_batch, self.n_rows)
-        return {"offset": self.cursor}
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        # iter(list), not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator for batch replay, and
+        # generators are not copyable (list iterators are)
+        return iter(list(gen_rows(lo, hi, self.n_sensors))), {"offset": hi}
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = start["offset"], end["offset"]
-        if hi <= lo:
-            return [RangePartition(lo, lo)]
-        mid = (lo + hi) // 2
-        return [RangePartition(lo, mid), RangePartition(mid, hi)]
-
-    def read(self, partition: RangePartition):
-        yield from gen_rows(partition.start, partition.end, self.n_sensors)
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure recovery: deterministic re-read of a WAL'd batch
+        return iter(list(gen_rows(start["offset"], end["offset"], self.n_sensors)))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derivable; nothing external to ack
-
-    def stop(self) -> None:
-        pass
 
 
 class SensorDataSource(DataSource):
@@ -148,7 +162,7 @@ class SensorDataSource(DataSource):
     def reader(self, schema: StructType) -> SensorBatchReader:
         return SensorBatchReader(self.options)
 
-    def streamReader(self, schema: StructType) -> SensorStreamReader:
+    def simpleStreamReader(self, schema: StructType) -> SensorStreamReader:
         return SensorStreamReader(self.options)
 
 

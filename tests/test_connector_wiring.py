@@ -191,14 +191,23 @@ def test_pyds_partitions_cover_feed_exactly():
 
 
 def test_pyds_stream_offsets_cap_at_feed_end():
+    """Start-driven progression: read(start) returns the next chunk and
+    offset, capping at the feed end and idling (empty chunk, same
+    offset) thereafter; readBetweenOffsets replays a WAL'd span
+    deterministically."""
     from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import SensorStreamReader
 
     r = SensorStreamReader({"n_rows": "9000", "rows_per_batch": "4000"})
     assert r.initialOffset() == {"offset": 0}
-    seen = [r.latestOffset()["offset"] for _ in range(4)]
-    assert seen == [4000, 8000, 9000, 9000]  # caps, then idles
-    parts = r.partitions({"offset": 4000}, {"offset": 8000})
-    assert sorted((p.start, p.end) for p in parts) == [(4000, 6000), (6000, 8000)]
+    offsets, sizes, cur = [], [], {"offset": 0}
+    for _ in range(4):
+        rows, cur = r.read(cur)
+        offsets.append(cur["offset"])
+        sizes.append(len(list(rows)))
+    assert offsets == [4000, 8000, 9000, 9000]
+    assert sizes == [4000, 4000, 1000, 0]
+    replay = list(r.readBetweenOffsets({"offset": 4000}, {"offset": 8000}))
+    assert len(replay) == 4000 and replay[0][0] == 4000 and replay[-1][0] == 7999
 
 
 def test_pyds_sink_commit_visibility_and_abort(spark, tmp_path):
@@ -233,3 +242,46 @@ def test_pyds_sink_commit_visibility_and_abort(spark, tmp_path):
     w.abort([m3, None])  # None = failed task with no message
     assert not os.path.exists(os.path.join(path, m3.filename))
     assert read_manifest(spark, path)[1]["n_rows"] == 3
+
+
+def test_pyds_stream_restart_exactly_once(spark, tmp_path):
+    """Stop the custom-source stream mid-feed and restart from the
+    checkpoint: the final sink must hold every reading exactly once.
+    (This test is why the stream reader is a SimpleDataSourceStreamReader:
+    the latestOffset/cursor design it replaced re-emitted every
+    pre-restart row — a measured exactly-once violation.)"""
+    import time
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.format("rtbd_sensors")
+            .option("n_rows", 12000)
+            .option("n_sensors", 10)
+            .option("rows_per_batch", 3000)
+            .load()
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while not any(p["numInputRows"] > 0 for p in q.recentProgress or []):
+        assert time.time() < deadline, "stream never produced a batch"
+        time.sleep(0.3)
+    q.stop()
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 12000
+    assert df.groupBy("reading_id").count().filter("count > 1").count() == 0
