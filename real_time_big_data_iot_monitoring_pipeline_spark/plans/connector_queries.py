@@ -188,3 +188,54 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+@register(
+    "pyds_sink_time_travel",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed WHERE reading_id < {_N_ROWS // 2}
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT) FROM feed
+    """,
+    tags=("connector", "python-datasource", "sink", "time-travel", "snapshot-isolation"),
+)
+def pyds_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TIME TRAVEL on the manifest sink: two append commits
+    (first half of the feed, then the rest) produce immutable
+    `_manifest-v1/-v2` snapshots, and reading `version=1` AFTER the
+    second commit must return exactly the first commit's table — the
+    Iceberg/Delta `VERSION AS OF` contract from nothing but cumulative
+    manifests and atomic renames.  A reader pinned to v1 is isolated
+    from v2's files entirely (snapshot isolation), and the HEAD
+    manifest equals the latest version.  The oracle computes both
+    snapshots analytically from the feed formula; a file leaking
+    across versions breaks the totals."""
+    import tempfile
+
+    key = "_pyds_tt_dir"
+    path = getattr(pyds_sink_time_travel, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v2.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_tt_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).write.format("rtbd_manifest_sink").option(
+            "path", path
+        ).mode("append").save()
+        feed.filter(F.col("reading_id") >= half).write.format("rtbd_manifest_sink").option(
+            "path", path
+        ).mode("append").save()
+        setattr(pyds_sink_time_travel, key, path)
+
+    def snap(version: int) -> DataFrame:
+        df, _m = pydatasource.read_manifest(spark, path, version=version)
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+
+    return snap(1).unionByName(snap(2))

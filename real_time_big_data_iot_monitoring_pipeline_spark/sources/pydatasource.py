@@ -227,6 +227,14 @@ class ManifestParquetWriter(DataSourceWriter):
         # reader (its hidden-file rule) — exactly right while tasks are
         # in flight.  Commit = rename each part to a visible name, then
         # atomically publish the manifest that lists them.
+        #
+        # SNAPSHOT VERSIONING (Iceberg/Delta-style): each commit also
+        # writes an immutable `_manifest-v{N}.json` whose file list is
+        # CUMULATIVE over the previous version (append semantics), so
+        # `read_manifest(version=k)` is a time-travel read of the table
+        # as of commit k, and concurrent readers of version k never see
+        # a later commit's files — snapshot isolation from nothing but
+        # atomic renames.
         files = []
         for m in messages:
             if m is not None and m.filename:
@@ -236,14 +244,26 @@ class ManifestParquetWriter(DataSourceWriter):
                     os.path.join(self.path, visible),
                 )
                 files.append(visible)
+        prev_files, prev_rows, prev_version = [], 0, 0
+        head = os.path.join(self.path, "manifest.json")
+        if not self.overwrite and os.path.exists(head):
+            with open(head) as f:
+                prev = _json.load(f)
+            prev_files, prev_rows = prev["files"], prev["n_rows"]
+            prev_version = prev.get("version", 0)
         manifest = {
-            "files": sorted(files),
-            "n_rows": sum(m.n_rows for m in messages if m is not None),
+            "version": prev_version + 1,
+            "files": sorted(prev_files + files),
+            "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
         }
         tmp = os.path.join(self.path, "_manifest.tmp")
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic publish
+        versioned = os.path.join(self.path, f"_manifest-v{manifest['version']}.json")
+        with open(versioned + ".tmp", "w") as f:
+            _json.dump(manifest, f)
+        os.replace(versioned + ".tmp", versioned)
+        os.replace(tmp, head)  # atomic publish of the HEAD pointer
 
     def abort(self, messages):
         import os
@@ -267,12 +287,16 @@ class ManifestSinkDataSource(DataSource):
         return ManifestParquetWriter(self.options, overwrite)
 
 
-def read_manifest(spark, path: str):
+def read_manifest(spark, path: str, version: int | None = None):
     """Reader side of the contract: only manifest-listed files exist to
-    the query — uncommitted/aborted orphans are invisible."""
+    the query — uncommitted/aborted orphans are invisible.  With
+    `version=k` this is a TIME-TRAVEL read: the table exactly as of
+    commit k (immutable `_manifest-v{k}.json`), regardless of how many
+    commits happened since."""
     import os
 
-    with open(os.path.join(path, "manifest.json")) as f:
+    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
+    with open(os.path.join(path, name)) as f:
         manifest = _json.load(f)
     files = [os.path.join(path, fn) for fn in manifest["files"]]
     return spark.read.parquet(*files), manifest

@@ -285,3 +285,26 @@ def test_pyds_stream_restart_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 12000
     assert df.groupBy("reading_id").count().filter("count > 1").count() == 0
+
+
+def test_pyds_sink_time_travel_isolation(spark, tmp_path):
+    """Version-k reads are immutable after later commits, HEAD tracks
+    the latest version, and files never leak across snapshots."""
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "tt")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(a=1), Row(a=2)]))])
+    w.commit([w.write(iter([Row(a=3)]))])
+    v1, m1 = read_manifest(spark, path, version=1)
+    v2, m2 = read_manifest(spark, path, version=2)
+    head, mh = read_manifest(spark, path)
+    assert (m1["version"], m1["n_rows"]) == (1, 2) and v1.count() == 2
+    assert (m2["version"], m2["n_rows"]) == (2, 3) and v2.count() == 3
+    assert mh == m2
+    assert set(m1["files"]) < set(m2["files"])
