@@ -876,3 +876,70 @@ def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("v") / F.col("world").cast("double"), 6).alias("share_of_world"),
         )
     )
+
+
+@register(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE up(node, anc) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION ALL
+        SELECT up.node, up.anc // 10 FROM up WHERE up.anc >= 10
+    ),
+    roots AS (
+        SELECT node, anc AS root FROM up WHERE anc < 10
+    ),
+    rev AS (
+        SELECT o_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT r.root,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           ROUND(sum(COALESCE(rev.cents, 0)) / 100.0 + 1e-8, 2) AS subtree_revenue
+    FROM roots r LEFT JOIN rev ON rev.o_custkey = r.node
+    GROUP BY r.root
+    """,
+    tags=("olap", "hierarchy", "recursive", "pointer-doubling"),
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE hierarchy rollup — the org-chart / bill-of-materials
+    query SQL needs a recursive CTE for: customers form a synthetic
+    reporting tree (parent = custkey div 10, roots are keys < 10) and
+    every node's revenue rolls up to its ROOT.  Spark has no recursive
+    CTE; the scalable equivalent is POINTER DOUBLING on the ancestor
+    link — anc <- parent(anc) squares the climbed distance per round, so
+    a depth-d tree resolves in ceil(log2 d) self-joins (3 rounds covers
+    depth 8 >= this tree's 4; each round is one key-keyed equi-join on
+    the node table, lineage-truncated like `dedup.duplicate_components`).
+    The oracle walks the same links with a real recursive CTE, proving
+    the doubling loop reaches the identical fixpoint."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    anc = c.withColumn("anc", F.col("node"))
+    # parent map: every node's parent (roots point at themselves)
+    parent = c.select(
+        F.col("node").alias("p_node"),
+        F.when(F.col("node") < 10, F.col("node")).otherwise(
+            F.expr("node div 10")
+        ).alias("p_parent"),
+    )
+    for _ in range(3):  # 2^3 = 8 levels >= max depth of this tree
+        anc = (
+            anc.join(parent, anc.anc == parent.p_node)
+            .select("node", F.col("p_parent").alias("anc"))
+            .localCheckpoint(eager=False)
+        )
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(as_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    return (
+        anc.join(rev, anc.node == rev.o_custkey, "left")
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            round_det(F.sum(F.coalesce(F.col("cents"), F.lit(0))) / 100.0, 2).alias(
+                "subtree_revenue"
+            ),
+        )
+    )

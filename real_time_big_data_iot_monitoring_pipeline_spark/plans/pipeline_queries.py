@@ -988,3 +988,82 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") / F.lit(1000.0), 4
         ).alias("zipf_intercept_ln"),
     )
+
+
+@register(
+    "corpus_kl_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(substr(source, 4) AS INT) >= 10 AS half_b,
+               unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term,
+               CAST(count(*) FILTER (WHERE NOT half_b) AS BIGINT) AS c_p,
+               CAST(count(*) FILTER (WHERE half_b) AS BIGINT) AS c_q
+        FROM toks GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(c_p) AS BIGINT) AS n_p, CAST(sum(c_q) AS BIGINT) AS n_q,
+               CAST(count(*) AS BIGINT) AS v
+        FROM counts
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   ((c_p + 1) / CAST(n_p + v AS DOUBLE))
+                   * ln(((c_p + 1) / CAST(n_p + v AS DOUBLE))
+                        / ((c_q + 1) / CAST(n_q + v AS DOUBLE)))
+                   * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM counts, tot
+    )
+    SELECT any_value(tot.v) AS vocab_size,
+           any_value(tot.n_p) AS n_tokens_a,
+           any_value(tot.n_q) AS n_tokens_b,
+           ROUND(sum(terms.nano) / 1000000000.0 + 1e-8, 6) AS kl_divergence
+    FROM terms, tot
+    """,
+    tags=("pipeline", "corpus-drift", "kl-divergence", "data-quality"),
+)
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT detection: add-one-smoothed KL divergence between
+    the term distributions of two corpus halves (sources 0-9 vs 10-19) —
+    the statistic a data-curation pipeline watches to catch a source mix
+    silently changing between training snapshots (Zipf fit
+    `text_zipf_fit` checks shape; KL checks the mix).  Numerics: counts
+    and totals are exact int64, each term's p*ln(p/q) contribution is
+    computed from identically-derived doubles in both engines and
+    nano-quantized before the sum, so the divergence is an
+    order-independent integer sum over the vocabulary.  Plan: one token
+    scan with a conditional count per half (no second scan), vocabulary-
+    keyed; the totals row broadcasts."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.expr("CAST(substr(source, 4) AS INT)") >= 10).alias("half_b"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0)
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(~F.col("half_b"), 1).otherwise(0)).alias("c_p"),
+        F.sum(F.when(F.col("half_b"), 1).otherwise(0)).alias("c_q"),
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("c_p").alias("n_p"), F.sum("c_q").alias("n_q"), F.count(F.lit(1)).alias("v")
+        )
+    )
+    p = (F.col("c_p") + 1) / (F.col("n_p") + F.col("v")).cast("double")
+    q = (F.col("c_q") + 1) / (F.col("n_q") + F.col("v")).cast("double")
+    nano = F.floor(p * F.log(p / q) * 1000000000 + F.lit(0.5 + 1e-8)).cast("long")
+    return (
+        counts.crossJoin(tot)
+        .select("n_p", "n_q", "v", nano.alias("nano"))
+        .groupBy()
+        .agg(
+            F.first("v").cast("long").alias("vocab_size"),
+            F.first("n_p").cast("long").alias("n_tokens_a"),
+            F.first("n_q").cast("long").alias("n_tokens_b"),
+            round_det(F.sum("nano") / 1000000000.0, 6).alias("kl_divergence"),
+        )
+    )
