@@ -1146,3 +1146,250 @@ def exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("quantile_price")
     )
+
+
+# Inverse-CDF thresholds for Poisson(1): P(K <= k) for k = 0..6.  A
+# hash-uniform u in [0,1) maps to the smallest k with u < CDF(k) — the
+# per-row resample weight of the Poisson bootstrap.
+_POIS1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406, 0.999917)
+
+
+def _pois1_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT b.b,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+               {_pois1_case("((o.o_orderkey * 2654435761 + b.b * 40503) % 4294967296) / 4294967296.0")} AS w
+        FROM orders o, (SELECT unnest(generate_series(0, 31)) AS b) b
+    ),
+    means AS (
+        SELECT b, sum(w * cents) AS wsum, sum(w) AS n
+        FROM reps GROUP BY b HAVING sum(w) > 0
+    ),
+    stats AS (
+        SELECT ROUND(wsum / (100.0 * n) + 1e-8, 4) AS m FROM means
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           ROUND(avg(m) + 1e-8, 4) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025) + 1e-8, 4) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975) + 1e-8, 4) AS ci_hi
+    FROM stats
+    """,
+    tags=("analytics", "bootstrap", "confidence-interval", "resampling"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value —
+    the bootstrap that actually works at 100 TB: classic resampling
+    needs N draws WITH replacement per replicate (a global shuffle per
+    replicate); the Poisson approximation gives every row an independent
+    Poisson(1) weight per replicate, so all B=32 replicates compute in
+    ONE scan as conditional weighted sums (the technique production A/B
+    platforms use for exactly this reason).  Weights are hash-derived
+    (inverse CDF on a Knuth-mixed uniform), so both engines draw the
+    IDENTICAL resample; replicate means use exact integer cents, and
+    the interval is an exact percentile over the 32-row replicate
+    frame.  Scale: one fact scan fanned x32 map-side, one 32-group
+    agg — no shuffle grows with B."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+    u = (
+        (F.col("o_orderkey") * 2654435761 + F.col("b") * 40503) % 4294967296
+    ) / 4294967296.0
+    w = F.expr(_pois1_case("((o_orderkey * 2654435761 + b * 40503) % 4294967296) / 4294967296.0"))
+    means = (
+        reps.select("b", as_cents(F.col("o_totalprice")).alias("cents"), w.alias("w"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("wsum"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(round_det(F.col("wsum") / (100.0 * F.col("n")), 4).alias("m"))
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        round_det(F.avg("m"), 4).alias("boot_mean"),
+        round_det(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        round_det(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 2 = 0 AS in_a,
+               max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
+               CAST(sum(converted) FILTER (WHERE in_a) AS BIGINT) AS c_a,
+               CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS n_b,
+               CAST(sum(converted) FILTER (WHERE NOT in_a) AS BIGINT) AS c_b
+        FROM assign
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(c_a / CAST(n_a AS DOUBLE) + 1e-8, 6) AS rate_a,
+           ROUND(c_b / CAST(n_b AS DOUBLE) + 1e-8, 6) AS rate_b,
+           ROUND((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)) + 1e-8, 4) AS z_score
+    FROM arms
+    """,
+    tags=("analytics", "ab-test", "hypothesis-test"),
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministically-assigned A/B
+    arms (Knuth-hash split on user_id — the same bucketing a real
+    experimentation platform uses): did arm A's high-value-purchase
+    conversion (any purchase over 150) differ from arm B's?  (The
+    threshold keeps conversion away from 1.0 — at rate 1 the pooled
+    variance is zero and the statistic is undefined.)  All counts are exact integers from one
+    user-keyed aggregation; the pooled-variance z statistic is a
+    fixed-order float expression over those six integers, identical in
+    both engines.  Scale: per-user conversion is a max-aggregate
+    (conditional, map-side partial), the arm rollup is 1 row."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("in_a", (F.col("user_id") * 2654435761) % 2 == 0)
+    arms = assign.agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    ra = F.col("c_a") / F.col("n_a").cast("double")
+    rb = F.col("c_b") / F.col("n_b").cast("double")
+    p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")).cast("double")
+    z = (ra - rb) / F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        round_det(ra, 6).alias("rate_a"),
+        round_det(rb, 6).alias("rate_b"),
+        round_det(z, 4).alias("z_score"),
+    )
+
+
+@register(
+    "kaplan_meier_repurchase",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    mx AS (SELECT max(o_orderdate) AS md FROM orders),
+    per AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.o_orderdate IS NOT NULL
+                    THEN date_diff('day', f.o_orderdate, s.o_orderdate) ELSE
+                         date_diff('day', f.o_orderdate, mx.md) END AS t_days,
+               CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM ranked f
+        LEFT JOIN ranked s ON s.o_custkey = f.o_custkey AND s.rn = 2
+        CROSS JOIN mx
+        WHERE f.rn = 1
+    ),
+    days AS (
+        SELECT t_days, CAST(sum(event) AS BIGINT) AS d,
+               CAST(sum(1 - event) AS BIGINT) AS c
+        FROM per GROUP BY t_days
+    ),
+    n AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM days),
+    curve AS (
+        SELECT t_days, d, c,
+               n.total
+               - COALESCE(sum(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        FROM days, n
+    ),
+    terms AS (
+        SELECT t_days, d, at_risk,
+               CAST(floor(
+                   CASE WHEN d = at_risk THEN -46.0
+                        ELSE ln(1 - d / CAST(at_risk AS DOUBLE)) END
+                   * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM curve
+    )
+    SELECT t_days, CAST(at_risk AS BIGINT) AS n_at_risk, d AS d_events,
+           ROUND(exp(sum(nano) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+                     / 1000000000.0) + 1e-8, 6) AS survival
+    FROM terms WHERE TRUE QUALIFY d > 0
+    """,
+    tags=("analytics", "survival", "kaplan-meier", "prefix-sum"),
+)
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for time-to-repurchase: per customer,
+    the gap from first to second order (event) or to the dataset's end
+    (right-censored), estimated with the product-limit formula S(t) =
+    prod(1 - d_i/n_i) — the churn/retention curve every subscription
+    analysis starts with, correctly handling censoring where a naive
+    average of observed gaps is biased.  Distributed shape: subjects
+    collapse to a DAY-grain (t, events, censored) table, and BOTH
+    running quantities ride `operators/windows.global_running_sum` —
+    the at-risk count n_i as N minus the exclusive prefix of departures,
+    and the log-survival as the prefix of nano-quantized ln(1 - d/n)
+    terms (one exp at the end) — so the curve computes with no
+    single-task window at any width.  The d = n_i terminal edge uses an
+    explicit -46 nat sentinel (exp -> ~1e-20 -> 0) identically in both
+    engines."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("md")))
+    day = lambda c: F.floor(F.unix_seconds(c) / 86400)  # noqa: E731
+    per = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, day(F.col("o_orderdate")))).alias("fd"),
+            F.min(F.when(F.col("rn") == 2, day(F.col("o_orderdate")))).alias("sd"),
+        )
+        .crossJoin(mx)
+        .select(
+            F.coalesce(
+                F.col("sd") - F.col("fd"), day(F.col("md")) - F.col("fd")
+            ).cast("long").alias("t_days"),
+            F.col("sd").isNotNull().cast("long").alias("event"),
+        )
+    )
+    days = per.groupBy("t_days").agg(
+        F.sum("event").alias("d"), F.sum(1 - F.col("event")).alias("c")
+    )
+    days = days.withColumn("dep", F.col("d") + F.col("c"))
+    cum = global_running_sum(days, ["t_days"], "dep", out="cum")
+    curve = cum.select(
+        "t_days",
+        "d",
+        (F.col("_grs_total") - F.col("cum") + F.col("dep")).alias("at_risk"),
+    )
+    term = F.floor(
+        F.when(F.col("d") == F.col("at_risk"), F.lit(-46.0))
+        .otherwise(F.log(1 - F.col("d") / F.col("at_risk").cast("double")))
+        * 1000000000
+        + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    terms = curve.withColumn("nano", term)
+    surv = global_running_sum(terms, ["t_days"], "nano", out="lnsum")
+    return surv.filter(F.col("d") > 0).select(
+        "t_days",
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        round_det(F.exp(F.col("lnsum") / 1000000000.0), 6).alias("survival"),
+    )

@@ -71,6 +71,7 @@ TZ_SENSITIVE = [
     "ohlc_hourly_bars",
     "scd2_asof_lookup",
     "twap_per_user",
+    "kaplan_meier_repurchase",
 ]
 
 
