@@ -51,7 +51,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   exact_quantiles_distributed, stream_outer_interval_join,
 #   props_variant_stats, pyds_sink_time_travel,
 #   hierarchy_subtree_rollup, corpus_kl_drift, poisson_bootstrap_ci,
-#   ab_conversion_ztest, kaplan_meier_repurchase.
+#   ab_conversion_ztest, kaplan_meier_repurchase, copurchase_triangles.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

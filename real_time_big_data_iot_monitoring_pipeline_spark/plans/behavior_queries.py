@@ -935,3 +935,123 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.sum("header_cents") / 100.0, 2).alias("header_total"),
         round_det(F.sum("line_cents") / 100.0, 2).alias("line_total"),
     )
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+        ) GROUP BY node
+    ),
+    wedges AS (SELECT sum(deg * (deg - 1) / 2) AS n_wedges FROM deg),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(wedges.n_wedges AS BIGINT) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * tri.n_triangles / wedges.n_wedges + 1e-8, 6) AS global_clustering
+    FROM tri, wedges
+    """,
+    tags=("graph", "triangles", "clustering-coefficient", "degree-ordering"),
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING on the part co-purchase graph — the third
+    iterative-graph-family member (PageRank ranks, components cluster,
+    triangles measure cohesion), over a deterministic 10% order sample
+    (the co-purchase graph densifies superlinearly with order volume;
+    production triangle counts routinely run on exactly this kind of
+    edge sample).  The Spark plan is DEGREE-ORDERED compact-forward —
+    the algorithm that makes triangle counting survive power-law
+    graphs: every edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, wedges are generated ONLY from each node's
+    out-neighbors (out-degree is bounded by ~sqrt(2m) after
+    orientation, killing the hub-wedge blowup that OOM'd the naive
+    id-ordered join at sf0.1 — measured, ~10^8 wedges), and a final
+    equi-join against the oriented edge set closes them.  Each triangle
+    is counted exactly once (its unique degree-ordered orientation);
+    the oracle counts the same triangles with the simple id-ordered
+    3-way join, proving orientation changes the PLAN, not the count.
+    Wedge denominators use the closed form sum(deg*(deg-1)/2) in both
+    engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    keyed = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    cand = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.deg_dst") < F.col("e2.deg_dst"))
+            | (
+                (F.col("e1.deg_dst") == F.col("e2.deg_dst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z"))
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = cand.join(closing, ["y", "z"], "left_semi").count()
+    tri_df = F.broadcast(
+        li.sparkSession.createDataFrame([(tri,)], "n_triangles long")
+    )
+    stats = (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                deg.agg(
+                    F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
+                )
+            )
+        )
+        .crossJoin(tri_df)
+    )
+    return stats.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        round_det(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "global_clustering"
+        ),
+    )
