@@ -1032,9 +1032,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z"))
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    tri = cand.join(closing, ["y", "z"], "left_semi").count()
     tri_df = F.broadcast(
-        li.sparkSession.createDataFrame([(tri,)], "n_triangles long")
+        cand.join(closing, ["y", "z"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
     )
     stats = (
         pairs.agg(F.count(F.lit(1)).alias("n_edges"))
