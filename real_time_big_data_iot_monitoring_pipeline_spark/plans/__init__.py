@@ -51,7 +51,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   exact_quantiles_distributed, stream_outer_interval_join,
 #   props_variant_stats, pyds_sink_time_travel,
 #   hierarchy_subtree_rollup, corpus_kl_drift, poisson_bootstrap_ci,
-#   ab_conversion_ztest, kaplan_meier_repurchase, copurchase_triangles.
+#   ab_conversion_ztest, kaplan_meier_repurchase, copurchase_triangles,
+#   bitemporal_asof_belief, yoy_revenue_growth,
+#   entity_match_sorted_neighborhood.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

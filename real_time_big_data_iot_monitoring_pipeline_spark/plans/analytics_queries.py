@@ -1393,3 +1393,57 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("d_events"),
         round_det(F.exp(F.col("lnsum") / 1000000000.0), 6).alias("survival"),
     )
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo,
+           ROUND(cur.cents / 100.0 + 1e-8, 2) AS revenue,
+           ROUND(prev.cents / 100.0 + 1e-8, 2) AS revenue_prior_year,
+           ROUND((cur.cents - prev.cents) / CAST(prev.cents AS DOUBLE) + 1e-8, 6)
+               AS yoy_growth
+    FROM monthly cur JOIN monthly prev
+      ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    """,
+    tags=("analytics", "yoy", "period-over-period"),
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the period-over-period
+    self-join every BI dashboard leads with, and a different plan shape
+    from LAG (LAG needs contiguous ordered rows; the calendar self-join
+    matches the same month across a 12-row gap and naturally drops
+    months with no prior-year twin).  The join runs on the
+    PRE-AGGREGATED monthly frame (years x 12 rows, broadcast), so the
+    fact table is scanned and shuffled exactly once; month extraction
+    is session-timezone-proof via `utc_naive`."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    d = utc_naive("o_orderdate")
+    monthly = o.groupBy(
+        F.year(d).cast("int").alias("yr"), F.month(d).cast("int").alias("mo")
+    ).agg(F.sum(as_cents(F.col("o_totalprice"))).alias("cents"))
+    cur = monthly.alias("cur")
+    prev = monthly.alias("prev")
+    return (
+        cur.join(
+            F.broadcast(prev),
+            (F.col("prev.yr") == F.col("cur.yr") - 1) & (F.col("prev.mo") == F.col("cur.mo")),
+        )
+        .select(
+            F.col("cur.yr").alias("yr"),
+            F.col("cur.mo").alias("mo"),
+            round_det(F.col("cur.cents") / 100.0, 2).alias("revenue"),
+            round_det(F.col("prev.cents") / 100.0, 2).alias("revenue_prior_year"),
+            round_det(
+                (F.col("cur.cents") - F.col("prev.cents"))
+                / F.col("prev.cents").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+    )

@@ -264,3 +264,74 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("bal_cents") / 100.0, 2).alias("acctbal_asof"),
         )
     )
+
+
+@register(
+    "bitemporal_asof_belief",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo,
+               (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    versions AS (
+        -- original records: transaction time = valid time
+        SELECT event_id, user_id, epoch_us(ts) AS valid_us, epoch_us(ts) AS tx_us,
+               CAST(round(value * 100, 0) AS BIGINT) AS val_cents
+        FROM events
+        UNION ALL
+        -- corrections: every 7th event restated (+10.00) one hour later
+        SELECT event_id, user_id, epoch_us(ts), epoch_us(ts) + 3600000000,
+               CAST(round(value * 100, 0) AS BIGINT) + 1000
+        FROM events WHERE event_id % 7 = 0
+    ),
+    belief AS (
+        SELECT v.event_id, v.user_id, v.valid_us, v.val_cents,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY v.tx_us DESC) AS rn
+        FROM versions v, b
+        WHERE v.tx_us <= b.mid
+    )
+    SELECT event_id, user_id,
+           ROUND(val_cents / 100.0 + 1e-8, 2) AS believed_value
+    FROM belief WHERE rn = 1
+    """,
+    tags=("incremental", "bitemporal", "asof", "corrections"),
+)
+def bitemporal_asof_belief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of query — "what did we BELIEVE at time T?": every
+    7th event is restated (+10.00) one hour after it happened, giving
+    each record up to two versions on the TRANSACTION-time axis, and
+    the query reconstructs the belief state at the feed's midpoint —
+    records whose correction had not yet arrived by then still show
+    their original value.  This is the audit/compliance twin of
+    `scd2_asof_lookup` (which travels the VALID-time axis): corrections
+    never destroy history, reads pin a transaction-time watermark.
+    Plan: versions are a deterministic union (no second scan of a
+    mutation log), the belief filter is a scan-level predicate on
+    tx_us, and latest-version-wins is `max_by` over the bounded
+    versions-per-record set — one event-keyed aggregation, no window
+    over data-sized partitions."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    mid = F.broadcast(
+        e.agg((((F.min(us) + F.max(us)) / 2).cast("long")).alias("mid"))
+    )
+    originals = e.select(
+        "event_id", "user_id", us.alias("tx_us"), as_cents(F.col("value")).alias("val_cents")
+    )
+    corrections = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            (us + 3600000000).alias("tx_us"),
+            (as_cents(F.col("value")) + 1000).alias("val_cents"),
+        )
+    )
+    versions = originals.unionByName(corrections).crossJoin(mid).filter(
+        F.col("tx_us") <= F.col("mid")
+    )
+    return versions.groupBy("event_id", "user_id").agg(
+        round_det(F.expr("max_by(val_cents, tx_us)") / 100.0, 2).alias("believed_value")
+    )

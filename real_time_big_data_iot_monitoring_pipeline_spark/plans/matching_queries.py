@@ -322,3 +322,82 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         round_det(F.sum(as_cents(F.col("l_extendedprice"))) / 100.0, 2).alias("revenue"),
     )
+
+
+@register(
+    "entity_match_sorted_neighborhood",
+    oracle=f"""
+    WITH recs AS (
+        SELECT p_partkey AS rec_id, p_name AS name FROM part
+        UNION ALL
+        {_DIRTY_SQL}
+    ),
+    names AS (
+        SELECT name, count(*) AS n_recs FROM recs GROUP BY name
+    ),
+    ranked AS (
+        SELECT name, n_recs, row_number() OVER (ORDER BY name) AS rnk FROM names
+    ),
+    pairs AS (
+        SELECT l.name AS name_l, r.name AS name_r,
+               l.n_recs AS cnt_l, r.n_recs AS cnt_r,
+               levenshtein(l.name, r.name) AS lev_distance
+        FROM ranked l JOIN ranked r
+          ON r.rnk BETWEEN l.rnk + 1 AND l.rnk + 3
+    ),
+    hits AS (SELECT * FROM pairs WHERE lev_distance BETWEEN 1 AND 2)
+    SELECT CAST(lev_distance AS INT) AS lev_distance,
+           CAST(count(*) AS BIGINT) AS n_name_pairs,
+           CAST(sum(cnt_l * cnt_r) AS BIGINT) AS n_record_pairs,
+           CAST(count(*) FILTER (WHERE (name_l LIKE '%~%') <> (name_r LIKE '%~%'))
+                AS BIGINT) AS n_clean_dirty_pairs
+    FROM hits GROUP BY lev_distance
+    """,
+    tags=("matching", "entity-resolution", "sorted-neighborhood"),
+)
+def entity_match_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD entity matching — the third classic blocking
+    scheme (after `entity_match_candidates`' prefix+suffix keys): sort
+    the distinct names and compare each only to its w=3 following
+    neighbors, so candidate volume is exactly 3n regardless of how
+    values cluster — the property key-based blocking lacks (a popular
+    key degenerates; a sliding window cannot).  The global sort rank
+    comes from `operators/windows.global_row_number` (range repartition
+    + broadcast offsets, no single-task window), and the rank-window
+    join decomposes into THREE EQUI-JOINS (rnk = rnk + k for k in
+    1..3) — never a range theta-join.  Same census contract as the
+    keyed variant, so the two blocking philosophies' recall is directly
+    comparable from driver-hashed results."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_row_number
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    clean = p.select(F.col("p_name").alias("name"))
+    dirty = p.select(
+        F.concat(
+            F.expr("substr(p_name, 1, p_partkey % length(p_name))"),
+            F.lit("~"),
+            F.expr("substr(p_name, (p_partkey % length(p_name)) + 2)"),
+        ).alias("name")
+    )
+    names = clean.unionByName(dirty).groupBy("name").agg(F.count(F.lit(1)).alias("n_recs"))
+    ranked = global_row_number(names, ["name"], out="rnk")
+    l = ranked.alias("l")
+    cand = None
+    for k in (1, 2, 3):
+        r = ranked.alias("r")
+        joined = l.join(r, F.col("r.rnk") == F.col("l.rnk") + k).select(
+            F.col("l.name").alias("name_l"),
+            F.col("r.name").alias("name_r"),
+            F.col("l.n_recs").alias("cnt_l"),
+            F.col("r.n_recs").alias("cnt_r"),
+        )
+        cand = joined if cand is None else cand.unionByName(joined)
+    hits = cand.withColumn(
+        "lev_distance", F.levenshtein(F.col("name_l"), F.col("name_r"))
+    ).filter(F.col("lev_distance").between(1, 2))
+    one_dirty = F.col("name_l").contains("~") != F.col("name_r").contains("~")
+    return hits.groupBy(F.col("lev_distance").cast("int").alias("lev_distance")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_name_pairs"),
+        F.sum(F.col("cnt_l") * F.col("cnt_r")).cast("long").alias("n_record_pairs"),
+        F.sum(one_dirty.cast("long")).cast("long").alias("n_clean_dirty_pairs"),
+    )

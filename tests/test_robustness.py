@@ -72,6 +72,8 @@ TZ_SENSITIVE = [
     "scd2_asof_lookup",
     "twap_per_user",
     "kaplan_meier_repurchase",
+    "yoy_revenue_growth",
+    "bitemporal_asof_belief",
 ]
 
 
