@@ -53,7 +53,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   hierarchy_subtree_rollup, corpus_kl_drift, poisson_bootstrap_ci,
 #   ab_conversion_ztest, kaplan_meier_repurchase, copurchase_triangles,
 #   bitemporal_asof_belief, yoy_revenue_growth,
-#   entity_match_sorted_neighborhood.
+#   entity_match_sorted_neighborhood, stream_topn_per_window,
+#   ingestion_completeness_audit.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

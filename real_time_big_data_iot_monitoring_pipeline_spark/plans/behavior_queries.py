@@ -1056,3 +1056,71 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+@register(
+    "ingestion_completeness_audit",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM daily),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds),
+    dense AS (
+        SELECT g.day_idx, COALESCE(d.n_events, 0) AS n_events
+        FROM grid g LEFT JOIN daily d USING (day_idx)
+    ),
+    scored AS (
+        SELECT day_idx, n_events,
+               median(n_events) OVER (
+                   ORDER BY day_idx ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING
+               ) AS trailing_median
+        FROM dense
+    )
+    SELECT day_idx, n_events,
+           ROUND(trailing_median + 1e-8, 1) AS trailing_median,
+           (n_events * 2 < trailing_median) AS is_short
+    FROM scored WHERE trailing_median IS NOT NULL
+    """,
+    tags=("data-quality", "completeness", "ingestion-audit"),
+)
+def ingestion_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion COMPLETENESS audit — the on-call question "did
+    yesterday's feed arrive short?": each calendar day's event count is
+    compared against its own trailing-28-day median (robust to weekly
+    seasonality spikes), flagging days under 50% of it, with MISSING
+    days densified to zero first (a day that never arrived must flag,
+    not vanish — the audit's whole point).  Plan: the fact table
+    collapses to day grain immediately (one agg), the dense calendar
+    grid is bounds-derived (O(days), never row-sized), and the rolling
+    median runs over the bounded day-grain frame — at any data volume
+    the post-agg shape is identical.  Integer day indices and an exact
+    interpolated median keep both engines bit-equal."""
+    e = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros("ts") / 86400000000).cast("long").alias("day_idx")
+    )
+    daily = e.groupBy("day_idx").agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = F.broadcast(
+        daily.agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_idx")
+    )
+    dense = grid.join(daily, "day_idx", "left").select(
+        "day_idx", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(-28, -1)
+    # day-grain frame: bounded by the calendar (a few thousand rows per
+    # decade), so the unpartitioned frame is a constant-size tail stage,
+    # same class as vocab_build_topk's post-limit window
+    scored = dense.withColumn(
+        "trailing_median", F.expr("percentile(n_events, 0.5)").over(w)
+    ).filter(F.col("trailing_median").isNotNull())
+    return scored.select(
+        "day_idx",
+        "n_events",
+        round_det(F.col("trailing_median"), 1).alias("trailing_median"),
+        (F.col("n_events") * 2 < F.col("trailing_median")).alias("is_short"),
+    )

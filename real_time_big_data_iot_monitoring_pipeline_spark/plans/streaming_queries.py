@@ -1163,3 +1163,55 @@ def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipeline.run_stream_to_parquet(joined, result, output_mode="append")
     return spark.read.parquet(result).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_topn_per_window",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, cnt,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, event_type) AS rnk
+        FROM counts
+    )
+    SELECT window_start, event_type, cnt, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 2
+    """,
+    tags=("streaming", "topk", "rank-over-state", "equivalence"),
+)
+def stream_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per hour, served FROM STREAMING STATE: ranking
+    is not expressible inside a streaming aggregation (no windows over
+    update-mode state), so the correct composition is the one every
+    streaming leaderboard uses — the stream maintains the (window,
+    type) counts incrementally (complete mode), and the RANK runs at
+    read time over the compacted state, which is hour-x-type sized, not
+    event-sized.  The replay's final state must equal the batch counts,
+    and the read-side row_number is partitioned by window — the oracle
+    checks the whole composition."""
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_topn_window")
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            e.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.unix_seconds(F.col("w.start")).alias("window_start"), "event_type", "cnt"
+            )
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="complete")
+    state = spark.read.parquet(result)
+    w = Window.partitionBy("window_start").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        state.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "event_type", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )
