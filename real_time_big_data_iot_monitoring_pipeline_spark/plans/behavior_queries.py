@@ -1124,3 +1124,102 @@ def ingestion_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.col("trailing_median"), 1).alias("trailing_median"),
         (F.col("n_events") * 2 < F.col("trailing_median")).alias("is_short"),
     )
+
+
+@register(
+    "group_exemplars",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+                   AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST((SELECT count(*) FROM events e WHERE e.event_type = h.event_type)
+                AS BIGINT) AS n_events,
+           event_id AS exemplar_event_id,
+           CAST(rn AS INT) AS exemplar_rank,
+           ROUND(CAST(round(value * 100, 0) AS BIGINT) / 100.0 + 1e-8, 2) AS exemplar_value
+    FROM h WHERE rn <= 3
+    """,
+    tags=("data-quality", "exemplars", "deterministic-sample"),
+)
+def group_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXEMPLAR sampling: alongside each group's aggregate, keep 3
+    concrete example rows — the "show me an actual record" every data
+    debugging session starts with, chosen by a deterministic hash rank
+    (NOT head(3): file-order samples are whatever partition happened to
+    arrive first and change under repartitioning; the Knuth-hash rank
+    is uniform-ish AND reproducible, the same trick as
+    `corpus_sample_stratified`).  Plan: one group-partitioned
+    row_number (parallel across groups), the per-group count attached
+    from the same shuffle."""
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("event_id") * 2654435761) % 4294967296, F.col("event_id")
+    )
+    wc = Window.partitionBy("event_type")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("event_id").alias("exemplar_event_id"),
+            F.col("rn").cast("int").alias("exemplar_rank"),
+            round_det(as_cents(F.col("value")) / 100.0, 2).alias("exemplar_value"),
+        )
+    )
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="""
+    WITH combos AS (
+        SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY 1, 2
+    ),
+    lhs AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_rhs_values,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(max(n_rows) AS BIGINT) AS n_majority
+        FROM combos GROUP BY p_brand
+    )
+    SELECT p_brand, n_rhs_values, n_rows,
+           CAST(n_rows - n_majority AS BIGINT) AS n_violations,
+           ROUND((n_rows - n_majority) / CAST(n_rows AS DOUBLE) + 1e-8, 6)
+               AS violation_rate
+    FROM lhs WHERE n_rhs_values > 1
+    """,
+    tags=("data-quality", "functional-dependency", "profiling"),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate FUNCTIONAL-DEPENDENCY audit (profiler-style): does
+    p_brand determine p_type?  For every brand with more than one type,
+    report how many rows deviate from the brand's MAJORITY type — the
+    g3 violation measure FD-discovery tools (Tane/Metanome lineage)
+    report, which is exactly the "how dirty is this column pair" number
+    a cleanup backlog is prioritized by.  Plan: two grouped aggregates
+    over the (lhs, rhs) combo table — the second runs on
+    combo-cardinality rows, never the base table — and majority
+    extraction is a max over counts, no window."""
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_type")
+    combos = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    lhs = combos.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rhs_values"),
+        F.sum("n_rows").alias("n_rows"),
+        F.max("n_rows").alias("n_majority"),
+    )
+    return lhs.filter(F.col("n_rhs_values") > 1).select(
+        "p_brand",
+        F.col("n_rhs_values").cast("long").alias("n_rhs_values"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_majority")).cast("long").alias("n_violations"),
+        round_det(
+            (F.col("n_rows") - F.col("n_majority")) / F.col("n_rows").cast("double"), 6
+        ).alias("violation_rate"),
+    )

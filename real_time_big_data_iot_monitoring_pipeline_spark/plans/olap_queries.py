@@ -943,3 +943,54 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SETALL_SQL = """
+    WITH buyers AS (
+        SELECT o_custkey AS custkey FROM {orders} WHERE o_orderpriority = '1-URGENT'
+    ),
+    anybuyers AS (
+        SELECT o_custkey AS custkey FROM {orders}
+    ),
+    plain AS (
+        SELECT count(*) AS n FROM (
+            SELECT custkey FROM anybuyers EXCEPT SELECT custkey FROM buyers
+        )
+    ),
+    multi AS (
+        SELECT count(*) AS n FROM (
+            SELECT custkey FROM anybuyers EXCEPT ALL SELECT custkey FROM buyers
+        )
+    ),
+    inter AS (
+        SELECT count(*) AS n FROM (
+            SELECT custkey FROM anybuyers INTERSECT ALL SELECT custkey FROM buyers
+        )
+    )
+    SELECT CAST(plain.n AS BIGINT) AS n_except_distinct,
+           CAST(multi.n AS BIGINT) AS n_except_all,
+           CAST(inter.n AS BIGINT) AS n_intersect_all
+    FROM plain, multi, inter
+"""
+
+
+@register(
+    "set_ops_multiplicity",
+    oracle=_SETALL_SQL.format(orders="orders"),
+    tags=("olap", "set-ops", "bag-semantics", "sql-surface"),
+)
+def set_ops_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL, where
+    multiplicities subtract and min instead of collapsing: the customer
+    key multiset of ALL orders minus the multiset of urgent orders
+    counts each customer's NON-urgent order multiplicity (EXCEPT ALL),
+    while plain EXCEPT answers the totally different question "who
+    never ordered urgent".  All three counts land in one result so the
+    semantic gap is value-hash-pinned (`set_ops_users` covers the
+    DISTINCT variants; `null_aware_not_in` the NOT IN trap — this
+    completes the set-operation semantics family).  Runs through the
+    `spark.sql` entry path verbatim on both engines; Spark plans
+    EXCEPT ALL as an aggregate-and-replicate (count difference
+    generation), never a row-pairing join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_setall_orders")
+    return spark.sql(_SETALL_SQL.format(orders="v_setall_orders"))

@@ -1215,3 +1215,52 @@ def stream_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("window_start", "event_type", "cnt", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "stream_dedup_then_window",
+    oracle="""
+    WITH deduped AS (
+        SELECT DISTINCT ON (event_id) event_id, ts, event_type FROM events
+    )
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           count(*) AS cnt
+    FROM deduped GROUP BY 1, 2
+    """,
+    tags=("streaming", "multi-stateful", "dedup", "window", "equivalence"),
+)
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED STATEFUL OPERATORS in one streaming DAG — dedup
+    state feeding windowed-aggregate state: the staging duplicates 10%
+    of events (every 10th event appears twice, the at-least-once
+    delivery a real broker gives you), `dropDuplicates` absorbs the
+    replays, and the downstream tumbling count must equal the batch
+    DISTINCT aggregation.  Multi-stateful chaining is its own
+    capability corner (each operator keeps independent state; rows flow
+    dedup -> agg within every micro-batch), and the duplicate-bearing
+    replay makes the dedup operator's effect OBSERVABLE — without it
+    this query would be `stream_tumbling_window`.  Complete mode: final
+    state equals the batch twin, value-hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_dedup_then_window")
+    # PRIVATE staging: this replay's input carries planted duplicates,
+    # so it must never share the plain-events staging dir the other
+    # replays read (sharing it was caught poisoning stream_topn_per_
+    # window's counts in the combined suite run).
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            with_dups = e.unionByName(e.filter(F.col("event_id") % 10 == 0))
+            with_dups.repartition(8).write.mode("overwrite").parquet(staging)
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        deduped = stream.select("event_id", "ts", "event_type").dropDuplicates(["event_id"])
+        agg = (
+            deduped.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "event_type", F.unix_seconds(F.col("w.start")).alias("window_start"), "cnt"
+            )
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="complete")
+    return spark.read.parquet(result)
