@@ -1447,3 +1447,54 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_growth"),
         )
     )
+
+
+@register(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(sum(cents) / 100.0 + 1e-8, 2) AS total_spend,
+           ROUND((2.0 * sum(i * cents)) / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*) + 1e-8, 6) AS gini
+    FROM ranked
+    """,
+    tags=("analytics", "gini", "concentration", "prefix-rank"),
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer spend — the revenue-concentration
+    number ("do 20% of customers drive 80% of revenue?") in its exact
+    closed form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-rank-weighted values.  The rank comes from
+    `operators/windows.global_row_number` (range repartition +
+    broadcast offsets — no single-task sort), rank-weighted sums are
+    exact int64 (rank x cents stays far under 2^63 at any real
+    customer count x spend), and the two float divisions are
+    fixed-order.  Same family as `running_revenue_share`'s cumulative
+    view, but a single comparable scalar."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_row_number
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(as_cents(F.col("o_totalprice"))).alias("cents")
+    )
+    ranked = global_row_number(spend, ["cents", "o_custkey"], out="i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        round_det(F.sum("cents") / 100.0, 2).alias("total_spend"),
+        round_det(
+            (2.0 * F.sum(F.col("i") * F.col("cents")))
+            / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
