@@ -742,3 +742,46 @@ def cut_duplicate_spans(
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_cut_tokens"),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs — the asymmetric metric
+    Jaccard misses: containment = |A∩B| / min(|A|,|B|) is high whenever
+    the SMALLER document is mostly inside the larger one (excerpts,
+    quotes, partial reposts), even when the size gap crushes their
+    Jaccard toward zero.  Same candidate plan as `ngram_jaccard_pairs`
+    (equi-self-join on hashed shingles — a key shuffle), only the
+    verification formula changes; at 100 TB the MinHash banding path
+    bounds candidates the same way (containment has its own sketch —
+    the bottom-k/Broder variant — same banding idea)."""
+    sh = (
+        word_shingles(df, id_col, text_col, k)
+        .select(id_col, F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            round_det(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")).cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "containment")
+    )

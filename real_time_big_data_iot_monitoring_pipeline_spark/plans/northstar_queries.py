@@ -1881,3 +1881,42 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 10 == 0)
     wav = multimodal.synth_wav(ids, n_samples=8000, sample_rate=8000)
     return multimodal.wav_features(wav)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(inter / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) + 1e-8, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) + 1e-8, 6) >= 0.5
+    """,
+    tags=("northstar", "dedup", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT pairs (threshold 0.5) — catches the
+    excerpt/quote/partial-repost duplicates whose size asymmetry hides
+    them from Jaccard (`dedup_ngram_jaccard` at the same shingle grain):
+    containment normalizes the intersection by the SMALLER set.  Same
+    single key-shuffle candidate plan; only the verify formula differs."""
+    return dedup.ngram_containment_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)

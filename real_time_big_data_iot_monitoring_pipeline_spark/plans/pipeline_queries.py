@@ -1067,3 +1067,52 @@ def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.sum("nano") / 1000000000.0, 6).alias("kl_divergence"),
         )
     )
+
+
+@register(
+    "source_language_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM counts GROUP BY 1),
+    terms AS (
+        SELECT c.source, t.n_docs,
+               CAST(floor((n / CAST(t.n_docs AS DOUBLE))
+                          * ln(n / CAST(t.n_docs AS DOUBLE))
+                          * -1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM counts c JOIN tot t USING (source)
+    )
+    SELECT source,
+           any_value(n_docs) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           ROUND(sum(nano) / 1000000000.0 + 1e-8, 6) AS lang_entropy_nats
+    FROM terms GROUP BY source
+    """,
+    tags=("pipeline", "corpus-diversity", "entropy"),
+)
+def source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SHANNON ENTROPY of the language mix — the diversity
+    dial a corpus-mixture recipe monitors next to `corpus_kl_drift`'s
+    between-snapshot divergence: entropy near 0 means a source went
+    monolingual, entropy near ln(n_langs) means uniform coverage.
+    Same exactness discipline: per-(source, lang) probabilities derive
+    from exact integer counts, each -p*ln(p) term is nano-quantized, so
+    the per-source entropy is an order-independent integer sum over the
+    (bounded, sources x langs) cell table."""
+    d = _docs(spark, sf_dir).select("source", "lang")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    p = F.col("n") / F.col("n_docs").cast("double")
+    nano = F.floor(p * F.log(p) * -1000000000 + F.lit(0.5 + 1e-8)).cast("long")
+    return (
+        counts.join(tot, "source")
+        .select("source", "n_docs", nano.alias("nano"))
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            round_det(F.sum("nano") / 1000000000.0, 6).alias("lang_entropy_nats"),
+        )
+    )
