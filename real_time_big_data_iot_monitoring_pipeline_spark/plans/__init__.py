@@ -57,7 +57,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   ingestion_completeness_audit, group_exemplars,
 #   functional_dependency_audit, stream_dedup_then_window,
 #   set_ops_multiplicity, customer_spend_gini, dedup_ngram_containment,
-#   source_language_entropy.
+#   source_language_entropy, embedding_distance_histogram,
+#   funnel_latency_profile.
 #
 # STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
 # starts round 6, once the never-hashed backlog above clears):

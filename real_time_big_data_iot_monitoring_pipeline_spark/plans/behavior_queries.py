@@ -1223,3 +1223,56 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") - F.col("n_majority")) / F.col("n_rows").cast("double"), 6
         ).alias("violation_rate"),
     )
+
+
+@register(
+    "funnel_latency_profile",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) - any_value(s1.t1) AS delay_us
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY delay_us) / 60000000.0 + 1e-8, 4) AS p25_minutes,
+           ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY delay_us) / 60000000.0 + 1e-8, 4) AS p50_minutes,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY delay_us) / 60000000.0 + 1e-8, 4) AS p75_minutes,
+           ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY delay_us) / 60000000.0 + 1e-8, 4) AS p90_minutes
+    FROM conv
+    """,
+    tags=("behavior", "funnel", "latency", "percentiles"),
+)
+def funnel_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution — how long the view -> purchase
+    journey takes for users who complete it: the latency percentiles
+    product teams actually tune against (`funnel_conversion` gives the
+    rates; this gives the speed).  Delays are exact integer
+    microseconds (first purchase strictly after first view, same
+    staged-min semantics as the funnel), and the four interpolated
+    percentiles run over the CONVERTER-sized frame — one user-keyed
+    shuffle, then a bounded aggregate."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("tus").alias("t1")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg((F.min("tus") - F.first("t1")).alias("delay_us"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        round_det(F.expr("percentile(delay_us, 0.25)") / 60000000.0, 4).alias("p25_minutes"),
+        round_det(F.expr("percentile(delay_us, 0.50)") / 60000000.0, 4).alias("p50_minutes"),
+        round_det(F.expr("percentile(delay_us, 0.75)") / 60000000.0, 4).alias("p75_minutes"),
+        round_det(F.expr("percentile(delay_us, 0.90)") / 60000000.0, 4).alias("p90_minutes"),
+    )

@@ -709,3 +709,60 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("s4") / 10000.0, 4).alias("bm25"),
         )
     )
+
+
+@register(
+    "embedding_distance_histogram",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {similarity.qvec_sql('embedding')} AS qv,
+               (SELECT count(*) FROM embeddings) AS n
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id,
+               {similarity.cosine_q6_sql('a.qv', 'b.qv')} AS cos
+        FROM q a JOIN q b
+          ON b.vec_id = (a.vec_id * 2654435761) % a.n
+         AND b.vec_id <> a.vec_id
+    )
+    SELECT CAST(floor((cos + 1.0) * 10) AS INT) AS cos_band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    tags=("mlprep", "embedding", "geometry-diagnostic"),
+)
+def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space GEOMETRY diagnostic: the distribution of cosine
+    similarities between hash-paired vectors (each vector paired with
+    one deterministic pseudo-random partner — n pairs total, never
+    n^2), banded into 0.1-wide bins.  A healthy high-dimensional
+    embedding shows mass concentrated near 0 (random directions are
+    near-orthogonal); collapse toward +1 is the classic "embedding
+    degeneration" failure that silently ruins ANN recall — this is the
+    one-scan health check that catches it.  Pairing is a plain equi-join
+    on the Knuth-derived partner id (no sampling randomness to disagree
+    on), and the cosines run on the shared q6 integer quantization, so
+    both engines band identically."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n")))
+    q = emb.crossJoin(n).select("vec_id", "n", "embedding")
+    a = q.alias("a")
+    b = emb.select("vec_id", "embedding").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.vec_id") == (F.col("a.vec_id") * 2654435761) % F.col("a.n"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        similarity.cosine_q6_jvm(F.col("a.embedding"), F.col("b.embedding")).alias("cos")
+    )
+    # band counts only, at a coarse 0.1 grain: per-band min/max of the
+    # raw cosine was dropped after a measured last-ulp sqrt divergence
+    # between the engines landed one pair exactly on a 6-decimal
+    # rounding boundary — counts at 0.1-band boundaries carry no such
+    # knife edge
+    return pairs.groupBy(
+        F.floor((F.col("cos") + 1.0) * 10).cast("int").alias("cos_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
