@@ -388,3 +388,60 @@ def test_lindley_scan_empty_and_matches_loop(spark):
             want.append(s)
         got = _lindley_scan(s0, d)
         assert np.allclose(got, want)
+
+
+def test_global_kernels_empty_and_single_row(spark):
+    """The global-order kernels must survive an EMPTY frame (the
+    offsets fold aggregates over zero partitions -> empty-map row) and
+    a single row (one partition, prefix of nothing)."""
+    schema = "v long, id long, wt long"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(5, 1, 7)], schema)
+    assert windows.global_ntile(empty, ["v", "id"], 5, out="b").count() == 0
+    assert windows.global_row_number(empty, ["v", "id"], out="r").count() == 0
+    assert windows.global_running_sum(empty, ["v", "id"], "wt", out="c").count() == 0
+    assert windows.global_running_max(empty, ["v", "id"], "wt", out="m").count() == 0
+    r1 = windows.global_ntile(one, ["v", "id"], 5, out="b").collect()[0]
+    assert r1.b == 1
+    r2 = windows.global_running_sum(one, ["v", "id"], "wt", out="c").collect()[0]
+    assert r2.c == 7 and r2._grs_total == 7
+    r3 = windows.global_running_max(one, ["v", "id"], "wt", out="m", inclusive=False).collect()[0]
+    assert r3.m is None  # exclusive prefix of the first row is empty
+
+
+def test_wav_zero_length_signal():
+    """A WAV with zero frames must roundtrip (header-only payload)."""
+    import numpy as np
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import multimodal
+
+    b = multimodal.wav_encode(np.array([], dtype="<i2"), 8000)
+    sr, s = multimodal.wav_decode(b)
+    assert sr == 8000 and len(s) == 0
+
+
+def test_manifest_sink_all_empty_tasks(spark, tmp_path):
+    """A job whose every task produced zero rows still commits a valid
+    (empty) manifest — the all-or-nothing contract includes 'nothing'."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+    )
+
+    path = str(tmp_path / "empty_sink")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([])), None])
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["files"] == [] and m["n_rows"] == 0 and m["version"] == 1
+
+
+def test_hysteresis_empty_and_deadband_only():
+    """The alert machine over an empty value list and over values that
+    never leave the dead band must report zero transitions."""
+    from tests.test_stateful_layout import _python_hysteresis
+
+    assert _python_hysteresis([]) == (0, 0, False)
+    assert _python_hysteresis([50.0, 60.0, 99.0, 26.0]) == (0, 0, False)
