@@ -46,7 +46,7 @@ def main() -> None:
     spark = get_session(
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -95,5 +95,64 @@ def main() -> None:
     assert bad == 0
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) <= 2 or sys.argv[2] != "max"):
     main()
+
+
+def extra(n: int = 20_000_000) -> None:
+    """Follow-up measurements: the prefix-max kernel and the full
+    weighted-median pipeline at probe scale (invoked by running this
+    module with `max` as the second argument)."""
+    import os
+    import sys
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import (
+        global_running_max,
+        global_running_sum,
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.session import get_session
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (
+        spark.range(n)
+        .withColumn("v", F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+        .withColumn("wt", F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)) + 1)
+    )
+    df.write.format("noop").mode("overwrite").save()
+    print(f"rows: {n:,}")
+    # end-to-end weighted median FIRST: the naive single-task window
+    # below leaves the heap fragmented enough to destabilize later jobs
+    # (observed GCLocker thrash) — which is itself probe evidence
+    t0 = time.time()
+    pv = df.groupBy("v").agg(F.sum("wt").alias("wt"))
+    c = global_running_sum(pv, ["v"], "wt", out="cum")
+    med = c.filter(2 * F.col("cum") >= F.col("_grs_total")).agg(F.min("v")).collect()[0][0]
+    print(f"weighted median end-to-end: {time.time() - t0:7.2f}s (median v = {med})")
+    t_kernel = timed(
+        "global_running_max kernel (exclusive)",
+        global_running_max(df, ["v", "id"], "wt", out="m", inclusive=False),
+    )
+    t_naive = timed(
+        "naive Window.orderBy cummax",
+        df.select(
+            "id",
+            F.max("wt")
+            .over(Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("m"),
+        ),
+    )
+    print(f"  -> prefix-max speedup {t_naive / t_kernel:.1f}x")
+
+
+if __name__ == "__main__" and len(sys.argv) > 2 and sys.argv[2] == "max":
+    extra(int(sys.argv[1]))
