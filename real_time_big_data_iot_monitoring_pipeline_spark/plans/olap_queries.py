@@ -907,25 +907,33 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting tree (parent = custkey div 10, roots are keys < 10) and
     every node's revenue rolls up to its ROOT.  Spark has no recursive
     CTE; the scalable equivalent is POINTER DOUBLING on the ancestor
-    link — anc <- parent(anc) squares the climbed distance per round, so
-    a depth-d tree resolves in ceil(log2 d) self-joins (3 rounds covers
-    depth 8 >= this tree's 4; each round is one key-keyed equi-join on
-    the node table, lineage-truncated like `dedup.duplicate_components`).
-    The oracle walks the same links with a real recursive CTE, proving
-    the doubling loop reaches the identical fixpoint."""
+    link: starting from the ONE-STEP map anc_1(n) = parent(n), each
+    round composes the map with ITSELF — anc_{k+1}(n) = anc_k(anc_k(n))
+    — so the climbed distance doubles per round and a depth-d tree
+    resolves in ceil(log2 d) self-joins.  (Joining a static one-step
+    parent map k times would climb only k levels — linear, not
+    logarithmic — and silently strand deep nodes at a non-root
+    ancestor; pinned by the depth-6 regression test.)  Roots self-point,
+    so once a node's pointer reaches its root it is absorbed and extra
+    rounds are harmless.  3 doublings of the 1-step map reach 2^3 = 8
+    levels >= this tree's depth (4 at sf0.1, 5 at sf1); each round is
+    one key-keyed equi-join of the map against itself,
+    lineage-truncated like `dedup.duplicate_components`.  The oracle
+    walks the same links with a real recursive CTE, proving the
+    doubling loop reaches the identical fixpoint."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
-    anc = c.withColumn("anc", F.col("node"))
-    # parent map: every node's parent (roots point at themselves)
-    parent = c.select(
-        F.col("node").alias("p_node"),
-        F.when(F.col("node") < 10, F.col("node")).otherwise(
-            F.expr("node div 10")
-        ).alias("p_parent"),
+    # one-step ancestor map: anc_1(n) = parent(n); roots self-point
+    anc = c.select(
+        "node",
+        F.when(F.col("node") < 10, F.col("node"))
+        .otherwise(F.expr("node div 10"))
+        .alias("anc"),
     )
-    for _ in range(3):  # 2^3 = 8 levels >= max depth of this tree
+    for _ in range(3):  # reach doubles each round: 1 -> 2 -> 4 -> 8 levels
+        hop = anc.select(F.col("node").alias("m_node"), F.col("anc").alias("m_anc"))
         anc = (
-            anc.join(parent, anc.anc == parent.p_node)
-            .select("node", F.col("p_parent").alias("anc"))
+            anc.join(hop, anc.anc == hop.m_node)
+            .select("node", F.col("m_anc").alias("anc"))
             .localCheckpoint(eager=False)
         )
     rev = (

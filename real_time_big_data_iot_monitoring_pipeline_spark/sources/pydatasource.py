@@ -67,6 +67,10 @@ def gen_rows(start: int, end: int, n_sensors: int, only_sensor: int | None = Non
     filter costs O(rows/n_sensors), not O(rows)."""
     if only_sensor is None:
         idx = range(start, end)
+    elif not 0 <= only_sensor < n_sensors:
+        # no reading has this sensor_id; a modular stride would silently
+        # return the congruent sensor's rows instead of the empty set
+        return
     else:
         first = start + ((only_sensor - start) % n_sensors)
         idx = range(first, end, n_sensors)
@@ -88,10 +92,15 @@ class SensorBatchReader(DataSourceReader):
                 isinstance(f, EqualTo)
                 and f.attribute == ("sensor_id",)
                 and self.only_sensor is None
+                and isinstance(f.value, int)
+                and 0 <= f.value < self.n_sensors
             ):
                 self.only_sensor = int(f.value)  # consumed: applied at generation
             else:
-                yield f  # unsupported -> Spark keeps it in the plan
+                # unsupported — or an out-of-domain value, where the
+                # generation-time stride would return the congruent
+                # sensor's rows; Spark keeps the predicate in the plan
+                yield f
 
     def partitions(self):
         step = max(1, self.n_rows // self.n_parts)
@@ -244,13 +253,21 @@ class ManifestParquetWriter(DataSourceWriter):
                     os.path.join(self.path, visible),
                 )
                 files.append(visible)
+        # Version numbering ALWAYS continues from the head manifest —
+        # overwrite only resets the cumulative file list/row count, never
+        # the version counter.  (Resetting to v1 would os.replace the
+        # immutable _manifest-v1.json, breaking the snapshot contract:
+        # older versioned manifests must stay readable forever, and an
+        # overwrite's prior part files remain on disk precisely so
+        # time-travel reads of pre-overwrite versions keep working.)
         prev_files, prev_rows, prev_version = [], 0, 0
         head = os.path.join(self.path, "manifest.json")
-        if not self.overwrite and os.path.exists(head):
+        if os.path.exists(head):
             with open(head) as f:
                 prev = _json.load(f)
-            prev_files, prev_rows = prev["files"], prev["n_rows"]
             prev_version = prev.get("version", 0)
+            if not self.overwrite:
+                prev_files, prev_rows = prev["files"], prev["n_rows"]
         manifest = {
             "version": prev_version + 1,
             "files": sorted(prev_files + files),

@@ -379,16 +379,23 @@ def hysteresis_update(
     below `lo` while in alert; values in the dead band (lo..hi) change
     nothing, so a reading oscillating around one threshold cannot spam
     alerts (the reason real monitoring uses two thresholds).  State per
-    key is O(1): (carried regime, n_seen, n_fired, n_cleared).  Rows
-    are folded in (ts, event_id) order within each batch, and the
-    replay stages event-time-ordered slices, so the state walk equals
-    the batch-ordered walk the SQL oracle performs."""
+    key is O(1): (carried regime, n_seen, n_fired, n_cleared).  The
+    key's rows arrive as an ITERATOR of Arrow chunks with no ordering
+    guarantee ACROSS chunks, and this machine is order-dependent — so
+    all chunks are concatenated and sorted ONCE on (ts, event_id)
+    before the fold (sorting each chunk independently would corrupt
+    n_fired/n_cleared whenever one key's micro-batch rows span multiple
+    Arrow record batches, e.g. groups larger than
+    spark.sql.execution.arrow.maxRecordsPerBatch).  The transient
+    buffer is one key's share of ONE micro-batch — bounded by trigger
+    sizing, not by stream lifetime; persisted state stays O(1)."""
     if state.exists:
         carried, n_seen, n_fired, n_cleared = state.get
     else:
         carried, n_seen, n_fired, n_cleared = 0, 0, 0, 0
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for v in pdf["value"]:
             if v > hi:
                 if carried != 1:

@@ -1,0 +1,188 @@
+"""Round-6 regression tests.
+
+Pins the advice-driven fixes:
+  * hierarchy_subtree_rollup — TRUE pointer doubling must resolve nodes
+    deeper than the number of join rounds (the old static-parent-map
+    plan climbed only 3 levels, stranding custkeys >= 10000 at a
+    non-root ancestor at sf0.1);
+  * SensorFleetDataSource pushFilters — out-of-domain EqualTo values
+    must yield zero rows, not a stride over the wrong sensor;
+  * hysteresis_update — multi-chunk groups must fold in (ts, event_id)
+    order;
+  * ManifestParquetWriter overwrite — version numbering continues and
+    no committed manifest is clobbered.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.compare import assert_frames_match
+
+
+def test_hierarchy_rollup_depth4_pointer_doubling(spark, tmp_path):
+    """Dense custkeys 1..15000 (depth 4: 14999 -> 1499 -> 149 -> 14 -> 1).
+    A static one-step parent map joined 3 times climbs only 3 levels and
+    strands 14999 at ancestor 14; true doubling (reach 2^3 = 8) must
+    agree with the recursive-CTE oracle cell-for-cell."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    n = 15_000
+    cust = spark.range(1, n + 1).select(F.col("id").alias("c_custkey"))
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = (
+        spark.range(1, n + 1, 7)
+        .select(
+            F.col("id").alias("o_custkey"),
+            (F.col("id") * 0.01).alias("o_totalprice"),
+        )
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    q = REGISTRY["hierarchy_subtree_rollup"]
+    got = q.build(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    want = con.execute(q.oracle).fetch_df()
+    con.close()
+
+    # every root must be < 10 — the precise failure mode of the linear
+    # climb was roots like 14 leaking through
+    assert (got["root"] < 10).all(), f"non-root ancestors: {sorted(got['root'])}"
+    assert_frames_match(got, want, "hierarchy_subtree_rollup@depth4")
+
+
+def test_pyds_pushdown_out_of_domain_sensor_yields_empty():
+    """EqualTo('sensor_id', k) with k outside [0, n_sensors) must NOT be
+    consumed (the modular stride would return the congruent sensor's
+    rows); Spark keeps the predicate and the result is empty.  The
+    generator guard is belt-and-braces: an out-of-range only_sensor
+    yields nothing."""
+    from pyspark.sql.datasource import EqualTo
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        SensorBatchReader,
+        gen_rows,
+    )
+
+    for bad in (10, -1, 999):
+        r = SensorBatchReader({"n_rows": "1000", "n_sensors": "10"})
+        leftover = list(r.pushFilters([EqualTo(("sensor_id",), bad)]))
+        assert r.only_sensor is None, f"consumed out-of-domain value {bad}"
+        assert len(leftover) == 1 and isinstance(leftover[0], EqualTo)
+        assert list(gen_rows(0, 500, 10, only_sensor=bad)) == []
+
+    # in-domain value still consumed and strided
+    r = SensorBatchReader({"n_rows": "1000", "n_sensors": "10"})
+    assert list(r.pushFilters([EqualTo(("sensor_id",), 9)])) == []
+    assert r.only_sensor == 9
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving applyInPandasWithState
+    update functions directly in unit tests."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists, self._v = True, v
+
+
+def test_hysteresis_multi_chunk_group_folds_in_global_order():
+    """A key whose micro-batch rows span several Arrow chunks — with
+    chunk boundaries cutting ACROSS event-time order — must fold
+    identically to the single-sorted walk.  Per-chunk sorting (the old
+    code) fires/clears on the chunk-local zigzag and gets n_fired=3."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming.stateful import hysteresis_update
+
+    # global (ts-sorted) value walk: 150 -> 10 -> 160 -> 20 => fired 2, cleared 2
+    rows = [
+        (1, 1, 150.0),  # fire
+        (2, 2, 10.0),  # clear
+        (3, 3, 160.0),  # fire
+        (4, 4, 20.0),  # clear
+    ]
+    # deal rows into chunks so each chunk is internally ts-sorted but the
+    # concatenation is interleaved: chunk A = ts 1,4 ; chunk B = ts 2,3.
+    # Per-chunk folding walks 150,20,10,160 => fired 2 cleared 1 in_alert True.
+    chunk_a = pd.DataFrame(
+        [rows[0], rows[3]], columns=["ts", "event_id", "value"]
+    )
+    chunk_b = pd.DataFrame(
+        [rows[1], rows[2]], columns=["ts", "event_id", "value"]
+    )
+    state = _FakeGroupState()
+    (out,) = hysteresis_update((7,), iter([chunk_a, chunk_b]), state)
+    assert out["n_seen"].iloc[0] == 4
+    assert out["n_fired"].iloc[0] == 2
+    assert out["n_cleared"].iloc[0] == 2
+    assert not out["in_alert"].iloc[0]
+
+    # state carries across calls: second micro-batch continues the walk
+    (out2,) = hysteresis_update(
+        (7,),
+        iter([pd.DataFrame([(5, 5, 200.0)], columns=["ts", "event_id", "value"])]),
+        state,
+    )
+    assert out2["n_fired"].iloc[0] == 3 and out2["in_alert"].iloc[0]
+
+    # all-empty chunks: counters unchanged, state still written
+    s2 = _FakeGroupState()
+    (out3,) = hysteresis_update((8,), iter([pd.DataFrame(columns=["ts", "event_id", "value"])]), s2)
+    assert out3["n_seen"].iloc[0] == 0 and s2.exists
+
+
+def test_manifest_sink_overwrite_preserves_snapshot_history(spark, tmp_path):
+    """Overwrite resets the cumulative file list but CONTINUES version
+    numbering: earlier _manifest-v{k}.json files stay byte-immutable and
+    time-travel reads of pre-overwrite versions keep working (the old
+    code reset to v1 and os.replace'd the committed v1 manifest)."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "ow")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(a=1), Row(a=2)]))])
+    w.commit([w.write(iter([Row(a=3)]))])
+    with open(os.path.join(path, "_manifest-v1.json")) as f:
+        v1_before = json.load(f)
+
+    ow = ManifestParquetWriter({"path": path}, overwrite=True)
+    ow.commit([ow.write(iter([Row(a=99)]))])
+
+    head, mh = read_manifest(spark, path)
+    assert mh["version"] == 3, "overwrite must continue version numbering"
+    assert mh["n_rows"] == 1 and head.count() == 1
+    assert [r.a for r in head.collect()] == [99]
+
+    # pre-overwrite snapshots: manifests untouched, data still readable
+    with open(os.path.join(path, "_manifest-v1.json")) as f:
+        assert json.load(f) == v1_before
+    v1, m1 = read_manifest(spark, path, version=1)
+    v2, m2 = read_manifest(spark, path, version=2)
+    assert (m1["version"], v1.count()) == (1, 2)
+    assert (m2["version"], v2.count()) == (2, 3)
+    # overwrite snapshot shares no files with the pre-overwrite table
+    assert not set(mh["files"]) & set(m2["files"])
