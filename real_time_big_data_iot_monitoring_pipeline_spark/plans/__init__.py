@@ -23,61 +23,47 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # `queries()` iteration order.  The window below makes that ordering
 # EXPLICIT instead of an import-order side effect.
 #
-# ROUND-6 ROTATION (drafted 2026-08-14, round 5).  CORRECTNESS_r04.json
-# came back 50/50 green, so driver-hash history now stands at
-# r1∪r2∪r3∪r4 = 148 distinct queries.  Exactly 50 oracle-bearing
-# queries have never had a driver row — the round-4 registrations
-# listed in the previous revision of this comment.  This window:
+# ROUND-6 ROTATION (drafted 2026-08-14, round 6).  CORRECTNESS_r05.json
+# came back 50/50 green, so driver-hash history stands at
+# r1∪r2∪r3∪r4∪r5 = 197 distinct queries.  Exactly 46 oracle-bearing
+# queries have never had a driver row — the round-5 registrations plus
+# the deliberately deferred `domain_cap_sample`.  This window:
 #   * `flagship_window_agg` stays pinned as the every-round sentinel
-#     (driver-green r1 + r2 + r3 + r4);
-#   * the 49 remaining slots take ALL never-hashed oracle-bearing
-#     queries except `domain_cap_sample` (deferred by choice — its
-#     det_hash rank kernel is `corpus_sample_stratified`, green r3),
-#     which is FIRST IN LINE for round 6.
-# After this window lands green, every oracle-bearing catalog query
-# registered BEFORE round 5 has had at least one driver-side hash.
-# Round-5 registrations awaiting their first driver row (next in line
-# after domain_cap_sample; all locally oracle-green via
-# tools/driver_sim.py explicit-name runs at sf0.01):
-#   nation_product_profit, brand_value_concentration,
-#   dominant_part_suppliers, bm25_search_topk, weighted_median_price,
-#   chi2_type_value, stream_scd2_apply, scd2_asof_lookup,
-#   grouped_weighted_median, pareto_frontier_customers,
-#   order_total_reconciliation, stream_hysteresis_alerts,
-#   part_supplier_variety, twap_per_user, ohlc_hourly_bars,
-#   region_nation_revenue_share, audio_wav_features,
-#   pyds_sensor_fleet_summary, pyds_pushdown_single_sensor,
-#   pyds_stream_counts, pyds_sink_roundtrip,
-#   exact_quantiles_distributed, stream_outer_interval_join,
-#   props_variant_stats, pyds_sink_time_travel,
-#   hierarchy_subtree_rollup, corpus_kl_drift, poisson_bootstrap_ci,
-#   ab_conversion_ztest, kaplan_meier_repurchase, copurchase_triangles,
-#   bitemporal_asof_belief, yoy_revenue_growth,
-#   entity_match_sorted_neighborhood, stream_topn_per_window,
-#   ingestion_completeness_audit, group_exemplars,
-#   functional_dependency_audit, stream_dedup_then_window,
-#   set_ops_multiplicity, customer_spend_gini, dedup_ngram_containment,
-#   source_language_entropy, embedding_distance_histogram,
-#   funnel_latency_profile.
+#     (driver-green r1..r5);
+#   * 46 slots take EVERY never-hashed oracle-bearing query — after
+#     this window lands green the never-hashed backlog is ZERO for the
+#     first time since round 2;
+#   * the STALENESS-REFRESH POLICY below starts executing: the 3 spare
+#     slots re-hash the 3 OLDEST driver rows (`filter_time_range`,
+#     `global_kpis`, `describe_stats` — last hashed round 2, age 4).
 #
-# STALENESS-REFRESH POLICY (dated 2026-08-14, per the round-4 verdict;
-# starts round 6, once the never-hashed backlog above clears):
+# STALENESS-REFRESH POLICY (dated 2026-08-14; in force from this round):
 #   * each round's window = the pinned sentinel + any never-hashed
 #     oracle-bearing registrations + spare slots filled with the
 #     queries whose last driver hash is OLDEST, oldest first;
 #   * target invariant: no query's most recent driver row is ever more
 #     than 3 rounds old.
-# Round-6 draft under that policy: flagship (pinned) + domain_cap_sample
-# (never hashed) + 48 slots re-hashing the round-2 window — the oldest
-# driver signal in the catalog (filter_time_range, global_kpis,
-# describe_stats, iqr_anomaly, regression_per_group, geo_status_map,
-# scan_recent_topn, group_type_stats, corr_matrix, histogram_value,
-# events_per_day, severity_rollup, alerts_threshold, status_colors,
-# clean_labels, distinct_types_sorted, ingestion_rate_window,
-# ma_diff_trend, rolling_avg_20, topn_per_group, last_value_per_group,
-# elapsed_seconds_feature, regression_quality_gate, json_props_stats,
-# stream_tumbling_window, session_window_agg, ... then round-3 rows by
-# age until the 50 slots fill).
+# ROUND-7 DRAFT under that policy (assuming this window lands green and
+# round 6 registers ~N new oracle-bearing queries, which take slots
+# first): flagship (pinned) + new round-6 registrations + the remaining
+# 46 round-2-era rows, oldest cohort first (age 5 by round 7):
+#   iqr_anomaly, regression_per_group, geo_status_map, scan_recent_topn,
+#   group_type_stats, corr_matrix, histogram_value, events_per_day,
+#   severity_rollup, alerts_threshold, status_colors, clean_labels,
+#   distinct_types_sorted, ingestion_rate_window, ma_diff_trend,
+#   rolling_avg_20, topn_per_group, last_value_per_group,
+#   elapsed_seconds_feature, regression_quality_gate, json_props_stats,
+#   stream_tumbling_window, session_window_agg, sliding_window_agg,
+#   sessionize_events, pivot_type_by_day, rollup_type_user,
+#   resample_gap_fill, filter_equality, curation_pipeline,
+#   tfidf_top_terms, approx_distinct_users, dedup_components,
+#   dedup_minhash_lsh, dedup_minhash_portable, dedup_ngram_jaccard,
+#   dedup_simhash, dedup_simhash_portable, embedding_cosine_neardups,
+#   embedding_cosine_topk, embedding_ivf_kmeans_topk,
+#   embedding_ivf_topk, embedding_kmeans_clusters, embedding_lsh_topk,
+#   embedding_norm_stats, multimodal_decode.
+# Whatever round-2 rows overflow round 7's window lead round 8's,
+# followed by the round-3 cohort (49 queries, age 5 by round 8).
 #
 # Every query in the catalog — windowed or not — is exercised each
 # round by the full-catalog local oracle-parity and
@@ -85,58 +71,59 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # window" only ever means "no fresh driver-side hash this round", never
 # "untested".
 DRIVER_WINDOW: tuple[str, ...] = (
-    # pinned sentinel (driver-green r1 + r2 + r3 + r4)
+    # pinned sentinel (driver-green r1..r5)
     "flagship_window_agg",
-    # first driver rows: never hashed by any driver run (49)
-    "entity_match_candidates",
-    "snapshot_cdc_diff",
-    "bloom_prune_semijoin",
-    "embedding_linear_probe",
-    "embedding_pq_topk",
-    "stream_dedup_bounded",
-    "text_gopher_census",
-    "seasonal_anomaly_census",
-    "distinct_users_lpc_sketch",
-    "open_orders_backlog",
-    "ship_delay_profile",
-    "feature_standardize",
-    "supplier_nation_share",
-    "events_debounce",
-    "dedup_exact_substring",
-    "bpe_pair_counts",
-    "vocab_oov_rate",
-    "asof_join_nearest",
-    "stream_late_data_audit",
-    "pagerank_trade_graph",
-    "stream_update_upsert",
-    "multimodal_phash_neardups",
-    "dedup_cut_spans",
-    "holt_forecast_per_user",
-    "interval_overlap_join",
-    "brand_basket_affinity",
-    "embedding_label_centroids",
-    "tfidf_similar_pairs",
-    "customer_rfm_segments",
-    "benford_digit_audit",
-    "event_sequence_pattern",
-    "jsonl_ingest_audit",
-    "multi_grain_rollup",
-    "embedding_ivf_append_search",
-    "corpus_weighted_sample",
-    "lang_id_confusion_matrix",
-    "embedding_ann_recall",
-    "stream_dim_refresh_join",
-    "dedup_components_incremental",
-    "dedup_survivorship",
-    "bpe_train_merges",
-    "bpe_apply_tokenize",
-    "stream_available_now_catchup",
-    "null_aware_not_in",
-    "stream_stateful_extremes",
-    "event_markov_transitions",
-    "text_zipf_fit",
-    "embedding_covariance_matrix",
-    "anova_value_by_type",
+    # first driver rows: never hashed by any driver run (46)
+    "stream_scd2_apply",
+    "stream_hysteresis_alerts",
+    "stream_outer_interval_join",
+    "stream_topn_per_window",
+    "stream_dedup_then_window",
+    "audio_wav_features",
+    "dedup_ngram_containment",
+    "corpus_kl_drift",
+    "source_language_entropy",
+    "props_variant_stats",
+    "nation_product_profit",
+    "brand_value_concentration",
+    "dominant_part_suppliers",
+    "part_supplier_variety",
+    "region_nation_revenue_share",
+    "hierarchy_subtree_rollup",
+    "set_ops_multiplicity",
+    "weighted_median_price",
+    "chi2_type_value",
+    "grouped_weighted_median",
+    "pareto_frontier_customers",
+    "twap_per_user",
+    "ohlc_hourly_bars",
+    "exact_quantiles_distributed",
+    "poisson_bootstrap_ci",
+    "ab_conversion_ztest",
+    "kaplan_meier_repurchase",
+    "yoy_revenue_growth",
+    "customer_spend_gini",
+    "bm25_search_topk",
+    "embedding_distance_histogram",
+    "scd2_asof_lookup",
+    "bitemporal_asof_belief",
+    "domain_cap_sample",
+    "order_total_reconciliation",
+    "copurchase_triangles",
+    "ingestion_completeness_audit",
+    "group_exemplars",
+    "functional_dependency_audit",
+    "funnel_latency_profile",
+    "entity_match_sorted_neighborhood",
+    "pyds_sensor_fleet_summary",
+    "pyds_pushdown_single_sensor",
+    "pyds_stream_counts",
+    "pyds_sink_roundtrip",
+    "pyds_sink_time_travel",
+    # staleness refresh: oldest driver rows (round 2, age 4)
+    "filter_time_range",
+    "global_kpis",
+    "describe_stats",
 )
 
 

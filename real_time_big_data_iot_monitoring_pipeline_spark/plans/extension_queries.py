@@ -600,3 +600,111 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("k_max"),
         )
     )
+
+
+@register(
+    "props_variant_shredded",
+    oracle="""
+    WITH j AS (
+        SELECT event_type,
+               CASE
+                 WHEN event_id % 3 = 0 THEN
+                   '{"meta":{"tag":"' || event_type || '","v":'
+                     || CAST(user_id % 100 AS VARCHAR) || '},"k":'
+                     || CAST(user_id % 10 AS VARCHAR) || '}'
+                 WHEN event_id % 3 = 1 THEN
+                   '{"arr":[' || CAST(user_id AS VARCHAR) || ','
+                     || CAST(user_id % 7 AS VARCHAR) || ']}'
+                 ELSE '{"k":' || CAST(user_id % 10 AS VARCHAR) || '}'
+               END AS payload
+        FROM events
+    ),
+    x AS (
+        SELECT event_type,
+               json_extract_string(payload, '$.meta.tag') AS tag,
+               CAST(json_extract(payload, '$.meta.v') AS BIGINT) AS v,
+               json_extract_string(payload, '$.meta.v') AS v_str,
+               CAST(json_extract(payload, '$.arr[0]') AS BIGINT) AS arr0,
+               CAST(json_extract(payload, '$.k') AS BIGINT) AS k
+        FROM j
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(tag) AS BIGINT) AS n_meta,
+           CAST(count(CASE WHEN tag = event_type THEN 1 END) AS BIGINT) AS n_tag_match,
+           CAST(sum(v) AS BIGINT) AS v_total,
+           CAST(sum(length(v_str)) AS BIGINT) AS v_strlen_total,
+           CAST(sum(arr0) AS BIGINT) AS arr0_total,
+           CAST(count(*) - count(k) AS BIGINT) AS n_k_missing
+    FROM x GROUP BY event_type
+    """,
+    tags=("semi-structured", "variant", "nested-path", "type-coercion", "spark4-surface"),
+)
+def props_variant_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT depth — nested paths, array indexing, type COERCION and
+    schema DRIFT over one variant column (`props_variant_stats` covers
+    the flat single-field get).  The payload is built in-query as a
+    deterministic three-way drifting schema (the fixture's props are
+    uniformly flat `{"k": int}`, so the drift a real telemetry feed
+    carries is synthesized identically on both engines): a third of the
+    rows nest `{"meta": {"tag", "v"}, "k"}`, a third carry only an
+    array `{"arr": [..]}`, a third only flat `{"k"}`.  One `parse_json`
+    per row, then SHREDDED gets: `$.meta.tag` as string, `$.meta.v`
+    twice — once as long, once COERCED to string (variant cast rules:
+    number -> its decimal rendering) — `$.arr[0]` by array index, and
+    `$.k` whose two-thirds missingness lands in `n_k_missing` —
+    `try_variant_get` null-on-absent semantics, the drift-tolerant
+    contract (a strict `variant_get` would throw; ref anchor:
+    spark_streaming.py:136-139 enforces one rigid schema and drops
+    everything else to dead-letter — variant keeps the payload
+    queryable).  At 100 TB the single binary parse amortizes across
+    all five gets, the reason VARIANT exists; aggregation stays on
+    typed integers."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    m = F.col("event_id") % 3
+    num = lambda c: c.cast("string")  # noqa: E731
+    payload = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"meta":{"tag":"'),
+                F.col("event_type"),
+                F.lit('","v":'),
+                num(F.col("user_id") % 100),
+                F.lit('},"k":'),
+                num(F.col("user_id") % 10),
+                F.lit("}"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('{"arr":['),
+                num(F.col("user_id")),
+                F.lit(","),
+                num(F.col("user_id") % 7),
+                F.lit("]}"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('{"k":'), num(F.col("user_id") % 10), F.lit("}"))
+        )
+    )
+    v = F.parse_json(payload)
+    x = e.select(
+        "event_type",
+        F.try_variant_get(v, "$.meta.tag", "string").alias("tag"),
+        F.try_variant_get(v, "$.meta.v", "long").alias("v"),
+        F.try_variant_get(v, "$.meta.v", "string").alias("v_str"),
+        F.try_variant_get(v, "$.arr[0]", "long").alias("arr0"),
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("tag").cast("long").alias("n_meta"),
+        F.count(F.when(F.col("tag") == F.col("event_type"), 1)).cast("long").alias("n_tag_match"),
+        F.sum("v").cast("long").alias("v_total"),
+        F.sum(F.length("v_str")).cast("long").alias("v_strlen_total"),
+        F.sum("arr0").cast("long").alias("arr0_total"),
+        (F.count(F.lit(1)) - F.count("k")).cast("long").alias("n_k_missing"),
+    )

@@ -766,3 +766,168 @@ def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor((F.col("cos") + 1.0) * 10).cast("int").alias("cos_band")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+# --- batched BPE trainer (round-6: the probe-validated scale path as a
+# --- correctness-checked catalog query) -----------------------------------
+
+_BPEB_USED = "({s}.a, {s}.b, {s}.a || {s}.b)"
+
+
+def _bpeb_slot(i: int, k: int) -> str:
+    """Slot-k greedy selection CTE for batch round i: the minimum-rank
+    candidate whose symbols are disjoint from every earlier slot's
+    {a, b, a||b}; a chr(1) sentinel row (rank 10^6) guarantees exactly
+    one row even when no disjoint candidate remains, and sentinel
+    replaces are no-ops downstream."""
+    prior = [f"s{i}_{j}" for j in range(1, k)]
+    from_clause = f"c{i} c" + "".join(f", s{i}_{j} s{i}_{j}" for j in range(1, k))
+    conds = " AND ".join(
+        f"c.a NOT IN {_BPEB_USED.format(s=s)} AND c.b NOT IN {_BPEB_USED.format(s=s)}"
+        for s in prior
+    )
+    where = f"WHERE {conds}" if conds else ""
+    return f"""
+    s{i}_{k} AS (
+        SELECT a, b, cnt FROM (
+            SELECT c.a, c.b, c.cnt, c.rnk FROM {from_clause} {where}
+            UNION ALL SELECT chr(1), chr(1), CAST(0 AS BIGINT), 1000000
+            ORDER BY rnk LIMIT 1
+        )
+    )"""
+
+
+def _bpeb_round(i: int) -> str:
+    p = i - 1
+    rep = "enc"
+    for k in range(1, 5):
+        s = f"s{i}_{k}"
+        rep = (
+            f"replace({rep}, ',' || {s}.a || ',' || {s}.b || ',',"
+            f" ',' || {s}.a || {s}.b || ',')"
+        )
+    slots = ",".join(_bpeb_slot(i, k) for k in range(1, 5))
+    return f"""
+    p{i} AS (
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT arr[i] AS a, arr[i + 1] AS b, freq FROM (
+                SELECT list_filter(string_split(enc, ','), x -> x <> '') AS arr, freq
+                FROM w{p}
+            ), unnest(generate_series(1, len(arr) - 1)) AS g(i)
+        ) GROUP BY a, b
+    ),
+    c{i} AS (
+        SELECT * FROM (
+            SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+            FROM p{i}
+        ) WHERE rnk <= 16
+    ),{slots},
+    w{i} AS (
+        SELECT {rep} AS enc, freq
+        FROM w{p}, s{i}_1, s{i}_2, s{i}_3, s{i}_4
+    )"""
+
+
+_BPEB_ORACLE = (
+    """
+    WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+        ) GROUP BY 1
+    ),
+    w0 AS (
+        SELECT ',' || array_to_string(string_split(word, ''), ',') || ',' AS enc, freq
+        FROM words
+    ),"""
+    + ",".join(_bpeb_round(i) for i in (1, 2))
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS round, CAST({k} AS INT) AS slot, "
+        f"a AS sym_a, b AS sym_b, cnt AS pair_count FROM s{i}_{k} WHERE a <> chr(1)"
+        for i in (1, 2)
+        for k in range(1, 5)
+    )
+    + """
+    )
+    """
+)
+
+
+@register(
+    "bpe_train_merges_batched",
+    oracle=_BPEB_ORACLE,
+    tags=("mlprep", "text", "tokenizer", "bpe", "iterative", "batched"),
+)
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED BPE trainer — the measured scale path (PERF.md round-5
+    probe: K=4 keeps 21/24 canonical merges at 4x fewer Spark rounds)
+    promoted from `tools/` to a correctness-checked catalog query.  A
+    production 32k vocabulary means 32k merge rounds, and
+    `bpe_train_merges` is deliberately one job per merge; the known
+    mitigation is batching: per round take the top-16 pairs, greedily
+    keep (in rank order) up to K=4 whose symbols are pairwise DISJOINT
+    — if two merges share no symbol in {a, b, ab}, their `,a,b,`
+    windows can never overlap, so applying the batch as chained
+    replaces in ONE job is order-independent and byte-identical to
+    applying them one at a time — and re-count only between batches.
+    Candidate pull is bounded (16 rows/round to the driver, the k-means
+    centroid contract).  The oracle replays the identical greedy
+    selection as rank-cascaded CTEs (slot k = min-rank candidate
+    disjoint from slots < k, with a chr(1) sentinel for exhausted
+    rounds) and the identical chained-replace pass, so the batch
+    semantics themselves are value-hash-pinned, not probe-only.
+    2 rounds x K=4 here; rounds scale as vocab/K."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc0 = F.concat(F.lit(","), F.array_join(F.split("word", ""), ","), F.lit(","))
+    w = words.select(enc0.alias("enc"), "freq").localCheckpoint(eager=True)
+    out = []
+    for rnd in (1, 2):
+        arr = F.filter(F.split("enc", ","), lambda x: x != F.lit(""))
+        pairs = (
+            w.select(arr.alias("arr"), "freq")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("arr") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("arr"), i).alias("a"),
+                            F.element_at(F.col("arr"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        cand = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(16).collect()
+        used: set = set()
+        batch = []
+        for row in cand:
+            if len(batch) >= 4:
+                break
+            if row.a in used or row.b in used:
+                continue
+            used.update((row.a, row.b, row.a + row.b))
+            batch.append(row)
+        enc_col = F.col("enc")
+        for slot, row in enumerate(batch, 1):
+            out.append((rnd, slot, row.a, row.b, int(row.cnt)))
+            enc_col = F.replace(
+                enc_col, F.lit(f",{row.a},{row.b},"), F.lit(f",{row.a}{row.b},")
+            )
+        w = w.select(enc_col.alias("enc"), "freq").localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round int, slot int, sym_a string, sym_b string, pair_count long"
+    )

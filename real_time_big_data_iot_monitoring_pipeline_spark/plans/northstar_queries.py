@@ -1920,3 +1920,53 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment normalizes the intersection by the SMALLER set.  Same
     single key-shuffle candidate plan; only the verify formula differs."""
     return dedup.ngram_containment_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+@register(
+    "image_png_pipeline",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+        SELECT doc_id, unnest(generate_series(0, 7)) AS r FROM ids
+    ),
+    px AS (
+        SELECT doc_id,
+               (doc_id * 7 + (r * 4) * 13 + (c.c * 4) * 5) % 256 AS p
+        FROM g, (SELECT unnest(generate_series(0, 7)) AS c) c
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           ROUND(sum(p) / CAST(count(*) AS DOUBLE) + 1e-8, 4) AS mean_luma,
+           CAST(count(*) FILTER (WHERE p >= 128) AS BIGINT) AS n_bright,
+           CAST(min(p) AS BIGINT) AS luma_min,
+           CAST(max(p) AS BIGINT) AS luma_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("northstar", "multimodal", "image", "real-codec", "resize"),
+)
+def image_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image path's REAL codec pipeline — stub retired (round-5
+    verdict item 10: zlib is stdlib, so PNG is hostable the same way
+    WAV was): every 10th document gets a genuine 32x32 8-bit grayscale
+    PNG (spec-compliant writer in `multimodal.png_encode`: CRC32-stamped
+    IHDR/IDAT/IEND, per-row filter cycling through all five PNG filter
+    types), which is then DECODED (signature check, chunk walk with CRC
+    verification, zlib inflate, full scanline un-filtering including
+    Average and Paeth), RESIZED 32->8 by nearest-neighbor index
+    striding, RE-ENCODED, and decoded again for integer-exact luma
+    features.  The synthesis image is deterministic integer math, so
+    the DuckDB oracle regenerates the RESIZED pixel grid directly
+    (source index r*4, c*4) and must match the double
+    encode->decode->resize round trip value-for-value — a wrong filter
+    reconstruction, CRC slip, or stride off-by-one breaks the hash
+    (filters additionally pinned against handcrafted payloads in
+    tests/test_round6.py).  Plan: three chained map-only Arrow stages,
+    no shuffle until the bounded result — the constant-memory
+    batch-streaming shape the multimodal family documents for 100 TB."""
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    img = multimodal.synth_png(ids, height=32, width=32)
+    small = multimodal.png_resize(img, 8, 8)
+    return multimodal.png_features(small)
