@@ -142,6 +142,56 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ---- concurrent-dashboard mode (round-6 verdict item 8) -------------
+    # The reference's real workload is N widget queries per 5 s refresh
+    # tick over ONE shared scan (ref:streamlit_dashboard.py:402-405 —
+    # every widget re-reads the same dataframe).  Model it faithfully:
+    # cache the events scan once (Spark's CacheManager substitutes the
+    # InMemoryRelation into EVERY semantically-equal scan, so all
+    # widgets share it without query changes), then fire the
+    # reference-family widget queries CONCURRENTLY from one thread per
+    # widget — the steady-state refresh a dashboard actually issues —
+    # and report the refresh wall-clock against the 5 s budget.
+    from concurrent.futures import ThreadPoolExecutor
+
+    WIDGETS = [
+        "flagship_window_agg",
+        "global_kpis",
+        "geo_status_map",
+        "group_type_stats",
+        "severity_rollup",
+        "scan_recent_topn",
+        "ingestion_rate_window",
+        "events_per_day",
+        "alerts_threshold",
+        "histogram_value",
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    ev.cache()
+    ev.count()  # materialize the shared scan (build cost, untimed)
+    widget_dfs = {n: REGISTRY[n].build(spark, sf_dir) for n in WIDGETS}
+
+    def _run_widget(name: str) -> tuple[str, float]:
+        t0 = time.perf_counter()
+        widget_dfs[name].write.format("noop").mode("overwrite").save()
+        return name, round(time.perf_counter() - t0, 3)
+
+    with ThreadPoolExecutor(max_workers=len(WIDGETS)) as ex:
+        list(ex.map(_run_widget, WIDGETS))  # warm refresh: codegen, untimed
+        t0 = time.perf_counter()
+        widget_times = dict(ex.map(_run_widget, WIDGETS))  # timed refresh
+        wall = round(time.perf_counter() - t0, 3)
+    ev.unpersist()
+    dashboard = {
+        "n_widgets": len(WIDGETS),
+        "refresh_wall_sec": wall,
+        "max_widget_sec": max(widget_times.values()),
+        "budget_sec": 5.0,
+        "within_budget": wall <= 5.0,
+        "widgets": widget_times,
+    }
+    print(f"concurrent dashboard: {wall:.2f}s wall for {len(WIDGETS)} widgets", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -151,6 +201,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "concurrent_dashboard": dashboard,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -17,6 +17,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans import sketch_querie
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import behavior_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import matching_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import connector_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import engine_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY, Query, register
 
 # The driver's correctness gate hashes the FIRST 50 registry entries, in
