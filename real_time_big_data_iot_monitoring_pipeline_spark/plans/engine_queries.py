@@ -359,3 +359,271 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# --- Z-order layout audit --------------------------------------------------
+
+_ZBITS = 8
+
+
+def _interleave_expr(cust: str, day: str, intdiv: str) -> str:
+    """Morton/Z-value bit interleave as pure div/mod arithmetic — the
+    one integer formula both engines evaluate identically (`intdiv` is
+    'div' for Spark SQL, '//' for DuckDB)."""
+    terms = []
+    for i in range(_ZBITS):
+        p = 1 << i
+        terms.append(f"(({cust} {intdiv} {p}) % 2) * {4 ** i}")
+        terms.append(f"(({day} {intdiv} {p}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH d AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS cust,
+               (epoch_us(o_orderdate) // 86400000000) % 256 AS day
+        FROM orders
+    ),
+    z AS (
+        SELECT o_orderkey, cust, day,
+               {_interleave_expr('cust', 'day', '//')} AS zval
+        FROM d
+    ),
+    l1 AS (
+        SELECT cust, day, ntile(64) OVER (ORDER BY cust, o_orderkey) AS b FROM z
+    ),
+    l2 AS (
+        SELECT cust, day, ntile(64) OVER (ORDER BY zval, o_orderkey) AS b FROM z
+    ),
+    s AS (
+        SELECT 'custkey_sort' AS layout, b,
+               max(cust) - min(cust) AS sc, max(day) - min(day) AS sd
+        FROM l1 GROUP BY b
+        UNION ALL
+        SELECT 'zorder', b, max(cust) - min(cust), max(day) - min(day)
+        FROM l2 GROUP BY b
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(sc) AS BIGINT) AS total_span_cust,
+           CAST(sum(sd) AS BIGINT) AS total_span_day,
+           CAST(max(sc) AS BIGINT) AS max_span_cust,
+           CAST(max(sd) AS BIGINT) AS max_span_day
+    FROM s GROUP BY layout
+"""
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=_ZORDER_ORACLE,
+    tags=("engine", "layout", "zorder", "data-skipping", "global-ntile"),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT AUDIT — the multi-column data-skipping argument,
+    measured inside the engine: interleave the bits of (custkey mod
+    256, order-day mod 256) into a Morton z-value (pure div/mod
+    arithmetic, no bit intrinsics, so both engines compute it
+    identically), split the table into 64 equal-count 'files' under
+    (a) a single-key custkey sort and (b) the z-value sort, and report
+    each file's min-max SPAN per dimension — the exact quantity a
+    min/max-zone-map file skipper prunes on.  The custkey sort gives
+    perfect custkey spans and useless day spans (every file covers the
+    whole day range); z-order bounds BOTH to ~sqrt regions — why
+    Delta/Iceberg OPTIMIZE ZORDER exists.  File assignment rides
+    `windows.global_ntile` (range repartition + broadcast offsets, no
+    single-task sort — bit-equal to NTILE by its round-5 tests), so
+    the audit itself is the layout job's real plan at any scale."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("cust"),
+        ((F.unix_micros("o_orderdate") / F.lit(86_400_000_000)).cast("long") % 256).alias(
+            "day"
+        ),
+    )
+    z = o.withColumn("zval", F.expr(_interleave_expr("cust", "day", "div")))
+    spans = None
+    for layout, order_cols in (
+        ("custkey_sort", ["cust", "o_orderkey"]),
+        ("zorder", ["zval", "o_orderkey"]),
+    ):
+        b = global_ntile(z, order_cols, 64, out="b")
+        s = b.groupBy("b").agg(
+            (F.max("cust") - F.min("cust")).alias("sc"),
+            (F.max("day") - F.min("day")).alias("sd"),
+        ).select(F.lit(layout).alias("layout"), "sc", "sd")
+        spans = s if spans is None else spans.unionByName(s)
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sc").cast("long").alias("total_span_cust"),
+        F.sum("sd").cast("long").alias("total_span_day"),
+        F.max("sc").cast("long").alias("max_span_cust"),
+        F.max("sd").cast("long").alias("max_span_day"),
+    )
+
+
+# --- SymSpell-style fuzzy join ---------------------------------------------
+
+
+@register(
+    "fuzzy_join_deletion1",
+    oracle="""
+    WITH names AS (SELECT DISTINCT c_name AS name FROM customer),
+    var AS (
+        SELECT name,
+               substring(name, 1, i - 1) || substring(name, i + 1) AS variant
+        FROM names, unnest(generate_series(1, length(name))) AS g(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM var a JOIN var b ON a.variant = b.variant AND a.name < b.name
+        UNION
+        SELECT DISTINCT v.name AS name_a, n.name AS name_b
+        FROM var v JOIN names n ON v.variant = n.name AND v.name < n.name
+        UNION
+        SELECT DISTINCT n.name AS name_a, v.name AS name_b
+        FROM var v JOIN names n ON v.variant = n.name AND n.name < v.name
+    ),
+    pairs AS (
+        SELECT name_a, name_b FROM cand WHERE levenshtein(name_a, name_b) = 1
+    ),
+    deg AS (
+        SELECT name, count(*) AS n_neighbors FROM (
+            SELECT name_a AS name FROM pairs
+            UNION ALL SELECT name_b FROM pairs
+        ) GROUP BY name
+    )
+    SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           CAST(count(*) AS BIGINT) AS n_names
+    FROM deg GROUP BY n_neighbors
+    """,
+    tags=("engine", "fuzzy-join", "symspell", "deletion-neighborhood", "edit-distance"),
+)
+def fuzzy_join_deletion1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY (edit-distance-1) SELF-JOIN without the n^2 cross join —
+    the SymSpell deletion-neighborhood construction: every name emits
+    its |name| single-character-deletion variants (a bounded map-side
+    fan-out), candidates are pairs sharing a variant (substitutions:
+    deleting the differing position from both sides collides) plus
+    pairs where one name IS the other's variant (insertions/deletions),
+    and only candidates are verified with the real `levenshtein` —
+    exact distance-1 recall at O(n * len) candidate keys instead of
+    O(n^2) comparisons, the spell-correction / entity-matching join at
+    corpus scale.  (A shared variant does not imply distance 1 — 'ab'/
+    'ba' collide at distance 2 — hence the verify filter; the blocking
+    is complete BY CONSTRUCTION for distance <= 1, unlike the sorted-
+    neighborhood heuristic in `entity_match_sorted_neighborhood`.)
+    Customer names differing in one digit give a non-degenerate pair
+    graph; output is the neighbor-count histogram — the 'how collision-
+    prone is my key space' audit."""
+    names = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name")).distinct()
+    var = names.select(
+        "name",
+        F.explode(F.expr(
+            "transform(sequence(1, length(name)),"
+            " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"
+        )).alias("variant"),
+    )
+    a = var.select(F.col("name").alias("name_a"), "variant")
+    b = var.select(F.col("name").alias("name_b"), "variant")
+    sub_pairs = (
+        a.join(b, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+    )
+    n2 = names.select(F.col("name").alias("nm"))
+    indel = var.join(n2, var.variant == n2.nm).select(
+        F.least(F.col("name"), F.col("nm")).alias("name_a"),
+        F.greatest(F.col("name"), F.col("nm")).alias("name_b"),
+    )
+    pairs = (
+        sub_pairs.unionByName(indel)
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )
+    deg = (
+        pairs.select(F.col("name_a").alias("name"))
+        .unionByName(pairs.select(F.col("name_b").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return deg.groupBy(F.col("n_neighbors").cast("long").alias("n_neighbors")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_names")
+    )
+
+
+# --- array higher-order-function surface -----------------------------------
+
+
+@register(
+    "array_hof_surface",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000.0 + (0.5 + 1e-8)) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    x AS (
+        SELECT label,
+               len(list_filter(v, e -> e > 0)) AS n_pos,
+               list_aggregate(list_transform(v, e -> e * e), 'sum') AS q_norm2,
+               list_aggregate(list_transform(generate_series(1, len(v)),
+                                             i -> v[i] * v[len(v) + 1 - i]), 'sum') AS q_dotrev,
+               CASE WHEN len(list_filter(v, e -> abs(e) > 500000)) > 0 THEN 1 ELSE 0 END AS has_extreme
+        FROM q
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(n_pos) AS BIGINT) AS pos_elems_total,
+           CAST(sum(q_norm2) AS BIGINT) AS q_norm2_total,
+           CAST(sum(q_dotrev) AS BIGINT) AS q_dotrev_total,
+           CAST(sum(has_extreme) AS BIGINT) AS n_has_extreme
+    FROM x GROUP BY label
+    """,
+    tags=("engine", "sql-surface", "higher-order-functions", "arrays"),
+)
+def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY HIGHER-ORDER FUNCTIONS as a first-class surface —
+    transform / filter / aggregate / zip_with / reverse / exists over
+    the embedding column, the JVM-side lambda toolkit that keeps
+    vector math OUT of Python (`F.aggregate` et al. run inside
+    whole-stage codegen; the Pandas-UDF route exists in `similarity`
+    for kernels these cannot express).  Per vector: positive-element
+    count (filter + size), exact q6-integer norm-squared (transform +
+    aggregate), the dot product with its own REVERSAL (zip_with +
+    reverse — the palindrome-correlation toy that exercises dual-array
+    lambdas; the oracle computes it by index since DuckDB's zip names
+    struct fields differently), and an exists-style extreme-value
+    flag.  Elements quantize to q6 integers FIRST so every sum is
+    exact under any partitioning.  Bounded output per label."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(floor(x * 1000000.0 + (0.5 + 1e-8)) as bigint))"
+        ).alias("v"),
+    )
+    x = q.select(
+        "label",
+        F.size(F.filter("v", lambda e_: e_ > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform("v", lambda e_: e_ * e_), F.lit(0).cast("long"), lambda acc, e_: acc + e_
+        ).alias("q_norm2"),
+        F.aggregate(
+            F.zip_with("v", F.reverse("v"), lambda p, r: p * r),
+            F.lit(0).cast("long"),
+            lambda acc, e_: acc + e_,
+        ).alias("q_dotrev"),
+        F.exists("v", lambda e_: F.abs(e_) > 500000).cast("int").alias("has_extreme"),
+    )
+    return x.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("n_pos").cast("long").alias("pos_elems_total"),
+        F.sum("q_norm2").cast("long").alias("q_norm2_total"),
+        F.sum("q_dotrev").cast("long").alias("q_dotrev_total"),
+        F.sum("has_extreme").cast("long").alias("n_has_extreme"),
+    )
