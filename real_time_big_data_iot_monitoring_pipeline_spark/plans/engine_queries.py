@@ -627,3 +627,120 @@ def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_dotrev").cast("long").alias("q_dotrev_total"),
         F.sum("has_extreme").cast("long").alias("n_has_extreme"),
     )
+
+
+# --- dynamic-gap session windows -------------------------------------------
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN event_type = 'error' THEN 600000000
+                    ELSE 1800000000 END AS gap
+        FROM events
+    ),
+    y AS (
+        SELECT *, max(tus + gap) OVER (
+                   PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM x
+    ),
+    z AS (
+        SELECT *, CASE WHEN prev_end IS NULL OR tus >= prev_end THEN 1 ELSE 0 END AS brk
+        FROM y
+    ),
+    w AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM z
+    )
+    SELECT user_id,
+           min(tus) AS session_start_us,
+           max(tus + gap) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM w GROUP BY user_id, grp
+    """,
+    tags=("engine", "session", "dynamic-gap", "T2-ext"),
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS WITH A PER-EVENT GAP — `session_window`'s dynamic
+    form (`session_window_agg` covers the fixed 30-min gap): error
+    events keep the session alive only 10 minutes, everything else 30 —
+    the per-event-class inactivity policy real clickstream sessionizers
+    need (an error burst should not glue two browsing sessions
+    together).  Semantics under merge: each event extends its session
+    to ts + gap(event) and windows merge while they overlap, so the
+    session end is the RUNNING MAX of per-event ends, not the last
+    event's end — exactly what the oracle's gaps-and-islands replay
+    computes (break when ts >= max over preceding of (ts + gap)).
+    Same one-key-shuffle plan as the fixed-gap query."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "cnt",
+        )
+    )
+
+
+# --- Python UDTF (Spark 4 API surface): context-window chunking ------------
+
+
+@register(
+    "udtf_chunk_text",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 10)) AS chunk_id
+        FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(LEAST(10, len(ws) - chunk_id * 10) AS INT) AS n_tokens,
+           ws[chunk_id * 10 + 1] AS first_word,
+           ws[LEAST(len(ws), chunk_id * 10 + 10)] AS last_word
+    FROM c
+    """,
+    tags=("engine", "udtf", "spark4-surface", "chunking", "mlprep"),
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's user-defined TABLE function, Arrow-
+    optimized) doing CONTEXT-WINDOW CHUNKING — the document -> training-
+    context split every LLM data pipeline runs: each document explodes
+    into 10-token chunks (last chunk ragged) via a lateral UDTF call in
+    SQL (`FROM docs, LATERAL chunk_text(text)`), the one-row-in/N-rows-
+    out shape scalar UDFs cannot express and explode-based rewrites
+    express awkwardly when the expansion logic is imperative.  The UDTF
+    runs with `useArrow=True` (batched Arrow transfer, keeping the
+    catalog's no-row-at-a-time-pickling rule); the chunk rule itself is
+    deterministic, so the DuckDB oracle replays it with generate_series
+    over the word array.  At 100 TB this is a map-side fan-out — no
+    shuffle until whatever aggregates the chunks."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tokens int, first_word string, last_word string", useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(0, len(words), 10):
+                chunk = words[i : i + 10]
+                yield i // 10, len(chunk), chunk[0], chunk[-1]
+
+    spark.udtf.register("rtbd_chunk_text", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.first_word, c.last_word "
+        "FROM v_udtf_docs d, LATERAL rtbd_chunk_text(d.text) c"
+    )
