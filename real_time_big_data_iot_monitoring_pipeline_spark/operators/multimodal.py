@@ -495,10 +495,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(pixels) -> bytes:
-    """REAL PNG writer: 8-bit grayscale, one IDAT, per-row filter type
-    cycling 0..4 (None/Sub/Up/Average/Paeth) so every payload carries
-    all five filters; CRC32-stamped chunks per the spec."""
+def png_encode(pixels, policy: str = "cycle") -> bytes:
+    """REAL PNG writer: 8-bit grayscale, one IDAT, CRC32-stamped chunks
+    per the spec.  ``policy="cycle"`` rotates the per-row filter through
+    all five types (None/Sub/Up/Average/Paeth) so every payload
+    exercises the full decoder; ``policy="fast"`` emits Up-filtered
+    rows only — both encode AND un-filter are pure numpy for Up, so
+    this is the throughput path for payloads this engine re-encodes
+    itself (probe: all-filters decode pays ~10x over Up-only on the
+    scalar Average/Paeth reconstruction loops)."""
     import struct
     import zlib
 
@@ -510,7 +515,7 @@ def png_encode(pixels) -> bytes:
     prev = np.zeros(w, dtype=np.int64)
     for r in range(h):
         row = px[r].astype(np.int64)
-        f = r % 5
+        f = r % 5 if policy == "cycle" else 2
         raw.append(f)
         if f == 0:
             out = row
@@ -587,11 +592,8 @@ def png_decode(payload: bytes):
         if f == 0:
             row = line
         elif f == 1:
-            row = np.empty(w, dtype=np.int64)
-            acc = 0
-            for c in range(w):
-                acc = (line[c] + acc) % 256
-                row[c] = acc
+            # Sub reconstruction IS a running sum mod 256 — vectorized
+            row = np.cumsum(line) % 256
         elif f == 2:
             row = (line + prev) % 256
         elif f == 3:
@@ -698,7 +700,12 @@ def png_resize(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "payload": [
-                        png_encode(png_resize_nearest(png_decode(bytes(p)), out_h, out_w))
+                        # fast policy: this stage re-encodes its OWN
+                        # output — Up-only keeps both directions numpy
+                        png_encode(
+                            png_resize_nearest(png_decode(bytes(p)), out_h, out_w),
+                            policy="fast",
+                        )
                         for p in pdf["payload"]
                     ],
                     "meta": [

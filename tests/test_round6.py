@@ -245,3 +245,78 @@ def test_manifest_sink_overwrite_preserves_snapshot_history(spark, tmp_path):
     assert (m2["version"], v2.count()) == (2, 3)
     # overwrite snapshot shares no files with the pre-overwrite table
     assert not set(mh["files"]) & set(m2["files"])
+
+
+def test_udtf_chunk_empty_and_exact_multiple(spark):
+    """Chunking UDTF edge cases: empty/whitespace text yields zero
+    chunks (not a single empty one); an exact multiple of the chunk
+    size has no ragged tail."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id int, n_tokens int, first_word string, last_word string",
+        useArrow=True,
+    )
+    class ChunkText:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(0, len(words), 10):
+                chunk = words[i : i + 10]
+                yield i // 10, len(chunk), chunk[0], chunk[-1]
+
+    spark.udtf.register("rtbd_chunk_text_t", ChunkText)
+    spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("v_chunk_t")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.* FROM v_chunk_t d, LATERAL rtbd_chunk_text_t(d.text) c"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc and 1 not in by_doc
+    assert len(by_doc[2]) == 2
+    assert all(r.n_tokens == 10 for r in by_doc[2])
+    assert by_doc[2][1].first_word == "w10" and by_doc[2][1].last_word == "w19"
+
+
+def test_session_dynamic_gap_short_event_inside_long_session(spark):
+    """A short-gap (error) event inside a long session must NOT split it
+    when an earlier long-gap event's window still covers the follower —
+    the running-max-of-ends merge semantics, which a naive
+    'gap from previous event only' replay would get wrong."""
+    import datetime
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, etype):
+        return (eid, base + datetime.timedelta(minutes=minutes), 1, etype, 1.0, "{}")
+
+    # view@t0 holds session open to t0+30; error@t5 alone would only
+    # hold to t5+10=15; click@t20 is beyond the error's reach but inside
+    # the view's -> ONE session under merge semantics
+    rows = [ev(1, 0, "view"), ev(2, 5, "error"), ev(3, 20, "click")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    got = (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert len(got) == 1 and got[0].cnt == 3, got
+
+    # and the catalog oracle's replay agrees on the same fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    want = con.execute(REGISTRY["session_window_dynamic_gap"].oracle).fetch_df()
+    assert len(want) == 1 and int(want["cnt"].iloc[0]) == 3
