@@ -744,3 +744,173 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.first_word, c.last_word "
         "FROM v_udtf_docs d, LATERAL rtbd_chunk_text(d.text) c"
     )
+
+
+# --- spatial grid-bucketed neighbor join -----------------------------------
+
+_SPATIAL_COORDS = """
+        SELECT c_custkey AS pid,
+               (c_custkey * 2654435761) % 4294967296 % 30000 AS x,
+               (c_custkey * 40503 + 2654435761) % 4294967296 % 30000 AS y
+        FROM customer
+"""
+
+
+@register(
+    "spatial_grid_neighbor_join",
+    oracle=f"""
+    WITH p AS ({_SPATIAL_COORDS}),
+    pairs AS (
+        SELECT a.pid AS pid_a, b.pid AS pid_b
+        FROM p a JOIN p b
+          ON a.pid < b.pid
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 250000
+    ),
+    deg AS (
+        SELECT pid, count(*) AS n_neighbors FROM (
+            SELECT pid_a AS pid FROM pairs UNION ALL SELECT pid_b FROM pairs
+        ) GROUP BY pid
+    )
+    SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM deg GROUP BY n_neighbors
+    """,
+    tags=("engine", "spatial", "grid-join", "radius-search"),
+)
+def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS SELF-JOIN via grid bucketing — the geo family's
+    missing core: points within distance r of each other, found by
+    hashing each point to an r-sized grid cell and joining each point's
+    cell against its 3x3 CELL NEIGHBORHOOD (one side fans out 9 cell
+    keys — a bounded map-side explode — the other stays put), then
+    verifying exact squared distance.  Every true pair lies in adjacent
+    cells BY CONSTRUCTION (two points <= r apart differ by < 1 cell per
+    axis), so recall is exact with O(n * density) candidates, never the
+    n^2 cross join the ORACLE deliberately runs as the independent
+    check (feasible at oracle scale; the grid plan is what survives
+    100 TB).  Coordinates derive from the custkey via Knuth
+    multiplicative hashes — pure BIGINT arithmetic both engines compute
+    identically.  Output is the neighbor-count histogram."""
+    c = _t(spark, sf_dir, "customer")
+    p = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 2654435761) % 4294967296 % 30000).alias("x"),
+        ((F.col("c_custkey") * 40503 + 2654435761) % 4294967296 % 30000).alias("y"),
+    )
+    r = 500
+    cell = lambda v: (v / F.lit(r)).cast("long")  # noqa: E731
+    a = p.select(
+        F.col("pid").alias("pid_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    # fan side: each point claims its 3x3 neighborhood
+    b = (
+        p.select(
+            F.col("pid").alias("pid_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            cell(F.col("x")).alias("cx0"),
+            cell(F.col("y")).alias("cy0"),
+        )
+        .select(
+            "pid_b",
+            "xb",
+            "yb",
+            F.explode(
+                F.expr("sequence(cx0 - 1, cx0 + 1)")
+            ).alias("cx"),
+            "cy0",
+        )
+        .select(
+            "pid_b", "xb", "yb", "cx", F.explode(F.expr("sequence(cy0 - 1, cy0 + 1)")).alias("cy")
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .filter(d2 <= r * r)
+        .select("pid_a", "pid_b")
+    )
+    deg = (
+        pairs.select(F.col("pid_a").alias("pid"))
+        .unionByName(pairs.select(F.col("pid_b").alias("pid")))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return deg.groupBy(F.col("n_neighbors").cast("long").alias("n_neighbors")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+
+
+# --- group-median imputation -----------------------------------------------
+
+
+@register(
+    "impute_group_median",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, value,
+               CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+        FROM x WHERE v IS NOT NULL GROUP BY event_type
+    )
+    SELECT x.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(x.v) AS BIGINT) AS n_imputed,
+           ROUND(med.med + 1e-8, 4) AS imputed_value,
+           ROUND(sum(COALESCE(x.v, med.med)) / count(*) + 1e-8, 4) AS mean_after_impute
+    FROM x JOIN med ON x.event_type = med.event_type
+    GROUP BY x.event_type, med.med
+    """,
+    tags=("engine", "data-quality", "imputation", "median"),
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-MEDIAN IMPUTATION — the standard numeric-repair step of a
+    feature pipeline: nulls (synthesized deterministically: every 17th
+    event's value treated as missing) are filled with their GROUP's
+    exact median, never a global constant (per-type value regimes
+    differ — a global fill biases every group).  Plan: one hash agg
+    computes each group's exact `percentile` over the present values
+    (per-group sort inside the agg, no global order), the bounded
+    per-group median frame broadcasts back onto the fact rows, and the
+    audit aggregates in the same pass — the fact table is scanned
+    twice, shuffled once.  Output pins the count imputed, the fill
+    value, and the post-impute mean per group."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    med = (
+        x.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(v, 0.5)").alias("med"))
+    )
+    return (
+        x.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_imputed"),
+            round_det(
+                F.sum(F.coalesce(F.col("v"), F.col("med"))) / F.count(F.lit(1)), 4
+            ).alias("mean_after_impute"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_imputed",
+            round_det(F.col("med"), 4).alias("imputed_value"),
+            "mean_after_impute",
+        )
+    )
