@@ -914,3 +914,152 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after_impute",
         )
     )
+
+
+# --- prefix-filtered set-similarity join (SSJoin/PPJoin family) ------------
+
+
+@register(
+    "setsim_prefix_filter_join",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-8, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-8, 6) >= 0.5
+    """,
+    tags=("engine", "dedup", "setsim", "prefix-filter", "ppjoin"),
+)
+def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED set-similarity join (the SSJoin/PPJoin candidate
+    rule) — the third candidate-generation strategy in the near-dup
+    family, next to full shingle joining (`dedup_ngram_jaccard`) and
+    MinHash banding (`dedup_minhash_lsh`): order each document's
+    shingles GLOBALLY RAREST-FIRST (ascending document frequency, tie
+    on the shingle), keep only the first |d| - ceil(t*|d|) + 1 as join
+    keys, and join on those.  Pigeonhole guarantee: two sets with
+    Jaccard >= t overlap in more than |d| - prefix elements, so they
+    MUST share a prefix element — exact recall, but candidates now key
+    on the RARE end of the Zipf curve, so the hot-shingle buckets that
+    dominate the full join's shuffle disappear.  Candidates verify with
+    the exact intersection (join restricted to candidate pairs).  The
+    oracle is the unfiltered quadratic-candidate plan — equality proves
+    the prefix rule lost nothing at t=0.5.  100 TB note: prefix length
+    shrinks as t grows (t=0.9 -> ~10% of shingles join), the knob that
+    makes high-threshold dedup cheap."""
+    t = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("sb_id")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(round_det(jac, 6) >= t)
+        .select("id_a", "id_b", round_det(jac, 6).alias("jaccard"))
+    )
+
+
+# --- positional inverted index + phrase query ------------------------------
+
+
+@register(
+    "phrase_search_postings",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id,
+               len(list_filter(generate_series(1, len(ws) - 1),
+                               i -> ws[i] = 'table' AND ws[i + 1] = 'hash')) AS n
+        FROM w WHERE len(ws) >= 2
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+    FROM hits WHERE n > 0
+    """,
+    tags=("engine", "search", "postings", "phrase", "inverted-index"),
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE QUERY over a POSITIONAL inverted index — the search-engine
+    primitive BM25 ranking (`bm25_search_topk`) sits on top of: build
+    (term, doc, position) postings, then answer the phrase "table hash"
+    by SELF-JOINING the two terms' posting lists on (doc, pos + 1 = pos)
+    — adjacency via the index, never a rescan of the text.  This is how
+    phrase search scales: the join touches only the two terms' postings
+    (Zipf-bounded slices of the corpus), and a k-word phrase chains
+    k-1 such joins.  The oracle recomputes adjacency directly on the
+    word arrays; equality proves the postings construction preserves
+    positions exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
+            "pos", "term"
+        ),
+    )
+    t1 = post.filter(F.col("term") == "table").select("doc_id", F.col("pos").alias("p1"))
+    t2 = post.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    return (
+        t1.join(t2, (t1.doc_id == t2.d2) & (t1.p1 + 1 == t2.p2))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
