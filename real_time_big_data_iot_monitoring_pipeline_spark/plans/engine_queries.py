@@ -525,7 +525,10 @@ def fuzzy_join_deletion1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(name)),"
             " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"
         )).alias("variant"),
-    )
+    ).distinct()
+    # repeated characters (zero runs in the key) emit IDENTICAL variants;
+    # deduping before the join shrinks every bucket without changing the
+    # candidate PAIR set (duplicates only re-derive the same pair)
     a = var.select(F.col("name").alias("name_a"), "variant")
     b = var.select(F.col("name").alias("name_b"), "variant")
     sub_pairs = (

@@ -35,7 +35,7 @@ def blocking_pairs(names):
                 " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"
             )
         ).alias("variant"),
-    )
+    ).distinct()
     a = var.select(F.col("name").alias("name_a"), "variant")
     b = var.select(F.col("name").alias("name_b"), "variant")
     cand = (
