@@ -239,3 +239,59 @@ def pyds_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap(1).unionByName(snap(2))
+
+
+@register(
+    "pyds_stream_sink_roundtrip",
+    oracle=_SUMMARY_SQL,
+    tags=("connector", "python-datasource", "streaming-sink", "exactly-once", "epoch-commit"),
+)
+def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM SOURCE -> CUSTOM SINK, fully streaming: the `rtbd_sensors`
+    streaming reader feeds the `rtbd_manifest_sink` STREAMING writer
+    (`DataSourceStreamWriter`, new round 6 — completing the connector
+    matrix: batch read + pushdown, stream read + offsets, batch write +
+    2PC, now stream write + per-epoch commit).  Each 4k-row micro-batch
+    commits one manifest version recording its batch id — the
+    exactly-once epoch discipline (idempotent on batchId: a replayed
+    epoch is detected in the manifest and dropped; unit-pinned in
+    tests/test_round6.py) — and the per-sensor rollup over the
+    roundtripped table must equal the feed formula: a lost epoch,
+    doubled epoch, or rename slip breaks counts and totals.  This is
+    the streaming-sink contract (S5/T6/T7) the gated JDBC writer needs,
+    executed end-to-end in-engine."""
+    import tempfile
+
+    key = "_pyds_stream_sink_dir"
+    path = getattr(pyds_stream_sink_roundtrip, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "manifest.json")):
+        base = tempfile.mkdtemp(prefix="rtbd_pyds_ssink_")
+        path = os.path.join(base, "out")
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pydatasource.register(spark)
+        pydatasource.register_sink(spark)
+        stream = (
+            spark.readStream.format("rtbd_sensors")
+            .option("n_rows", _N_ROWS)
+            .option("n_sensors", _N_SENSORS)
+            .option("rows_per_batch", 4_000)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("rtbd_manifest_sink")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        setattr(pyds_stream_sink_roundtrip, key, path)
+    back, _manifest = pydatasource.read_manifest(spark, path)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        round_det(F.sum("temp_centi") / (100.0 * F.count(F.lit(1))), 4).alias("avg_temp"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )

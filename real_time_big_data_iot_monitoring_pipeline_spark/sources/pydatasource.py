@@ -36,6 +36,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -207,6 +208,24 @@ class PartFileCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _write_part(path: str, iterator) -> PartFileCommit:
+    """Task-side part write shared by the batch and streaming writers:
+    rows land in an underscore-hidden (uncommitted) parquet file."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [r.asDict() for r in iterator]
+    fname = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+    os.makedirs(path, exist_ok=True)
+    if rows:
+        table = pa.Table.from_pylist(rows)
+        pq.write_table(table, os.path.join(path, fname))
+    return PartFileCommit(filename=fname if rows else "", n_rows=len(rows))
+
+
 class ManifestParquetWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -215,19 +234,7 @@ class ManifestParquetWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rows = [r.asDict() for r in iterator]
-        fname = f"_uncommitted_{uuid.uuid4().hex}.parquet"
-        os.makedirs(self.path, exist_ok=True)
-        if rows:
-            table = pa.Table.from_pylist(rows)
-            pq.write_table(table, os.path.join(self.path, fname))
-        return PartFileCommit(filename=fname if rows else "", n_rows=len(rows))
+        return _write_part(self.path, iterator)
 
     def commit(self, messages):
         import os
@@ -293,8 +300,88 @@ class ManifestParquetWriter(DataSourceWriter):
                     pass
 
 
+class ManifestStreamWriter(DataSourceStreamWriter):
+    """STREAMING side of the manifest sink — the exactly-once epoch
+    commit discipline a custom streaming sink owes the engine: each
+    micro-batch's tasks write underscore-hidden parts (same task
+    contract as the batch writer), and the per-epoch driver `commit`
+    (a) renames them visible, (b) publishes a new cumulative manifest
+    version RECORDING THE BATCH ID, and (c) is IDEMPOTENT on batchId —
+    a replayed epoch (restart after the sink committed but before the
+    engine checkpointed) finds its batchId already in the manifest,
+    deletes the replayed parts, and returns without changing the table.
+    Without (c) a crash in that window double-counts the epoch — the
+    streaming twin of the cursor bug the stream READER fixed in round 5
+    (`cf289ab`).  `abort` deletes the epoch's uncommitted parts."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rtbd_manifest_sink requires a path option")
+
+    def write(self, iterator):
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        head = os.path.join(self.path, "manifest.json")
+        prev_files, prev_rows, prev_version, batches = [], 0, 0, []
+        if os.path.exists(head):
+            with open(head) as f:
+                prev = _json.load(f)
+            prev_files, prev_rows = prev["files"], prev["n_rows"]
+            prev_version = prev.get("version", 0)
+            batches = prev.get("batches", [])
+        if batchId in batches:
+            # replayed epoch: the table already holds this batch — drop
+            # the re-written parts, publish nothing
+            for m in messages:
+                if m is not None and m.filename:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except FileNotFoundError:
+                        pass
+            return
+        files = []
+        for m in messages:
+            if m is not None and m.filename:
+                visible = m.filename.replace("_uncommitted_", f"part-b{batchId}-", 1)
+                os.replace(
+                    os.path.join(self.path, m.filename),
+                    os.path.join(self.path, visible),
+                )
+                files.append(visible)
+        manifest = {
+            "version": prev_version + 1,
+            "files": sorted(prev_files + files),
+            "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
+            "batches": batches + [batchId],
+        }
+        versioned = os.path.join(self.path, f"_manifest-v{manifest['version']}.json")
+        with open(versioned + ".tmp", "w") as f:
+            _json.dump(manifest, f)
+        os.replace(versioned + ".tmp", versioned)
+        tmp = os.path.join(self.path, "_manifest.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, head)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
 class ManifestSinkDataSource(DataSource):
-    """`rtbd_manifest_sink`: option path=<dir>."""
+    """`rtbd_manifest_sink`: option path=<dir>.  Batch writes via
+    `ManifestParquetWriter`, streaming writes via `ManifestStreamWriter`
+    (same on-disk contract, per-epoch versions)."""
 
     @classmethod
     def name(cls) -> str:
@@ -302,6 +389,9 @@ class ManifestSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestParquetWriter:
         return ManifestParquetWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ManifestStreamWriter:
+        return ManifestStreamWriter(self.options)
 
 
 def read_manifest(spark, path: str, version: int | None = None):

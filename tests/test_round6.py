@@ -320,3 +320,50 @@ def test_session_dynamic_gap_short_event_inside_long_session(spark):
     con.register("events", df.toPandas())
     want = con.execute(REGISTRY["session_window_dynamic_gap"].oracle).fetch_df()
     assert len(want) == 1 and int(want["cnt"].iloc[0]) == 3
+
+
+def test_stream_sink_epoch_commit_idempotent(spark, tmp_path):
+    """The streaming manifest sink's exactly-once discipline: a replayed
+    epoch (same batchId committed twice — restart after sink commit,
+    before engine checkpoint) must leave the table unchanged and remove
+    the replayed parts; a fresh epoch appends a new version; abort
+    deletes its uncommitted parts."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestStreamWriter,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "ss")
+    w = ManifestStreamWriter({"path": path})
+
+    w.commit([w.write(iter([Row(a=1), Row(a=2)]))], batchId=0)
+    head0 = json.load(open(os.path.join(path, "manifest.json")))
+    assert head0["version"] == 1 and head0["batches"] == [0] and head0["n_rows"] == 2
+
+    # replayed epoch 0: same rows re-written by the retried tasks
+    w.commit([w.write(iter([Row(a=1), Row(a=2)]))], batchId=0)
+    head1 = json.load(open(os.path.join(path, "manifest.json")))
+    assert head1 == head0, "replayed epoch must not change the table"
+    assert not glob.glob(os.path.join(path, "_uncommitted_*")), "replay parts not cleaned"
+    df, _ = read_manifest(spark, path)
+    assert df.count() == 2
+
+    # fresh epoch 1 appends
+    w.commit([w.write(iter([Row(a=3)]))], batchId=1)
+    head2 = json.load(open(os.path.join(path, "manifest.json")))
+    assert head2["version"] == 2 and head2["batches"] == [0, 1] and head2["n_rows"] == 3
+    df, _ = read_manifest(spark, path)
+    assert sorted(r.a for r in df.collect()) == [1, 2, 3]
+
+    # abort cleans its epoch's parts, table untouched
+    msg = w.write(iter([Row(a=99)]))
+    w.abort([msg], batchId=2)
+    assert not glob.glob(os.path.join(path, "_uncommitted_*"))
+    df, _ = read_manifest(spark, path)
+    assert df.count() == 3
