@@ -1066,3 +1066,119 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
+
+
+# --- changepoint detection (binary segmentation, one level) ----------------
+
+
+@register(
+    "changepoint_binary_segmentation",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100, 0) AS BIGINT)
+                 + CASE WHEN epoch_us(ts) // 86400000000 >= 19737 THEN 4000 ELSE 0 END AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, day,
+               CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type, day, s, n,
+               sum(s) OVER w AS cs, sum(n) OVER w AS cn,
+               sum(s) OVER t AS ts_, sum(n) OVER t AS tn,
+               row_number() OVER w AS rk,
+               count(*) OVER t AS nd
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING),
+               t AS (PARTITION BY event_type)
+    ),
+    gains AS (
+        SELECT event_type, day,
+               (CAST(cs AS DOUBLE) * cs) / cn
+                 + (CAST(ts_ - cs AS DOUBLE) * (ts_ - cs)) / (tn - cn)
+                 - (CAST(ts_ AS DOUBLE) * ts_) / tn AS gain,
+               cs, cn, ts_, tn
+        FROM p WHERE rk < nd
+    )
+    SELECT event_type,
+           CAST(day AS BIGINT) AS split_day,
+           ROUND(gain / 10000.0 + 1e-8, 2) AS gain_dollars2,
+           ROUND(cs / (100.0 * cn) + 1e-8, 4) AS mean_before,
+           ROUND((ts_ - cs) / (100.0 * (tn - cn)) + 1e-8, 4) AS mean_after
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gain DESC, day) AS r
+        FROM gains
+    ) WHERE r = 1
+    """,
+    tags=("engine", "changepoint", "timeseries", "prefix-sum"),
+)
+def changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGEPOINT DETECTION — one level of binary segmentation, the
+    batch twin of the streaming CUSUM operator (`stateful.cusum_stream`
+    detects drift online; this LOCATES the break offline): per event
+    type, choose the day boundary maximizing the variance-reduction
+    gain S_L^2/n_L + S_R^2/n_R - S^2/n over the daily series (the
+    classic L2 segmentation objective; recursing on each side yields
+    multi-changepoint segmentation, each level one more pass over the
+    day-grain table).  A deterministic +40.00 level shift is planted
+    mid-series (day >= 19737) so the argmax is signal, not noise — and
+    the detector must recover exactly that boundary.  Scale shape: the
+    raw events collapse to (type, day) in ONE shuffle; prefix sums run
+    over the BOUNDED day-grain frame (a window over ~30 rows per type,
+    nothing data-sized); gains are exact-integer-fed doubles; argmax is
+    a row_number over the same bounded frame.  The planted step also
+    doubles as an audit: mean_after - mean_before must straddle +40."""
+    e = _t(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    d = e.select(
+        "event_type",
+        day.alias("day"),
+        (as_cents(F.col("value")) + F.when(day >= 19737, F.lit(4000)).otherwise(F.lit(0))).alias(
+            "cents"
+        ),
+    )
+    g = d.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = Window.partitionBy("event_type")
+    p = g.select(
+        "event_type",
+        "day",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(t).alias("ts_"),
+        F.sum("n").over(t).alias("tn"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("rk"),
+        F.count(F.lit(1)).over(t).alias("nd"),
+    ).filter(F.col("rk") < F.col("nd"))
+    gain = (
+        (F.col("cs").cast("double") * F.col("cs")) / F.col("cn")
+        + (F.col("ts_") - F.col("cs")).cast("double") * (F.col("ts_") - F.col("cs"))
+        / (F.col("tn") - F.col("cn"))
+        - (F.col("ts_").cast("double") * F.col("ts_")) / F.col("tn")
+    )
+    ranked = p.select(
+        "event_type", "day", gain.alias("gain"), "cs", "cn", "ts_", "tn"
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("gain").desc(), "day")
+        ),
+    )
+    return ranked.filter(F.col("r") == 1).select(
+        "event_type",
+        F.col("day").cast("long").alias("split_day"),
+        round_det(F.col("gain") / 10000.0, 2).alias("gain_dollars2"),
+        round_det(F.col("cs") / (100.0 * F.col("cn")), 4).alias("mean_before"),
+        round_det(
+            (F.col("ts_") - F.col("cs")) / (100.0 * (F.col("tn") - F.col("cn"))), 4
+        ).alias("mean_after"),
+    )
