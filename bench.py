@@ -63,6 +63,11 @@ HEADLINE = [
     # regressions in the driver-coordinated closure family are caught by
     # the per-round driver bench, not only by the full-catalog sweep
     "dedup_survivorship",
+    # round 6: the z-order layout audit (two global_ntile passes — the
+    # range-partition kernel under bench watch) and the real-PNG-codec
+    # multimodal pipeline (three chained Arrow map stages)
+    "layout_zorder_stats",
+    "image_png_pipeline",
 ]
 
 

@@ -1,28 +1,40 @@
 """SQL-surface + data-management widening (round 6).
 
-Five capability corners a warehouse migrator expects that had no catalog
+Capability corners a warehouse migrator expects that had no catalog
 entry yet, each a declarative plan with a DuckDB oracle:
 
-* sliding COUNT DISTINCT    (7-day distinct-user window — neither engine
-                             allows DISTINCT window aggregates, so the
-                             scalable rewrite is the (user, day) dedup +
-                             day->window fan-out both can check)
-* CDC changelog apply       (SCD1 MERGE: insert/update/delete changelog
-                             folded into a base snapshot in one pass —
-                             the write-side twin of `snapshot_cdc_diff`)
-* LATERAL correlated join   (per-customer top-3 orders via a LATERAL
-                             subquery — the SQL surface itself, planned
-                             by both engines from the same text)
-* generic table profiler    (per-column null rate / distinct count /
-                             min / max via unpivot — the first query a
-                             data engineer runs on an unknown table)
-* last-touch attribution    (each purchase credited to the user's most
-                             recent preceding event type — the marketing
-                             attribution window everyone implements)
+* sliding COUNT DISTINCT     ((user, day) dedup + bounded day->window
+                              fan-out — neither engine allows DISTINCT
+                              window aggregates)
+* CDC changelog apply        (SCD1 MERGE via one full-outer join — the
+                              write-side twin of `snapshot_cdc_diff`)
+* LATERAL correlated join    (the SQL surface itself, one text planned
+                              by both engines)
+* generic table profiler     (per-column stats in ONE scan via unpivot)
+* last-touch attribution     (IGNORE-NULLS window over the preceding
+                              frame)
+* Z-order layout audit       (Morton interleave + global_ntile file
+                              assignment; per-file min-max spans — the
+                              zone-map pruning quantity)
+* fuzzy d<=1 self-join       (SymSpell deletion-neighborhood blocking,
+                              exact recall by construction)
+* array HOF surface          (transform/filter/aggregate/zip_with/
+                              reverse/exists, q6-integer exact)
+* dynamic-gap sessions       (per-event-class inactivity windows,
+                              running-max merge semantics)
+* Arrow Python UDTF          (LATERAL context-window chunking — the
+                              1-row-in/N-rows-out imperative fan-out)
+* spatial radius join        (grid cells + 3x3 neighborhood fan-out,
+                              exact integer distance verify)
+* group-median imputation    (exact per-group percentile fill + audit)
+* prefix-filtered setsim     (SSJoin/PPJoin pigeonhole candidate rule)
+* positional phrase search   (posting-list (doc, pos+1) self-join)
+* changepoint detection      (one-level binary segmentation over
+                              day-grain prefix sums)
 
 Scale rule as everywhere in this package: shuffles key on real
-high-cardinality columns, fan-outs are bounded constants (7 window
-slots), and nothing collects unbounded rows to the driver.
+high-cardinality columns, fan-outs are bounded constants, and nothing
+collects unbounded rows to the driver.
 """
 
 from __future__ import annotations
