@@ -1194,3 +1194,160 @@ def changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("ts_") - F.col("cs")) / (100.0 * (F.col("tn") - F.col("cn"))), 4
         ).alias("mean_after"),
     )
+
+
+# --- error-tolerant parsing (try_cast family) -------------------------------
+
+
+@register(
+    "try_cast_dirty_parse",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id, event_type,
+               CASE event_id % 5
+                 WHEN 0 THEN CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)
+                 WHEN 1 THEN ' ' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) || ' '
+                 WHEN 2 THEN CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) || 'c'
+                 WHEN 3 THEN 'N/A'
+                 ELSE ''
+               END AS cents_str
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_type, TRY_CAST(trim(cents_str) AS BIGINT) AS cents FROM raw
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(cents) AS BIGINT) AS n_parsed,
+           CAST(count(*) - count(cents) AS BIGINT) AS n_rejected,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM parsed GROUP BY event_type
+    """,
+    tags=("engine", "data-quality", "try-cast", "dirty-data"),
+)
+def try_cast_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-TOLERANT PARSING — the ingest reality every pipeline meets:
+    a numeric column arriving as strings that are clean, padded,
+    unit-suffixed, sentinel ('N/A'), or empty (synthesized
+    deterministically by event_id mod 5 so both engines see identical
+    bytes).  `try_cast` turns each failure into NULL instead of a job
+    abort — ANSI mode's safe-parse escape hatch, the semantic twin of
+    the dead-letter split in the streaming path (S4) applied
+    column-wise.  `trim` first (padding is recoverable; suffixes and
+    sentinels are not), then one aggregation audits parsed/rejected
+    counts and the exact parsed total per group.  Pure map + one
+    shuffle at any scale."""
+    e = _t(spark, sf_dir, "events")
+    cents = as_cents(F.col("value")).cast("string")
+    raw = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, cents)
+        .when(F.col("event_id") % 5 == 1, F.concat(F.lit(" "), cents, F.lit(" ")))
+        .when(F.col("event_id") % 5 == 2, F.concat(cents, F.lit("c")))
+        .when(F.col("event_id") % 5 == 3, F.lit("N/A"))
+        .otherwise(F.lit(""))
+        .alias("cents_str"),
+    )
+    parsed = raw.select(
+        "event_type", F.expr("try_cast(trim(cents_str) as bigint)").alias("cents")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("cents").cast("long").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("cents")).cast("long").alias("n_rejected"),
+        F.sum("cents").cast("long").alias("cents_total"),
+    )
+
+
+# --- FILTER-clause aggregates (one-scan segmented rollup) -------------------
+
+_FILTERED_AGG_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS finished_cents,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                FILTER (WHERE o_custkey % 2 = 0) AS BIGINT) AS even_cust_cents
+    FROM {orders}
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "filtered_aggregates_sql",
+    oracle=_FILTERED_AGG_SQL.format(orders="orders"),
+    tags=("engine", "sql-surface", "filter-clause", "segmented-agg"),
+)
+def filtered_aggregates_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI FILTER clause — five differently-conditioned aggregates
+    in ONE scan and ONE hash agg, the idiom that replaces both the
+    5-way self-join and the CASE-WHEN-wrapped sums a migrator's
+    reports are full of.  Runs the SAME SQL text through `spark.sql`
+    and DuckDB (`lateral_top3_orders`' dialect-surface contract); Spark
+    compiles each FILTER into the aggregate's own predicate, so the
+    fact table is read once regardless of how many segments the report
+    slices."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_fagg_orders")
+    return spark.sql(_FILTERED_AGG_SQL.format(orders="v_fagg_orders"))
+
+
+# --- map-typed column + map higher-order functions --------------------------
+
+
+@register(
+    "map_hof_surface",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               user_id % 5 AS a, user_id % 7 AS b, user_id % 11 AS c
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum((a > 2)::INT + (b > 2)::INT + (c > 2)::INT) AS BIGINT) AS kept_entries,
+           CAST(sum(a + b + c) AS BIGINT) AS value_total,
+           CAST(sum(CASE WHEN a > 2 THEN a ELSE 0 END
+                  + CASE WHEN b > 2 THEN b ELSE 0 END
+                  + CASE WHEN c > 2 THEN c ELSE 0 END) AS BIGINT) AS kept_total
+    FROM m GROUP BY event_type
+    """,
+    tags=("engine", "sql-surface", "map-type", "higher-order-functions"),
+)
+def map_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed columns + map higher-order functions — the key-value
+    payload surface (`array_hof_surface` covers arrays): build a real
+    `map<string,bigint>` per row, then `map_filter` (keep entries with
+    value > 2), `map_values` + `aggregate` for totals, and `size` for
+    entry counts — all JVM-side lambdas over the map type.  The oracle
+    replays the same arithmetic on the flat columns (DuckDB's MAP
+    lambda surface differs; the CONTENT is what must match), so the
+    hash pins that Spark's map construction/filter/fold semantics
+    compute exactly the declared per-entry rule.  Pure map stage + one
+    aggregation."""
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        F.create_map(
+            F.lit("a"), F.col("user_id") % 5,
+            F.lit("b"), F.col("user_id") % 7,
+            F.lit("c"), F.col("user_id") % 11,
+        ).alias("kv"),
+    )
+    kept = F.map_filter("kv", lambda k, v: v > 2)
+    fold = lambda mp: F.aggregate(  # noqa: E731
+        F.map_values(mp), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    x = m.select(
+        "event_type",
+        F.size(kept).alias("n_kept"),
+        fold(F.col("kv")).alias("total"),
+        fold(kept).alias("kept_total"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("n_kept").cast("long").alias("kept_entries"),
+        F.sum("total").cast("long").alias("value_total"),
+        F.sum("kept_total").cast("long").alias("kept_total"),
+    )
