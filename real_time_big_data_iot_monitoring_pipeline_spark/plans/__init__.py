@@ -45,18 +45,19 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   * target invariant: no query's most recent driver row is ever more
 #     than 3 rounds old.
 # ROUND-7 DRAFT under that policy (assuming this window lands green):
-# flagship (pinned) + the 21 never-hashed round-6 registrations
-# (stream_topn_per_window_upsert, bpe_train_merges_batched,
+# flagship (pinned) + the 24 never-hashed round-6 registrations
+# (stream_topn_per_window_upsert, image_png_pipeline,
 # dedup_components_incremental_smalldelta, props_variant_shredded,
-# image_png_pipeline, sliding_distinct_users, cdc_apply_scd1,
-# lateral_top3_orders, table_profile_lineitem, attribution_last_touch,
-# layout_zorder_stats, fuzzy_join_deletion1, array_hof_surface,
-# session_window_dynamic_gap, udtf_chunk_text,
-# spatial_grid_neighbor_join, impute_group_median,
-# setsim_prefix_filter_join, phrase_search_postings, + any registered
-# after this draft) + the remaining 28 slots from the 46 outstanding
-# round-2-era rows, oldest cohort first (age 5 by round 7), in this
-# order:
+# bpe_train_merges_batched, pyds_stream_sink_roundtrip,
+# sliding_distinct_users, cdc_apply_scd1, lateral_top3_orders,
+# table_profile_lineitem, attribution_last_touch, layout_zorder_stats,
+# fuzzy_join_deletion1, array_hof_surface, session_window_dynamic_gap,
+# udtf_chunk_text, spatial_grid_neighbor_join, impute_group_median,
+# setsim_prefix_filter_join, phrase_search_postings,
+# changepoint_binary_segmentation, try_cast_dirty_parse,
+# filtered_aggregates_sql, map_hof_surface) + the remaining 25 slots
+# from the 46 outstanding round-2-era rows, oldest cohort first (age 5
+# by round 7), in this order:
 #   iqr_anomaly, regression_per_group, geo_status_map, scan_recent_topn,
 #   group_type_stats, corr_matrix, histogram_value, events_per_day,
 #   severity_rollup, alerts_threshold, status_colors, clean_labels,
