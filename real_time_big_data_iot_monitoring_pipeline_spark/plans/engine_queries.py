@@ -1351,3 +1351,118 @@ def map_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").cast("long").alias("value_total"),
         F.sum("kept_total").cast("long").alias("kept_total"),
     )
+
+
+# --- collation-aware semantics (Spark 4 surface) ----------------------------
+
+
+@register(
+    "collation_caseinsensitive_stats",
+    oracle="""
+    WITH s AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                    WHEN event_id % 3 = 1 THEN event_type
+                    ELSE concat(upper(substring(event_type, 1, 1)),
+                                substring(event_type, 2))
+               END AS label
+        FROM events
+    )
+    SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_distinct_binary,
+           CAST(count(DISTINCT lower(label)) AS BIGINT) AS n_distinct_ci,
+           CAST(count(*) FILTER (WHERE lower(label) = 'purchase') AS BIGINT)
+               AS n_purchase_ci,
+           CAST(count(*) FILTER (WHERE label = 'purchase') AS BIGINT)
+               AS n_purchase_binary
+    FROM s
+    """,
+    tags=("engine", "collation", "spark4-surface", "case-insensitive"),
+)
+def collation_caseinsensitive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware comparison (Spark 4's `collate`/UTF8_LCASE) —
+    case-insensitive equality as a COLUMN TYPE PROPERTY instead of
+    `lower()` scattered through every predicate: the label column
+    (deterministically case-mangled three ways) is compared and
+    DISTINCT-counted under both BINARY and UTF8_LCASE collations in one
+    pass.  Under UTF8_LCASE the three casings of each type collapse to
+    one distinct value and match the literal regardless of its case;
+    under BINARY they stay separate — both facts value-hash-pinned.
+    The oracle expresses the same semantics via lower() (DuckDB's
+    collation surface differs; the SEMANTICS are the contract).  Why
+    it matters at 100 TB: a collated column comparison stays a hash
+    join/agg key with no wrapping expression, so Catalyst can still
+    prune/push/broadcast on it — `lower()`-wrapped keys lose stats and
+    pushdown."""
+    e = _t(spark, sf_dir, "events")
+    label = (
+        F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+        .when(F.col("event_id") % 3 == 1, F.col("event_type"))
+        .otherwise(F.initcap("event_type"))
+    )
+    s = e.select(label.alias("label"))
+    ci = F.collate(F.col("label"), "UTF8_LCASE")
+    return s.agg(
+        F.count_distinct(F.col("label")).cast("long").alias("n_distinct_binary"),
+        F.count_distinct(ci).cast("long").alias("n_distinct_ci"),
+        F.count(F.when(ci == F.lit("purchase"), 1)).cast("long").alias("n_purchase_ci"),
+        F.count(F.when(F.col("label") == F.lit("purchase"), 1))
+        .cast("long")
+        .alias("n_purchase_binary"),
+    )
+
+
+# --- XML ingestion (Spark 4 from_xml) ---------------------------------------
+
+
+@register(
+    "xml_ingest_extract",
+    oracle="""
+    WITH x AS (
+        SELECT event_id,
+               '<reading sensor="s' || CAST(user_id % 50 AS VARCHAR)
+                 || '"><temp>' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)
+                 || '</temp><seq>' || CAST(event_id AS VARCHAR) || '</seq></reading>'
+               AS payload
+        FROM events
+    )
+    SELECT regexp_extract(payload, 'sensor="([^"]+)"', 1) AS sensor,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(CAST(regexp_extract(payload, '<temp>(-?[0-9]+)</temp>', 1) AS BIGINT))
+                AS BIGINT) AS temp_cents_total,
+           CAST(max(CAST(regexp_extract(payload, '<seq>([0-9]+)</seq>', 1) AS BIGINT))
+                AS BIGINT) AS max_seq
+    FROM x GROUP BY 1
+    """,
+    tags=("engine", "xml", "spark4-surface", "semi-structured"),
+)
+def xml_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML INGESTION via Spark 4's native `from_xml` — the third
+    semi-structured decoder next to JSON (`json_props_stats`) and
+    VARIANT (`props_variant_*`): industrial feeds (SCADA, finance
+    FpML, health HL7) still arrive as XML, and the engine parses it
+    JVM-side with a declared schema — attribute (`_sensor`) and
+    element (`temp`, `seq`) extraction typed at parse time.  The
+    payload is synthesized deterministically from event columns (both
+    engines build identical bytes); DuckDB has no XML reader, so the
+    oracle extracts the same fields by regexp — parser-independent
+    agreement on the decoded CONTENT.  Pure map + one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('<reading sensor="s'),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit('"><temp>'),
+        as_cents(F.col("value")).cast("string"),
+        F.lit("</temp><seq>"),
+        F.col("event_id").cast("string"),
+        F.lit("</seq></reading>"),
+    )
+    parsed = e.select(
+        F.from_xml(
+            payload, "struct<_sensor:string, temp:bigint, seq:bigint>"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r._sensor").alias("sensor")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("r.temp").cast("long").alias("temp_cents_total"),
+        F.max("r.seq").cast("long").alias("max_seq"),
+    )
