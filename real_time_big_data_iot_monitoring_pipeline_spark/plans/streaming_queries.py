@@ -1327,3 +1327,96 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipeline.run_stream_to_parquet(agg, result, output_mode="complete")
     return spark.read.parquet(result)
+
+
+@register(
+    "stream_full_outer_interval_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT event_id AS error_event_id, user_id AS r_user_id, ts AS error_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT l.event_id,
+           COALESCE(l.user_id, r.r_user_id) AS user_id,
+           epoch_us(l.ts) AS ts_us,
+           r.error_event_id,
+           epoch_us(r.error_ts) AS error_ts_us
+    FROM l FULL JOIN r
+      ON l.user_id = r.r_user_id
+     AND l.ts >= r.error_ts AND l.ts < r.error_ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "full-outer", "watermark-padding", "equivalence"),
+)
+def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — BOTH unmatched sides
+    must emit: purchases with no error in their preceding 30 minutes
+    (the left-outer case) AND errors that no purchase ever followed
+    within 30 minutes — each null-padded only once the watermark proves
+    its match can no longer arrive (left rows when the watermark passes
+    their own eligibility, right rows when it passes error_ts + 30 min
+    and the error's state evicts unmatched).  Completes the streaming
+    outer-join family (inner: `stream_interval_join`; left:
+    `stream_outer_interval_join`).  Same replay discipline: event-time-
+    ordered slices + the far-future flush sentinel on both feeds (one
+    batch pushes the watermark past every real row so ALL eligible
+    padding on BOTH sides emits before termination; sentinel rows join
+    each other and are excluded at read by user_id >= 0).  The one
+    output key column coalesces the two sides' keys — right-only rows
+    would otherwise carry only a null left key.  Must equal the batch
+    FULL OUTER interval join, which the oracle runs."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_full_outer_interval")
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+            mx = e.agg(F.max("ts").alias("mx")).first()[0]
+            sentinel = spark.createDataFrame(
+                [(-1, mx, -1, t, 0.0, None) for t in ("purchase", "error")],
+                schema=e.schema,
+            ).select(
+                "event_id",
+                (F.col("ts") + F.expr("interval 1 day")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(staging)
+        left = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+        )
+        right = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("error_event_id"),
+                F.col("ts").alias("error_ts"),
+            )
+        )
+        joined = pipeline.interval_join_stream(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="error_ts",
+            upper="30 minutes",
+            watermark="10 minutes",
+            how="fullOuter",
+        ).select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "error_event_id",
+            F.unix_micros("error_ts").alias("error_ts_us"),
+        )
+        pipeline.run_stream_to_parquet(joined, result, output_mode="append")
+    return spark.read.parquet(result).filter(F.col("user_id") >= 0)

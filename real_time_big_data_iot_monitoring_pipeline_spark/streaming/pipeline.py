@@ -242,7 +242,17 @@ def interval_join_stream(
         & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}"))
         & (F.col(f"l.{left_ts}") < F.col(f"r.{right_ts}") + F.expr(f"interval {upper}"))
     )
-    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
+    out = l.join(r, cond, how)
+    if how in ("fullOuter", "full_outer", "full"):
+        # right-only rows have a null left key: surface ONE key column
+        # coalesced from both sides instead of dropping the right one
+        return (
+            out.withColumn("__ij_key", F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")))
+            .drop(F.col(f"l.{key}"))
+            .drop(F.col(f"r.{key}"))
+            .withColumnRenamed("__ij_key", key)
+        )
+    return out.drop(F.col(f"r.{key}"))
 
 
 def parquet_upsert_writer(path: str, partition_col: str | list[str] = "window_start"):
