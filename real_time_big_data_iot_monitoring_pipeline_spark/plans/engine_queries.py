@@ -1481,3 +1481,123 @@ def xml_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r.temp").cast("long").alias("temp_cents_total"),
         F.max("r.seq").cast("long").alias("max_seq"),
     )
+
+
+# --- null-preserving explode semantics ---------------------------------------
+
+
+@register(
+    "explode_outer_surface",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN []
+                    WHEN o_orderkey % 3 = 1 THEN [o_orderkey % 10]
+                    ELSE [o_orderkey % 10, o_orderkey % 7]
+               END AS tags
+        FROM orders
+    ),
+    inner_x AS (
+        SELECT count(*) AS n FROM base, unnest(tags) AS u(tag)
+    ),
+    outer_x AS (
+        SELECT base.o_orderkey, u.tag
+        FROM base LEFT JOIN unnest(tags) AS u(tag) ON TRUE
+    )
+    SELECT CAST((SELECT n FROM inner_x) AS BIGINT) AS n_inner_rows,
+           CAST(count(*) AS BIGINT) AS n_outer_rows,
+           CAST(count(*) - count(tag) AS BIGINT) AS n_null_padded,
+           CAST(sum(tag) AS BIGINT) AS tag_total
+    FROM outer_x
+    """,
+    tags=("engine", "sql-surface", "explode-outer", "null-semantics"),
+)
+def explode_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE vs EXPLODE_OUTER — the silent-row-loss trap: a plain
+    explode DROPS rows whose array is empty (a third of the synthesized
+    tag arrays here), so any per-parent accounting downstream quietly
+    undercounts; explode_outer keeps them as one null-padded row, the
+    LEFT-JOIN-unnest semantics a fan-out that must preserve parents
+    needs.  Both row counts, the null-padding count, and the exploded
+    value total land in one hashed result, pinning the semantic
+    difference (inner = outer - padded).  The oracle spells the two
+    semantics as CROSS vs LEFT JOIN unnest."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>"))
+        .when(F.col("o_orderkey") % 3 == 1, F.array(F.col("o_orderkey") % 10))
+        .otherwise(F.array(F.col("o_orderkey") % 10, F.col("o_orderkey") % 7))
+        .alias("tags"),
+    )
+    n_inner = base.select(F.explode("tags").alias("tag")).count()
+    outer = base.select(F.explode_outer("tags").alias("tag"))
+    return outer.agg(
+        F.lit(n_inner).cast("long").alias("n_inner_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_outer_rows"),
+        (F.count(F.lit(1)) - F.count("tag")).cast("long").alias("n_null_padded"),
+        F.sum("tag").cast("long").alias("tag_total"),
+    )
+
+
+# --- bitmap exact-distinct rollup (Spark 4 bitmap functions) ----------------
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    ),
+    daily AS (
+        SELECT event_type, day, count(DISTINCT user_id) AS day_users FROM d GROUP BY 1, 2
+    ),
+    total AS (
+        SELECT event_type, count(DISTINCT user_id) AS total_users FROM d GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.total_users AS BIGINT) AS total_users,
+           CAST(sum(dl.day_users) AS BIGINT) AS sum_daily_users
+    FROM total t JOIN daily dl ON t.event_type = dl.event_type
+    GROUP BY t.event_type, t.total_users
+    """,
+    tags=("engine", "bitmap", "exact-distinct", "mergeable", "spark4-surface"),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via BITMAPS (Spark 4's bitmap_* family) —
+    the warehouse rollup trick between naive count-distinct and
+    HLL sketches (`distinct_users_hll_daily`): per (type, day, bucket)
+    each user sets one BIT (`bitmap_bit_position` within
+    `bitmap_bucket_number` buckets), daily bitmaps OR together
+    losslessly (`bitmap_or_agg`), and `bitmap_count` reads the exact
+    cardinality back — so the day-grain table is MERGEABLE like a
+    sketch but with zero error: the total per type is computed by
+    OR-ing the PERSISTED daily bitmaps, never rescanning the events.
+    At 100 TB this is the nightly-rollup pattern: the raw scan happens
+    once per day partition; every wider rollup (week, month, total)
+    folds bitmaps.  The oracle computes both grains with plain
+    COUNT(DISTINCT) — equality proves the bitmap algebra is exact,
+    including users spanning many days and bucket boundaries."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        "user_id",
+    )
+    daily = d.groupBy(
+        "event_type", "day", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    per_day = daily.groupBy("event_type", "day").agg(
+        F.sum(F.bitmap_count("bm")).alias("day_users")
+    )
+    total = (
+        daily.groupBy("event_type", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("total_users"))
+    )
+    return total.join(per_day, "event_type").groupBy(
+        "event_type", F.col("total_users").cast("long").alias("total_users")
+    ).agg(F.sum("day_users").cast("long").alias("sum_daily_users")).select(
+        "event_type", "total_users", "sum_daily_users"
+    )
