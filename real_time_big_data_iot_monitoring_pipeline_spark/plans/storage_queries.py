@@ -212,3 +212,67 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_cents"
         ),
     )
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS price_cents,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(price_cents) AS BIGINT) AS n_with_price,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(sum(price_cents) AS BIGINT) AS price_cents_total,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM u
+    """,
+    tags=("storage", "schema-evolution", "mergeSchema", "parquet"),
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET SCHEMA EVOLUTION — the table whose columns changed
+    mid-history: generation v1 wrote (key, custkey, price_cents),
+    generation v2 dropped the price and added a priority column.  A
+    plain read takes ONE footer's schema and silently loses the other
+    generation's column; `mergeSchema` unions the footers so every file
+    contributes its columns and absent ones read as NULL — the
+    evolution contract every long-lived table needs (and what
+    Delta/Iceberg formalize in metadata; here it is the raw-parquet
+    version).  The audit counts per-generation presence and the exact
+    cents total over the generation that HAS the column — a dropped or
+    misaligned column breaks the hash.  Staged once per session; the
+    read is the query."""
+    import os
+    import tempfile
+
+    key = "_schema_evo_dir"
+    path = getattr(parquet_schema_evolution, key, None)
+    if path is None or not os.path.exists(path):
+        path = tempfile.mkdtemp(prefix="rtbd_schema_evo_") + "/t"
+        o = load_table(spark, sf_dir, "orders")
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", as_cents(F.col("o_totalprice")).alias("price_cents")
+        )
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2.write.mode("append").parquet(path)
+        setattr(parquet_schema_evolution, key, path)
+    t = spark.read.option("mergeSchema", "true").parquet(path)
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("price_cents").cast("long").alias("n_with_price"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.sum("price_cents").cast("long").alias("price_cents_total"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )

@@ -1420,3 +1420,87 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         pipeline.run_stream_to_parquet(joined, result, output_mode="append")
     return spark.read.parquet(result).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_join_then_window",
+    oracle="""
+    WITH j AS (
+        SELECT l.ts
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id AND r.event_type = 'error'
+         AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 30 MINUTE
+        WHERE l.event_type = 'purchase'
+    )
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           count(*) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+    tags=("streaming", "multi-stateful", "join-then-agg", "equivalence"),
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN STATE FEEDING WINDOW STATE — the second multi-stateful
+    chain (`stream_dedup_then_window` chains dedup->agg): a
+    stream-stream interval join's output flows into a tumbling-window
+    aggregate in the SAME streaming DAG, the shape every funnel/attach-
+    rate metric takes ('purchases with a recent error, per hour').
+    Spark must propagate the watermark THROUGH the join (the agg's
+    eviction clock is the join's output watermark, delayed by the
+    interval bound) — unsupported before 3.5, and the capability corner
+    this query pins.  Event-time-ordered replay + the far-future flush
+    sentinel (filtered between the join and the aggregate — the filter
+    drops its rows but the sentinel has already advanced the source
+    watermarks, sealing every real window).  Append-mode result equals
+    the batch join + hourly count the oracle runs."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_join_then_window")
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+            mx = e.agg(F.max("ts").alias("mx")).first()[0]
+            sentinel = spark.createDataFrame(
+                [(-1, mx, -1, t, 0.0, None) for t in ("purchase", "error")],
+                schema=e.schema,
+            ).select(
+                "event_id",
+                (F.col("ts") + F.expr("interval 1 day")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(staging)
+        left = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+        )
+        right = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("error_event_id"),
+                F.col("ts").alias("error_ts"),
+            )
+        )
+        joined = pipeline.interval_join_stream(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="error_ts",
+            upper="30 minutes",
+            watermark="10 minutes",
+            how="inner",
+        ).filter(F.col("user_id") >= 0)
+        agg = (
+            joined.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .select(F.unix_seconds(F.col("w.start")).alias("window_start"), "n_pairs")
+        )
+        pipeline.run_stream_to_parquet(agg, result, output_mode="append")
+    return spark.read.parquet(result)
