@@ -1002,3 +1002,46 @@ def set_ops_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation), never a row-pairing join."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_setall_orders")
     return spark.sql(_SETALL_SQL.format(orders="v_setall_orders"))
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE up(node, anc) AS (
+        SELECT c_custkey, c_custkey FROM {customer}
+        UNION ALL
+        SELECT node, CAST((anc - anc % 10) / 10 AS BIGINT) FROM up WHERE anc >= 10
+    ),
+    roots AS (
+        SELECT node, anc AS root FROM up WHERE anc < 10
+    ),
+    rev AS (
+        SELECT o_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM {orders} GROUP BY 1
+    )
+    SELECT r.root,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           ROUND(sum(COALESCE(rev.cents, 0)) / 100.0 + 1e-8, 2) AS subtree_revenue
+    FROM roots r LEFT JOIN rev ON rev.o_custkey = r.node
+    GROUP BY r.root
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_CTE_SQL.format(customer="customer", orders="orders"),
+    tags=("olap", "recursive-cte", "sql-surface", "spark4-surface", "hierarchy"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE `WITH RECURSIVE` (Spark 4) — the SAME recursive-CTE text
+    runs through `spark.sql` and DuckDB: the customer-tree ancestor
+    walk + root revenue rollup that `hierarchy_subtree_rollup` computes
+    with engine-level pointer doubling.  The pair is deliberate: the
+    doubling plan is the ceil(log2 d)-join SCALE path; this query pins
+    the SQL SURFACE a migrator's recursive queries arrive in, now that
+    Spark executes recursion natively (one iteration per level — fine
+    for shallow hierarchies, which is what recursive CTEs get used
+    for).  Identical results from three independent strategies
+    (doubling, Spark recursion, DuckDB recursion) triangulate the
+    semantics."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_rec_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_rec_orders")
+    return spark.sql(_RECURSIVE_CTE_SQL.format(customer="v_rec_customer", orders="v_rec_orders"))
