@@ -1601,3 +1601,89 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum("day_users").cast("long").alias("sum_daily_users")).select(
         "event_type", "total_users", "sum_daily_users"
     )
+
+
+# --- UDTF with TABLE argument (partitioned-input table function) ------------
+
+
+@register(
+    "udtf_longest_streak",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id) AS grp
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               count(*) AS run_len, min(us) AS start_us
+        FROM s GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id,
+           CAST(run_len AS BIGINT) AS streak_len,
+           event_type AS streak_type,
+           CAST(start_us AS BIGINT) AS streak_start_us
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY run_len DESC, start_us) AS r
+        FROM runs
+    ) WHERE r = 1
+    """,
+    tags=("engine", "udtf", "table-argument", "spark4-surface", "streaks"),
+)
+def udtf_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE ARGUMENT — `FROM streaks(TABLE(events)
+    PARTITION BY user_id ORDER BY ts)`: the engine hands the UDTF each
+    user's rows IN ORDER and calls `terminate()` at partition end, the
+    fourth Python-compute surface next to pandas_udf, mapInPandas/
+    applyInPandas(WithState), and the lateral UDTF — and the one whose
+    shape matches imperative per-entity walks (the fold here: longest
+    consecutive same-event-type streak, first-reached on ties).  The
+    partitioning/ordering contract is the ENGINE's (one shuffle on
+    user_id, sort within partition), not the UDTF's — exactly how a
+    per-entity sequential pass scales.  The oracle recomputes streaks
+    with the gaps-and-islands double row_number; equality pins both the
+    fold AND Spark's partition/order delivery."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id long, streak_len long, streak_type string, streak_start_us long"
+        )
+    )
+    class LongestStreak:
+        def __init__(self):
+            self.user = None
+            self.cur_type = None
+            self.cur_len = 0
+            self.cur_start = 0
+            self.best_len = 0
+            self.best_type = None
+            self.best_start = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            t, us = row["event_type"], row["us"]
+            if t == self.cur_type:
+                self.cur_len += 1
+            else:
+                self.cur_type, self.cur_len, self.cur_start = t, 1, us
+            if self.cur_len > self.best_len:
+                self.best_len = self.cur_len
+                self.best_type = self.cur_type
+                self.best_start = self.cur_start
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.best_len, self.best_type, self.best_start
+
+    spark.udtf.register("rtbd_longest_streak", LongestStreak)
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).createOrReplaceTempView("v_streak_events")
+    return spark.sql(
+        "SELECT * FROM rtbd_longest_streak(TABLE(v_streak_events) "
+        "PARTITION BY user_id ORDER BY (us, event_id))"
+    )
