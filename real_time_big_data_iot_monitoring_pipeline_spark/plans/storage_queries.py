@@ -276,3 +276,84 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").cast("long").alias("price_cents_total"),
         F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
     )
+
+
+@register(
+    "binaryfile_image_census",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+    ),
+    g AS (
+        SELECT doc_id, unnest(generate_series(0, 15)) AS r FROM ids
+    ),
+    px AS (
+        SELECT doc_id, (doc_id * 7 + r * 13 + c.c * 5) % 256 AS p
+        FROM g, (SELECT unnest(generate_series(0, 15)) AS c) c
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           ROUND(sum(p) / CAST(count(*) AS DOUBLE) + 1e-8, 4) AS mean_luma,
+           CAST(count(*) FILTER (WHERE p >= 128) AS BIGINT) AS n_bright,
+           CAST(min(p) AS BIGINT) AS luma_min,
+           CAST(max(p) AS BIGINT) AS luma_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("storage", "binaryFile", "source-format", "multimodal", "real-codec"),
+)
+def binaryfile_image_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` SOURCE FORMAT — how real image/audio corpora
+    actually arrive (a directory of files, not a parquet column): every
+    20th document's 16x16 PNG is written ONCE as an individual
+    `<doc_id>.png` file, then read back with
+    `spark.read.format("binaryFile")` — path, length, and content
+    columns straight from the file system, with Spark parallelizing
+    over files — decoded by the real PNG parser and reduced to the
+    same luma census as `image_png_pipeline`.  The doc id rides the
+    FILENAME (regexp off the path column), the provenance pattern every
+    file-corpus ingest uses.  The oracle regenerates the pixel formula
+    directly; a file/row mismatch, content truncation, or filename
+    mis-parse breaks the hash.  At 100 TB binaryFile is the landing
+    zone: this query is the ingest step that turns a file corpus into
+    the binary-column tables the multimodal family processes."""
+    import os
+    import tempfile
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import multimodal
+
+    key = "_binfile_dir"
+    path = getattr(binaryfile_image_census, key, None)
+    if path is None or not os.path.exists(path):
+        path = tempfile.mkdtemp(prefix="rtbd_binfile_") + "/imgs"
+        os.makedirs(path, exist_ok=True)
+        ids = [
+            r.doc_id
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 20 == 0)
+            .collect()
+        ]
+        # bounded driver loop: one small file per sampled doc — the
+        # fixture-staging step, not the query (a real corpus lands here
+        # from its own producer)
+        for doc_id in ids:
+            payload = multimodal.png_encode(multimodal._synth_pixels(int(doc_id), 16, 16))
+            with open(os.path.join(path, f"{doc_id}.png"), "wb") as f:
+                f.write(payload)
+        setattr(binaryfile_image_census, key, path)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1).cast("long").alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    feats = multimodal.png_features(
+        files.select("doc_id", "payload", F.lit(None).cast(
+            "struct<mime:string,width:int,height:int>"
+        ).alias("meta"))
+    )
+    return feats
