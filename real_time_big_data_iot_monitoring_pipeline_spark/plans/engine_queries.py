@@ -1687,3 +1687,97 @@ def udtf_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM rtbd_longest_streak(TABLE(v_streak_events) "
         "PARTITION BY user_id ORDER BY (us, event_id))"
     )
+
+
+# --- URL parsing surface ----------------------------------------------------
+
+
+@register(
+    "url_parse_census",
+    oracle="""
+    WITH u AS (
+        SELECT event_id,
+               'https://shard' || CAST(user_id % 8 AS VARCHAR)
+                 || '.example.com/api/v' || CAST(event_id % 3 + 1 AS VARCHAR)
+                 || '/events?type=' || event_type
+                 || '&page=' || CAST(event_id % 20 AS VARCHAR) AS url
+        FROM events
+    )
+    SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(count(DISTINCT regexp_extract(url, 'type=([^&]+)', 1)) AS BIGINT)
+               AS n_types,
+           CAST(sum(CAST(regexp_extract(url, 'page=([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+               AS page_total
+    FROM u GROUP BY 1, 2
+    """,
+    tags=("engine", "url", "parse_url", "scalar-surface"),
+)
+def url_parse_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL PARSING — the web-log staple: host, path, and query
+    parameters pulled from a URL column with `parse_url` (JVM-side,
+    spec-aware — handles ports/fragments/encoding the way regexes
+    eventually don't), aggregated into the per-endpoint traffic census
+    every clickstream pipeline starts with.  URLs are synthesized
+    deterministically (8 shard hosts x 3 API versions x query params
+    from event columns); DuckDB has no parse_url, so the oracle
+    extracts the same pieces by regexp — parser-independent agreement,
+    the `xml_ingest_extract` pattern applied to URLs."""
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shard"),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit(".example.com/api/v"),
+        (F.col("event_id") % 3 + 1).cast("string"),
+        F.lit("/events?type="),
+        F.col("event_type"),
+        F.lit("&page="),
+        (F.col("event_id") % 20).cast("string"),
+    )
+    u = e.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("type")).alias("qtype"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).cast("long").alias("page"),
+    )
+    return u.groupBy("host", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_requests"),
+        F.count_distinct("qtype").cast("long").alias("n_types"),
+        F.sum("page").cast("long").alias("page_total"),
+    )
+
+
+# --- cross-engine cryptographic hash agreement ------------------------------
+
+
+@register(
+    "hash_integrity_census",
+    oracle="""
+    WITH h AS (SELECT md5(text) AS digest FROM documents)
+    SELECT substring(digest, 1, 1) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_digests,
+           min(digest) AS min_digest
+    FROM h GROUP BY 1
+    """,
+    tags=("engine", "hashing", "md5", "integrity", "cross-engine"),
+)
+def hash_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRYPTOGRAPHIC-HASH AGREEMENT across engines — the foundation
+    every content-addressed system (dedup stores, cache keys, transfer
+    integrity manifests) rests on: md5 hex digests of the document
+    texts, bucketed by leading nibble, with per-bucket distinct-digest
+    counts and the minimum digest value-hash-pinned.  If Spark and
+    DuckDB ever disagreed on a single byte of encoding, normalization,
+    or hex rendering, the digests — and this query's hash — would
+    diverge; agreement certifies the engine's hash column as a portable
+    content address (the `dedup_exact_stats` family keys on exactly
+    such digests).  One scan, one tiny bucket-keyed aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(F.md5("text").alias("digest"))
+    return h.groupBy(F.substring("digest", 1, 1).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("digest").cast("long").alias("n_distinct_digests"),
+        F.min("digest").alias("min_digest"),
+    )
