@@ -1781,3 +1781,90 @@ def hash_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("digest").cast("long").alias("n_distinct_digests"),
         F.min("digest").alias("min_digest"),
     )
+
+
+# --- Observation API (inline metrics, zero extra scans) ---------------------
+
+
+@register(
+    "observe_metrics_audit",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, value FROM events WHERE value >= 50
+    ),
+    metrics AS (
+        SELECT count(*) AS rows_kept,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents_kept
+        FROM q
+    ),
+    result AS (
+        SELECT count(*) AS n_groups FROM (SELECT DISTINCT event_type FROM q)
+    )
+    SELECT CAST(m.rows_kept AS BIGINT) AS rows_kept,
+           m.cents_kept,
+           CAST(r.n_groups AS BIGINT) AS n_groups
+    FROM metrics m, result r
+    """,
+    tags=("engine", "observe", "inline-metrics", "data-quality"),
+)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBSERVATION API — pipeline metrics WITHOUT a second scan:
+    `df.observe(...)` attaches aggregate accumulators to a plan node,
+    so the row count and cents total of the filtered stream are
+    collected AS the query runs — the engine-native way to monitor an
+    ETL step (row-yield, null-rate, total checks) where the naive
+    approach pays one extra scan per metric.  Here the observed node
+    is the value >= 50 filter feeding a distinct-count; the observed
+    metrics and the query result land in ONE hashed row, and the
+    oracle recomputes both — a drift between the observed stream and
+    the direct aggregates would break the hash.  The observation
+    itself is driver-bounded (one row of metrics), exactly like a
+    Spark accumulator."""
+    from pyspark.sql import Observation
+
+    e = _t(spark, sf_dir, "events")
+    obs = Observation()
+    q = e.filter(F.col("value") >= 50).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(as_cents(F.col("value"))).alias("cents_kept"),
+    )
+    n_groups = q.select("event_type").distinct().count()  # the action
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["rows_kept"]), int(m["cents_kept"]), int(n_groups))],
+        "rows_kept long, cents_kept long, n_groups long",
+    )
+
+
+# --- parameterized SQL (named parameter markers) ----------------------------
+
+_PARAM_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM {orders}
+    WHERE o_totalprice >= {lo} AND o_orderstatus = {status}
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "parameterized_sql_surface",
+    oracle=_PARAM_SQL.format(orders="orders", lo="1000.0", status="'F'"),
+    tags=("engine", "sql-surface", "parameterized", "injection-safe"),
+)
+def parameterized_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL — named parameter markers bound through
+    `spark.sql(query, args=...)`: the injection-safe templating surface
+    applications use instead of string-formatting values into query
+    text (a quoting bug in a formatted literal is both a correctness
+    and a security hole; bound parameters are typed and never parsed
+    as SQL).  The marker form also keeps the PLAN cache keyed on the
+    template.  Same predicate constants baked literally into the
+    oracle text — the results must agree exactly."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_param_orders")
+    return spark.sql(
+        _PARAM_SQL.format(orders="v_param_orders", lo=":lo", status=":status"),
+        args={"lo": 1000.0, "status": "F"},
+    )
