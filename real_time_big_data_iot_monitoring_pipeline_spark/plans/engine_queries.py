@@ -1868,3 +1868,77 @@ def parameterized_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PARAM_SQL.format(orders="v_param_orders", lo=":lo", status=":status"),
         args={"lo": 1000.0, "status": "F"},
     )
+
+
+# --- one-pass weighted sampling without replacement (priority sampling) -----
+
+
+@register(
+    "priority_sample_topk",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+               (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, weight,
+               weight * 8589934592 // (2 * h + 1) AS priority
+        FROM w
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(weight) AS BIGINT) AS weight_total,
+           CAST(min(priority) AS BIGINT) AS min_priority,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST((SELECT priority FROM ranked WHERE rk = 51) AS BIGINT) AS tau
+    FROM ranked WHERE rk <= 50
+    """,
+    tags=("engine", "sampling", "priority-sampling", "without-replacement", "one-pass"),
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT in one pass — PRIORITY
+    SAMPLING (Duffield-Lund-Thorup): each row gets priority w/u for a
+    per-row uniform u, the k largest priorities form the sample, and
+    the (k+1)-th priority tau makes per-item inclusion weights
+    max(w, tau) an unbiased subset-sum estimator — the principled way
+    to keep a weighted sketch of a 100 TB corpus in one scan (the
+    `corpus_weighted_sample` family draws WITH replacement; this is the
+    without-replacement counterpart, and unlike rejection approaches it
+    needs no second pass).  Determinism without transcendentals: u
+    derives from a Knuth hash and the priority is computed as ONE
+    integer FLOOR-DIVISION w * 2^33 div (2h + 1) — exact on both
+    engines (float division + cast was measured off-by-one on 231/500
+    rows: DuckDB's cast rounds where Spark's truncates), no ln/pow ulp
+    divergence to flip a rank-boundary tie.
+    Top-k is a TakeOrdered over bounded k, never a full sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("weight"),
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("h"),
+    )
+    p = w.select(
+        "doc_id",
+        "weight",
+        F.expr("weight * 8589934592L div (2 * h + 1)").alias("priority"),
+    )
+    top51 = p.orderBy(F.col("priority").desc(), "doc_id").limit(51).collect()
+    tau = int(top51[50].priority) if len(top51) > 50 else None
+    sample = top51[:50]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_sampled": [len(sample)],
+                "weight_total": [sum(int(r.weight) for r in sample)],
+                "min_priority": [min(int(r.priority) for r in sample)],
+                "max_doc_id": [max(int(r.doc_id) for r in sample)],
+                "tau": [tau],
+            }
+        ),
+        "n_sampled long, weight_total long, min_priority long, max_doc_id long, tau long",
+    )
