@@ -1498,3 +1498,93 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "mann_whitney_utest",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS t, CAST(sum(is_a) AS BIGINT) AS a
+        FROM pool GROUP BY cents
+    ),
+    r AS (
+        SELECT *, sum(t) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - t AS cb
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(a * (2 * cb + t + 1)) AS BIGINT) AS r1_twice,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM r
+    )
+    SELECT n1 AS n_click, (n - n1) AS n_view,
+           (r1_twice - n1 * (n1 + 1)) / 2.0 AS u_stat,
+           ties AS tie_term,
+           ROUND((r1_twice - n1 * (n1 + 1) - n1 * (n - n1))
+                 / (2.0 * sqrt((n1 * (n - n1) / 12.0)
+                               * ((n + 1) - ties / (CAST(n AS DOUBLE) * (n - 1)))))
+                 + 1e-8, 4) AS z_score
+    FROM s
+    """,
+    tags=("analytics", "hypothesis-test", "rank-statistic", "global-kernel"),
+)
+def mann_whitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) test between two event
+    populations ('click' vs 'view' values) — the NONPARAMETRIC member
+    of the hypothesis-test family (`ab_conversion_ztest` compares
+    proportions, `anova_value_by_type` compares means; rank tests are
+    what a practitioner reaches for when values are skewed and means
+    mislead).  The classic formulation sorts the pooled sample and
+    assigns average ranks to ties — a global sort of every observation.
+    This plan never ranks observations: values collapse to a
+    per-distinct-cents aggregate (t total, a in-group), the tie-average
+    rank of each distinct value is derived from the exact global prefix
+    sum of counts (`operators/windows.global_running_sum` — range
+    repartition + P-entry broadcast, no single-task sort), and the
+    rank-sum R1 folds up as the exact integer sum a*(2*cb + t + 1) (kept
+    doubled to stay integral).  U, the tie-corrected variance, and z are
+    fixed-order float expressions over five exact integers, identical
+    in both engines.  Scale: the shuffle is #distinct-values sized, the
+    statistic is 1 row; i64 holds r1_twice up to ~3e9 observations
+    (beyond that the same plan runs on decimal(38,0)).
+    Reference parity: extends ref:app.py's status-split summary stats
+    to a defensible significance call."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    pool = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            as_cents(F.col("value")).alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    g = pool.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("is_a").cast("long").alias("a")
+    )
+    r = global_running_sum(g, ["cents"], "t", out="run").withColumn(
+        "cb", F.col("run") - F.col("t")
+    )
+    s = r.agg(
+        F.sum("a").alias("n1"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("a") * (2 * F.col("cb") + F.col("t") + 1)).alias("r1_twice"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    num = F.col("r1_twice") - n1 * (n1 + 1) - n1 * (n - n1)
+    var = (n1 * (n - n1) / F.lit(12.0)) * (
+        (n + 1) - F.col("ties") / (n.cast("double") * (n - 1))
+    )
+    return s.select(
+        n1.cast("long").alias("n_click"),
+        (n - n1).cast("long").alias("n_view"),
+        ((F.col("r1_twice") - n1 * (n1 + 1)) / F.lit(2.0)).alias("u_stat"),
+        F.col("ties").cast("long").alias("tie_term"),
+        round_det(num / (F.lit(2.0) * F.sqrt(var)), 4).alias("z_score"),
+    )

@@ -1276,3 +1276,97 @@ def funnel_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.expr("percentile(delay_us, 0.75)") / 60000000.0, 4).alias("p75_minutes"),
         round_det(F.expr("percentile(delay_us, 0.90)") / 60000000.0, 4).alias("p90_minutes"),
     )
+
+
+@register(
+    "bfs_shortest_hops",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL SELECT v, u FROM pairs
+    ),
+    walk(node, d) AS (
+        SELECT DISTINCT src, 0 FROM edges WHERE src % 50 = 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < 4
+    ),
+    dist AS (SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node)
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM dist GROUP BY dist
+    """,
+    tags=("graph", "bfs", "shortest-path", "iterative", "frontier"),
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS SHORTEST HOP DISTANCE from a seed set over the part
+    co-purchase graph — the fourth iterative-graph-family member
+    (PageRank ranks, components cluster, triangles measure cohesion,
+    BFS measures REACH: "how many products sit within k co-purchase
+    hops of the promoted set?").  The Spark plan is classic frontier
+    expansion: visited starts as the seeds (node % 50 = 0) at distance
+    0, and each round joins the CURRENT FRONTIER (only the newly
+    discovered nodes, never the whole visited set) against the
+    localCheckpoint'd edge table, anti-joins out already-visited nodes,
+    and tags survivors with the round number — exactly min-hop
+    semantics because a node reachable at distance d is discovered in
+    round d and excluded from every later round.  4 rounds, each a
+    bounded frontier-sized equi-join + anti-join (both key-partitioned
+    shuffles); visited is localCheckpoint'd per round to truncate the
+    lineage the way `pagerank_micro` does.  The oracle is the
+    recursive-CTE formulation (UNION-deduped walk, then min per node)
+    over identical edges; per-level node-id checksums make a single
+    misplaced frontier member visible.  Scale: at 100 TB the frontier
+    join is the textbook Pregel superstep — edges partitioned by src,
+    frontier broadcast when small, shuffled when not; no stage ever
+    materializes more than (frontier x avg-degree) candidates.
+    Reference anchor: graph reach is the copurchase extension of
+    ref:app.py's co-occurrence browsing."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.withColumn("dist", F.lit(0).cast("int"))
+    for d in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )

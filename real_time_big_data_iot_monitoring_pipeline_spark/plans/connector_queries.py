@@ -295,3 +295,72 @@ def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+@register(
+    "pyds_sink_compaction",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           12 AS n_files_before, 2 AS n_files_after,
+           4 AS head_version, 20000 AS precompact_rows,
+           CAST((SELECT sum(temp_centi) FROM feed) AS BIGINT) AS precompact_temp_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "sink", "compaction", "optimize"),
+)
+def pyds_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION (the lakehouse `OPTIMIZE` verb) on the manifest sink:
+    three small appends (each 4 tasks) leave the table as 12 small part
+    files — the small-file problem every streaming ingest accumulates —
+    and the compaction pass rewrites the CURRENT snapshot into 2 files
+    as one overwrite commit.  The contract under test: (a) the
+    compacted table is byte-identical in content (per-sensor rollup
+    equals the feed formula), (b) the head manifest's file list really
+    shrank 12 -> 2 while version numbering CONTINUED (v4 — overwrite
+    never clobbers history), and (c) the PRE-compaction snapshot v3 is
+    still readable with identical totals (time travel across a
+    compaction, the property that makes compaction safe to run
+    concurrently with readers: no reader of v3 ever observes the
+    rewrite).  File counts and snapshot rows come from the manifests
+    (driver-side metadata, no data collect); v3's temperature total is
+    re-aggregated from its files and broadcast onto the result.  Scale:
+    compaction is one repartition of the live snapshot — on a real
+    table, per-partition and incremental (pick small files, leave big
+    ones), with exactly this manifest-swap commit."""
+    import tempfile
+
+    key = "_pyds_compact_dir"
+    path = getattr(pyds_sink_compaction, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v4.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_opt_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        for third in range(3):
+            feed.filter(F.col("reading_id") % 3 == third).repartition(4).write.format(
+                "rtbd_manifest_sink"
+            ).option("path", path).mode("append").save()
+        live, _m = pydatasource.read_manifest(spark, path)
+        live.repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "overwrite"
+        ).save()
+        setattr(pyds_sink_compaction, key, path)
+
+    _pre_df, pre_m = pydatasource.read_manifest(spark, path, version=3)
+    back, head_m = pydatasource.read_manifest(spark, path)
+    v3_df, _ = pydatasource.read_manifest(spark, path, version=3)
+    v3_total = v3_df.agg(F.sum("temp_centi").cast("long").alias("precompact_temp_total"))
+    return (
+        back.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        .withColumn("n_files_before", F.lit(len(pre_m["files"])).cast("int"))
+        .withColumn("n_files_after", F.lit(len(head_m["files"])).cast("int"))
+        .withColumn("head_version", F.lit(head_m["version"]).cast("int"))
+        .withColumn("precompact_rows", F.lit(pre_m["n_rows"]).cast("int"))
+        .crossJoin(F.broadcast(v3_total))
+    )

@@ -335,3 +335,87 @@ def bitemporal_asof_belief(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versions.groupBy("event_id", "user_id").agg(
         round_det(F.expr("max_by(val_cents, tx_us)") / 100.0, 2).alias("believed_value")
     )
+
+
+@register(
+    "merge_into_orders",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           ROUND(cents / 100.0 + 1e-8, 2) AS price, o_orderstatus AS status
+    FROM t WHERE o_orderkey % 10 NOT IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(floor(cents * 11 / 10) AS BIGINT) / 100.0 + 1e-8, 2), 'P'
+    FROM t WHERE o_orderkey % 10 = 0 AND cents >= 10000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, ROUND(cents / 100.0 + 1e-8, 2), o_orderstatus
+    FROM t WHERE o_orderkey % 10 = 0 AND cents < 10000
+    UNION ALL
+    SELECT -o_orderkey, o_custkey, ROUND(cents / 100.0 + 1e-8, 2), 'N'
+    FROM t WHERE o_orderkey % 10 = 2
+    """,
+    tags=("incremental", "merge-into", "cdc", "upsert", "single-shuffle"),
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL MERGE INTO surface (`operators/merge.merge_into`) — the one
+    statement lakehouse tables use for upsert + CDC apply + conditional
+    delete, executed as a single full-outer key join with JVM-side
+    clause dispatch (the same physical shape Delta's MERGE lowers to).
+    A deterministic change feed derived from `orders` exercises every
+    clause: keys =0 mod 10 arrive as updates (+10% price, status 'P')
+    but the WHEN MATCHED AND condition only fires for orders of >= $100
+    — cheaper matched rows must survive UNCHANGED (clause-condition
+    semantics, not blanket upsert); keys =1 mod 10 arrive as deletes;
+    negated keys =2 mod 10 are unseen -> insert with status 'N'; all
+    other target rows pass through untouched.  Prices stay in exact
+    integer cents through the +10% bump (floor(cents*11/10) in both
+    engines).  The oracle rebuilds the post-merge table as four
+    disjoint set expressions — any clause misfire (dropped pass-through,
+    update below the gate, resurrected delete, doubled insert) changes
+    the row set.  Scale: one key-partitioned shuffle; at 100 TB the
+    manifest sink's file stats would prune the untouched partitions
+    first, leaving the same clause algebra over the matched slice."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.merge import merge_into
+
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        as_cents(F.col("o_totalprice")).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    k = F.col("o_orderkey")
+    updates = t.filter(k % 10 == 0).select(
+        "o_orderkey", "o_custkey", "cents", "status", F.lit("U").alias("op")
+    )
+    deletes = t.filter(k % 10 == 1).select(
+        "o_orderkey", "o_custkey", "cents", "status", F.lit("D").alias("op")
+    )
+    inserts = t.filter(k % 10 == 2).select(
+        (-k).alias("o_orderkey"), "o_custkey", "cents", F.lit("N").alias("status"),
+        F.lit("I").alias("op"),
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_into(
+        t,
+        source,
+        ["o_orderkey"],
+        update_set={
+            "cents": F.floor(F.col("t.cents") * 11 / 10).cast("long"),
+            "status": F.lit("P"),
+        },
+        update_cond=(F.col("s.op") == "U") & (F.col("t.cents") >= 10000),
+        delete_cond=F.col("s.op") == "D",
+        insert_cond=F.col("s.op") == "I",
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        round_det(F.col("cents") / 100.0, 2).alias("price"),
+        "status",
+    )

@@ -441,3 +441,70 @@ def test_bitmap_rollup_bucket_boundary(spark):
     )
     total = daily.agg(F.sum(F.bitmap_count("bm")).alias("n")).collect()[0].n
     assert total == len(ids)
+
+
+def test_merge_into_clause_semantics(spark):
+    """Generic MERGE operator: clause precedence (delete before update),
+    conditional update gates, conditional insert gates, and pass-through
+    of unmatched target rows — pinned on a hand-computable table."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "a"), (4, 40, "a")],
+        "k long, v long, tag string",
+    )
+    # ops: k=1 update (v below gate -> unchanged), k=2 update (fires),
+    # k=3 delete, k=9 insert (gate passes), k=8 insert (gate fails)
+    source = spark.createDataFrame(
+        [
+            (1, 100, "u", "U"),
+            (2, 200, "u", "U"),
+            (3, 0, "d", "D"),
+            (9, 90, "i", "I"),
+            (8, 80, "i", "X"),
+        ],
+        "k long, v long, tag string, op string",
+    )
+    out = merge_into(
+        target,
+        source,
+        ["k"],
+        update_set={"v": F.col("s.v"), "tag": F.lit("upd")},
+        update_cond=(F.col("s.op") == "U") & (F.col("t.v") >= 15),
+        delete_cond=F.col("s.op") == "D",
+        insert_cond=F.col("s.op") == "I",
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+    assert rows == {
+        1: (10, "a"),     # matched, update gate failed -> unchanged
+        2: (200, "upd"),  # matched, update fired
+        4: (40, "a"),     # no source row -> pass-through
+        9: (90, "i"),     # not matched, insert gate passed
+    }
+
+
+def test_merge_into_delete_beats_update(spark):
+    """A matched pair satisfying BOTH clauses deletes (SQL clause order)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10)], "k long, v long")
+    source = spark.createDataFrame([(1, 99)], "k long, v long")
+    out = merge_into(
+        target,
+        source,
+        ["k"],
+        update_set={"v": F.col("s.v")},
+        update_cond=F.lit(True),
+        delete_cond=F.lit(True),
+    )
+    assert out.count() == 0
+
+
+def test_bfs_unreachable_nodes_absent(spark, sf_dir):
+    """BFS result never reports distance > cap and every level's node
+    count is positive (seeds exist at the test scale)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    pdf = REGISTRY["bfs_shortest_hops"].build(spark, sf_dir).toPandas()
+    assert pdf["dist"].between(0, 4).all()
+    assert (pdf["n_nodes"] > 0).any()
