@@ -1504,3 +1504,94 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipeline.run_stream_to_parquet(agg, result, output_mode="append")
     return spark.read.parquet(result)
+
+
+@register(
+    "stream_session_timeout_close",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    mx AS (SELECT max(us) AS max_us FROM r),
+    o AS (
+        SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+        FROM r WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               CAST(min(us) AS BIGINT) AS session_start_us,
+               CAST(max(us) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(vc) AS BIGINT) AS sum_cents
+        FROM s GROUP BY user_id, sid
+    ),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+    SELECT sess.user_id, session_start_us, session_end_us, n_events,
+           ROUND(sum_cents / 100.0 + 1e-8, 2) AS total_value
+    FROM sess JOIN last ON sess.user_id = last.user_id, mx
+    WHERE sid < last_sid
+       OR session_end_us + 1800000000 < max_us - 3600000000
+    """,
+    tags=("streaming", "stateful", "session", "event-time-timeout", "state-eviction"),
+)
+def stream_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEOUT-DRIVEN STATE EVICTION under the oracle — the one
+    applyInPandasWithState capability the catalog's other stateful
+    replays (EWMA, extremes, CUSUM, hysteresis: all NoTimeout,
+    state-per-key-forever) don't exercise: per-user sessions that CLOSE
+    THEMSELVES when the event-time watermark passes last_event + gap,
+    emit exactly once on closure, and `state.remove()` their state row
+    — the lifecycle that keeps an unbounded-key stream's state store
+    from growing without bound.  In-batch closures (next event > 30 min
+    later inside one micro-batch) emit immediately; trailing open
+    sessions park in state under an EventTimeTimeout.  The replay
+    stages events as 8 event-time-ordered slices (1 file per trigger),
+    so the watermark ratchets batch-by-batch and MID-REPLAY timeouts
+    genuinely fire; ordered slices + a 1-hour watermark delay also
+    guarantee no session is ever closed early (any extending event
+    arrives while the watermark is still >= one delay behind it — see
+    the operator docstring).  The oracle sessionizes in batch SQL and
+    keeps exactly the sessions the stream must have emitted: every
+    non-final session (closed by a successor event), plus final
+    sessions whose timeout instant precedes the final watermark
+    (max_ts - 1h); a session emitted twice, never evicted, or closed
+    early breaks the row multiset.  Semantics pinned: Spark fires an
+    event-time timeout only when the watermark moves STRICTLY past the
+    set instant, and the post-data no-data batch runs the final
+    timeout sweep (both verified by this hash)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming import stateful
+
+    e = load_table(spark, sf_dir, "events")
+    staging, result = _stream_dirs(sf_dir, "result_session_timeout")
+    sliced = staging + "_ordered"
+    if not os.path.exists(result):
+        if not os.path.exists(sliced):
+            pipeline.stage_event_time_slices(e, sliced, ts_col="ts", n_slices=8)
+        stream = pipeline.file_source(
+            spark, sliced, schema=e.schema, max_files_per_trigger=1
+        ).select(
+            "ts",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+            "event_id",
+        )
+        out = stateful.session_close_stream(stream, gap_us=1_800_000_000, delay="1 hour")
+        pipeline.run_stream_to_parquet(out, result, output_mode="update")
+    res = spark.read.parquet(result)
+    return res.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        round_det(F.col("sum_cents") / 100.0, 2).alias("total_value"),
+    )

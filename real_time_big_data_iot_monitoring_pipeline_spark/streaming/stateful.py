@@ -432,3 +432,103 @@ def hysteresis_stream(events: DataFrame, hi: float = 100.0, lo: float = 25.0) ->
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- timeout-evicting sessionizer -------------------------------------------
+
+SESSION_CLOSE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+SESSION_CLOSE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def session_close_update(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int = 1_800_000_000,
+) -> Iterator[pd.DataFrame]:
+    """Sessionizer that EMITS ONLY CLOSED SESSIONS and EVICTS their
+    state — the production discipline for unbounded key spaces (the
+    built-in `session_window` agg holds sessions until its own watermark
+    close; this is the custom-operator twin with explicit state
+    lifecycle).  Sessions that end inside a batch (the next event is
+    more than `gap_us` later) close immediately; the trailing open
+    session is parked in state with an EVENT-TIME TIMEOUT at
+    last_event + gap, so the engine's watermark — not any per-key data —
+    closes idle sessions and `state.remove()` frees their state row.
+    Input rows must carry precomputed `us` (unix micros, so the Arrow
+    transfer is tz-proof) and `event_id` for a stable in-batch sort.
+    """
+    closed: list[tuple[int, int, int, int]] = []
+    if state.hasTimedOut:
+        start, last, n, sc = state.get
+        state.remove()
+        closed.append((start, last, n, sc))
+    else:
+        if state.exists:
+            start, last, n, sc = state.get
+        else:
+            start = None
+            last = n = sc = 0
+        chunks = [p for p in batches if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
+            for us, vc in zip(pdf["us"].astype("int64"), pdf["vc"].astype("int64")):
+                us, vc = int(us), int(vc)
+                if start is not None and us - last > gap_us:
+                    closed.append((start, last, n, sc))
+                    start = None
+                if start is None:
+                    start, last, n, sc = us, us, 1, vc
+                else:
+                    last, n, sc = us, n + 1, sc + vc
+        if start is not None:
+            state.update((start, last, n, sc))
+            # event-time timeout: the watermark closes this session
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        else:  # pragma: no cover - data batch for a key always has rows
+            state.remove()
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])] * len(closed),
+            "session_start_us": [c[0] for c in closed],
+            "session_end_us": [c[1] for c in closed],
+            "n_events": [c[2] for c in closed],
+            "sum_cents": [c[3] for c in closed],
+        }
+    )
+
+
+def session_close_stream(
+    events: DataFrame, gap_us: int = 1_800_000_000, delay: str = "1 hour"
+) -> DataFrame:
+    """Attach the timeout-evicting sessionizer: `events` must carry
+    (ts timestamp, user_id, us long, vc long, event_id).  The watermark
+    on `ts` is what drives EventTimeTimeout; `us` carries the same
+    instant as integer micros for the tz-proof fold."""
+
+    def fn(key, batches, state):
+        return session_close_update(key, batches, state, gap_us=gap_us)
+
+    return events.withWatermark("ts", delay).groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_CLOSE_OUTPUT_SCHEMA,
+        stateStructType=SESSION_CLOSE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
