@@ -364,3 +364,67 @@ def pyds_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("precompact_rows", F.lit(pre_m["n_rows"]).cast("int"))
         .crossJoin(F.broadcast(v3_total))
     )
+
+
+@register(
+    "pyds_sink_stats_pruning",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           1 AS n_files_scanned, 8 AS n_files_total
+    FROM feed WHERE reading_id BETWEEN 5000 AND 7499
+    GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "sink", "file-skipping", "zone-map"),
+)
+def pyds_sink_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE SKIPPING from manifest-recorded footer stats — the zone-map
+    layer that makes the manifest sink a real table format: each commit
+    now records every part file's per-column [min, max] (read from the
+    parquet FOOTERS at commit time, metadata-only), and
+    `read_manifest_pruned` hands the scan ONLY the files whose range
+    can overlap the predicate.  The feed lands as 8 explicit
+    reading_id-range files; the query wants readings [5000, 7499] —
+    exactly one file — and the result must (a) equal the formula over
+    that slice and (b) report 1-of-8 files scanned.  Pruning is a
+    superset guarantee (files without stats stay scanned; the predicate
+    still runs in the plan), so a stats bug can only show up as a
+    WRONG file count or wrong totals — both hashed here.  At 100 TB
+    this is the difference between a narrow time-range query touching
+    ~range/table_span of the files and touching all of them; it
+    composes with snapshot versions (stats travel with each manifest).
+    Reference anchor: the reference's range-scan dashboard queries
+    (ref:app.py SQL WHERE ts >= ...) are exactly the shape this
+    prunes for."""
+    import tempfile
+
+    key = "_pyds_prune_dir"
+    path = getattr(pyds_sink_stats_pruning, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "manifest.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_prune_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        for chunk in range(8):
+            lo, hi = chunk * 2500, (chunk + 1) * 2500
+            feed.filter(
+                (F.col("reading_id") >= lo) & (F.col("reading_id") < hi)
+            ).repartition(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+                "append"
+            ).save()
+        setattr(pyds_sink_stats_pruning, key, path)
+
+    pruned, n_scanned, n_total = pydatasource.read_manifest_pruned(
+        spark, path, "reading_id", 5000, 7499
+    )
+    return (
+        pruned.filter(F.col("reading_id").between(5000, 7499))
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        .withColumn("n_files_scanned", F.lit(n_scanned).cast("int"))
+        .withColumn("n_files_total", F.lit(n_total).cast("int"))
+    )

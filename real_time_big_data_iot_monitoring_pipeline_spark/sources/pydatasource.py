@@ -226,6 +226,48 @@ def _write_part(path: str, iterator) -> PartFileCommit:
     return PartFileCommit(filename=fname if rows else "", n_rows=len(rows))
 
 
+def _footer_stats(path: str, files: list[str]) -> dict:
+    """Per-file min/max column statistics read from the parquet FOOTERS
+    of just-committed part files (metadata only — no data pages touched;
+    bounded driver work, one footer per file).  These land in the
+    manifest so readers can do FILE SKIPPING: a predicate on a stats'd
+    column prunes every file whose [min, max] cannot overlap it — the
+    same zone-map contract Iceberg manifests / Delta file stats /
+    parquet row-group pruning provide, now at the table-format layer of
+    this sink.  Only int/float leaf columns with complete row-group
+    stats are recorded; files or columns without stats simply stay
+    un-prunable (safe default)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for fn in files:
+        meta = pq.ParquetFile(os.path.join(path, fn)).metadata
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or "." in name:
+                    cols[name] = None  # no/partial stats -> not prunable
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float)) or isinstance(mn, bool):
+                    cols[name] = None
+                    continue
+                if name in cols:
+                    if cols[name] is None:
+                        continue
+                    cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                else:
+                    cols[name] = [mn, mx]
+        out[fn] = {k: v for k, v in cols.items() if v is not None}
+    return out
+
+
 class ManifestParquetWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -267,7 +309,7 @@ class ManifestParquetWriter(DataSourceWriter):
         # older versioned manifests must stay readable forever, and an
         # overwrite's prior part files remain on disk precisely so
         # time-travel reads of pre-overwrite versions keep working.)
-        prev_files, prev_rows, prev_version = [], 0, 0
+        prev_files, prev_rows, prev_version, prev_stats = [], 0, 0, {}
         head = os.path.join(self.path, "manifest.json")
         if os.path.exists(head):
             with open(head) as f:
@@ -275,10 +317,12 @@ class ManifestParquetWriter(DataSourceWriter):
             prev_version = prev.get("version", 0)
             if not self.overwrite:
                 prev_files, prev_rows = prev["files"], prev["n_rows"]
+                prev_stats = prev.get("stats", {})
         manifest = {
             "version": prev_version + 1,
             "files": sorted(prev_files + files),
             "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
+            "stats": {**prev_stats, **_footer_stats(self.path, files)},
         }
         tmp = os.path.join(self.path, "_manifest.tmp")
         with open(tmp, "w") as f:
@@ -407,6 +451,40 @@ def read_manifest(spark, path: str, version: int | None = None):
         manifest = _json.load(f)
     files = [os.path.join(path, fn) for fn in manifest["files"]]
     return spark.read.parquet(*files), manifest
+
+
+def read_manifest_pruned(
+    spark, path: str, col: str, lo, hi, version: int | None = None
+):
+    """STATS-PRUNED manifest read: only files whose manifest-recorded
+    [min, max] for `col` can overlap the CLOSED interval [lo, hi] are
+    handed to the parquet scan — file skipping from footer stats, the
+    zone-map pruning a 100 TB table needs so a narrow predicate touches
+    bytes proportional to the selected range, not the table.  Files with
+    no recorded stats for `col` are always scanned (safe default), and
+    the predicate itself must still be applied by the caller's plan —
+    pruning is a superset guarantee, exactly like parquet row-group
+    skipping.  Returns (df, n_files_scanned, n_files_total)."""
+    import os
+
+    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
+    with open(os.path.join(path, name)) as f:
+        manifest = _json.load(f)
+    stats = manifest.get("stats", {})
+    keep = []
+    for fn in manifest["files"]:
+        s = stats.get(fn, {}).get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            keep.append(fn)
+    if keep:
+        df = spark.read.parquet(*[os.path.join(path, fn) for fn in keep])
+    else:
+        # fully pruned: an empty frame with the table's schema (footer
+        # read only — limit(0) scans no data pages)
+        df = spark.read.parquet(
+            *[os.path.join(path, fn) for fn in manifest["files"]]
+        ).limit(0)
+    return df, len(keep), len(manifest["files"])
 
 
 def register_sink(spark) -> None:

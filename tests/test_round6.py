@@ -508,3 +508,33 @@ def test_bfs_unreachable_nodes_absent(spark, sf_dir):
     pdf = REGISTRY["bfs_shortest_hops"].build(spark, sf_dir).toPandas()
     assert pdf["dist"].between(0, 4).all()
     assert (pdf["n_nodes"] > 0).any()
+
+
+def test_manifest_stats_pruning_edges(spark, tmp_path):
+    """Zone-map pruning: boundary-touching ranges stay scanned (closed
+    intervals), disjoint ranges prune, and a column with no recorded
+    stats never prunes."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    pydatasource.register_sink(spark)
+    path = str(tmp_path / "tbl")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        spark.range(lo, hi).selectExpr("id AS k", "CAST(id AS STRING) AS s").repartition(
+            1
+        ).write.format("rtbd_manifest_sink").option("path", path).mode("append").save()
+
+    df, scanned, total = pydatasource.read_manifest_pruned(spark, path, "k", 150, 150)
+    assert (scanned, total) == (1, 3)
+    assert df.filter("k = 150").count() == 1
+    # boundary: hi of file 0 is 99 -> [99, 99] scans exactly file 0
+    _, scanned, _ = pydatasource.read_manifest_pruned(spark, path, "k", 99, 99)
+    assert scanned == 1
+    # straddling range scans both files it overlaps
+    _, scanned, _ = pydatasource.read_manifest_pruned(spark, path, "k", 95, 105)
+    assert scanned == 2
+    # out-of-domain range prunes everything
+    _, scanned, _ = pydatasource.read_manifest_pruned(spark, path, "k", 1000, 2000)
+    assert scanned == 0
+    # string column has no numeric stats -> never prunable
+    _, scanned, _ = pydatasource.read_manifest_pruned(spark, path, "s", 0, 0)
+    assert scanned == 3
