@@ -1942,3 +1942,84 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_sampled long, weight_total long, min_priority long, max_doc_id long, tau long",
     )
+
+
+@register(
+    "bitmap_retention_intersect",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+        FROM events
+    ),
+    c AS (SELECT day, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY day),
+    r AS (
+        SELECT a.day, CAST(count(*) AS BIGINT) AS retained
+        FROM d a JOIN d b ON b.user_id = a.user_id AND b.day = a.day + 1
+        GROUP BY a.day
+    )
+    SELECT r.day, c0.users AS day_users, c1.users AS next_day_users, retained,
+           ROUND(retained / CAST(c0.users AS DOUBLE) + 1e-8, 6) AS retention_rate
+    FROM r JOIN c c0 ON c0.day = r.day JOIN c c1 ON c1.day = r.day + 1
+    WHERE retained > 0
+    """,
+    tags=("engine", "bitmap", "set-intersection", "retention", "inclusion-exclusion"),
+)
+def bitmap_retention_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OVER-DAY RETENTION as BITMAP SET ALGEBRA — the intersection
+    counterpart of `bitmap_distinct_users`' union rollup, and the query
+    shape (cohort retention, cross-segment overlap) that makes exact
+    mergeable bitmaps worth persisting: |A∩B| never needs an AND
+    operator because inclusion-exclusion gives it from the pieces the
+    union rollup already maintains, |A| + |B| - |A∪B| per bucket.  Each
+    day's users live in per-bucket bitmaps; every daily row is streamed
+    into two pair-keys (its own day as the 'today' member, day-1 as the
+    'tomorrow' member), one OR-fold per (pair, bucket) computes the
+    union, and buckets present on only one side contribute zero to the
+    intersection but still count toward the day totals.  The raw table
+    is touched ONCE (the daily bitmap build); every pairwise overlap
+    after that folds persisted bitmaps — at 100 TB, retention over any
+    day range is bitmap algebra over the rollup, never a re-scan or a
+    user-level self-join.  The oracle IS the user-level distinct
+    self-join; equality proves the per-bucket inclusion-exclusion is
+    exact across bucket boundaries and missing buckets."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+            "user_id",
+        )
+        .groupBy("day", F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .withColumn("cnt", F.bitmap_count("bm"))
+    )
+    a = daily.select("day", "bucket", "bm", "cnt", F.lit(0).alias("role"))
+    b = daily.select(
+        (F.col("day") - 1).alias("day"), "bucket", "bm", "cnt", F.lit(1).alias("role")
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy("day", "bucket")
+        .agg(
+            F.bitmap_count(F.bitmap_or_agg("bm")).alias("or_cnt"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.count(F.lit(1)).alias("n_roles"),
+            F.sum(F.when(F.col("role") == 0, F.col("cnt")).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("role") == 1, F.col("cnt")).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    per_day = g.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("n_roles") == 2, F.col("sum_cnt") - F.col("or_cnt")).otherwise(0)
+        ).cast("long").alias("retained"),
+        F.sum("cnt_a").cast("long").alias("day_users"),
+        F.sum("cnt_b").cast("long").alias("next_day_users"),
+    )
+    return per_day.filter(F.col("retained") > 0).select(
+        "day",
+        "day_users",
+        "next_day_users",
+        "retained",
+        round_det(F.col("retained") / F.col("day_users").cast("double"), 6).alias(
+            "retention_rate"
+        ),
+    )

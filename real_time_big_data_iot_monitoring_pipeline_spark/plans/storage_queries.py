@@ -357,3 +357,63 @@ def binaryfile_image_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"))
     )
     return feats
+
+
+_DPO_STAGED: dict[str, str] = {}
+
+
+@register(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(CASE WHEN event_type = 'click'
+                          THEN CAST(round(value * 100, 0) AS BIGINT) * 2
+                          ELSE CAST(round(value * 100, 0) AS BIGINT) END) / 100.0
+                 + 1e-8, 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("storage", "partitioned-layout", "dynamic-overwrite", "insert-overwrite"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the partitioned-table revise verb
+    (`INSERT OVERWRITE ... PARTITION` with
+    `partitionOverwriteMode=dynamic`): writing a frame that contains
+    ONLY 'click' rows replaces ONLY the event_type=click partition
+    directory; the other four partitions' files are never rewritten or
+    deleted.  (In STATIC mode the same write would TRUNCATE THE WHOLE
+    TABLE first — the classic data-loss foot-gun this mode exists to
+    fix, and the reason every backfill job sets it.)  The staged table
+    partitions events by type; the overwrite pass doubles click values
+    (exact cents); the readback rollup must show doubled clicks AND
+    bit-identical other types — a static-mode truncation would vanish
+    them, a non-click rewrite would double the wrong rows.  At 100 TB
+    this is the daily-backfill contract: recompute one day/type
+    partition, swap it atomically at the directory level, touch
+    nothing else.  The write option (not a global conf) scopes the
+    behavior to this writer — session config stays untouched."""
+    if sf_dir not in _DPO_STAGED:
+        import os
+        import tempfile
+
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_dpo_"), "events_by_type")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", as_cents(F.col("value")).alias("cents"), "event_type"
+        )
+        e.write.partitionBy("event_type").mode("overwrite").parquet(path)
+        clicks = e.filter(F.col("event_type") == "click").withColumn(
+            "cents", F.col("cents") * 2
+        )
+        (
+            clicks.write.partitionBy("event_type")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _DPO_STAGED[sf_dir] = path
+    back = spark.read.parquet(_DPO_STAGED[sf_dir])
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        round_det(F.sum("cents") / 100.0, 2).alias("total_value"),
+    )
