@@ -931,3 +931,126 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, slot int, sym_a string, sym_b string, pair_count long"
     )
+
+
+# --- MMR diverse selection ---------------------------------------------------
+
+_MMR_K, _MMR_POOL = 8, 32
+
+
+def _mmr_oracle() -> str:
+    """Generate the greedy-MMR oracle: selection step i is a one-row CTE
+    whose argmax conditions on the union of steps 1..i-1 — the iterative
+    greedy unrolled into standard SQL (same device as the batched-BPE
+    oracle above: a Python loop EMITTING static SQL, not executing)."""
+    cos = (
+        "list_dot_product({a}.v, {b}.v) / (sqrt(list_dot_product({a}.v, {a}.v))"
+        " * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+    head = f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    pool AS MATERIALIZED (
+        SELECT c.vec_id AS cand_id,
+               ROUND({cos.format(a='q', b='c')} + 1e-8, 6) AS rel
+        FROM q, e c WHERE c.vec_id <> q.vec_id
+        ORDER BY rel DESC, cand_id LIMIT {_MMR_POOL}
+    ),
+    pv AS MATERIALIZED (SELECT p.cand_id, e.v FROM pool p JOIN e ON e.vec_id = p.cand_id),
+    pair AS MATERIALIZED (
+        SELECT a.cand_id AS ia, b.cand_id AS ib,
+               ROUND({cos.format(a='a', b='b')} + 1e-8, 6) AS sim
+        FROM pv a, pv b WHERE a.cand_id <> b.cand_id
+    ),
+    sel1 AS (SELECT cand_id, rel,
+                    CAST(floor(rel * 1000000 + 0.5 + 1e-8) AS BIGINT) AS score_e6,
+                    CAST(1 AS BIGINT) AS rank
+             FROM pool ORDER BY rel DESC, cand_id LIMIT 1),
+    selall1 AS MATERIALIZED (SELECT cand_id FROM sel1)"""
+    steps = [head]
+    for i in range(2, _MMR_K + 1):
+        mmr = (
+            f"0.7 * p.rel - 0.3 * (SELECT max(sim) FROM pair WHERE ia = p.cand_id"
+            f" AND ib IN (SELECT cand_id FROM selall{i - 1}))"
+        )
+        steps.append(f"""
+    sel{i} AS MATERIALIZED (
+        SELECT p.cand_id, p.rel,
+               CAST(floor(({mmr}) * 1000000 + 0.5 + 1e-8) AS BIGINT) AS score_e6,
+               CAST({i} AS BIGINT) AS rank
+        FROM pool p WHERE p.cand_id NOT IN (SELECT cand_id FROM selall{i - 1})
+        ORDER BY ({mmr}) DESC, p.cand_id LIMIT 1
+    ),
+    selall{i} AS MATERIALIZED (SELECT cand_id FROM selall{i - 1}
+                  UNION ALL SELECT cand_id FROM sel{i})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT rank, cand_id, rel, score_e6 FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    return ",".join(steps) + "\n    " + union
+
+
+@register(
+    "embedding_mmr_select",
+    oracle=_mmr_oracle(),
+    tags=("mlprep", "similarity", "mmr", "diversity", "rerank"),
+)
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE selection — the diversity-aware rerank
+    every retrieval/curation pipeline puts between "top-k by similarity"
+    and "what we actually keep" (near-identical top hits add nothing;
+    MMR trades relevance against redundancy: next pick = argmax
+    0.7*rel - 0.3*max_sim_to_already_picked).  Two-stage shape, each
+    stage honest about where it runs: CANDIDATE GENERATION is the
+    distributed exact kernel (one corpus scan, top-32 pool by cosine to
+    the query via `similarity.brute_force_topk`); the GREEDY REFINEMENT
+    is inherently sequential over a k-BOUNDED pool (32 rel scores + 992
+    pairwise sims, both computed by the same distributed kernel and
+    rounded engine-side, collected under the bounded-by-construction
+    contract) — the standard rerank-stage split: at 100 TB the pool is
+    still 32 rows; only stage 1 scales with the corpus.  All arithmetic
+    the greedy compares is IEEE doubles over engine-rounded sims,
+    identical in Python and SQL; emitted scores are integer-floored e6
+    so no output rounding mode is in play.  The oracle unrolls the
+    greedy into 8 chained argmax CTEs over the same quantized-integer
+    cosine algebra — a wrong pool member, tie-break, or max-sim lookup
+    diverges immediately."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q1 = emb.orderBy("vec_id").limit(1)
+    pool = similarity.brute_force_topk(emb, q1, k=_MMR_POOL).select(
+        "cand_id", F.col("cosine").alias("rel")
+    )
+    pool_vecs = emb.join(pool.select("cand_id"), emb["vec_id"] == F.col("cand_id")).select(
+        "vec_id", "embedding"
+    )
+    pairs = similarity.brute_force_topk(pool_vecs, pool_vecs, k=_MMR_POOL - 1)
+    rel = {r["cand_id"]: r["rel"] for r in pool.collect()}  # bounded: pool rows
+    sim = {
+        (r["query_id"], r["cand_id"]): r["cosine"] for r in pairs.collect()
+    }  # bounded: pool^2
+    selected: list[tuple[int, int, float, int]] = []
+    chosen: list[int] = []
+    while len(chosen) < _MMR_K:
+        best = None
+        for c, r in rel.items():
+            if c in chosen:
+                continue
+            if chosen:
+                ms = max(sim[(c, s)] for s in chosen)
+                score = 0.7 * r - 0.3 * ms
+            else:
+                score = r
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, r, score)
+        _, c, r, score = best
+        chosen.append(c)
+        selected.append(
+            (len(chosen), c, r, int(math.floor(score * 1000000 + 0.5 + 1e-8)))
+        )
+    return spark.createDataFrame(
+        selected, "rank long, cand_id long, rel double, score_e6 long"
+    )
