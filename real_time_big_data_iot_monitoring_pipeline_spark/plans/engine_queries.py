@@ -2023,3 +2023,59 @@ def bitmap_retention_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS grp
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(grp) AS BIGINT) AS n_rows,
+           CAST(min(grp) AS BIGINT) AS min_k,
+           CAST(count(*) FILTER (WHERE grp < 5) AS BIGINT) AS classes_below_5,
+           CAST(sum(grp) FILTER (WHERE grp < 5) AS BIGINT) AS rows_below_5,
+           ROUND(sum(grp) FILTER (WHERE grp < 5) / CAST(sum(grp) AS DOUBLE) + 1e-8, 6)
+               AS reidentifiable_rate
+    FROM g
+    """,
+    tags=("engine", "data-governance", "k-anonymity", "privacy-audit"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT over quasi-identifiers — the privacy-governance
+    number a dataset release (or a training-corpus export) is gated on:
+    with QI = (nation, market segment, account-balance band), every
+    equivalence class smaller than k=5 is a re-identification risk, and
+    the audit reports how much of the table sits in such classes.  One
+    hash aggregation builds the class sizes, a second 1-row fold
+    summarizes — both map-side-combinable; at 100 TB the QI rollup is
+    the only data-sized stage.  Pairs with the row-level redaction
+    operators (`text_pii_scrub`, `text_redact_terms`): those fix
+    payload leaks, this measures STRUCTURAL linkability, which no
+    per-row scrub can see.  The oracle is the same two-level aggregate
+    in SQL; class-count, min-k, and rate all shift if banding or
+    grouping drifts by a single row."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    below = F.col("grp") < 5
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        F.min("grp").cast("long").alias("min_k"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("classes_below_5"),
+        F.sum(F.when(below, F.col("grp")).otherwise(0)).cast("long").alias("rows_below_5"),
+        round_det(
+            F.sum(F.when(below, F.col("grp")).otherwise(0))
+            / F.sum("grp").cast("double"),
+            6,
+        ).alias("reidentifiable_rate"),
+    )
