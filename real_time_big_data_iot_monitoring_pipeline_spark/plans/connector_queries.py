@@ -428,3 +428,93 @@ def pyds_sink_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_scanned", F.lit(n_scanned).cast("int"))
         .withColumn("n_files_total", F.lit(n_total).cast("int"))
     )
+
+
+@register(
+    "pyds_sink_write_audit_publish",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           2 AS head_version, 6 AS n_files,
+           2 AS n_discarded_files
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "sink", "write-audit-publish", "staging"),
+)
+def pyds_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the manifest sink — the Iceberg-style
+    gated-ingest workflow: a candidate commit lands as a STAGED snapshot
+    (`staged=true` writes `_staged-manifest.json`, never the head
+    pointer), an audit query runs against the staged table, and only a
+    passing audit atomically promotes it; a failing audit discards the
+    stage and exactly its own part files.  The replayed scenario: (1)
+    first half of the feed commits normally (v1); (2) a CORRUPTED
+    second half (temps shifted out of the sensor's [1000, 5000) domain)
+    is staged — the domain audit reads the staged snapshot, fails, and
+    `discard_staged` removes the 2 staged part files while v1 stays
+    untouched; (3) the clean second half stages, audits green, and
+    `publish_staged` promotes it to v2.  The hashed result is the
+    per-sensor rollup over the HEAD after all three steps plus the
+    version/file accounting — if one corrupted row ever reached a
+    published manifest, the totals break; if the discard missed or
+    over-deleted, the file count breaks.  This is the missing
+    quality-gate verb between the sink's 2PC (atomic single commit) and
+    time travel (immutable history): at 100 TB every backfill runs
+    exactly this stage -> audit -> swap, with validation reading real
+    table bytes, not a side copy.  Version-conflict refusal on publish
+    is unit-pinned in tests/test_round6.py."""
+    import tempfile
+
+    key = "_pyds_wap_dir"
+    path = getattr(pyds_sink_write_audit_publish, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v2.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_wap_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).repartition(4).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+
+        def stage(df):
+            df.repartition(2).write.format("rtbd_manifest_sink").option("path", path).option(
+                "staged", "true"
+            ).mode("append").save()
+
+        def domain_audit() -> bool:
+            staged_df, _m = pydatasource.read_staged(spark, path)
+            bad = staged_df.filter(
+                (F.col("temp_centi") < 1000) | (F.col("temp_centi") >= 5000)
+            ).count()  # bounded: 1 scalar
+            return bad == 0
+
+        second = feed.filter(F.col("reading_id") >= half)
+        corrupted = second.withColumn(
+            "temp_centi",
+            F.when(F.col("reading_id") % 97 == 0, F.col("temp_centi") + 100_000).otherwise(
+                F.col("temp_centi")
+            ),
+        )
+        stage(corrupted)
+        assert not domain_audit(), "corrupted stage must fail the audit"
+        n_discarded = pydatasource.discard_staged(path)
+        stage(second)
+        assert domain_audit(), "clean stage must pass the audit"
+        pydatasource.publish_staged(path)
+        setattr(pyds_sink_write_audit_publish, key, path)
+        setattr(pyds_sink_write_audit_publish, key + "_discarded", n_discarded)
+
+    n_discarded = getattr(pyds_sink_write_audit_publish, key + "_discarded", 2)
+    back, head_m = pydatasource.read_manifest(spark, path)
+    return (
+        back.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        .withColumn("head_version", F.lit(head_m["version"]).cast("int"))
+        .withColumn("n_files", F.lit(len(head_m["files"])).cast("int"))
+        .withColumn("n_discarded_files", F.lit(n_discarded).cast("int"))
+    )

@@ -274,6 +274,12 @@ class ManifestParquetWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("rtbd_manifest_sink requires a path option")
         self.overwrite = overwrite
+        # WAP (write-audit-publish): staged=true commits the snapshot to
+        # `_staged-manifest.json` WITHOUT moving the head pointer —
+        # readers of the table see nothing until `publish_staged`
+        # promotes it (or `discard_staged` deletes it after a failed
+        # audit).  Same two-phase task contract either way.
+        self.staged = str(options.get("staged", "false")).lower() == "true"
 
     def write(self, iterator):
         return _write_part(self.path, iterator)
@@ -324,6 +330,16 @@ class ManifestParquetWriter(DataSourceWriter):
             "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
             "stats": {**prev_stats, **_footer_stats(self.path, files)},
         }
+        if self.staged:
+            # WAP: the snapshot exists on disk, carries the NEXT version
+            # number, and is reachable only via the staged pointer —
+            # audit queries read it explicitly; table readers (head /
+            # versioned manifests) cannot see it until publish.
+            staged_path = os.path.join(self.path, "_staged-manifest.json")
+            with open(staged_path + ".tmp", "w") as f:
+                _json.dump(manifest, f)
+            os.replace(staged_path + ".tmp", staged_path)
+            return
         tmp = os.path.join(self.path, "_manifest.tmp")
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
@@ -485,6 +501,71 @@ def read_manifest_pruned(
             *[os.path.join(path, fn) for fn in manifest["files"]]
         ).limit(0)
     return df, len(keep), len(manifest["files"])
+
+
+def read_staged(spark, path: str):
+    """Audit-side read of a WAP-staged snapshot (the staged pointer, not
+    the head): the candidate table exactly as it would look after
+    publish."""
+    import os
+
+    with open(os.path.join(path, "_staged-manifest.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    return spark.read.parquet(*files), manifest
+
+
+def publish_staged(path: str) -> dict:
+    """Atomically promote the staged snapshot to the table head (the
+    'publish' in write-audit-publish).  Refuses if another commit moved
+    the head since the stage was written (version conflict — the staged
+    snapshot's base is gone; re-stage on top of the new head)."""
+    import os
+
+    staged_path = os.path.join(path, "_staged-manifest.json")
+    with open(staged_path) as f:
+        manifest = _json.load(f)
+    head = os.path.join(path, "manifest.json")
+    head_version = 0
+    if os.path.exists(head):
+        with open(head) as f:
+            head_version = _json.load(f).get("version", 0)
+    if manifest["version"] != head_version + 1:
+        raise RuntimeError(
+            f"staged snapshot v{manifest['version']} no longer applies: head is v{head_version}"
+        )
+    versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
+    with open(versioned + ".tmp", "w") as f:
+        _json.dump(manifest, f)
+    os.replace(versioned + ".tmp", versioned)
+    os.replace(staged_path, head)  # the atomic publish
+    return manifest
+
+
+def discard_staged(path: str) -> int:
+    """Drop a staged snapshot after a failed audit: delete the part
+    files ONLY the stage introduced (files shared with the published
+    head stay), then the staged pointer.  Returns #files removed."""
+    import os
+
+    staged_path = os.path.join(path, "_staged-manifest.json")
+    with open(staged_path) as f:
+        staged = _json.load(f)
+    head = os.path.join(path, "manifest.json")
+    published: set[str] = set()
+    if os.path.exists(head):
+        with open(head) as f:
+            published = set(_json.load(f)["files"])
+    removed = 0
+    for fn in staged["files"]:
+        if fn not in published:
+            try:
+                os.remove(os.path.join(path, fn))
+                removed += 1
+            except FileNotFoundError:
+                pass
+    os.remove(staged_path)
+    return removed
 
 
 def register_sink(spark) -> None:

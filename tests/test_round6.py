@@ -538,3 +538,36 @@ def test_manifest_stats_pruning_edges(spark, tmp_path):
     # string column has no numeric stats -> never prunable
     _, scanned, _ = pydatasource.read_manifest_pruned(spark, path, "s", 0, 0)
     assert scanned == 3
+
+
+def test_wap_publish_version_conflict_refused(spark, tmp_path):
+    """A staged snapshot whose base head moved underneath it must refuse
+    to publish (the WAP conflict rule), and a discarded stage removes
+    only its own part files."""
+    import os
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    pydatasource.register_sink(spark)
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 100).selectExpr("id AS k")
+    base.repartition(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    # stage on top of v1 ...
+    spark.range(100, 200).selectExpr("id AS k").repartition(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).option("staged", "true").mode("append").save()
+    # ... then another commit moves the head to v2
+    spark.range(200, 300).selectExpr("id AS k").repartition(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    with pytest.raises(RuntimeError, match="no longer applies"):
+        pydatasource.publish_staged(path)
+    removed = pydatasource.discard_staged(path)
+    assert removed == 1
+    df, m = pydatasource.read_manifest(spark, path)
+    assert m["version"] == 2 and df.count() == 200
+    # every manifest-listed file still exists (discard didn't over-delete)
+    for fn in m["files"]:
+        assert os.path.exists(os.path.join(path, fn))
