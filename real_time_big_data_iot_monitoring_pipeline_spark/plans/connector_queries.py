@@ -518,3 +518,77 @@ def pyds_sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("n_files", F.lit(len(head_m["files"])).cast("int"))
         .withColumn("n_discarded_files", F.lit(n_discarded).cast("int"))
     )
+
+
+@register(
+    "pyds_sink_change_feed",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 2 AS commit_version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           3 AS n_commits, 1 AS n_rewrites_skipped
+    FROM feed WHERE reading_id % 4 = 1
+    UNION ALL
+    SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT), 3, 1
+    FROM feed WHERE reading_id % 4 = 2
+    """,
+    tags=("connector", "python-datasource", "sink", "change-feed", "incremental"),
+)
+def pyds_sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED over the manifest sink — the incremental-consumer
+    verb (Delta CDF / `readChangeFeed`) that turns the table format
+    into a tail-able source: a consumer checkpointed at version 1 asks
+    for "everything since", and must receive exactly the rows LATER
+    append commits introduced, tagged by commit, while a compaction in
+    between contributes NOTHING.  The scenario: v1 appends the
+    reading_id%4==0 quarter of the feed (the consumer's checkpoint),
+    v2 appends the %4==1 quarter, v3 REWRITES the live snapshot into 2
+    files (overwrite compaction — same logical rows, all-new file
+    names), v4 appends the %4==2 quarter.  `read_change_feed(since=1)`
+    walks the versioned manifests, takes each append's file-list delta
+    against its parent, and skips the overwrite via the manifest-level
+    `op` (dataChange=false): the hashed result is the per-commit rollup
+    {{v2: %4==1 totals, v4: %4==2 totals}} plus the audit counts (3
+    commits scanned, 1 rewrite skipped).  A feed that read the
+    compaction's files would double-count v1+v2's rows into a phantom
+    v3 group; one that diffed against the wrong parent would leak v1
+    rows — both break the hash.  At 100 TB this is how downstream
+    materializations stay incremental: per-commit file deltas are
+    manifest metadata (driver JSON), and only delta files are ever
+    scanned.  Composes with `incremental_join_delta` (the consumer
+    side) and `pyds_sink_compaction` (the rewrite this must ignore).
+    Reference anchor: the reference's dashboard re-polls the whole
+    table every 5 s (ref:streamlit_dashboard.py:402-405); a change
+    feed is the scale-correct replacement."""
+    import tempfile
+
+    key = "_pyds_cdf_dir"
+    path = getattr(pyds_sink_change_feed, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v4.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_cdf_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        for quarter in (0, 1):  # v1, v2: plain appends
+            feed.filter(F.col("reading_id") % 4 == quarter).repartition(2).write.format(
+                "rtbd_manifest_sink"
+            ).option("path", path).mode("append").save()
+        live, _m = pydatasource.read_manifest(spark, path)
+        live.repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "overwrite"
+        ).save()  # v3: compaction — all-new files, zero new rows
+        feed.filter(F.col("reading_id") % 4 == 2).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()  # v4
+        setattr(pyds_sink_change_feed, key, path)
+
+    cdf, commits = pydatasource.read_change_feed(spark, path, since_version=1)
+    n_rewrites = sum(1 for c in commits if c["op"] == "overwrite")
+    return (
+        cdf.groupBy(F.col("_commit_version").alias("commit_version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        .withColumn("n_commits", F.lit(len(commits)).cast("int"))
+        .withColumn("n_rewrites_skipped", F.lit(n_rewrites).cast("int"))
+    )

@@ -329,6 +329,12 @@ class ManifestParquetWriter(DataSourceWriter):
             "files": sorted(prev_files + files),
             "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
             "stats": {**prev_stats, **_footer_stats(self.path, files)},
+            # op lets table-tailing consumers distinguish NEW DATA from
+            # REWRITES: an overwrite (e.g. compaction) lists replacement
+            # files whose rows were already emitted — a change-feed that
+            # treated them as fresh would double-count (Delta's
+            # dataChange=false flag, as a commit-level op).
+            "op": "overwrite" if self.overwrite else "append",
         }
         if self.staged:
             # WAP: the snapshot exists on disk, carries the NEXT version
@@ -566,6 +572,72 @@ def discard_staged(path: str) -> int:
                 pass
     os.remove(staged_path)
     return removed
+
+
+def read_change_feed(spark, path: str, since_version: int, to_version: int | None = None):
+    """CHANGE-FEED (incremental) read of the manifest table: the rows
+    ADDED by commits in (since_version, to_version], each tagged with
+    the commit version that introduced them — the Delta CDF /
+    `readChangeFeed` contract a downstream incremental consumer needs
+    so it can tail the table instead of re-scanning it.
+
+    Commit classification uses the manifest-level `op`:
+
+      * `append` commits contribute exactly their NEW files (the set
+        difference against the parent version's file list — appends are
+        cumulative, so this is the per-commit delta);
+      * `overwrite` commits (compaction / rewrite) are
+        dataChange=false: their files RESTATE rows an earlier commit
+        already emitted, so a consumer that treated them as fresh would
+        double-count.  They advance the cursor but contribute no rows.
+
+    Manifests written before `op` existed (and the streaming writer's
+    per-epoch manifests, which are always appends) are classified by
+    containment: a file list that is a superset of its parent's is an
+    append.  Returns (df, commits): df has the table schema plus
+    `_commit_version int`; commits is the per-version audit trail
+    [{version, op, n_new_files}].  Driver work is manifest JSON only —
+    no data is read outside the delta files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def load(v: int) -> dict:
+        with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
+            return _json.load(f)
+
+    if to_version is None:
+        with open(os.path.join(path, "manifest.json")) as f:
+            to_version = _json.load(f)["version"]
+    prev_files = set(load(since_version)["files"]) if since_version >= 1 else set()
+    frames, commits = [], []
+    for v in range(since_version + 1, to_version + 1):
+        m = load(v)
+        cur = set(m["files"])
+        op = m.get("op") or ("append" if cur >= prev_files else "overwrite")
+        new_files = sorted(cur - prev_files)
+        if op == "append" and new_files:
+            frames.append(
+                spark.read.parquet(*[os.path.join(path, fn) for fn in new_files])
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+        commits.append(
+            {"version": v, "op": op, "n_new_files": len(new_files) if op == "append" else 0}
+        )
+        prev_files = cur
+    if frames:
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+    else:
+        # no data change in the range: empty frame with the table schema
+        head = load(to_version)
+        df = (
+            spark.read.parquet(*[os.path.join(path, fn) for fn in head["files"]])
+            .limit(0)
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+        )
+    return df, commits
 
 
 def register_sink(spark) -> None:

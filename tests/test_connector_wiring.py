@@ -308,3 +308,52 @@ def test_pyds_sink_time_travel_isolation(spark, tmp_path):
     assert (m2["version"], m2["n_rows"]) == (2, 3) and v2.count() == 3
     assert mh == m2
     assert set(m1["files"]) < set(m2["files"])
+
+
+def test_pyds_change_feed_delta_inference_and_empty_range(spark, tmp_path):
+    """Change-feed classification: append commits contribute exactly
+    their file-list delta; overwrite commits are dataChange=false; a
+    manifest WITHOUT an `op` key (pre-op format / streaming epochs) is
+    classified by file-list containment; an empty version range yields
+    an empty frame with the table schema."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_change_feed,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "cdf")
+    app = ManifestParquetWriter({"path": path}, overwrite=False)
+    app.commit([app.write(iter([Row(a=1), Row(a=2)]))])  # v1 append
+    app.commit([app.write(iter([Row(a=3)]))])  # v2 append
+    live, _ = read_manifest(spark, path)
+    ow = ManifestParquetWriter({"path": path}, overwrite=True)
+    ow.commit([ow.write(iter(live.collect()))])  # v3 compaction rewrite
+    app.commit([app.write(iter([Row(a=4)]))])  # v4 append
+
+    # strip `op` from v4's manifest to exercise the containment fallback
+    for name in ("_manifest-v4.json", "manifest.json"):
+        p = os.path.join(path, name)
+        with open(p) as f:
+            m = json.load(f)
+        m.pop("op", None)
+        with open(p, "w") as f:
+            json.dump(m, f)
+
+    df, commits = read_change_feed(spark, path, since_version=1)
+    assert [(c["version"], c["op"]) for c in commits] == [
+        (2, "append"),
+        (3, "overwrite"),
+        (4, "append"),
+    ]
+    got = sorted((r["a"], r["_commit_version"]) for r in df.collect())
+    assert got == [(3, 2), (4, 4)]  # v3's rewrite of {1,2,3} contributes nothing
+
+    empty, commits = read_change_feed(spark, path, since_version=4)
+    assert commits == [] and empty.count() == 0
+    assert set(empty.columns) == {"a", "_commit_version"}
