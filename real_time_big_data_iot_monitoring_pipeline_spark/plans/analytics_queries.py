@@ -1588,3 +1588,354 @@ def mann_whitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ties").cast("long").alias("tie_term"),
         round_det(num / (F.lit(2.0) * F.sqrt(var)), 4).alias("z_score"),
     )
+
+
+@register(
+    "acf_hourly_means",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(floor(sum(CAST(round(value * 100, 0) AS BIGINT)) * 1.0 / count(*)
+                          + 0.5 + 1e-8) AS BIGINT) AS m
+        FROM events GROUP BY hr
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 24]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.m AS x, b.m AS y
+        FROM hourly a CROSS JOIN lags l JOIN hourly b ON b.hr = a.hr + l.lag
+    ),
+    mom AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag_hours, np AS n_pairs,
+           ROUND((np * sxy - sx * sy)
+                 / sqrt(CAST(np * sxx - sx * sx AS DOUBLE) * (np * syy - sy * sy))
+                 + 1e-8, 6) AS acf
+    FROM mom
+    """,
+    tags=("analytics", "time-series", "autocorrelation"),
+)
+def acf_hourly_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION of the hourly-mean value series at lags 1, 2, 3
+    and 24 hours — the first diagnostic a time-series practitioner runs
+    before picking seasonal windows or forecast models (a strong lag-24
+    spike says "daily cycle"; `seasonal_anomaly_census` and
+    `holt_forecast_per_user` both presuppose exactly this check).
+    Statistic: the Pearson-pairs ACF variant — for each lag k,
+    correlate the series against itself shifted k hours over the
+    aligned pairs.  Determinism end-to-end: the hourly mean is
+    cent-quantized to an integer (exact cents sum / count, one double
+    division + floor, identical in both engines), so every moment
+    (n, Sx, Sy, Sxx, Syy, Sxy) is an exact integer and the correlation
+    is one fixed-order float expression.  Plan shape: one hash
+    aggregation events->hours, then the k-shift alignment is an
+    EQUI-join of the hourly table against itself on hr+k (the 4-row lag
+    dimension is a broadcast cross) — no window over the global series,
+    no driver collect; the shuffled relation is #hours-sized, ~1e5 rows
+    per decade even at 100 TB of raw events.  i64 headroom: cent-scale
+    means keep np*Sxx below 2^53 through ~1e8 hours.
+    Reference parity: extends ref:app.py's hourly-trend chart from "plot
+    the means" to "how correlated is hour t with hour t-k"."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hr"))
+        .agg(
+            F.floor(
+                F.sum(as_cents(F.col("value"))) * F.lit(1.0) / F.count(F.lit(1))
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("m")
+        )
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (24,)], "lag int")
+    pairs = (
+        hourly.crossJoin(F.broadcast(lags))
+        .withColumn("hr_y", F.col("hr") + F.col("lag"))
+        .alias("a")
+        .join(hourly.alias("b"), F.col("a.hr_y") == F.col("b.hr"))
+        .select(F.col("a.lag"), F.col("a.m").alias("x"), F.col("b.m").alias("y"))
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return mom.select(
+        F.col("lag").cast("int").alias("lag_hours"),
+        np_.cast("long").alias("n_pairs"),
+        round_det(
+            (np_ * sxy - sx * sy)
+            / F.sqrt((np_ * sxx - sx * sx).cast("double") * (np_ * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    )
+
+
+@register(
+    "spearman_qty_price",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    gx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY x),
+    rx AS (
+        SELECT x, 2 * (sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS rx2
+        FROM gx
+    ),
+    gy AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY y),
+    ry AS (
+        SELECT y, 2 * (sum(t) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS ry2
+        FROM gy
+    ),
+    d AS (
+        SELECT rx2 - (n + 1) AS dx, ry2 - (n + 1) AS dy
+        FROM base JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN tot
+    ),
+    mom AS (
+        SELECT CAST(sum(dx * dy) AS BIGINT) AS sxy,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM d
+    )
+    SELECT (SELECT n FROM tot) AS n_rows,
+           ROUND(sxy / sqrt(CAST(sxx AS DOUBLE) * syy) + 1e-8, 6) AS spearman_rho
+    FROM mom
+    """,
+    tags=("analytics", "rank-statistic", "correlation", "global-kernel"),
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between order-line quantity and
+    extended price — the robust companion to `corr_matrix`'s Pearson
+    (rank correlation survives the skew and outliers that make raw-value
+    correlation mislead, and it is the curation-pipeline default for
+    "are these two quality signals redundant?").  The textbook recipe
+    ranks both columns with average-rank tie handling — two GLOBAL
+    sorts.  This plan never sorts rows: each column collapses to its
+    distinct-value counts, the tie-averaged rank of every distinct value
+    falls out of the exact global prefix sum
+    (`operators/windows.global_running_sum` — range repartition +
+    P-entry broadcast, no single-task window), kept DOUBLED (2*cb+t+1)
+    so it stays integral, and rows get their rank pair back via two
+    equi-joins on value.  Centering by the doubled mean (n+1) makes
+    Sx = Sy = 0, so rho reduces to Sxy/sqrt(Sxx*Syy) over exact integer
+    moments — one fixed-order float expression, identical in both
+    engines.  Scale: shuffles are #distinct-value- and row-sized
+    equi-joins (no broadcast of data-sized state); i64 holds the
+    centered moments (≤ n^3) through ~2M rows — beyond that the same
+    plan runs the three sums on decimal(38,0), cf. the
+    `mann_whitney_utest` headroom note.  Reference parity: upgrades
+    ref:app.py's scatter-plot eyeball check to a tie-correct statistic."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        as_cents(F.col("l_extendedprice")).alias("y"),
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    def rank2(col: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        r = global_running_sum(g, [col], "t", out="run")
+        return r.select(
+            col, (2 * (F.col("run") - F.col("t")) + F.col("t") + 1).alias(f"r{col}2")
+        )
+
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    d = (
+        base.join(rank2("x"), "x")
+        .join(rank2("y"), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("rx2") - (F.col("n") + 1)).alias("dx"),
+            (F.col("ry2") - (F.col("n") + 1)).alias("dy"),
+        )
+    )
+    mom = d.agg(
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return mom.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        round_det(
+            F.col("sxy") / F.sqrt(F.col("sxx").cast("double") * F.col("syy")), 6
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "ks_two_sample_test",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT cents, CAST(sum(is_a) AS BIGINT) AS t1,
+               CAST(count(*) - sum(is_a) AS BIGINT) AS t2
+        FROM pool GROUP BY cents
+    ),
+    r AS (
+        SELECT sum(t1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(t2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c2
+        FROM g
+    ),
+    tot AS (SELECT CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t2) AS BIGINT) AS n2 FROM g)
+    SELECT n1 AS n_click, n2 AS n_view,
+           ROUND(max(abs(c1 * 1.0 / n1 - c2 * 1.0 / n2)) + 1e-8, 6) AS ks_stat,
+           ROUND(1.358 * sqrt((n1 + n2) / (CAST(n1 AS DOUBLE) * n2)) + 1e-8, 6) AS d_crit_05
+    FROM r CROSS JOIN tot GROUP BY n1, n2
+    """,
+    tags=("analytics", "hypothesis-test", "distribution", "global-kernel"),
+)
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test between the 'click' and
+    'view' value distributions — the distribution-shape member of the
+    hypothesis-test family (`mann_whitney_utest` detects location
+    shift; KS detects ANY CDF divergence: spread, shape, tails).  The
+    statistic sup|F1 - F2| classically needs both samples sorted
+    together — a global sort.  Here both empirical CDFs fall out of ONE
+    pass over the distinct-value counts: per-cents (t1, t2) aggregate,
+    two exact global prefix sums on the same range partitioning
+    (`global_running_sum`, chained — no single-task window), then
+    D = max over distinct values of |c1/n1 - c2/n2|.  Each term is one
+    float subtraction of two exact-integer divisions (identical IEEE
+    doubles in both engines) and max is order-independent, so the
+    hashed 6dp values cannot flake.  The 5% rejection bar
+    1.358*sqrt((n1+n2)/(n1*n2)) ships alongside; the caller compares.
+    Scale: shuffle is #distinct-values-sized; the statistic is one row.
+    Reference parity: the principled upgrade of ref:app.py's
+    side-by-side status histograms."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    pool = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            as_cents(F.col("value")).alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    g = pool.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("t1"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("t2"),
+    )
+    r = global_running_sum(g, ["cents"], "t1", out="c1")
+    r = global_running_sum(r, ["cents"], "t2", out="c2")
+    tot = g.agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") * F.lit(1.0) / F.col("n1")
+                    - F.col("c2") * F.lit(1.0) / F.col("n2")
+                )
+            ).alias("d_raw")
+        )
+        .select(
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_view"),
+            round_det(F.col("d_raw"), 6).alias("ks_stat"),
+            round_det(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2"))
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                ),
+                6,
+            ).alias("d_crit_05"),
+        )
+    )
+
+
+@register(
+    "mutual_info_type_bucket",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS et, CAST(round(value * 100, 0) AS BIGINT) // 10000 AS b
+        FROM events
+    ),
+    j AS (SELECT et, b, CAST(count(*) AS BIGINT) AS nij FROM base GROUP BY et, b),
+    mi AS (SELECT et, CAST(sum(nij) AS BIGINT) AS ni FROM j GROUP BY et),
+    mj AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM j GROUP BY b),
+    tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM j),
+    terms AS (
+        SELECT CAST(floor((nij * 1.0 / n)
+                          * ln((CAST(n AS DOUBLE) * nij) / (CAST(ni AS DOUBLE) * nj))
+                          * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM j JOIN mi USING (et) JOIN mj USING (b) CROSS JOIN tot
+    )
+    SELECT (SELECT count(*) FROM j) AS n_cells,
+           (SELECT n FROM tot) AS n_events,
+           ROUND(sum(nano) / 1000000000.0 + 1e-8, 6) AS mi_nats
+    FROM terms
+    """,
+    tags=("analytics", "information-theory", "dependence"),
+)
+def mutual_info_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event type and value band (100-unit
+    buckets) — the model-free dependence measure that catches what
+    correlation cannot (any nonlinear association between a categorical
+    and a bucketed numeric shows up; `chi2_type_value` asks "is there
+    dependence?", MI answers "how many nats of it?", the quantity
+    feature-selection and leakage audits rank by).  Plan: one hash
+    aggregation to the joint contingency table (cells = |types| x
+    |buckets|, tiny), marginals re-aggregated FROM the joint table
+    (never a second scan of events), broadcast-joined back, and each
+    cell's (nij/N)*ln(N*nij/(ni*nj)) term is NANO-QUANTIZED to an
+    integer before summing — the `corpus_kl_drift` recipe — so the sum
+    is order-independent and the 6dp hash cannot flake on float
+    addition order.  All log/division inputs are exact integer counts:
+    both engines evaluate the identical fixed-order double expression
+    per cell.  Scale: after the first aggregation everything is
+    cells-sized; the events shuffle is the one map-side-combinable
+    groupBy.  Reference parity: quantifies the type-vs-value dependence
+    ref:app.py's per-status summary table only displays."""
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT) div 10000").alias("b"),
+    )
+    j = base.groupBy("et", "b").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    mi = j.groupBy("et").agg(F.sum("nij").alias("ni"))
+    mj = j.groupBy("b").agg(F.sum("nij").alias("nj"))
+    tot = j.agg(F.sum("nij").alias("n"))
+    cells = j.agg(F.count(F.lit(1)).alias("n_cells"))
+    nano = F.floor(
+        (F.col("nij") * F.lit(1.0) / F.col("n"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("nij"))
+            / (F.col("ni").cast("double") * F.col("nj"))
+        )
+        * F.lit(1000000000)
+        + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    terms = (
+        j.join(F.broadcast(mi), "et")
+        .join(F.broadcast(mj), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("n").alias("n_events"), nano.alias("nano"))
+    )
+    return (
+        terms.groupBy("n_events")
+        .agg(round_det(F.sum("nano") / F.lit(1000000000.0), 6).alias("mi_nats"))
+        .crossJoin(F.broadcast(cells))
+        .select(
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "mi_nats",
+        )
+    )
