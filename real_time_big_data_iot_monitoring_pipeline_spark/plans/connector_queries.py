@@ -592,3 +592,74 @@ def pyds_sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_commits", F.lit(len(commits)).cast("int"))
         .withColumn("n_rewrites_skipped", F.lit(n_rewrites).cast("int"))
     )
+
+
+@register(
+    "pyds_sink_delete_where",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           6000 AS n_deleted, 3 AS n_files_rewritten, 5 AS n_files_untouched,
+           9 AS head_version, 20000 AS predelete_rows
+    FROM feed WHERE reading_id NOT BETWEEN 6000 AND 11999
+    GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "sink", "delete", "copy-on-write"),
+)
+def pyds_sink_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETE (copy-on-write) on the manifest table — the
+    lakehouse `DELETE WHERE` verb that completes the sink's DML story
+    (append -> 2PC, overwrite -> compaction, upsert -> MERGE twin,
+    now targeted deletion): the feed lands as 8 reading_id-range files,
+    and `delete_where(reading_id BETWEEN 6000 AND 11999)` must (a)
+    prune via manifest footer stats so only the 3 overlapping files are
+    read and rewritten (5 files untouched — at 100 TB a narrow delete
+    costs bytes proportional to the range, the GDPR-erasure /
+    retention-expiry workload), (b) publish survivors + untouched as
+    the next version (v9 after 8 appends — numbering continues), and
+    (c) leave the pre-delete snapshot readable (time travel across a
+    delete; row count pinned via the v8 manifest).  A file fully inside
+    the range contributes zero survivor files (empty rewrites are never
+    listed).  The hashed result is the per-sensor rollup over the
+    post-delete head — a row deleted too many/few breaks counts and
+    totals — plus the audit counts.  The delete commit's op is
+    `delete`, not `append`, so the change feed never re-emits survivor
+    rewrites (unit-pinned with the CDF inference tests).  Reference
+    anchor: the reference's retention story is dropping whole Postgres
+    tables (ref:init.sql); this is the file-skipping equivalent a
+    100 TB table needs."""
+    import tempfile
+
+    key = "_pyds_del_dir"
+    path = getattr(pyds_sink_delete_where, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v9.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_del_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        for chunk in range(8):
+            lo, hi = chunk * 2500, (chunk + 1) * 2500
+            feed.filter(
+                (F.col("reading_id") >= lo) & (F.col("reading_id") < hi)
+            ).repartition(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+                "append"
+            ).save()
+        audit = pydatasource.delete_where(spark, path, "reading_id", 6000, 11999)
+        setattr(pyds_sink_delete_where, key, path)
+        setattr(pyds_sink_delete_where, key + "_audit", audit)
+    audit = getattr(pyds_sink_delete_where, key + "_audit")
+    _pre_df, pre_m = pydatasource.read_manifest(spark, path, version=8)
+    back, _head = pydatasource.read_manifest(spark, path)
+    return (
+        back.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        .withColumn("n_deleted", F.lit(audit["n_deleted"]).cast("int"))
+        .withColumn("n_files_rewritten", F.lit(audit["n_files_rewritten"]).cast("int"))
+        .withColumn("n_files_untouched", F.lit(audit["n_files_untouched"]).cast("int"))
+        .withColumn("head_version", F.lit(audit["version"]).cast("int"))
+        .withColumn("predelete_rows", F.lit(pre_m["n_rows"]).cast("int"))
+    )

@@ -574,6 +574,85 @@ def discard_staged(path: str) -> int:
     return removed
 
 
+def delete_where(spark, path: str, col: str, lo, hi) -> dict:
+    """ROW-LEVEL DELETE on the manifest table via COPY-ON-WRITE — the
+    lakehouse `DELETE WHERE col BETWEEN lo AND hi` verb: manifest
+    footer stats pick the files that can contain matching rows (the
+    same zone-map pruning as `read_manifest_pruned`), ONLY those files
+    are rewritten minus the deleted rows, and one commit publishes
+    (untouched files + rewritten survivors) as the next version.  Files
+    whose stats cannot overlap the predicate are never read or
+    rewritten — at 100 TB a narrow delete touches bytes proportional to
+    the deleted range, not the table.  The commit keeps the snapshot
+    contract: version numbering continues, prior versioned manifests
+    (and the pre-delete part files) stay readable, and the manifest
+    `op` is `delete` — NOT `append` — so `read_change_feed` never
+    emits survivor rewrites as fresh rows (insert-only CDF; a deletion
+    change feed would carry the removed keys separately).  Survivor
+    stats are recomputed from the new files' footers; untouched files
+    keep their recorded stats.  Returns {n_deleted, n_files_rewritten,
+    n_files_untouched, version}."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    head_path = os.path.join(path, "manifest.json")
+    with open(head_path) as f:
+        head = _json.load(f)
+    stats = head.get("stats", {})
+    touched, untouched = [], []
+    for fn in head["files"]:
+        s = stats.get(fn, {}).get(col)
+        (touched if s is None or (s[0] <= hi and s[1] >= lo) else untouched).append(fn)
+    n_deleted, new_files = 0, []
+    if touched:
+        victims = spark.read.parquet(*[os.path.join(path, fn) for fn in touched])
+        n_before = victims.count()
+        survivors = victims.filter(~F.col(col).between(lo, hi))
+        staging = os.path.join(path, "_delete_staging")
+        survivors.write.mode("overwrite").parquet(staging)
+        next_v = head.get("version", 0) + 1
+        n_surv = 0
+        for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
+            import pyarrow.parquet as _pq
+
+            n_rows = _pq.ParquetFile(part).metadata.num_rows
+            if n_rows == 0:
+                continue  # empty task output: never list zero-row files
+            n_surv += n_rows
+            visible = f"part-d{next_v}-{i:05d}.parquet"
+            os.replace(part, os.path.join(path, visible))
+            new_files.append(visible)
+        shutil.rmtree(staging, ignore_errors=True)
+        n_deleted = n_before - n_surv
+    manifest = {
+        "version": head.get("version", 0) + 1,
+        "files": sorted(untouched + new_files),
+        "n_rows": head["n_rows"] - n_deleted,
+        "stats": {
+            **{fn: stats[fn] for fn in untouched if fn in stats},
+            **_footer_stats(path, new_files),
+        },
+        "op": "delete",
+    }
+    versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
+    with open(versioned + ".tmp", "w") as f:
+        _json.dump(manifest, f)
+    os.replace(versioned + ".tmp", versioned)
+    tmp = os.path.join(path, "_manifest.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(tmp, head_path)
+    return {
+        "n_deleted": n_deleted,
+        "n_files_rewritten": len(touched),
+        "n_files_untouched": len(untouched),
+        "version": manifest["version"],
+    }
+
+
 def read_change_feed(spark, path: str, since_version: int, to_version: int | None = None):
     """CHANGE-FEED (incremental) read of the manifest table: the rows
     ADDED by commits in (since_version, to_version], each tagged with

@@ -357,3 +357,37 @@ def test_pyds_change_feed_delta_inference_and_empty_range(spark, tmp_path):
     empty, commits = read_change_feed(spark, path, since_version=4)
     assert commits == [] and empty.count() == 0
     assert set(empty.columns) == {"a", "_commit_version"}
+
+
+def test_pyds_delete_where_cow_and_change_feed(spark, tmp_path):
+    """Copy-on-write DELETE: only stat-overlapping files rewritten,
+    fully-deleted files vanish without an empty replacement, the
+    pre-delete snapshot stays readable, and the delete commit is
+    dataChange=false to the change feed."""
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        delete_where,
+        read_change_feed,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "del")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    # three files: [0,9], [10,19], [20,29] — stats recorded per commit
+    for base in (0, 10, 20):
+        w.commit([w.write(iter([Row(k=base + i) for i in range(10)]))])
+    audit = delete_where(spark, path, "k", 10, 24)  # kills file 2, trims file 3
+    assert audit["n_deleted"] == 15 and audit["version"] == 4
+    assert audit["n_files_rewritten"] == 2 and audit["n_files_untouched"] == 1
+    head, m = read_manifest(spark, path)
+    assert m["n_rows"] == 15 and m["op"] == "delete"
+    assert sorted(r["k"] for r in head.collect()) == list(range(10)) + list(range(25, 30))
+    # pre-delete snapshot intact
+    v3, m3 = read_manifest(spark, path, version=3)
+    assert v3.count() == 30 and m3["n_rows"] == 30
+    # change feed since v3 sees the delete commit but emits no rows
+    df, commits = read_change_feed(spark, path, since_version=3)
+    assert [(c["version"], c["op"]) for c in commits] == [(4, "delete")]
+    assert df.count() == 0
