@@ -663,3 +663,86 @@ def pyds_sink_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("head_version", F.lit(audit["version"]).cast("int"))
         .withColumn("predelete_rows", F.lit(pre_m["n_rows"]).cast("int"))
     )
+
+
+@register(
+    "pyds_sink_vacuum",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           6 AS n_files_removed, 3 AS n_manifests_removed,
+           5 AS head_version, 4 AS horizon_version,
+           15000 AS v4_rows, FALSE AS v3_readable
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "sink", "vacuum", "retention"),
+)
+def pyds_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM (snapshot expiry) on the manifest table — the retention
+    verb that closes the table-format lifecycle (2PC append -> compaction
+    -> DELETE -> time travel -> now physical cleanup): copy-on-write
+    keeps every rewrite's predecessors alive for old readers, so a
+    churning table's storage grows with write volume until vacuum
+    removes files unreachable from the newest K snapshots and expires
+    their manifests (Iceberg `expire_snapshots` / Delta VACUUM).  The
+    scenario: three appends land the first 15k readings as 6 part files
+    (v1-v3), compaction rewrites them into 2 (v4), a final append adds
+    the rest (v5); `vacuum(keep_versions=2)` must remove EXACTLY the 6
+    pre-compaction files and the v1-v3 manifests — the live set is the
+    UNION of v4+v5's lists, so a v4 file still listed by the head is
+    untouched — while (a) the head rollup still equals the full feed
+    formula, (b) v4 stays byte-identical readable (15k rows), and (c) a
+    read pinned to the expired v3 now fails loudly (asserted, surfaced
+    as the hashed v3_readable=false).  An over-eager vacuum breaks (a)
+    or (b); an under-eager one breaks the removal counts.  Driver work
+    is a metadata walk (listing + set difference) — no data read, the
+    cost profile a 100 TB maintenance job needs.  Composes with
+    `pyds_sink_compaction` (what creates the garbage) and
+    `pyds_sink_delete_where` (CoW deletes feed it too)."""
+    import tempfile
+
+    key = "_pyds_vac_dir"
+    path = getattr(pyds_sink_vacuum, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v5.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_vac_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        for third in range(3):  # v1-v3: first 15k readings, 2 files each
+            feed.filter(
+                (F.col("reading_id") < 15_000) & (F.col("reading_id") % 3 == third)
+            ).repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+                "append"
+            ).save()
+        live, _m = pydatasource.read_manifest(spark, path)
+        live.repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "overwrite"
+        ).save()  # v4: compaction
+        feed.filter(F.col("reading_id") >= 15_000).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()  # v5
+        audit = pydatasource.vacuum(path, keep_versions=2)
+        setattr(pyds_sink_vacuum, key, path)
+        setattr(pyds_sink_vacuum, key + "_audit", audit)
+    audit = getattr(pyds_sink_vacuum, key + "_audit")
+    v4_df, v4_m = pydatasource.read_manifest(spark, path, version=4)
+    try:
+        pydatasource.read_manifest(spark, path, version=3)
+        v3_readable = True
+    except FileNotFoundError:
+        v3_readable = False
+    back, _head = pydatasource.read_manifest(spark, path)
+    return (
+        back.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        .withColumn("n_files_removed", F.lit(audit["n_files_removed"]).cast("int"))
+        .withColumn("n_manifests_removed", F.lit(audit["n_manifests_removed"]).cast("int"))
+        .withColumn("head_version", F.lit(audit["head_version"]).cast("int"))
+        .withColumn("horizon_version", F.lit(audit["horizon_version"]).cast("int"))
+        .withColumn("v4_rows", F.lit(v4_m["n_rows"]).cast("int"))
+        .withColumn("v3_readable", F.lit(v3_readable))
+    )

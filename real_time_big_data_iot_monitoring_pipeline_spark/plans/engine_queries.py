@@ -2079,3 +2079,53 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reidentifiable_rate"),
     )
+
+
+# --- pivot/unpivot round trip (melt surface) ---------------------------------
+
+
+@register(
+    "unpivot_day_type_counts",
+    oracle="""
+    WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events),
+    t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+    c AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM d CROSS JOIN t LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+    tags=("engine", "sql-surface", "pivot", "unpivot", "melt"),
+)
+def unpivot_day_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT -> UNPIVOT round trip — the melt verb (`df.unpivot` /
+    SQL UNPIVOT) that turns a wide per-day metrics block back into the
+    long form every downstream aggregation wants.  The subtlety this
+    pins: the round trip is NOT the identity — pivoting materializes
+    the full day x type grid (absent combinations become null, filled
+    to 0 here), so unpivot emits zero rows a direct GROUP BY would
+    omit; the oracle spells that densification as DISTINCT-days CROSS
+    JOIN the type dimension LEFT JOIN the sparse counts.  A melt that
+    dropped zero cells, mis-ordered its value columns, or mangled the
+    id column would change the row count or pair values and break the
+    hash.  Plan: one map-side-combinable pivot aggregation (explicit
+    value list — no distinct-scan job), then unpivot is a zero-shuffle
+    generator over the wide rows.  Scale: wide is #days-sized; the
+    grid is days x 5."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "event_type"
+    )
+    wide = (
+        e.groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ["day"],
+        ["click", "error", "purchase", "signup", "view"],
+        "event_type",
+        "n_events",
+    )

@@ -550,21 +550,28 @@ def publish_staged(path: str) -> dict:
 
 def discard_staged(path: str) -> int:
     """Drop a staged snapshot after a failed audit: delete the part
-    files ONLY the stage introduced (files shared with the published
-    head stay), then the staged pointer.  Returns #files removed."""
+    files ONLY the stage introduced, then the staged pointer.  "Its
+    own" is decided by reference counting, not a head diff — a file is
+    removed only if NO surviving versioned manifest (nor the head)
+    lists it, so discarding a stale stage after unrelated commits,
+    overwrites, or vacuums can never strand an older snapshot.
+    Returns #files removed."""
+    import glob
     import os
 
     staged_path = os.path.join(path, "_staged-manifest.json")
     with open(staged_path) as f:
         staged = _json.load(f)
-    head = os.path.join(path, "manifest.json")
-    published: set[str] = set()
-    if os.path.exists(head):
-        with open(head) as f:
-            published = set(_json.load(f)["files"])
+    referenced: set[str] = set()
+    for mf in glob.glob(os.path.join(path, "_manifest-v*.json")) + [
+        os.path.join(path, "manifest.json")
+    ]:
+        if os.path.exists(mf):
+            with open(mf) as f:
+                referenced.update(_json.load(f)["files"])
     removed = 0
     for fn in staged["files"]:
-        if fn not in published:
+        if fn not in referenced:
             try:
                 os.remove(os.path.join(path, fn))
                 removed += 1
@@ -650,6 +657,59 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         "n_files_rewritten": len(touched),
         "n_files_untouched": len(untouched),
         "version": manifest["version"],
+    }
+
+
+def vacuum(path: str, keep_versions: int = 2) -> dict:
+    """VACUUM the manifest table: physically delete part files that are
+    unreachable from the newest `keep_versions` snapshots, and drop the
+    older versioned manifests — the retention verb that reclaims the
+    space copy-on-write operations (compaction, DELETE, overwrite)
+    leave behind.  Time travel is the reason vacuum must exist AND the
+    reason it is bounded: every rewrite keeps its predecessor's files
+    alive for old readers, so without vacuum a churning table's storage
+    grows with write volume, not data size.  Retention contract:
+    snapshots newer than the horizon stay byte-identical readable;
+    reads pinned to a vacuumed version fail loudly (their manifest is
+    gone — the Iceberg `expire_snapshots` behavior).  The live file set
+    is the UNION of the kept manifests' file lists, so a file shared
+    across the horizon (e.g. an old append still listed by the head)
+    is never touched.  Returns {n_files_removed, n_manifests_removed,
+    head_version, horizon_version}.  Driver-side metadata walk only —
+    no data read; at 100 TB this is a listing + set difference, the
+    same cost profile as any table-format maintenance job."""
+    import glob
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        head_version = _json.load(f)["version"]
+    horizon = max(1, head_version - keep_versions + 1)
+    live: set[str] = set()
+    for v in range(horizon, head_version + 1):
+        with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
+            live.update(_json.load(f)["files"])
+    # an in-flight WAP stage is reachable (via the staged pointer) even
+    # though no versioned manifest lists it yet — never vacuum it
+    staged = os.path.join(path, "_staged-manifest.json")
+    if os.path.exists(staged):
+        with open(staged) as f:
+            live.update(_json.load(f)["files"])
+    n_files = 0
+    for part in glob.glob(os.path.join(path, "part-*")):
+        if os.path.basename(part) not in live:
+            os.remove(part)
+            n_files += 1
+    n_manifests = 0
+    for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
+        v = int(os.path.basename(mf)[len("_manifest-v") : -len(".json")])
+        if v < horizon:
+            os.remove(mf)
+            n_manifests += 1
+    return {
+        "n_files_removed": n_files,
+        "n_manifests_removed": n_manifests,
+        "head_version": head_version,
+        "horizon_version": horizon,
     }
 
 

@@ -391,3 +391,54 @@ def test_pyds_delete_where_cow_and_change_feed(spark, tmp_path):
     df, commits = read_change_feed(spark, path, since_version=3)
     assert [(c["version"], c["op"]) for c in commits] == [(4, "delete")]
     assert df.count() == 0
+
+
+def test_pyds_vacuum_keeps_shared_and_staged_files(spark, tmp_path):
+    """Vacuum removes only files unreachable from the kept snapshots: a
+    file shared across the horizon survives, an in-flight WAP stage's
+    files survive, and expired version reads fail loudly."""
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_manifest,
+        read_staged,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vac")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    for k in range(4):  # v1..v4 appends — v1's file is in EVERY snapshot
+        w.commit([w.write(iter([Row(a=k)]))])
+    stager = ManifestParquetWriter({"path": path, "staged": "true"}, overwrite=False)
+    stager.commit([stager.write(iter([Row(a=99)]))])  # in-flight stage
+    audit = vacuum(path, keep_versions=2)  # horizon v3
+    # nothing removable: v3/v4 list all four append files cumulatively
+    assert audit["n_files_removed"] == 0 and audit["n_manifests_removed"] == 2
+    assert read_manifest(spark, path, version=3)[0].count() == 3
+    assert read_staged(spark, path)[0].count() == 5  # stage intact
+    try:
+        read_manifest(spark, path, version=2)
+        raise AssertionError("expired snapshot must not be readable")
+    except FileNotFoundError:
+        pass
+    # an overwrite makes v1-v4's files garbage once the horizon passes
+    ow = ManifestParquetWriter({"path": path}, overwrite=True)
+    ow.commit([ow.write(iter([Row(a=7)]))])  # v5
+    w.commit([w.write(iter([Row(a=8)]))])  # v6
+    # the stale stage still pins the v1-v4 files it references, so this
+    # vacuum expires manifests v3/v4 but removes NO files
+    audit = vacuum(path, keep_versions=2)
+    assert audit["n_files_removed"] == 0 and audit["n_manifests_removed"] == 2
+    # discard is reference-counted against the SURVIVING manifests: with
+    # v3/v4 expired, the stage was the last reference to the four append
+    # files, so discard frees them plus its own part (a head-diff
+    # discard would have deleted them back when v3/v4 were still
+    # readable — the bug this pins out)
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import discard_staged
+
+    assert discard_staged(path) == 5
+    assert sorted(r["a"] for r in read_manifest(spark, path)[0].collect()) == [7, 8]
+    assert read_manifest(spark, path, version=5)[0].count() == 1
