@@ -746,3 +746,68 @@ def pyds_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v4_rows", F.lit(v4_m["n_rows"]).cast("int"))
         .withColumn("v3_readable", F.lit(v3_readable))
     )
+
+
+@register(
+    "pyds_manifest_stream_tail",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "streaming-source", "change-feed", "table-as-stream"),
+)
+def pyds_manifest_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TABLE AS A STREAM: `rtbd_manifest_table` makes the manifest
+    sink dual-natured the way Delta/Iceberg tables are — a batch
+    snapshot AND a streaming source of its own appends, with THE
+    MANIFEST VERSION AS THE STREAM OFFSET.  Exactly-once tailing falls
+    out of the table format itself: offsets are durable (immutable
+    versioned manifests), replay is deterministic
+    (`readBetweenOffsets` re-walks the same manifests), and rewrite
+    commits are dataChange=false.  The scenario: the feed lands as two
+    append commits THEN a compaction (v3) before the stream starts; the
+    streaming query tails the table from version 0, and its
+    complete-mode per-sensor rollup must equal the feed formula — a
+    tail that read the compaction's files would double every count; one
+    that diffed deltas against the wrong parent would drop or repeat a
+    commit.  Incremental tailing (commits arriving BETWEEN micro-
+    batches, each emitted exactly once) is unit-pinned in
+    tests/test_connector_wiring.py.  This closes the connector matrix
+    begun in round 5: batch read + pushdown, stream read + offsets,
+    batch write + 2PC, stream write + epoch commits, and now the
+    sink's own output re-entering the engine as a stream — the
+    reference's Kafka->process->Postgres pipeline expressed as
+    table-to-table dataflow (ref:spark_streaming.py:125-130 /
+    ref:Project Depth.md:69-74)."""
+    import tempfile
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.streaming import pipeline
+
+    key = "_pyds_tail_result"
+    cache = getattr(pyds_manifest_stream_tail, key, None)
+    if cache is None or not os.path.exists(cache):
+        base = tempfile.mkdtemp(prefix="rtbd_pyds_tail_")
+        path = os.path.join(base, "table")
+        cache = os.path.join(base, "result")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        for cond in (F.col("reading_id") < half, F.col("reading_id") >= half):
+            feed.filter(cond).repartition(2).write.format("rtbd_manifest_sink").option(
+                "path", path
+            ).mode("append").save()
+        live, _m = pydatasource.read_manifest(spark, path)
+        live.repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "overwrite"
+        ).save()  # v3 compaction: the tail must NOT re-emit these rows
+        stream = spark.readStream.format("rtbd_manifest_table").option("path", path).load()
+        agg = stream.groupBy("sensor_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+        pipeline.run_stream_to_parquet(agg, cache, output_mode="complete")
+        setattr(pyds_manifest_stream_tail, key, cache)
+    return spark.read.parquet(cache)

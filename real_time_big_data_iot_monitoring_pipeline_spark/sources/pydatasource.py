@@ -713,6 +713,39 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     }
 
 
+def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]:
+    """Shared change-feed walk: classify each commit in
+    (since_version, to_version] and compute the per-APPEND file delta
+    against its parent's cumulative list.  `op` comes from the manifest
+    when recorded; older manifests (and the streaming writer's
+    per-epoch ones) are classified by containment — a file list that is
+    a superset of its parent's is an append.  Non-append commits
+    (overwrite/compaction, delete) are dataChange=false: they advance
+    the cursor with zero new files.  Returns
+    [{version, op, new_files}] — manifest JSON walk only."""
+    import os
+
+    def load(v: int) -> dict:
+        with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
+            return _json.load(f)
+
+    prev_files = set(load(since_version)["files"]) if since_version >= 1 else set()
+    out = []
+    for v in range(since_version + 1, to_version + 1):
+        m = load(v)
+        cur = set(m["files"])
+        op = m.get("op") or ("append" if cur >= prev_files else "overwrite")
+        out.append(
+            {
+                "version": v,
+                "op": op,
+                "new_files": sorted(cur - prev_files) if op == "append" else [],
+            }
+        )
+        prev_files = cur
+    return out
+
+
 def read_change_feed(spark, path: str, since_version: int, to_version: int | None = None):
     """CHANGE-FEED (incremental) read of the manifest table: the rows
     ADDED by commits in (since_version, to_version], each tagged with
@@ -720,20 +753,12 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
     `readChangeFeed` contract a downstream incremental consumer needs
     so it can tail the table instead of re-scanning it.
 
-    Commit classification uses the manifest-level `op`:
-
-      * `append` commits contribute exactly their NEW files (the set
-        difference against the parent version's file list — appends are
-        cumulative, so this is the per-commit delta);
-      * `overwrite` commits (compaction / rewrite) are
-        dataChange=false: their files RESTATE rows an earlier commit
-        already emitted, so a consumer that treated them as fresh would
-        double-count.  They advance the cursor but contribute no rows.
-
-    Manifests written before `op` existed (and the streaming writer's
-    per-epoch manifests, which are always appends) are classified by
-    containment: a file list that is a superset of its parent's is an
-    append.  Returns (df, commits): df has the table schema plus
+    Commit classification (see `_append_deltas`): `append` commits
+    contribute exactly their NEW files; `overwrite` (compaction) and
+    `delete` commits are dataChange=false — their files RESTATE rows an
+    earlier commit already emitted, so a consumer that treated them as
+    fresh would double-count.  They advance the cursor but contribute
+    no rows.  Returns (df, commits): df has the table schema plus
     `_commit_version int`; commits is the per-version audit trail
     [{version, op, n_new_files}].  Driver work is manifest JSON only —
     no data is read outside the delta files."""
@@ -741,36 +766,27 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
 
     from pyspark.sql import functions as F
 
-    def load(v: int) -> dict:
-        with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
-            return _json.load(f)
-
     if to_version is None:
         with open(os.path.join(path, "manifest.json")) as f:
             to_version = _json.load(f)["version"]
-    prev_files = set(load(since_version)["files"]) if since_version >= 1 else set()
     frames, commits = [], []
-    for v in range(since_version + 1, to_version + 1):
-        m = load(v)
-        cur = set(m["files"])
-        op = m.get("op") or ("append" if cur >= prev_files else "overwrite")
-        new_files = sorted(cur - prev_files)
-        if op == "append" and new_files:
+    for d in _append_deltas(path, since_version, to_version):
+        if d["new_files"]:
             frames.append(
-                spark.read.parquet(*[os.path.join(path, fn) for fn in new_files])
-                .withColumn("_commit_version", F.lit(v).cast("int"))
+                spark.read.parquet(*[os.path.join(path, fn) for fn in d["new_files"]])
+                .withColumn("_commit_version", F.lit(d["version"]).cast("int"))
             )
         commits.append(
-            {"version": v, "op": op, "n_new_files": len(new_files) if op == "append" else 0}
+            {"version": d["version"], "op": d["op"], "n_new_files": len(d["new_files"])}
         )
-        prev_files = cur
     if frames:
         df = frames[0]
         for extra in frames[1:]:
             df = df.unionByName(extra)
     else:
         # no data change in the range: empty frame with the table schema
-        head = load(to_version)
+        with open(os.path.join(path, f"_manifest-v{to_version}.json")) as f:
+            head = _json.load(f)
         df = (
             spark.read.parquet(*[os.path.join(path, fn) for fn in head["files"]])
             .limit(0)
@@ -779,5 +795,170 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
     return df, commits
 
 
+# --- the manifest table as a STREAMING SOURCE --------------------------------
+#
+# Delta/Iceberg tables are dual-natured: a batch table AND a stream of
+# their own appends.  `rtbd_manifest_table` gives the manifest sink the
+# same second nature — the STREAM OFFSET IS THE MANIFEST VERSION, so
+# exactly-once tailing falls out of the table format itself: offsets
+# are durable (immutable versioned manifests), deterministic to replay
+# (`readBetweenOffsets` re-walks the same manifests), and rewrite
+# commits (compaction, CoW delete) are dataChange=false exactly as in
+# `read_change_feed`.  Downstream, a streaming query over the table IS
+# the incremental consumer the change feed promises.
+
+
+def _arrow_to_ddl(schema) -> str:
+    """Map a parquet/arrow schema to a Spark DDL string (the column
+    set the sink family actually writes: ints, floats, strings, bool,
+    binary, date, micro timestamps)."""
+    import pyarrow as pa
+
+    def one(t) -> str:
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+            return "int"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        raise ValueError(f"unsupported column type for rtbd_manifest_table: {t}")
+
+    return ", ".join(f"{f.name} {one(f.type)}" for f in schema)
+
+
+class ManifestFilePartition(InputPartition):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Batch half of the table source: one partition per manifest-listed
+    file.  (`read_manifest` remains the fast path — it hands the file
+    list to Spark's JVM parquet scan; this reader exists so the FORMAT
+    is complete: `spark.read.format("rtbd_manifest_table")` sees exactly
+    the committed snapshot.)"""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        import os
+
+        with open(os.path.join(self.path, "manifest.json")) as f:
+            return [ManifestFilePartition(fn) for fn in _json.load(f)["files"]]
+
+    def read(self, partition: ManifestFilePartition):
+        import os
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(self.path, partition.filename))
+        cols = [tbl.column(n).to_pylist() for n in self.fields]
+        return iter(list(zip(*cols)))
+
+
+class ManifestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half: START-DRIVEN version-cursor tailing (same
+    SimpleDataSourceStreamReader discipline as `SensorStreamReader` —
+    the offset lives in Spark's WAL, not in the reader, so restart
+    exactly-once holds by construction).  Each `read(start)` advances
+    the cursor to the current head version and emits the rows ADDED by
+    append commits in between; overwrite/delete commits advance the
+    cursor with no rows (dataChange=false).  `readBetweenOffsets` is a
+    deterministic replay because versioned manifests are immutable.
+    Per the Simple-reader contract rows flow through the driver — the
+    demo-rate path; a production tail at 100 TB uses the same
+    version-cursor offsets with `read_change_feed` handing PLANS (not
+    rows) to executors, cf. `pyds_sink_change_feed`."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rtbd_manifest_table requires a path option")
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def _head_version(self) -> int:
+        import os
+
+        head = os.path.join(self.path, "manifest.json")
+        if not os.path.exists(head):
+            return 0
+        with open(head) as f:
+            return _json.load(f)["version"]
+
+    def _rows(self, v0: int, v1: int) -> list:
+        import os
+
+        import pyarrow.parquet as pq
+
+        out: list = []
+        for d in _append_deltas(self.path, v0, v1):
+            for fn in d["new_files"]:
+                tbl = pq.read_table(os.path.join(self.path, fn))
+                out.extend(zip(*[tbl.column(n).to_pylist() for n in self.fields]))
+        return out
+
+    def read(self, start: dict):
+        v0, v1 = start["version"], self._head_version()
+        if v1 <= v0:
+            return iter([]), {"version": v0}
+        return iter(self._rows(v0, v1)), {"version": v1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["version"], end["version"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # the cursor is derivable from immutable manifests
+
+
+class ManifestTableDataSource(DataSource):
+    """`rtbd_manifest_table`: option path=<dir of a manifest-sink
+    table>.  Batch reads see the committed snapshot; streaming reads
+    tail the table's append commits with the manifest version as the
+    offset.  Schema is inferred from the snapshot's parquet footers
+    (driver-side metadata read)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rtbd_manifest_table"
+
+    def schema(self) -> str:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("rtbd_manifest_table requires a path option")
+        with open(os.path.join(path, "manifest.json")) as f:
+            files = _json.load(f)["files"]
+        if not files:
+            raise ValueError("rtbd_manifest_table: empty table has no schema")
+        return _arrow_to_ddl(pq.read_schema(os.path.join(path, files[0])))
+
+    def reader(self, schema: StructType) -> ManifestBatchReader:
+        return ManifestBatchReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType) -> ManifestStreamReader:
+        return ManifestStreamReader(self.options, schema)
+
+
 def register_sink(spark) -> None:
     spark.dataSource.register(ManifestSinkDataSource)
+    spark.dataSource.register(ManifestTableDataSource)

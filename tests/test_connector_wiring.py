@@ -442,3 +442,53 @@ def test_pyds_vacuum_keeps_shared_and_staged_files(spark, tmp_path):
     assert discard_staged(path) == 5
     assert sorted(r["a"] for r in read_manifest(spark, path)[0].collect()) == [7, 8]
     assert read_manifest(spark, path, version=5)[0].count() == 1
+
+
+def test_pyds_manifest_table_incremental_tail(spark, tmp_path):
+    """Streaming tail of the manifest table with commits arriving
+    BETWEEN micro-batches: each append is emitted exactly once, a
+    compaction in the middle emits nothing, and the version cursor in
+    the checkpoint carries across stream restarts."""
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_manifest,
+    )
+
+    pydatasource.register_sink(spark)
+    path = str(tmp_path / "table")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(k=1), Row(k=2)]))])  # v1
+
+    def run_once():
+        q = (
+            spark.readStream.format("rtbd_manifest_table")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run_once()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    # commits while the stream is DOWN: an append, then a compaction
+    w.commit([w.write(iter([Row(k=3)]))])  # v2
+    live, _ = read_manifest(spark, path)
+    ow = ManifestParquetWriter({"path": path}, overwrite=True)
+    ow.commit([ow.write(iter(live.collect()))])  # v3 rewrite of {1,2,3}
+    run_once()  # restart from checkpointed version cursor
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    # batch half of the format sees the committed snapshot
+    batch = spark.read.format("rtbd_manifest_table").option("path", path).load()
+    assert sorted(r["k"] for r in batch.collect()) == [1, 2, 3]
+    assert os.path.exists(os.path.join(path, "_manifest-v3.json"))
