@@ -1939,3 +1939,167 @@ def mutual_info_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_nats",
         )
     )
+
+
+@register(
+    "wilson_ci_return_rate",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM lineitem GROUP BY discount_pct
+    )
+    SELECT discount_pct, n, k,
+           ROUND(k * 1.0 / n + 1e-8, 6) AS rate,
+           ROUND((k * 1.0 / n + 1.9208 / n
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1 + 3.8416 / n) + 1e-8, 6) AS ci_lo,
+           ROUND((k * 1.0 / n + 1.9208 / n
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1 + 3.8416 / n) + 1e-8, 6) AS ci_hi
+    FROM g
+    """,
+    tags=("analytics", "confidence-interval", "proportion"),
+)
+def wilson_ci_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON 95% confidence interval on the return rate per discount
+    band —
+    the interval a practitioner should quote for a proportion (the
+    naive Wald interval collapses to zero width at p=0/1 and undercovers
+    at small n; Wilson inverts the score test, stays inside [0,1], and
+    is what `ab_conversion_ztest`'s point estimates deserve around
+    them).  Everything derives from two exact integers per group (n
+    trials, k successes) through one fixed-order float expression with
+    the z=1.96 constants pre-squared (1.9208 = z^2/2, 3.8416 = z^2,
+    0.9604 = z^2/4), so both engines compute bit-identical doubles.
+    Plan: one map-side-combinable aggregation; the statistic table is
+    #groups-sized.  Scale: nothing downstream of the first agg touches
+    row counts.  Reference parity: ref:app.py reports per-status rates
+    with no uncertainty — this is the defensible version."""
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.round(F.col("l_discount") * 100, 0).cast("int").alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k * F.lit(1.0) / n
+    half = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / n + F.lit(0.9604) / (n.cast("double") * n)
+    )
+    denom = 1 + F.lit(3.8416) / n
+    return g.select(
+        "discount_pct",
+        n.alias("n"),
+        k.alias("k"),
+        round_det(p, 6).alias("rate"),
+        round_det((p + F.lit(1.9208) / n - half) / denom, 6).alias("ci_lo"),
+        round_det((p + F.lit(1.9208) / n + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "xcorr_click_purchase",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(epoch_us(ts) // 3600000000) AS h0,
+               max(epoch_us(ts) // 3600000000) AS h1
+        FROM events
+    ),
+    grid AS (SELECT unnest(generate_series((SELECT h0 FROM bounds), (SELECT h1 FROM bounds))) AS hr),
+    c AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT g.hr, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+        FROM grid g LEFT JOIN c ON c.hr = g.hr
+    ),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM series a CROSS JOIN lags l JOIN series b ON b.hr = a.hr + l.lag
+    ),
+    mom AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag_hours, np AS n_pairs,
+           ROUND((np * sxy - sx * sy)
+                 / sqrt(CAST(np * sxx - sx * sx AS DOUBLE) * (np * syy - sy * sy))
+                 + 1e-8, 6) AS xcorr
+    FROM mom
+    """,
+    tags=("analytics", "time-series", "cross-correlation", "lead-lag"),
+)
+def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION between the hourly click and purchase count
+    series at lags -3..+3 — the lead-lag diagnostic ("do clicks predict
+    purchases an hour later?") that turns two dashboard sparklines into
+    a causal-direction hint; the asymmetry between +k and -k is the
+    signal (`acf_hourly_means` is the self-paired special case).  Both
+    series are DENSIFIED onto the full hour grid (sequence + left join
+    + 0-fill) because correlation over only-hours-with-events silently
+    conditions on activity and biases r toward zero exactly when
+    traffic is sparse.  Counts are exact integers, so all six moments
+    per lag are integer-exact and r is one fixed-order float —
+    bit-identical in both engines.  Plan: one events aggregation, a
+    broadcast 1-row bounds cross to build the grid (sequence-explode,
+    no driver collect), the 7-row lag dimension broadcast, and the
+    shift alignment as an equi-self-join — everything after the first
+    agg is #hours-sized."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"), "event_type"
+    )
+    c = e.groupBy("hr").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    bounds = e.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    )
+    series = grid.join(c, "hr", "left").select(
+        "hr", F.coalesce("x", F.lit(0)).alias("x"), F.coalesce("y", F.lit(0)).alias("y")
+    )
+    lags = spark.createDataFrame([(v,) for v in (-3, -2, -1, 0, 1, 2, 3)], "lag int")
+    pairs = (
+        series.crossJoin(F.broadcast(lags))
+        .withColumn("hr_y", F.col("hr") + F.col("lag"))
+        .alias("a")
+        .join(series.alias("b"), F.col("a.hr_y") == F.col("b.hr"))
+        .select(F.col("a.lag"), F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return mom.select(
+        F.col("lag").cast("int").alias("lag_hours"),
+        np_.cast("long").alias("n_pairs"),
+        round_det(
+            (np_ * sxy - sx * sy)
+            / F.sqrt((np_ * sxx - sx * sx).cast("double") * (np_ * syy - sy * sy)),
+            6,
+        ).alias("xcorr"),
+    )
