@@ -2103,3 +2103,75 @@ def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+@register(
+    "key_skew_audit",
+    oracle="""
+    WITH g AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_c
+        FROM g
+    )
+    SELECT CAST(length(bin(c)) AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys_in_bucket,
+           CAST(sum(c) AS BIGINT) AS n_rows_in_bucket,
+           ROUND(sum(c) * 1.0 / n_rows + 1e-8, 6) AS row_share,
+           n_keys AS n_keys_total, max_c AS max_rows_per_key,
+           ROUND(max_c * 1.0 * n_keys / n_rows + 1e-8, 4) AS skew_factor
+    FROM g CROSS JOIN tot
+    GROUP BY log2_bucket, n_keys, n_rows, max_c
+    """,
+    tags=("analytics", "data-quality", "skew", "shuffle-planning"),
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW AUDIT of the join/shuffle key distribution — the
+    pre-flight check behind every salting/AQE-skew decision this engine
+    makes (`salted_join_brand_revenue` PRESUMES a hot key; this query
+    is how you find one): per-key counts collapse into a log2-bucketed
+    count-of-counts histogram plus the summary a planner wants —
+    max-rows-per-key and the skew factor max/avg (1.0 = uniform).  The
+    bucket is computed as length(bin(c)) = floor(log2 c)+1 — INTEGER
+    string-length arithmetic, deliberately not floor(ln c/ln 2), which
+    lands on 2.999... for exact powers of two and mis-buckets them in
+    engine-dependent ways.  All shares/ratios are single divisions of
+    exact integers.  Plan: one map-side-combinable count, then
+    everything is #keys-sized; the 1-row total is a broadcast cross.
+    At 100 TB this runs ahead of any big join to decide broadcast vs
+    salt vs AQE — the audit itself shuffles only the key column."""
+    g = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.length(F.bin("c")).cast("int").alias("log2_bucket"),
+            "n_keys",
+            "n_rows",
+            "max_c",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys_in_bucket"),
+            F.sum("c").cast("long").alias("n_rows_in_bucket"),
+            round_det(F.sum("c") * F.lit(1.0) / F.first("n_rows"), 6).alias("row_share"),
+        )
+        .select(
+            "log2_bucket",
+            "n_keys_in_bucket",
+            "n_rows_in_bucket",
+            "row_share",
+            F.col("n_keys").cast("long").alias("n_keys_total"),
+            F.col("max_c").cast("long").alias("max_rows_per_key"),
+            round_det(
+                F.col("max_c") * F.lit(1.0) * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_factor"),
+        )
+    )

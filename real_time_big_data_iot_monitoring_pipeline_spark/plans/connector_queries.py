@@ -811,3 +811,71 @@ def pyds_manifest_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline.run_stream_to_parquet(agg, cache, output_mode="complete")
         setattr(pyds_manifest_stream_tail, key, cache)
     return spark.read.parquet(cache)
+
+
+@register(
+    "pyds_medallion_bronze_silver",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_hot,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed WHERE temp_centi >= 4000
+    GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "medallion", "table-to-table", "streaming"),
+)
+def pyds_medallion_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDALLION (bronze -> silver) TABLE-TO-TABLE STREAMING: the full
+    dataflow a lakehouse pipeline runs, composed entirely from this
+    engine's own connector parts — raw feed lands in a BRONZE manifest
+    table (two batch 2PC appends), a streaming query TAILS bronze
+    through `rtbd_manifest_table` (manifest-version offsets), applies
+    the curation predicate (hot readings, temp >= 40C), and writes
+    SILVER through the manifest sink's STREAMING writer (idempotent
+    per-epoch commits).  The hashed result reads silver's committed
+    head and must equal the feed formula under the predicate: a
+    version-cursor slip re-emits or drops a bronze commit, a
+    non-idempotent epoch doubles silver, and either breaks the
+    per-sensor totals.  Source offsets ride Spark's WAL; sink commits
+    record batch ids — BOTH ends of the exactly-once contract are this
+    repo's code, end to end.  At 100 TB each hop is the same plan with
+    executor-side scans (`read_change_feed` handing file deltas to the
+    JVM reader); the per-row path here is the Simple-reader demo rate.
+    Reference parity: ref:spark_streaming.py's Kafka->transform->
+    Postgres chain, re-expressed as governed table-to-table flow with
+    snapshot isolation on both ends."""
+    import tempfile
+
+    key = "_pyds_medallion_dir"
+    silver = getattr(pyds_medallion_bronze_silver, key, None)
+    if silver is None or not os.path.exists(os.path.join(silver, "manifest.json")):
+        base = tempfile.mkdtemp(prefix="rtbd_pyds_med_")
+        bronze, silver = os.path.join(base, "bronze"), os.path.join(base, "silver")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        for cond in (F.col("reading_id") < half, F.col("reading_id") >= half):
+            feed.filter(cond).repartition(2).write.format("rtbd_manifest_sink").option(
+                "path", bronze
+            ).mode("append").save()
+        stream = (
+            spark.readStream.format("rtbd_manifest_table").option("path", bronze).load()
+        )
+        q = (
+            stream.filter(F.col("temp_centi") >= 4000)
+            .writeStream.format("rtbd_manifest_sink")
+            .option("path", silver)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        setattr(pyds_medallion_bronze_silver, key, silver)
+    back, _m = pydatasource.read_manifest(spark, silver)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hot"),
+        F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+    )
