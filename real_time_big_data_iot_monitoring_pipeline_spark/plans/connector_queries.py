@@ -879,3 +879,59 @@ def pyds_medallion_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hot"),
         F.sum("temp_centi").cast("long").alias("temp_centi_total"),
     )
+
+
+@register(
+    "pyds_sink_schema_evolution",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(CASE WHEN reading_id >= {_N_ROWS // 2} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_battery,
+           CAST(sum(CASE WHEN reading_id >= {_N_ROWS // 2}
+                         THEN reading_id % 101 ELSE 0 END) AS BIGINT) AS battery_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "sink", "schema-evolution"),
+)
+def pyds_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the manifest table: commit v1 writes the
+    4-column feed, commit v2 appends rows carrying a NEW `battery_pct`
+    column, and a `merge_schema=True` head read must surface the
+    unified schema with nulls for pre-evolution rows — the
+    add-a-column contract every long-lived table eventually needs
+    (Delta mergeSchema / Iceberg union-by-name).  The hashed result
+    counts and sums the new column per sensor: a reader that trusted
+    one file's footer would either drop the column (old-file footer)
+    or fail (new-file footer vs old data); null-padding that leaked
+    zeros into pre-evolution rows would inflate n_with_battery.  The
+    plain-parquet twin is `parquet_schema_evolution`; this pins the
+    TABLE-FORMAT path where the snapshot, not a directory listing,
+    decides which files' schemas participate.  Scale: mergeSchema
+    costs one footer read per file at planning — manifest-bounded, no
+    data scan."""
+    import tempfile
+
+    key = "_pyds_evo_dir"
+    path = getattr(pyds_sink_schema_evolution, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v2.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_evo_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        feed.filter(F.col("reading_id") >= half).withColumn(
+            "battery_pct", (F.col("reading_id") % 101).cast("int")
+        ).repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "append"
+        ).save()
+        setattr(pyds_sink_schema_evolution, key, path)
+    back, _m = pydatasource.read_manifest(spark, path, merge_schema=True)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.count("battery_pct").cast("long").alias("n_with_battery"),
+        F.coalesce(F.sum("battery_pct"), F.lit(0)).cast("long").alias("battery_total"),
+    )

@@ -460,19 +460,23 @@ class ManifestSinkDataSource(DataSource):
         return ManifestStreamWriter(self.options)
 
 
-def read_manifest(spark, path: str, version: int | None = None):
+def read_manifest(spark, path: str, version: int | None = None, merge_schema: bool = False):
     """Reader side of the contract: only manifest-listed files exist to
     the query — uncommitted/aborted orphans are invisible.  With
     `version=k` this is a TIME-TRAVEL read: the table exactly as of
     commit k (immutable `_manifest-v{k}.json`), regardless of how many
-    commits happened since."""
+    commits happened since.  With `merge_schema=True` the scan unifies
+    the snapshot's per-file schemas (SCHEMA EVOLUTION: commits may add
+    columns; older files surface nulls for them) instead of trusting
+    one file's footer."""
     import os
 
     name = "manifest.json" if version is None else f"_manifest-v{version}.json"
     with open(os.path.join(path, name)) as f:
         manifest = _json.load(f)
     files = [os.path.join(path, fn) for fn in manifest["files"]]
-    return spark.read.parquet(*files), manifest
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    return reader.parquet(*files), manifest
 
 
 def read_manifest_pruned(
@@ -643,6 +647,10 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
             **_footer_stats(path, new_files),
         },
         "op": "delete",
+        # the logical predicate travels with the commit so a change-feed
+        # consumer can apply the same retention delete downstream (the
+        # deletion half of CDC that an insert-only row feed cannot carry)
+        "predicate": {"col": col, "lo": lo, "hi": hi},
     }
     versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
     with open(versioned + ".tmp", "w") as f:
@@ -735,13 +743,14 @@ def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]
         m = load(v)
         cur = set(m["files"])
         op = m.get("op") or ("append" if cur >= prev_files else "overwrite")
-        out.append(
-            {
-                "version": v,
-                "op": op,
-                "new_files": sorted(cur - prev_files) if op == "append" else [],
-            }
-        )
+        entry = {
+            "version": v,
+            "op": op,
+            "new_files": sorted(cur - prev_files) if op == "append" else [],
+        }
+        if "predicate" in m:
+            entry["predicate"] = m["predicate"]
+        out.append(entry)
         prev_files = cur
     return out
 
@@ -776,9 +785,10 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
                 spark.read.parquet(*[os.path.join(path, fn) for fn in d["new_files"]])
                 .withColumn("_commit_version", F.lit(d["version"]).cast("int"))
             )
-        commits.append(
-            {"version": d["version"], "op": d["op"], "n_new_files": len(d["new_files"])}
-        )
+        entry = {"version": d["version"], "op": d["op"], "n_new_files": len(d["new_files"])}
+        if "predicate" in d:
+            entry["predicate"] = d["predicate"]
+        commits.append(entry)
     if frames:
         df = frames[0]
         for extra in frames[1:]:

@@ -492,3 +492,31 @@ def test_pyds_manifest_table_incremental_tail(spark, tmp_path):
     batch = spark.read.format("rtbd_manifest_table").option("path", path).load()
     assert sorted(r["k"] for r in batch.collect()) == [1, 2, 3]
     assert os.path.exists(os.path.join(path, "_manifest-v3.json"))
+
+
+def test_pyds_change_feed_carries_delete_predicate(spark, tmp_path):
+    """A CoW delete's logical predicate travels through the change-feed
+    audit so downstream consumers can replay the retention delete —
+    the deletion half of CDC an insert-only row feed cannot carry."""
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        delete_where,
+        read_change_feed,
+    )
+
+    path = str(tmp_path / "cdc")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(k=i) for i in range(10)]))])
+    delete_where(spark, path, "k", 3, 6)
+    df, commits = read_change_feed(spark, path, since_version=1)
+    assert df.count() == 0
+    assert commits == [
+        {
+            "version": 2,
+            "op": "delete",
+            "n_new_files": 0,
+            "predicate": {"col": "k", "lo": 3, "hi": 6},
+        }
+    ]
