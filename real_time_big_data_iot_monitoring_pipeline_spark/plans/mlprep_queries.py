@@ -644,26 +644,10 @@ _BM25_SQL = f"""
     """
 
 
-@register(
-    "bm25_search_topk",
-    oracle=_BM25_SQL,
-    tags=("mlprep", "retrieval", "bm25", "inverted-index"),
-)
-def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval — top-5 documents per query for a fixed
-    query set, the retrieval half of a RAG pipeline (`corpus_chunk_
-    overlap` is the chunking half).  Plan = the distributed inverted
-    index: the term-frequency table IS the posting list, the query set
-    broadcasts onto it (term-keyed, touching only matching postings —
-    at 100 TB with the tf table laid out term-partitioned this reads
-    only the queried terms' partitions), document length and the two
-    corpus scalars (N, total tokens) attach via doc-keyed join + 1-row
-    broadcast, and the final top-k is a per-query window over ONLY the
-    scored candidates (bounded by postings hit, never corpus-sized).
-    Scoring: Lucene BM25 (k1=1.2, b=0.75); each term's contribution is
-    quantized to exact 1e-4 units before summation so the per-document
-    score is an order-independent integer sum — float ln/division
-    happen on identically-derived doubles in both engines."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, s4): per-(query, doc) BM25 score in exact 1e-4
+    units for the fixed `_BM25_QUERIES` set — the shared scoring core of
+    `bm25_search_topk` and the lexical leg of `hybrid_search_rrf`."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -687,7 +671,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 - _BM25_B + _BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_tokens"))
     )
     s4 = F.floor(idf * tf_norm * 10000 + F.lit(0.5 + 1e-8)).cast("long")
-    scored = (
+    return (
         tf.join(q, "term")
         .join(df_, "term")
         .join(dl, "doc_id")
@@ -696,6 +680,29 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s4").alias("s4"))
     )
+
+
+@register(
+    "bm25_search_topk",
+    oracle=_BM25_SQL,
+    tags=("mlprep", "retrieval", "bm25", "inverted-index"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval — top-5 documents per query for a fixed
+    query set, the retrieval half of a RAG pipeline (`corpus_chunk_
+    overlap` is the chunking half).  Plan = the distributed inverted
+    index: the term-frequency table IS the posting list, the query set
+    broadcasts onto it (term-keyed, touching only matching postings —
+    at 100 TB with the tf table laid out term-partitioned this reads
+    only the queried terms' partitions), document length and the two
+    corpus scalars (N, total tokens) attach via doc-keyed join + 1-row
+    broadcast, and the final top-k is a per-query window over ONLY the
+    scored candidates (bounded by postings hit, never corpus-sized).
+    Scoring: Lucene BM25 (k1=1.2, b=0.75); each term's contribution is
+    quantized to exact 1e-4 units before summation so the per-document
+    score is an order-independent integer sum — float ln/division
+    happen on identically-derived doubles in both engines."""
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("s4").desc(), "doc_id")
     from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
 
@@ -1053,4 +1060,149 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         selected, "rank long, cand_id long, rel double, score_e6 long"
+    )
+
+
+# Reciprocal-rank fusion: each leg contributes 1/(K + rank) for its
+# top-L candidates.  Contributions are EXACT integers (1e9 nano-units
+# via integer division), so the fused score is an order-independent
+# integer sum — same cross-engine precedent as the BM25 1e-4 units.
+_RRF_K, _RRF_LEG_K, _RRF_TOPK, _RRF_N_QUERIES = 60, 20, 5, 4
+
+_RRF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(floor(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * dl.dl * stats.n_docs / stats.total_tokens))
+                   * 10000 + 0.5 + 1e-8) AS BIGINT) AS s4
+        FROM q
+        JOIN tf ON tf.term = q.term
+        JOIN df ON df.term = q.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT query_id, doc_id, CAST(lex_rank AS INT) AS lex_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s4 DESC, doc_id) AS lex_rank
+            FROM (SELECT query_id, doc_id, sum(s4) AS s4 FROM scored GROUP BY 1, 2)
+        ) WHERE lex_rank <= {_RRF_LEG_K}
+    ),
+    e AS (SELECT vec_id, {similarity.qvec_sql('CAST(embedding AS DOUBLE[])')} AS v
+          FROM embeddings),
+    qv AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS query_id, v AS qvec
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_RRF_N_QUERIES})
+    ),
+    sem AS (
+        SELECT query_id, doc_id, CAST(sem_rank AS INT) AS sem_rank FROM (
+            SELECT q.query_id, c.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({similarity.cosine_q6_sql('q.qvec', 'c.v')} + 1e-8, 6) DESC,
+                                c.vec_id) AS sem_rank
+            FROM qv q, e c
+        ) WHERE sem_rank <= {_RRF_LEG_K}
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               COALESCE(1000000000 // ({_RRF_K} + l.lex_rank), 0)
+                 + COALESCE(1000000000 // ({_RRF_K} + s.sem_rank), 0) AS rrf_nano
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           lex_rank, sem_rank, CAST(rrf_nano AS BIGINT) AS rrf_nano, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_RRF_SQL,
+    tags=("mlprep", "retrieval", "rrf", "hybrid"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion — the standard RAG
+    pattern of fusing a lexical (BM25) ranking with a semantic
+    (embedding-cosine) ranking per query: score(d) = sum over legs of
+    1/(K + rank_leg(d)), K=60, each leg contributing its top-20.  The
+    lexical leg reuses `_bm25_scored` (posting-list joins — term-keyed,
+    touching only the queried terms' postings at scale); the semantic
+    leg scans the corpus ONCE against a 4-query broadcast matrix via the
+    Arrow kernel (`similarity.score_against_matrix` — the IVF index
+    family is the at-scale drop-in).  Fusion itself is a FULL OUTER join
+    of two (queries x 20)-row lists — bounded by construction, never
+    corpus-sized, so the expensive halves stay independent and the merge
+    is free.  Query sets are positionally aligned: BM25 query_ids 1..4
+    map to the first 4 embedding vectors BY ID ORDER (any id domain —
+    round-2 verdict).  Contributions are exact 1e9 nano-units via
+    INTEGER division, so the fused score is an order-independent
+    integer sum and rank flips cannot come from float ulps.  Reference
+    anchor: retrieval surface per BASELINE.json north-star; RRF per
+    Cormack/Clarke/Buettcher SIGIR'09 (public)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    lex = _bm25_scored(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(F.col("s4").desc(), "doc_id")
+    lex_r = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= _RRF_LEG_K)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+        )
+    )
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    seeds = similarity.seed_rows(emb, _RRF_N_QUERIES)
+    q_rows = [(i + 1, vec) for i, (_vid, vec) in enumerate(seeds)]
+    sem = similarity.score_against_matrix(emb, q_rows)
+    ws = Window.partitionBy("query_id").orderBy(
+        round_det(F.col("cosine"), 6).desc(), F.col("cand_id")
+    )
+    sem_r = (
+        sem.withColumn("sem_rank", F.row_number().over(ws))
+        .filter(F.col("sem_rank") <= _RRF_LEG_K)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("cand_id").cast("long").alias("doc_id"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+        )
+    )
+    contrib_l = F.coalesce(
+        F.expr(f"1000000000 div ({_RRF_K} + lex_rank)"), F.lit(0).cast("long")
+    )
+    contrib_s = F.coalesce(
+        F.expr(f"1000000000 div ({_RRF_K} + sem_rank)"), F.lit(0).cast("long")
+    )
+    fused = lex_r.join(sem_r, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_nano", (contrib_l + contrib_s).cast("long")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_nano",
+                F.col("rnk").cast("int").alias("rnk"))
     )
