@@ -935,3 +935,60 @@ def pyds_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("battery_pct").cast("long").alias("n_with_battery"),
         F.coalesce(F.sum("battery_pct"), F.lit(0)).cast("long").alias("battery_total"),
     )
+
+
+_BLOOM_PROBES = (3, 777, 12345, 19999, 123456789)  # last one absent from the feed
+
+
+@register(
+    "pyds_bloom_point_lookup",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT reading_id, sensor_id, temp_centi
+    FROM feed WHERE reading_id IN {_BLOOM_PROBES}
+    """,
+    tags=("connector", "python-datasource", "bloom-index", "file-skipping"),
+)
+def pyds_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEXED point lookups on the manifest table: the feed is
+    committed HASH-SCATTERED (repartition by reading_id — every part
+    file spans nearly the full id range, so the min/max zone maps of
+    `pyds_sink_stats_pruning` prune NOTHING), then a per-file Bloom
+    sidecar over reading_id is built distributed
+    (`pydatasource.build_bloom_index`) and each probe id scans only the
+    files whose filter can contain it — ~1 of 4 files per present
+    probe, 0 for the absent one, false positives only ever scan extra.
+    The hashed result is the looked-up rows themselves (the absent
+    probe must contribute nothing: a filter that false-NEGATIVED would
+    drop a present row and break the hash; one that skipped the
+    caller-side predicate would leak false-positive rows).  This is the
+    Iceberg-puffin / Delta-bloom point-lookup contract on this repo's
+    own table format.  Scale: build is one scan + one bounded
+    (file x bit-position) shuffle; probe planning reads one sidecar and
+    one 1-row job, never data pages."""
+    import tempfile
+
+    key = "_pyds_bloom_dir"
+    path = getattr(pyds_bloom_point_lookup, key, None)
+    if path is None or not os.path.exists(
+        os.path.join(path, "_bloom-reading_id-v1.json")
+    ):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_bloom_"), "out")
+        pydatasource.register_sink(spark)
+        _read(spark).repartition(4, "reading_id").write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.build_bloom_index(
+            spark, path, "reading_id", n_bits=65536, n_hashes=5
+        )
+        setattr(pyds_bloom_point_lookup, key, path)
+    out = None
+    for p in _BLOOM_PROBES:
+        df, _scanned, _total = pydatasource.read_manifest_bloom_pruned(
+            spark, path, "reading_id", p
+        )
+        hit = df.filter(F.col("reading_id") == p).select(
+            "reading_id", "sensor_id", "temp_centi"
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

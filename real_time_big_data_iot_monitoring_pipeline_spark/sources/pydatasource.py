@@ -513,6 +513,142 @@ def read_manifest_pruned(
     return df, len(keep), len(manifest["files"])
 
 
+def build_bloom_index(
+    spark, path: str, col: str, n_bits: int = 4096, n_hashes: int = 5,
+    version: int | None = None,
+) -> dict:
+    """Build a PER-FILE BLOOM FILTER index over `col` for a manifest
+    snapshot and persist it as an immutable sidecar
+    `_bloom-{col}-v{N}.json` — the point-lookup complement to the
+    min/max zone maps (`_footer_stats`): on a HASH-SCATTERED layout
+    every file spans nearly the full value range, so [min, max] prunes
+    nothing, but a Bloom probe skips every file whose filter provably
+    excludes the value (Iceberg puffin blobs / Delta bloom indexes /
+    parquet bloom filters, at this sink's table-format layer).
+
+    The build is DISTRIBUTED: one scan computes the k=`n_hashes` bit
+    positions per value (JVM-side `xxhash64(col, seed)` — k independent
+    hashes via the seed column), dedups (file, position) pairs —
+    bounded at n_files x n_bits — and folds each file's positions into
+    a bitmap in an Arrow-batched `applyInPandas`; the driver only ever
+    sees one ~n_bits/8-byte base64 string per file.  At very large file
+    counts the sidecar would shard per manifest partition, same
+    contract.  False positives only ever SCAN extra files (the caller's
+    predicate still applies); false negatives are impossible for values
+    present when the index was built.  Files committed AFTER the
+    indexed snapshot have no entry and are always scanned — the same
+    safe default as un-stats'd columns."""
+    import base64
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
+    with open(os.path.join(path, name)) as f:
+        manifest = _json.load(f)
+    files = manifest["files"]
+    df = spark.read.parquet(*[os.path.join(path, fn) for fn in files])
+    dtype = df.schema[col].dataType.simpleString()
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).cast("int")
+            for i in range(n_hashes)
+        ]
+    )
+    pairs = (
+        df.select(F.input_file_name().alias("f"), F.explode(probes).alias("p"))
+        .distinct()
+    )
+
+    def to_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        p = pdf["p"].to_numpy()
+        np.bitwise_or.at(bits, p // 8, (1 << (p % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"f": [pdf["f"].iloc[0]], "b64": [base64.b64encode(bits.tobytes()).decode()]}
+        )
+
+    rows = pairs.groupBy("f").applyInPandas(to_bitmap, "f string, b64 string").collect()
+    index = {
+        "col": col,
+        "dtype": dtype,
+        "n_bits": n_bits,
+        "n_hashes": n_hashes,
+        "version": manifest["version"],
+        "filters": {os.path.basename(r["f"]): r["b64"] for r in rows},
+    }
+    out = os.path.join(path, f"_bloom-{col}-v{manifest['version']}.json")
+    with open(out + ".tmp", "w") as f:
+        _json.dump(index, f)
+    os.replace(out + ".tmp", out)
+    return index
+
+
+def read_manifest_bloom_pruned(spark, path: str, col: str, value, version: int | None = None):
+    """BLOOM-PRUNED point-lookup read: only files whose Bloom filter for
+    `col` can contain `value` are handed to the parquet scan.  Uses the
+    NEWEST `_bloom-{col}-v{k}.json` sidecar with k <= the snapshot
+    version; files without an entry (committed after the index was
+    built, or no sidecar at all) are always scanned — pruning is a
+    superset guarantee and the caller's plan must still apply the
+    predicate, exactly like `read_manifest_pruned`.  The probe's bit
+    positions come from a 1-row Spark job so the probe hash is
+    BIT-IDENTICAL to the build hash (same JVM xxhash64 on the same
+    type — the literal is cast to the indexed column's recorded dtype).
+    Returns (df, n_files_scanned, n_files_total)."""
+    import base64
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
+    with open(os.path.join(path, name)) as f:
+        manifest = _json.load(f)
+    pat = re.compile(rf"^_bloom-{re.escape(col)}-v(\d+)\.json$")
+    cand = [
+        int(m.group(1))
+        for fn in os.listdir(path)
+        if (m := pat.match(fn)) and int(m.group(1)) <= manifest["version"]
+    ]
+    files = manifest["files"]
+    if not cand:
+        df = spark.read.parquet(*[os.path.join(path, fn) for fn in files])
+        return df, len(files), len(files)
+    with open(os.path.join(path, f"_bloom-{col}-v{max(cand)}.json")) as f:
+        index = _json.load(f)
+    n_bits, n_hashes = index["n_bits"], index["n_hashes"]
+    probe = F.lit(value).cast(index["dtype"])
+    pos_row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(probe, F.lit(i)), F.lit(n_bits)).cast("int").alias(f"p{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        .first()
+    )
+    positions = [pos_row[i] for i in range(n_hashes)]
+    keep = []
+    for fn in files:
+        b64 = index["filters"].get(fn)
+        if b64 is None:
+            keep.append(fn)  # post-index file: safe default, always scan
+            continue
+        bits = base64.b64decode(b64)
+        if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
+            keep.append(fn)
+    if keep:
+        df = spark.read.parquet(*[os.path.join(path, fn) for fn in keep])
+    else:
+        df = spark.read.parquet(*[os.path.join(path, fn) for fn in files]).limit(0)
+    return df, len(keep), len(files)
+
+
 def read_staged(spark, path: str):
     """Audit-side read of a WAP-staged snapshot (the staged pointer, not
     the head): the candidate table exactly as it would look after

@@ -520,3 +520,47 @@ def test_pyds_change_feed_carries_delete_predicate(spark, tmp_path):
             "predicate": {"col": "k", "lo": 3, "hi": 6},
         }
     ]
+
+
+def test_pyds_bloom_index_prunes_hash_scattered_files(spark, tmp_path):
+    """On a hash-scattered layout min/max zone maps cannot prune, but the
+    per-file Bloom sidecar skips every file that provably lacks the
+    probed value; absent values prune everything (empty frame, schema
+    intact); files committed after the index are always scanned."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    path = str(tmp_path / "bloom")
+    pydatasource.register_sink(spark)
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("int").alias("v")
+    )
+    df.repartition(4, "k").write.format("rtbd_manifest_sink").option(
+        "path", path
+    ).mode("append").save()
+    idx = pydatasource.build_bloom_index(spark, path, "k", n_bits=65536, n_hashes=5)
+    assert len(idx["filters"]) == 4 and idx["version"] == 1
+
+    # zone maps are useless on this layout: every file spans ~the full range
+    _df, n_zone, n_total = pydatasource.read_manifest_pruned(spark, path, "k", 123, 123)
+    assert (n_zone, n_total) == (4, 4)
+
+    # bloom prunes to the one file holding the value (+ rare false positives)
+    hit, n_scanned, n_total = pydatasource.read_manifest_bloom_pruned(spark, path, "k", 123)
+    assert n_total == 4 and n_scanned <= 2
+    assert hit.filter(F.col("k") == 123).count() == 1
+
+    # absent value: every filter excludes it -> zero files, schema'd empty frame
+    miss, n_scanned, _ = pydatasource.read_manifest_bloom_pruned(spark, path, "k", 10**9)
+    assert n_scanned == 0 and miss.count() == 0 and miss.columns == ["k", "v"]
+
+    # a post-index commit's file has no bloom entry -> always scanned
+    spark.createDataFrame([(10**9, 0)], "k long, v int").write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    late, n_scanned, n_total = pydatasource.read_manifest_bloom_pruned(
+        spark, path, "k", 10**9
+    )
+    assert n_total == 5 and n_scanned == 1
+    assert late.filter(F.col("k") == 10**9).count() == 1
