@@ -2175,3 +2175,170 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+@register(
+    "theilsen_trend_per_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(floor((((b.s / b.c) - (a.s / a.c)) / (b.d - a.d)) / 100.0 * 1e9
+                          + 0.5 + 1e-8) AS BIGINT) AS slope_nano
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, slope_nano,
+               row_number() OVER (PARTITION BY event_type ORDER BY slope_nano) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs, slope_nano,
+           ROUND(slope_nano / 1e9 + 1e-8, 6) AS slope_per_day
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    tags=("analytics", "robust", "trend", "theil-sen"),
+)
+def theilsen_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend per event type — the median of all
+    pairwise day-to-day slopes, the outlier-resistant twin of
+    `regression_per_group`'s OLS (one wild day drags a least-squares
+    slope arbitrarily; it moves the pairwise-slope MEDIAN by at most
+    one rank).  Scale design: Theil-Sen is O(n^2) in POINTS, so the
+    points are the per-(type, day) aggregate — one map-side-combinable
+    pass collapses any event volume to #types x #days rows, and the
+    pairwise self-join is C(#days, 2) per type, bounded by the
+    CALENDAR, never by data volume (30 days -> 435 pairs/type at any
+    scale).  Exactness: daily sums ride exact cents; every slope is
+    quantized to 1e-9/day nano-units from identically-derived doubles,
+    and the estimate is the LOWER MEDIAN (rank (n+1) div 2) of those
+    integers — order- and tie-independent, so the hash pins the whole
+    estimator.  Reference anchor: ref trend classification
+    (`ma_diff_trend` family) + Sen (1968) / Theil (1950), public."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("d"),
+        )
+        .agg(
+            F.sum(as_cents(F.col("value"))).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("s").alias("s1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("s").alias("s2"), F.col("c").alias("c2")
+    )
+    slope_nano = F.floor(
+        ((F.col("s2") / F.col("c2") - F.col("s1") / F.col("c1")) / (F.col("d2") - F.col("d1")))
+        / 100.0
+        * 1e9
+        + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("event_type", slope_nano.alias("slope_nano"), "d1", "d2")
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_nano", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "slope_nano",
+            round_det(F.col("slope_nano") / 1e9, 6).alias("slope_per_day"),
+        )
+    )
+
+
+@register(
+    "trimmed_winsorized_means",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n, CAST(n // 10 AS BIGINT) AS k,
+               min(CASE WHEN rn = n // 10 + 1 THEN cents END) AS lo_cents,
+               min(CASE WHEN rn = n - n // 10 THEN cents END) AS hi_cents,
+               sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents ELSE 0 END)
+                   AS mid_sum
+        FROM ranked GROUP BY event_type, n
+    )
+    SELECT event_type, n, k,
+           ROUND(lo_cents / 100.0 + 1e-8, 2) AS lo_cut,
+           ROUND(hi_cents / 100.0 + 1e-8, 2) AS hi_cut,
+           ROUND(mid_sum / (100.0 * (n - 2 * k)) + 1e-8, 4) AS trimmed_mean,
+           ROUND((mid_sum + k * lo_cents + k * hi_cents) / (100.0 * n) + 1e-8, 4)
+               AS winsorized_mean
+    FROM bounds
+    """,
+    tags=("analytics", "robust", "aggregate"),
+)
+def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided TRIMMED and WINSORIZED means per event type — the
+    robust location estimates every metrics pipeline reaches for when a
+    plain mean is one fat-finger away from garbage.  Rank-based exact
+    semantics (drop/clamp by ORDER STATISTIC, k = n div 10), not
+    percentile interpolation: the trimmed mean sums exact cents over
+    ranks (k, n-k], the winsorized mean adds k copies of each cut value
+    — all integer arithmetic until one final division, so the hash pins
+    the estimator, not a float approximation of it.  One window sort
+    per group (parallel across groups; a single giant group would ride
+    the `global_ntile` range-partition kernels) and one map-side
+    aggregate — no second pass, the cut values fall out of the same
+    GROUP BY via rank-pinned MIN(CASE).  Robust-stats family:
+    `mad_anomaly`, `weighted_median_price`, `theilsen_trend_per_type`."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        as_cents(F.col("value")).alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = F.expr("n div 10")
+    bounds = (
+        ranked.groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("rn") == k + 1, F.col("cents"))).alias("lo_cents"),
+            F.min(F.when(F.col("rn") == F.col("n") - k, F.col("cents"))).alias("hi_cents"),
+            F.sum(
+                F.when((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k), F.col("cents"))
+                .otherwise(F.lit(0))
+            ).alias("mid_sum"),
+        )
+    )
+    kk = F.expr("n div 10").cast("long")
+    return bounds.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        kk.alias("k"),
+        round_det(F.col("lo_cents") / 100.0, 2).alias("lo_cut"),
+        round_det(F.col("hi_cents") / 100.0, 2).alias("hi_cut"),
+        round_det(F.col("mid_sum") / (100.0 * (F.col("n") - 2 * kk)), 4).alias("trimmed_mean"),
+        round_det(
+            (F.col("mid_sum") + kk * F.col("lo_cents") + kk * F.col("hi_cents"))
+            / (100.0 * F.col("n")),
+            4,
+        ).alias("winsorized_mean"),
+    )
