@@ -45,7 +45,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   * target invariant: no query's most recent driver row is ever more
 #     than 3 rounds old.
 # ROUND-7 DRAFT under that policy (assuming this window lands green):
-# flagship (pinned) + the 66 never-hashed round-6 registrations (49 windowed, 17 spill)
+# flagship (pinned) + the 71 never-hashed round-6 registrations (49 windowed, 22 spill)
 # stream_topn_per_window_upsert, stream_full_outer_interval_join, stream_join_then_window,
 # image_png_pipeline, dedup_components_incremental_smalldelta, props_variant_shredded,
 # recursive_cte_hierarchy, parquet_schema_evolution, binaryfile_image_census,
@@ -69,7 +69,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # pyds_sink_vacuum, unpivot_day_type_counts, pyds_manifest_stream_tail,
 # wilson_ci_return_rate, xcorr_click_purchase, key_skew_audit,
 # pyds_medallion_bronze_silver, pyds_sink_schema_evolution,
-# hybrid_search_rrf).
+# hybrid_search_rrf, pyds_bloom_point_lookup, theilsen_trend_per_type,
+# trimmed_winsorized_means, listagg_group_by_all,
+# fellegi_sunter_linkage).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

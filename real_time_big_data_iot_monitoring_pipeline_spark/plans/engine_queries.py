@@ -2129,3 +2129,45 @@ def unpivot_day_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+# --- listagg / GROUP BY ALL (Spark 4 SQL surfaces) ---------------------------
+
+
+@register(
+    "listagg_group_by_all",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(length(n.n_name)) AS BIGINT) AS name_chars
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ALL
+    """,
+    tags=("engine", "sql-surface", "listagg", "group-by-all"),
+)
+def listagg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Spark 4 SQL surfaces in one hash: `listagg(...) WITHIN GROUP
+    (ORDER BY ...)` — the ANSI ordered string aggregation every report
+    migration hits (Oracle/Snowflake LISTAGG, Postgres string_agg) —
+    and `GROUP BY ALL`, which infers the grouping set from the
+    non-aggregate select list.  The WITHIN GROUP ordering is the
+    correctness point: an unordered concat is nondeterministic across
+    partitions and would flake the hash; the oracle's `string_agg(...,
+    ORDER BY ...)` is DuckDB's spelling of the same contract, so the
+    hash pins that both engines produce the identical ordered string.
+    Scale: Spark executes ordered listagg as a sort-based aggregate
+    per group — group-parallel, and the dim-side cardinality (5
+    regions x 25 nations) is where an ordered concat belongs; an
+    unbounded fact-side listagg is the anti-pattern (collect_list of a
+    fact table), which is why the catalog pins it on dims."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_la_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("v_la_region")
+    return spark.sql("""
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum(length(n.n_name)) AS BIGINT) AS name_chars
+        FROM v_la_nation n JOIN v_la_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ALL
+    """)

@@ -401,3 +401,165 @@ def entity_match_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.col("cnt_l") * F.col("cnt_r")).cast("long").alias("n_record_pairs"),
         F.sum(one_dirty.cast("long")).cast("long").alias("n_clean_dirty_pairs"),
     )
+
+# Fellegi-Sunter model parameters (fixed literals; a production linker
+# estimates m/u via EM — an iterative Spark job — but the scoring and
+# classification machinery is identical).  Weights in EXACT MILLI-BITS,
+# precomputed once in Python and formatted verbatim into both engines'
+# expressions: agreement weight = round(1000*log2(m/u)), disagreement =
+# round(1000*log2((1-m)/(1-u))).
+import math as _math
+
+_FS_FIELDS = {"phone": (0.95, 0.01), "name": (0.90, 0.02), "bal": (0.85, 0.10)}
+_FS_W = {
+    k: (
+        round(1000 * _math.log2(m / u)),
+        round(1000 * _math.log2((1 - m) / (1 - u))),
+    )
+    for k, (m, u) in _FS_FIELDS.items()
+}
+_FS_MATCH_MB, _FS_POSSIBLE_MB = 12000, 0
+
+# The fixture's customer table has no phone column, so both engines
+# synthesize the same 7-digit one from a Knuth hash of the key —
+# unique-ish per customer, string-typed, and corruptible one digit at
+# a time like a real phone field.
+_FS_PHONE_SQL = (
+    "lpad(CAST((c_custkey * 2654435761) % 4294967296 % 10000000 AS VARCHAR), 7, '0')"
+)
+
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle=f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_nationkey AS nat, c_mktsegment AS seg,
+               {_FS_PHONE_SQL} AS phone, c_name AS name,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    dirty AS (
+        SELECT rec_id + 1000000000 AS rec_id, nat, seg,
+               concat(substr(phone, 1, pos - 1), 'x', substr(phone, pos + 1)) AS phone,
+               concat(substr(name, 1, npos - 1), '~', substr(name, npos + 1)) AS name,
+               bal_cents + (rec_id % 3 - 1) * 50 AS bal_cents
+        FROM (
+            SELECT *, CAST(rec_id % 7 + 1 AS BIGINT) AS pos,
+                   CAST(rec_id % length(name) + 1 AS BIGINT) AS npos
+            FROM clean
+        )
+    ),
+    scored AS (
+        SELECT (r.rec_id - 1000000000 = l.rec_id) AS is_twin,
+               (CASE WHEN levenshtein(l.phone, r.phone) <= 1
+                     THEN {_FS_W['phone'][0]} ELSE {_FS_W['phone'][1]} END
+              + CASE WHEN levenshtein(l.name, r.name) <= 1
+                     THEN {_FS_W['name'][0]} ELSE {_FS_W['name'][1]} END
+              + CASE WHEN abs(l.bal_cents - r.bal_cents) <= 10
+                     THEN {_FS_W['bal'][0]} ELSE {_FS_W['bal'][1]} END) AS score_mb
+        FROM clean l JOIN dirty r ON l.nat = r.nat AND l.seg = r.seg
+    )
+    SELECT classification,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE is_twin) AS BIGINT) AS n_true_twins,
+           CAST(min(score_mb) AS BIGINT) AS min_score_mb,
+           CAST(max(score_mb) AS BIGINT) AS max_score_mb
+    FROM (
+        SELECT is_twin, score_mb,
+               CASE WHEN score_mb >= {_FS_MATCH_MB} THEN 'match'
+                    WHEN score_mb >= {_FS_POSSIBLE_MB} THEN 'possible'
+                    ELSE 'non-match' END AS classification
+        FROM scored
+    ) GROUP BY classification
+    """,
+    tags=("matching", "entity-resolution", "fellegi-sunter", "probabilistic"),
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER probabilistic record linkage over customers and
+    their deterministically-corrupted twins (one phone digit, one name
+    char, a 0/+-50-cent balance shift): each blocked candidate pair
+    scores the SUM of per-field log-likelihood weights — log2(m/u)
+    milli-bits on agreement, log2((1-m)/(1-u)) on disagreement — and
+    lands in match / possible / non-match bands (Fellegi & Sunter
+    1969, the model under every production linker: Splink,
+    RecordLinkage).  Weights are exact integer literals precomputed
+    once and formatted into BOTH engines' expressions, so the score is
+    an exact integer sum and the hash pins the classifier end-to-end:
+    twins with an agreeing balance land 'match', the balance-shifted
+    twins drop into 'possible', and random same-block pairs go
+    negative into 'non-match' — the census counts + score extrema +
+    twin recall per band break if any field comparator, weight, or
+    threshold drifts.  Scale: candidate generation is the (nation,
+    segment) blocked equi-join — per-block work like every ER query
+    here, never all-pairs; scoring is a pure map over candidates; the
+    census is one hash agg."""
+    c = _t(spark, sf_dir, "customer")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 2654435761) % 4294967296 % 10000000).cast("string"),
+        7,
+        "0",
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        phone.alias("phone"),
+        F.col("c_name").alias("name"),
+        as_cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    pos = (F.col("rec_id") % 7 + 1).cast("long")
+    npos = (F.col("rec_id") % F.length("name") + 1).cast("long")
+    dirty = (
+        clean.withColumn("pos", pos)
+        .withColumn("npos", npos)
+        .select(
+            (F.col("rec_id") + 1000000000).alias("rec_id"),
+            "nat",
+            "seg",
+            F.concat(
+                F.expr("substr(phone, 1, CAST(pos - 1 AS INT))"),
+                F.lit("x"),
+                F.expr("substr(phone, CAST(pos + 1 AS INT))"),
+            ).alias("phone"),
+            F.concat(
+                F.expr("substr(name, 1, CAST(npos - 1 AS INT))"),
+                F.lit("~"),
+                F.expr("substr(name, CAST(npos + 1 AS INT))"),
+            ).alias("name"),
+            (F.col("bal_cents") + (F.col("rec_id") % 3 - 1) * 50).alias("bal_cents"),
+        )
+    )
+    l, r = clean.alias("l"), dirty.alias("r")
+    score = (
+        F.when(
+            F.levenshtein(F.col("l.phone"), F.col("r.phone")) <= 1,
+            F.lit(_FS_W["phone"][0]),
+        ).otherwise(F.lit(_FS_W["phone"][1]))
+        + F.when(
+            F.levenshtein(F.col("l.name"), F.col("r.name")) <= 1,
+            F.lit(_FS_W["name"][0]),
+        ).otherwise(F.lit(_FS_W["name"][1]))
+        + F.when(
+            F.abs(F.col("l.bal_cents") - F.col("r.bal_cents")) <= 10,
+            F.lit(_FS_W["bal"][0]),
+        ).otherwise(F.lit(_FS_W["bal"][1]))
+    )
+    scored = (
+        l.join(r, (F.col("l.nat") == F.col("r.nat")) & (F.col("l.seg") == F.col("r.seg")))
+        .select(
+            (F.col("r.rec_id") - 1000000000 == F.col("l.rec_id")).alias("is_twin"),
+            score.cast("long").alias("score_mb"),
+        )
+        .withColumn(
+            "classification",
+            F.when(F.col("score_mb") >= _FS_MATCH_MB, F.lit("match"))
+            .when(F.col("score_mb") >= _FS_POSSIBLE_MB, F.lit("possible"))
+            .otherwise(F.lit("non-match")),
+        )
+    )
+    return scored.groupBy("classification").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("is_twin").cast("long")).cast("long").alias("n_true_twins"),
+        F.min("score_mb").cast("long").alias("min_score_mb"),
+        F.max("score_mb").cast("long").alias("max_score_mb"),
+    )
