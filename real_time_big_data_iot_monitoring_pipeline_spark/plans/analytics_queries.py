@@ -2342,3 +2342,63 @@ def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "pythagorean_means_per_type",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE CAST(round(value * 100, 0) AS BIGINT) > 0
+    ),
+    acc AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(sum(CAST(floor(ln(cents / 100.0) * 1e9 + 0.5 + 1e-8) AS BIGINT))
+                    AS BIGINT) AS sum_lnano,
+               CAST(sum(1000000000000 // cents) AS BIGINT) AS sum_inv
+        FROM vals GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(sum_cents / (100.0 * n) + 1e-8, 4) AS amean,
+           ROUND(exp(sum_lnano / (1e9 * n)) + 1e-8, 4) AS gmean,
+           ROUND(n * 1000000000000 / sum_inv / 100.0 + 1e-8, 4) AS hmean
+    FROM acc
+    """,
+    tags=("analytics", "statistics", "means"),
+)
+def pythagorean_means_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three PYTHAGOREAN MEANS per event type in ONE order-independent
+    aggregate — arithmetic (exact cents), geometric (each row's ln
+    quantized to integer NANO-NATS before summation, the
+    `unigram_logprob_score` precedent: float exp/ln happen only on
+    identically-derived scalars, never inside a reduction whose order
+    differs between engines), and harmonic (each reciprocal quantized by
+    INTEGER DIVISION 1e12 div cents — exact, so the denominator is an
+    integer sum).  AM >= GM >= HM by construction, a useful sanity
+    invariant for rate metrics where the arithmetic mean of ratios is
+    the classic wrong answer (harmonic is the right mean for rates,
+    geometric for growth factors).  Zero values are excluded with the
+    SAME guard in both engines (ln/reciprocal undefined).  Plan: one
+    map-side-combinable hash agg — scan-speed at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = as_cents(F.col("value"))
+    vals = ev.select("event_type", cents.alias("cents")).filter(F.col("cents") > 0)
+    lnano = F.floor(F.log(F.col("cents") / 100.0) * 1e9 + F.lit(0.5 + 1e-8)).cast("long")
+    inv = F.expr("1000000000000 div cents")
+    acc = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(lnano).cast("long").alias("sum_lnano"),
+        F.sum(inv).cast("long").alias("sum_inv"),
+    )
+    return acc.select(
+        "event_type",
+        "n",
+        round_det(F.col("sum_cents") / (100.0 * F.col("n")), 4).alias("amean"),
+        round_det(F.exp(F.col("sum_lnano") / (1e9 * F.col("n"))), 4).alias("gmean"),
+        round_det(
+            F.col("n") * 1000000000000 / F.col("sum_inv") / 100.0, 4
+        ).alias("hmean"),
+    )

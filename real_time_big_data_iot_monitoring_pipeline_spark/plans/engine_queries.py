@@ -2171,3 +2171,119 @@ def listagg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_la_nation n JOIN v_la_region r ON n.n_regionkey = r.r_regionkey
         GROUP BY ALL
     """)
+
+
+@register(
+    "from_csv_permissive_surface",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    parsed AS (
+        SELECT status,
+               CASE WHEN k % 11 = 0 OR k % 7 = 0 THEN NULL ELSE cents END
+                   AS total_cents,
+               (k % 11 = 0 OR k % 7 = 0) AS corrupt
+        FROM src
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(total_cents) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(coalesce(sum(total_cents), 0) AS BIGINT) AS sum_cents
+    FROM parsed GROUP BY status
+    """,
+    tags=("engine", "sql-surface", "csv", "permissive", "dead-letter"),
+)
+def from_csv_permissive_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parsing with corrupt-record capture — the
+    dead-letter contract of every landing-zone ingest
+    (`stream_dead_letter_rate` is the streaming JSON twin;
+    ref:spark_streaming.py's schema enforcement is the anchor): orders
+    are re-encoded as CSV lines with two deterministic corruption
+    classes (every 7th key a non-numeric amount, every 11th a SHORT
+    row), then parsed back through the REAL `from_csv` parser in
+    PERMISSIVE mode with `columnNameOfCorruptRecord` — malformed fields
+    null out, the raw line lands in the corrupt column, and NO ROW IS
+    DROPPED.  The oracle recomputes the census from the corruption rule
+    directly (ground truth, parser-independent), so the hash pins the
+    PARSER's permissive semantics: a parser that dropped corrupt rows
+    breaks n_rows, one that zero-filled instead of nulling breaks
+    sum_cents, one that missed short rows breaks n_corrupt.  The
+    amounts travel as integer CENTS in the CSV text because double
+    rendering differs across engines — the encode side of the same
+    exactness discipline every oracle here uses.  Plan: pure map
+    (encode + parse) + one hash agg; at scale this is exactly the
+    spark.read.csv PERMISSIVE path, expression-level."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        as_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    line = (
+        F.when(F.col("k") % 11 == 0, F.concat_ws(",", "k", "status"))
+        .when(F.col("k") % 7 == 0, F.concat_ws(",", "k", "status", F.lit("N/A")))
+        .otherwise(F.concat_ws(",", "k", "status", "cents"))
+    )
+    parsed = o.select(
+        F.from_csv(
+            line,
+            "k bigint, status string, total_cents bigint, _bad string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        ).alias("p")
+    ).select("p.*")
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("total_cents").cast("long").alias("n_parsed"),
+        F.sum(F.col("_bad").isNotNull().cast("long")).cast("long").alias("n_corrupt"),
+        F.coalesce(F.sum("total_cents"), F.lit(0)).cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "ranking_semantics_surface",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           CAST(rank() OVER w_ties AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w_ties AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w_ties + 1e-8, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w_ties + 1e-8, 6) AS cume,
+           CAST(ntile(4) OVER w_total AS INT) AS tile4
+    FROM part
+    WINDOW w_ties AS (PARTITION BY p_brand ORDER BY p_size),
+           w_total AS (PARTITION BY p_brand ORDER BY p_size, p_partkey)
+    """,
+    tags=("engine", "sql-surface", "ranking", "window"),
+)
+def ranking_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIVE ranking functions' tie semantics in one hash — rank
+    (gaps), dense_rank (no gaps), percent_rank ((r-1)/(n-1)), cume_dist
+    (rows<=peer/n), ntile (equal-ish buckets) — over a column with
+    heavy ties (p_size within p_brand).  The deliberate detail is TWO
+    window specs: the four tie-aware functions order by the TIED key
+    alone, so peers share values (an implementation that tie-broke
+    internally would break the hash), while ntile orders by a UNIQUE
+    total order (size, partkey) because its bucket assignment is
+    row-positional — running ntile on the tied order would be
+    nondeterministic across partitions/engines.  That split IS the
+    correctness contract every ranking migration gets wrong first.
+    Window functions shuffle once per distinct (partition, order) —
+    Spark computes the four w_ties functions in ONE window stage, the
+    w_total ntile in a second over the same hash partitioning (no extra
+    exchange, sort-only)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_rank_part")
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det_sql
+
+    return spark.sql(f"""
+        SELECT p_partkey, p_brand, p_size,
+               CAST(rank() OVER w_ties AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w_ties AS BIGINT) AS drnk,
+               {round_det_sql('percent_rank() OVER w_ties', 6)} AS pct_rank,
+               {round_det_sql('cume_dist() OVER w_ties', 6)} AS cume,
+               CAST(ntile(4) OVER w_total AS INT) AS tile4
+        FROM v_rank_part
+        WINDOW w_ties AS (PARTITION BY p_brand ORDER BY p_size),
+               w_total AS (PARTITION BY p_brand ORDER BY p_size, p_partkey)
+    """)

@@ -12,7 +12,7 @@ unique-key tie-breaks, round-before-rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
@@ -1140,5 +1140,77 @@ def source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_docs").cast("long").alias("n_docs"),
             F.count(F.lit(1)).cast("long").alias("n_langs"),
             round_det(F.sum("nano") / 1000000000.0, 6).alias("lang_entropy_nats"),
+        )
+    )
+
+
+@register(
+    "sample_allocation_hamilton",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+    shares AS (
+        SELECT source, n_docs,
+               CAST((n_docs * 10000) // total AS BIGINT) AS floor_share,
+               CAST((n_docs * 10000) % total AS BIGINT) AS remainder
+        FROM counts CROSS JOIN tot
+    ),
+    leftover AS (
+        SELECT CAST(10000 - sum(floor_share) AS BIGINT) AS n_extra FROM shares
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        FROM shares
+    )
+    SELECT source, n_docs, floor_share,
+           CAST(floor_share + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+               AS allocated
+    FROM ranked CROSS JOIN leftover
+    """,
+    tags=("pipeline", "sampling", "allocation", "apportionment"),
+)
+def sample_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMILTON (largest-remainder) apportionment of a 10,000-row sample
+    budget across corpus sources — the integer-allocation step between
+    "mixture weights" and "actually draw k_g rows per group" that
+    `corpus_sample_mixture`-style pipelines need: floor the proportional
+    shares IN EXACT INTEGER ARITHMETIC (n_g * B div N — no float shares,
+    so no 0.1+0.2 drift), then hand the leftover seats to the largest
+    remainders (ties broken by source name).  Allocations provably sum
+    to the budget and are within 1 of exact proportionality per group —
+    the property float-rounding allocators silently violate.  Plan: one
+    map-side-combinable count, a 1-row total broadcast, and a window
+    over #groups rows — everything after the count is
+    group-cardinality-sized, nothing is data-sized.  Public precedent:
+    Hamilton/Vinton method (US House apportionment, 1850)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = F.broadcast(counts.agg(F.sum("n_docs").alias("total")))
+    shares = counts.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        F.expr("(n_docs * 10000) div total").alias("floor_share"),
+        ((F.col("n_docs") * 10000) % F.col("total")).alias("remainder"),
+    )
+    leftover = F.broadcast(
+        shares.agg((F.lit(10000) - F.sum("floor_share")).cast("long").alias("n_extra"))
+    )
+    w = Window.orderBy(F.col("remainder").desc(), "source")
+    return (
+        shares.withColumn("rk", F.row_number().over(w))
+        .crossJoin(leftover)
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("floor_share").cast("long").alias("floor_share"),
+            (
+                F.col("floor_share")
+                + F.when(F.col("rk") <= F.col("n_extra"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("allocated"),
         )
     )
