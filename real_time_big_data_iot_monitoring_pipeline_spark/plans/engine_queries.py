@@ -2287,3 +2287,122 @@ def ranking_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w_ties AS (PARTITION BY p_brand ORDER BY p_size),
                w_total AS (PARTITION BY p_brand ORDER BY p_size, p_partkey)
     """)
+
+
+@register(
+    "attribution_position_weighted",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, jid, event_type AS channel,
+               row_number() OVER (PARTITION BY user_id, jid ORDER BY us, event_id) AS pos,
+               count(*) OVER (PARTITION BY user_id, jid) AS n
+        FROM seq WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+        SELECT user_id, jid FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT t.channel,
+               CASE WHEN t.n = 1 THEN 10000
+                    WHEN t.n = 2 THEN 5000
+                    WHEN t.pos = 1 OR t.pos = t.n THEN 4000
+                    ELSE 2000 // (t.n - 2)
+                         + CASE WHEN t.pos - 1 <= 2000 % (t.n - 2) THEN 1 ELSE 0 END
+               END AS bp
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id AND p.jid = t.jid
+        UNION ALL
+        SELECT '(none)' AS channel, 10000 AS bp
+        FROM purchases p ANTI JOIN touches t
+          ON p.user_id = t.user_id AND p.jid = t.jid
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touchpoints,
+           CAST(sum(bp) AS BIGINT) AS credited_bp,
+           ROUND(sum(bp) / 10000.0 + 1e-8, 4) AS credited_purchases
+    FROM credited GROUP BY channel
+    """,
+    tags=("engine", "attribution", "multi-touch", "window"),
+)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED (position-weighted) MULTI-TOUCH ATTRIBUTION — each
+    purchase's credit splits over its whole journey (the touches since
+    the user's previous purchase): 40% first touch, 40% last, 20%
+    across the middles; 100%/50-50 for 1- and 2-touch journeys;
+    touchless purchases surface as '(none)'.  Credits are EXACT INTEGER
+    BASIS POINTS with the middle remainder dealt largest-remainder
+    style to the earliest middles (the `sample_allocation_hamilton`
+    rule, per journey), so every purchase's credits sum to exactly
+    10000 and the report is integer-exact — the invariant float-weight
+    attribution silently violates, and the complement of
+    `attribution_last_touch`'s single-touch model.  Journeys come from
+    a running purchase count over the STRICTLY-PRECEDING frame (a
+    purchase closes its own journey); one user_id shuffle carries the
+    whole query, the join is journey-keyed, and the census is one hash
+    agg."""
+    e = _t(spark, sf_dir, "events")
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(wj),
+            F.lit(0),
+        ).alias("jid"),
+        F.unix_micros("ts").alias("us"),
+    )
+    wt = Window.partitionBy("user_id", "jid").orderBy("us", "event_id")
+    wn = Window.partitionBy("user_id", "jid")
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "jid",
+            F.col("event_type").alias("channel"),
+            F.row_number().over(wt).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select("user_id", "jid")
+    bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000)
+        )
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(F.col("pos") - 1 <= 2000 % (F.col("n") - 2), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+    )
+    hit = purchases.join(touches, ["user_id", "jid"]).select(
+        "channel", bp.cast("long").alias("bp")
+    )
+    none = (
+        purchases.join(touches, ["user_id", "jid"], "left_anti")
+        .select(F.lit("(none)").alias("channel"), F.lit(10000).cast("long").alias("bp"))
+    )
+    return (
+        hit.unionByName(none)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+            F.sum("bp").cast("long").alias("credited_bp"),
+            round_det(F.sum("bp") / 10000.0, 4).alias("credited_purchases"),
+        )
+    )

@@ -1214,3 +1214,169 @@ def sample_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("allocated"),
         )
     )
+
+
+@register(
+    "boilerplate_ngram_census",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               concat('begin ', source, ' standard header terms apply ', text) AS t
+        FROM documents
+    ),
+    w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM d),
+    g AS (
+        SELECT DISTINCT doc_id, source, array_to_string(ws[i : i + 4], ' ') AS gram
+        FROM (
+            SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM w WHERE len(ws) >= 5
+        )
+    ),
+    pg AS (
+        SELECT source, gram, CAST(count(*) AS BIGINT) AS n_docs_with
+        FROM g GROUP BY 1, 2
+    ),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1)
+    SELECT pg.source, st.n_docs,
+           CAST(count(*) AS BIGINT) AS n_boiler_grams,
+           CAST(sum(n_docs_with) AS BIGINT) AS total_presences,
+           ROUND(max(n_docs_with) / (1.0 * st.n_docs) + 1e-8, 4) AS max_share
+    FROM pg JOIN st ON pg.source = st.source
+    WHERE n_docs_with * 10 >= st.n_docs * 6
+    GROUP BY pg.source, st.n_docs
+    """,
+    tags=("pipeline", "text", "boilerplate", "curation"),
+)
+def boilerplate_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE detection by shared-n-gram frequency WITHIN SOURCE —
+    the CCNet/RefinedWeb curation step that strips site-wide headers,
+    cookie banners and footers before training: a 5-gram PRESENT (not
+    merely frequent) in >= 60% of a source's documents is boilerplate,
+    and the census reports how many such grams each source carries and
+    the worst share.  A deterministic per-source header is prepended in
+    BOTH engines so the fixture actually contains cross-document
+    boilerplate with known structure (the synthesized-corruption
+    precedent of the ER queries) — header-internal grams must census at
+    share 1.0; header/body boundary grams are per-doc unique and must
+    NOT.  Plan: rolling grams are the same map-side
+    `transform(sequence(...))` + explode as ExactSubstr
+    (`operators/dedup.py`), `array_distinct` BEFORE exploding turns
+    occurrence counting into presence counting map-side, and the only
+    shuffle is the (source, gram) agg — one row per distinct gram per
+    doc.  The share threshold compares INTEGERS (n*10 >= docs*6), no
+    float ratio.  Lee et al. 2022 / Penedo et al. 2023 (public)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.lit("begin "), F.col("source"), F.lit(" standard header terms apply "), F.col("text")
+    )
+    toks = F.split(text2, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
+    )
+    present = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    per_gram = present.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with")
+    )
+    src_tot = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    boiler = per_gram.join(F.broadcast(src_tot), "source").filter(
+        F.col("n_docs_with") * 10 >= F.col("n_docs") * 6
+    )
+    return boiler.groupBy("source", "n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boiler_grams"),
+        F.sum("n_docs_with").cast("long").alias("total_presences"),
+        round_det(F.max("n_docs_with") / (1.0 * F.col("n_docs")), 4).alias("max_share"),
+    )
+
+
+def _pad_waste_for_k(docs: DataFrame, k: int) -> DataFrame:
+    """Padding-waste census for one bucketing strategy: NTILE(k) buckets
+    over the (n_tokens, doc_id) total order via the scale-safe
+    `global_ntile` kernel, every sequence in a bucket padded to the
+    bucket max."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
+    banded = global_ntile(docs, [F.col("n_tokens"), F.col("doc_id")], k, out="bucket")
+    per_bucket = banded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+        F.max("n_tokens").alias("mx"),
+    )
+    return per_bucket.agg(
+        F.lit(k).cast("int").alias("n_buckets"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("mx") * F.col("n_docs")).cast("long").alias("padded_tokens"),
+        (F.sum(F.col("mx") * F.col("n_docs")) - F.sum("tok")).cast("long").alias("waste_tokens"),
+        round_det(
+            (F.sum(F.col("mx") * F.col("n_docs")) - F.sum("tok"))
+            / (1.0 * F.sum(F.col("mx") * F.col("n_docs"))),
+            4,
+        ).alias("waste_share"),
+    )
+
+
+@register(
+    "pad_waste_bucketing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ks(k) AS (VALUES (1), (4), (16)),
+    banded AS (
+        SELECT k, n_tokens,
+               ntile(k) OVER (PARTITION BY k ORDER BY n_tokens, doc_id) AS bucket
+        FROM toks CROSS JOIN ks
+    ),
+    per_bucket AS (
+        SELECT k, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tok,
+               CAST(max(n_tokens) AS BIGINT) AS mx
+        FROM banded GROUP BY 1, 2
+    )
+    SELECT CAST(k AS INT) AS n_buckets,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(mx * n_docs) AS BIGINT) AS padded_tokens,
+           CAST(sum(mx * n_docs) - sum(tok) AS BIGINT) AS waste_tokens,
+           ROUND((sum(mx * n_docs) - sum(tok)) / (1.0 * sum(mx * n_docs)) + 1e-8, 4)
+               AS waste_share
+    FROM per_bucket GROUP BY k
+    """,
+    tags=("pipeline", "training-efficiency", "bucketing", "global-ntile"),
+)
+def pad_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING-WASTE census for length-bucketed training batches — the
+    throughput question every fixed-shape training job asks: padding
+    all sequences to the global max (1 bucket) vs 4 vs 16
+    length-sorted buckets, how many pad tokens does each strategy
+    burn?  Waste per bucket = (bucket_max - len) summed; more buckets
+    monotonically reduce waste (each split can only lower a bucket's
+    max), and the hashed shares quantify the knee of that curve on
+    this corpus.  The Spark side assigns buckets with the
+    `global_ntile` RANGE-PARTITION kernel — exact NTILE semantics with
+    no data-sized single-task window (the r5 kernel family, here
+    consumed by a training-efficiency query); the oracle uses DuckDB's
+    native ntile over the same (n_tokens, doc_id) total order, so the
+    hash also re-pins kernel-vs-native NTILE equivalence on a fresh
+    shape.  Everything after banding is per-bucket aggregation —
+    bucket-cardinality-sized.  Sequence-packing (`corpus_pack_
+    sequences`) is the alternative this census motivates."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = None
+    for k in (1, 4, 16):
+        part = _pad_waste_for_k(docs, k)
+        out = part if out is None else out.unionByName(part)
+    return out
