@@ -2406,3 +2406,147 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
             round_det(F.sum("bp") / 10000.0, 4).alias("credited_purchases"),
         )
     )
+
+
+# --- Hilbert-curve layout audit ----------------------------------------------
+
+_HGRID = 256  # 8-bit per dimension, matching the z-order audit's domain
+
+
+def _hilbert_stage(s: int, intdiv: str) -> tuple[str, str, str]:
+    """One xy2d level (Wikipedia's arithmetic, bit-ops replaced by
+    div/mod so both engines evaluate it identically; the Python twin is
+    property-tested bijective + unit-step adjacent in
+    tests/test_round6.py): returns (d, x, y) expression strings over
+    columns hd, hx, hy."""
+    rx = f"((hx {intdiv} {s}) % 2)"
+    ry = f"((hy {intdiv} {s}) % 2)"
+    quad = (
+        f"CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 WHEN {rx} = 0 THEN 1 "
+        f"WHEN {ry} = 0 THEN 3 ELSE 2 END"
+    )
+    d = f"hd + {s * s} * ({quad})"
+    x = f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {_HGRID - 1} - hy ELSE hy END"
+    y = f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {_HGRID - 1} - hx ELSE hx END"
+    return d, x, y
+
+
+def _hilbert_sql_ctes(src: str, intdiv: str) -> str:
+    """Chained per-level CTEs h0..h8 computing hval from (cust, day)."""
+    parts = [f"h0 AS (SELECT o_orderkey, cust, day, cust AS hx, day AS hy, 0 AS hd FROM {src})"]
+    lvl = 0
+    s = _HGRID // 2
+    while s > 0:
+        d, x, y = _hilbert_stage(s, intdiv)
+        parts.append(
+            f"h{lvl + 1} AS (SELECT o_orderkey, cust, day, {x} AS hx, {y} AS hy, "
+            f"{d} AS hd FROM h{lvl})"
+        )
+        lvl += 1
+        s //= 2
+    return ",\n    ".join(parts)
+
+
+_HILBERT_ORACLE = f"""
+    WITH d AS (
+        SELECT o_orderkey,
+               o_custkey % {_HGRID} AS cust,
+               (epoch_us(o_orderdate) // 86400000000) % {_HGRID} AS day
+        FROM orders
+    ),
+    {_hilbert_sql_ctes('d', '//')},
+    z AS (
+        SELECT o_orderkey, cust, day,
+               {_interleave_expr('cust', 'day', '//')} AS zval,
+               hd AS hval
+        FROM h8
+    ),
+    l1 AS (SELECT cust, day, ntile(64) OVER (ORDER BY zval, o_orderkey) AS b FROM z),
+    l2 AS (SELECT cust, day, ntile(64) OVER (ORDER BY hval, o_orderkey) AS b FROM z),
+    s AS (
+        SELECT 'zorder' AS layout, b,
+               max(cust) - min(cust) AS sc, max(day) - min(day) AS sd
+        FROM l1 GROUP BY b
+        UNION ALL
+        SELECT 'hilbert', b, max(cust) - min(cust), max(day) - min(day)
+        FROM l2 GROUP BY b
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(sc) AS BIGINT) AS total_span_cust,
+           CAST(sum(sd) AS BIGINT) AS total_span_day,
+           CAST(sum(sc * sd) AS BIGINT) AS total_bbox_area,
+           CAST(max(sc * sd) AS BIGINT) AS max_bbox_area
+    FROM s GROUP BY layout
+"""
+
+
+@register(
+    "layout_hilbert_stats",
+    oracle=_HILBERT_ORACLE,
+    tags=("engine", "layout", "hilbert", "data-skipping", "global-ntile"),
+)
+def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE layout audit, head-to-head against z-order on the
+    same (custkey mod 256, order-day mod 256) domain: the Hilbert curve
+    never takes the long diagonal jumps Morton interleaving does (its
+    consecutive cells are always grid-adjacent — property-tested in
+    tests/test_round6.py), so equal-count file splits along the curve
+    get TIGHTER per-file bounding boxes, i.e. better min/max zone-map
+    skipping for the same sort cost — why Iceberg offers hilbert
+    alongside zorder in its rewrite action.  The curve index is the
+    standard xy2d per-level arithmetic unrolled into EIGHT chained
+    integer stages (div/mod/CASE only — no bit intrinsics, both
+    engines evaluate the identical formula; Spark fuses the chain into
+    one codegen'd projection).  File assignment rides
+    `windows.global_ntile` (no single-task sort); the hashed census
+    reports per-dimension spans plus the BBOX AREA totals where
+    Hilbert's locality advantage over z-order actually shows.
+    `layout_zorder_stats` is the single-key-vs-zorder half of this
+    argument."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % _HGRID).alias("cust"),
+        ((F.unix_micros("o_orderdate") / F.lit(86_400_000_000)).cast("long") % _HGRID).alias(
+            "day"
+        ),
+    )
+    h = o.withColumn("hx", F.col("cust")).withColumn("hy", F.col("day")).withColumn(
+        "hd", F.lit(0)
+    )
+    s = _HGRID // 2
+    while s > 0:
+        d, x, y = _hilbert_stage(s, "div")
+        h = h.select(
+            "o_orderkey",
+            "cust",
+            "day",
+            F.expr(x).alias("hx"),
+            F.expr(y).alias("hy"),
+            F.expr(d).alias("hd"),
+        )
+        s //= 2
+    z = h.select(
+        "o_orderkey",
+        "cust",
+        "day",
+        F.expr(_interleave_expr("cust", "day", "div")).alias("zval"),
+        F.col("hd").alias("hval"),
+    )
+    spans = None
+    for layout, order_cols in (("zorder", ["zval", "o_orderkey"]), ("hilbert", ["hval", "o_orderkey"])):
+        b = global_ntile(z, order_cols, 64, out="b")
+        st = b.groupBy("b").agg(
+            (F.max("cust") - F.min("cust")).alias("sc"),
+            (F.max("day") - F.min("day")).alias("sd"),
+        ).select(F.lit(layout).alias("layout"), "sc", "sd")
+        spans = st if spans is None else spans.unionByName(st)
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sc").cast("long").alias("total_span_cust"),
+        F.sum("sd").cast("long").alias("total_span_day"),
+        F.sum(F.col("sc") * F.col("sd")).cast("long").alias("total_bbox_area"),
+        F.max(F.col("sc") * F.col("sd")).cast("long").alias("max_bbox_area"),
+    )
