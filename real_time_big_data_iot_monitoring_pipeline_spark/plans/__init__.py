@@ -71,8 +71,11 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # wilson_ci_return_rate, xcorr_click_purchase, key_skew_audit,
 # pyds_medallion_bronze_silver, pyds_sink_schema_evolution,
 # hybrid_search_rrf, pyds_bloom_point_lookup, theilsen_trend_per_type,
-# trimmed_winsorized_means, listagg_group_by_all,
-# fellegi_sunter_linkage).
+# trimmed_winsorized_means, listagg_group_by_all, fellegi_sunter_linkage,
+# sample_allocation_hamilton, pythagorean_means_per_type,
+# from_csv_permissive_surface, ranking_semantics_surface,
+# boilerplate_ngram_census, pad_waste_bucketing,
+# attribution_position_weighted, layout_hilbert_stats).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

@@ -587,6 +587,75 @@ def build_bloom_index(
     return index
 
 
+def refresh_bloom_index(spark, path: str, col: str) -> dict:
+    """INCREMENTAL Bloom-index maintenance: bring the newest
+    `_bloom-{col}-v*.json` sidecar up to the CURRENT head snapshot by
+    computing bitmaps ONLY for files the old index has never seen —
+    existing entries are carried over byte-identical (immutable part
+    files mean an old filter never goes stale; delete/compaction
+    commits drop files, and dropped entries are simply omitted).  Cost
+    is proportional to the DELTA since the last index, not the table —
+    the property that makes per-commit index maintenance affordable at
+    100 TB, exactly like Iceberg's incremental puffin rewrites.  Writes
+    a new sidecar at the head version and returns it; raises if no
+    index exists yet (build_bloom_index is the bootstrap)."""
+    import os
+    import re
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = _json.load(f)
+    pat = re.compile(rf"^_bloom-{re.escape(col)}-v(\d+)\.json$")
+    cand = [int(m.group(1)) for fn in os.listdir(path) if (m := pat.match(fn))]
+    if not cand:
+        raise FileNotFoundError(
+            f"no bloom index for column {col!r} at {path} — run build_bloom_index first"
+        )
+    with open(os.path.join(path, f"_bloom-{col}-v{max(cand)}.json")) as f:
+        old = _json.load(f)
+    new_files = [fn for fn in manifest["files"] if fn not in old["filters"]]
+    filters = {fn: b64 for fn, b64 in old["filters"].items() if fn in set(manifest["files"])}
+    if new_files:
+        import base64
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        n_bits, n_hashes = old["n_bits"], old["n_hashes"]
+        df = spark.read.parquet(*[os.path.join(path, fn) for fn in new_files])
+        probes = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).cast("int")
+                for i in range(n_hashes)
+            ]
+        )
+        pairs = (
+            df.select(F.input_file_name().alias("f"), F.explode(probes).alias("p"))
+            .distinct()
+        )
+
+        def to_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            bits = np.zeros(n_bits // 8, dtype=np.uint8)
+            p = pdf["p"].to_numpy()
+            np.bitwise_or.at(bits, p // 8, (1 << (p % 8)).astype(np.uint8))
+            return pd.DataFrame(
+                {
+                    "f": [pdf["f"].iloc[0]],
+                    "b64": [base64.b64encode(bits.tobytes()).decode()],
+                }
+            )
+
+        rows = pairs.groupBy("f").applyInPandas(to_bitmap, "f string, b64 string").collect()
+        filters.update({os.path.basename(r["f"]): r["b64"] for r in rows})
+    index = {**old, "version": manifest["version"], "filters": filters}
+    out = os.path.join(path, f"_bloom-{col}-v{manifest['version']}.json")
+    with open(out + ".tmp", "w") as f:
+        _json.dump(index, f)
+    os.replace(out + ".tmp", out)
+    return index
+
+
 def read_manifest_bloom_pruned(spark, path: str, col: str, value, version: int | None = None):
     """BLOOM-PRUNED point-lookup read: only files whose Bloom filter for
     `col` can contain `value` are handed to the parquet scan.  Uses the

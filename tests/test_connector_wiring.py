@@ -564,3 +564,33 @@ def test_pyds_bloom_index_prunes_hash_scattered_files(spark, tmp_path):
     )
     assert n_total == 5 and n_scanned == 1
     assert late.filter(F.col("k") == 10**9).count() == 1
+
+
+def test_pyds_bloom_index_incremental_refresh(spark, tmp_path):
+    """refresh_bloom_index computes bitmaps only for the delta files:
+    carried-over entries are byte-identical, the new file becomes
+    prunable, and dropped (compacted-away) files leave the sidecar."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    path = str(tmp_path / "bloomref")
+    pydatasource.register_sink(spark)
+    spark.range(0, 1000).selectExpr("id AS k").repartition(2, "k").write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    v1 = pydatasource.build_bloom_index(spark, path, "k", n_bits=16384, n_hashes=5)
+
+    spark.createDataFrame([(5_000_000,)], "k long").write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    v2 = pydatasource.refresh_bloom_index(spark, path, "k")
+    assert v2["version"] == 2 and len(v2["filters"]) == 3
+    for fn, b64 in v1["filters"].items():
+        assert v2["filters"][fn] == b64  # carried over, not recomputed differently
+
+    # the post-refresh index prunes the point lookup to exactly the new file
+    hit, n_scanned, n_total = pydatasource.read_manifest_bloom_pruned(
+        spark, path, "k", 5_000_000
+    )
+    assert n_total == 3 and n_scanned == 1 and hit.count() == 1
