@@ -2402,3 +2402,135 @@ def pythagorean_means_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 1000000000000 / F.col("sum_inv") / 100.0, 4
         ).alias("hmean"),
     )
+
+
+@register(
+    "conformal_forecast_interval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS d,
+               CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000) // count(*)
+                    AS BIGINT) AS m6
+        FROM events GROUP BY 1, 2
+    ),
+    mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (SELECT event_type, d - d0 AS i, m6 FROM daily CROSS JOIN mn),
+    fit AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(i) AS BIGINT) AS sx, CAST(sum(m6) AS BIGINT) AS sy,
+               CAST(sum(i * i) AS BIGINT) AS sxx, CAST(sum(i * m6) AS BIGINT) AS sxy
+        FROM idx WHERE i < 20 GROUP BY 1
+    ),
+    coef AS (
+        SELECT event_type,
+               (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) AS slope,
+               sy / (1.0 * n)
+                 - (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) * (sx / (1.0 * n))
+                 AS icept
+        FROM fit
+    ),
+    cal AS (
+        SELECT CAST(floor(abs(m6 - (icept + slope * i)) + 0.5 + 1e-8) AS BIGINT) AS r
+        FROM idx JOIN coef USING (event_type) WHERE i >= 20 AND i < 25
+    ),
+    q AS (
+        SELECT r AS qhat, CAST(n_cal AS BIGINT) AS n_cal FROM (
+            SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n_cal
+            FROM cal
+        ) WHERE rn = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS day_idx,
+           CAST(m6 AS BIGINT) AS actual_m6,
+           CAST(floor(icept + slope * i + 0.5 + 1e-8) AS BIGINT) AS pred_m6,
+           qhat, n_cal,
+           (abs(m6 - (icept + slope * i)) <= qhat) AS covered
+    FROM idx JOIN coef USING (event_type) CROSS JOIN q
+    WHERE i >= 25
+    """,
+    tags=("analytics", "ml-eval", "conformal", "forecast"),
+)
+def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS around a per-type daily
+    forecast — the distribution-free uncertainty band every forecast
+    that feeds a decision needs (Vovk et al.; Lei et al. 2018, the
+    method behind MAPIE): fit OLS on days 0-19, take the
+    ceil(0.9*(n+1))-th smallest absolute residual on held-out
+    calibration days 20-24 as q-hat, and report each test day (25+)
+    with its prediction, the +-q-hat band, and whether the actual
+    landed inside — finite-sample 90% coverage with NO distributional
+    assumption, which a Gaussian +-1.64sigma band cannot promise.
+    Exactness: daily means quantized once by INTEGER division to
+    micro-cents; OLS runs on exact integer moments with the division
+    spelled identically in both engines (the `regression_per_group`
+    discipline); residuals and predictions quantize through the same
+    floor(+0.5+1e-8) before any comparison, so the coverage booleans
+    hash.  Scale: the heavy pass is the per-(type, day) aggregate —
+    everything after is calendar-bounded (the pooled calibration set is
+    #types x 5 rows; its rank-q selection is deliberately a tiny
+    window, not a data-sized sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000)"
+                " div count(*) AS BIGINT)"
+            ).alias("m6")
+        )
+    )
+    mn = F.broadcast(daily.agg(F.min("d").alias("d0")))
+    idx = daily.crossJoin(mn).select(
+        "event_type", (F.col("d") - F.col("d0")).alias("i"), "m6"
+    )
+    fit = (
+        idx.filter(F.col("i") < 20)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("i").cast("long").alias("sx"),
+            F.sum("m6").cast("long").alias("sy"),
+            F.sum(F.col("i") * F.col("i")).cast("long").alias("sxx"),
+            F.sum(F.col("i") * F.col("m6")).cast("long").alias("sxy"),
+        )
+    )
+    coef = fit.select(
+        "event_type",
+        F.expr("(n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx))").alias("slope"),
+        F.expr(
+            "sy / (1.0 * n)"
+            " - (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) * (sx / (1.0 * n))"
+        ).alias("icept"),
+    )
+    joined = idx.join(F.broadcast(coef), "event_type")
+    cal = joined.filter((F.col("i") >= 20) & (F.col("i") < 25)).select(
+        F.expr("CAST(floor(abs(m6 - (icept + slope * i)) + 0.5 + 1e-8) AS BIGINT)").alias("r")
+    )
+    wq = Window.orderBy("r")
+    wc = Window.partitionBy()
+    q = F.broadcast(
+        cal.select(
+            "r",
+            F.row_number().over(wq).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_cal"),
+        )
+        .filter(F.col("rn") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"))
+        .select(F.col("r").alias("qhat"), F.col("n_cal").cast("long").alias("n_cal"))
+    )
+    return (
+        joined.filter(F.col("i") >= 25)
+        .crossJoin(q)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("day_idx"),
+            F.col("m6").cast("long").alias("actual_m6"),
+            F.expr("CAST(floor(icept + slope * i + 0.5 + 1e-8) AS BIGINT)").alias("pred_m6"),
+            "qhat",
+            "n_cal",
+            F.expr("abs(m6 - (icept + slope * i)) <= qhat").alias("covered"),
+        )
+    )
