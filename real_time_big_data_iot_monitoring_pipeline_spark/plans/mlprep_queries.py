@@ -1206,3 +1206,98 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_nano",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "probe_calibration_ece",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id,
+               ROUND(list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}])
+                     / 1000000.0 + 1e-8, 6) AS score,
+               (list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}]) > 0)
+                   = (label >= 5) AS correct
+        FROM e
+    ),
+    conf AS (
+        SELECT vec_id, score, correct,
+               CAST(floor(
+                   (CASE WHEN 1.0 / (1.0 + exp(-score)) >= 0.5
+                         THEN 1.0 / (1.0 + exp(-score))
+                         ELSE 1.0 - 1.0 / (1.0 + exp(-score)) END) * 1000000
+                   + 0.5 + 1e-8) AS BIGINT) AS conf6,
+               ntile(10) OVER (ORDER BY score, vec_id) AS bin
+        FROM scored
+    ),
+    b AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(sum(conf6) AS BIGINT) AS sum_conf6
+        FROM conf GROUP BY bin
+    )
+    SELECT CAST(bin AS INT) AS bin, n, n_correct,
+           ROUND(n_correct / (1.0 * n) + 1e-8, 4) AS avg_acc,
+           ROUND(sum_conf6 / (1000000.0 * n) + 1e-8, 4) AS avg_conf,
+           CAST(abs((n_correct * 1000000) // n - sum_conf6 // n) AS BIGINT) AS gap6
+    FROM b
+    """,
+    tags=("mlprep", "ml-eval", "calibration", "global-ntile"),
+)
+def probe_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION AUDIT of the linear probe (reliability-diagram bins,
+    the per-bin view under Expected Calibration Error): score every
+    embedding with the `embedding_linear_probe` weights against the
+    binary target label >= 5, convert scores to confidences via
+    sigmoid (conf = max(p, 1-p)), decile-bin by score, and report each
+    bin's accuracy-vs-confidence gap — the artifact that decides
+    whether a quality-filter model's scores can be thresholded as
+    probabilities (Guo et al. 2017, public).  Exactness: per-row
+    confidence quantized to 1e-6 BEFORE summation; per-bin gap compares
+    integer-divided micro-units, so the hash pins the whole diagram.
+    Binning: the Spark side rides `global_ntile` over (score, vec_id)
+    (no data-sized window) vs the oracle's native ntile — a third
+    kernel-equivalence consumer after `pad_waste_bucketing` /
+    `customer_rfm_segments`.  Plan: one scan, one codegen'd dot
+    product, the kernel's range shuffle, one hash agg."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
+    e = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = similarity._qvec(F.col("embedding"))
+    w = F.array(*[F.lit(v) for v in _PROBE_W])
+    dot = similarity._dot(q, w)
+    scored = e.select(
+        "vec_id",
+        round_det(dot / 1000000.0, 6).alias("score"),
+        ((dot > 0) == (F.col("label") >= 5)).alias("correct"),
+    )
+    p = 1.0 / (1.0 + F.exp(-F.col("score")))
+    conf6 = F.floor(
+        F.when(p >= 0.5, p).otherwise(1.0 - p) * 1000000 + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    conf = global_ntile(
+        scored.withColumn("conf6", conf6), [F.col("score"), F.col("vec_id")], 10, out="bin"
+    )
+    b = conf.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("correct").cast("long")).cast("long").alias("n_correct"),
+        F.sum("conf6").cast("long").alias("sum_conf6"),
+    )
+    return b.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_correct",
+        round_det(F.col("n_correct") / (1.0 * F.col("n")), 4).alias("avg_acc"),
+        round_det(F.col("sum_conf6") / (1000000.0 * F.col("n")), 4).alias("avg_conf"),
+        F.abs(
+            F.expr("(n_correct * 1000000) div n") - F.expr("sum_conf6 div n")
+        ).cast("long").alias("gap6"),
+    )
