@@ -2550,3 +2550,110 @@ def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sc") * F.col("sd")).cast("long").alias("total_bbox_area"),
         F.max(F.col("sc") * F.col("sd")).cast("long").alias("max_bbox_area"),
     )
+
+
+# --- Luhn (mod-10) PAN validation -------------------------------------------
+
+
+def _luhn_digit(col: str, i: int) -> str:
+    return f"CAST(substr({col}, {i}, 1) AS INT)"
+
+
+def _luhn_sum_payload(col: str) -> str:
+    """Luhn contribution of a 15-digit payload (check digit appended at
+    position 16): from-right index r = 17 - i, doubled when r is even,
+    i.e. when the 1-based position i is odd."""
+    terms = []
+    for i in range(1, 16):
+        d = _luhn_digit(col, i)
+        if i % 2 == 1:  # doubled, fold > 9 by subtracting 9
+            terms.append(f"(CASE WHEN {d} < 5 THEN 2 * {d} ELSE 2 * {d} - 9 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def _luhn_sum_full(col: str) -> str:
+    """Luhn sum of a full 16-digit string (validator side): r = 17 - i,
+    doubled when r even."""
+    terms = []
+    for i in range(1, 17):
+        d = _luhn_digit(col, i)
+        if (17 - i) % 2 == 0:
+            terms.append(f"(CASE WHEN {d} < 5 THEN 2 * {d} ELSE 2 * {d} - 9 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_ORACLE = f"""
+    WITH pan AS (
+        SELECT c_custkey AS k,
+               concat('4',
+                      lpad(CAST((c_custkey * 2654435761) % 4294967296 AS VARCHAR), 10, '0'),
+                      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS p15
+        FROM customer
+    ),
+    carded AS (
+        SELECT k, concat(p15, CAST(
+                   CASE WHEN k % 2 = 0
+                        THEN (10 - ({_luhn_sum_payload('p15')}) % 10) % 10
+                        ELSE ((10 - ({_luhn_sum_payload('p15')}) % 10) % 10 + 1) % 10
+                   END AS VARCHAR)) AS pan16
+        FROM pan
+    ),
+    checked AS (
+        SELECT k, (({_luhn_sum_full('pan16')}) % 10 = 0) AS is_valid FROM carded
+    )
+    SELECT is_valid,
+           CAST(count(*) AS BIGINT) AS n_cards,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_keys
+    FROM checked GROUP BY is_valid
+"""
+
+
+@register(
+    "pii_luhn_validation",
+    oracle=_LUHN_ORACLE,
+    tags=("engine", "pii", "luhn", "validation"),
+)
+def pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN (mod-10) check-digit validation — the algorithm that turns
+    'looks like a card number' regexes (`text_pii_scrub`) into REAL
+    PAN detection with a ~90% false-positive cut, which is how
+    production PII scanners decide whether a 16-digit string actually
+    needs redaction.  Both engines synthesize the same PANs from
+    customer keys (even keys get the CORRECT check digit computed by
+    the same Luhn arithmetic, odd keys get it off by one), then an
+    INDEPENDENT full-string validator re-checks every card: the hash
+    pins that validity == key-parity exactly — a doubling-fold slip,
+    an off-by-one in the from-right indexing, or a wrong fold constant
+    flips a census bucket.  The digit-position expressions are
+    generated once in Python and formatted into both dialects
+    (`layout_hilbert_stats` discipline); everything is a pure map +
+    one hash agg — scan-speed at any scale."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_luhn_customer")
+    return spark.sql(f"""
+        WITH pan AS (
+            SELECT c_custkey AS k,
+                   concat('4',
+                          lpad(CAST((c_custkey * 2654435761) % 4294967296 AS STRING), 10, '0'),
+                          lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')) AS p15
+            FROM v_luhn_customer
+        ),
+        carded AS (
+            SELECT k, concat(p15, CAST(
+                       CASE WHEN k % 2 = 0
+                            THEN (10 - ({_luhn_sum_payload('p15')}) % 10) % 10
+                            ELSE ((10 - ({_luhn_sum_payload('p15')}) % 10) % 10 + 1) % 10
+                       END AS STRING)) AS pan16
+            FROM pan
+        ),
+        checked AS (
+            SELECT k, (({_luhn_sum_full('pan16')}) % 10 = 0) AS is_valid FROM carded
+        )
+        SELECT is_valid,
+               CAST(count(*) AS BIGINT) AS n_cards,
+               CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_keys
+        FROM checked GROUP BY is_valid
+    """)
