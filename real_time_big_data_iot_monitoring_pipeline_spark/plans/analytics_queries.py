@@ -2534,3 +2534,170 @@ def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("abs(m6 - (icept + slope * i)) <= qhat").alias("covered"),
         )
     )
+
+
+@register(
+    "backtest_rolling_origin",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS d,
+               CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000) // count(*)
+                    AS BIGINT) AS m6
+        FROM events GROUP BY 1, 2
+    ),
+    mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (SELECT event_type, d - d0 AS i, m6 FROM daily CROSS JOIN mn),
+    evals AS (
+        SELECT a.event_type,
+               abs(a.m6 - n1.m6) AS err_naive,
+               abs(a.m6 - s7.m6) AS err_seasonal
+        FROM idx a
+        JOIN idx n1 ON n1.event_type = a.event_type AND n1.i = a.i - 1
+        JOIN idx s7 ON s7.event_type = a.event_type AND s7.i = a.i - 7
+        WHERE a.i >= 21
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_origins,
+           CAST(sum(err_naive) AS BIGINT) AS sae_naive6,
+           CAST(sum(err_seasonal) AS BIGINT) AS sae_seasonal6,
+           (sum(err_seasonal) < sum(err_naive)) AS seasonal_wins
+    FROM evals GROUP BY event_type
+    """,
+    tags=("analytics", "forecast", "backtest"),
+)
+def backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN FORECAST BACKTEST — the model-selection evidence a
+    forecast pipeline owes before anyone trusts its numbers: for every
+    origin day from 21 on, score the one-step NAIVE forecast
+    (yesterday's value) against the SEASONAL-NAIVE (same weekday last
+    week) and report each type's summed absolute error plus the
+    verdict bit.  This is the m-competition evaluation protocol
+    (Hyndman & Athanasopoulos, fpp3) reduced to its dataflow shape:
+    the per-(type, day) aggregate once again collapses data volume to
+    calendar size, and each origin's forecasts are SELF-JOINS AT FIXED
+    LAG on that tiny frame — no window over raw events, no state.
+    Errors stay in exact micro-cents (integer-division daily means, the
+    `conformal_forecast_interval` discipline), so the winner bit is
+    hash-stable.  Complements `holt_forecast_per_user` (a model) with
+    the harness that would pick between models."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000)"
+                " div count(*) AS BIGINT)"
+            ).alias("m6")
+        )
+    )
+    mn = F.broadcast(daily.agg(F.min("d").alias("d0")))
+    idx = daily.crossJoin(mn).select(
+        "event_type", (F.col("d") - F.col("d0")).alias("i"), "m6"
+    )
+    a = idx.alias("a")
+    n1 = idx.select("event_type", (F.col("i") + 1).alias("i"), F.col("m6").alias("m6_n1"))
+    s7 = idx.select("event_type", (F.col("i") + 7).alias("i"), F.col("m6").alias("m6_s7"))
+    evals = (
+        a.join(n1, ["event_type", "i"])
+        .join(s7, ["event_type", "i"])
+        .filter(F.col("i") >= 21)
+        .select(
+            "event_type",
+            F.abs(F.col("m6") - F.col("m6_n1")).alias("err_naive"),
+            F.abs(F.col("m6") - F.col("m6_s7")).alias("err_seasonal"),
+        )
+    )
+    return evals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_origins"),
+        F.sum("err_naive").cast("long").alias("sae_naive6"),
+        F.sum("err_seasonal").cast("long").alias("sae_seasonal6"),
+        (F.sum("err_seasonal") < F.sum("err_naive")).alias("seasonal_wins"),
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.n_events - b.n_events) * (a.sum_cents - b.sum_cents) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.n_events - b.n_events) * (a.sum_cents - b.sum_cents) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.n_events = b.n_events THEN 1 ELSE 0 END AS tie_x,
+               CASE WHEN a.sum_cents = b.sum_cents THEN 1 ELSE 0 END AS tie_y
+        FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(sum(tie_x) AS BIGINT) AS ties_x,
+           CAST(sum(tie_y) AS BIGINT) AS ties_y,
+           ROUND((sum(conc) - sum(disc))
+                 / (sqrt(count(*) - sum(tie_x)) * sqrt(count(*) - sum(tie_y)))
+                 + 1e-8, 6) AS tau_b
+    FROM pairs
+    """,
+    tags=("analytics", "statistics", "correlation", "kendall"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B between daily event volume and daily total value —
+    completing the correlation family (Pearson `corr_matrix`, Spearman
+    `spearman_qty_price`): the rank correlation whose unit is PAIRS
+    (concordant minus discordant over tie-adjusted pairs), preferred
+    when the monotone relationship matters but ranks are heavily tied.
+    Tau is O(n^2) in points, so — the `theilsen_trend_per_type` rule —
+    the points are the per-DAY aggregates: C(#days, 2) pairs regardless
+    of event volume.  Concordance tests are pure integer sign products
+    (exact cents, exact counts); the only float is the final tie-
+    adjusted normalization from integer sums.  At larger calendars the
+    O(n log n) merge-sort inversion count is the known upgrade
+    (Knight 1966) — the n^2 pair join is correct and calendar-bounded
+    here."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(as_cents(F.col("value"))).cast("long").alias("sum_cents"),
+    )
+    a = daily.select(
+        F.col("d").alias("d1"), F.col("n_events").alias("x1"), F.col("sum_cents").alias("y1")
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("n_events").alias("x2"), F.col("sum_cents").alias("y2")
+    )
+    pairs = a.crossJoin(b).filter(F.col("d1") < F.col("d2")).select(
+        F.when((F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("x1") == F.col("x2"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("y1") == F.col("y2"), 1).otherwise(0).alias("tie_y"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        F.sum("tie_x").cast("long").alias("ties_x"),
+        F.sum("tie_y").cast("long").alias("ties_y"),
+        round_det(
+            (F.sum("conc") - F.sum("disc"))
+            / (
+                F.sqrt(F.count(F.lit(1)) - F.sum("tie_x"))
+                * F.sqrt(F.count(F.lit(1)) - F.sum("tie_y"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
