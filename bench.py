@@ -68,6 +68,9 @@ HEADLINE = [
     # multimodal pipeline (three chained Arrow map stages)
     "layout_zorder_stats",
     "image_png_pipeline",
+    # round 6 (closing): hybrid lexical+semantic retrieval fusion — the
+    # RAG serving pattern, two independent ranking legs + a bounded merge
+    "hybrid_search_rrf",
 ]
 
 
