@@ -75,7 +75,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # sample_allocation_hamilton, pythagorean_means_per_type,
 # from_csv_permissive_surface, ranking_semantics_surface,
 # boilerplate_ngram_census, pad_waste_bucketing,
-# attribution_position_weighted, layout_hilbert_stats).
+# attribution_position_weighted, layout_hilbert_stats,
+# conformal_forecast_interval, probe_calibration_ece,
+# pii_luhn_validation, backtest_rolling_origin, kendall_tau_daily).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

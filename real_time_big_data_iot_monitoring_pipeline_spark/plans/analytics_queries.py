@@ -2701,3 +2701,230 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH ref AS (
+        SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+    ),
+    tgt AS (
+        SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    rb AS (
+        SELECT cents, ntile(10) OVER (ORDER BY cents, event_id) AS bin FROM ref
+    ),
+    edges AS (
+        SELECT bin, CAST(max(cents) AS BIGINT) AS edge,
+               CAST(count(*) AS BIGINT) AS c_ref
+        FROM rb GROUP BY bin
+    ),
+    tb AS (
+        SELECT t.event_id, COALESCE(min(e.bin), 10) AS bin
+        FROM tgt t LEFT JOIN edges e ON t.cents <= e.edge AND e.bin < 10
+        GROUP BY t.event_id
+    ),
+    tc AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_tgt FROM tb GROUP BY bin),
+    tot AS (
+        SELECT (SELECT count(*) FROM ref) AS n_ref,
+               (SELECT count(*) FROM tgt) AS n_tgt
+    )
+    SELECT e.bin, e.edge, e.c_ref,
+           CAST(COALESCE(tc.c_tgt, 0) AS BIGINT) AS c_tgt,
+           CAST(floor(
+               ((e.c_ref + 1.0) / (tot.n_ref + 10) - (COALESCE(tc.c_tgt, 0) + 1.0) / (tot.n_tgt + 10))
+               * ln(((e.c_ref + 1.0) / (tot.n_ref + 10))
+                    / ((COALESCE(tc.c_tgt, 0) + 1.0) / (tot.n_tgt + 10)))
+               * 1e9 + 0.5 + 1e-8) AS BIGINT) AS contrib_nano
+    FROM edges e LEFT JOIN tc ON tc.bin = e.bin CROSS JOIN tot
+    """,
+    tags=("analytics", "drift", "psi", "monitoring", "global-ntile"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between two value distributions
+    (clicks as the reference, purchases as the live target) — the
+    model-monitoring drift score credit scoring popularized: decile
+    edges come from the REFERENCE's exact order statistics, the target
+    buckets against those edges, and PSI = sum (p_i - q_i) ln(p_i/q_i)
+    with +1 Laplace smoothing so empty target bins stay finite
+    (documented, mirrored in both engines).  `corpus_kl_drift` is the
+    token-distribution cousin; PSI's edge-from-reference binning is
+    what production scorecards actually deploy.  Exactness: integer
+    cents everywhere; reference binning rides `global_ntile` (fourth
+    kernel consumer) vs the oracle's native ntile; each bin's
+    contribution quantizes identically-derived doubles to nano-units
+    before the (driver-side) sum, so the hash pins all ten
+    contributions.  Plan: two filtered scans, the kernel's range
+    shuffle on the reference, a BROADCAST edge join to bucket the
+    target (10 rows), two hash aggs."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = as_cents(F.col("value"))
+    ref = ev.filter(F.col("event_type") == "click").select(
+        "event_id", cents.alias("cents")
+    )
+    tgt = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", cents.alias("cents")
+    )
+    rb = global_ntile(ref, [F.col("cents"), F.col("event_id")], 10, out="bin")
+    edges = rb.groupBy("bin").agg(
+        F.max("cents").cast("long").alias("edge"),
+        F.count(F.lit(1)).cast("long").alias("c_ref"),
+    )
+    tb = (
+        tgt.join(
+            F.broadcast(edges.filter(F.col("bin") < 10).select("bin", "edge")),
+            F.col("cents") <= F.col("edge"),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.coalesce(F.min("bin"), F.lit(10)).alias("bin"))
+    )
+    tc = tb.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    tot = F.broadcast(
+        ref.agg(F.count(F.lit(1)).alias("n_ref")).crossJoin(
+            tgt.agg(F.count(F.lit(1)).alias("n_tgt"))
+        )
+    )
+    j = (
+        edges.join(tc, "bin", "left")
+        .withColumn("c_tgt", F.coalesce(F.col("c_tgt"), F.lit(0)).cast("long"))
+        .crossJoin(tot)
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 10)
+    q = (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + 10)
+    return j.select(
+        "bin",
+        "edge",
+        "c_ref",
+        "c_tgt",
+        F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5 + 1e-8))
+        .cast("long")
+        .alias("contrib_nano"),
+    )
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle="""
+    WITH mn AS (
+        SELECT min(CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT)) AS d0
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(sum(CASE WHEN CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) - d0 < 15
+                             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) - d0 >= 15
+                             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN mn GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) AS th,
+               sx / (1.0 * n) AS xbar
+        FROM mom
+    ),
+    adj AS (
+        SELECT arm, y,
+               CAST(floor((y - th * (x - xbar)) * 100 + 0.5 + 1e-8) AS BIGINT) AS y2
+        FROM per_user CROSS JOIN theta
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(sum(y) / (100.0 * count(*)) + 1e-8, 4) AS mean_y,
+           ROUND((count(*) * sum(y * y) - sum(y) * sum(y))
+                 / (1.0 * count(*) * (count(*) - 1)) + 1e-8, 4) AS var_y_cents2,
+           ROUND(sum(y2) / (10000.0 * count(*)) + 1e-8, 4) AS mean_adj,
+           ROUND((count(*) * sum(y2 * y2) - sum(y2) * sum(y2))
+                 / (10000.0 * count(*) * (count(*) - 1)) + 1e-8, 4) AS var_adj_cents2,
+           ROUND((1.0 - ((count(*) * sum(y2 * y2) - sum(y2) * sum(y2)) / 10000.0)
+                        / (count(*) * sum(y * y) - sum(y) * sum(y))) * 100 + 1e-8, 4)
+               AS var_reduction_pct
+    FROM adj GROUP BY arm
+    """,
+    tags=("analytics", "experimentation", "cuped", "variance-reduction"),
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION for the A/B stack (Deng et al. 2013,
+    WSDM — the adjustment every mature experimentation platform
+    applies): per-user pre-period spend (days 0-14) is the covariate,
+    post-period spend the metric; theta = cov(x,y)/var(x) from EXACT
+    integer moments pooled across arms (pre-period data is
+    treatment-independent, so pooling is unbiased), adjusted metric
+    y' = y - theta(x - xbar), and the hashed report shows per-arm mean
+    (unchanged by construction up to the centering) and the variance
+    drop that shrinks the experiment's confidence intervals —
+    `ab_conversion_ztest`'s power upgrade.  Exactness: x, y are exact
+    cents; theta/xbar are identically-derived doubles; each adjusted
+    value quantizes to centi-cents BEFORE the second-moment sums
+    (bounding sum(y2^2) within int64), so both variances come from
+    exact integer moments.  Plan: one per-user aggregate (map-side
+    combinable), a 1-row moment broadcast, one final hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    mn = F.broadcast(ev.agg(F.min(day).alias("d0")))
+    cents = as_cents(F.col("value"))
+    per_user = (
+        ev.crossJoin(mn)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(day - F.col("d0") < 15, cents).otherwise(0)).cast("long").alias("x"),
+            F.sum(F.when(day - F.col("d0") >= 15, cents).otherwise(0)).cast("long").alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    mom = F.broadcast(
+        per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        ).select(
+            F.expr("(n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx))").alias("th"),
+            F.expr("sx / (1.0 * n)").alias("xbar"),
+        )
+    )
+    adj = per_user.crossJoin(mom).select(
+        "arm",
+        "y",
+        F.expr("CAST(floor((y - th * (x - xbar)) * 100 + 0.5 + 1e-8) AS BIGINT)").alias("y2"),
+    )
+    n = F.count(F.lit(1))
+    return adj.groupBy("arm").agg(
+        n.cast("long").alias("n_users"),
+        round_det(F.sum("y") / (100.0 * n), 4).alias("mean_y"),
+        round_det(
+            (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+            / (1.0 * n * (n - 1)),
+            4,
+        ).alias("var_y_cents2"),
+        round_det(F.sum("y2") / (10000.0 * n), 4).alias("mean_adj"),
+        round_det(
+            (n * F.sum(F.col("y2") * F.col("y2")) - F.sum("y2") * F.sum("y2"))
+            / (10000.0 * n * (n - 1)),
+            4,
+        ).alias("var_adj_cents2"),
+        round_det(
+            (
+                F.lit(1.0)
+                - (
+                    (n * F.sum(F.col("y2") * F.col("y2")) - F.sum("y2") * F.sum("y2"))
+                    / 10000.0
+                )
+                / (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+            )
+            * 100,
+            4,
+        ).alias("var_reduction_pct"),
+    )

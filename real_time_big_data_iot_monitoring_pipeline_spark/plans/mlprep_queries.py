@@ -1301,3 +1301,121 @@ def probe_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_correct * 1000000) div n") - F.expr("sum_conf6 div n")
         ).cast("long").alias("gap6"),
     )
+
+
+import math as _math
+
+# NDCG position discounts 1/log2(i+1), i = 1..10, precomputed once as
+# exact 1e6-unit integer literals shared by both engines — DCG becomes
+# an order-independent integer sum.
+_NDCG_K = 10
+_NDCG_T6 = tuple(round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1))
+
+
+@register(
+    "retrieval_ndcg_at_k",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, {similarity.qvec_sql('CAST(embedding AS DOUBLE[])')} AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e ORDER BY vec_id LIMIT 5),
+    ranked AS (
+        SELECT query_id, qlabel, cand_label, rank FROM (
+            SELECT q.query_id, q.qlabel, c.label AS cand_label,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND({similarity.cosine_q6_sql('q.qv', 'c.v')} + 1e-8, 6) DESC,
+                       c.vec_id) AS rank
+            FROM q, e c WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= {_NDCG_K}
+    ),
+    t(i, t6) AS (VALUES {", ".join(f"({i + 1}, {t})" for i, t in enumerate(_NDCG_T6))}),
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN cand_label = qlabel THEN t.t6 ELSE 0 END) AS BIGINT)
+                   AS dcg6
+        FROM ranked JOIN t ON t.i = ranked.rank
+        GROUP BY query_id
+    ),
+    rel AS (
+        SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM q JOIN e c ON c.label = q.qlabel AND c.vec_id <> q.query_id
+        GROUP BY q.query_id
+    ),
+    idcg AS (
+        SELECT rel.query_id, rel.n_rel,
+               CAST(sum(t.t6) AS BIGINT) AS idcg6
+        FROM rel JOIN t ON t.i <= least({_NDCG_K}, rel.n_rel)
+        GROUP BY rel.query_id, rel.n_rel
+    )
+    SELECT idcg.query_id, idcg.n_rel, dcg.dcg6, idcg.idcg6,
+           ROUND(dcg.dcg6 / (1.0 * idcg.idcg6) + 1e-8, 6) AS ndcg
+    FROM idcg JOIN dcg ON dcg.query_id = idcg.query_id
+    """,
+    tags=("mlprep", "retrieval", "ml-eval", "ndcg"),
+)
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact-cosine retriever against label-match
+    relevance — the ranking-quality metric that, next to
+    `embedding_ann_recall`'s set-overlap, weighs WHERE in the list the
+    relevant items landed (Jarvelin & Kekalainen 2002): rel_i = (cand
+    label == query label), DCG = sum rel_i / log2(i+1), normalized by
+    the ideal list of min(k, R) relevants where R counts all label
+    matches in the corpus.  The position discounts are precomputed
+    1e6-unit INTEGER literals shared by both engines, so DCG and IDCG
+    are order-independent integer sums and the only float is the final
+    ratio — the metric hashes, not an approximation of it.  Plan: one
+    corpus scan against the 5-query broadcast matrix (Arrow kernel),
+    a bounded top-k window, and label-count joins; the discount table
+    is k rows."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    labels = emb.select("vec_id", "label")
+    qmeta = labels.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    topk = similarity.brute_force_topk(emb, emb.orderBy("vec_id").limit(5), k=_NDCG_K)
+    ranked = (
+        topk.join(F.broadcast(qmeta), "query_id")
+        .join(labels.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")), "cand_id")
+        .select("query_id", "qlabel", "cand_label", F.col("rank").alias("rank"))
+    )
+    t = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(_NDCG_T6)], "i int, t6 long"
+        )
+    )
+    dcg = (
+        ranked.join(t, F.col("i") == F.col("rank"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cand_label") == F.col("qlabel"), F.col("t6")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg6")
+        )
+    )
+    rel = (
+        qmeta.join(
+            labels.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")),
+            F.col("cand_label") == F.col("qlabel"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    idcg = (
+        rel.join(t, F.col("i") <= F.least(F.lit(_NDCG_K), F.col("n_rel")))
+        .groupBy("query_id", "n_rel")
+        .agg(F.sum("t6").cast("long").alias("idcg6"))
+    )
+    return idcg.join(dcg, "query_id").select(
+        "query_id",
+        "n_rel",
+        "dcg6",
+        "idcg6",
+        round_det(F.col("dcg6") / (1.0 * F.col("idcg6")), 6).alias("ndcg"),
+    )
