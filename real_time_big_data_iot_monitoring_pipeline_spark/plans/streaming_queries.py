@@ -1595,3 +1595,80 @@ def stream_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         round_det(F.col("sum_cents") / 100.0, 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_semi_interval_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us
+    FROM events l
+    WHERE l.event_type = 'purchase'
+      AND EXISTS (
+          SELECT 1 FROM events r
+          WHERE r.user_id = l.user_id AND r.event_type = 'error'
+            AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 30 MINUTE
+      )
+    """,
+    tags=("streaming", "join", "semi", "watermark", "equivalence"),
+)
+def stream_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — completing the streaming
+    join family (inner `stream_interval_join`, left outer
+    `stream_outer_interval_join`, full outer
+    `stream_full_outer_interval_join`): purchases preceded by an error
+    within 30 minutes emit EXACTLY ONCE with only left columns — the
+    existence filter every incident-correlation pipeline wants, without
+    the row multiplication an inner join produces when several errors
+    match one purchase (the oracle is literally an EXISTS).  Streaming
+    semi state is keyed on user_id and watermark-evicted like the
+    outer variants; the flush sentinel pushes the watermark past every
+    real row so matches buffered near end-of-replay emit before
+    termination.  The replay result must equal the batch EXISTS —
+    duplicate emissions (the inner-join failure mode) or dropped
+    matches break row counts."""
+    e = load_table(spark, sf_dir, "events")
+    _, result = _stream_dirs(sf_dir, "result_semi_interval")
+    staging = result + "_staging"
+    if not os.path.exists(result):
+        if not os.path.exists(staging):
+            pipeline.stage_late_slices(
+                e, staging, ts_col="ts", id_col="event_id", n_slices=8, delay_mod=2, delay_slices=0
+            )
+            mx = e.agg(F.max("ts").alias("mx")).first()[0]
+            sentinel = spark.createDataFrame(
+                [(-1, mx, -1, t, 0.0, None) for t in ("purchase", "error")],
+                schema=e.schema,
+            ).select(
+                "event_id",
+                (F.col("ts") + F.expr("interval 1 day")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(staging)
+        left = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+        )
+        right = (
+            pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("error_ts"),
+            )
+        )
+        joined = pipeline.interval_join_stream(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="error_ts",
+            upper="30 minutes",
+            watermark="10 minutes",
+            how="leftSemi",
+        ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+        pipeline.run_stream_to_parquet(joined, result, output_mode="append")
+    return spark.read.parquet(result).filter(F.col("user_id") >= 0)

@@ -252,6 +252,8 @@ def interval_join_stream(
             .drop(F.col(f"r.{key}"))
             .withColumnRenamed("__ij_key", key)
         )
+    if how in ("leftSemi", "left_semi", "semi", "leftAnti", "left_anti", "anti"):
+        return out  # right columns do not survive semi/anti joins
     return out.drop(F.col(f"r.{key}"))
 
 
