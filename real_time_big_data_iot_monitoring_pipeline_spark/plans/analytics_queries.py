@@ -2425,9 +2425,11 @@ def pythagorean_means_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     coef AS (
         SELECT event_type,
-               (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) AS slope,
-               sy / (1.0 * n)
-                 - (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) * (sx / (1.0 * n))
+               CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                   AS slope,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                  AS icept
         FROM fit
     ),
@@ -2439,7 +2441,7 @@ def pythagorean_means_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r AS qhat, CAST(n_cal AS BIGINT) AS n_cal FROM (
             SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n_cal
             FROM cal
-        ) WHERE rn = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+        ) WHERE rn = (9 * (n_cal + 1) + 9) // 10
     )
     SELECT event_type, CAST(i AS BIGINT) AS day_idx,
            CAST(m6 AS BIGINT) AS actual_m6,
@@ -2500,10 +2502,13 @@ def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coef = fit.select(
         "event_type",
-        F.expr("(n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx))").alias("slope"),
         F.expr(
-            "sy / (1.0 * n)"
-            " - (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) * (sx / (1.0 * n))"
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("slope"),
+        F.expr(
+            "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
         ).alias("icept"),
     )
     joined = idx.join(F.broadcast(coef), "event_type")
@@ -2518,7 +2523,7 @@ def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wq).alias("rn"),
             F.count(F.lit(1)).over(wc).alias("n_cal"),
         )
-        .filter(F.col("rn") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"))
+        .filter(F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
         .select(F.col("r").alias("qhat"), F.col("n_cal").cast("long").alias("n_cal"))
     )
     return (
@@ -2830,8 +2835,8 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user
     ),
     theta AS (
-        SELECT (n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) AS th,
-               sx / (1.0 * n) AS xbar
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
         FROM mom
     ),
     adj AS (
@@ -2891,8 +2896,10 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
             F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         ).select(
-            F.expr("(n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx))").alias("th"),
-            F.expr("sx / (1.0 * n)").alias("xbar"),
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+            ).alias("th"),
+            F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("xbar"),
         )
     )
     adj = per_user.crossJoin(mom).select(
@@ -2927,4 +2934,95 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100,
             4,
         ).alias("var_reduction_pct"),
+    )
+
+
+@register(
+    "kfold_regression_stability",
+    oracle="""
+    WITH mn AS (
+        SELECT min(CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT)) AS d0
+        FROM events
+    ),
+    rows_ AS (
+        SELECT CAST(user_id % 5 AS INT) AS fold,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) - d0 AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events CROSS JOIN mn
+    ),
+    mom AS (
+        SELECT fold, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM rows_ GROUP BY fold
+    )
+    SELECT fold, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                 + 1e-8, 8) AS slope_cents_per_day,
+           ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 + 1e-8, 6) AS intercept_cents,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+                 + 1e-8, 6) AS r2
+    FROM mom
+    """,
+    tags=("analytics", "ml-eval", "cross-validation", "regression"),
+)
+def kfold_regression_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD COEFFICIENT STABILITY — the cross-validation diagnostic
+    that separates a real trend from a fold-dependent artifact: users
+    hash into 5 disjoint folds (user-LEVEL split, the grouped-CV rule
+    that prevents within-user leakage across folds), each fold fits
+    the global value-vs-day OLS from EXACT integer moments, and the
+    hashed per-fold slopes/intercepts/r2 show whether the estimate
+    survives resampling (a stable model's fold coefficients agree to
+    noise; a leaky or overfit one fans out).  One map-side-combinable
+    aggregate computes all five fits simultaneously — k-fold CV as ONE
+    pass, not k jobs, because closed-form moments make 'hold out a
+    fold' just another GROUP BY key.  Same exactness discipline as
+    `regression_per_group`; complements `conformal_forecast_interval`
+    (uncertainty) and `backtest_rolling_origin` (model selection)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    mn = F.broadcast(ev.agg(F.min(day).alias("d0")))
+    rows_ = ev.crossJoin(mn).select(
+        (F.col("user_id") % 5).cast("int").alias("fold"),
+        (day - F.col("d0")).alias("x"),
+        as_cents(F.col("value")).alias("y"),
+    )
+    mom = rows_.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return mom.select(
+        "fold",
+        "n",
+        round_det(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+            ),
+            8,
+        ).alias("slope_cents_per_day"),
+        round_det(
+            F.expr(
+                "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+                " - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+                "   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+            ),
+            6,
+        ).alias("intercept_cents"),
+        round_det(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"
+            ),
+            6,
+        ).alias("r2"),
     )

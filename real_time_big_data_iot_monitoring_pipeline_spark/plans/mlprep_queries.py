@@ -1419,3 +1419,85 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg6",
         round_det(F.col("dcg6") / (1.0 * F.col("idcg6")), 6).alias("ndcg"),
     )
+
+
+_FH_SLOTS = 1024
+_FH_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "feature_hashing_collisions",
+    oracle=f"""
+    WITH feats AS (
+        SELECT DISTINCT
+               (CASE event_type {" ".join(f"WHEN '{t}' THEN {i}" for i, t in enumerate(_FH_TYPES))}
+                     ELSE 9 END) * 1000
+               + CAST(json_extract(props, '$.k') AS BIGINT) AS feature_id
+        FROM events WHERE props IS NOT NULL
+    ),
+    slotted AS (
+        SELECT feature_id,
+               (feature_id * 2654435761) % 4294967296 % {_FH_SLOTS} AS slot
+        FROM feats
+    ),
+    load AS (
+        SELECT slot, CAST(count(*) AS BIGINT) AS n_in_slot
+        FROM slotted GROUP BY slot
+    )
+    SELECT CAST((SELECT count(*) FROM feats) AS BIGINT) AS n_features,
+           CAST(count(*) AS BIGINT) AS n_slots_used,
+           CAST(sum(CASE WHEN n_in_slot > 1 THEN n_in_slot ELSE 0 END) AS BIGINT)
+               AS n_colliding_features,
+           CAST(max(n_in_slot) AS BIGINT) AS max_slot_load,
+           ROUND(sum(CASE WHEN n_in_slot > 1 THEN n_in_slot ELSE 0 END)
+                 / (1.0 * (SELECT count(*) FROM feats)) + 1e-8, 6) AS collision_rate
+    FROM load
+    """,
+    tags=("mlprep", "feature-hashing", "hashing-trick"),
+)
+def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE HASHING TRICK's collision census — before a pipeline commits
+    to hashing categorical features into a fixed 2^10-slot vector
+    (Weinberger et al. 2009, the sparse-feature workhorse of CTR
+    models and Vowpal Wabbit), it owes this measurement: how many
+    distinct (event_type, props.k) features collide, and how hot the
+    worst slot gets.  The hash is the engine-neutral Knuth
+    multiplicative on a deterministic integer feature id (JSON-shredded
+    k + a CASE-mapped type index — both engines compute the identical
+    slot, unlike a string hash whose implementation differs per
+    engine).  distinct-FIRST: features collapse before slotting, so
+    collision counting is feature-cardinality-sized regardless of
+    event volume.  Output pins the occupancy profile (used slots,
+    colliding features, max load, rate) that decides whether 2^10 is
+    enough dimensions."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    type_idx = F.when(F.col("event_type") == _FH_TYPES[0], 0)
+    for i, t in enumerate(_FH_TYPES[1:], start=1):
+        type_idx = type_idx.when(F.col("event_type") == t, i)
+    type_idx = type_idx.otherwise(9)
+    feature_id = (
+        type_idx * 1000 + F.get_json_object("props", "$.k").cast("long")
+    ).alias("feature_id")
+    feats = ev.select(feature_id).distinct()
+    slotted = feats.select(
+        "feature_id",
+        ((F.col("feature_id") * 2654435761) % 4294967296 % _FH_SLOTS).alias("slot"),
+    )
+    load = slotted.groupBy("slot").agg(F.count(F.lit(1)).cast("long").alias("n_in_slot"))
+    tot = F.broadcast(feats.agg(F.count(F.lit(1)).cast("long").alias("n_features")))
+    return load.crossJoin(tot).groupBy("n_features").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slots_used"),
+        F.sum(F.when(F.col("n_in_slot") > 1, F.col("n_in_slot")).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_features"),
+        F.max("n_in_slot").cast("long").alias("max_slot_load"),
+        round_det(
+            F.sum(F.when(F.col("n_in_slot") > 1, F.col("n_in_slot")).otherwise(0))
+            / (1.0 * F.first("n_features")),
+            6,
+        ).alias("collision_rate"),
+    ).select(
+        "n_features", "n_slots_used", "n_colliding_features", "max_slot_load", "collision_rate"
+    )

@@ -1380,3 +1380,100 @@ def pad_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = _pad_waste_for_k(docs, k)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(greatest(len(list_filter(ws, w -> w = 'the')), 1) AS BIGINT)
+                   AS n_sentences,
+               CAST(list_sum(list_transform(ws,
+                    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                    AS BIGINT) AS n_syllables
+        FROM d WHERE len(ws) > 0
+    ),
+    scored AS (
+        SELECT source,
+               CAST(floor((206.835
+                           - 1.015 * (n_words / (1.0 * n_sentences))
+                           - 84.6 * (n_syllables / (1.0 * n_words))) * 1000
+                          + 0.5 + 1e-8) AS BIGINT) AS flesch_milli
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(flesch_milli) AS BIGINT) AS flesch_milli_total,
+           ROUND(sum(flesch_milli) / (1000.0 * count(*)) + 1e-8, 4) AS avg_flesch,
+           CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli,
+           CAST(max(flesch_milli) AS BIGINT) AS max_flesch_milli
+    FROM scored GROUP BY source
+    """,
+    tags=("pipeline", "text", "readability", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING EASE per source — the grade-level heuristic quality
+    pipelines bolt next to the Gopher rules (`text_gopher_census`) when
+    triaging scraped text: 206.835 - 1.015(words/sentences) -
+    84.6(syllables/word), with syllables approximated by VOWEL-GROUP
+    COUNT (min 1/word, the standard regex heuristic) and sentences by a
+    delimiter count (this corpus has no punctuation, so the stand-in
+    delimiter is the stopword 'the', min 1/doc — the plumbing is the
+    point; on punctuated text swap one regex).  Per-doc scores quantize
+    to milli-points from identically-derived doubles BEFORE the
+    per-source aggregation, so totals and extrema hash exactly.  Pure
+    map over the token array (one regexp per word, JVM-side
+    higher-order functions — no Python) + one hash agg: scan-speed at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    d = docs.select("doc_id", "source", ws.alias("ws")).filter(F.size("ws") > 0)
+    n_words = F.size("ws").cast("long")
+    n_sentences = F.greatest(
+        F.size(F.filter(F.col("ws"), lambda w: w == "the")), F.lit(1)
+    ).cast("long")
+    n_syllables = F.aggregate(
+        F.transform(
+            F.col("ws"),
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))), F.lit(1)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per_doc = d.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    flesch_milli = F.floor(
+        (
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / (1.0 * F.col("n_sentences")))
+            - 84.6 * (F.col("n_syllables") / (1.0 * F.col("n_words")))
+        )
+        * 1000
+        + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    return (
+        per_doc.select("source", flesch_milli.alias("flesch_milli"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("flesch_milli").cast("long").alias("flesch_milli_total"),
+            round_det(F.sum("flesch_milli") / (1000.0 * F.count(F.lit(1))), 4).alias(
+                "avg_flesch"
+            ),
+            F.min("flesch_milli").cast("long").alias("min_flesch_milli"),
+            F.max("flesch_milli").cast("long").alias("max_flesch_milli"),
+        )
+    )
