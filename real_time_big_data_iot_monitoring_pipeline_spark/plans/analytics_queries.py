@@ -3026,3 +3026,202 @@ def kfold_regression_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    mx AS (SELECT max(o_orderdate) AS md FROM orders),
+    per AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.o_orderdate IS NOT NULL
+                    THEN date_diff('day', f.o_orderdate, s.o_orderdate) ELSE
+                         date_diff('day', f.o_orderdate, mx.md) END AS t_days,
+               CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM ranked f
+        LEFT JOIN ranked s ON s.o_custkey = f.o_custkey AND s.rn = 2
+        CROSS JOIN mx
+        WHERE f.rn = 1
+    ),
+    days AS (
+        SELECT t_days, CAST(sum(event) AS BIGINT) AS d,
+               CAST(sum(1 - event) AS BIGINT) AS c
+        FROM per GROUP BY t_days
+    ),
+    n AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM days),
+    curve AS (
+        SELECT t_days, d,
+               n.total
+               - COALESCE(sum(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        FROM days, n
+    ),
+    terms AS (
+        SELECT t_days, d, at_risk,
+               CAST(floor(d / CAST(at_risk AS DOUBLE) * 1000000000 + 0.5 + 1e-8)
+                    AS BIGINT) AS nano
+        FROM curve
+    )
+    SELECT t_days, CAST(at_risk AS BIGINT) AS n_at_risk, d AS d_events,
+           CAST(sum(nano) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_hazard_nano,
+           ROUND(exp(-sum(nano) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+                     / 1000000000.0) + 1e-8, 6) AS fh_survival
+    FROM terms WHERE TRUE QUALIFY d > 0
+    """,
+    tags=("analytics", "survival", "nelson-aalen", "prefix-sum"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard for time-to-repurchase — the
+    survival family's second estimator next to `kaplan_meier_
+    repurchase`: H(t) = sum d_i/n_i over event times, with exp(-H) the
+    Fleming-Harrington survival (tighter than KM in small-risk-set
+    tails, and the quantity Cox models regress on).  Same distributed
+    shape as KM: subjects collapse to the day grain, the at-risk count
+    and the cumulative hazard BOTH ride
+    `operators/windows.global_running_sum` (no single-task window),
+    and each day's d/n increment quantizes to nano-units before the
+    prefix sum so the cumulative integer is order-exact.  Sharing the
+    (t, d, n) table with KM is the production pattern — one pass, both
+    estimators."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("md")))
+    day = lambda c: F.floor(F.unix_seconds(c) / 86400)  # noqa: E731
+    per = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, day(F.col("o_orderdate")))).alias("fd"),
+            F.min(F.when(F.col("rn") == 2, day(F.col("o_orderdate")))).alias("sd"),
+        )
+        .crossJoin(mx)
+        .select(
+            F.coalesce(
+                F.col("sd") - F.col("fd"), day(F.col("md")) - F.col("fd")
+            ).cast("long").alias("t_days"),
+            F.col("sd").isNotNull().cast("long").alias("event"),
+        )
+    )
+    days = per.groupBy("t_days").agg(
+        F.sum("event").alias("d"), F.sum(1 - F.col("event")).alias("c")
+    )
+    days = days.withColumn("dep", F.col("d") + F.col("c"))
+    cum = global_running_sum(days, ["t_days"], "dep", out="cum")
+    curve = cum.select(
+        "t_days",
+        "d",
+        (F.col("_grs_total") - F.col("cum") + F.col("dep")).alias("at_risk"),
+    )
+    term = F.floor(
+        F.col("d") / F.col("at_risk").cast("double") * 1000000000 + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    terms = curve.withColumn("nano", term)
+    haz = global_running_sum(terms, ["t_days"], "nano", out="hsum")
+    return haz.filter(F.col("d") > 0).select(
+        "t_days",
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("hsum").cast("long").alias("cum_hazard_nano"),
+        round_det(F.exp(-F.col("hsum") / 1000000000.0), 6).alias("fh_survival"),
+    )
+
+
+@register(
+    "revenue_bridge_decomposition",
+    oracle="""
+    WITH mn AS (
+        SELECT min(CAST(floor(EXTRACT(epoch FROM o_orderdate) / 86400) AS BIGINT)) AS d0
+        FROM orders
+    ),
+    rows_ AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN CAST(floor(EXTRACT(epoch FROM o.o_orderdate) / 86400) AS BIGINT)
+                         - mn.d0 < 15 THEN 'A' ELSE 'B' END AS period,
+               CAST(round(l.l_quantity, 0) AS BIGINT) AS qty,
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS r4
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        CROSS JOIN mn
+    ),
+    agg AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN period = 'A' THEN qty ELSE 0 END) AS BIGINT) AS q_a,
+               CAST(sum(CASE WHEN period = 'B' THEN qty ELSE 0 END) AS BIGINT) AS q_b,
+               CAST(sum(CASE WHEN period = 'A' THEN r4 ELSE 0 END) AS BIGINT) AS r_a4,
+               CAST(sum(CASE WHEN period = 'B' THEN r4 ELSE 0 END) AS BIGINT) AS r_b4
+        FROM rows_ GROUP BY segment
+    )
+    SELECT segment, q_a, q_b, r_a4, r_b4,
+           CAST((q_b - q_a) * (r_a4 // q_a) AS BIGINT) AS volume_effect4,
+           CAST((r_b4 // q_b - r_a4 // q_a) * q_b AS BIGINT) AS price_effect4,
+           CAST((r_b4 - r_a4)
+                - (q_b - q_a) * (r_a4 // q_a)
+                - (r_b4 // q_b - r_a4 // q_a) * q_b AS BIGINT) AS residual4
+    FROM agg
+    """,
+    tags=("analytics", "finance", "variance-decomposition", "bridge"),
+)
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME REVENUE BRIDGE per market segment — the FP&A
+    decomposition behind every 'why did revenue move' review: between
+    period A (first 15 order days) and period B, the revenue delta
+    splits into a VOLUME effect (quantity change at old unit price)
+    and a PRICE effect (unit-price change at new volume), plus an
+    explicit RESIDUAL so the bridge sums EXACTLY — unit prices are
+    integer-division quantized (1e-4 dollars per unit), and an honest
+    decomposition carries its quantization remainder instead of
+    hiding it (the identity r_b - r_a = volume + price + residual
+    holds bit-exactly in the hash).  All arithmetic is the exact
+    integer revenue idiom (`join_star_revenue`'s cents x (100 -
+    discount-cents) micro-units).  Plan: one 3-table join (orders
+    broadcast-side joins customer), one hash agg, then arithmetic on
+    #segments rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    day = F.floor(F.unix_seconds(F.col("o_orderdate")) / 86400).cast("long")
+    mn = F.broadcast(o.agg(F.min(day).alias("d0")))
+    rows_ = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .crossJoin(mn)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(day - F.col("d0") < 15, F.lit("A")).otherwise(F.lit("B")).alias("period"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+            (
+                as_cents(F.col("l_extendedprice"))
+                * (100 - as_cents(F.col("l_discount")))
+            ).alias("r4"),
+        )
+    )
+    agg = rows_.groupBy("segment").agg(
+        F.sum(F.when(F.col("period") == "A", F.col("qty")).otherwise(0)).cast("long").alias("q_a"),
+        F.sum(F.when(F.col("period") == "B", F.col("qty")).otherwise(0)).cast("long").alias("q_b"),
+        F.sum(F.when(F.col("period") == "A", F.col("r4")).otherwise(0)).cast("long").alias("r_a4"),
+        F.sum(F.when(F.col("period") == "B", F.col("r4")).otherwise(0)).cast("long").alias("r_b4"),
+    )
+    return agg.select(
+        "segment",
+        "q_a",
+        "q_b",
+        "r_a4",
+        "r_b4",
+        F.expr("(q_b - q_a) * (r_a4 div q_a)").cast("long").alias("volume_effect4"),
+        F.expr("(r_b4 div q_b - r_a4 div q_a) * q_b").cast("long").alias("price_effect4"),
+        F.expr(
+            "(r_b4 - r_a4) - (q_b - q_a) * (r_a4 div q_a)"
+            " - (r_b4 div q_b - r_a4 div q_a) * q_b"
+        ).cast("long").alias("residual4"),
+    )
