@@ -992,3 +992,67 @@ def pyds_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+@register(
+    "pyds_incremental_agg_from_cdf",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "change-feed", "incremental-view"),
+)
+def pyds_incremental_agg_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE driven by the manifest table's
+    CHANGE FEED — the composition that makes a table format more than
+    storage: commit v1 seeds a per-sensor (count, sum) aggregate from a
+    full scan; commit v2 appends the feed's second half, and the
+    maintainer reads ONLY the change feed since v1
+    (`pydatasource.read_change_feed` — the new files' rows, never a
+    rescan) and folds the delta into the aggregate.  The hashed result
+    must equal the full-feed aggregate: a change feed that missed a
+    file, replayed an old one, or mislabeled a rewrite as fresh data
+    (the dataChange=false trap `pyds_sink_change_feed` pins) breaks
+    counts or sums.  This is Delta CDF -> streaming-agg / materialized
+    -view maintenance, end-to-end on this repo's own connector; cost is
+    proportional to the DELTA, the whole point of incremental view
+    maintenance (`incremental_agg_merge` is the generic twin)."""
+    import tempfile
+
+    key = "_pyds_cdf_agg_dir"
+    path = getattr(pyds_incremental_agg_from_cdf, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v2.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_cdfagg_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        feed.filter(F.col("reading_id") >= half).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        setattr(pyds_incremental_agg_from_cdf, key, path)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("sensor_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+
+    base, _m = pydatasource.read_manifest(spark, path, version=1)
+    seeded = agg(base)
+    delta_rows, commits = pydatasource.read_change_feed(spark, path, since_version=1)
+    assert all(c["op"] == "append" for c in commits), commits
+    delta = agg(delta_rows.drop("_commit_version"))
+    return (
+        seeded.unionByName(delta)
+        .groupBy("sensor_id")
+        .agg(
+            F.sum("n_readings").cast("long").alias("n_readings"),
+            F.sum("temp_centi_total").cast("long").alias("temp_centi_total"),
+        )
+    )

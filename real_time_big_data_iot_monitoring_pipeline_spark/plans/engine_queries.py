@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents, round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents, round_det, utc_naive
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
 from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
 
@@ -2657,3 +2657,56 @@ def pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_keys
         FROM checked GROUP BY is_valid
     """)
+
+
+@register(
+    "iso_weekday_semantics",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(EXTRACT(epoch FROM o_orderdate) / 86400) AS BIGINT) AS ed,
+               isodow(CAST(o_orderdate AS DATE)) AS builtin_iso,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST((ed + 3) % 7 + 1 AS INT) AS iso_dow,
+           CAST(max(builtin_iso) AS INT) AS builtin_iso,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           ((ed + 3) % 7 + 1 <= 5) AS is_business_day
+    FROM d GROUP BY iso_dow, is_business_day
+    """,
+    tags=("engine", "sql-surface", "calendar", "timezone-proof"),
+)
+def iso_weekday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO WEEKDAY numbering pinned across engines — the calendar trap
+    every cross-engine migration hits once: Spark's dayofweek() is
+    1=Sunday, its weekday() is 0=Monday, DuckDB's dayofweek() is
+    0=Sunday, and only DuckDB ships isodow().  This query derives the
+    ISO day (1=Monday..7=Sunday) from EPOCH-DAY INTEGER ARITHMETIC —
+    (epoch_day + 3) % 7 + 1, anchored on 1970-01-01 being a Thursday —
+    which is simultaneously engine-neutral AND session-timezone-proof
+    (no field extraction on a timestamp; the repo's tz-robustness rule),
+    then CROSS-CHECKS it against each engine's own builtin (weekday()+1
+    on the tz-normalized date in Spark, isodow() in DuckDB): the
+    max(builtin) column hash-matches the derived key only if both
+    builtins agree with the arithmetic on every row.  Business-day
+    revenue rollup rides along as the practical payload."""
+    o = load_table(spark, sf_dir, "orders")
+    ed = F.floor(F.unix_seconds(F.col("o_orderdate")) / 86400).cast("long")
+    d = o.select(
+        ed.alias("ed"),
+        (F.weekday(F.to_date(utc_naive(F.col("o_orderdate")))) + 1).alias("builtin_iso"),
+        as_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    iso = ((F.col("ed") + 3) % 7 + 1).cast("int")
+    return (
+        d.withColumn("iso_dow", iso)
+        .withColumn("is_business_day", F.col("iso_dow") <= 5)
+        .groupBy("iso_dow", "is_business_day")
+        .agg(
+            F.max("builtin_iso").cast("int").alias("builtin_iso"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select("iso_dow", "builtin_iso", "n_orders", "revenue_cents", "is_business_day")
+    )
