@@ -268,6 +268,69 @@ def _footer_stats(path: str, files: list[str]) -> dict:
     return out
 
 
+def _latest_snapshot(path: str) -> dict | None:
+    """Newest COMMITTED snapshot: the highest `_manifest-v*.json` (the
+    ledger — versioned entries are the commit truth, the head pointer is
+    a convenience cache), else the head, else None."""
+    import os
+    import re
+
+    pat = re.compile(r"^_manifest-v(\d+)\.json$")
+    try:
+        versions = [int(m.group(1)) for fn in os.listdir(path) if (m := pat.match(fn))]
+    except FileNotFoundError:
+        return None
+    if versions:
+        with open(os.path.join(path, f"_manifest-v{max(versions)}.json")) as f:
+            return _json.load(f)
+    head = os.path.join(path, "manifest.json")
+    if os.path.exists(head):
+        with open(head) as f:
+            return _json.load(f)
+    return None
+
+
+def _claim_and_publish(path: str, manifest: dict) -> bool:
+    """OPTIMISTIC CONCURRENCY commit: atomically CLAIM
+    `_manifest-v{N}.json` via hard-link creation — `os.link` both fails
+    if the name exists AND materializes the fully-written content in
+    one step, so exactly ONE committer owns each version and no reader
+    can ever observe a partial manifest (Delta's log-entry
+    mutual-exclusion rule, on a plain filesystem).  Two racing writers
+    previously both computed version N and the second `os.replace`
+    silently clobbered the first — committed files orphaned with no
+    error; with the claim, the loser gets False and must RECOMPUTE
+    against the new snapshot and retry at N+1.  After claiming, the
+    head pointer is moved and any momentary regression (a slower racer
+    publishing an older head last) is HEALED by re-pointing at the
+    true newest version."""
+    import os
+    import uuid
+
+    versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
+    tmpc = f"{versioned}.claim-{uuid.uuid4().hex}"
+    with open(tmpc, "w") as f:
+        _json.dump(manifest, f)
+    try:
+        os.link(tmpc, versioned)
+    except FileExistsError:
+        os.remove(tmpc)
+        return False
+    os.remove(tmpc)
+    head = os.path.join(path, "manifest.json")
+    tmp = os.path.join(path, f"_manifest-head-v{manifest['version']}.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(tmp, head)
+    latest = _latest_snapshot(path)
+    if latest is not None and latest.get("version", 0) > manifest["version"]:
+        tmp2 = tmp + ".heal"
+        with open(tmp2, "w") as f:
+            _json.dump(latest, f)
+        os.replace(tmp2, head)
+    return True
+
+
 class ManifestParquetWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -308,34 +371,52 @@ class ManifestParquetWriter(DataSourceWriter):
                     os.path.join(self.path, visible),
                 )
                 files.append(visible)
-        # Version numbering ALWAYS continues from the head manifest —
+        # Version numbering ALWAYS continues from the latest snapshot —
         # overwrite only resets the cumulative file list/row count, never
-        # the version counter.  (Resetting to v1 would os.replace the
+        # the version counter.  (Resetting to v1 would clobber the
         # immutable _manifest-v1.json, breaking the snapshot contract:
         # older versioned manifests must stay readable forever, and an
         # overwrite's prior part files remain on disk precisely so
         # time-travel reads of pre-overwrite versions keep working.)
-        prev_files, prev_rows, prev_version, prev_stats = [], 0, 0, {}
-        head = os.path.join(self.path, "manifest.json")
-        if os.path.exists(head):
-            with open(head) as f:
-                prev = _json.load(f)
-            prev_version = prev.get("version", 0)
-            if not self.overwrite:
+        #
+        # The build-then-claim loop is the OPTIMISTIC CONCURRENCY
+        # protocol: each attempt recomputes the manifest against the
+        # NEWEST snapshot, then tries to claim its version atomically
+        # (`_claim_and_publish`); a lost race means another commit
+        # landed first, so the cumulative lists are stale and must be
+        # rebuilt — never blind-retried.
+        new_stats = _footer_stats(self.path, files)
+        n_new_rows = sum(m.n_rows for m in messages if m is not None)
+        manifest = None
+        for _attempt in range(64):
+            prev = _latest_snapshot(self.path)
+            prev_version = prev.get("version", 0) if prev else 0
+            if prev is not None and not self.overwrite:
                 prev_files, prev_rows = prev["files"], prev["n_rows"]
                 prev_stats = prev.get("stats", {})
-        manifest = {
-            "version": prev_version + 1,
-            "files": sorted(prev_files + files),
-            "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
-            "stats": {**prev_stats, **_footer_stats(self.path, files)},
-            # op lets table-tailing consumers distinguish NEW DATA from
-            # REWRITES: an overwrite (e.g. compaction) lists replacement
-            # files whose rows were already emitted — a change-feed that
-            # treated them as fresh would double-count (Delta's
-            # dataChange=false flag, as a commit-level op).
-            "op": "overwrite" if self.overwrite else "append",
-        }
+            else:
+                prev_files, prev_rows, prev_stats = [], 0, {}
+            manifest = {
+                "version": prev_version + 1,
+                "files": sorted(prev_files + files),
+                "n_rows": prev_rows + n_new_rows,
+                "stats": {**prev_stats, **new_stats},
+                # op lets table-tailing consumers distinguish NEW DATA
+                # from REWRITES: an overwrite (e.g. compaction) lists
+                # replacement files whose rows were already emitted — a
+                # change-feed that treated them as fresh would
+                # double-count (Delta's dataChange=false flag, as a
+                # commit-level op).
+                "op": "overwrite" if self.overwrite else "append",
+            }
+            if self.staged:
+                break
+            if _claim_and_publish(self.path, manifest):
+                return
+        else:
+            raise RuntimeError(
+                "manifest commit contention: could not claim a version in 64 attempts"
+            )
         if self.staged:
             # WAP: the snapshot exists on disk, carries the NEXT version
             # number, and is reachable only via the staged pointer —
@@ -346,14 +427,6 @@ class ManifestParquetWriter(DataSourceWriter):
                 _json.dump(manifest, f)
             os.replace(staged_path + ".tmp", staged_path)
             return
-        tmp = os.path.join(self.path, "_manifest.tmp")
-        with open(tmp, "w") as f:
-            _json.dump(manifest, f)
-        versioned = os.path.join(self.path, f"_manifest-v{manifest['version']}.json")
-        with open(versioned + ".tmp", "w") as f:
-            _json.dump(manifest, f)
-        os.replace(versioned + ".tmp", versioned)
-        os.replace(tmp, head)  # atomic publish of the HEAD pointer
 
     def abort(self, messages):
         import os
@@ -391,47 +464,47 @@ class ManifestStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import os
 
-        head = os.path.join(self.path, "manifest.json")
-        prev_files, prev_rows, prev_version, batches = [], 0, 0, []
-        if os.path.exists(head):
-            with open(head) as f:
-                prev = _json.load(f)
-            prev_files, prev_rows = prev["files"], prev["n_rows"]
-            prev_version = prev.get("version", 0)
-            batches = prev.get("batches", [])
-        if batchId in batches:
-            # replayed epoch: the table already holds this batch — drop
-            # the re-written parts, publish nothing
-            for m in messages:
-                if m is not None and m.filename:
-                    try:
-                        os.remove(os.path.join(self.path, m.filename))
-                    except FileNotFoundError:
-                        pass
-            return
-        files = []
-        for m in messages:
-            if m is not None and m.filename:
-                visible = m.filename.replace("_uncommitted_", f"part-b{batchId}-", 1)
-                os.replace(
-                    os.path.join(self.path, m.filename),
-                    os.path.join(self.path, visible),
-                )
-                files.append(visible)
-        manifest = {
-            "version": prev_version + 1,
-            "files": sorted(prev_files + files),
-            "n_rows": prev_rows + sum(m.n_rows for m in messages if m is not None),
-            "batches": batches + [batchId],
-        }
-        versioned = os.path.join(self.path, f"_manifest-v{manifest['version']}.json")
-        with open(versioned + ".tmp", "w") as f:
-            _json.dump(manifest, f)
-        os.replace(versioned + ".tmp", versioned)
-        tmp = os.path.join(self.path, "_manifest.tmp")
-        with open(tmp, "w") as f:
-            _json.dump(manifest, f)
-        os.replace(tmp, head)
+        files = None
+        n_new_rows = sum(m.n_rows for m in messages if m is not None)
+        for _attempt in range(64):
+            prev = _latest_snapshot(self.path)
+            prev_files = prev["files"] if prev else []
+            prev_rows = prev["n_rows"] if prev else 0
+            prev_version = prev.get("version", 0) if prev else 0
+            batches = prev.get("batches", []) if prev else []
+            if batchId in batches:
+                # replayed epoch: the table already holds this batch —
+                # drop the re-written parts, publish nothing
+                for m in messages:
+                    if m is not None and m.filename:
+                        try:
+                            os.remove(os.path.join(self.path, m.filename))
+                        except FileNotFoundError:
+                            pass
+                return
+            if files is None:  # rename once; retries reuse the visible names
+                files = []
+                for m in messages:
+                    if m is not None and m.filename:
+                        visible = m.filename.replace(
+                            "_uncommitted_", f"part-b{batchId}-", 1
+                        )
+                        os.replace(
+                            os.path.join(self.path, m.filename),
+                            os.path.join(self.path, visible),
+                        )
+                        files.append(visible)
+            manifest = {
+                "version": prev_version + 1,
+                "files": sorted(prev_files + files),
+                "n_rows": prev_rows + n_new_rows,
+                "batches": batches + [batchId],
+            }
+            if _claim_and_publish(self.path, manifest):
+                return
+        raise RuntimeError(
+            "manifest stream commit contention: could not claim a version in 64 attempts"
+        )
 
     def abort(self, messages, batchId: int) -> None:
         import os
@@ -740,20 +813,20 @@ def publish_staged(path: str) -> dict:
     staged_path = os.path.join(path, "_staged-manifest.json")
     with open(staged_path) as f:
         manifest = _json.load(f)
-    head = os.path.join(path, "manifest.json")
-    head_version = 0
-    if os.path.exists(head):
-        with open(head) as f:
-            head_version = _json.load(f).get("version", 0)
+    latest = _latest_snapshot(path)
+    head_version = latest.get("version", 0) if latest else 0
     if manifest["version"] != head_version + 1:
         raise RuntimeError(
             f"staged snapshot v{manifest['version']} no longer applies: head is v{head_version}"
         )
-    versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
-    with open(versioned + ".tmp", "w") as f:
-        _json.dump(manifest, f)
-    os.replace(versioned + ".tmp", versioned)
-    os.replace(staged_path, head)  # the atomic publish
+    # the atomic publish is the same OCC claim every commit uses — a
+    # commit racing between the check above and the claim loses cleanly
+    if not _claim_and_publish(path, manifest):
+        raise RuntimeError(
+            f"staged snapshot v{manifest['version']} no longer applies: "
+            "a concurrent commit claimed that version"
+        )
+    os.remove(staged_path)
     return manifest
 
 
@@ -857,14 +930,14 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         # deletion half of CDC that an insert-only row feed cannot carry)
         "predicate": {"col": col, "lo": lo, "hi": hi},
     }
-    versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
-    with open(versioned + ".tmp", "w") as f:
-        _json.dump(manifest, f)
-    os.replace(versioned + ".tmp", versioned)
-    tmp = os.path.join(path, "_manifest.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f)
-    os.replace(tmp, head_path)
+    # maintenance ops are OCC committers like any writer: claim or fail
+    # loudly (the caller re-reads the new snapshot and re-plans the
+    # delete — blind retry would delete against stale file lists)
+    if not _claim_and_publish(path, manifest):
+        raise RuntimeError(
+            f"delete_where lost the commit race for v{manifest['version']}: "
+            "re-read the table and retry"
+        )
     return {
         "n_deleted": n_deleted,
         "n_files_rewritten": len(touched),

@@ -594,3 +594,55 @@ def test_pyds_bloom_index_incremental_refresh(spark, tmp_path):
         spark, path, "k", 5_000_000
     )
     assert n_total == 3 and n_scanned == 1 and hit.count() == 1
+
+
+def test_pyds_concurrent_commits_no_clobber(tmp_path):
+    """Two writers committing from the same base snapshot must BOTH land:
+    the OCC claim (`_claim_and_publish`) forces the race loser to rebuild
+    against the winner's snapshot and commit as the next version.  Before
+    the claim protocol, both computed v1 and the second os.replace
+    silently orphaned the first commit's files (head would show one file
+    and half the rows, with no error)."""
+    import json
+    import os
+    import threading
+
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+    )
+
+    path = str(tmp_path / "occ")
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def writer(lo: int, hi: int) -> None:
+        try:
+            w = ManifestParquetWriter({"path": path}, overwrite=False)
+            msg = w.write(iter([Row(k=i) for i in range(lo, hi)]))
+            barrier.wait()  # both parts staged before either commits
+            w.commit([msg])
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(0, 10)),
+        threading.Thread(target=writer, args=(10, 30)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    with open(os.path.join(path, "_manifest-v2.json")) as f:
+        head = json.load(f)
+    assert head["version"] == 2
+    assert head["n_rows"] == 30 and len(head["files"]) == 2
+    # both versioned snapshots exist and v1 is a strict subset of v2
+    with open(os.path.join(path, "_manifest-v1.json")) as f:
+        v1 = json.load(f)
+    assert set(v1["files"]) < set(head["files"])
+    # the head pointer agrees with the newest versioned manifest
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert json.load(f)["version"] == 2
