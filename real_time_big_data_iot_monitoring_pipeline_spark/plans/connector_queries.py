@@ -1056,3 +1056,56 @@ def pyds_incremental_agg_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("temp_centi_total").cast("long").alias("temp_centi_total"),
         )
     )
+
+
+@register(
+    "pyds_optimize_zorder_pruning",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed
+    WHERE sensor_id BETWEEN 8 AND 11 GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "zorder", "file-skipping"),
+)
+def pyds_optimize_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER applied to the table format's own write path: the
+    feed lands HASH-SCATTERED (8 files, every file spans all sensors and
+    all reading ids — min/max stats prune nothing on either column),
+    then `pydatasource.optimize_zorder` rewrites it clustered on the
+    interleaved (sensor_id, reading_id mod 256) key, and the hashed
+    query answers a sensor-range question THROUGH the stats-pruned read
+    path (`read_manifest_pruned` — the predicate is re-applied plan-side
+    per the superset contract).  The rewrite is an OCC overwrite commit:
+    time travel to the pre-optimize snapshot still works, the change
+    feed emits no rows for it, and the unit test pins the actual file
+    counts (scatter scans all, post-zorder scans ~the sensor band).
+    This closes the loop from `layout_zorder_stats`' measured argument
+    to an executable OPTIMIZE verb on this repo's own table."""
+    import tempfile
+
+    key = "_pyds_zorder_dir"
+    path = getattr(pyds_optimize_zorder_pruning, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v2.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_zorder_"), "out")
+        pydatasource.register_sink(spark)
+        _read(spark).repartition(8, "reading_id").write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.optimize_zorder(
+            spark, path, ("sensor_id", "reading_id"), bits=8, n_files=16
+        )
+        setattr(pyds_optimize_zorder_pruning, key, path)
+    pruned, _scanned, _total = pydatasource.read_manifest_pruned(
+        spark, path, "sensor_id", 8, 11
+    )
+    return (
+        pruned.filter(F.col("sensor_id").between(8, 11))
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+    )

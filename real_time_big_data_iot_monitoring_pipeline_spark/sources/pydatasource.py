@@ -791,6 +791,50 @@ def read_manifest_bloom_pruned(spark, path: str, col: str, value, version: int |
     return df, len(keep), len(files)
 
 
+def optimize_zorder(
+    spark, path: str, cols: tuple[str, str], bits: int = 8, n_files: int = 16
+) -> dict:
+    """OPTIMIZE ZORDER on the manifest table — the layout-rewrite verb
+    (Delta OPTIMIZE ZORDER BY / Iceberg rewrite_data_files sort-order)
+    that turns the min/max footer stats (`_footer_stats`) into a
+    MULTI-column file skipper: read the current snapshot, interleave the
+    bits of the two (numeric, mod 2^bits) clustering columns into a
+    Morton z-value, range-repartition along it, and commit the rewritten
+    files as an OVERWRITE (op records a rewrite: the change feed emits
+    no rows — dataChange=false — and prior snapshots stay time-travel
+    readable; VACUUM reclaims the old files later).  After the rewrite
+    every file covers a ~sqrt-sized rectangle of the (col1, col2) grid,
+    so `read_manifest_pruned` skips on BOTH dimensions where a
+    single-key sort helps only one (the measured argument lives in
+    `layout_zorder_stats`/`layout_hilbert_stats`; this applies it to
+    the table format's own write path).  Commits through the same OCC
+    claim as every writer."""
+    from pyspark.sql import functions as F
+
+    assert len(cols) == 2, "z-order rewrite clusters exactly two columns"
+    df, _manifest = read_manifest(spark, path)
+    a, b = cols
+    terms = []
+    for i in range(bits):
+        p = 1 << i
+        terms.append(f"(((({a}) % {1 << bits}) div {p}) % 2) * {4 ** i}")
+        terms.append(f"(((({b}) % {1 << bits}) div {p}) % 2) * {2 * 4 ** i}")
+    z = df.withColumn("__z", F.expr(" + ".join(terms)))
+    register_sink(spark)
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format("rtbd_manifest_sink")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    out = _latest_snapshot(path)
+    assert out is not None
+    return out
+
+
 def read_staged(spark, path: str):
     """Audit-side read of a WAP-staged snapshot (the staged pointer, not
     the head): the candidate table exactly as it would look after

@@ -646,3 +646,42 @@ def test_pyds_concurrent_commits_no_clobber(tmp_path):
     # the head pointer agrees with the newest versioned manifest
     with open(os.path.join(path, "manifest.json")) as f:
         assert json.load(f)["version"] == 2
+
+
+def test_pyds_optimize_zorder_enables_two_dim_pruning(spark, tmp_path):
+    """Before OPTIMIZE ZORDER a hash-scattered layout scans every file on
+    either dimension; after the rewrite, stats pruning skips on BOTH
+    clustering columns, old snapshots stay readable, and the change feed
+    records the rewrite without emitting rows."""
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    path = str(tmp_path / "zopt")
+    pydatasource.register_sink(spark)
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 64).cast("int").alias("a"), (F.col("id") % 256).cast("int").alias("b")
+    )
+    df.repartition(8, "a", "b").write.format("rtbd_manifest_sink").option(
+        "path", path
+    ).mode("append").save()
+
+    _d, n_a, tot = pydatasource.read_manifest_pruned(spark, path, "a", 10, 13)
+    _d, n_b, _ = pydatasource.read_manifest_pruned(spark, path, "b", 0, 31)
+    assert (n_a, n_b, tot) == (8, 8, 8)  # scatter: no pruning anywhere
+
+    pydatasource.optimize_zorder(spark, path, ("a", "b"), bits=8, n_files=16)
+    da, n_a2, tot2 = pydatasource.read_manifest_pruned(spark, path, "a", 10, 13)
+    db, n_b2, _ = pydatasource.read_manifest_pruned(spark, path, "b", 0, 31)
+    assert tot2 == 16
+    assert n_a2 < 8 and n_b2 < 8  # both dimensions now prune
+    assert da.filter(F.col("a").between(10, 13)).count() == 8000 * 4 // 64
+    # b = id % 256 over 8000 ids: values 0..63 occur 32x (8000 = 31*256 + 64)
+    assert db.filter(F.col("b").between(0, 31)).count() == 32 * 32
+
+    # snapshot contract: v1 (pre-optimize) still time-travels; the
+    # rewrite commit is an overwrite the change feed carries row-free
+    v1, m1 = pydatasource.read_manifest(spark, path, version=1)
+    assert v1.count() == 8000 and m1["version"] == 1
+    rows, commits = pydatasource.read_change_feed(spark, path, since_version=1)
+    assert rows.count() == 0 and commits[-1]["op"] == "overwrite"
