@@ -1501,3 +1501,83 @@ def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_features", "n_slots_used", "n_colliding_features", "max_slot_load", "collision_rate"
     )
+
+
+@register(
+    "quantile_normalize_feature",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+               count(*) OVER () AS n_total
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS srank,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    ),
+    target AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN n_src > 1
+                    THEN 1 + ((srank - 1) * ((SELECT max(n_total) FROM g) - 1)) // (n_src - 1)
+                    ELSE 1 + ((SELECT max(n_total) FROM g) - 1) // 2
+               END AS gidx
+        FROM s
+    )
+    SELECT t.doc_id, t.source, CAST(t.n_chars AS BIGINT) AS n_chars,
+           CAST(g.n_chars AS BIGINT) AS qnorm_chars
+    FROM target t JOIN g ON g.grank = t.gidx
+    """,
+    tags=("mlprep", "feature-prep", "quantile-normalization", "global-ntile"),
+)
+def quantile_normalize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of a per-source feature onto the pooled
+    distribution — the cross-batch feature alignment trick (Bolstad et
+    al. 2003, microarrays; today: making quality scores comparable
+    across scraped sources whose raw scales drift): each document's
+    n_chars maps to its WITHIN-SOURCE rank percentile, then reads off
+    the GLOBAL value at that percentile, so every source's normalized
+    distribution is the same pooled one.  All rank arithmetic is
+    INTEGER (target index = 1 + (r-1)(N-1) div (n-1), singleton
+    sources hit the pooled median) — no float percentiles, so the
+    per-document mapping hashes exactly.  Scale: within-source ranks
+    are group-parallel windows; the POOLED ranking rides
+    `global_row_number` (range-partition kernel, no single-task sort);
+    the percentile lookup is an equi-join on the global rank —
+    data-sized but shuffle-keyed, never broadcast-sized."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = global_row_number(docs, [F.col("n_chars"), F.col("doc_id")], out="grank")
+    tot = F.broadcast(g.agg(F.max("grank").alias("n_total")))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    s = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("srank"),
+        F.count(F.lit(1)).over(wc).alias("n_src"),
+    )
+    target = s.crossJoin(tot).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("n_src") > 1,
+            1 + F.expr("((srank - 1) * (n_total - 1)) div (n_src - 1)"),
+        )
+        .otherwise(1 + F.expr("(n_total - 1) div 2"))
+        .alias("gidx"),
+    )
+    lookup = g.select(F.col("grank").alias("gidx"), F.col("n_chars").alias("qnorm_chars"))
+    return target.join(lookup, "gidx").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("qnorm_chars").cast("long").alias("qnorm_chars"),
+    )
