@@ -83,7 +83,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # feature_hashing_collisions, kfold_regression_stability,
 # nelson_aalen_hazard, revenue_bridge_decomposition,
 # iso_weekday_semantics, pyds_incremental_agg_from_cdf,
-# pyds_optimize_zorder_pruning).
+# pyds_optimize_zorder_pruning, quantile_normalize_feature,
+# rag_context_packing).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

@@ -1069,8 +1069,7 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer sum — same cross-engine precedent as the BM25 1e-4 units.
 _RRF_K, _RRF_LEG_K, _RRF_TOPK, _RRF_N_QUERIES = 60, 20, 5, 4
 
-_RRF_SQL = f"""
-    WITH toks AS (
+_RRF_CTES = f"""toks AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term
         FROM documents
     ),
@@ -1128,6 +1127,10 @@ _RRF_SQL = f"""
         FROM lex l FULL OUTER JOIN sem s
           ON l.query_id = s.query_id AND l.doc_id = s.doc_id
     )
+    """
+
+_RRF_SQL = f"""
+    WITH {_RRF_CTES}
     SELECT CAST(query_id AS INT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
            lex_rank, sem_rank, CAST(rrf_nano AS BIGINT) AS rrf_nano, CAST(rnk AS INT) AS rnk
     FROM (
@@ -1161,6 +1164,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum and rank flips cannot come from float ulps.  Reference
     anchor: retrieval surface per BASELINE.json north-star; RRF per
     Cormack/Clarke/Buettcher SIGIR'09 (public)."""
+    return (
+        _rrf_ranked(spark, sf_dir)
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_nano", "rnk")
+    )
+
+
+def _rrf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused RRF candidate list with a per-query rank (unfiltered) —
+    shared by `hybrid_search_rrf` (top-5 report) and
+    `rag_context_packing` (top-20 packing pool)."""
     from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
 
     lex = _bm25_scored(spark, sf_dir)
@@ -1200,12 +1214,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_nano", (contrib_l + contrib_s).cast("long")
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), "doc_id")
-    return (
-        fused.withColumn("rnk", F.row_number().over(wf))
-        .filter(F.col("rnk") <= _RRF_TOPK)
-        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_nano",
-                F.col("rnk").cast("int").alias("rnk"))
-    )
+    return fused.withColumn("rnk", F.row_number().over(wf).cast("int"))
 
 
 @register(
@@ -1580,4 +1589,84 @@ def quantile_normalize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("qnorm_chars").cast("long").alias("qnorm_chars"),
+    )
+
+
+_RAG_POOL_K, _RAG_TOKEN_BUDGET = 20, 256
+
+
+@register(
+    "rag_context_packing",
+    oracle=f"""
+    WITH {_RRF_CTES},
+    ranked AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_nano DESC, doc_id) AS rnk
+            FROM fused
+        ) WHERE rnk <= {_RAG_POOL_K}
+    ),
+    dtoks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    walk AS (
+        SELECT r.query_id, r.rnk, d.n_tokens,
+               sum(d.n_tokens) OVER (PARTITION BY r.query_id ORDER BY r.rnk
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ranked r JOIN dtoks d ON d.doc_id = r.doc_id
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE cum <= {_RAG_TOKEN_BUDGET}) AS BIGINT)
+               AS n_selected,
+           CAST(COALESCE(max(cum) FILTER (WHERE cum <= {_RAG_TOKEN_BUDGET}), 0)
+                AS BIGINT) AS tokens_used,
+           CAST(min(rnk) FILTER (WHERE cum > {_RAG_TOKEN_BUDGET}) AS INT)
+               AS first_dropped_rnk,
+           CAST(count(*) AS BIGINT) AS n_candidates
+    FROM walk GROUP BY query_id
+    """,
+    tags=("mlprep", "retrieval", "rag", "context-packing"),
+)
+def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW PACKING of retrieved chunks — the step between
+    `hybrid_search_rrf` and the prompt: walk each query's fused top-20
+    in rank order and keep the PREFIX whose cumulative token count fits
+    the {_RAG_TOKEN_BUDGET}-token context budget (greedy
+    best-ranked-first, the standard RAG packer; `corpus_pack_sequences`
+    is the training-side cousin).  The greedy prefix is a running-sum
+    window over a (queries x 20)-row frame — bounded by construction —
+    joined to per-doc token counts, everything integer; the hashed
+    report pins per query how many chunks fit, the tokens used, and
+    the first rank the budget evicted.  At scale the candidate list is
+    already bounded per query, so packing cost never depends on corpus
+    size."""
+    ranked = (
+        _rrf_ranked(spark, sf_dir)
+        .filter(F.col("rnk") <= _RAG_POOL_K)
+        .select("query_id", "doc_id", "rnk")
+    )
+    dtoks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ww = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = ranked.join(dtoks, "doc_id").withColumn("cum", F.sum("n_tokens").over(ww))
+    fits = F.col("cum") <= _RAG_TOKEN_BUDGET
+    return walk.groupBy("query_id").agg(
+        F.count(F.when(fits, 1)).cast("long").alias("n_selected"),
+        F.coalesce(F.max(F.when(fits, F.col("cum"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_used"),
+        F.min(F.when(~fits, F.col("rnk"))).cast("int").alias("first_dropped_rnk"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
     )
