@@ -3225,3 +3225,152 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (r_b4 div q_b - r_a4 div q_a) * q_b"
         ).cast("long").alias("residual4"),
     )
+
+
+# two-sided alpha=.05 / power=.80 normal quantiles, fixed literals in
+# both engines (the closed-form power calculation's only constants)
+_Z_ALPHA, _Z_BETA = 1.959963984540054, 0.8416212335729143
+
+
+@register(
+    "ab_power_mde",
+    oracle=f"""
+    WITH mn AS (
+        SELECT min(CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT)) AS d0
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(sum(CASE WHEN CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) - d0 < 15
+                             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) - d0 >= 15
+                             THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN mn GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        FROM mom
+    ),
+    adj AS (
+        SELECT arm, y,
+               CAST(floor((y - th * (x - xbar)) * 100 + 0.5 + 1e-8) AS BIGINT) AS y2
+        FROM per_user CROSS JOIN theta
+    ),
+    counts AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(y2) AS BIGINT) AS sy2, CAST(sum(y2 * y2) AS BIGINT) AS sy2y2
+        FROM adj
+    ),
+    metric_variants AS (
+        SELECT 'raw' AS metric, n_a, n_b,
+               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_cents2
+        FROM counts
+        UNION ALL
+        SELECT 'cuped', n_a, n_b,
+               (CAST(n AS DOUBLE) * sy2y2 - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 10000.0 AS var_cents2
+        FROM counts
+    )
+    SELECT metric, n_a, n_b,
+           ROUND(var_cents2 + 1e-8, 4) AS var_cents2,
+           ROUND(({_Z_ALPHA!r} + {_Z_BETA!r})
+                 * sqrt(var_cents2 * (1.0 / n_a + 1.0 / n_b)) + 1e-8, 4) AS mde_cents
+    FROM metric_variants
+    """,
+    tags=("analytics", "experimentation", "power-analysis"),
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT for the A/B stack, before and after
+    CUPED — the sizing arithmetic every experiment review starts with:
+    MDE = (z_alpha/2 + z_beta) * sqrt(var * (1/n_A + 1/n_B)) at the
+    standard 5%/80% operating point (z constants are fixed literals in
+    both engines), evaluated on the raw per-user metric AND on the
+    CUPED-adjusted one — making `ab_cuped_adjustment`'s variance
+    reduction legible as the thing practitioners actually feel: a
+    smaller detectable effect at the same traffic.  Variances come
+    from exact integer moments with the op sequence spelled identically
+    in both engines; the adjusted metric reuses the centi-cent
+    quantization.  One per-user aggregate + a 1-row moment pipeline —
+    nothing here is data-sized after the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    mn = F.broadcast(ev.agg(F.min(day).alias("d0")))
+    cents = as_cents(F.col("value"))
+    per_user = (
+        ev.crossJoin(mn)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(day - F.col("d0") < 15, cents).otherwise(0)).cast("long").alias("x"),
+            F.sum(F.when(day - F.col("d0") >= 15, cents).otherwise(0)).cast("long").alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    mom = F.broadcast(
+        per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        ).select(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+            ).alias("th"),
+            F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("xbar"),
+        )
+    )
+    adj = per_user.crossJoin(mom).select(
+        "arm",
+        "y",
+        F.expr("CAST(floor((y - th * (x - xbar)) * 100 + 0.5 + 1e-8) AS BIGINT)").alias("y2"),
+    )
+    counts = adj.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("y2").cast("long").alias("sy2"),
+        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("sy2y2"),
+    )
+    raw = counts.select(
+        F.lit("raw").alias("metric"),
+        "n_a",
+        "n_b",
+        F.expr(
+            "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))"
+        ).alias("var_cents2"),
+    )
+    cuped = counts.select(
+        F.lit("cuped").alias("metric"),
+        "n_a",
+        "n_b",
+        F.expr(
+            "(CAST(n AS DOUBLE) * sy2y2 - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 10000.0"
+        ).alias("var_cents2"),
+    )
+    both = raw.unionByName(cuped)
+    return both.select(
+        "metric",
+        "n_a",
+        "n_b",
+        round_det(F.col("var_cents2"), 4).alias("var_cents2"),
+        round_det(
+            (F.lit(_Z_ALPHA) + F.lit(_Z_BETA))
+            * F.sqrt(F.col("var_cents2") * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            4,
+        ).alias("mde_cents"),
+    )
