@@ -1670,3 +1670,90 @@ def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(~fits, F.col("rnk"))).cast("int").alias("first_dropped_rnk"),
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
     )
+
+
+@register(
+    "source_ablation_probe",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT e.vec_id, d.source,
+               CASE WHEN (list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}]) > 0)
+                         = (label >= 5) THEN 1 ELSE 0 END AS correct
+        FROM e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(correct) AS BIGINT) AS c_all
+        FROM scored
+    ),
+    per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+               CAST(sum(correct) AS BIGINT) AS c_src
+        FROM scored GROUP BY source
+    )
+    SELECT source, n_src,
+           CAST((c_src * 1000000) // n_src AS BIGINT) AS acc_within_micro,
+           CAST(((c_all - c_src) * 1000000) // (n_all - n_src) AS BIGINT)
+               AS acc_without_micro,
+           CAST((c_all * 1000000) // n_all
+                - ((c_all - c_src) * 1000000) // (n_all - n_src) AS BIGINT)
+               AS delta_micro
+    FROM per CROSS JOIN tot
+    """,
+    tags=("mlprep", "ml-eval", "data-valuation", "ablation"),
+)
+def source_ablation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE ABLATION census — the leave-one-source-out view that data
+    valuation starts from: with the fixed linear probe as the scorer
+    (retraining-free ablation, the honest cheap variant of
+    Data-Shapley-style valuation), each source reports its in-source
+    accuracy, the corpus accuracy WITHOUT it, and the delta the source
+    contributes to the headline number — the evidence a curation
+    pipeline needs before up/down-weighting a source in the mixture
+    (`corpus_sample_mixture` consumes exactly such verdicts).  The
+    embeddings join their documents by the id bridge (vec_id = doc_id).
+    All accuracies are integer-division micro-units from exact correct
+    counts — leave-one-out needs NO second pass because the probe is
+    fixed: ablated accuracy is just (C - c_s)/(N - n_s) on integers.
+    One scan, one agg, a 1-row broadcast."""
+    e = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    q = similarity._qvec(F.col("embedding"))
+    w = F.array(*[F.lit(v) for v in _PROBE_W])
+    dot = similarity._dot(q, w)
+    scored = e.join(docs, "vec_id").select(
+        "source",
+        ((dot > 0) == (F.col("label") >= 5)).cast("long").alias("correct"),
+    )
+    tot = F.broadcast(
+        scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum("correct").cast("long").alias("c_all"),
+        )
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("correct").cast("long").alias("c_src"),
+    )
+    return per.crossJoin(tot).select(
+        "source",
+        "n_src",
+        F.expr("(c_src * 1000000) div n_src").cast("long").alias("acc_within_micro"),
+        F.expr("((c_all - c_src) * 1000000) div (n_all - n_src)")
+        .cast("long")
+        .alias("acc_without_micro"),
+        F.expr(
+            "(c_all * 1000000) div n_all"
+            " - ((c_all - c_src) * 1000000) div (n_all - n_src)"
+        )
+        .cast("long")
+        .alias("delta_micro"),
+    )
