@@ -3374,3 +3374,61 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mde_cents"),
     )
+
+
+@register(
+    "cluster_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT b.b,
+               CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+               {_pois1_case("((e.user_id * 2654435761 + b.b * 40503) % 4294967296) / 4294967296.0")} AS w
+        FROM events e, (SELECT unnest(generate_series(0, 31)) AS b) b
+    ),
+    means AS (
+        SELECT b, sum(w * cents) AS wsum, sum(w) AS n
+        FROM reps GROUP BY b HAVING sum(w) > 0
+    ),
+    stats AS (
+        SELECT ROUND(wsum / (100.0 * n) + 1e-8, 4) AS m FROM means
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           ROUND(avg(m) + 1e-8, 4) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025) + 1e-8, 4) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975) + 1e-8, 4) AS ci_hi
+    FROM stats
+    """,
+    tags=("analytics", "bootstrap", "cluster-resampling", "confidence-interval"),
+)
+def cluster_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER (user-level) bootstrap CI for the mean event value — the
+    statistically-correct resampling when observations are CORRELATED
+    within users: `poisson_bootstrap_ci` resamples ROWS independently,
+    which understates variance whenever a user's events co-move (the
+    classic A/B pitfall; Bakshy & Eckles 2013); here the Poisson(1)
+    weight is drawn per (USER, replicate) — hash-derived from user_id,
+    so every event of a user shares its replicate weight and whole
+    clusters enter or leave a resample together.  Same one-scan x32
+    fan-out plan as the row bootstrap (the only change is WHICH id
+    seeds the hash — the cost profile is identical), exact integer
+    cents, exact percentile over the 32-replicate frame.  Run next to
+    `poisson_bootstrap_ci` the widened interval IS the
+    intra-user-correlation diagnostic."""
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    reps = e.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+    w = F.expr(
+        _pois1_case("((user_id * 2654435761 + b * 40503) % 4294967296) / 4294967296.0")
+    )
+    means = (
+        reps.select("b", as_cents(F.col("value")).alias("cents"), w.alias("w"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("wsum"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(round_det(F.col("wsum") / (100.0 * F.col("n")), 4).alias("m"))
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        round_det(F.avg("m"), 4).alias("boot_mean"),
+        round_det(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        round_det(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
