@@ -1757,3 +1757,107 @@ def source_ablation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_micro"),
     )
+
+
+_FERTILITY_ORACLE = (
+    _BPE_ORACLE[: _BPE_ORACLE.index("\n    SELECT * FROM (")]
+    + ","
+    + """
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    e0 AS (
+        SELECT doc_id, ',' || array_to_string(string_split(word, ''), ',') || ',' AS enc
+        FROM dw
+    ),"""
+    + ",".join(_BPE_APPLY_ROUND.format(i=i, p=i - 1) for i in (1, 2, 3, 4, 5))
+    + """,
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(len(list_filter(string_split(enc, ','), x -> x <> '')))
+                    AS BIGINT) AS n_tokens,
+               CAST(sum(length(replace(enc, ',', ''))) AS BIGINT) AS n_chars_detok
+        FROM e5 GROUP BY doc_id
+    ),
+    orig AS (
+        SELECT doc_id, CAST(sum(length(word)) AS BIGINT) AS n_chars
+        FROM dw GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           CAST((sum(p.n_tokens) * 1000000) // sum(p.n_words) AS BIGINT)
+               AS fertility_micro,
+           CAST((sum(o.n_chars) * 1000000) // sum(p.n_tokens) AS BIGINT)
+               AS chars_per_token_micro,
+           CAST(sum(CASE WHEN p.n_chars_detok <> o.n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_roundtrip_fail
+    FROM per_doc p
+    JOIN orig o ON o.doc_id = p.doc_id
+    JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang
+    """
+)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=_FERTILITY_ORACLE,
+    tags=("mlprep", "text", "tokenizer", "ml-eval"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — the standard tokenizer-equity
+    metric (tokens per word; its inverse, chars per token, is the
+    compression view): a tokenizer trained mostly on one language
+    fragments the others into more tokens, inflating their effective
+    cost per word — the measurement multilingual-model reports lead
+    with (XLM-R / NLLB evals, public).  Encodes every document with the
+    `bpe_train_merges` tokenizer (same chained-replace application as
+    `bpe_apply_tokenize`), aggregates per document language, and
+    carries a ROUNDTRIP AUDIT column: detokenized character mass must
+    equal the original word character mass per document (BPE merges
+    only ever concatenate, so any difference means the encode path
+    corrupted text — n_roundtrip_fail must hash as 0).  Fertility
+    ratios are integer-division micro-units.  Plan: per-word map +
+    per-doc agg + broadcast lang join — scan-speed."""
+    merges = REGISTRY_LOOKUP("bpe_train_merges").build(spark, sf_dir).orderBy("round").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    enc = F.concat(F.lit(","), F.array_join(F.split("word", ""), ","), F.lit(","))
+    for m in merges:
+        enc = F.replace(enc, F.lit(f",{m.sym_a},{m.sym_b},"), F.lit(f",{m.sym_a}{m.sym_b},"))
+    toks = F.size(F.filter(F.split(enc, ","), lambda x: x != F.lit("")))
+    per_doc = dw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.replace(enc, F.lit(","), F.lit("")))).cast("long").alias(
+            "n_chars_detok"
+        ),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+    )
+    lang = docs.select("doc_id", "lang")
+    return (
+        per_doc.join(F.broadcast(lang), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(sum(n_tokens) * 1000000) div sum(n_words)")
+            .cast("long")
+            .alias("fertility_micro"),
+            F.expr("(sum(n_chars) * 1000000) div sum(n_tokens)")
+            .cast("long")
+            .alias("chars_per_token_micro"),
+            F.sum(F.when(F.col("n_chars_detok") != F.col("n_chars"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_roundtrip_fail"),
+        )
+    )
