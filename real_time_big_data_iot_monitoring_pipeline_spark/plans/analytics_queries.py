@@ -3432,3 +3432,165 @@ def cluster_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
         round_det(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "robust_stl_decomposition",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS d,
+               CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000) // count(*)
+                    AS BIGINT) AS m6
+        FROM events GROUP BY 1, 2
+    ),
+    mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT event_type, d - d0 AS i, (d + 3) % 7 + 1 AS iso_dow, m6
+        FROM daily CROSS JOIN mn
+    ),
+    slopes AS (
+        SELECT event_type, slope_nano FROM (
+            SELECT a.event_type,
+                   CAST(floor(((b.m6 - a.m6) / CAST(b.i - a.i AS DOUBLE)) * 1000
+                              + 0.5 + 1e-8) AS BIGINT) AS slope_nano,
+                   row_number() OVER (PARTITION BY a.event_type
+                                      ORDER BY floor(((b.m6 - a.m6) / CAST(b.i - a.i AS DOUBLE))
+                                                     * 1000 + 0.5 + 1e-8),
+                                               a.i, b.i) AS rn,
+                   count(*) OVER (PARTITION BY a.event_type) AS n
+            FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+        ) WHERE rn = (n + 1) // 2
+    ),
+    detrended AS (
+        SELECT i.event_type, i.iso_dow,
+               i.m6 - (s.slope_nano * i.i) // 1000 AS r
+        FROM idx i JOIN slopes s ON s.event_type = i.event_type
+    ),
+    seasonal AS (
+        SELECT event_type, iso_dow, r AS seasonal_med, n AS n_days FROM (
+            SELECT event_type, iso_dow, r,
+                   row_number() OVER (PARTITION BY event_type, iso_dow ORDER BY r) AS rn,
+                   count(*) OVER (PARTITION BY event_type, iso_dow) AS n
+            FROM detrended
+        ) WHERE rn = (n + 1) // 2
+    ),
+    resid AS (
+        SELECT d.event_type, d.iso_dow, abs(d.r - s.seasonal_med) AS ae
+        FROM detrended d
+        JOIN seasonal s ON s.event_type = d.event_type AND s.iso_dow = d.iso_dow
+    ),
+    mad AS (
+        SELECT event_type, iso_dow, ae AS resid_mad FROM (
+            SELECT event_type, iso_dow, ae,
+                   row_number() OVER (PARTITION BY event_type, iso_dow ORDER BY ae) AS rn,
+                   count(*) OVER (PARTITION BY event_type, iso_dow) AS n
+            FROM resid
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT s.event_type, CAST(s.iso_dow AS INT) AS iso_dow,
+           sl.slope_nano,
+           CAST(s.seasonal_med AS BIGINT) AS seasonal_med,
+           CAST(s.n_days AS BIGINT) AS n_days,
+           CAST(m.resid_mad AS BIGINT) AS resid_mad
+    FROM seasonal s
+    JOIN slopes sl ON sl.event_type = s.event_type
+    JOIN mad m ON m.event_type = s.event_type AND m.iso_dow = s.iso_dow
+    """,
+    tags=("analytics", "robust", "decomposition", "seasonality"),
+)
+def robust_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST trend/seasonal/residual decomposition (STL's shape with
+    rank statistics instead of loess): per event type, (1) the TREND is
+    the Theil-Sen lower-median slope over the daily series, (2) the
+    SEASONAL component is the lower-median of the detrended values per
+    ISO weekday — medians, not means, so one wild day cannot print a
+    fake seasonality — and (3) the RESIDUAL scale is the per-weekday
+    MAD of what remains, the robust sigma a seasonal anomaly detector
+    thresholds on (`seasonal_anomaly_census` is the mean/stddev
+    cousin; this is the outlier-resistant production variant).  Every
+    component is integer-exact: daily means by integer division, slopes
+    quantized to nano-units with the lower-median rank rule, detrending
+    by integer slope*day div, weekday medians and MADs as order
+    statistics.  Everything after the daily aggregate is
+    calendar-bounded (30 days x 5 types); the day grain itself is the
+    usual one map-side-combinable pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 1000000)"
+                " div count(*) AS BIGINT)"
+            ).alias("m6")
+        )
+    )
+    mn = F.broadcast(daily.agg(F.min("d").alias("d0")))
+    idx = daily.crossJoin(mn).select(
+        "event_type",
+        (F.col("d") - F.col("d0")).alias("i"),
+        ((F.col("d") + 3) % 7 + 1).alias("iso_dow"),
+        "m6",
+    )
+    a = idx.select("event_type", F.col("i").alias("i1"), F.col("m6").alias("m1"))
+    b = idx.select("event_type", F.col("i").alias("i2"), F.col("m6").alias("m2"))
+    slope_nano = F.floor(
+        ((F.col("m2") - F.col("m1")) / (F.col("i2") - F.col("i1")).cast("double")) * 1000
+        + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("i1") < F.col("i2"))
+        .select("event_type", slope_nano.alias("slope_nano"), "i1", "i2")
+    )
+    wsl = Window.partitionBy("event_type").orderBy("slope_nano", "i1", "i2")
+    wsc = Window.partitionBy("event_type")
+    slopes = (
+        pairs.withColumn("rn", F.row_number().over(wsl))
+        .withColumn("n", F.count(F.lit(1)).over(wsc))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", "slope_nano")
+    )
+    detrended = idx.join(F.broadcast(slopes), "event_type").select(
+        "event_type",
+        "iso_dow",
+        (F.col("m6") - F.expr("(slope_nano * i) div 1000")).alias("r"),
+    )
+    wm = Window.partitionBy("event_type", "iso_dow").orderBy("r")
+    wc = Window.partitionBy("event_type", "iso_dow")
+    seasonal = (
+        detrended.withColumn("rn", F.row_number().over(wm))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            "iso_dow",
+            F.col("r").alias("seasonal_med"),
+            F.col("n").alias("n_days"),
+        )
+    )
+    resid = detrended.join(seasonal, ["event_type", "iso_dow"]).select(
+        "event_type", "iso_dow", F.abs(F.col("r") - F.col("seasonal_med")).alias("ae")
+    )
+    wr = Window.partitionBy("event_type", "iso_dow").orderBy("ae")
+    mad = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type", "iso_dow")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", "iso_dow", F.col("ae").alias("resid_mad"))
+    )
+    return (
+        seasonal.join(F.broadcast(slopes), "event_type")
+        .join(mad, ["event_type", "iso_dow"])
+        .select(
+            "event_type",
+            F.col("iso_dow").cast("int").alias("iso_dow"),
+            "slope_nano",
+            F.col("seasonal_med").cast("long").alias("seasonal_med"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("resid_mad").cast("long").alias("resid_mad"),
+        )
+    )
