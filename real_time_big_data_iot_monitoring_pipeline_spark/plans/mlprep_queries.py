@@ -1861,3 +1861,89 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_roundtrip_fail"),
         )
     )
+
+
+_SEMDECON_N_BENCH, _SEMDECON_THRESH = 10, 0.999
+
+
+@register(
+    "decontamination_semantic",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, {similarity.qvec_sql('CAST(embedding AS DOUBLE[])')} AS v
+        FROM embeddings
+    ),
+    bench AS (SELECT vec_id AS bench_id, v AS bv FROM e ORDER BY vec_id
+              LIMIT {_SEMDECON_N_BENCH}),
+    hits AS (
+        SELECT c.vec_id,
+               CAST(count(*) AS BIGINT) AS n_bench_hits,
+               CAST(max(CAST(round(
+                   {similarity.cosine_q6_sql('b.bv', 'c.v')} * 1000000 + 1e-8
+               , 0) AS BIGINT)) AS BIGINT) AS best_cos_micro
+        FROM e c JOIN bench b
+          ON c.vec_id <> b.bench_id
+         AND ROUND({similarity.cosine_q6_sql('b.bv', 'c.v')} + 1e-8, 6)
+             >= {_SEMDECON_THRESH}
+        GROUP BY c.vec_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(h.vec_id) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(sum(h.n_bench_hits), 0) AS BIGINT) AS total_bench_hits,
+           CAST(max(h.best_cos_micro) AS BIGINT) AS worst_cos_micro
+    FROM documents d LEFT JOIN hits h ON h.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("mlprep", "decontamination", "semantic", "similarity"),
+)
+def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination census — the embedding-space complement
+    of `decontamination_overlap`'s n-gram matching: paraphrased or
+    reformatted benchmark leakage shares no 13-gram but sits at
+    near-unit cosine, so modern decontamination runs BOTH filters
+    (e.g. the GPT-3/Llama eval-contamination appendices, public).  A
+    held-out 'benchmark' set (first {_SEMDECON_N_BENCH} vectors by id)
+    broadcasts against one corpus scan via the Arrow kernel with the
+    threshold applied INSIDE the kernel (`min_cosine` prefilter — only
+    qualifying pairs ever materialize, the same guard the near-dup
+    families use); the per-source census reports how many documents
+    would be quarantined and the worst similarity seen.  Cosines
+    quantize to micro-units; the threshold comparison happens on the
+    same rounded value in both engines.  At corpus scale the benchmark
+    side stays broadcast-sized and the scan is one pass — or the
+    IVF/LSH candidate paths drop in unchanged."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    bench_rows = similarity.seed_rows(emb, _SEMDECON_N_BENCH)
+    scored = similarity.score_against_matrix(
+        emb, bench_rows, min_cosine=_SEMDECON_THRESH - 1e-4
+    )
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+
+    hits = (
+        scored.filter(F.col("cand_id") != F.col("query_id"))
+        .filter(round_det(F.col("cosine"), 6) >= _SEMDECON_THRESH)
+        .groupBy("cand_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.max(F.round(F.col("cosine") * 1000000 + 1e-8, 0).cast("long")).alias(
+                "best_cos_micro"
+            ),
+        )
+        .withColumnRenamed("cand_id", "vec_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return (
+        docs.join(hits, "vec_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("n_bench_hits").cast("long").alias("n_contaminated"),
+            F.coalesce(F.sum("n_bench_hits"), F.lit(0)).cast("long").alias(
+                "total_bench_hits"
+            ),
+            F.max("best_cos_micro").cast("long").alias("worst_cos_micro"),
+        )
+    )
