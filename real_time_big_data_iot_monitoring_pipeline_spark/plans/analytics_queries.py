@@ -1241,7 +1241,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
                  / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
                         * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
-                        * (1.0 / n_a + 1.0 / n_b)) + 1e-8, 4) AS z_score
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) + 1e-8, 4) AS z_score
     FROM arms
     """,
     tags=("analytics", "ab-test", "hypothesis-test"),
@@ -3285,7 +3285,7 @@ _Z_ALPHA, _Z_BETA = 1.959963984540054, 0.8416212335729143
     SELECT metric, n_a, n_b,
            ROUND(var_cents2 + 1e-8, 4) AS var_cents2,
            ROUND(({_Z_ALPHA!r} + {_Z_BETA!r})
-                 * sqrt(var_cents2 * (1.0 / n_a + 1.0 / n_b)) + 1e-8, 4) AS mde_cents
+                 * sqrt(var_cents2 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) + 1e-8, 4) AS mde_cents
     FROM metric_variants
     """,
     tags=("analytics", "experimentation", "power-analysis"),
@@ -3593,4 +3593,138 @@ def robust_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
             F.col("resid_mad").cast("long").alias("resid_mad"),
         )
+    )
+
+
+# O'Brien-Fleming-style monitoring boundary constant (two-sided ~5%
+# overall at daily looks): z-boundary(k) = C * sqrt(K / k).  Fixed
+# literal in both engines — the monitoring RULE is the operator under
+# test, not the constant's derivation.
+_OBF_C, _OBF_K = 2.04, 30
+
+
+@register(
+    "ab_sequential_monitoring",
+    oracle=f"""
+    WITH mn AS (
+        SELECT min(CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT)) AS d0
+        FROM events
+    ),
+    firstp AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) - d0 + 1
+                   END) AS fd
+        FROM events CROSS JOIN mn GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM firstp
+    ),
+    looks AS (SELECT unnest(generate_series(1, {_OBF_K})) AS k),
+    cum AS (
+        SELECT k,
+               CAST(count(CASE WHEN arm = 0 AND fd <= k THEN 1 END) AS BIGINT) AS c_a,
+               CAST(count(CASE WHEN arm = 1 AND fd <= k THEN 1 END) AS BIGINT) AS c_b
+        FROM looks LEFT JOIN firstp ON TRUE
+        GROUP BY k
+    ),
+    z AS (
+        SELECT k, c_a, c_b,
+               CAST(floor(
+                   (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                   / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                          * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                   * 1000 + 0.5 + 1e-8) AS BIGINT) AS z_milli,
+               CAST(floor({_OBF_C} * sqrt(CAST({_OBF_K} AS DOUBLE) / k) * 1000
+                          + 0.5 + 1e-8) AS BIGINT) AS bound_milli
+        FROM cum CROSS JOIN arms
+        WHERE c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+    )
+    SELECT CAST(k AS INT) AS k, c_a, c_b, z_milli, bound_milli,
+           (abs(z_milli) >= bound_milli) AS crossed
+    FROM z
+    """,
+    tags=("analytics", "experimentation", "sequential-testing"),
+)
+def ab_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B MONITORING — the daily-peeking discipline
+    that makes 'check the experiment every morning' statistically
+    legal: at each look k the cumulative conversion z-statistic
+    compares against an O'Brien-Fleming-style boundary C*sqrt(K/k)
+    (very strict early, nominal at the horizon), so early stops don't
+    inflate the false-positive rate the way naive repeated z-tests do
+    (Pocock/OBF, the machinery inside every experimentation platform's
+    'sequential' mode; `ab_conversion_ztest` is the single-look
+    cousin).  Conversion = first purchase by day k, per user; all
+    counts are exact integers, the z and the boundary quantize to
+    milli-units from identically-derived doubles, and degenerate looks
+    (no or all conversions — sd undefined) are excluded by the same
+    guard in both engines.  Plan: one per-user first-purchase
+    aggregate; the 30-look expansion joins a literal day frame to a
+    users-sized frame — look-count x users, bounded by the calendar,
+    then collapses immediately."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
+    mn = F.broadcast(ev.agg(F.min(day).alias("d0")))
+    firstp = (
+        ev.crossJoin(mn)
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", day - F.col("d0") + 1)
+            ).alias("fd")
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = F.broadcast(
+        firstp.agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    looks = F.broadcast(
+        ev.sparkSession.range(1, _OBF_K + 1).select(F.col("id").alias("k"))
+    )
+    cum = (
+        looks.crossJoin(firstp)
+        .groupBy("k")
+        .agg(
+            F.count(
+                F.when((F.col("arm") == 0) & (F.col("fd") <= F.col("k")), 1)
+            ).cast("long").alias("c_a"),
+            F.count(
+                F.when((F.col("arm") == 1) & (F.col("fd") <= F.col("k")), 1)
+            ).cast("long").alias("c_b"),
+        )
+    )
+    z = (
+        cum.crossJoin(arms)
+        .filter((F.col("c_a") + F.col("c_b") > 0) & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")))
+        .select(
+            "k",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST(floor((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)"
+                " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+                "        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+                "        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+                " * 1000 + 0.5 + 1e-8) AS BIGINT)"
+            ).alias("z_milli"),
+            F.expr(
+                f"CAST(floor({_OBF_C} * sqrt(CAST({_OBF_K} AS DOUBLE) / k) * 1000"
+                " + 0.5 + 1e-8) AS BIGINT)"
+            ).alias("bound_milli"),
+        )
+    )
+    return z.select(
+        F.col("k").cast("int").alias("k"),
+        "c_a",
+        "c_b",
+        "z_milli",
+        "bound_milli",
+        (F.abs(F.col("z_milli")) >= F.col("bound_milli")).alias("crossed"),
     )
