@@ -658,3 +658,40 @@ def test_hilbert_beats_zorder_bbox_area(spark, sf_dir):
 
     rows = {r["layout"]: r for r in layout_hilbert_stats(spark, sf_dir).collect()}
     assert rows["hilbert"]["total_bbox_area"] <= rows["zorder"]["total_bbox_area"]
+
+
+def test_no_decimal_literal_arithmetic_in_spark_exprs():
+    """Spark SQL parses `1.0` as DECIMAL while DuckDB's division rules
+    promote to DOUBLE — a real hash flake was caught when
+    `F.expr("... / (1.0 * (n*sxx - sx*sx))")` produced DECIMAL(38,17)
+    arithmetic in Spark against double arithmetic in the oracle
+    (kfold_regression_stability, fixed with explicit CAST AS DOUBLE).
+    This lint pins the lesson: no F.expr string in the catalog may use
+    a bare decimal literal in ARITHMETIC (function arguments like
+    percentile(x, 0.5) are fine — they don't change the expression's
+    arithmetic type).  The long-stable Poisson divisor is allowlisted:
+    its uniform only meets CASE breakpoints, quantized far from
+    boundaries."""
+    import pathlib
+    import re
+
+    plans = pathlib.Path(
+        "real_time_big_data_iot_monitoring_pipeline_spark"
+    )
+    # dangerous: a decimal literal adjacent to an arithmetic operator
+    # inside an F.expr / selectExpr string
+    danger = re.compile(
+        r"""F\.expr\(\s*f?"[^"]*(?:[-+*/]\s*\d+\.\d|\d\.\d+\s*[-+*/])[^"]*\""""
+    )
+    # allowlisted: the _pois1_case divisor (driver-green r5) and the
+    # standard `+ 0.5 + 1e-8` quantization epsilon, which is only ever
+    # added to an already-DOUBLE expression (double wins Spark's
+    # decimal/double coercion, so no decimal arithmetic is introduced)
+    allow = ("4294967296.0", "0.5 + 1e-8")
+    offenders = []
+    for py in plans.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            m = danger.search(line)
+            if m and not any(a in line for a in allow):
+                offenders.append(f"{py}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
