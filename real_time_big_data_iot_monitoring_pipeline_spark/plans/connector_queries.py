@@ -1109,3 +1109,78 @@ def pyds_optimize_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("temp_centi").cast("long").alias("temp_centi_total"),
         )
     )
+
+
+_MERGE_N_NEW = 1000
+
+
+@register(
+    "pyds_sink_merge_upsert",
+    oracle=f"""
+    WITH feed AS (
+        SELECT i AS reading_id,
+               CAST(i % {_N_SENSORS} AS INT) AS sensor_id,
+               {pydatasource.BASE_US} + i * {pydatasource.INTERVAL_US} AS ts_us,
+               CAST((i * {pydatasource.KNUTH}) % 4294967296 % {pydatasource.TEMP_MOD}
+                    + {pydatasource.TEMP_OFF}
+                    + CASE WHEN i % 10 = 0 AND i < {_N_ROWS} THEN 10000 ELSE 0 END
+                    AS INT) AS temp_centi
+        FROM (SELECT unnest(generate_series(0, {_N_ROWS + _MERGE_N_NEW - 1})) AS i)
+    )
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "merge", "upsert"),
+)
+def pyds_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the manifest table (copy-on-write upsert) — the verb
+    that finishes the table format's DML triangle (append /
+    delete_where / merge): the update set carries BOTH matched rows
+    (every 10th reading, temperature shifted +100 degrees) and brand-new
+    readings beyond the feed's end; `pydatasource.merge_upsert` rewrites
+    ONLY the files whose key-range stats overlap the updates (anti-join
+    on broadcast keys + union), commits once through the OCC claim, and
+    the head read must equal the oracle's re-derivation of the merged
+    feed — a dropped update, a duplicated matched row (the classic
+    MERGE double-emit), or an insert lost to file pruning all break the
+    per-sensor sums.  Pre-merge snapshots stay time-travel readable;
+    the commit op is `merge` (change-feed documented limitation of CoW
+    MERGE without deletion vectors)."""
+    import tempfile
+
+    key = "_pyds_merge_dir"
+    path = getattr(pyds_sink_merge_upsert, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v2.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_merge_"), "out")
+        pydatasource.register_sink(spark)
+        _read(spark).repartition(4, "reading_id").write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        updated = (
+            _read(spark)
+            .filter(F.col("reading_id") % 10 == 0)
+            .withColumn("temp_centi", (F.col("temp_centi") + 10000).cast("int"))
+        )
+        i = F.col("id")
+        inserted = spark.range(_N_ROWS, _N_ROWS + _MERGE_N_NEW).select(
+            i.alias("reading_id"),
+            (i % _N_SENSORS).cast("int").alias("sensor_id"),
+            (F.lit(pydatasource.BASE_US) + i * pydatasource.INTERVAL_US).alias("ts_us"),
+            (
+                (i * pydatasource.KNUTH) % 4294967296 % pydatasource.TEMP_MOD
+                + pydatasource.TEMP_OFF
+            )
+            .cast("int")
+            .alias("temp_centi"),
+        )
+        pydatasource.merge_upsert(
+            spark, path, updated.unionByName(inserted), "reading_id"
+        )
+        setattr(pyds_sink_merge_upsert, key, path)
+    back, _m = pydatasource.read_manifest(spark, path)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+    )

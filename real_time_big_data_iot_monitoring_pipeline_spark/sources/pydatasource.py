@@ -990,6 +990,112 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     }
 
 
+def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
+    """MERGE (upsert) into the manifest table via COPY-ON-WRITE — the
+    `MERGE INTO t USING u ON t.k = u.k WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT` verb (Delta/Iceberg MERGE;
+    `merge_into_orders` is the plain-parquet generic): manifest footer
+    stats pick the files whose [min, max] on `key_col` can OVERLAP the
+    updates' key range, ONLY those files are rewritten with their
+    matched rows REPLACED (anti-join on the broadcast update keys +
+    union of the updates), and one OCC commit publishes (untouched
+    files + rewritten files) as the next version.  Files outside the
+    update key range are never read — a narrow upsert touches bytes
+    proportional to the updated range, not the table.  The commit op is
+    `merge` (dataChange for the upserted rows is real, but the
+    change feed cannot distinguish updated from re-stated rows in a
+    rewritten file, so downstream CDF consumers should treat `merge`
+    like `overwrite` plus the update payload — the documented
+    limitation CoW MERGE has everywhere without deletion vectors).
+    Returns {n_updated, n_inserted, n_files_rewritten,
+    n_files_untouched, version}."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    head = _latest_snapshot(path)
+    assert head is not None, "merge_upsert requires an existing table"
+    stats = head.get("stats", {})
+    n_updates = updates.count()
+    keys = updates.select(key_col).distinct()
+    # Per-file pruning against the ACTUAL update keys, not the updates'
+    # bounding interval — one scattered insert would stretch [lo, hi]
+    # over the whole table and defeat interval pruning; instead each
+    # file's [min, max] is range-joined against the key set (file
+    # bounds broadcast — manifest-sized), so only files PROVABLY
+    # holding a matched key rewrite.  Files without recorded stats are
+    # always rewritten (safe default).
+    bounded = [
+        (fn, s[key_col][0], s[key_col][1])
+        for fn in head["files"]
+        if (s := stats.get(fn, {})) and s.get(key_col) is not None
+    ]
+    unstatted = [fn for fn in head["files"] if stats.get(fn, {}).get(key_col) is None]
+    hit = set()
+    if bounded:
+        bframe = spark.createDataFrame(bounded, ["__fn", "__mn", "__mx"])
+        hit = {
+            r["__fn"]
+            for r in keys.join(
+                F.broadcast(bframe),
+                (F.col(key_col) >= F.col("__mn")) & (F.col(key_col) <= F.col("__mx")),
+            )
+            .select("__fn")
+            .distinct()
+            .collect()
+        }
+    touched = sorted(hit) + unstatted
+    untouched = [fn for fn in head["files"] if fn not in set(touched)]
+    n_updated, new_files = 0, []
+    survivors_plus = updates
+    if touched:
+        victims = spark.read.parquet(*[os.path.join(path, fn) for fn in touched])
+        n_before = victims.count()
+        kept = victims.join(F.broadcast(keys), key_col, "left_anti")
+        n_updated = n_before - kept.count()
+        survivors_plus = kept.unionByName(updates)
+    staging = os.path.join(path, "_merge_staging")
+    survivors_plus.write.mode("overwrite").parquet(staging)
+    next_v = head.get("version", 0) + 1
+    n_rows_new = 0
+    for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
+        n_rows = _pq.ParquetFile(part).metadata.num_rows
+        if n_rows == 0:
+            continue
+        n_rows_new += n_rows
+        visible = f"part-m{next_v}-{i:05d}.parquet"
+        os.replace(part, os.path.join(path, visible))
+        new_files.append(visible)
+    shutil.rmtree(staging, ignore_errors=True)
+    manifest = {
+        "version": next_v,
+        "files": sorted(untouched + new_files),
+        "n_rows": head["n_rows"] - n_updated + n_updates
+        if touched
+        else head["n_rows"] + n_updates,
+        "stats": {
+            **{fn: stats[fn] for fn in untouched if fn in stats},
+            **_footer_stats(path, new_files),
+        },
+        "op": "merge",
+    }
+    if not _claim_and_publish(path, manifest):
+        raise RuntimeError(
+            f"merge_upsert lost the commit race for v{manifest['version']}: "
+            "re-read the table and retry"
+        )
+    return {
+        "n_updated": n_updated,
+        "n_inserted": n_updates - n_updated,
+        "n_files_rewritten": len(touched),
+        "n_files_untouched": len(untouched),
+        "version": manifest["version"],
+    }
+
+
 def vacuum(path: str, keep_versions: int = 2) -> dict:
     """VACUUM the manifest table: physically delete part files that are
     unreachable from the newest `keep_versions` snapshots, and drop the

@@ -685,3 +685,39 @@ def test_pyds_optimize_zorder_enables_two_dim_pruning(spark, tmp_path):
     assert v1.count() == 8000 and m1["version"] == 1
     rows, commits = pydatasource.read_change_feed(spark, path, since_version=1)
     assert rows.count() == 0 and commits[-1]["op"] == "overwrite"
+
+
+def test_pyds_merge_upsert_targets_only_overlapping_files(spark, tmp_path):
+    """CoW MERGE rewrites only files whose key-range stats overlap the
+    updates; matched rows are replaced exactly once, inserts land, the
+    pre-merge snapshot still time-travels, and the commit op is
+    `merge`."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    path = str(tmp_path / "merge")
+    pydatasource.register_sink(spark)
+    # range-clustered layout: file stats partition the key space
+    spark.range(0, 4000).selectExpr("id AS k", "CAST(id % 7 AS INT) AS v").repartitionByRange(
+        4, "k"
+    ).write.format("rtbd_manifest_sink").option("path", path).mode("append").save()
+
+    updates = spark.createDataFrame(
+        [(10, 99), (11, 99), (5000, 99)], "k long, v int"
+    )
+    out = pydatasource.merge_upsert(spark, path, updates, "k")
+    assert out["n_updated"] == 2 and out["n_inserted"] == 1
+    # low-key updates + one insert beyond max: only the overlapping spans rewrite
+    assert out["n_files_rewritten"] < 4 and out["n_files_untouched"] >= 1
+
+    head, m = pydatasource.read_manifest(spark, path)
+    assert m["version"] == 2 and m["op"] == "merge"
+    assert head.count() == 4001
+    assert head.filter(F.col("k").isin(10, 11, 5000)).agg(
+        F.sum("v")
+    ).first()[0] == 297  # all three carry v=99 exactly once
+    v1, _ = pydatasource.read_manifest(spark, path, version=1)
+    assert v1.count() == 4000 and v1.filter(F.col("k") == 10).first()["v"] == 3
