@@ -1184,3 +1184,55 @@ def pyds_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_readings"),
         F.sum("temp_centi").cast("long").alias("temp_centi_total"),
     )
+
+
+@register(
+    "pyds_rename_evolution",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temperature_centi_total
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "schema-evolution", "rename"),
+)
+def pyds_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME as schema evolution on the manifest table: half the
+    feed commits under `temp_centi`, a METADATA-ONLY
+    `pydatasource.rename_column` commit renames it to
+    `temperature_centi` (no part file rewritten — the rename log in the
+    manifest is the field-id indirection by-name evolution lacks), and
+    the second half commits WRITTEN UNDER THE NEW NAME.  The head read
+    must unify both generations under `temperature_centi` — per-sensor
+    counts and sums over the WHOLE feed break if old-name files drop
+    out, map to a null column, or double-apply the mapping; the oracle
+    knows nothing of the rename and just aggregates the feed.  Chained
+    renames, metadata-only-ness, and pre-rename time travel are
+    unit-pinned (`test_pyds_rename_column_metadata_only`); every other
+    commit verb carries the rename log forward.  Scale: rename is O(1);
+    the read adds one footer check per file at planning."""
+    import tempfile
+
+    key = "_pyds_rename_dir"
+    path = getattr(pyds_rename_evolution, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v3.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_rename_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.rename_column(path, "temp_centi", "temperature_centi")
+        feed.filter(F.col("reading_id") >= half).withColumnRenamed(
+            "temp_centi", "temperature_centi"
+        ).repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "append"
+        ).save()
+        setattr(pyds_rename_evolution, key, path)
+    back, _m = pydatasource.read_manifest(spark, path)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("temperature_centi").cast("long").alias("temperature_centi_total"),
+    )

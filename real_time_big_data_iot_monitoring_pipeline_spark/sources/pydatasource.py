@@ -401,6 +401,9 @@ class ManifestParquetWriter(DataSourceWriter):
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
                 "stats": {**prev_stats, **new_stats},
+                # the rename log is TABLE metadata: every commit carries
+                # it forward or renamed columns would silently revert
+                "renames": (prev or {}).get("renames", []),
                 # op lets table-tailing consumers distinguish NEW DATA
                 # from REWRITES: an overwrite (e.g. compaction) lists
                 # replacement files whose rows were already emitted — a
@@ -499,6 +502,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
                 "batches": batches + [batchId],
+                "renames": (prev or {}).get("renames", []),
             }
             if _claim_and_publish(self.path, manifest):
                 return
@@ -549,7 +553,36 @@ def read_manifest(spark, path: str, version: int | None = None, merge_schema: bo
         manifest = _json.load(f)
     files = [os.path.join(path, fn) for fn in manifest["files"]]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    return reader.parquet(*files), manifest
+    renames = manifest.get("renames", [])
+    if not renames:
+        return reader.parquet(*files), manifest
+    # RENAME LOG application (`rename_column`): files written under an
+    # old name get the mapping applied read-side.  Which renames apply
+    # is a per-file footer question (planning-time metadata, no data
+    # pages) and renames replay IN ORDER over the evolving name set so
+    # chained renames (a->b then b->c) resolve correctly.
+    import pyarrow.parquet as _pqm
+
+    groups: dict[tuple, list[str]] = {}
+    for fp in files:
+        cur = set(_pqm.ParquetFile(fp).schema_arrow.names)
+        app = []
+        for r in renames:
+            if r["from"] in cur:
+                app.append((r["from"], r["to"]))
+                cur.discard(r["from"])
+                cur.add(r["to"])
+        groups.setdefault(tuple(app), []).append(fp)
+    frames = []
+    for app, fps in groups.items():
+        df = reader.parquet(*fps)
+        for old, new in app:
+            df = df.withColumnRenamed(old, new)
+        frames.append(df)
+    out = frames[0]
+    for extra in frames[1:]:
+        out = out.unionByName(extra, allowMissingColumns=merge_schema)
+    return out, manifest
 
 
 def read_manifest_pruned(
@@ -969,6 +1002,7 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
             **_footer_stats(path, new_files),
         },
         "op": "delete",
+        "renames": head.get("renames", []),
         # the logical predicate travels with the commit so a change-feed
         # consumer can apply the same retention delete downstream (the
         # deletion half of CDC that an insert-only row feed cannot carry)
@@ -988,6 +1022,33 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         "n_files_untouched": len(untouched),
         "version": manifest["version"],
     }
+
+
+def rename_column(path: str, old: str, new: str) -> dict:
+    """METADATA-ONLY column rename on the manifest table — the schema
+    evolution by-name reads cannot give you (rename the column and
+    mergeSchema sees two unrelated columns; Iceberg solves it with
+    field-id indirection, this format with an ordered RENAME Log in the
+    manifest): no part file is touched, the commit just records
+    {from, to} and readers apply the mapping to files written under the
+    old name (`read_manifest` — per-file footer check at planning time,
+    no data pages).  Renames compose in order, commit through the same
+    OCC claim as every writer, and time-travel reads BEFORE the rename
+    version see the old name — exactly Iceberg's contract."""
+    import os
+
+    for _attempt in range(64):
+        head = _latest_snapshot(path)
+        assert head is not None, "rename_column requires an existing table"
+        manifest = {
+            **head,
+            "version": head.get("version", 0) + 1,
+            "renames": head.get("renames", []) + [{"from": old, "to": new}],
+            "op": "rename",
+        }
+        if _claim_and_publish(path, manifest):
+            return manifest
+    raise RuntimeError("rename_column: could not claim a version in 64 attempts")
 
 
 def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
@@ -1081,6 +1142,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
             **_footer_stats(path, new_files),
         },
         "op": "merge",
+        "renames": head.get("renames", []),
     }
     if not _claim_and_publish(path, manifest):
         raise RuntimeError(

@@ -721,3 +721,46 @@ def test_pyds_merge_upsert_targets_only_overlapping_files(spark, tmp_path):
     ).first()[0] == 297  # all three carry v=99 exactly once
     v1, _ = pydatasource.read_manifest(spark, path, version=1)
     assert v1.count() == 4000 and v1.filter(F.col("k") == 10).first()["v"] == 3
+
+
+def test_pyds_rename_column_metadata_only(spark, tmp_path):
+    """Column rename is a metadata-only commit: no file rewritten, old
+    files read under the new name, post-rename appends written with the
+    new name unify, chained renames replay in order, and time travel to
+    a pre-rename version still shows the old name."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    path = str(tmp_path / "ren")
+    pydatasource.register_sink(spark)
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id % 5 AS INT) AS temp").repartition(
+        1
+    ).write.format("rtbd_manifest_sink").option("path", path).mode("append").save()
+    files_before = sorted(_os.listdir(path))
+
+    m = pydatasource.rename_column(path, "temp", "temperature")
+    assert m["version"] == 2 and m["op"] == "rename"
+    # metadata-only: the exact same part files, plus manifests
+    assert sorted(f for f in _os.listdir(path) if f.startswith("part-")) == sorted(
+        f for f in files_before if f.startswith("part-")
+    )
+
+    # new writes use the new name; the head read unifies both generations
+    spark.range(100, 150).selectExpr("id AS k", "CAST(id % 5 AS INT) AS temperature").repartition(
+        1
+    ).write.format("rtbd_manifest_sink").option("path", path).mode("append").save()
+    df, _ = pydatasource.read_manifest(spark, path)
+    assert df.columns == ["k", "temperature"] and df.count() == 150
+    assert df.agg(F.sum("temperature")).first()[0] == sum(i % 5 for i in range(150))
+
+    # chained rename resolves in order
+    pydatasource.rename_column(path, "temperature", "temp_c")
+    df2, _ = pydatasource.read_manifest(spark, path)
+    assert df2.columns == ["k", "temp_c"] and df2.count() == 150
+
+    # time travel to v1 predates every rename: original name
+    v1, _ = pydatasource.read_manifest(spark, path, version=1)
+    assert v1.columns == ["k", "temp"]
