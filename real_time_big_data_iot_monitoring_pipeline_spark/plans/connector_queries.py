@@ -1236,3 +1236,76 @@ def pyds_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_readings"),
         F.sum("temperature_centi").cast("long").alias("temperature_centi_total"),
     )
+
+
+@register(
+    "pyds_sink_mor_delete",
+    oracle=f"""
+    WITH base AS (
+        SELECT i AS reading_id,
+               CAST(i % {_N_SENSORS} AS INT) AS sensor_id,
+               CAST((i * {pydatasource.KNUTH}) % 4294967296 % {pydatasource.TEMP_MOD}
+                    + {pydatasource.TEMP_OFF} AS INT) AS temp_centi
+        FROM (SELECT unnest(generate_series(0, {_N_ROWS - 1})) AS i)
+        WHERE i NOT BETWEEN 100 AND 199
+    ),
+    reinserted AS (
+        SELECT i AS reading_id,
+               CAST(i % {_N_SENSORS} AS INT) AS sensor_id,
+               CAST((i * {pydatasource.KNUTH}) % 4294967296 % {pydatasource.TEMP_MOD}
+                    + {pydatasource.TEMP_OFF} + 50000 AS INT) AS temp_centi
+        FROM (SELECT unnest(generate_series(150, 159)) AS i)
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM reinserted)
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM unioned GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "merge-on-read", "delete"),
+)
+def pyds_sink_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE on the manifest table, end-to-end through
+    the read path: an O(1) metadata commit deletes readings 100-199 (no
+    file rewritten — `delete_where` is the copy-on-write sibling that
+    pays the write instead), then readings 150-159 are RE-INSERTED with
+    shifted temperatures — they match the delete predicate but commit
+    AFTER it, and the snapshot-scoped delete (applies only to the files
+    recorded at delete time) must let them through: the classic MoR
+    correctness trap where a naive global filter silently eats
+    post-delete inserts.  The hashed per-sensor census equals the
+    oracle's re-derivation of (feed minus the range, plus shifted
+    re-inserts).  Materialization + the rename interaction guard are
+    unit-pinned (`test_pyds_mor_delete_scopes_to_snapshot_files`)."""
+    import tempfile
+
+    key = "_pyds_mor_dir"
+    path = getattr(pyds_sink_mor_delete, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v3.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_mor_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark).select("reading_id", "sensor_id", "temp_centi")
+        feed.repartitionByRange(4, "reading_id").write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.delete_where_mor(path, "reading_id", 100, 199)
+        (
+            _read(spark)
+            .filter(F.col("reading_id").between(150, 159))
+            .select(
+                "reading_id",
+                "sensor_id",
+                (F.col("temp_centi") + 50000).cast("int").alias("temp_centi"),
+            )
+            .repartition(1)
+            .write.format("rtbd_manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        setattr(pyds_sink_mor_delete, key, path)
+    back, _m = pydatasource.read_manifest(spark, path)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+    )

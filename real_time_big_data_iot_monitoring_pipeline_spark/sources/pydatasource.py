@@ -404,6 +404,7 @@ class ManifestParquetWriter(DataSourceWriter):
                 # the rename log is TABLE metadata: every commit carries
                 # it forward or renamed columns would silently revert
                 "renames": (prev or {}).get("renames", []),
+                "eq_deletes": (prev or {}).get("eq_deletes", []),
                 # op lets table-tailing consumers distinguish NEW DATA
                 # from REWRITES: an overwrite (e.g. compaction) lists
                 # replacement files whose rows were already emitted — a
@@ -503,6 +504,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 "n_rows": prev_rows + n_new_rows,
                 "batches": batches + [batchId],
                 "renames": (prev or {}).get("renames", []),
+                "eq_deletes": (prev or {}).get("eq_deletes", []),
             }
             if _claim_and_publish(self.path, manifest):
                 return
@@ -554,30 +556,46 @@ def read_manifest(spark, path: str, version: int | None = None, merge_schema: bo
     files = [os.path.join(path, fn) for fn in manifest["files"]]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     renames = manifest.get("renames", [])
-    if not renames:
+    eq_deletes = manifest.get("eq_deletes", [])
+    if not renames and not eq_deletes:
         return reader.parquet(*files), manifest
-    # RENAME LOG application (`rename_column`): files written under an
-    # old name get the mapping applied read-side.  Which renames apply
-    # is a per-file footer question (planning-time metadata, no data
-    # pages) and renames replay IN ORDER over the evolving name set so
-    # chained renames (a->b then b->c) resolve correctly.
+    # RENAME LOG + MERGE-ON-READ DELETE application: files group by
+    # (applicable renames, applicable eq-deletes) and each group reads
+    # once.  Renames are a per-file footer question (planning-time
+    # metadata, no data pages) replayed IN ORDER over the evolving name
+    # set so chained renames resolve; an eq-delete applies exactly to
+    # the files in its recorded snapshot list (rows appended later
+    # survive).  Renames apply before delete filters — `rename_column`
+    # refuses to rename a column with pending deletes, so delete
+    # predicates always reference current names.
     import pyarrow.parquet as _pqm
 
+    from pyspark.sql import functions as F
+
+    del_sets = [(i, set(d["files"])) for i, d in enumerate(eq_deletes)]
     groups: dict[tuple, list[str]] = {}
     for fp in files:
-        cur = set(_pqm.ParquetFile(fp).schema_arrow.names)
-        app = []
-        for r in renames:
-            if r["from"] in cur:
-                app.append((r["from"], r["to"]))
-                cur.discard(r["from"])
-                cur.add(r["to"])
-        groups.setdefault(tuple(app), []).append(fp)
+        app = ()
+        if renames:
+            cur = set(_pqm.ParquetFile(fp).schema_arrow.names)
+            acc = []
+            for r in renames:
+                if r["from"] in cur:
+                    acc.append((r["from"], r["to"]))
+                    cur.discard(r["from"])
+                    cur.add(r["to"])
+            app = tuple(acc)
+        base = os.path.basename(fp)
+        dels = tuple(i for i, fset in del_sets if base in fset)
+        groups.setdefault((app, dels), []).append(fp)
     frames = []
-    for app, fps in groups.items():
+    for (app, dels), fps in groups.items():
         df = reader.parquet(*fps)
         for old, new in app:
             df = df.withColumnRenamed(old, new)
+        for i in dels:
+            d = eq_deletes[i]
+            df = df.filter(~F.col(d["col"]).between(d["lo"], d["hi"]))
         frames.append(df)
     out = frames[0]
     for extra in frames[1:]:
@@ -1003,6 +1021,7 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         },
         "op": "delete",
         "renames": head.get("renames", []),
+        "eq_deletes": head.get("eq_deletes", []),
         # the logical predicate travels with the commit so a change-feed
         # consumer can apply the same retention delete downstream (the
         # deletion half of CDC that an insert-only row feed cannot carry)
@@ -1035,11 +1054,14 @@ def rename_column(path: str, old: str, new: str) -> dict:
     no data pages).  Renames compose in order, commit through the same
     OCC claim as every writer, and time-travel reads BEFORE the rename
     version see the old name — exactly Iceberg's contract."""
-    import os
-
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "rename_column requires an existing table"
+        if any(d["col"] == old for d in head.get("eq_deletes", [])):
+            raise RuntimeError(
+                f"cannot rename {old!r}: pending merge-on-read deletes reference it — "
+                "run materialize_deletes first (delete predicates always use current names)"
+            )
         manifest = {
             **head,
             "version": head.get("version", 0) + 1,
@@ -1049,6 +1071,110 @@ def rename_column(path: str, old: str, new: str) -> dict:
         if _claim_and_publish(path, manifest):
             return manifest
     raise RuntimeError("rename_column: could not claim a version in 64 attempts")
+
+
+def delete_where_mor(path: str, col: str, lo, hi) -> dict:
+    """MERGE-ON-READ row-level DELETE — the O(1)-commit alternative to
+    `delete_where`'s copy-on-write (Iceberg equality-delete files /
+    Delta deletion vectors, as manifest metadata): no part file is
+    touched; the commit records the predicate plus THE SNAPSHOT'S FILE
+    LIST, and readers apply `NOT (col BETWEEN lo AND hi)` to exactly
+    those files — rows appended AFTER the delete match the predicate
+    yet survive, because the delete scopes to the files that existed
+    when it committed (Iceberg's sequence-number rule, realized here as
+    an explicit applies-to list; at very large file counts the
+    sequence-number encoding is the known compaction of that list).
+    Reads pay a filter until `materialize_deletes` rewrites the
+    affected files and clears the entry — the read-amplification vs
+    write-amplification trade MoR exists to offer.  `n_rows` in the
+    manifest stays PHYSICAL rows (documented; logical count needs the
+    read-side filter)."""
+    for _attempt in range(64):
+        head = _latest_snapshot(path)
+        assert head is not None, "delete_where_mor requires an existing table"
+        entry = {"col": col, "lo": lo, "hi": hi, "files": head["files"]}
+        manifest = {
+            **head,
+            "version": head.get("version", 0) + 1,
+            "eq_deletes": head.get("eq_deletes", []) + [entry],
+            "op": "delete_mor",
+        }
+        if _claim_and_publish(path, manifest):
+            return manifest
+    raise RuntimeError("delete_where_mor: could not claim a version in 64 attempts")
+
+
+def materialize_deletes(spark, path: str) -> dict:
+    """MATERIALIZE pending merge-on-read deletes: rewrite every file at
+    least one eq-delete applies to (with all its applicable predicates
+    applied), keep untouched files as-is, and commit a snapshot with
+    the delete list CLEARED — moving the cost from every future read to
+    one write, the compaction step every MoR format eventually runs.
+    Commits through the OCC claim; op is `materialize` (a rewrite — the
+    change feed emits no rows)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    head = _latest_snapshot(path)
+    assert head is not None
+    deletes = head.get("eq_deletes", [])
+    if not deletes:
+        return {"n_files_rewritten": 0, "version": head.get("version", 0)}
+    applicable: dict[str, list[dict]] = {}
+    for d in deletes:
+        for fn in d["files"]:
+            if fn in set(head["files"]):
+                applicable.setdefault(fn, []).append(d)
+    untouched = [fn for fn in head["files"] if fn not in applicable]
+    new_files = []
+    next_v = head.get("version", 0) + 1
+    staging = os.path.join(path, "_mor_staging")
+    # group files by their applicable delete set so each group rewrites once
+    groups: dict[tuple, list[str]] = {}
+    for fn, ds in applicable.items():
+        keyt = tuple((d["col"], d["lo"], d["hi"]) for d in ds)
+        groups.setdefault(keyt, []).append(fn)
+    gi = 0
+    for keyt, fns in groups.items():
+        df = spark.read.parquet(*[os.path.join(path, fn) for fn in fns])
+        for c, lo, hi in keyt:
+            df = df.filter(~F.col(c).between(lo, hi))
+        gdir = os.path.join(staging, str(gi))
+        df.write.mode("overwrite").parquet(gdir)
+        for i, part in enumerate(sorted(glob.glob(os.path.join(gdir, "part-*")))):
+            if _pq.ParquetFile(part).metadata.num_rows == 0:
+                continue
+            visible = f"part-x{next_v}-{gi:03d}-{i:05d}.parquet"
+            os.replace(part, os.path.join(path, visible))
+            new_files.append(visible)
+        gi += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    n_rows = 0
+    for fn in untouched + new_files:
+        n_rows += _pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+    manifest = {
+        **head,
+        "version": next_v,
+        "files": sorted(untouched + new_files),
+        "n_rows": n_rows,
+        "stats": {
+            **{fn: head.get("stats", {}).get(fn) for fn in untouched if fn in head.get("stats", {})},
+            **_footer_stats(path, new_files),
+        },
+        "eq_deletes": [],
+        "op": "materialize",
+    }
+    if not _claim_and_publish(path, manifest):
+        raise RuntimeError("materialize_deletes lost the commit race: retry")
+    return {
+        "n_files_rewritten": len(applicable),
+        "n_files_untouched": len(untouched),
+        "version": next_v,
+    }
 
 
 def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
@@ -1143,6 +1269,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
         },
         "op": "merge",
         "renames": head.get("renames", []),
+        "eq_deletes": head.get("eq_deletes", []),
     }
     if not _claim_and_publish(path, manifest):
         raise RuntimeError(

@@ -764,3 +764,55 @@ def test_pyds_rename_column_metadata_only(spark, tmp_path):
     # time travel to v1 predates every rename: original name
     v1, _ = pydatasource.read_manifest(spark, path, version=1)
     assert v1.columns == ["k", "temp"]
+
+
+def test_pyds_mor_delete_scopes_to_snapshot_files(spark, tmp_path):
+    """Merge-on-read delete: metadata-only commit, read-side filter
+    scoped to the files that existed at delete time — later appends
+    matching the predicate SURVIVE; materialize rewrites affected files,
+    clears the delete list, and preserves the logical table; renaming a
+    column with pending deletes is refused."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    path = str(tmp_path / "mor")
+    pydatasource.register_sink(spark)
+    spark.range(0, 4000).selectExpr("id AS k", "CAST(id % 5 AS INT) AS v").repartitionByRange(
+        2, "k"
+    ).write.format("rtbd_manifest_sink").option("path", path).mode("append").save()
+    parts_before = sorted(f for f in _os.listdir(path) if f.startswith("part-"))
+
+    m = pydatasource.delete_where_mor(path, "k", 10, 19)
+    assert m["op"] == "delete_mor" and m["version"] == 2
+    assert sorted(f for f in _os.listdir(path) if f.startswith("part-")) == parts_before
+
+    # rows re-inserted AFTER the delete match the predicate yet survive
+    spark.createDataFrame([(k, 9) for k in range(10, 15)], "k long, v int").write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    df, man = pydatasource.read_manifest(spark, path)
+    assert df.count() == 4000 - 10 + 5
+    assert df.filter(F.col("k").between(10, 19)).count() == 5
+    assert df.filter(F.col("k").between(10, 19)).agg(F.sum("v")).first()[0] == 45
+
+    with _pytest.raises(RuntimeError, match="pending merge-on-read deletes"):
+        pydatasource.rename_column(path, "k", "key")
+
+    # pre-delete time travel sees everything
+    v1, _ = pydatasource.read_manifest(spark, path, version=1)
+    assert v1.count() == 4000
+
+    out = pydatasource.materialize_deletes(spark, path)
+    assert out["n_files_rewritten"] >= 1
+    df2, man2 = pydatasource.read_manifest(spark, path)
+    assert man2.get("eq_deletes") == [] and man2["op"] == "materialize"
+    assert df2.count() == 3995 and df2.filter(F.col("k").between(10, 19)).count() == 5
+    assert man2["n_rows"] == 3995  # physical == logical once materialized
+    # rename is legal again after materialization
+    pydatasource.rename_column(path, "k", "key")
+    df3, _ = pydatasource.read_manifest(spark, path)
+    assert "key" in df3.columns and df3.count() == 3995
