@@ -1509,7 +1509,15 @@ class ManifestStreamReader(SimpleDataSourceStreamReader):
     Per the Simple-reader contract rows flow through the driver — the
     demo-rate path; a production tail at 100 TB uses the same
     version-cursor offsets with `read_change_feed` handing PLANS (not
-    rows) to executors, cf. `pyds_sink_change_feed`."""
+    rows) to executors, cf. `pyds_sink_change_feed`.
+
+    Metadata-op interaction: rename / delete_mor / merge / materialize
+    commits are dataChange=false here (no rows emitted — for `merge`
+    that is the documented CoW-MERGE change-feed limitation).  Tailing
+    from an offset BEFORE a rename emits the old files under their
+    ORIGINAL column names (the stream schema is fixed at start);
+    start a new stream — or read batch-side via `read_manifest`, which
+    applies the rename log — when consuming across a rename."""
 
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
