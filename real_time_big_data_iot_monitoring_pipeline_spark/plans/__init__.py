@@ -88,7 +88,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # cluster_bootstrap_ci, tokenizer_fertility_by_lang,
 # robust_stl_decomposition, decontamination_semantic,
 # ab_sequential_monitoring, pyds_sink_merge_upsert,
-# pyds_rename_evolution, pyds_sink_mor_delete).
+# pyds_rename_evolution, pyds_sink_mor_delete,
+# frame_semantics_surface).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

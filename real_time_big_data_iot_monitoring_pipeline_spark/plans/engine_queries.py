@@ -2710,3 +2710,41 @@ def iso_weekday_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("iso_dow", "builtin_iso", "n_orders", "revenue_cents", "is_business_day")
     )
+
+
+_FRAME_SQL = """
+    SELECT p_brand, p_partkey,
+           last_value(p_size) OVER (PARTITION BY p_brand ORDER BY p_partkey)
+               AS lv_default,
+           last_value(p_size) OVER (PARTITION BY p_brand ORDER BY p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full,
+           first_value(p_size) OVER (PARTITION BY p_brand ORDER BY p_partkey)
+               AS fv_default,
+           nth_value(p_size, 3) OVER (PARTITION BY p_brand ORDER BY p_partkey)
+               AS nth3_default
+    FROM {part}
+"""
+
+
+@register(
+    "frame_semantics_surface",
+    oracle=_FRAME_SQL.format(part="part"),
+    tags=("engine", "sql-surface", "window", "frame-semantics"),
+)
+def frame_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW DEFAULT-FRAME semantics pinned — the single most-filed
+    window-function bug in every SQL engine's tracker: with an ORDER BY
+    and no explicit frame, the standard default is RANGE UNBOUNDED
+    PRECEDING TO CURRENT ROW, so `last_value` returns the CURRENT row's
+    value (useless-looking, standard-correct) and `nth_value(x, 3)` is
+    NULL until the third row — while the explicit UNBOUNDED FOLLOWING
+    frame gives the partition-wide answer people expect.  The SAME SQL
+    text runs through spark.sql and DuckDB (`lateral_top3_orders`'
+    dialect-surface contract), and the hash pins all four columns
+    row-by-row over a tied, multi-partition input — an engine that
+    defaulted to the full frame (as several pre-standard databases
+    did) breaks lv_default on every non-final row.  Companion to
+    `ranking_semantics_surface`'s tie rules; together they pin the
+    window-function contract migrations trip on."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_frame_part")
+    return spark.sql(_FRAME_SQL.format(part="v_frame_part"))
