@@ -18,6 +18,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans import behavior_quer
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import matching_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import connector_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import engine_queries  # noqa: F401  isort:skip
+from real_time_big_data_iot_monitoring_pipeline_spark.plans import evaluation_queries  # noqa: F401  isort:skip
 from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGISTRY, Query, register
 
 # The driver's correctness gate hashes the FIRST 50 registry entries, in
@@ -89,7 +90,11 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # robust_stl_decomposition, decontamination_semantic,
 # ab_sequential_monitoring, pyds_sink_merge_upsert,
 # pyds_rename_evolution, pyds_sink_mor_delete,
-# frame_semantics_surface).
+# frame_semantics_surface, benford_digit_census, cramers_v_association,
+# cohens_kappa_agreement, roc_auc_doclen_lang, theil_index_decomposition,
+# target_encode_loo, stratified_split_assignment, grouped_mode_exact,
+# brier_score_decomposition, pyds_sink_restore, pyds_branch_tag_travel,
+# pyds_sink_check_constraint).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

@@ -1309,3 +1309,248 @@ def pyds_sink_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_readings"),
         F.sum("temp_centi").cast("long").alias("temp_centi_total"),
     )
+
+
+@register(
+    "pyds_sink_restore",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 1 AS version, 'append' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed WHERE reading_id < {_N_ROWS // 2}
+    UNION ALL
+    SELECT 2, 'append', CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT) FROM feed
+    UNION ALL
+    SELECT 3, 'delete', CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT)
+    FROM feed WHERE temp_centi NOT BETWEEN 1000 AND 1499
+    UNION ALL
+    SELECT 4, 'restore', CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT) FROM feed
+    ORDER BY version
+    """,
+    tags=("connector", "python-datasource", "sink", "restore", "rollback"),
+)
+def pyds_sink_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (rollback-as-a-commit) on the manifest table — Delta's
+    `RESTORE TABLE ... TO VERSION AS OF k`: after two appends (v1, v2)
+    and a copy-on-write DELETE (v3), `restore_table(path, 2)` publishes
+    v4 whose DATA STATE is byte-identical to v2 — history is never
+    rewritten (v3 still time-travels, the oracle pins all four
+    snapshots), the restore is an O(1) metadata commit (no part file
+    copied), and its op=restore is dataChange=false to the change feed
+    (restored rows were already emitted by their original appends).
+    The deleted-then-restored rows coming back with the exact original
+    totals is the proof the restore points at files, not at a re-write
+    of them."""
+    import tempfile
+
+    key = "_pyds_restore_dir"
+    path = getattr(pyds_sink_restore, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v4.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_restore_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).write.format("rtbd_manifest_sink").option(
+            "path", path
+        ).mode("append").save()
+        feed.filter(F.col("reading_id") >= half).write.format("rtbd_manifest_sink").option(
+            "path", path
+        ).mode("append").save()
+        pydatasource.delete_where(spark, path, "temp_centi", 1000, 1499)
+        restored = pydatasource.restore_table(path, 2)
+        assert restored["version"] == 4 and restored["restored_from"] == 2
+        setattr(pyds_sink_restore, key, path)
+
+    ops = {1: "append", 2: "append", 3: "delete", 4: "restore"}
+
+    def snap(version: int) -> DataFrame:
+        df, _m = pydatasource.read_manifest(spark, path, version=version)
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.lit(ops[version]).alias("op"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        )
+
+    out = snap(1)
+    for v in (2, 3, 4):
+        out = out.unionByName(snap(v))
+    return out.orderBy("version")
+
+
+@register(
+    "pyds_branch_tag_travel",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 'q3-audit' AS ref, 'tag' AS kind, 1 AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           4 AS n_files_removed, 1 AS n_manifests_removed, TRUE AS v2_expired
+    FROM feed WHERE reading_id < {_N_ROWS // 2}
+    UNION ALL
+    SELECT 'dev', 'branch', 3, CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT),
+           4, 1, TRUE
+    FROM feed
+    UNION ALL
+    SELECT '_head', 'head', 3, CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT),
+           4, 1, TRUE
+    FROM feed
+    ORDER BY ref
+    """,
+    tags=("connector", "python-datasource", "refs", "branch-tag", "vacuum-pinning"),
+)
+def pyds_branch_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED REFS on the manifest table — immutable TAGS and movable
+    BRANCH pointers (Iceberg tags/branches), plus the retention rule
+    that makes them useful: VACUUM never expires a ref-pinned snapshot.
+    Build: v1 append (4 files), v2 append (4 more), tag `q3-audit` at
+    v1, branch `dev` at v2; v3 compacts the table (overwrite, 2 files)
+    and `dev` advances to it; then `vacuum(keep_versions=1)` with the
+    horizon at v3 removes EXACTLY v2's manifest and v2's 4 un-pinned
+    files — v1's files survive on the tag pin alone, so the tag still
+    reads the original half-feed byte-for-byte while v2 fails loudly
+    (expired).  The hash pins the reads through both refs and the head
+    AND the vacuum's removal counts; a vacuum that ignored refs would
+    destroy the tag's files and break the totals."""
+    import tempfile
+
+    key = "_pyds_refs_dir"
+    state = getattr(pyds_branch_tag_travel, key, None)
+    if state is None or not os.path.exists(os.path.join(state[0], "_ref-dev.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_refs_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        feed.filter(F.col("reading_id") < half).repartition(4).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        feed.filter(F.col("reading_id") >= half).repartition(4).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.create_tag(path, "q3-audit", 1)
+        pydatasource.create_branch(path, "dev", 2)
+        full, _m = pydatasource.read_manifest(spark, path)
+        full.repartition(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "overwrite"
+        ).save()
+        pydatasource.advance_branch(path, "dev", 3)
+        out = pydatasource.vacuum(path, keep_versions=1)
+        assert out["head_version"] == 3, out
+        setattr(pyds_branch_tag_travel, key, (path, out["n_files_removed"], out["n_manifests_removed"]))
+    path, n_files_removed, n_manifests_removed = getattr(pyds_branch_tag_travel, key)
+
+    try:
+        pydatasource.read_manifest(spark, path, version=2)
+        v2_expired = False
+    except FileNotFoundError:
+        v2_expired = True
+
+    def through(ref: str, kind: str, df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(ref).alias("ref"),
+            F.lit(kind).alias("kind"),
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+            F.lit(n_files_removed).cast("int").alias("n_files_removed"),
+            F.lit(n_manifests_removed).cast("int").alias("n_manifests_removed"),
+            F.lit(v2_expired).alias("v2_expired"),
+        )
+
+    tag_df, _ = pydatasource.read_manifest_ref(spark, path, "q3-audit")
+    dev_v = pydatasource.resolve_ref(path, "dev")
+    dev_df, _ = pydatasource.read_manifest_ref(spark, path, "dev")
+    head_df, head_m = pydatasource.read_manifest(spark, path)
+    return (
+        through("q3-audit", "tag", tag_df, pydatasource.resolve_ref(path, "q3-audit"))
+        .unionByName(through("dev", "branch", dev_df, dev_v))
+        .unionByName(through("_head", "head", head_df, head_m["version"]))
+        .orderBy("ref")
+    )
+
+
+@register(
+    "pyds_sink_check_constraint",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 4 AS head_version,
+           CAST(count(*) + 100 AS BIGINT) AS n_rows,
+           2 AS n_constraints,
+           TRUE AS violation_rejected,
+           TRUE AS existing_check_rejected,
+           0 AS orphan_parts,
+           CAST(sum(temp_centi) + 100 * 3000 AS BIGINT) AS temp_centi_total
+    FROM feed
+    """,
+    tags=("connector", "python-datasource", "check-constraint", "write-validation"),
+)
+def pyds_sink_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME CHECK CONSTRAINTS on the manifest table (Delta
+    `ALTER TABLE ADD CONSTRAINT`): after v1 appends the feed, two
+    metadata commits add `temp_centi BETWEEN 1000 AND 4999` and
+    `reading_id NOT NULL` (v2, v3 — each first PROVEN against the
+    existing data from footer stats, never a scan); a conforming
+    100-row append lands as v4; an append with temp_centi = 999 is
+    REJECTED at commit (its parts are deleted — the orphan count pins
+    the cleanup), and a constraint the existing table violates
+    (temp <= 10) is refused at ADD time.  Enforcement is O(footers):
+    min/max and null_count prove or refute every constraint without
+    reading a data page — the only scale-safe place to put row-level
+    validation on a 100 TB table."""
+    import glob
+    import tempfile
+
+    key = "_pyds_check_dir"
+    state = getattr(pyds_sink_check_constraint, key, None)
+    if state is None or not os.path.exists(os.path.join(state[0], "_manifest-v4.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_check_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        feed.write.format("rtbd_manifest_sink").option("path", path).mode("append").save()
+        pydatasource.add_check_constraint(
+            path, "temp_range", "temp_centi", lo=pydatasource.TEMP_OFF,
+            hi=pydatasource.TEMP_OFF + pydatasource.TEMP_MOD - 1,
+        )
+        pydatasource.add_check_constraint(path, "rid_nn", "reading_id", not_null=True)
+        extra = spark.range(_N_ROWS, _N_ROWS + 100).selectExpr(
+            "id AS reading_id",
+            f"CAST(id % {_N_SENSORS} AS INT) AS sensor_id",
+            f"CAST({pydatasource.BASE_US} + id * {pydatasource.INTERVAL_US} AS BIGINT) AS ts_us",
+            "CAST(3000 AS INT) AS temp_centi",
+        )
+        extra.coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "append"
+        ).save()
+        bad = extra.withColumn("temp_centi", F.lit(999).cast("int"))
+        try:
+            bad.coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+                "append"
+            ).save()
+            violation_rejected = False
+        except Exception:
+            violation_rejected = True
+        try:
+            pydatasource.add_check_constraint(path, "too_tight", "temp_centi", lo=0, hi=10)
+            existing_check_rejected = False
+        except RuntimeError:
+            existing_check_rejected = True
+        setattr(
+            pyds_sink_check_constraint, key, (path, violation_rejected, existing_check_rejected)
+        )
+    path, violation_rejected, existing_check_rejected = getattr(pyds_sink_check_constraint, key)
+
+    df, m = pydatasource.read_manifest(spark, path)
+    listed = set(m["files"])
+    orphans = [
+        f for f in glob.glob(os.path.join(path, "part-*")) if os.path.basename(f) not in listed
+    ]
+    return df.agg(
+        F.lit(m["version"]).cast("int").alias("head_version"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(len(m.get("constraints", []))).cast("int").alias("n_constraints"),
+        F.lit(violation_rejected).alias("violation_rejected"),
+        F.lit(existing_check_rejected).alias("existing_check_rejected"),
+        F.lit(len(orphans)).cast("int").alias("orphan_parts"),
+        F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+    )

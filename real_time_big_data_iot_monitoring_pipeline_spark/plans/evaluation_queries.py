@@ -1,0 +1,677 @@
+"""Evaluation & association statistics (round-6 continuation wave).
+
+The reference stops at means/corr/regression (``app.py:360-420``,
+SURVEY §2.9); a production analytics engine is also asked to *judge*
+things: is a classifier better than chance (kappa, AUC), are two
+categoricals associated (Cramér's V), is a ledger's digit distribution
+organic (Benford), how is inequality split across groups (Theil), and
+is a feature encoding leaking its own row (leave-one-out target
+encoding).  Each lands here as a catalog query with a DuckDB oracle.
+
+Shared numeric discipline (see ``functions/scalars.py``): every count,
+margin and rank is an exact int64; transcendental terms (ln, sqrt,
+chi-square cells) are computed from identically-derived doubles in both
+engines and micro/nano-quantized per bounded element BEFORE summing, so
+every statistic is an order-independent integer sum + one final
+division.  Scale notes per query docstring — nothing here materializes
+more than a (groups x categories)-sized frame after its first
+aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
+    as_cents,
+    round_det,
+)
+from real_time_big_data_iot_monitoring_pipeline_spark.operators import text
+from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import register
+from real_time_big_data_iot_monitoring_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# Benford expected first-digit shares log10(1 + 1/d), micro-quantized
+# ONCE in Python and emitted as the same integer literals into both
+# engines (the fellegi_sunter shared-literal pattern).
+_BENFORD_MICRO = {d: int(math.floor(math.log10(1 + 1 / d) * 1_000_000 + 0.5)) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+) + " END"
+
+
+@register(
+    "benford_digit_census",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM d)
+    SELECT digit, n,
+           (n * 1000000) // nt AS share_micro,
+           {_BENFORD_SQL_CASE} AS expected_micro,
+           abs((n * 1000000) // nt - ({_BENFORD_SQL_CASE})) AS dev_micro,
+           CAST(floor(
+               (CAST(n AS DOUBLE) - nt * (({_BENFORD_SQL_CASE}) / 1000000.0))
+               * (CAST(n AS DOUBLE) - nt * (({_BENFORD_SQL_CASE}) / 1000000.0))
+               / (nt * (({_BENFORD_SQL_CASE}) / 1000000.0))
+               * 1000000 + 0.5 + 1e-8) AS BIGINT) AS chi2_micro
+    FROM d CROSS JOIN tot
+    ORDER BY digit
+    """,
+    tags=("evaluation", "benford", "data-quality", "forensics"),
+)
+def benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit census over order totals — the
+    forensic-accounting screen for fabricated or truncated monetary
+    data (synthetic uniform-ish prices FAIL Benford, which is exactly
+    what the hash pins; an organic ledger would track it).  The first
+    significant digit is taken from the EXACT integer cents rendered as
+    a string — integer-to-string is portable where double-to-string is
+    not, and x100 never changes the leading significant digit.
+    Expected shares log10(1+1/d) are micro-quantized once in Python and
+    formatted into both dialects as the same 9 literals; observed
+    shares use exact integer floor-division; each digit's chi-square
+    cell is micro-quantized from identically-derived doubles.  Plan:
+    one scan -> 9-row digit census; the total attaches by broadcast.
+    Scale: output is 9 rows at any data size."""
+    v = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0).select(
+        as_cents(F.col("o_totalprice")).alias("cents")
+    )
+    d = v.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(d.agg(F.sum("n").alias("nt")))
+    exp_micro = F.lit(None).cast("long")
+    for dig, m in _BENFORD_MICRO.items():
+        exp_micro = F.when(F.col("digit") == dig, F.lit(m)).otherwise(exp_micro)
+    share_micro = F.expr("(n * 1000000L) div nt")
+    exp_n = F.col("nt") * (exp_micro / F.lit(1000000.0))
+    diff = F.col("n").cast("double") - exp_n
+    chi2_micro = F.floor(diff * diff / exp_n * 1000000 + F.lit(0.5 + 1e-8)).cast("long")
+    return (
+        d.crossJoin(tot)
+        .select(
+            "digit",
+            "n",
+            share_micro.alias("share_micro"),
+            exp_micro.alias("expected_micro"),
+            F.abs(share_micro - exp_micro).alias("dev_micro"),
+            chi2_micro.alias("chi2_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS r_key, c_mktsegment AS c_key,
+               CAST(count(*) AS BIGINT) AS o
+        FROM customer GROUP BY 1, 2
+    ),
+    rt AS (SELECT r_key, sum(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT c_key, sum(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+        SELECT CAST(floor(
+                   CAST(obs.o * n.n - rt.r * ct.c AS DOUBLE)
+                   * CAST(obs.o * n.n - rt.r * ct.c AS DOUBLE)
+                   / (CAST(n.n AS DOUBLE) * rt.r * ct.c)
+                   * 1000000 + 0.5 + 1e-8) AS BIGINT) AS term_micro
+        FROM obs JOIN rt USING (r_key) JOIN ct USING (c_key) CROSS JOIN n
+    ),
+    dims AS (
+        SELECT (SELECT count(*) FROM rt) AS n_rows,
+               (SELECT count(*) FROM ct) AS n_cols,
+               (SELECT n FROM n) AS n,
+               (SELECT sum(term_micro) FROM cells) AS chi2_micro
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_cols AS BIGINT) AS n_cols,
+           ROUND(chi2_micro / 1000000.0 + 1e-8, 4) AS chi2,
+           ROUND(sqrt((chi2_micro / 1000000.0)
+                      / (n * least(n_rows - 1, n_cols - 1))) + 1e-8, 6) AS cramers_v
+    FROM dims
+    """,
+    tags=("evaluation", "association", "cramers-v", "chi-square"),
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V effect size for the nation x market-segment
+    contingency table — chi-square (`chi2_type_value`) answers "is
+    there association?"; V answers "how much?", normalized to [0,1] so
+    it is comparable across tables of different shape.  The chi-square
+    sum reuses the exact (o*N - r*c)^2/(N*r*c) integer-numerator cell
+    discipline, micro-quantized per cell; V derives from that SAME
+    quantized sum (sqrt of exact-int ratios) so both engines round the
+    same float.  Plan: one customer scan -> cell counts; margins
+    re-aggregate the cell table; the V row is a 1-row reduce.  Scale:
+    cell table is |nations| x |segments| at any data size."""
+    obs = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").cast("long").alias("r_key"), F.col("c_mktsegment").alias("c_key"))
+        .groupBy("r_key", "c_key")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("r_key").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("c_key").agg(F.sum("o").alias("c"))
+    n = F.broadcast(obs.agg(F.sum("o").alias("n")))
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = diff * diff / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+    cells = (
+        obs.join(F.broadcast(rt), "r_key")
+        .join(F.broadcast(ct), "c_key")
+        .crossJoin(n)
+        .select(
+            "n",
+            "r_key",
+            "c_key",
+            F.floor(term * 1000000 + F.lit(0.5 + 1e-8)).cast("long").alias("term_micro"),
+        )
+    )
+    agg = cells.agg(
+        F.first("n").alias("n"),
+        F.count_distinct("r_key").alias("n_rows"),
+        F.count_distinct("c_key").alias("n_cols"),
+        F.sum("term_micro").alias("chi2_micro"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_cols").cast("long").alias("n_cols"),
+        round_det(F.col("chi2_micro") / 1000000.0, 4).alias("chi2"),
+        round_det(
+            F.sqrt(
+                (F.col("chi2_micro") / 1000000.0)
+                / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# Shared lang-id SQL fragment: MUST mirror operators/text.py LANG_MARKERS
+# and its argmax tie-break order (de, en, es, fr — see
+# lang_id_confusion_matrix in northstar_queries.py, driver-green r5).
+_LANG_PRED_SQL = """
+    s AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b'))  AS score_en,
+               len(regexp_extract_all(lower(text), '\\b(der|und|die)\\b')) AS score_de,
+               len(regexp_extract_all(lower(text), '\\b(el|los|que)\\b'))  AS score_es,
+               len(regexp_extract_all(lower(text), '\\b(le|les|des)\\b'))  AS score_fr
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, lang AS true_lang,
+               CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                    WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    )
+"""
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle="WITH " + _LANG_PRED_SQL + """,
+    cells AS (
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS o
+        FROM p GROUP BY 1, 2
+    ),
+    rm AS (SELECT true_lang AS cls, sum(o) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT pred_lang AS cls, sum(o) AS c FROM cells GROUP BY 1),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN true_lang = pred_lang THEN o ELSE 0 END) AS BIGINT) AS d
+        FROM cells
+    ),
+    ex AS (
+        SELECT CAST(sum(coalesce(rm.r, 0) * coalesce(cm.c, 0)) AS BIGINT) AS s
+        FROM rm FULL OUTER JOIN cm USING (cls)
+    )
+    SELECT tot.n AS n_docs, tot.d AS n_agree,
+           ROUND(tot.d / CAST(tot.n AS DOUBLE) + 1e-8, 6) AS po,
+           ROUND(ex.s / (CAST(tot.n AS DOUBLE) * tot.n) + 1e-8, 6) AS pe,
+           ROUND((tot.d * tot.n - ex.s) / CAST(tot.n * tot.n - ex.s AS DOUBLE) + 1e-8, 6) AS kappa
+    FROM tot CROSS JOIN ex
+    """,
+    tags=("evaluation", "kappa", "agreement", "ml-eval"),
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between the stopword
+    lang-id heuristic and the corpus's labeled `lang` — the statistic
+    that says whether the classifier beats the agreement a
+    marginals-matching coin would get (`lang_id_confusion_matrix` shows
+    WHERE it errs; kappa scores it).  Exactness: observed agreement d,
+    total n, and the expected-agreement mass s = sum_c(row_c * col_c)
+    are all exact int64 off the bounded confusion-cell table, so
+    kappa = (d*n - s)/(n*n - s) is one float division of exact
+    integers — no intermediate float sums to drift.  Plan: prediction
+    is a pure map; cells/margins are |langs|^2-sized; a full outer join
+    on the class label aligns margins for classes one side never
+    emits."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.lang_id(docs).select("doc_id", "lang_pred")
+    p = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .select("true_lang", F.col("lang_pred").alias("pred_lang"))
+    )
+    cells = p.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("o"))
+    rm = cells.groupBy(F.col("true_lang").alias("cls")).agg(F.sum("o").alias("r"))
+    cm = cells.groupBy(F.col("pred_lang").alias("cls")).agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.sum(F.when(F.col("true_lang") == F.col("pred_lang"), F.col("o")).otherwise(0)).alias("d"),
+    )
+    ex = (
+        rm.join(cm, "cls", "full_outer")
+        .select((F.coalesce(F.col("r"), F.lit(0)) * F.coalesce(F.col("c"), F.lit(0))).alias("rc"))
+        .agg(F.sum("rc").alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("d").cast("long").alias("n_agree"),
+            round_det(F.col("d") / F.col("n").cast("double"), 6).alias("po"),
+            round_det(F.col("s") / (F.col("n").cast("double") * F.col("n")), 6).alias("pe"),
+            round_det(
+                (F.col("d") * F.col("n") - F.col("s"))
+                / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "roc_auc_doclen_lang",
+    oracle="""
+    WITH g AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS score,
+               CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT source, n_tot, n_pos,
+               2 * coalesce(sum(n_tot) OVER (PARTITION BY source ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n_tot + 1 AS midrank2
+        FROM g
+    ),
+    a AS (
+        SELECT source,
+               CAST(sum(n_tot) AS BIGINT) AS n,
+               CAST(sum(n_pos) AS BIGINT) AS n1,
+               CAST(sum(n_tot) - sum(n_pos) AS BIGINT) AS n0,
+               CAST(sum(n_pos * midrank2) AS BIGINT) AS s2
+        FROM r GROUP BY 1
+    )
+    SELECT source, n, n1, n0,
+           ROUND((s2 - n1 * (n1 + 1)) / (2.0 * n1 * n0) + 1e-8, 6) AS auc
+    FROM a WHERE n1 > 0 AND n0 > 0
+    ORDER BY source
+    """,
+    tags=("evaluation", "roc-auc", "rank-statistic", "ml-eval"),
+)
+def roc_auc_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (ties handled by midranks) of document length as a
+    predictor of lang='en', per source — the threshold-free classifier
+    metric next to the thresholded confusion matrix and the
+    calibration-oriented ECE.  AUC is computed by the Mann-Whitney
+    rank-sum identity with AVERAGE ranks for ties: grouping by DISTINCT
+    score first makes 2*midrank = 2*cum_before + n_tot + 1 an exact
+    integer, so the positives' rank mass s2 is an exact int64 and AUC
+    = (s2 - n1(n1+1)) / (2*n1*n0) is one final division.  Plan: one
+    scan -> (source, score) cells, a source-PARTITIONED cumulative
+    window over the bounded distinct-score table, one per-source
+    reduce.  Degenerate sources (no positives or no negatives) are
+    excluded by both engines.  Scale: everything after the first agg is
+    distinct-score-sized and partitioned by source."""
+    g = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").cast("long").alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tot"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "source",
+        "n_tot",
+        "n_pos",
+        (2 * F.coalesce(F.sum("n_tot").over(w), F.lit(0)) + F.col("n_tot") + 1).alias("midrank2"),
+    )
+    a = r.groupBy("source").agg(
+        F.sum("n_tot").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("n1"),
+        (F.sum("n_tot") - F.sum("n_pos")).cast("long").alias("n0"),
+        F.sum(F.col("n_pos") * F.col("midrank2")).cast("long").alias("s2"),
+    )
+    return (
+        a.where((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            "source",
+            "n",
+            "n1",
+            "n0",
+            round_det(
+                (F.col("s2") - F.col("n1") * (F.col("n1") + 1))
+                / (2.0 * F.col("n1") * F.col("n0")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "theil_index_decomposition",
+    oracle="""
+    WITH x AS (
+        SELECT c.c_nationkey AS g,
+               o.o_custkey AS id,
+               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS xi
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, CAST(sum(xi) AS BIGINT) AS xg FROM x GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS xt FROM x),
+    per AS (
+        SELECT
+            CAST(floor((CAST(x.xi AS DOUBLE) / tot.xt)
+                       * ln(CAST(x.xi * tot.n AS DOUBLE) / tot.xt)
+                       * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano_total,
+            CAST(floor((CAST(x.xi AS DOUBLE) / tot.xt)
+                       * ln(CAST(x.xi * grp.ng AS DOUBLE) / grp.xg)
+                       * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano_within
+        FROM x JOIN grp USING (g) CROSS JOIN tot
+    ),
+    btw AS (
+        SELECT CAST(floor((CAST(grp.xg AS DOUBLE) / tot.xt)
+                          * ln((CAST(grp.xg AS DOUBLE) * tot.n) / (CAST(tot.xt AS DOUBLE) * grp.ng))
+                          * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano_between
+        FROM grp CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           (SELECT count(*) FROM grp) AS n_groups,
+           ROUND((SELECT sum(nano_total) FROM per) / 1000000000.0 + 1e-8, 6) AS theil_total,
+           ROUND((SELECT sum(nano_within) FROM per) / 1000000000.0 + 1e-8, 6) AS theil_within,
+           ROUND((SELECT sum(nano_between) FROM btw) / 1000000000.0 + 1e-8, 6) AS theil_between
+    """,
+    tags=("evaluation", "inequality", "theil", "decomposition"),
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T inequality index of customer spend, DECOMPOSED into
+    within-nation and between-nation components — the additive property
+    Gini lacks (`customer_spend_gini` gives the headline number; Theil
+    says whether inequality lives inside groups or across them).
+    Per-customer contribution (xi/X)ln(xi*n/X), within-group twin
+    (xi/X)ln(xi*ng/Xg), per-group between term (Xg/X)ln(Xg*n/(X*ng)) —
+    every numerator/denominator an exact int64 product BEFORE the one
+    cast to double, each element nano-quantized, so all three sums are
+    order-independent.  T_total ~= T_within + T_between up to
+    per-element quantization (each component is hashed independently,
+    not derived from the others).  Plan: one per-customer agg, group
+    margins re-aggregate the customer table, margins broadcast; the
+    between term is groups-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("g"), F.col("o_custkey").alias("id"))
+        .agg(F.sum(as_cents(F.col("o_totalprice"))).alias("xi"))
+    )
+    grp = x.groupBy("g").agg(F.count(F.lit(1)).alias("ng"), F.sum("xi").alias("xg"))
+    tot = F.broadcast(x.agg(F.count(F.lit(1)).alias("n"), F.sum("xi").alias("xt")))
+    per = (
+        x.join(F.broadcast(grp), "g")
+        .crossJoin(tot)
+        .select(
+            F.floor(
+                (F.col("xi").cast("double") / F.col("xt"))
+                * F.log((F.col("xi") * F.col("n")).cast("double") / F.col("xt"))
+                * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("nano_total"),
+            F.floor(
+                (F.col("xi").cast("double") / F.col("xt"))
+                * F.log((F.col("xi") * F.col("ng")).cast("double") / F.col("xg"))
+                * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("nano_within"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("nano_total").alias("s_total"),
+            F.sum("nano_within").alias("s_within"),
+        )
+    )
+    btw = (
+        grp.crossJoin(tot)
+        .select(
+            F.floor(
+                (F.col("xg").cast("double") / F.col("xt"))
+                * F.log(
+                    (F.col("xg").cast("double") * F.col("n"))
+                    / (F.col("xt").cast("double") * F.col("ng"))
+                )
+                * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("nano_between")
+        )
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("nano_between").alias("s_between"))
+    )
+    return per.crossJoin(F.broadcast(btw)).select(
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        round_det(F.col("s_total") / 1000000000.0, 6).alias("theil_total"),
+        round_det(F.col("s_within") / 1000000000.0, 6).alias("theil_within"),
+        round_det(F.col("s_between") / 1000000000.0, 6).alias("theil_between"),
+    )
+
+
+@register(
+    "target_encode_loo",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM o GROUP BY 1),
+    ranked AS (
+        SELECT o.segment, o.o_orderkey, o.cents, m.n, m.s,
+               row_number() OVER (PARTITION BY o.segment
+                                  ORDER BY o.cents DESC, o.o_orderkey) AS rk
+        FROM o JOIN m USING (segment)
+    )
+    SELECT segment, o_orderkey,
+           ROUND(cents / 100.0 + 1e-8, 2) AS price,
+           ROUND((s - cents) / (CAST(n - 1 AS DOUBLE) * 100.0) + 1e-8, 4) AS loo_enc,
+           n AS segment_n
+    FROM ranked WHERE rk <= 3
+    ORDER BY segment, o_orderkey
+    """,
+    tags=("evaluation", "target-encoding", "leakage-safe", "ml-prep"),
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of market segment against order
+    total — the leakage-safe categorical encoder (plain mean encoding
+    lets each row see its own target; LOO subtracts it:
+    enc_i = (S_g - x_i)/(n_g - 1)).  The hash pins the rows where
+    leakage would bite hardest: each segment's 3 most extreme orders,
+    whose LOO encodings differ most from the plain mean.  Exactness:
+    segment sums and counts are exact cents/int64; each encoding is one
+    division of exact integers.  Plan: one join + one segment-margin
+    agg that BROADCASTS back (margins are |segments|-sized), a
+    segment-partitioned top-k window — no per-row second scan, no
+    fold-level shuffle.  Scale: the window sorts within segments only;
+    margins stay tiny at any data size."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            as_cents(F.col("o_totalprice")).alias("cents"),
+        )
+    )
+    m = o.groupBy("segment").agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    w = Window.partitionBy("segment").orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(m), "segment")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "segment",
+            "o_orderkey",
+            round_det(F.col("cents") / 100.0, 2).alias("price"),
+            round_det(
+                (F.col("s") - F.col("cents")) / ((F.col("n") - 1).cast("double") * 100.0), 4
+            ).alias("loo_enc"),
+            F.col("n").alias("segment_n"),
+        )
+        .orderBy("segment", "o_orderkey")
+    )
+
+
+@register(
+    "stratified_split_assignment",
+    oracle="""
+    WITH a AS (
+        SELECT source,
+               CASE WHEN ((doc_id % 1000000007) * 1000003) % 1000000007 % 10 < 8 THEN 'train'
+                    WHEN ((doc_id % 1000000007) * 1000003) % 1000000007 % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    c AS (SELECT source, split, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
+    SELECT c.source, c.split, c.n,
+           ROUND(c.n / CAST(t.nt AS DOUBLE) + 1e-8, 6) AS share
+    FROM c JOIN t USING (source)
+    ORDER BY source, split
+    """,
+    tags=("evaluation", "train-test-split", "deterministic-hash", "ml-prep"),
+)
+def stratified_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC 80/10/10 train/val/test assignment by an
+    engine-neutral multiplicative hash of the document id, audited per
+    source stratum — the split step every training pipeline runs, made
+    reproducible (re-running on a grown corpus never reassigns an
+    existing doc, unlike any sample()-based split).  The hash is
+    (id % p) * 1000003 % p % 10 with p = 1e9+7: mod-first keeps the
+    product under 2^63 at ANY id scale, and both engines evaluate the
+    same integer arithmetic (never a builtin string/hash function,
+    which differ per engine).  Plan: pure map + one (source x split)
+    census; per-source totals re-aggregate the census.  Scale: output
+    is 3 rows per source at any corpus size."""
+    bucket = ((F.col("doc_id") % 1000000007) * 1000003) % 1000000007 % 10
+    a = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    c = a.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("nt"))
+    return (
+        c.join(F.broadcast(t), "source")
+        .select(
+            "source",
+            "split",
+            "n",
+            round_det(F.col("n") / F.col("nt").cast("double"), 6).alias("share"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "grouped_mode_exact",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT flag, qc, cnt,
+               row_number() OVER (PARTITION BY flag ORDER BY cnt DESC, qc) AS rk,
+               count(*) OVER (PARTITION BY flag) AS n_distinct
+        FROM c
+    )
+    SELECT flag,
+           ROUND(qc / 100.0 + 1e-8, 2) AS mode_qty,
+           cnt AS n_occurrences,
+           CAST(n_distinct AS BIGINT) AS n_distinct_values
+    FROM r WHERE rk = 1
+    ORDER BY flag
+    """,
+    tags=("evaluation", "mode", "exact", "aggregate"),
+)
+def grouped_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group MODE (most frequent value) of lineitem quantity
+    per return flag, with a deterministic smallest-value tie-break —
+    the aggregate Spark only ships as the approximate `mode()`
+    expression whose tie behavior is undefined; an exact, pinned-tie
+    mode is what a data-profiling pass actually needs.  Two hash
+    aggregations: value counts (map-side combinable), then a
+    flag-partitioned argmax window over the DISTINCT-VALUE table —
+    never the fact table.  Values compare as exact integer cents.
+    Scale: the window input is (groups x distinct values), independent
+    of row count."""
+    c = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            as_cents(F.col("l_quantity")).alias("qc"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("flag").orderBy(F.col("cnt").desc(), F.col("qc"))
+    wc = Window.partitionBy("flag")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(wc))
+        .where(F.col("rk") == 1)
+        .select(
+            "flag",
+            round_det(F.col("qc") / 100.0, 2).alias("mode_qty"),
+            F.col("cnt").alias("n_occurrences"),
+            F.col("n_distinct").cast("long").alias("n_distinct_values"),
+        )
+        .orderBy("flag")
+    )

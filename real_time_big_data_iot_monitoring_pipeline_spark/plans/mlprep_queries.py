@@ -1947,3 +1947,169 @@ def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("best_cos_micro").cast("long").alias("worst_cos_micro"),
         )
     )
+
+
+@register(
+    "brier_score_decomposition",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 1000000.0 + (0.5 + 1e-8))) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id,
+               ROUND(list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}])
+                     / 1000000.0 + 1e-8, 6) AS score,
+               (list_dot_product(v, [{", ".join(repr(w) for w in _PROBE_W)}]) > 0)
+                   = (label >= 5) AS correct
+        FROM e
+    ),
+    conf AS (
+        SELECT vec_id, correct,
+               CAST(floor(
+                   (CASE WHEN 1.0 / (1.0 + exp(-score)) >= 0.5
+                         THEN 1.0 / (1.0 + exp(-score))
+                         ELSE 1.0 - 1.0 / (1.0 + exp(-score)) END) * 1000000
+                   + 0.5 + 1e-8) AS BIGINT) AS conf6,
+               ntile(10) OVER (ORDER BY score, vec_id) AS bin
+        FROM scored
+    ),
+    rowl AS (
+        SELECT bin, conf6,
+               CASE WHEN correct THEN 1000000 ELSE 0 END AS o6,
+               CASE WHEN correct THEN 1 ELSE 0 END AS o
+        FROM conf
+    ),
+    b AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(conf6) AS BIGINT) AS s_conf,
+               CAST(sum(o) AS BIGINT) AS s_o,
+               CAST(sum((conf6 - o6) * (conf6 - o6)) AS BIGINT) AS s_sq
+        FROM rowl GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(s_o) AS BIGINT) AS so,
+                   CAST(sum(s_sq) AS BIGINT) AS ssq
+            FROM b),
+    terms AS (
+        SELECT CAST(floor(
+                   nb * ((s_conf / (1000000.0 * nb)) - (s_o / (1.0 * nb)))
+                      * ((s_conf / (1000000.0 * nb)) - (s_o / (1.0 * nb)))
+                   * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS rel_nano,
+               CAST(floor(
+                   nb * ((s_o / (1.0 * nb)) - (tot.so / (1.0 * tot.n)))
+                      * ((s_o / (1.0 * nb)) - (tot.so / (1.0 * tot.n)))
+                   * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS res_nano
+        FROM b CROSS JOIN tot
+    ),
+    s AS (SELECT CAST(sum(rel_nano) AS BIGINT) AS srel,
+                 CAST(sum(res_nano) AS BIGINT) AS sres
+          FROM terms)
+    SELECT tot.n AS n,
+           ROUND(tot.ssq / (1000000000000.0 * tot.n) + 1e-8, 6) AS brier,
+           ROUND(s.srel / (1000000000.0 * tot.n) + 1e-8, 6) AS reliability,
+           ROUND(s.sres / (1000000000.0 * tot.n) + 1e-8, 6) AS resolution,
+           ROUND((tot.so / (1.0 * tot.n)) * (1.0 - tot.so / (1.0 * tot.n)) + 1e-8, 6) AS uncertainty,
+           ROUND(tot.ssq / (1000000000000.0 * tot.n)
+                 - (s.srel / (1000000000.0 * tot.n)
+                    - s.sres / (1000000000.0 * tot.n)
+                    + (tot.so / (1.0 * tot.n)) * (1.0 - tot.so / (1.0 * tot.n)))
+                 + 1e-8, 6) AS decomp_residual
+    FROM tot CROSS JOIN s
+    """,
+    tags=("mlprep", "ml-eval", "brier", "murphy-decomposition", "global-ntile"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MURPHY DECOMPOSITION of the linear probe's Brier score —
+    reliability (calibration error mass, what ECE summarizes), minus
+    resolution (how much the bins separate outcomes), plus uncertainty
+    (outcome base rate variance) — the one-row verdict on WHERE a
+    quality-filter model's probability mass goes wrong, next to
+    `probe_calibration_ece`'s per-bin diagram (Murphy 1973, public).
+    Same probe/confidence construction as ECE (shared `_PROBE_W`
+    literals, identical sigmoid-confidence micro-quantization, the
+    SAME `global_ntile` score-decile binning).  Exactness: the Brier
+    numerator sum((conf6-o6)^2) is an exact int64 sum; per-bin
+    reliability/resolution terms are computed from exact integer bin
+    sums in identical double expressions and nano-quantized per bin
+    (10 bins); `decomp_residual` (the within-bin variance the binned
+    identity leaves over) derives from the same quantized integers, so
+    every column is hash-stable.  Plan: one scan, one codegen'd dot
+    product, the global_ntile range shuffle, one 10-row agg + 1-row
+    reduce."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import round_det
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_ntile
+
+    e = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = similarity._qvec(F.col("embedding"))
+    w = F.array(*[F.lit(v) for v in _PROBE_W])
+    dot = similarity._dot(q, w)
+    scored = e.select(
+        "vec_id",
+        round_det(dot / 1000000.0, 6).alias("score"),
+        ((dot > 0) == (F.col("label") >= 5)).alias("correct"),
+    )
+    p = 1.0 / (1.0 + F.exp(-F.col("score")))
+    conf6 = F.floor(
+        F.when(p >= 0.5, p).otherwise(1.0 - p) * 1000000 + F.lit(0.5 + 1e-8)
+    ).cast("long")
+    binned = global_ntile(
+        scored.withColumn("conf6", conf6), [F.col("score"), F.col("vec_id")], 10, out="bin"
+    )
+    rowl = binned.select(
+        "bin",
+        "conf6",
+        F.when(F.col("correct"), F.lit(1000000)).otherwise(F.lit(0)).cast("long").alias("o6"),
+        F.when(F.col("correct"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("o"),
+    )
+    b = rowl.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("conf6").cast("long").alias("s_conf"),
+        F.sum("o").cast("long").alias("s_o"),
+        F.sum((F.col("conf6") - F.col("o6")) * (F.col("conf6") - F.col("o6")))
+        .cast("long")
+        .alias("s_sq"),
+    )
+    tot = F.broadcast(
+        b.agg(
+            F.sum("nb").cast("long").alias("n"),
+            F.sum("s_o").cast("long").alias("so"),
+            F.sum("s_sq").cast("long").alias("ssq"),
+        )
+    )
+    cbar = F.col("s_conf") / (1000000.0 * F.col("nb"))
+    obin = F.col("s_o") / (1.0 * F.col("nb"))
+    obar = F.col("so") / (1.0 * F.col("n"))
+    terms = b.crossJoin(tot).select(
+        "n",
+        "so",
+        "ssq",
+        F.floor(F.col("nb") * (cbar - obin) * (cbar - obin) * 1000000000 + F.lit(0.5 + 1e-8))
+        .cast("long")
+        .alias("rel_nano"),
+        F.floor(F.col("nb") * (obin - obar) * (obin - obar) * 1000000000 + F.lit(0.5 + 1e-8))
+        .cast("long")
+        .alias("res_nano"),
+    )
+    agg = terms.agg(
+        F.first("n").alias("n"),
+        F.first("so").alias("so"),
+        F.first("ssq").alias("ssq"),
+        F.sum("rel_nano").alias("srel"),
+        F.sum("res_nano").alias("sres"),
+    )
+    brier = F.col("ssq") / (1000000000000.0 * F.col("n"))
+    rel = F.col("srel") / (1000000000.0 * F.col("n"))
+    res = F.col("sres") / (1000000000.0 * F.col("n"))
+    unc = (F.col("so") / (1.0 * F.col("n"))) * (1.0 - F.col("so") / (1.0 * F.col("n")))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        round_det(brier, 6).alias("brier"),
+        round_det(rel, 6).alias("reliability"),
+        round_det(res, 6).alias("resolution"),
+        round_det(unc, 6).alias("uncertainty"),
+        round_det(brier - (rel - res + unc), 6).alias("decomp_residual"),
+    )

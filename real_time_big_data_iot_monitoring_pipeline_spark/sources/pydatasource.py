@@ -405,6 +405,9 @@ class ManifestParquetWriter(DataSourceWriter):
                 # it forward or renamed columns would silently revert
                 "renames": (prev or {}).get("renames", []),
                 "eq_deletes": (prev or {}).get("eq_deletes", []),
+                # CHECK constraints are table metadata: every commit
+                # carries them forward AND is validated against them
+                "constraints": (prev or {}).get("constraints", []),
                 # op lets table-tailing consumers distinguish NEW DATA
                 # from REWRITES: an overwrite (e.g. compaction) lists
                 # replacement files whose rows were already emitted — a
@@ -413,6 +416,10 @@ class ManifestParquetWriter(DataSourceWriter):
                 # commit-level op).
                 "op": "overwrite" if self.overwrite else "append",
             }
+            # WRITE-TIME CHECK-CONSTRAINT enforcement (footer-stats
+            # proof, never a data scan): a violating commit removes its
+            # own parts and raises — the table is untouched.
+            _enforce_constraints(self.path, files, manifest["constraints"])
             if self.staged:
                 break
             if _claim_and_publish(self.path, manifest):
@@ -505,7 +512,12 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 "batches": batches + [batchId],
                 "renames": (prev or {}).get("renames", []),
                 "eq_deletes": (prev or {}).get("eq_deletes", []),
+                "constraints": (prev or {}).get("constraints", []),
             }
+            # per-epoch CHECK enforcement — same footer-stats proof as
+            # the batch writer; a violating epoch fails the stream query
+            # with the table untouched
+            _enforce_constraints(self.path, files, manifest["constraints"])
             if _claim_and_publish(self.path, manifest):
                 return
         raise RuntimeError(
@@ -1022,6 +1034,7 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         "op": "delete",
         "renames": head.get("renames", []),
         "eq_deletes": head.get("eq_deletes", []),
+        "constraints": head.get("constraints", []),
         # the logical predicate travels with the commit so a change-feed
         # consumer can apply the same retention delete downstream (the
         # deletion half of CDC that an insert-only row feed cannot carry)
@@ -1061,6 +1074,11 @@ def rename_column(path: str, old: str, new: str) -> dict:
             raise RuntimeError(
                 f"cannot rename {old!r}: pending merge-on-read deletes reference it — "
                 "run materialize_deletes first (delete predicates always use current names)"
+            )
+        if any(c["col"] == old for c in head.get("constraints", [])):
+            raise RuntimeError(
+                f"cannot rename {old!r}: CHECK constraints reference it — "
+                "drop_check_constraint first (constraint predicates always use current names)"
             )
         manifest = {
             **head,
@@ -1270,7 +1288,11 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
         "op": "merge",
         "renames": head.get("renames", []),
         "eq_deletes": head.get("eq_deletes", []),
+        "constraints": head.get("constraints", []),
     }
+    # the merge's INSERT half is new data — prove it against the table's
+    # CHECK constraints like any write (footer stats; rejects cleanly)
+    _enforce_constraints(path, new_files, manifest["constraints"])
     if not _claim_and_publish(path, manifest):
         raise RuntimeError(
             f"merge_upsert lost the commit race for v{manifest['version']}: "
@@ -1309,8 +1331,12 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     with open(os.path.join(path, "manifest.json")) as f:
         head_version = _json.load(f)["version"]
     horizon = max(1, head_version - keep_versions + 1)
+    # named refs PIN their snapshots (Iceberg's retain-ref rule): a
+    # tagged or branch-pinned version keeps its manifest AND its files
+    # alive regardless of the horizon, until the ref is dropped
+    pinned = {r["version"] for r in list_refs(path)}
     live: set[str] = set()
-    for v in range(horizon, head_version + 1):
+    for v in sorted(set(range(horizon, head_version + 1)) | pinned):
         with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
             live.update(_json.load(f)["files"])
     # an in-flight WAP stage is reachable (via the staged pointer) even
@@ -1327,7 +1353,7 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     n_manifests = 0
     for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
         v = int(os.path.basename(mf)[len("_manifest-v") : -len(".json")])
-        if v < horizon:
+        if v < horizon and v not in pinned:
             os.remove(mf)
             n_manifests += 1
     return {
@@ -1336,6 +1362,341 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
         "head_version": head_version,
         "horizon_version": horizon,
     }
+
+
+# --- CHECK constraints, RESTORE, and named refs (branches/tags) -------------
+#
+# The remaining Delta/Iceberg table-management verbs on this format:
+# write-time CHECK constraints proven from parquet FOOTER STATS (never a
+# data scan), RESTORE as a new commit pointing at an old snapshot's
+# state (rollback without losing history), and named refs — immutable
+# TAGS and movable BRANCH pointers — that pin snapshots against VACUUM
+# (Iceberg's retain-ref retention rule).
+
+
+def _footer_nulls(path: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file total null counts for the given columns, from parquet
+    footers only.  Returns {file: {col: null_count | None}} — None when
+    any row group lacks the statistic (unprovable)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fn in files:
+        meta = pq.ParquetFile(os.path.join(path, fn)).metadata
+        counts: dict[str, int | None] = {c: 0 for c in cols}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in counts or counts[name] is None:
+                    continue
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    counts[name] = None
+                else:
+                    counts[name] += st.null_count
+        out[fn] = counts
+    return out
+
+
+def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict]) -> None:
+    """Validate just-written part files against the table's CHECK
+    constraints using footer statistics only: a range constraint is
+    proven by every file's [min, max] landing inside [lo, hi]; NOT NULL
+    by null_count == 0.  UNPROVABLE is a violation (a constrained
+    column missing stats fails loudly rather than silently admitting
+    bad data).  On violation the new files are deleted — no manifest
+    lists them, so the table is untouched — and the commit raises.
+    Cost: one footer read per new file, independent of row count."""
+    import os
+
+    if not constraints or not new_files:
+        return
+    range_cs = [c for c in constraints if c.get("lo") is not None or c.get("hi") is not None]
+    null_cs = [c for c in constraints if c.get("not_null")]
+    stats = _footer_stats(path, new_files)
+    nulls = _footer_nulls(path, new_files, [c["col"] for c in null_cs]) if null_cs else {}
+    err = None
+    for fn in new_files:
+        for c in range_cs:
+            mm = stats.get(fn, {}).get(c["col"])
+            if mm is None:
+                err = f"constraint {c['name']!r}: no footer stats for {c['col']!r} in {fn} (unprovable)"
+                break
+            lo, hi = c.get("lo"), c.get("hi")
+            if (lo is not None and mm[0] < lo) or (hi is not None and mm[1] > hi):
+                err = (
+                    f"constraint {c['name']!r} violated by {fn}: "
+                    f"{c['col']} range {mm} outside [{lo}, {hi}]"
+                )
+                break
+        if err is None:
+            for c in null_cs:
+                nc = nulls.get(fn, {}).get(c["col"])
+                if nc is None:
+                    err = f"constraint {c['name']!r}: no null stats for {c['col']!r} in {fn}"
+                    break
+                if nc > 0:
+                    err = f"constraint {c['name']!r} violated by {fn}: {nc} null(s) in {c['col']}"
+                    break
+        if err:
+            break
+    if err:
+        for fn in new_files:
+            try:
+                os.remove(os.path.join(path, fn))
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(f"commit rejected: {err}")
+
+
+def add_check_constraint(
+    path: str, name: str, col: str, lo=None, hi=None, not_null: bool = False
+) -> dict:
+    """ADD a CHECK constraint (range and/or NOT NULL) to the manifest
+    table — a metadata commit (op=alter) that every later write must
+    satisfy (`_enforce_constraints` in both writers and merge_upsert)
+    and every later RESTORE is validated against.  Like Delta's ALTER
+    TABLE ADD CONSTRAINT, the EXISTING data must already satisfy it:
+    the current snapshot's files are proven from their manifest stats /
+    footers first, and a violating table refuses the constraint.
+    Renaming a constrained column is refused until the constraint is
+    dropped (predicates always reference current names, the same rule
+    as MoR deletes)."""
+    assert lo is not None or hi is not None or not_null, "empty constraint"
+    entry = {"name": name, "col": col, "lo": lo, "hi": hi, "not_null": bool(not_null)}
+    for _attempt in range(64):
+        head = _latest_snapshot(path)
+        assert head is not None, "add_check_constraint requires an existing table"
+        if any(c["name"] == name for c in head.get("constraints", [])):
+            raise RuntimeError(f"constraint {name!r} already exists")
+        # prove the EXISTING data satisfies the constraint before
+        # admitting it (footer walk; no data pages)
+        _enforce_existing(path, head, [entry])
+        manifest = {
+            **head,
+            "version": head.get("version", 0) + 1,
+            "constraints": head.get("constraints", []) + [entry],
+            "op": "alter",
+        }
+        if _claim_and_publish(path, manifest):
+            return manifest
+    raise RuntimeError("add_check_constraint: could not claim a version in 64 attempts")
+
+
+def drop_check_constraint(path: str, name: str) -> dict:
+    """DROP a named CHECK constraint (metadata commit, op=alter)."""
+    for _attempt in range(64):
+        head = _latest_snapshot(path)
+        assert head is not None, "drop_check_constraint requires an existing table"
+        kept = [c for c in head.get("constraints", []) if c["name"] != name]
+        if len(kept) == len(head.get("constraints", [])):
+            raise RuntimeError(f"no such constraint: {name!r}")
+        manifest = {
+            **head,
+            "version": head.get("version", 0) + 1,
+            "constraints": kept,
+            "op": "alter",
+        }
+        if _claim_and_publish(path, manifest):
+            return manifest
+    raise RuntimeError("drop_check_constraint: could not claim a version in 64 attempts")
+
+
+def _enforce_existing(path: str, snapshot: dict, constraints: list[dict]) -> None:
+    """Prove an EXISTING snapshot satisfies `constraints`, preferring
+    the manifest's recorded stats and falling back to footers.  Raises
+    on violation or unprovability (same loud-fail rule as writes)."""
+    range_cs = [c for c in constraints if c.get("lo") is not None or c.get("hi") is not None]
+    null_cs = [c for c in constraints if c.get("not_null")]
+    stats = snapshot.get("stats", {})
+    missing = [
+        fn
+        for fn in snapshot["files"]
+        if any(stats.get(fn, {}).get(c["col"]) is None for c in range_cs)
+    ]
+    if missing and range_cs:
+        stats = {**stats, **_footer_stats(path, missing)}
+    for fn in snapshot["files"]:
+        for c in range_cs:
+            mm = stats.get(fn, {}).get(c["col"])
+            if mm is None:
+                raise RuntimeError(
+                    f"constraint {c['name']!r}: no stats for {c['col']!r} in {fn} (unprovable)"
+                )
+            lo, hi = c.get("lo"), c.get("hi")
+            if (lo is not None and mm[0] < lo) or (hi is not None and mm[1] > hi):
+                raise RuntimeError(
+                    f"existing data violates constraint {c['name']!r}: "
+                    f"{fn} has {c['col']} range {mm} outside [{lo}, {hi}]"
+                )
+    if null_cs:
+        nulls = _footer_nulls(path, snapshot["files"], [c["col"] for c in null_cs])
+        for fn in snapshot["files"]:
+            for c in null_cs:
+                nc = nulls.get(fn, {}).get(c["col"])
+                if nc is None:
+                    raise RuntimeError(
+                        f"constraint {c['name']!r}: no null stats for {c['col']!r} in {fn}"
+                    )
+                if nc > 0:
+                    raise RuntimeError(
+                        f"existing data violates constraint {c['name']!r}: "
+                        f"{fn} has {nc} null(s) in {c['col']}"
+                    )
+
+
+def restore_table(path: str, to_version: int) -> dict:
+    """RESTORE the table to an earlier snapshot — as a NEW commit whose
+    data state (files, row count, stats, renames, MoR deletes) is
+    copied from `_manifest-v{to_version}.json` (Delta `RESTORE TABLE
+    ... TO VERSION AS OF k`): history is never rewritten, every
+    intermediate version still time-travels, and the change feed shows
+    an explicit op=restore commit (dataChange=false — restored rows
+    were already emitted by their original appends).  CONSTRAINTS are
+    table metadata, not data: the restored state must satisfy the
+    CURRENT constraint set (proven from the target snapshot's stats) or
+    the restore is refused — restoring yesterday's data may not smuggle
+    in rows a constraint added today forbids.  O(1) metadata commit;
+    the restored files are still on disk because vacuum's retention is
+    exactly what bounds how far back restore reaches."""
+    import os
+
+    try:
+        with open(os.path.join(path, f"_manifest-v{to_version}.json")) as f:
+            target = _json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"cannot restore to v{to_version}: no such committed snapshot "
+            "(expired by vacuum, or never committed — cannot restore forward)"
+        ) from None
+    for _attempt in range(64):
+        head = _latest_snapshot(path)
+        assert head is not None, "restore_table requires an existing table"
+        if to_version > head.get("version", 0):
+            raise RuntimeError(f"cannot restore forward to v{to_version}")
+        constraints = head.get("constraints", [])
+        _enforce_existing(path, target, constraints)
+        manifest = {
+            "version": head.get("version", 0) + 1,
+            "files": target["files"],
+            "n_rows": target["n_rows"],
+            "stats": target.get("stats", {}),
+            "renames": target.get("renames", []),
+            "eq_deletes": target.get("eq_deletes", []),
+            "constraints": constraints,
+            "op": "restore",
+            "restored_from": to_version,
+        }
+        if _claim_and_publish(path, manifest):
+            return manifest
+    raise RuntimeError("restore_table: could not claim a version in 64 attempts")
+
+
+def _ref_path(path: str, name: str) -> str:
+    import os
+    import re
+
+    assert re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name), f"bad ref name: {name!r}"
+    return os.path.join(path, f"_ref-{name}.json")
+
+
+def create_tag(path: str, name: str, version: int) -> dict:
+    """Create an IMMUTABLE tag pointing at a committed snapshot
+    (Iceberg tag / Delta named snapshot).  Creation is atomic via the
+    same hard-link claim as manifests — two racers get exactly one
+    winner — and an existing ref of any kind refuses the name.  Tagged
+    snapshots are pinned against `vacuum` until the tag is dropped."""
+    import os
+
+    if not os.path.exists(os.path.join(path, f"_manifest-v{version}.json")):
+        raise RuntimeError(f"cannot tag v{version}: no such committed snapshot")
+    ref = {"name": name, "kind": "tag", "version": version}
+    rp = _ref_path(path, name)
+    tmp = rp + ".claim"
+    with open(tmp, "w") as f:
+        _json.dump(ref, f)
+    try:
+        os.link(tmp, rp)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(f"ref {name!r} already exists")
+    os.remove(tmp)
+    return ref
+
+
+def create_branch(path: str, name: str, version: int) -> dict:
+    """Create a MOVABLE branch pointer at a committed snapshot.  Same
+    atomic claim as tags; advance with `advance_branch`.  A branch pins
+    its current target against vacuum, so a slow consumer pinned to a
+    branch never loses its snapshot."""
+    import os
+
+    if not os.path.exists(os.path.join(path, f"_manifest-v{version}.json")):
+        raise RuntimeError(f"cannot branch at v{version}: no such committed snapshot")
+    ref = {"name": name, "kind": "branch", "version": version}
+    rp = _ref_path(path, name)
+    tmp = rp + ".claim"
+    with open(tmp, "w") as f:
+        _json.dump(ref, f)
+    try:
+        os.link(tmp, rp)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(f"ref {name!r} already exists")
+    os.remove(tmp)
+    return ref
+
+
+def advance_branch(path: str, name: str, version: int) -> dict:
+    """Move a branch pointer to another committed snapshot (atomic
+    replace).  Tags refuse — immutability is their contract."""
+    import os
+
+    rp = _ref_path(path, name)
+    with open(rp) as f:
+        ref = _json.load(f)
+    if ref["kind"] != "branch":
+        raise RuntimeError(f"ref {name!r} is a {ref['kind']}, not a branch")
+    if not os.path.exists(os.path.join(path, f"_manifest-v{version}.json")):
+        raise RuntimeError(f"cannot advance to v{version}: no such committed snapshot")
+    new = {**ref, "version": version}
+    tmp = rp + f".mv-{version}"
+    with open(tmp, "w") as f:
+        _json.dump(new, f)
+    os.replace(tmp, rp)
+    return new
+
+
+def drop_ref(path: str, name: str) -> None:
+    import os
+
+    os.remove(_ref_path(path, name))
+
+
+def list_refs(path: str) -> list[dict]:
+    import glob
+    import os
+
+    out = []
+    for rp in sorted(glob.glob(os.path.join(path, "_ref-*.json"))):
+        with open(rp) as f:
+            out.append(_json.load(f))
+    return out
+
+
+def resolve_ref(path: str, name: str) -> int:
+    with open(_ref_path(path, name)) as f:
+        return _json.load(f)["version"]
+
+
+def read_manifest_ref(spark, path: str, name: str):
+    """Read the table AS OF a named ref (`VERSION AS OF 'tag'`): resolve
+    the ref to its pinned snapshot version and time-travel there."""
+    return read_manifest(spark, path, version=resolve_ref(path, name))
 
 
 def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]:

@@ -1,0 +1,154 @@
+"""Round-6 continuation: RESTORE / named refs / CHECK constraints on the
+manifest table format (sources/pydatasource.py).
+
+Pins the contracts the catalog queries (`pyds_sink_restore`,
+`pyds_branch_tag_travel`, `pyds_sink_check_constraint`) rely on:
+  * restore is a NEW commit (history intact), refuses forward targets,
+    and is validated against the CURRENT constraint set;
+  * tags are immutable, branches movable, both atomic; vacuum never
+    expires a ref-pinned snapshot (manifest OR files);
+  * a violating write deletes its own parts and leaves the table
+    untouched; adding a constraint the existing data violates is
+    refused; renaming a constrained column is refused until the
+    constraint drops.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    P.register_sink(spark)
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id * 3 AS INT) AS v"
+    )
+    df.filter("id < 50").coalesce(2).write.format("rtbd_manifest_sink").option(
+        "path", path
+    ).mode("append").save()
+    df.filter("id >= 50").coalesce(2).write.format("rtbd_manifest_sink").option(
+        "path", path
+    ).mode("append").save()
+    return path
+
+
+def test_restore_is_a_new_commit_and_history_survives(spark, table):
+    P.delete_where(spark, table, "v", 0, 60)  # v3
+    m = P.restore_table(table, 2)  # v4
+    assert m["version"] == 4 and m["restored_from"] == 2
+    assert P.read_manifest(spark, table)[0].count() == 100
+    # intermediate delete still time-travels
+    assert P.read_manifest(spark, table, version=3)[0].count() == 79
+    with pytest.raises(RuntimeError, match="cannot restore"):
+        P.restore_table(table, 99)
+
+
+def test_restore_validated_against_current_constraints(spark, table):
+    # v3 deletes every v < 150 -> survivors all satisfy v >= 150
+    P.delete_where(spark, table, "v", 0, 149)
+    P.add_check_constraint(table, "v_hi", "v", lo=150)
+    # restoring v2 would bring back rows with v < 150 -> refused
+    with pytest.raises(RuntimeError, match="violates constraint"):
+        P.restore_table(table, 2)
+    # head unchanged
+    assert P._latest_snapshot(table)["op"] == "alter"
+
+
+def test_tag_immutable_branch_movable(spark, table):
+    P.create_tag(table, "rel-1", 1)
+    with pytest.raises(RuntimeError, match="already exists"):
+        P.create_tag(table, "rel-1", 2)
+    with pytest.raises(RuntimeError, match="not a branch"):
+        P.advance_branch(table, "rel-1", 2)
+    P.create_branch(table, "dev", 1)
+    P.advance_branch(table, "dev", 2)
+    assert P.resolve_ref(table, "dev") == 2
+    with pytest.raises(RuntimeError, match="no such committed snapshot"):
+        P.advance_branch(table, "dev", 42)
+    kinds = {r["name"]: r["kind"] for r in P.list_refs(table)}
+    assert kinds == {"rel-1": "tag", "dev": "branch"}
+
+
+def test_vacuum_respects_ref_pins(spark, table):
+    P.create_tag(table, "pin", 1)
+    # compact: overwrite rewrites everything -> v3; v1/v2 files now stale
+    full, _ = P.read_manifest(spark, table)
+    full.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+        "overwrite"
+    ).save()
+    out = P.vacuum(table, keep_versions=1)
+    # v2 expired (not pinned); v1 manifest + files survive on the tag
+    assert out["n_manifests_removed"] == 1
+    assert P.read_manifest_ref(spark, table, "pin")[0].count() == 50
+    with pytest.raises(FileNotFoundError):
+        P.read_manifest(spark, table, version=2)
+    # dropping the ref makes the snapshot expirable on the next vacuum
+    P.drop_ref(table, "pin")
+    P.vacuum(table, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        P.read_manifest(spark, table, version=1)
+
+
+def test_violating_write_cleans_up_and_rejects(spark, table):
+    P.add_check_constraint(table, "v_range", "v", lo=0, hi=300)
+    P.add_check_constraint(table, "k_nn", "k", not_null=True)
+    head_before = P._latest_snapshot(table)["version"]
+    bad = spark.range(200, 210).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id * 3 AS INT) AS v"  # v up to 627
+    )
+    with pytest.raises(Exception, match="constraint"):
+        bad.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+            "append"
+        ).save()
+    m = P._latest_snapshot(table)
+    assert m["version"] == head_before
+    listed = set(m["files"])
+    orphans = [
+        f
+        for f in glob.glob(os.path.join(table, "part-*"))
+        if os.path.basename(f) not in listed
+    ]
+    assert orphans == []
+    # null violation
+    withnull = spark.sql("SELECT CAST(999 AS BIGINT) id, CAST(NULL AS INT) k, CAST(1 AS INT) v")
+    with pytest.raises(Exception, match="constraint"):
+        withnull.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+            "append"
+        ).save()
+
+
+def test_add_constraint_requires_existing_data_valid(spark, table):
+    with pytest.raises(RuntimeError, match="existing data violates"):
+        P.add_check_constraint(table, "too_tight", "v", lo=0, hi=10)
+    with pytest.raises(AssertionError):
+        P.add_check_constraint(table, "empty", "v")  # no bounds, no not_null
+
+
+def test_rename_refused_on_constrained_column(spark, table):
+    P.add_check_constraint(table, "v_range", "v", lo=0, hi=300)
+    with pytest.raises(RuntimeError, match="CHECK constraints reference it"):
+        P.rename_column(table, "v", "val")
+    P.drop_check_constraint(table, "v_range")
+    P.rename_column(table, "v", "val")
+    df, _ = P.read_manifest(spark, table)
+    assert "val" in df.columns and "v" not in df.columns
+
+
+def test_constraints_survive_all_verbs(spark, table):
+    P.add_check_constraint(table, "v_range", "v", lo=0, hi=300)
+    P.delete_where(spark, table, "v", 0, 30)
+    assert P._latest_snapshot(table)["constraints"][0]["name"] == "v_range"
+    upd = spark.range(5).selectExpr("id", "CAST(0 AS INT) AS k", "CAST(250 AS INT) AS v")
+    P.merge_upsert(spark, table, upd, "id")
+    assert P._latest_snapshot(table)["constraints"][0]["name"] == "v_range"
+    # merge inserting a violating row is rejected
+    bad = spark.range(500, 501).selectExpr("id", "CAST(0 AS INT) AS k", "CAST(999 AS INT) AS v")
+    with pytest.raises(RuntimeError, match="constraint"):
+        P.merge_upsert(spark, table, bad, "id")
