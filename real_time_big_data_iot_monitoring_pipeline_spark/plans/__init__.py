@@ -94,7 +94,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # cohens_kappa_agreement, roc_auc_doclen_lang, theil_index_decomposition,
 # target_encode_loo, stratified_split_assignment, grouped_mode_exact,
 # brier_score_decomposition, pyds_sink_restore, pyds_branch_tag_travel,
-# pyds_sink_check_constraint).
+# pyds_sink_check_constraint, croston_intermittent_demand,
+# abc_classification, kcore_decomposition, heaps_law_vocab_growth).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

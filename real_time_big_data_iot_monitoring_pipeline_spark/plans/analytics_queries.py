@@ -3728,3 +3728,102 @@ def ab_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bound_milli",
         (F.abs(F.col("z_milli")) >= F.col("bound_milli")).alias("crossed"),
     )
+
+
+@register(
+    "croston_intermittent_demand",
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey AS part,
+               CAST(floor(EXTRACT(epoch FROM l_shipdate) / 86400) AS BIGINT) AS day,
+               CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS size_cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    gaps AS (
+        SELECT part, day, size_cents,
+               day - lag(day) OVER (PARTITION BY part ORDER BY day) AS gap
+        FROM daily
+    ),
+    arrs AS (
+        SELECT part,
+               CAST(count(*) AS BIGINT) AS n_demand_days,
+               CAST(array_agg(size_cents ORDER BY day) AS DOUBLE[]) AS sizes,
+               CAST(array_agg(gap ORDER BY day) FILTER (WHERE gap IS NOT NULL) AS DOUBLE[]) AS gaps
+        FROM gaps GROUP BY part
+    ),
+    fold AS (
+        SELECT part, n_demand_days,
+               list_reduce(sizes, (acc, x) -> 0.1 * x + 0.9 * acc) AS z,
+               list_reduce(gaps,  (acc, x) -> 0.1 * x + 0.9 * acc) AS p
+        FROM arrs WHERE n_demand_days >= 8
+    )
+    SELECT part, n_demand_days,
+           ROUND(z / 100.0 + 1e-8, 4) AS size_ewma,
+           ROUND(p + 1e-8, 4) AS interval_ewma,
+           ROUND(z / (100.0 * p) + 1e-8, 6) AS demand_per_day
+    FROM fold ORDER BY part
+    """,
+    tags=("analytics", "forecast", "croston", "intermittent-demand", "recurrence"),
+)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand — the forecasting model
+    for series that are MOSTLY ZERO (spare parts, long-tail SKUs),
+    where Holt/naive smoothers (`holt_forecast_per_user`,
+    `backtest_rolling_origin`) collapse toward zero between demands:
+    smooth the nonzero demand SIZES and the INTER-DEMAND INTERVALS as
+    two separate EWMAs (alpha=0.1) and forecast size/interval demand
+    per day (Croston 1972, public).  Exactness: daily sizes are exact
+    cents and gaps exact integer days; each per-part recurrence is the
+    same IEEE left-fold in both engines (the `ewma_batch_per_user`
+    list-fold discipline), seeded by the first element, so the
+    order-sensitive float recurrences hash.  Plan: one day-grain agg,
+    a part-partitioned lag for gaps, one part-keyed collect — per-part
+    arrays are demand-day-bounded (calendar-bounded at any row
+    volume).  Parts with < 8 demand days are excluded (too sparse to
+    seed both folds meaningfully) by both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.floor(F.unix_seconds(F.col("l_shipdate")) / F.lit(86400)).cast("long").alias("day"),
+    ).agg(F.sum(as_cents(F.col("l_quantity"))).alias("size_cents"))
+    w = Window.partitionBy("part").orderBy("day")
+    gaps = daily.withColumn("gap", F.col("day") - F.lag("day").over(w))
+    arrs = gaps.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_demand_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "size_cents"))),
+            lambda s: s.getField("size_cents").cast("double"),
+        ).alias("sizes"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("gap").isNotNull(), F.struct("day", "gap"))
+                )
+            ),
+            lambda s: s.getField("gap").cast("double"),
+        ).alias("gaps"),
+    )
+
+    def fold(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr)),
+            F.element_at(arr, 1),
+            lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+        )
+
+    out = (
+        arrs.where(F.col("n_demand_days") >= 8)
+        .select(
+            "part",
+            F.col("n_demand_days").cast("long").alias("n_demand_days"),
+            fold(F.col("sizes")).alias("z"),
+            fold(F.col("gaps")).alias("p"),
+        )
+    )
+    return out.select(
+        "part",
+        "n_demand_days",
+        round_det(F.col("z") / 100.0, 4).alias("size_ewma"),
+        round_det(F.col("p"), 4).alias("interval_ewma"),
+        round_det(F.col("z") / (100.0 * F.col("p")), 6).alias("demand_per_day"),
+    ).orderBy("part")

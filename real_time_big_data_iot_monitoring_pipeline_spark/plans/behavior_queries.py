@@ -1370,3 +1370,104 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("node_checksum"),
     )
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 6
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling CTE chain (the `embedding_ivf_kmeans`
+    unrolled-iteration oracle discipline): sym0 is the symmetrized
+    co-purchase edge set; round r keeps nodes whose CURRENT degree is
+    >= k and filters the edge set to kept endpoints."""
+    parts = [
+        """
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+    ),
+    sym0 AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    deg{r} AS (SELECT u AS node, count(*) AS dg FROM sym{r - 1} GROUP BY u),
+    keep{r} AS (SELECT node FROM deg{r} WHERE dg >= {k}),
+    sym{r} AS (
+        SELECT s.u, s.v FROM sym{r - 1} s
+        JOIN keep{r} ka ON s.u = ka.node
+        JOIN keep{r} kb ON s.v = kb.node
+    )"""
+        )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS round,
+           CAST((SELECT count(*) FROM keep{r}) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM sym{r}) / 2 AS BIGINT) AS n_edges"""
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + rows + "\n    ORDER BY round"
+
+
+@register(
+    "kcore_decomposition",
+    oracle=_kcore_sql(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "k-core", "iterative", "peeling"),
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE PEELING (k=3, 6 synchronized rounds) on the part
+    co-purchase graph — the fourth iterative-graph-family member
+    (PageRank ranks, components cluster, triangles measure cohesion,
+    k-core finds the DENSE SPINE): each round drops every node whose
+    current degree is below k, shrinking the edge set, and the
+    round-by-round (n_nodes, n_edges) trajectory is the output — the
+    hash pins every intermediate state, not just the fixpoint, so a
+    round that peels too eagerly or too lazily is caught.  Semantics
+    are FIXED-ROUND (identical in both engines regardless of whether
+    the trajectory has converged; on these fixtures it stabilizes well
+    within 6).  Plan: same degree-ordered 10% edge sample as
+    `copurchase_triangles`; per round one hash-agg for degrees + two
+    semi-joins, `localCheckpoint` every 2 rounds to cut the iterative
+    lineage (the `pagerank_trade_graph` discipline).  The oracle
+    unrolls the identical peeling as a CTE chain.  At scale: each
+    round is edges-sized map+shuffle work; rounds to the true core are
+    O(peeling depth), the standard distributed k-core schedule."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    spark_rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+        keep = deg.where(F.col("dg") >= _KCORE_K).select(F.col("u").alias("node"))
+        sym = (
+            sym.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+        )
+        if r % 2 == 0:
+            sym = sym.localCheckpoint(eager=False)
+        n_nodes = keep.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        n_edges = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+        spark_rows.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = spark_rows[0]
+    for extra in spark_rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("round")

@@ -1045,3 +1045,75 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_rec_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_rec_orders")
     return spark.sql(_RECURSIVE_CTE_SQL.format(customer="v_rec_customer", orders="v_rec_orders"))
+
+
+@register(
+    "abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS part, CAST(sum({_DISC_SQL}) AS BIGINT) AS rc
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT part, rc,
+               sum(rc) OVER (ORDER BY rc DESC, part
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               sum(rc) OVER () AS total
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN run * 100 <= total * 80 THEN 'A'
+                    WHEN run * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS cls,
+               rc, total
+        FROM ranked
+    )
+    SELECT cls,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           ROUND(sum(rc) / (CAST(any_value(total) AS DOUBLE) * 10000.0) * 10000.0 + 1e-8, 6) AS revenue_share
+    FROM classed GROUP BY cls ORDER BY cls
+    """,
+    tags=("olap", "abc-analysis", "pareto", "global-running-sum"),
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC INVENTORY CLASSIFICATION of parts by discounted revenue —
+    the 80/15/5 Pareto banding every supply-chain/merchandising team
+    runs (A: parts covering the first 80% of cumulative revenue, B: to
+    95%, C: the tail).  The class boundary is an INTEGER comparison
+    (run*100 <= total*80 on exact micro-cent int64s) so boundary parts
+    band identically in both engines.  The Spark side rides the
+    `global_running_sum` RANGE-PARTITION kernel over (revenue DESC,
+    part) — a fourth kernel-equivalence consumer; no data-sized global
+    window — while the oracle uses a native window prefix sum; the
+    grand total arrives as the kernel's broadcast `_grs_total`, never a
+    second scan.  Output is 3 rows at any catalog size."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sum(_disc_price_cents()).alias("rc"))
+    )
+    ranked = global_running_sum(
+        rev, [F.col("rc").desc(), F.col("part")], "rc", out="run"
+    )
+    classed = ranked.select(
+        F.when(F.col("run") * 100 <= F.col("_grs_total") * 80, "A")
+        .when(F.col("run") * 100 <= F.col("_grs_total") * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+        "rc",
+        F.col("_grs_total").alias("total"),
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            round_det(
+                F.sum("rc") / (F.first("total").cast("double") * 10000.0) * 10000.0, 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("cls")
+    )

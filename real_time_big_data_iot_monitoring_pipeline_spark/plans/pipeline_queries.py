@@ -1477,3 +1477,122 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("flesch_milli").cast("long").alias("max_flesch_milli"),
         )
     )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ),
+    doc_tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+    first_seen AS (SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY 1),
+    cps AS (
+        SELECT ((max(doc_id) + 1) * i) // 4 AS cp
+        FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        GROUP BY i
+    ),
+    pts AS (
+        SELECT c.cp AS checkpoint_docs,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_tok WHERE doc_id < c.cp) AS n_tokens,
+               (SELECT CAST(count(*) AS BIGINT) FROM first_seen WHERE first_doc < c.cp) AS vocab
+        FROM cps c
+    ),
+    q AS (
+        SELECT checkpoint_docs, n_tokens, vocab,
+               CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5 + 1e-8) AS BIGINT) AS x6,
+               CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5 + 1e-8) AS BIGINT) AS y6
+        FROM pts
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+               CAST(sum(x6 * y6) AS BIGINT) AS sxy, CAST(sum(x6 * x6) AS BIGINT) AS sxx
+        FROM q
+    )
+    SELECT q.checkpoint_docs, q.n_tokens, q.vocab,
+           ROUND(CAST(fit.n * fit.sxy - fit.sx * fit.sy AS DOUBLE)
+                 / CAST(fit.n * fit.sxx - fit.sx * fit.sx AS DOUBLE) + 1e-8, 6) AS heaps_beta
+    FROM q CROSS JOIN fit
+    ORDER BY q.checkpoint_docs
+    """,
+    tags=("pipeline", "heaps-law", "vocab-growth", "scaling-law"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary growth census — V(n) ~ K * T(n)^beta, the
+    scaling law that predicts how a tokenizer's open-vocabulary burden
+    grows with corpus size (the planning twin of `text_zipf_fit`'s
+    frequency law; both must hold for a corpus to look organic).  The
+    corpus is consumed in doc_id order; at each quarter checkpoint the
+    cumulative token count and DISTINCT vocabulary are measured, and
+    beta is the log-log OLS slope over the four points.  Computing
+    vocabulary-at-checkpoint via each term's FIRST-OCCURRENCE doc
+    (min doc_id per term) turns the prefix-distinct problem into one
+    vocabulary-sized aggregation — never a per-checkpoint rescan.
+    Exactness: counts are exact int64; ln values are micro-quantized
+    per point so the OLS moments are exact integer sums (products stay
+    far under 2^63), one final division.  Plan: one token scan feeding
+    both the per-doc counts and the first-seen table; checkpoints are
+    a broadcast 4-row frame."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0)
+        ).alias("term"),
+    )
+    doc_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    cps = F.broadcast(
+        docs.agg(F.max("doc_id").alias("mx")).selectExpr(
+            "explode(array(1, 2, 3, 4)) AS i", "mx"
+        ).selectExpr("((mx + 1) * i) div 4 AS cp")
+    )
+    tok_at = (
+        doc_tok.crossJoin(cps)
+        .where(F.col("doc_id") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    voc_at = (
+        first_seen.crossJoin(cps)
+        .where(F.col("first_doc") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    pts = tok_at.join(voc_at, "cp").select(
+        F.col("cp").cast("long").alias("checkpoint_docs"),
+        "n_tokens",
+        "vocab",
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1000000 + F.lit(0.5 + 1e-8))
+        .cast("long")
+        .alias("x6"),
+        F.floor(F.log(F.col("vocab").cast("double")) * 1000000 + F.lit(0.5 + 1e-8))
+        .cast("long")
+        .alias("y6"),
+    )
+    fit = F.broadcast(
+        pts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x6").alias("sx"),
+            F.sum("y6").alias("sy"),
+            F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+            F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        )
+    )
+    return (
+        pts.crossJoin(fit)
+        .select(
+            "checkpoint_docs",
+            "n_tokens",
+            "vocab",
+            round_det(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+                6,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("checkpoint_docs")
+    )
