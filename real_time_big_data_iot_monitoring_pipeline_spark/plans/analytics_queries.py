@@ -3827,3 +3827,136 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.col("p"), 4).alias("interval_ewma"),
         round_det(F.col("z") / (100.0 * F.col("p")), 6).alias("demand_per_day"),
     ).orderBy("part")
+
+
+# Abramowitz & Stegun 26.2.17 upper-tail normal approximation, written
+# ONCE and formatted into both dialects so the IEEE op sequence is
+# identical (the engines share literal constants, not a library call —
+# neither ships a portable normal CDF).
+_AS_TAIL = (
+    "(exp(-({x}) * ({x}) / 2.0) / 2.5066282746310002 * "
+    "((1.0 / (1.0 + 0.2316419 * ({x}))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ({x}))) * "
+    "(-0.356563782 + (1.0 / (1.0 + 0.2316419 * ({x}))) * (1.781477937 + "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ({x}))) "
+    "* 1.330274429))))))"
+)
+
+
+@register(
+    "fdr_bh_correction",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                        * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS q
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM cells),
+    z AS (
+        SELECT event_type, n,
+               ((s / (1.0 * n)) - (ss / (1.0 * nn)))
+               / sqrt(((q - (CAST(s AS DOUBLE) * s) / n) / (n - 1)) / n) AS zval,
+               m
+        FROM cells CROSS JOIN tot
+    ),
+    p AS (
+        SELECT event_type, n, m,
+               CAST(floor(zval * 1000 + 0.5 + 1e-8) AS BIGINT) AS z_milli,
+               CAST(floor(2.0 * {_AS_TAIL.format(x="abs(zval)")} * 1000000 + 0.5 + 1e-8)
+                   AS BIGINT) AS p_micro
+        FROM z
+    ),
+    ranked AS (
+        SELECT event_type, n, m, z_milli, p_micro,
+               row_number() OVER (ORDER BY p_micro, event_type) AS rank
+        FROM p
+    ),
+    cut AS (
+        SELECT coalesce(max(rank) FILTER (WHERE p_micro * m * 10 <= 1000000 * rank), 0) AS kmax
+        FROM ranked
+    )
+    SELECT event_type, n, z_milli, p_micro, CAST(rank AS BIGINT) AS rank,
+           rank <= cut.kmax AS bh_rejected
+    FROM ranked CROSS JOIN cut
+    ORDER BY rank
+    """,
+    tags=("analytics", "multiple-testing", "fdr", "benjamini-hochberg", "global-row-number"),
+)
+def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG false-discovery-rate control (q=0.1) over the
+    per-type "mean value differs from the corpus mean" hypothesis
+    family — the multiple-testing step every experimentation platform
+    runs BETWEEN raw tests (`ab_conversion_ztest`) and decisions:
+    testing m hypotheses at alpha each inflates false positives; BH's
+    step-up rule (reject all ranks <= max{{i: p_(i) <= q*i/m}}) bounds
+    the EXPECTED false-discovery share instead.  Cross-engine p-values
+    are the hard part: neither engine ships a portable normal CDF, so
+    the Abramowitz-Stegun 26.2.17 tail approximation is formatted into
+    both dialects as ONE expression (shared literals, identical IEEE op
+    sequence), fed by z-scores from exact integer moments, and
+    micro-quantized BEFORE ranking — so ranks, the step-up comparison
+    (p6*m*10 <= 1e6*rank, all int64), and the rejection set are exact
+    integer decisions in both engines.  Plan: one scan -> per-type
+    moments; everything after is m-row arithmetic (ranks ride
+    `global_row_number`)."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import (
+        global_row_number,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_type", as_cents(F.col("value")).alias("vc"))
+    cells = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("q"),
+    )
+    tot = F.broadcast(
+        cells.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"), F.count(F.lit(1)).alias("m"))
+    )
+    zval = (
+        (F.col("s") / (1.0 * F.col("n"))) - (F.col("ss") / (1.0 * F.col("nn")))
+    ) / F.sqrt(
+        ((F.col("q") - (F.col("s").cast("double") * F.col("s")) / F.col("n")) / (F.col("n") - 1))
+        / F.col("n")
+    )
+    z = cells.crossJoin(tot).select("event_type", "n", "m", zval.alias("zval"))
+    p = z.select(
+        "event_type",
+        "n",
+        "m",
+        F.floor(F.col("zval") * 1000 + F.lit(0.5 + 1e-8)).cast("long").alias("z_milli"),
+        F.floor(
+            2.0 * F.expr(_AS_TAIL.format(x="abs(zval)")) * 1000000 + F.lit(0.5 + 1e-8)
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
+    ranked = global_row_number(p, [F.col("p_micro"), F.col("event_type")], out="rank")
+    cut = F.broadcast(
+        ranked.agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p_micro") * F.col("m") * 10 <= 1000000 * F.col("rank"),
+                        F.col("rank"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("kmax")
+        )
+    )
+    return (
+        ranked.crossJoin(cut)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "z_milli",
+            "p_micro",
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("rank") <= F.col("kmax")).alias("bh_rejected"),
+        )
+        .orderBy("rank")
+    )

@@ -2748,3 +2748,130 @@ def frame_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-function contract migrations trip on."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView("v_frame_part")
     return spark.sql(_FRAME_SQL.format(part="v_frame_part"))
+
+
+@register(
+    "nulls_ordering_surface",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN l_linenumber = 1 THEN NULL
+                    ELSE CAST(round(l_quantity * 100, 0) AS BIGINT) END AS val,
+               l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum
+        FROM lineitem WHERE l_orderkey <= 640
+    )
+    SELECT 'asc_nulls_first' AS variant, val, okey, lnum FROM
+        (SELECT * FROM v ORDER BY val ASC NULLS FIRST, okey, lnum LIMIT 3)
+    UNION ALL
+    SELECT 'asc_nulls_last', val, okey, lnum FROM
+        (SELECT * FROM v ORDER BY val ASC NULLS LAST, okey, lnum LIMIT 3)
+    UNION ALL
+    SELECT 'desc_nulls_first', val, okey, lnum FROM
+        (SELECT * FROM v ORDER BY val DESC NULLS FIRST, okey, lnum LIMIT 3)
+    UNION ALL
+    SELECT 'desc_nulls_last', val, okey, lnum FROM
+        (SELECT * FROM v ORDER BY val DESC NULLS LAST, okey, lnum LIMIT 3)
+    """,
+    tags=("engine", "sql-surface", "nulls-ordering", "semantics-pin"),
+)
+def nulls_ordering_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ORDERING semantics pin — the cross-engine trap next to
+    `ranking_semantics_surface`/`frame_semantics_surface`: Spark's bare
+    ASC sorts nulls FIRST, DuckDB's sorts them LAST, so any bare
+    ORDER BY over a nullable key silently reorders between engines.
+    The fix this query pins is EXPLICIT `NULLS FIRST/LAST` on every
+    nullable ordering (all four variants, top-3 each, unique
+    tie-breaks); the engine side uses the typed `asc_nulls_first()`
+    family.  A migration that drops one modifier flips rows into or
+    out of the LIMIT and breaks the hash.  Plan: pushdown-filtered
+    scan + 4 TakeOrdered(3) — no full sort."""
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 640)
+        .select(
+            F.when(F.col("l_linenumber") == 1, F.lit(None).cast("long"))
+            .otherwise(as_cents(F.col("l_quantity")))
+            .alias("val"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("long").alias("lnum"),
+        )
+    )
+    variants = [
+        ("asc_nulls_first", F.col("val").asc_nulls_first()),
+        ("asc_nulls_last", F.col("val").asc_nulls_last()),
+        ("desc_nulls_first", F.col("val").desc_nulls_first()),
+        ("desc_nulls_last", F.col("val").desc_nulls_last()),
+    ]
+    frames = [
+        v.orderBy(order, F.col("okey"), F.col("lnum"))
+        .limit(3)
+        .select(F.lit(name).alias("variant"), "val", "okey", "lnum")
+        for name, order in variants
+    ]
+    out = frames[0]
+    for extra in frames[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH rel AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               o.o_orderpriority AS sensitive
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               CAST(count(*) AS BIGINT) AS grp,
+               CAST(count(DISTINCT sensitive) AS BIGINT) AS l
+        FROM rel GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(grp) AS BIGINT) AS n_rows,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(count(*) FILTER (WHERE l < 3) AS BIGINT) AS classes_below_3,
+           CAST(sum(grp) FILTER (WHERE l < 3) AS BIGINT) AS rows_below_3,
+           ROUND(sum(grp) FILTER (WHERE l < 3) / CAST(sum(grp) AS DOUBLE) + 1e-8, 6)
+               AS homogeneous_rate
+    FROM g
+    """,
+    tags=("engine", "data-governance", "l-diversity", "privacy-audit"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT — the privacy check k-anonymity misses
+    (`k_anonymity_audit` counts class SIZES; a class of 50 rows that
+    all share one sensitive value still leaks it — the homogeneity
+    attack): per quasi-identifier class over the released
+    orders-with-customer-attributes relation, count DISTINCT sensitive
+    values (order priority) and report classes below l=3, the rows
+    they expose, and the homogeneous-exposure rate.  Same two-level
+    aggregation shape as the k audit — one QI rollup (now with a
+    distinct-count), one 1-row fold; the join side is the only
+    data-sized stage at 100 TB and the dimension broadcasts."""
+    rel = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(_t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    g = rel.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("grp"),
+        F.count_distinct("sensitive").alias("l"),
+    )
+    below = F.col("l") < 3
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("classes_below_3"),
+        F.sum(F.when(below, F.col("grp")).otherwise(0)).cast("long").alias("rows_below_3"),
+        round_det(
+            F.sum(F.when(below, F.col("grp")).otherwise(0)) / F.sum("grp").cast("double"), 6
+        ).alias("homogeneous_rate"),
+    )

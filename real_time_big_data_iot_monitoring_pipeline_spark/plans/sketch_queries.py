@@ -222,3 +222,88 @@ def quantile_approx_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", *[c for q in qs for c in
                                       (F.col(f"exact_p{int(q*100)}"), F.col(f"approx_p{int(q*100)}"))],
                       *errs)
+
+
+def _spacesaving_candidates(toks: DataFrame, m: int) -> DataFrame:
+    """Per-partition SPACE-SAVING sketch (Metwally et al. 2005, public)
+    over a `term` column, Arrow-batched: each task folds its partition
+    into m counters (batch-increment variant — value_counts per Arrow
+    batch, one adoption per distinct term), guaranteeing every term
+    with partition frequency > n_p/m survives.  By pigeonhole, any term
+    with GLOBAL frequency > N/m is then in some partition's sketch
+    under ANY partitioning — which is exactly what makes the 2-pass
+    exact plan below partition-invariant.  The O(m) min-scan eviction
+    is fine at m=400; the production structure is the linked
+    Stream-Summary (O(1) eviction), same guarantee."""
+    import pandas as pd
+
+    def run(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for term, k in pdf["term"].value_counts().items():
+                cur = counts.get(term)
+                if cur is not None:
+                    cur[0] += int(k)
+                elif len(counts) < m:
+                    counts[term] = [int(k), 0]
+                else:
+                    victim = min(counts, key=lambda t: counts[t][0])
+                    cmin = counts[victim][0]
+                    del counts[victim]
+                    counts[term] = [cmin + int(k), cmin]
+        yield pd.DataFrame({"term": list(counts.keys())})
+
+    return toks.mapInPandas(run, schema="term string").distinct()
+
+
+@register(
+    "heavy_hitters_exact_2pass",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ),
+    counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM counts)
+    SELECT term, n, (n * 1000000) // tot.nt AS share_micro
+    FROM counts CROSS JOIN tot
+    WHERE 200 * n > tot.nt
+    ORDER BY n DESC, term
+    """,
+    tags=("sketch", "heavy-hitters", "space-saving", "two-pass-exact"),
+)
+def heavy_hitters_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (terms above 1/200 of corpus tokens) via the
+    2-pass sketch-then-verify plan — the pattern that finds frequent
+    items WITHOUT a full-vocabulary shuffle: pass 1 folds each
+    partition into a 400-counter Space-Saving sketch (map-side only, no
+    shuffle; candidate set is a guaranteed SUPERSET of every term above
+    N/400 — see `_spacesaving_candidates`), pass 2 re-counts ONLY the
+    candidates exactly (broadcast semi-join filter pushes into the
+    scan) and keeps those above the threshold as an exact integer
+    comparison 200*n > N.  The final answer is EXACT and
+    partition-invariant even though the intermediate candidate set is
+    not — which is precisely what the oracle (plain GROUP BY + HAVING)
+    and the partition-invariance suite verify.  At 100 TB: pass 1
+    shuffles nothing and the verify pass aggregates a few hundred keys;
+    the CMS/KLL family sketches answer point/quantile queries, this
+    answers the top-of-distribution census exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0)
+        ).alias("term")
+    )
+    cands = F.broadcast(_spacesaving_candidates(toks, m=400))
+    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("nt")))
+    exact = (
+        toks.join(cands, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(tot)
+        .where(200 * F.col("n") > F.col("nt"))
+        .select("term", F.col("n").cast("long").alias("n"), F.expr("(n * 1000000L) div nt").alias("share_micro"))
+        .orderBy(F.col("n").desc(), "term")
+    )
