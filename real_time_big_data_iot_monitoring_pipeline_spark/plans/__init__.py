@@ -97,7 +97,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # pyds_sink_check_constraint, croston_intermittent_demand,
 # abc_classification, kcore_decomposition, heaps_law_vocab_growth,
 # fdr_bh_correction, nulls_ordering_surface, l_diversity_audit,
-# heavy_hitters_exact_2pass).
+# heavy_hitters_exact_2pass, mixture_temperature_weights,
+# contrastive_negative_sampling, filter_yield_sweep, dedup_canonical_url).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

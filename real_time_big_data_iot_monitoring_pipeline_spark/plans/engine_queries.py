@@ -2875,3 +2875,112 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(below, F.col("grp")).otherwise(0)) / F.sum("grp").cast("double"), 6
         ).alias("homogeneous_rate"),
     )
+
+
+@register(
+    "dedup_canonical_url",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               (CASE WHEN event_id % 2 = 0 THEN 'https://Shard' ELSE 'https://shard' END)
+               || CAST(user_id % 8 AS VARCHAR) || '.Example.COM/catalog/item'
+               || CAST(event_id % 40 AS VARCHAR)
+               || (CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END)
+               || '?' ||
+               (CASE WHEN event_id % 2 = 0
+                     THEN 'ref=' || event_type || '&utm_source=mail&page=' || CAST(event_id % 5 AS VARCHAR)
+                     ELSE 'page=' || CAST(event_id % 5 AS VARCHAR) || '&ref=' || event_type END)
+               AS url
+        FROM events
+    ),
+    canon AS (
+        SELECT event_id,
+               lower(regexp_extract(url, '^https://([^/]+)', 1)) AS host,
+               regexp_replace(regexp_extract(url, '^https://[^/]+([^?]*)', 1), '/$', '') AS path,
+               array_to_string(
+                   list_sort(list_filter(string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                                         p -> p NOT LIKE 'utm_%')),
+                   '&') AS qs
+        FROM raw
+    ),
+    keys AS (
+        SELECT host, path, host || path || '?' || qs AS ckey FROM canon
+    )
+    SELECT host, path,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT ckey) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT ckey) AS BIGINT) AS n_collapsed
+    FROM keys GROUP BY 1, 2
+    ORDER BY host, path
+    """,
+    tags=("engine", "url-canonicalization", "dedup", "web-curation"),
+)
+def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-URL DEDUPLICATION — the web-crawl curation step before
+    any content dedup: the same resource hides behind host case,
+    trailing slashes, tracking parameters, and query-string order.
+    The synthesized feed plants all four dirt patterns
+    deterministically; canonicalization lowercases the host, strips a
+    trailing slash, DROPS utm_* parameters, and SORTS the remaining
+    query params, so the per-(host, path) census pins exactly how many
+    raw URLs collapse into how many canonical resources — a
+    canonicalizer that misses one rule changes n_canonical.  All string
+    ops are JVM-side codegen (regexp/split/array_sort/concat — the
+    same family as `url_parse_census`); the dedup itself is one
+    hash-agg distinct.  At crawl scale this is a pure map + one
+    canonical-key aggregation."""
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("https://Shard")).otherwise(
+            F.lit("https://shard")
+        ),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit(".Example.COM/catalog/item"),
+        (F.col("event_id") % 40).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit("ref="),
+                F.col("event_type"),
+                F.lit("&utm_source=mail&page="),
+                (F.col("event_id") % 5).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("page="),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit("&ref="),
+                F.col("event_type"),
+            )
+        ),
+    )
+    raw = e.select("event_id", url.alias("url"))
+    canon = raw.select(
+        F.lower(F.regexp_extract("url", "^https://([^/]+)", 1)).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract("url", "^https://[^/]+([^?]*)", 1), "/$", ""
+        ).alias("path"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(F.regexp_extract("url", "\\?(.*)$", 1), "&"),
+                    lambda p: ~p.startswith("utm_"),
+                )
+            ),
+            "&",
+        ).alias("qs"),
+    )
+    keys = canon.select(
+        "host", "path", F.concat(F.col("host"), F.col("path"), F.lit("?"), F.col("qs")).alias("ckey")
+    )
+    return (
+        keys.groupBy("host", "path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.count_distinct("ckey").cast("long").alias("n_canonical"),
+            (F.count(F.lit(1)) - F.count_distinct("ckey")).cast("long").alias("n_collapsed"),
+        )
+        .orderBy("host", "path")
+    )

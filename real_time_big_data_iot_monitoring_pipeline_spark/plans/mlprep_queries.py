@@ -2113,3 +2113,142 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(unc, 6).alias("uncertainty"),
         round_det(brier - (rel - res + unc), 6).alias("decomp_residual"),
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    q AS (
+        SELECT source, n,
+               CAST(floor(exp(0.7 * ln(CAST(n AS DOUBLE))) * 1000000 + 0.5 + 1e-8) AS BIGINT) AS qs
+        FROM c
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(qs) AS BIGINT) AS qt FROM q)
+    SELECT source, n AS n_docs,
+           (n * 1000000) // tot.nt AS raw_share_micro,
+           (qs * 1000000) // tot.qt AS temp_share_micro,
+           (((qs * 1000000) // tot.qt) * 1000) // ((n * 1000000) // tot.nt) AS boost_milli
+    FROM q CROSS JOIN tot
+    ORDER BY source
+    """,
+    tags=("mlprep", "corpus-mixture", "temperature-sampling"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED mixture re-weighting (tau = 0.7) — the
+    multilingual/multi-source sampling formula w_s ~ n_s^tau that
+    up-weights small sources and damps head sources (the standard
+    recipe behind multilingual LM data mixing; tau=1 is proportional,
+    tau=0 uniform).  `corpus_sample_mixture` executes a hand-set
+    mixture; this computes the PRINCIPLED one and the per-source boost
+    factor a sampler must apply.  Exactness: n^0.7 = exp(0.7*ln(n)) is
+    one identical IEEE expression per source, micro-quantized before
+    normalization, so shares and boosts are integer floor-divisions of
+    exact int64s.  Plan: one source census; everything after is
+    sources-sized."""
+    c = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = c.select(
+        "source",
+        "n",
+        F.floor(F.exp(0.7 * F.log(F.col("n").cast("double"))) * 1000000 + F.lit(0.5 + 1e-8))
+        .cast("long")
+        .alias("qs"),
+    )
+    tot = F.broadcast(q.agg(F.sum("n").alias("nt"), F.sum("qs").alias("qt")))
+    return (
+        q.crossJoin(tot)
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.expr("(n * 1000000L) div nt").alias("raw_share_micro"),
+            F.expr("(qs * 1000000L) div qt").alias("temp_share_micro"),
+            F.expr("(((qs * 1000000L) div qt) * 1000L) div ((n * 1000000L) div nt)").alias(
+                "boost_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "contrastive_negative_sampling",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    pos AS (
+        SELECT doc_id AS anchor_id, source,
+               coalesce(lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id),
+                        min(doc_id) OVER (PARTITION BY source)) AS positive_id
+        FROM d
+    ),
+    negs AS (
+        SELECT p.anchor_id, p.source, p.positive_id, j.j,
+               ((p.anchor_id * 2654435761) % 4294967296 + j.j * 97) % n.nd AS negative_id
+        FROM pos p CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j CROSS JOIN n
+    )
+    SELECT g.anchor_id, g.positive_id, CAST(g.j AS INT) AS neg_rank, g.negative_id,
+           nd.source <> g.source AS is_cross_source
+    FROM negs g JOIN d nd ON nd.doc_id = g.negative_id
+    WHERE g.negative_id <> g.anchor_id AND g.negative_id <> g.positive_id
+    ORDER BY g.anchor_id, neg_rank
+    """,
+    tags=("mlprep", "contrastive", "negative-sampling", "training-pairs"),
+)
+def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE TRAINING-PAIR construction — (anchor, positive,
+    k=4 negatives) for embedding/retrieval training: the positive is
+    the anchor's source-neighbor (next doc_id in the same source,
+    cyclic — a cheap same-distribution positive), negatives are
+    DETERMINISTIC hash draws over the whole corpus (Knuth
+    multiplicative + per-slot offset, mod-first so products stay under
+    2^63), with accidental anchor/positive collisions DROPPED rather
+    than re-probed (the standard in-batch-negative discipline: a
+    deterministic skip keeps the plan join-shaped; re-probing would
+    serialize).  `is_cross_source` audits the easy/hard negative mix a
+    curriculum cares about.  Plan: one source-partitioned lead window
+    for positives, a 4-row literal fan-out, one equi-join to resolve
+    negatives' sources — fully distributed, no per-row Python."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    nd = F.broadcast(d.agg(F.count(F.lit(1)).alias("nd")))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pos = d.select(
+        F.col("doc_id").alias("anchor_id"),
+        "source",
+        F.coalesce(
+            F.lead("doc_id").over(w), F.min("doc_id").over(Window.partitionBy("source"))
+        ).alias("positive_id"),
+    )
+    js = F.broadcast(spark.range(1, 5).select(F.col("id").cast("long").alias("j")))
+    negs = (
+        pos.crossJoin(js)
+        .crossJoin(nd)
+        .select(
+            "anchor_id",
+            "source",
+            "positive_id",
+            "j",
+            (((F.col("anchor_id") * 2654435761) % 4294967296 + F.col("j") * 97) % F.col("nd")).alias(
+                "negative_id"
+            ),
+        )
+    )
+    neg_src = d.select(F.col("doc_id").alias("negative_id"), F.col("source").alias("neg_source"))
+    return (
+        negs.join(neg_src, "negative_id")
+        .where(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("j").cast("int").alias("neg_rank"),
+            "negative_id",
+            (F.col("neg_source") != F.col("source")).alias("is_cross_source"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

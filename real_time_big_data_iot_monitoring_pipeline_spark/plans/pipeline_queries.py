@@ -1596,3 +1596,82 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint_docs")
     )
+
+
+@register(
+    "filter_yield_sweep",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b')) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               ROUND(0.4 * (CASE WHEN n_words >= 5 AND n_chars >= 20 THEN 1.0 ELSE 0.0 END)
+                     + 0.3 * least(ROUND(n_stop / n_words + 1e-8, 6) * 4, 1.0)
+                     + 0.3 * (1.0 - least(ROUND(n_punct / n_chars + 1e-8, 6) * 10, 1.0)) + 1e-8, 6) AS quality
+        FROM s
+    ),
+    b AS (
+        SELECT CAST(floor(quality * 10 + 1e-9) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_tokens
+        FROM q GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM b),
+    grid AS (SELECT unnest(generate_series(0, 9)) AS t)
+    SELECT grid.t AS threshold_decile,
+           CAST(coalesce(sum(b.n_docs), 0) AS BIGINT) AS n_docs_kept,
+           (CAST(coalesce(sum(b.n_docs), 0) AS BIGINT) * 1000000) // tot.td AS doc_share_micro,
+           CAST(coalesce(sum(b.n_tokens), 0) AS BIGINT) AS n_tokens_kept,
+           (CAST(coalesce(sum(b.n_tokens), 0) AS BIGINT) * 1000000) // tot.tt AS token_share_micro
+    FROM grid LEFT JOIN b ON b.band >= grid.t CROSS JOIN tot
+    GROUP BY grid.t, tot.td, tot.tt
+    ORDER BY threshold_decile
+    """,
+    tags=("pipeline", "quality-filter", "yield-curve", "threshold-sweep"),
+)
+def filter_yield_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER YIELD CURVE — how many documents and tokens
+    survive each candidate quality threshold (deciles 0.0..0.9), the
+    table a curation team reads BEFORE committing to a cutoff
+    (`text_quality_score` scores; this answers "what does a 0.6 bar
+    cost us?").  One banding pass collapses the corpus to <= 10
+    (band, docs, tokens) cells; the sweep is a 10x10 inequality join
+    over those cells — per-threshold rescans would cost 10 corpus
+    passes for the same numbers.  Banding multiplies the SAME rounded
+    quality double by 10 in both engines (identical IEEE op + epsilon),
+    and every share is an integer floor-division, so the whole curve
+    hashes."""
+    q = text.quality_score(_docs(spark, sf_dir)).select("doc_id", "n_words", "quality")
+    b = (
+        q.select(
+            F.floor(F.col("quality") * 10 + F.lit(1e-9)).cast("long").alias("band"),
+            "n_words",
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("n_tokens"))
+    )
+    tot = F.broadcast(b.agg(F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")))
+    grid = F.broadcast(q.sparkSession.range(0, 10).select(F.col("id").alias("t")))
+    return (
+        grid.join(b, b.band >= grid.t, "left")
+        .crossJoin(tot)
+        .groupBy("t", "td", "tt")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+        .select(
+            F.col("t").cast("long").alias("threshold_decile"),
+            "n_docs_kept",
+            F.expr("(n_docs_kept * 1000000L) div td").alias("doc_share_micro"),
+            "n_tokens_kept",
+            F.expr("(n_tokens_kept * 1000000L) div tt").alias("token_share_micro"),
+        )
+        .orderBy("threshold_decile")
+    )
