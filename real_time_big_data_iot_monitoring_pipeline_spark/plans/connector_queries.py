@@ -1554,3 +1554,79 @@ def pyds_sink_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(orphans)).cast("int").alias("orphan_parts"),
         F.sum("temp_centi").cast("long").alias("temp_centi_total"),
     )
+
+
+@register(
+    "pyds_shallow_clone_diverge",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 'src_head' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           0 AS n_files_copied
+    FROM feed
+    UNION ALL
+    SELECT 'clone_v1', CAST(count(*) AS BIGINT), CAST(sum(temp_centi) AS BIGINT), 0 FROM feed
+    UNION ALL
+    SELECT 'clone_head', CAST(count(*) AS BIGINT) + 100, CAST(sum(temp_centi) AS BIGINT) + 100 * 3000, 0
+    FROM feed WHERE temp_centi NOT BETWEEN 1000 AND 1499
+    ORDER BY side
+    """,
+    tags=("connector", "python-datasource", "shallow-clone", "zero-copy"),
+)
+def pyds_shallow_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence on the manifest table (Delta
+    `SHALLOW CLONE`): the clone's v1 references the source's part files
+    by relative path — the n_files_copied column pins ZERO bytes copied
+    — then the clone diverges: a 100-row append lands in the clone's
+    own directory and a copy-on-write DELETE rewrites ONLY the
+    referenced files it touches, into the clone.  The source head's
+    totals prove the source is never mutated by any clone operation;
+    the clone-head totals prove the delete applied to the REFERENCED
+    data (original feed rows in the deleted temp band vanish) while the
+    clone's own append survives in full.  Stats-pruning, constraints
+    and the rename log all travel with the clone (unit-pinned); the
+    documented hazard — vacuuming the SOURCE strands the clone, never
+    the reverse — is pinned in tests/test_lakehouse_verbs.py."""
+    import glob
+    import tempfile
+
+    key = "_pyds_clone_dirs"
+    state = getattr(pyds_shallow_clone_diverge, key, None)
+    if state is None or not os.path.exists(os.path.join(state[1], "_manifest-v3.json")):
+        base = tempfile.mkdtemp(prefix="rtbd_pyds_clone_")
+        src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        feed.write.format("rtbd_manifest_sink").option("path", src).mode("append").save()
+        pydatasource.shallow_clone(src, dst)
+        n_copied = len(glob.glob(os.path.join(dst, "part-*")))
+        extra = spark.range(_N_ROWS, _N_ROWS + 100).selectExpr(
+            "id AS reading_id",
+            f"CAST(id % {_N_SENSORS} AS INT) AS sensor_id",
+            f"CAST({pydatasource.BASE_US} + id * {pydatasource.INTERVAL_US} AS BIGINT) AS ts_us",
+            "CAST(3000 AS INT) AS temp_centi",
+        )
+        extra.coalesce(1).write.format("rtbd_manifest_sink").option("path", dst).mode(
+            "append"
+        ).save()
+        pydatasource.delete_where(spark, dst, "temp_centi", 1000, 1499)
+        setattr(pyds_shallow_clone_diverge, key, (src, dst, n_copied))
+    src, dst, n_copied = getattr(pyds_shallow_clone_diverge, key)
+
+    def side(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+            F.lit(n_copied).cast("int").alias("n_files_copied"),
+        )
+
+    src_df, _ = pydatasource.read_manifest(spark, src)
+    clone_v1, _ = pydatasource.read_manifest(spark, dst, version=1)
+    clone_head, _ = pydatasource.read_manifest(spark, dst)
+    return (
+        side("src_head", src_df)
+        .unionByName(side("clone_v1", clone_v1))
+        .unionByName(side("clone_head", clone_head))
+        .orderBy("side")
+    )

@@ -1596,6 +1596,49 @@ def restore_table(path: str, to_version: int) -> dict:
     raise RuntimeError("restore_table: could not claim a version in 64 attempts")
 
 
+def shallow_clone(src: str, dst: str) -> dict:
+    """SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
+    table whose v1 manifest REFERENCES the source snapshot's part files
+    by relative path — zero bytes copied, O(1) metadata — after which
+    the two tables diverge freely: appends land in the clone's own
+    directory; copy-on-write verbs (delete/merge/compaction) rewrite
+    referenced files INTO the clone, so the source is never touched by
+    any clone operation.  Stats, renames, MoR deletes, and CHECK
+    constraints all carry over (they describe the referenced data).
+    The documented Delta hazard carries over too, deliberately:
+    VACUUMING THE SOURCE can delete files a shallow clone still
+    references (the clone's vacuum never can — it only removes files it
+    owns in its own directory).  `tests/test_lakehouse_verbs.py` pins
+    both the divergence isolation and the hazard."""
+    import os
+
+    head = _latest_snapshot(src)
+    assert head is not None, "shallow_clone requires an existing source table"
+    os.makedirs(dst, exist_ok=True)
+    if _latest_snapshot(dst) is not None:
+        raise RuntimeError(f"clone target {dst!r} already has a table")
+    rel = os.path.relpath(src, dst)
+    files = [os.path.join(rel, fn) for fn in head["files"]]
+    stats = {os.path.join(rel, fn): v for fn, v in head.get("stats", {}).items()}
+    manifest = {
+        "version": 1,
+        "files": sorted(files),
+        "n_rows": head["n_rows"],
+        "stats": stats,
+        "renames": head.get("renames", []),
+        "eq_deletes": [
+            {**d, "files": [os.path.join(rel, fn) for fn in d["files"]]}
+            for d in head.get("eq_deletes", [])
+        ],
+        "constraints": head.get("constraints", []),
+        "op": "clone",
+        "cloned_from": {"path": os.path.abspath(src), "version": head.get("version", 0)},
+    }
+    if not _claim_and_publish(dst, manifest):
+        raise RuntimeError("shallow_clone lost the commit race on a fresh target")
+    return manifest
+
+
 def _ref_path(path: str, name: str) -> str:
     import os
     import re

@@ -152,3 +152,80 @@ def test_constraints_survive_all_verbs(spark, table):
     bad = spark.range(500, 501).selectExpr("id", "CAST(0 AS INT) AS k", "CAST(999 AS INT) AS v")
     with pytest.raises(RuntimeError, match="constraint"):
         P.merge_upsert(spark, table, bad, "id")
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, table, tmp_path):
+    import glob as _glob
+
+    dst = str(tmp_path / "clone")
+    P.add_check_constraint(table, "v_range", "v", lo=0, hi=300)
+    m = P.shallow_clone(table, dst)
+    assert m["version"] == 1 and m["op"] == "clone"
+    # zero copy: no local part files in the clone dir
+    assert _glob.glob(os.path.join(dst, "part-*")) == []
+    assert P.read_manifest(spark, dst)[0].count() == 100
+    # constraints travel: a violating append to the CLONE is rejected
+    bad = spark.range(200, 205).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(999 AS INT) AS v"
+    )
+    with pytest.raises(Exception, match="constraint"):
+        bad.coalesce(1).write.format("rtbd_manifest_sink").option("path", dst).mode(
+            "append"
+        ).save()
+    # CoW delete in the clone rewrites INTO the clone; source untouched
+    P.delete_where(spark, dst, "v", 0, 60)
+    assert P.read_manifest(spark, dst)[0].count() == 79
+    assert P.read_manifest(spark, table)[0].count() == 100
+    # cloning onto an existing table refuses
+    with pytest.raises(RuntimeError, match="already has a table"):
+        P.shallow_clone(table, dst)
+
+
+def test_shallow_clone_vacuum_hazard_is_one_directional(spark, table, tmp_path):
+    dst = str(tmp_path / "clone")
+    P.shallow_clone(table, dst)
+    # the CLONE's vacuum owns only its own directory: source unaffected
+    P.vacuum(dst, keep_versions=1)
+    assert P.read_manifest(spark, table)[0].count() == 100
+    # the SOURCE's vacuum can strand the clone (the documented Delta
+    # shallow-clone hazard, carried over deliberately)
+    full, _ = P.read_manifest(spark, table)
+    full.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+        "overwrite"
+    ).save()
+    P.vacuum(table, keep_versions=1)
+    with pytest.raises(Exception):
+        P.read_manifest(spark, dst)[0].count()
+
+
+def test_streaming_writer_enforces_constraints(spark, table, tmp_path):
+    """The per-epoch streaming commit proves CHECK constraints from
+    footer stats exactly like the batch writer: a violating micro-batch
+    fails the stream and leaves the table untouched."""
+    P.add_check_constraint(table, "v_range", "v", lo=0, hi=300)
+    head_before = P._latest_snapshot(table)["version"]
+    src = str(tmp_path / "in")
+    spark.range(1000, 1010).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id AS INT) AS v"  # v = 1000+ violates
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id bigint, k int, v int").parquet(src)
+    q = (
+        stream.writeStream.format("rtbd_manifest_sink")
+        .option("path", table)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()
+    m = P._latest_snapshot(table)
+    assert m["version"] == head_before
+    listed = set(m["files"])
+    orphans = [
+        f
+        for f in glob.glob(os.path.join(table, "part-*"))
+        if os.path.basename(f) not in listed
+    ]
+    assert orphans == []
