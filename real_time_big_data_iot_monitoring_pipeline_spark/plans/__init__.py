@@ -99,7 +99,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # fdr_bh_correction, nulls_ordering_surface, l_diversity_audit,
 # heavy_hitters_exact_2pass, mixture_temperature_weights,
 # contrastive_negative_sampling, filter_yield_sweep, dedup_canonical_url,
-# pyds_shallow_clone_diverge).
+# pyds_shallow_clone_diverge, effect_size_cohens_d, levene_variance_test,
+# itemitem_collaborative_topk).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

@@ -1471,3 +1471,108 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in spark_rows[1:]:
         out = out.unionByName(extra)
     return out.orderBy("round")
+
+
+@register(
+    "itemitem_collaborative_topk",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 10 = 0
+    ),
+    supp AS (SELECT part, CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY part),
+    co AS (
+        SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS BIGINT) AS co
+        FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT co.pa, co.pb, co.co,
+               CAST(floor(co.co / (sqrt(sa.n) * sqrt(sb.n)) * 1000000 + 0.5 + 1e-8)
+                   AS BIGINT) AS cos_micro
+        FROM co JOIN supp sa ON sa.part = co.pa JOIN supp sb ON sb.part = co.pb
+        WHERE co.co >= 2
+    ),
+    sym AS (
+        SELECT pa AS part, pb AS rec, co, cos_micro FROM scored
+        UNION ALL
+        SELECT pb, pa, co, cos_micro FROM scored
+    ),
+    ranked AS (
+        SELECT part, rec, co, cos_micro,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY cos_micro DESC, co DESC, rec) AS rank
+        FROM sym
+    )
+    SELECT part, rec, co, cos_micro, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY part, rank
+    """,
+    tags=("behavior", "recommender", "item-item", "collaborative-filtering"),
+)
+def itemitem_collaborative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING top-k — the classic
+    "customers who bought X also bought Y" recommender baseline
+    (Sarwar et al. 2001, public): binary customer-part purchase
+    vectors, cosine similarity co(a,b)/sqrt(n_a*n_b), top-3
+    recommendations per part with a support floor (co >= 2 kills
+    single-coincidence pairs).  The candidate plan is the scale-safe
+    one: pairs are generated by a CUSTOMER-keyed self-join — bounded
+    by each customer's basket size, never all-pairs over the part
+    catalog (the `tfidf_similar_pairs`/LSH candidate discipline; same
+    deterministic 10% order sample as the other graph queries).
+    Cosine is micro-quantized from exact integer support counts;
+    ranking tie-breaks are total.  At 100 TB: one distinct, one
+    basket-bounded self-join shuffled on customer, one part-partitioned
+    top-k window."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    supp = cp.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    a, b = cp.alias("a"), cp.alias("b")
+    co = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    sa = supp.select(F.col("part").alias("pa"), F.col("n").alias("na"))
+    sb = supp.select(F.col("part").alias("pb"), F.col("n").alias("nb"))
+    scored = (
+        co.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.floor(
+                F.col("co") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) * 1000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    sym = scored.select(
+        F.col("pa").alias("part"), F.col("pb").alias("rec"), "co", "cos_micro"
+    ).unionByName(
+        scored.select(
+            F.col("pb").alias("part"), F.col("pa").alias("rec"), "co", "cos_micro"
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("cos_micro").desc(), F.col("co").desc(), F.col("rec")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("part", "rec", "co", "cos_micro", F.col("rank").cast("long").alias("rank"))
+        .orderBy("part", "rank")
+    )

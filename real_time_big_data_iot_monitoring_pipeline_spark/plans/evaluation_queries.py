@@ -675,3 +675,196 @@ def grouped_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "effect_size_cohens_d",
+    oracle="""
+    WITH arms AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS s,
+               CAST(sum(vc * vc) AS BIGINT) AS q
+        FROM arms GROUP BY arm
+    ),
+    w AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN s END) AS s0,
+               max(CASE WHEN arm = 0 THEN q END) AS q0,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN s END) AS s1,
+               max(CASE WHEN arm = 1 THEN q END) AS q1
+        FROM m
+    ),
+    c AS (
+        SELECT n0, n1,
+               (s1 / (1.0 * n1)) - (s0 / (1.0 * n0)) AS diff,
+               sqrt(((q1 - (CAST(s1 AS DOUBLE) * s1) / n1)
+                     + (q0 - (CAST(s0 AS DOUBLE) * s0) / n0))
+                    / (n1 + n0 - 2)) AS sp
+        FROM w
+    )
+    SELECT n0, n1,
+           ROUND(diff / 100.0 + 1e-8, 4) AS mean_diff,
+           ROUND(sp / 100.0 + 1e-8, 4) AS pooled_sd,
+           ROUND(diff / sp + 1e-8, 6) AS cohens_d,
+           ROUND((diff / sp) * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)) + 1e-8, 6) AS hedges_g
+    FROM c
+    """,
+    tags=("evaluation", "effect-size", "cohens-d", "ab-testing"),
+)
+def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S D and HEDGES' G standardized effect sizes for the A/B
+    split — the number a result writeup must carry NEXT TO the p-value
+    (`ab_conversion_ztest` says "is it real?"; d says "is it big
+    enough to matter?", and g corrects d's small-sample bias with the
+    (1 - 3/(4N-9)) factor).  Everything derives from exact integer
+    cents moments — per-arm n/sum/sum-of-squares — through one
+    identical double expression (pooled SD, then the two ratios), so a
+    single division chain produces both engines' rounded values.
+    Plan: one scan, one 2-row map-side-combinable aggregate, 1-row
+    arithmetic."""
+    arms = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        as_cents(F.col("value")).alias("vc"),
+    )
+    m = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("q"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("q"))).alias("q1"),
+    )
+    diff = (F.col("s1") / (1.0 * F.col("n1"))) - (F.col("s0") / (1.0 * F.col("n0")))
+    sp = F.sqrt(
+        (
+            (F.col("q1") - (F.col("s1").cast("double") * F.col("s1")) / F.col("n1"))
+            + (F.col("q0") - (F.col("s0").cast("double") * F.col("s0")) / F.col("n0"))
+        )
+        / (F.col("n1") + F.col("n0") - 2)
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        round_det(diff / 100.0, 4).alias("mean_diff"),
+        round_det(sp / 100.0, 4).alias("pooled_sd"),
+        round_det(diff / sp, 6).alias("cohens_d"),
+        round_det(
+            (diff / sp) * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n0")) - 9.0)), 6
+        ).alias("hedges_g"),
+    )
+
+
+@register(
+    "levene_variance_test",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    med AS (
+        SELECT event_type, CAST(vc AS BIGINT) AS med
+        FROM r WHERE rk = (n + 1) // 2
+    ),
+    z AS (
+        SELECT v.event_type, abs(v.vc - med.med) AS z
+        FROM v JOIN med USING (event_type)
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s,
+               CAST(sum(z * z) AS BIGINT) AS q
+        FROM z GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(q) AS BIGINT) AS qq
+        FROM g
+    ),
+    parts AS (
+        SELECT tot.nn, tot.k,
+               sum((CAST(g.s AS DOUBLE) * g.s) / g.n) - (CAST(tot.ss AS DOUBLE) * tot.ss) / tot.nn AS ssb,
+               tot.qq - sum((CAST(g.s AS DOUBLE) * g.s) / g.n) AS ssw
+        FROM g CROSS JOIN tot GROUP BY tot.nn, tot.k, tot.qq, tot.ss
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)) + 1e-8, 6) AS levene_w
+    FROM parts
+    """,
+    tags=("evaluation", "variance-homogeneity", "levene", "brown-forsythe"),
+)
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE (median-centered Levene) variance-homogeneity
+    statistic across event types — the gate check BEFORE trusting
+    `anova_value_by_type`'s equal-variance assumption: one-way ANOVA on
+    the absolute deviations from each group's MEDIAN (median-centering
+    is the robust variant; mean-centering is classic Levene).  The
+    group median is the exact LOWER MEDIAN order statistic (rank
+    (n+1)//2 with a unique tie-break) so deviations are exact int64,
+    and the F-ratio comes from exact integer moments of those
+    deviations — one float division chain at the end.  Plan: one
+    type-partitioned rank window for medians (bounded per type), one
+    broadcast median join, two map-side aggregates."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", as_cents(F.col("value")).alias("vc")
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = v.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    med = r.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("vc").alias("med")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vc") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("q"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("n").alias("nn"),
+            F.sum("s").alias("ss"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum("q").alias("qq"),
+        )
+    )
+    parts = (
+        g.crossJoin(tot)
+        .groupBy("nn", "k", "qq", "ss")
+        .agg(
+            (
+                F.sum((F.col("s").cast("double") * F.col("s")) / F.col("n"))
+                - (F.col("ss").cast("double") * F.col("ss")) / F.col("nn")
+            ).alias("ssb"),
+            (
+                F.col("qq") - F.sum((F.col("s").cast("double") * F.col("s")) / F.col("n"))
+            ).alias("ssw"),
+        )
+    )
+    return parts.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        round_det(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nn") - F.col("k"))), 6
+        ).alias("levene_w"),
+    )
