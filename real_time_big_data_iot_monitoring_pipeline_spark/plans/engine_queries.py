@@ -2984,3 +2984,54 @@ def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "path")
     )
+
+
+@register(
+    "intdiv_mod_semantics_surface",
+    oracle="""
+    WITH a AS (SELECT unnest(generate_series(-9, 9)) AS a),
+    b AS (SELECT unnest([-4, -3, 3, 4]) AS b)
+    SELECT CAST(a.a AS BIGINT) AS a, CAST(b.b AS BIGINT) AS b,
+           CAST(a.a % b.b AS BIGINT) AS c_mod,
+           CAST(CASE WHEN a.a % b.b < 0 THEN ((a.a % b.b) + b.b) % b.b
+                     ELSE a.a % b.b END AS BIGINT) AS positive_mod,
+           CAST(a.a // b.b AS BIGINT) AS trunc_div,
+           CAST(floor(a.a / (1.0 * b.b)) AS BIGINT) AS floor_div
+    FROM a CROSS JOIN b
+    ORDER BY a, b
+    """,
+    tags=("engine", "sql-surface", "integer-division", "semantics-pin"),
+)
+def intdiv_mod_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER DIVISION / MODULO semantics pin on negative operands —
+    the arithmetic traps between engines and languages: Spark `div` and
+    DuckDB `//` both TRUNCATE toward zero (C semantics — NOT Python's
+    flooring `//`, the assumption this query was written to test and
+    itself got wrong on the first draft), `%` follows the DIVIDEND's
+    sign in both, FLOOR division must be spelled explicitly in both
+    (floor of the real quotient: -7 vs 2 gives -4 where div gives -3),
+    and only Spark ships `pmod` — whose exact rule is "when the C
+    remainder is negative, return ((r + b) % b), else r unchanged" (so
+    pmod(1, -4) = 1 and pmod(-9, -4) = -1; both the unconditional
+    ((a%b)+b)%b a math-mod port would write AND the simpler r+b fixup
+    are wrong on one quadrant each — traps this query's own first two
+    drafts hit).  Each
+    output column pins one semantic under both spellings; a port that
+    assumes Python's // or swaps trunc for floor flips values on half
+    the negative grid and breaks the hash.  The 19x4 operand grid
+    covers both signs and both parities; pure literal fan-out, no
+    table scan."""
+    a = spark.range(-9, 10).select(F.col("id").alias("a"))
+    b = spark.createDataFrame([(-4,), (-3,), (3,), (4,)], "b long")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "a",
+            "b",
+            (F.col("a") % F.col("b")).cast("long").alias("c_mod"),
+            F.pmod(F.col("a"), F.col("b")).cast("long").alias("positive_mod"),
+            F.expr("a div b").cast("long").alias("trunc_div"),
+            F.floor(F.col("a") / (1.0 * F.col("b"))).cast("long").alias("floor_div"),
+        )
+        .orderBy("a", "b")
+    )
