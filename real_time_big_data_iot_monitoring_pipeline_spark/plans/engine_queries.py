@@ -3035,3 +3035,137 @@ def intdiv_mod_semantics_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+# CIDR blocks for the containment census: (label, network int, prefix).
+# Integer forms precomputed in Python once; both dialects receive the
+# same literals (the shared-literal discipline).
+_CIDR_BLOCKS = [
+    ("10.0.0.0/10", (10 << 24) | (0 << 16), 10),
+    ("10.64.0.0/10", (10 << 24) | (64 << 16), 10),
+    ("10.128.0.0/9", (10 << 24) | (128 << 16), 9),
+    ("10.42.0.0/16", (10 << 24) | (42 << 16), 16),
+    ("10.42.7.0/24", (10 << 24) | (42 << 16) | (7 << 8), 24),
+]
+_CIDR_SQL_VALUES = ", ".join(
+    f"('{lbl}', {net}, {pfx}, {net + (1 << (32 - pfx))})" for lbl, net, pfx in _CIDR_BLOCKS
+)
+
+
+@register(
+    "cidr_containment_census",
+    oracle=f"""
+    WITH ips AS (
+        SELECT event_id, user_id,
+               (10 * 16777216) + (user_id % 256) * 65536
+               + (event_id % 256) * 256 + (user_id * 7 + event_id) % 256 AS ip
+        FROM events
+    ),
+    blocks(label, net, prefix, net_end) AS (VALUES {_CIDR_SQL_VALUES}),
+    hits AS (
+        SELECT b.label, b.prefix, i.event_id, i.user_id,
+               row_number() OVER (PARTITION BY i.event_id
+                                  ORDER BY b.prefix DESC, b.label) AS spec_rank
+        FROM ips i JOIN blocks b ON i.ip >= b.net AND i.ip < b.net_end
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_contained,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE spec_rank = 1) AS BIGINT) AS n_longest_prefix
+    FROM hits GROUP BY label ORDER BY label
+    """,
+    tags=("engine", "cidr", "network-analytics", "longest-prefix-match"),
+)
+def cidr_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR CONTAINMENT + LONGEST-PREFIX MATCH census — the network/
+    security-log staple (which subnets does traffic fall in; which is
+    the MOST SPECIFIC route): synthesized 10.x.y.z addresses as pure
+    int32 arithmetic (no string IP parsing — the integer form is the
+    scale-safe representation anyway), block membership as an integer
+    range predicate against a broadcast 5-row CIDR table whose
+    [net, net + 2^(32-prefix)) bounds are precomputed ONCE in Python
+    into both dialects, and per-address longest-prefix winners via an
+    event-partitioned rank over its (few) matching blocks.  Overlapping
+    blocks (the /16 inside the /10, the /24 inside the /16) make
+    containment and LPM counts genuinely different — a join that
+    deduplicates matches or a rank ordered the wrong way breaks one
+    column but not the other.  Plan: one scan, broadcast range join,
+    bounded per-event rank."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (
+            F.lit(10 * 16777216)
+            + (F.col("user_id") % 256) * 65536
+            + (F.col("event_id") % 256) * 256
+            + (F.col("user_id") * 7 + F.col("event_id")) % 256
+        ).alias("ip"),
+    )
+    blocks = F.broadcast(
+        spark.createDataFrame(
+            [(lbl, net, pfx, net + (1 << (32 - pfx))) for lbl, net, pfx in _CIDR_BLOCKS],
+            "label string, net long, prefix int, net_end long",
+        )
+    )
+    hits = e.join(blocks, (F.col("ip") >= F.col("net")) & (F.col("ip") < F.col("net_end")))
+    w = Window.partitionBy("event_id").orderBy(F.col("prefix").desc(), F.col("label"))
+    ranked = hits.withColumn("spec_rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contained"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("spec_rank") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_longest_prefix"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "schema_contract_audit",
+    oracle="""
+    WITH raw AS (
+        SELECT 'lineitem' AS tbl, column_name AS col, column_type AS t FROM (DESCRIBE lineitem)
+        UNION ALL SELECT 'orders', column_name, column_type FROM (DESCRIBE orders)
+        UNION ALL SELECT 'customer', column_name, column_type FROM (DESCRIBE customer)
+        UNION ALL SELECT 'events', column_name, column_type FROM (DESCRIBE events)
+        UNION ALL SELECT 'documents', column_name, column_type FROM (DESCRIBE documents)
+    )
+    SELECT tbl, col,
+           CASE t WHEN 'BIGINT' THEN 'int64' WHEN 'INTEGER' THEN 'int32'
+                  WHEN 'DOUBLE' THEN 'float64' WHEN 'VARCHAR' THEN 'string'
+                  WHEN 'TIMESTAMP' THEN 'timestamp'
+                  ELSE lower(t) END AS canonical_type
+    FROM raw ORDER BY tbl, col
+    """,
+    tags=("engine", "data-contract", "schema-audit", "metadata"),
+)
+def schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA CONTRACT audit — both engines independently introspect
+    the SAME parquet fixtures and must land on the SAME canonical
+    column typing (int64/int32/float64/string/timestamp): the
+    data-contract check an ingest pipeline runs before trusting a feed,
+    and here also a standing regression net around the loader itself —
+    if `sources/tables.load_table`'s timestamp handling (NTZ inference,
+    the round-3 TIMESTAMP(NANOS) migration) ever drifts a type, the
+    Spark side's contract rows diverge from DuckDB's DESCRIBE and the
+    hash breaks.  The Spark side is pure planning metadata
+    (df.dtypes — no data read); the oracle is DuckDB's own catalog
+    introspection.  Embeddings' nested list column is excluded (typed
+    differently by design across engines)."""
+    canon = {
+        "bigint": "int64",
+        "int": "int32",
+        "double": "float64",
+        "string": "string",
+        "timestamp": "timestamp",
+    }
+    rows = []
+    for tbl in ("lineitem", "orders", "customer", "events", "documents"):
+        for col, dt in _t(spark, sf_dir, tbl).dtypes:
+            rows.append((tbl, col, canon.get(dt, dt)))
+    return spark.createDataFrame(
+        rows, "tbl string, col string, canonical_type string"
+    ).orderBy("tbl", "col")
