@@ -28,18 +28,27 @@ def main(n_tokens: int = 5_000_000) -> None:
         master="local[8]", shuffle_partitions=32, extra_conf={"spark.ui.enabled": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # Zipf-ish token stream: token id = floor(u^-1) capped, u from a
-    # Knuth hash -> rank-frequency ~ 1/rank. Vocabulary ~ n^0.8.
+    # Zipf head + heavy unique tail: 60% of tokens draw from a ~1/rank
+    # head, 40% are near-unique long-tail terms — the regime real
+    # corpora live in, where the full GROUP BY must shuffle the entire
+    # multi-hundred-million-term vocabulary while the 2-pass plan
+    # shuffles only the few hundred sketch candidates.
     toks = (
         spark.range(n_tokens)
-        .select(((F.col("id") * 2654435761) % 4294967296).alias("h"))
+        .select(F.col("id"), ((F.col("id") * 2654435761) % 4294967296).alias("h"))
         .select(
-            F.concat(
-                F.lit("tok"),
-                F.least(
-                    F.floor(4294967296.0 / (F.col("h") + 1)).cast("long"), F.lit(200000)
-                ).cast("string"),
-            ).alias("term")
+            F.when(
+                F.col("h") % 10 < 6,
+                F.concat(
+                    F.lit("tok"),
+                    F.least(
+                        F.floor(4294967296.0 / (F.col("h") + 1)).cast("long"),
+                        F.lit(200000),
+                    ).cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("uniq"), (F.col("id") % (n_tokens // 2)).cast("string")))
+            .alias("term")
         )
     )
     toks.persist().count()
@@ -57,7 +66,8 @@ def main(n_tokens: int = 5_000_000) -> None:
     cands = _spacesaving_candidates(toks, m=400)
     n_cands = cands.count()
     exact = (
-        toks.join(F.broadcast(cands), "term", "left_semi")
+        toks.withColumn("th", F.xxhash64("term"))
+        .join(F.broadcast(cands), "th", "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
