@@ -1675,3 +1675,210 @@ def filter_yield_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_decile")
     )
+
+
+@register(
+    "bigram_perplexity_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0) GROUP BY 1
+    ),
+    unitot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE doc_id % 2 = 0
+        ) GROUP BY 1, 2
+    ),
+    ev AS (
+        SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE doc_id % 2 = 1
+    ),
+    scored AS (
+        SELECT ev.doc_id, ev.source,
+               CAST(floor(-ln(
+                   0.7 * ((coalesce(bi.c, 0) + 1)
+                          / CAST(coalesce(u1.c, 0) + unitot.v AS DOUBLE))
+                   + 0.3 * ((coalesce(u2.c, 0) + 1)
+                            / CAST(unitot.n + unitot.v AS DOUBLE))
+               ) * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM ev
+        LEFT JOIN bi ON bi.w1 = ev.w1 AND bi.w2 = ev.w2
+        LEFT JOIN uni u1 ON u1.term = ev.w1
+        LEFT JOIN uni u2 ON u2.term = ev.w2
+        CROSS JOIN unitot
+    ),
+    perdoc AS (
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(nano) AS BIGINT) AS nano_xent
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           ROUND(sum(nano_xent) / (1000000000.0 * sum(n_bigrams)) + 1e-8, 6)
+               AS mean_xent_nats
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "lm-perplexity", "quality-filter", "bigram"),
+)
+def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-PERPLEXITY quality scoring — the CCNet-style curation signal:
+    train an interpolated add-one bigram model on HALF the corpus (even
+    doc_ids) and score the OTHER half's cross-entropy per source
+    (0.7 * P_bigram + 0.3 * P_unigram, both Laplace-smoothed) — the
+    train/eval split by id parity mirrors real usage, where the scorer
+    never sees the documents it filters.  Exactness: all counts exact
+    int64; each bigram's -ln(interpolated p) is one identical double
+    expression nano-quantized per EVENT position, so per-doc and
+    per-source cross-entropies are order-independent integer sums.
+    Plan: model tables are vocabulary-/bigram-keyed aggregates; scoring
+    is two LEFT equi-joins on those tables (broadcast at fixture scale,
+    key-shuffled at corpus scale) — never a per-row Python LM."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0).alias("ws"),
+    )
+    train = toks.where(F.col("doc_id") % 2 == 0)
+    ev = toks.where(F.col("doc_id") % 2 == 1)
+    uni = (
+        train.select(F.explode("ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    unitot = F.broadcast(uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")))
+
+    def bigrams(df):
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bi = bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    evb = bigrams(ev)
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    bic = bi.select("w1", "w2", F.col("c").alias("cb"))
+    scored = (
+        evb.join(bic, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(unitot)
+        .select(
+            "doc_id",
+            "source",
+            F.floor(
+                -F.log(
+                    0.7
+                    * (
+                        (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                    )
+                    + 0.3
+                    * (
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (F.col("n") + F.col("v")).cast("double")
+                    )
+                )
+                * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("nano").alias("nano_xent")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            round_det(
+                F.sum("nano_xent") / (1000000000.0 * F.sum("n_bigrams")), 6
+            ).alias("mean_xent_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "capture_recapture_estimate",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ),
+    bounds AS (SELECT min(day) AS d0 FROM days),
+    s1 AS (SELECT DISTINCT user_id FROM days, bounds WHERE day = d0),
+    s2 AS (SELECT DISTINCT user_id FROM days, bounds WHERE day = d0 + 1),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1 JOIN s2 USING (user_id)) AS m,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM days) AS true_users
+    )
+    SELECT n1, n2, m, true_users,
+           ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_estimate
+    FROM counts
+    """,
+    tags=("pipeline", "capture-recapture", "population-estimate", "chapman"),
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat day-1 and day-2 active user sets as two
+    captures and estimate the total population from the overlap —
+    N-hat = (n1+1)(n2+1)/(m+1) - 1 — the classic trick for sizing a
+    population you can only sample (total users, total distinct
+    crawlable docs) next to the sketch family's approx-distinct over
+    what you HAVE scanned.  The estimate is pure integer arithmetic
+    (floor division, no float at all); the true distinct count rides
+    along so the estimate's bias is itself part of the hashed output.
+    Plan: two day-filtered distincts + one semi-join-sized overlap —
+    the day filter pushes into the scan."""
+    days = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_seconds(F.col("ts")) / F.lit(86400)).cast("long").alias("day"),
+    )
+    d0 = F.broadcast(days.agg(F.min("day").alias("d0")))
+    wd = days.crossJoin(d0)
+    s1 = wd.where(F.col("day") == F.col("d0")).select("user_id").distinct()
+    s2 = wd.where(F.col("day") == F.col("d0") + 1).select("user_id").distinct()
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    m = s1.join(s2, "user_id").agg(F.count(F.lit(1)).alias("m"))
+    true_users = days.agg(F.count_distinct("user_id").alias("true_users"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(m)
+        .crossJoin(true_users)
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("m").cast("long").alias("m"),
+            F.col("true_users").cast("long").alias("true_users"),
+            (
+                F.expr("((n1 + 1) * (n2 + 1)) div (m + 1)") - 1
+            ).cast("long").alias("chapman_estimate"),
+        )
+    )
