@@ -102,7 +102,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # pyds_shallow_clone_diverge, effect_size_cohens_d, levene_variance_test,
 # itemitem_collaborative_topk, intdiv_mod_semantics_surface,
 # cidr_containment_census, schema_contract_audit, bigram_perplexity_score,
-# capture_recapture_estimate).
+# capture_recapture_estimate, decision_stump_exact_split,
+# naive_bayes_lang_classifier).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

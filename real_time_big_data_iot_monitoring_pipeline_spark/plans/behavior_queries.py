@@ -1379,7 +1379,12 @@ def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling CTE chain (the `embedding_ivf_kmeans`
     unrolled-iteration oracle discipline): sym0 is the symmetrized
     co-purchase edge set; round r keeps nodes whose CURRENT degree is
-    >= k and filters the edge set to kept endpoints."""
+    >= k and filters the edge set to kept endpoints.  Every CTE is
+    MATERIALIZED: each round references its predecessor 3x (degree agg
+    + two join legs), so DuckDB's default inlining re-expands the
+    chain 3^rounds times — measured 4 MINUTES for the 6-round oracle
+    at sf0.001 vs 2 s materialized (the same trap the MMR oracle
+    documents)."""
     parts = [
         """
     pairs AS (
@@ -1388,14 +1393,14 @@ def _kcore_sql(k: int, rounds: int) -> str:
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
     ),
-    sym0 AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)"""
+    sym0 AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
             f"""
-    deg{r} AS (SELECT u AS node, count(*) AS dg FROM sym{r - 1} GROUP BY u),
-    keep{r} AS (SELECT node FROM deg{r} WHERE dg >= {k}),
-    sym{r} AS (
+    deg{r} AS MATERIALIZED (SELECT u AS node, count(*) AS dg FROM sym{r - 1} GROUP BY u),
+    keep{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE dg >= {k}),
+    sym{r} AS MATERIALIZED (
         SELECT s.u, s.v FROM sym{r - 1} s
         JOIN keep{r} ka ON s.u = ka.node
         JOIN keep{r} kb ON s.v = kb.node
@@ -1459,7 +1464,11 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
         )
         if r % 2 == 0:
-            sym = sym.localCheckpoint(eager=False)
+            # EAGER checkpoint: truncates the unrolled-round lineage so
+            # each round's count branch recomputes at most 2 rounds back
+            # (lazy checkpointing left a 72-Exchange static plan — the
+            # whole 6-round tree; caught by the PLAN_AUDIT diff)
+            sym = sym.localCheckpoint(eager=True)
         n_nodes = keep.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         n_edges = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
         spark_rows.append(

@@ -2252,3 +2252,246 @@ def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+@register(
+    "decision_stump_exact_split",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM documents GROUP BY 1
+    ),
+    r AS (
+        SELECT x,
+               sum(n_tot) OVER w AS nl, sum(n_pos) OVER w AS pl,
+               (SELECT sum(n_tot) FROM g) AS n, (SELECT sum(n_pos) FROM g) AS p
+        FROM g
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cand AS (
+        SELECT x, nl, pl, n - nl AS nr, p - pl AS pr, n, p,
+               CAST(floor((
+                   (nl / (1.0 * n)) * (1.0 - (pl / (1.0 * nl)) * (pl / (1.0 * nl))
+                                            - ((nl - pl) / (1.0 * nl)) * ((nl - pl) / (1.0 * nl)))
+                 + ((n - nl) / (1.0 * n)) * (1.0 - ((p - pl) / (1.0 * (n - nl))) * ((p - pl) / (1.0 * (n - nl)))
+                                                  - (((n - nl) - (p - pl)) / (1.0 * (n - nl))) * (((n - nl) - (p - pl)) / (1.0 * (n - nl))))
+               ) * 1000000 + 0.5 + 1e-8) AS BIGINT) AS gini_micro
+        FROM r WHERE n - nl > 0
+    ),
+    best AS (SELECT * FROM cand ORDER BY gini_micro, x LIMIT 1)
+    SELECT x AS split_threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           gini_micro,
+           CAST((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000 // n
+               AS BIGINT) AS acc_micro
+    FROM best
+    """,
+    tags=("mlprep", "decision-stump", "exact-split-search", "global-running-sum"),
+)
+def decision_stump_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DECISION-STUMP split search — the inner loop of every
+    tree/GBDT trainer, run as a query: find the threshold on document
+    length that best separates English from non-English by weighted
+    Gini impurity, searching EVERY candidate split exactly (per
+    distinct feature value) instead of sampling quantiles.  The trick
+    that makes it one pass: collapse to the distinct-value table, then
+    LEFT-side class counts at every threshold are inclusive PREFIX
+    SUMS — the Spark side rides the `global_running_sum` kernel twice
+    (total weight, then positive weight; no data-sized window), the
+    oracle uses native window sums.  Gini is micro-quantized per
+    candidate from exact integer counts, argmin tie-breaks on the
+    smaller threshold, and the stump's training accuracy is an integer
+    floor-division.  At scale: candidate count = distinct feature
+    values, independent of row count — exactly how XGBoost's exact
+    tree method frames it."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.col("n_chars").cast("long").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tot"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+    r1 = global_running_sum(g, [F.col("x")], "n_tot", out="nl").withColumnRenamed(
+        "_grs_total", "n"
+    )
+    r2 = global_running_sum(r1, [F.col("x")], "n_pos", out="pl").withColumnRenamed(
+        "_grs_total", "p"
+    )
+    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+    nr, pr = n - nl, p - pl
+    gini = (nl / (1.0 * n)) * (
+        1.0 - (pl / (1.0 * nl)) * (pl / (1.0 * nl)) - ((nl - pl) / (1.0 * nl)) * ((nl - pl) / (1.0 * nl))
+    ) + (nr / (1.0 * n)) * (
+        1.0 - (pr / (1.0 * nr)) * (pr / (1.0 * nr)) - ((nr - pr) / (1.0 * nr)) * ((nr - pr) / (1.0 * nr))
+    )
+    cand = r2.where(nr > 0).select(
+        "x",
+        nl.alias("nl"),
+        pl.alias("pl"),
+        nr.alias("nr"),
+        pr.alias("pr"),
+        "n",
+        F.floor(gini * 1000000 + F.lit(0.5 + 1e-8)).cast("long").alias("gini_micro"),
+    )
+    best = cand.orderBy("gini_micro", "x").limit(1)
+    return best.select(
+        F.col("x").alias("split_threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("pr").cast("long").alias("pos_right"),
+        "gini_micro",
+        F.expr(
+            "((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000L) div n"
+        ).alias("acc_micro"),
+    )
+
+
+@register(
+    "naive_bayes_lang_classifier",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+        FROM documents
+    ),
+    langs AS (SELECT unnest(['de', 'en', 'es', 'fr']) AS lang),
+    prior AS (
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d WHERE d.doc_id % 2 = 0 GROUP BY 1
+    ),
+    tc AS (
+        SELECT term, lang, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM tc GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tc),
+    ev AS (SELECT doc_id, lang AS true_lang, term FROM toks WHERE doc_id % 2 = 1),
+    contrib AS (
+        SELECT ev.doc_id, ev.true_lang, l.lang,
+               CAST(floor(ln((coalesce(tc.c, 0) + 1)
+                             / CAST(lt.nl + vocab.v AS DOUBLE))
+                          * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM ev CROSS JOIN langs l
+        LEFT JOIN tc ON tc.term = ev.term AND tc.lang = l.lang
+        JOIN lt ON lt.lang = l.lang
+        CROSS JOIN vocab
+    ),
+    perdoc AS (
+        SELECT c.doc_id, c.true_lang, c.lang,
+               CAST(sum(c.nano) AS BIGINT)
+               + CAST(floor(ln(p.n_docs / CAST((SELECT sum(n_docs) FROM prior) AS DOUBLE))
+                            * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS score
+        FROM contrib c JOIN prior p ON p.lang = c.lang
+        GROUP BY 1, 2, 3, p.n_docs
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+        FROM perdoc
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("mlprep", "naive-bayes", "in-engine-training", "ml-eval"),
+)
+def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classifier, trained AND
+    evaluated inside the engine: add-one-smoothed per-language term
+    likelihoods + document priors fit on even doc_ids, argmax scoring
+    on odd doc_ids, confusion matrix out — the classical-ML-in-SQL
+    member next to the OLS family, k-means IVF, the linear probe and
+    `decision_stump_exact_split` (and a LEARNED contrast to
+    `lang_id_confusion_matrix`'s fixed marker-word heuristic).
+    Exactness: every count exact int64; each token-x-language
+    log-likelihood and each prior is ONE identical double ln,
+    nano-quantized, so per-document scores are order-independent
+    integer sums and the argmax (tie-break on language code) is an
+    integer decision.  Plan: model = two token-keyed aggregates;
+    scoring = one LEFT equi-join of eval tokens against the
+    (term x lang) table + a doc-partitioned 4-row argmax — never
+    per-row Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0)
+        ).alias("term"),
+    )
+    langs = F.broadcast(
+        spark.createDataFrame([("de",), ("en",), ("es",), ("fr",)], "lang string")
+    )
+    train_docs = docs.where(F.col("doc_id") % 2 == 0)
+    prior = train_docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tc = (
+        toks.where(F.col("doc_id") % 2 == 0)
+        .groupBy("term", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lt = tc.groupBy("lang").agg(F.sum("c").alias("nl"))
+    vocab = F.broadcast(tc.select("term").distinct().agg(F.count(F.lit(1)).alias("v")))
+    prior_tot = F.broadcast(prior.agg(F.sum("n_docs").alias("npt")))
+    ev = toks.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("true_lang"), "term"
+    )
+    tcl = tc.select(F.col("term").alias("t2"), F.col("lang").alias("l2"), "c")
+    contrib = (
+        ev.crossJoin(langs)
+        .join(
+            tcl,
+            (F.col("t2") == F.col("term")) & (F.col("l2") == F.col("lang")),
+            "left",
+        )
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("nl") + F.col("v")).cast("double")
+                )
+                * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    prior_nano = (
+        prior.crossJoin(prior_tot)
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("n_docs") / F.col("npt").cast("double")) * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("pn"),
+        )
+    )
+    perdoc = (
+        contrib.groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("nano").alias("s"))
+        .join(F.broadcast(prior_nano), "lang")
+        .select("doc_id", "true_lang", "lang", (F.col("s") + F.col("pn")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    pred = perdoc.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        pred.groupBy(F.col("true_lang"), F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
