@@ -103,7 +103,9 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # itemitem_collaborative_topk, intdiv_mod_semantics_surface,
 # cidr_containment_census, schema_contract_audit, bigram_perplexity_score,
 # capture_recapture_estimate, decision_stump_exact_split,
-# naive_bayes_lang_classifier).
+# naive_bayes_lang_classifier, pmi_collocations,
+# average_precision_doclen_lang, fano_factor_burstiness,
+# markov_entropy_rate).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

@@ -868,3 +868,241 @@ def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nn") - F.col("k"))), 6
         ).alias("levene_w"),
     )
+
+
+@register(
+    "average_precision_doclen_lang",
+    oracle="""
+    WITH g AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS score,
+               CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT source, score, n_tot, n_pos,
+               CAST(sum(n_tot) OVER w AS BIGINT) AS cum_n,
+               CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+        FROM g
+        WINDOW w AS (PARTITION BY source ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT source, n_pos,
+               CAST(floor((CAST(cum_pos AS DOUBLE) / cum_n)
+                          * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS prec_nano
+        FROM r WHERE n_pos > 0
+    ),
+    a AS (
+        SELECT source,
+               CAST(sum(n_pos) AS BIGINT) AS n1,
+               CAST(sum(n_pos * prec_nano) AS BIGINT) AS s
+        FROM terms GROUP BY 1
+    ),
+    tot AS (SELECT source, CAST(sum(n_tot) AS BIGINT) AS n FROM g GROUP BY 1)
+    SELECT a.source, tot.n, a.n1,
+           ROUND(a.s / (1000000000.0 * a.n1) + 1e-8, 6) AS average_precision
+    FROM a JOIN tot USING (source) WHERE a.n1 > 0
+    ORDER BY a.source
+    """,
+    tags=("evaluation", "average-precision", "pr-curve", "ml-eval"),
+)
+def average_precision_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION (PR-curve area) of document length predicting
+    lang='en', per source — the imbalanced-data companion to
+    `roc_auc_doclen_lang`: ROC-AUC stays optimistic when positives are
+    rare; AP weights by precision AT each positive.  Tie handling is
+    the group-wise convention: scores collapse to DISTINCT values
+    (descending), precision at a tie block counts the whole block, and
+    each block contributes n_pos * precision.  Precision per block is
+    nano-quantized from exact prefix counts (source-partitioned window
+    over the distinct-score table), so per-source AP is an
+    order-independent integer sum + one division.  Degenerate sources
+    (no positives) are excluded by both engines."""
+    g = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").cast("long").alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tot"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.select(
+        "source",
+        "n_tot",
+        "n_pos",
+        F.sum("n_tot").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    terms = r.where(F.col("n_pos") > 0).select(
+        "source",
+        "n_pos",
+        F.floor(
+            (F.col("cum_pos").cast("double") / F.col("cum_n")) * 1000000000
+            + F.lit(0.5 + 1e-8)
+        )
+        .cast("long")
+        .alias("prec_nano"),
+    )
+    a = terms.groupBy("source").agg(
+        F.sum("n_pos").cast("long").alias("n1"),
+        F.sum(F.col("n_pos") * F.col("prec_nano")).cast("long").alias("s"),
+    )
+    tot = g.groupBy("source").agg(F.sum("n_tot").cast("long").alias("n"))
+    return (
+        a.join(tot, "source")
+        .where(F.col("n1") > 0)
+        .select(
+            "source",
+            "n",
+            "n1",
+            round_det(F.col("s") / (1000000000.0 * F.col("n1")), 6).alias(
+                "average_precision"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "fano_factor_burstiness",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(EXTRACT(epoch FROM ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days, s AS n_events,
+           ROUND(s / (1.0 * n_days) + 1e-8, 4) AS mean_daily,
+           ROUND(((q - (CAST(s AS DOUBLE) * s) / n_days) / (n_days - 1))
+                 / (s / (1.0 * n_days)) + 1e-8, 6) AS fano_factor
+    FROM m ORDER BY event_type
+    """,
+    tags=("evaluation", "burstiness", "fano-factor", "dispersion"),
+)
+def fano_factor_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO FACTOR (variance-to-mean dispersion index) of daily event
+    counts per type — the burstiness screen: a Poisson-like arrival
+    process sits near 1, machine retries / thundering herds push far
+    above, rate-limited feeds below — the first question an ingest SRE
+    asks of `events_per_day` before alerting thresholds mean anything.
+    Exact integer daily counts and moments, one identical double
+    division chain at the end.  Plan: day-grain agg (calendar-bounded),
+    type-level fold."""
+    daily = _t(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts")) / F.lit(86400)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("n_events"),
+        round_det(F.col("s") / (1.0 * F.col("n_days")), 4).alias("mean_daily"),
+        round_det(
+            (
+                (F.col("q") - (F.col("s").cast("double") * F.col("s")) / F.col("n_days"))
+                / (F.col("n_days") - 1)
+            )
+            / (F.col("s") / (1.0 * F.col("n_days"))),
+            6,
+        ).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rowt AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM trans GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM trans),
+    terms AS (
+        SELECT CAST(floor(
+                   (CAST(rowt.ra AS DOUBLE) / tot.n)
+                   * ((CAST(t.c AS DOUBLE) / rowt.ra)
+                      * ln(CAST(t.c AS DOUBLE) / rowt.ra))
+                   * -1000000000 + 0.5 + 1e-8) AS BIGINT) AS nano
+        FROM trans t JOIN rowt USING (a) CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM trans) AS n_transitions_distinct,
+           (SELECT n FROM tot) AS n_transitions,
+           ROUND((SELECT sum(nano) FROM terms) / 1000000000.0 + 1e-8, 6)
+               AS entropy_rate_nats
+    """,
+    tags=("evaluation", "markov", "entropy-rate", "sequence"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE of the per-user event-type Markov chain —
+    H = sum_a pi(a) * H(next | a) with pi taken as the empirical source
+    distribution of transitions: the single number that says how
+    PREDICTABLE user behavior is (0 = deterministic flows, ln(k) =
+    uniform churn), the summary statistic over
+    `event_markov_transitions`' full matrix.  Each (a, b) cell's
+    -pi(a) p(b|a) ln p(b|a) is computed from exact integer counts in
+    one identical double expression and nano-quantized, so the rate is
+    an order-independent integer sum over the (types x types)-bounded
+    cell table.  Plan: one user-partitioned lead window, one cell agg,
+    margins re-aggregate cells."""
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        seq.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("next_type").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rowt = trans.groupBy("a").agg(F.sum("c").alias("ra"))
+    tot = F.broadcast(trans.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nd")))
+    terms = (
+        trans.join(F.broadcast(rowt), "a")
+        .crossJoin(tot)
+        .select(
+            "n",
+            "nd",
+            F.floor(
+                (F.col("ra").cast("double") / F.col("n"))
+                * (
+                    (F.col("c").cast("double") / F.col("ra"))
+                    * F.log(F.col("c").cast("double") / F.col("ra"))
+                )
+                * -1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    return terms.agg(
+        F.first("nd").cast("long").alias("n_transitions_distinct"),
+        F.first("n").cast("long").alias("n_transitions"),
+        round_det(F.sum("nano") / 1000000000.0, 6).alias("entropy_rate_nats"),
+    )

@@ -1882,3 +1882,102 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("chapman_estimate"),
         )
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        ) GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM bi),
+    scored AS (
+        SELECT bi.w1, bi.w2, bi.c AS support,
+               CAST(floor(ln((CAST(bi.c AS DOUBLE) * n.nb)
+                             / (CAST(u1.c AS DOUBLE) * u2.c))
+                          * 1000000000 + 0.5 + 1e-8) AS BIGINT) AS pmi_nano
+        FROM bi JOIN uni u1 ON u1.term = bi.w1
+                JOIN uni u2 ON u2.term = bi.w2
+                CROSS JOIN n
+        WHERE bi.c >= 5
+    )
+    SELECT w1, w2, support, pmi_nano FROM scored
+    ORDER BY pmi_nano DESC, w1, w2 LIMIT 20
+    """,
+    tags=("pipeline", "collocations", "pmi", "text-statistics"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI COLLOCATION extraction — the classical "words that belong
+    together" statistic (Church & Hanks 1990, public): pointwise mutual
+    information ln(c(w1,w2)*N / (c(w1)*c(w2))) over adjacent-pair
+    counts, support floor 5 (raw PMI is notoriously dominated by
+    hapax pairs), top-20 with total tie-breaks — the phrase-detection
+    step tokenizer and n-gram pipelines run before merging multiword
+    units.  Exactness: all counts exact int64, one identical ln per
+    surviving pair nano-quantized BEFORE ranking, so the ranking and
+    cut are integer decisions.  Plan: one token scan feeds unigram and
+    bigram aggregates; scoring joins the (bounded) surviving-pair table
+    to the unigram table twice."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0).alias("ws"),
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    nb = F.broadcast(
+        toks.select((F.size("ws") - 1).alias("k")).agg(F.sum("k").alias("nb"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(nb)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("support"),
+            F.floor(
+                F.log(
+                    (F.col("c").cast("double") * F.col("nb"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1000000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("pmi_nano"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_nano").desc(), "w1", "w2").limit(20)
