@@ -71,6 +71,14 @@ HEADLINE = [
     # round 6 (closing): hybrid lexical+semantic retrieval fusion — the
     # RAG serving pattern, two independent ranking legs + a bounded merge
     "hybrid_search_rrf",
+    # round 6 (continuation): the three heaviest new plan shapes —
+    # sketch-then-verify heavy hitters (shuffle-free Misra-Gries pass +
+    # broadcast-filtered exact pass), 6-round k-core peeling (iterative
+    # semi-join family under bench watch), and the bigram LM scorer
+    # (two model-table equi-joins over an exploded token stream)
+    "heavy_hitters_exact_2pass",
+    "kcore_decomposition",
+    "bigram_perplexity_score",
 ]
 
 
