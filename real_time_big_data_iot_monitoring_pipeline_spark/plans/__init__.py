@@ -46,8 +46,10 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   * target invariant: no query's most recent driver row is ever more
 #     than 3 rounds old.
 # ROUND-7 DRAFT under that policy (assuming this window lands green):
-# flagship (pinned) + the never-hashed round-6 registrations (49 windowed; see
-# spill list below — any beyond 49 lead round 8's window)
+# flagship (pinned) + the never-hashed round-6 registrations (144
+# outstanding at round-6 close: catalog 393 / 387 oracle-bearing,
+# driver-hashed union r1..r6 = 243; the first 49 in the list below
+# take this window's slots, the rest lead round 8's)
 # stream_topn_per_window_upsert, stream_full_outer_interval_join, stream_join_then_window,
 # image_png_pipeline, dedup_components_incremental_smalldelta, props_variant_shredded,
 # recursive_cte_hierarchy, parquet_schema_evolution, binaryfile_image_census,
