@@ -1585,3 +1585,90 @@ def itemitem_collaborative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "rec", "co", "cos_micro", F.col("rank").cast("long").alias("rank"))
         .orderBy("part", "rank")
     )
+
+
+@register(
+    "association_rules_single_item",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 10 = 0
+    ),
+    nc AS (SELECT CAST(count(DISTINCT cust) AS BIGINT) AS n FROM cp),
+    supp AS (SELECT part, CAST(count(*) AS BIGINT) AS c FROM cp GROUP BY part),
+    co AS (
+        SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS BIGINT) AS co
+        FROM cp a JOIN cp b ON a.cust = b.cust AND a.part <> b.part
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT co.pa AS antecedent, co.pb AS consequent, co.co AS support_n,
+               (co.co * 1000000) // sa.c AS confidence_micro,
+               CAST(floor((CAST(co.co AS DOUBLE) * nc.n) / (CAST(sa.c AS DOUBLE) * sb.c)
+                          * 1000000 + 0.5 + 1e-8) AS BIGINT) AS lift_micro
+        FROM co JOIN supp sa ON sa.part = co.pa
+                JOIN supp sb ON sb.part = co.pb
+                CROSS JOIN nc
+        WHERE co.co >= 3
+    )
+    SELECT antecedent, consequent, support_n, confidence_micro, lift_micro
+    FROM rules ORDER BY lift_micro DESC, antecedent, consequent LIMIT 20
+    """,
+    tags=("behavior", "association-rules", "market-basket", "lift"),
+)
+def association_rules_single_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-ITEM ASSOCIATION RULES (the Apriori surface, Agrawal &
+    Srikant 1994, public): a -> b with support, confidence = co/n_a,
+    and lift = co*N/(n_a*n_b) over the customer-part baskets — the
+    DIRECTIONAL, base-rate-corrected complement to
+    `itemitem_collaborative_topk`'s symmetric cosine (confidence is
+    asymmetric; lift discounts popular consequents cosine inflates).
+    Support floor 3 is the usual hapax guard; top-20 by lift with total
+    tie-breaks.  Confidence is an exact integer floor-division; lift is
+    one identical double expression micro-quantized BEFORE ranking.
+    Plan: the same basket-bounded customer-keyed self-join candidate
+    discipline (never catalog all-pairs), then two broadcast support
+    joins over the bounded rule table."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    nc = F.broadcast(cp.agg(F.count_distinct("cust").alias("n")))
+    supp = cp.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
+    a, b = cp.alias("a"), cp.alias("b")
+    co = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.part") != F.col("b.part")))
+        .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 3)
+    )
+    sa = supp.select(F.col("part").alias("pa"), F.col("c").alias("ca"))
+    sb = supp.select(F.col("part").alias("pb"), F.col("c").alias("cb"))
+    rules = (
+        co.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .crossJoin(nc)
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            F.col("co").alias("support_n"),
+            F.expr("(co * 1000000L) div ca").alias("confidence_micro"),
+            F.floor(
+                (F.col("co").cast("double") * F.col("n"))
+                / (F.col("ca").cast("double") * F.col("cb"))
+                * 1000000
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift_micro").desc(), "antecedent", "consequent"
+    ).limit(20)

@@ -1106,3 +1106,101 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").cast("long").alias("n_transitions"),
         round_det(F.sum("nano") / 1000000000.0, 6).alias("entropy_rate_nats"),
     )
+
+
+@register(
+    "median_ci_order_statistic",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    bounds AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS lo_rank,
+               CAST(floor((n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) + 1 AS BIGINT) AS hi_rank,
+               (n + 1) // 2 AS med_rank
+        FROM (SELECT DISTINCT event_type, n FROM r)
+    )
+    SELECT b.event_type, b.n,
+           ROUND(max(CASE WHEN r.rk = b.med_rank THEN r.vc END) / 100.0 + 1e-8, 2) AS median,
+           ROUND(max(CASE WHEN r.rk = b.lo_rank THEN r.vc END) / 100.0 + 1e-8, 2) AS ci_lo,
+           ROUND(max(CASE WHEN r.rk = b.hi_rank THEN r.vc END) / 100.0 + 1e-8, 2) AS ci_hi,
+           max(b.lo_rank) AS lo_rank, max(b.hi_rank) AS hi_rank
+    FROM r JOIN bounds b USING (event_type)
+    GROUP BY b.event_type, b.n
+    ORDER BY b.event_type
+    """,
+    tags=("evaluation", "median-ci", "order-statistic", "distribution-free"),
+)
+def median_ci_order_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-FREE 95% confidence interval for the per-type
+    MEDIAN via ORDER STATISTICS — no resampling at all: the binomial
+    argument (each observation falls below the true median with
+    p = 1/2) gives CI bounds at ranks (n -+ z*sqrt(n))/2, so the
+    interval is just two more rank lookups in the same sort that finds
+    the median (the z=1.959964 literal is shared by both engines; the
+    normal approximation to Binomial(n, 1/2) is the standard form at
+    these n).  Contrast with `poisson_bootstrap_ci`: that family pays
+    a 32x resample fan-out for arbitrary statistics; the median needs
+    none.  Values are exact cents; ranks are exact integers with a
+    unique tie-break, so all three lookups are integer decisions.
+    Plan: one type-partitioned rank window + a bounds join — the
+    windows are per-type, never global."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", as_cents(F.col("value")).alias("vc")
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = v.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    bounds = (
+        r.select("event_type", "n")
+        .distinct()
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor((F.col("n") - 1.959964 * F.sqrt(F.col("n").cast("double"))) / 2)
+            .cast("long")
+            .alias("lo_rank"),
+            (F.floor((F.col("n") + 1.959964 * F.sqrt(F.col("n").cast("double"))) / 2) + 1)
+            .cast("long")
+            .alias("hi_rank"),
+            F.expr("(n + 1) div 2").alias("med_rank"),
+        )
+    )
+    j = r.join(F.broadcast(bounds.withColumnRenamed("n", "nb")), "event_type")
+    return (
+        j.groupBy("event_type", "nb")
+        .agg(
+            round_det(
+                F.max(F.when(F.col("rk") == F.col("med_rank"), F.col("vc"))) / 100.0, 2
+            ).alias("median"),
+            round_det(
+                F.max(F.when(F.col("rk") == F.col("lo_rank"), F.col("vc"))) / 100.0, 2
+            ).alias("ci_lo"),
+            round_det(
+                F.max(F.when(F.col("rk") == F.col("hi_rank"), F.col("vc"))) / 100.0, 2
+            ).alias("ci_hi"),
+            F.max("lo_rank").alias("lo_rank"),
+            F.max("hi_rank").alias("hi_rank"),
+        )
+        .select(
+            "event_type",
+            F.col("nb").alias("n"),
+            "median",
+            "ci_lo",
+            "ci_hi",
+            "lo_rank",
+            "hi_rank",
+        )
+        .orderBy("event_type")
+    )
