@@ -46,8 +46,8 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #   * target invariant: no query's most recent driver row is ever more
 #     than 3 rounds old.
 # ROUND-7 DRAFT under that policy (assuming this window lands green):
-# flagship (pinned) + the never-hashed round-6 registrations (146
-# outstanding at round-6 close: catalog 395 / 389 oracle-bearing,
+# flagship (pinned) + the never-hashed round-6 registrations (147
+# outstanding at round-6 close: catalog 396 / 390 oracle-bearing,
 # driver-hashed union r1..r6 = 243; the first 49 in the list below
 # take this window's slots, the rest lead round 8's)
 # stream_topn_per_window_upsert, stream_full_outer_interval_join, stream_join_then_window,
@@ -108,7 +108,7 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # naive_bayes_lang_classifier, pmi_collocations,
 # average_precision_doclen_lang, fano_factor_burstiness,
 # markov_entropy_rate, median_ci_order_statistic,
-# association_rules_single_item).
+# association_rules_single_item, hhi_market_concentration).
 # That fills the 50-slot window exactly (1 + 49 once the count of
 # never-hashed registrations reaches 49); any round-6 registrations
 # beyond 49 spill to the FRONT of round 8's window, followed by the

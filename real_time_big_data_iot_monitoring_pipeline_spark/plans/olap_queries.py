@@ -1117,3 +1117,77 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+@register(
+    "hhi_market_concentration",
+    oracle=f"""
+    WITH bv AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               p.p_brand,
+               CAST(sum({_DISC_SQL}) AS BIGINT) AS v
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT yr, CAST(sum(v) AS BIGINT) AS tv FROM bv GROUP BY 1),
+    terms AS (
+        SELECT bv.yr,
+               CAST(floor((CAST(bv.v AS DOUBLE) / tot.tv)
+                          * (CAST(bv.v AS DOUBLE) / tot.tv)
+                          * 10000000000 + 0.5 + 1e-8) AS BIGINT) AS hhi_micro4,
+               bv.v, tot.tv
+        FROM bv JOIN tot USING (yr)
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           ROUND(sum(hhi_micro4) / 1000000.0 + 1e-8, 4) AS hhi,
+           (max(v) * 1000000) // max(tv) AS top_share_micro
+    FROM terms GROUP BY yr ORDER BY yr
+    """,
+    tags=("olap", "hhi", "market-concentration", "antitrust"),
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of brand revenue concentration per
+    order year — the antitrust/market-power convention (sum of squared
+    percentage shares, 0..10000: <1500 unconcentrated, >2500 highly
+    concentrated), the SCALAR concentration dial next to
+    `brand_value_concentration`'s Q11 threshold list and
+    `customer_spend_gini`'s inequality curve.  Each brand-year's
+    squared share is one identical double expression from exact
+    integer revenue cents, quantized at 1e-4 HHI points BEFORE the
+    per-year sum (order-independent); the top-brand share is an exact
+    integer floor-division.  Plan: one 3-way join -> (year x brand)
+    agg; year totals re-aggregate the brand table; everything after is
+    brands-sized."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", _disc_price_cents().alias("vc")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(utc_naive("o_orderdate")).cast("long").alias("yr")
+    )
+    bv = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("yr", "p_brand")
+        .agg(F.sum("vc").alias("v"))
+    )
+    tot = bv.groupBy("yr").agg(F.sum("v").alias("tv"))
+    share = F.col("v").cast("double") / F.col("tv")
+    terms = bv.join(F.broadcast(tot), "yr").select(
+        "yr",
+        "v",
+        "tv",
+        F.floor(share * share * 10000000000 + F.lit(0.5 + 1e-8)).cast("long").alias("hhi_micro4"),
+    )
+    return (
+        terms.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            round_det(F.sum("hhi_micro4") / 1000000.0, 4).alias("hhi"),
+            F.expr("(max(v) * 1000000L) div max(tv)").alias("top_share_micro"),
+        )
+        .orderBy("yr")
+    )
