@@ -722,7 +722,7 @@ def pyds_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.filter(F.col("reading_id") >= 15_000).repartition(2).write.format(
             "rtbd_manifest_sink"
         ).option("path", path).mode("append").save()  # v5
-        audit = pydatasource.vacuum(path, keep_versions=2)
+        audit = pydatasource.vacuum(path, keep_versions=2, retention_seconds=0.0)
         setattr(pyds_sink_vacuum, key, path)
         setattr(pyds_sink_vacuum, key + "_audit", audit)
     audit = getattr(pyds_sink_vacuum, key + "_audit")
@@ -1435,7 +1435,7 @@ def pyds_branch_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).save()
         pydatasource.advance_branch(path, "dev", 3)
-        out = pydatasource.vacuum(path, keep_versions=1)
+        out = pydatasource.vacuum(path, keep_versions=1, retention_seconds=0.0)
         assert out["head_version"] == 3, out
         setattr(pyds_branch_tag_travel, key, (path, out["n_files_removed"], out["n_manifests_removed"]))
     path, n_files_removed, n_manifests_removed = getattr(pyds_branch_tag_travel, key)

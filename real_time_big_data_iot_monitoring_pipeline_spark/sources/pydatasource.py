@@ -408,6 +408,12 @@ class ManifestParquetWriter(DataSourceWriter):
                 # CHECK constraints are table metadata: every commit
                 # carries them forward AND is validated against them
                 "constraints": (prev or {}).get("constraints", []),
+                # the STREAMING EPOCH LEDGER is table metadata too: any
+                # commit that dropped it would blind the stream writer's
+                # replay guard and double-count a replayed epoch (carried
+                # even across overwrite — the epoch WAS processed; the
+                # overwrite deliberately replaced its rows)
+                "batches": (prev or {}).get("batches", []),
                 # op lets table-tailing consumers distinguish NEW DATA
                 # from REWRITES: an overwrite (e.g. compaction) lists
                 # replacement files whose rows were already emitted — a
@@ -551,42 +557,38 @@ class ManifestSinkDataSource(DataSource):
         return ManifestStreamWriter(self.options)
 
 
-def read_manifest(spark, path: str, version: int | None = None, merge_schema: bool = False):
-    """Reader side of the contract: only manifest-listed files exist to
-    the query — uncommitted/aborted orphans are invisible.  With
-    `version=k` this is a TIME-TRAVEL read: the table exactly as of
-    commit k (immutable `_manifest-v{k}.json`), regardless of how many
-    commits happened since.  With `merge_schema=True` the scan unifies
-    the snapshot's per-file schemas (SCHEMA EVOLUTION: commits may add
-    columns; older files surface nulls for them) instead of trusting
-    one file's footer."""
+def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_schema: bool = False):
+    """Read a SUBSET of a snapshot's files as LOGICAL rows: the
+    snapshot's rename log and pending merge-on-read eq-deletes are
+    applied, restricted to the given file list.  This is the one
+    logical-read path shared by head/time-travel reads AND the pruned /
+    bloom-pruned / staged readers — handing `manifest['files']` straight
+    to a parquet scan returns physically present but logically deleted
+    rows (and pre-rename column names), so every reader routes here.
+
+    Files group by (applicable renames, applicable eq-deletes) and each
+    group reads once.  Renames are a per-file footer question
+    (planning-time metadata, no data pages) replayed IN ORDER over the
+    evolving name set so chained renames resolve; an eq-delete applies
+    exactly to the files in its recorded snapshot list (rows appended
+    later survive).  Renames apply before delete filters —
+    `rename_column` refuses to rename a column with pending deletes, so
+    delete predicates always reference current names."""
     import os
 
-    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
-    with open(os.path.join(path, name)) as f:
-        manifest = _json.load(f)
-    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    fpaths = [os.path.join(path, fn) for fn in files]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     renames = manifest.get("renames", [])
     eq_deletes = manifest.get("eq_deletes", [])
     if not renames and not eq_deletes:
-        return reader.parquet(*files), manifest
-    # RENAME LOG + MERGE-ON-READ DELETE application: files group by
-    # (applicable renames, applicable eq-deletes) and each group reads
-    # once.  Renames are a per-file footer question (planning-time
-    # metadata, no data pages) replayed IN ORDER over the evolving name
-    # set so chained renames resolve; an eq-delete applies exactly to
-    # the files in its recorded snapshot list (rows appended later
-    # survive).  Renames apply before delete filters — `rename_column`
-    # refuses to rename a column with pending deletes, so delete
-    # predicates always reference current names.
+        return reader.parquet(*fpaths)
     import pyarrow.parquet as _pqm
 
     from pyspark.sql import functions as F
 
     del_sets = [(i, set(d["files"])) for i, d in enumerate(eq_deletes)]
     groups: dict[tuple, list[str]] = {}
-    for fp in files:
+    for fn, fp in zip(files, fpaths):
         app = ()
         if renames:
             cur = set(_pqm.ParquetFile(fp).schema_arrow.names)
@@ -597,8 +599,7 @@ def read_manifest(spark, path: str, version: int | None = None, merge_schema: bo
                     cur.discard(r["from"])
                     cur.add(r["to"])
             app = tuple(acc)
-        base = os.path.basename(fp)
-        dels = tuple(i for i, fset in del_sets if base in fset)
+        dels = tuple(i for i, fset in del_sets if fn in fset)
         groups.setdefault((app, dels), []).append(fp)
     frames = []
     for (app, dels), fps in groups.items():
@@ -612,7 +613,25 @@ def read_manifest(spark, path: str, version: int | None = None, merge_schema: bo
     out = frames[0]
     for extra in frames[1:]:
         out = out.unionByName(extra, allowMissingColumns=merge_schema)
-    return out, manifest
+    return out
+
+
+def read_manifest(spark, path: str, version: int | None = None, merge_schema: bool = False):
+    """Reader side of the contract: only manifest-listed files exist to
+    the query — uncommitted/aborted orphans are invisible.  With
+    `version=k` this is a TIME-TRAVEL read: the table exactly as of
+    commit k (immutable `_manifest-v{k}.json`), regardless of how many
+    commits happened since.  With `merge_schema=True` the scan unifies
+    the snapshot's per-file schemas (SCHEMA EVOLUTION: commits may add
+    columns; older files surface nulls for them) instead of trusting
+    one file's footer.  Rename-log and MoR-delete application live in
+    `_read_logical` (shared with the pruned/staged readers)."""
+    import os
+
+    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
+    with open(os.path.join(path, name)) as f:
+        manifest = _json.load(f)
+    return _read_logical(spark, path, manifest["files"], manifest, merge_schema), manifest
 
 
 def read_manifest_pruned(
@@ -638,14 +657,15 @@ def read_manifest_pruned(
         s = stats.get(fn, {}).get(col)
         if s is None or (s[0] <= hi and s[1] >= lo):
             keep.append(fn)
+    # the kept files still read LOGICALLY (rename log + pending MoR
+    # deletes applied) — a pruned read of a table with eq-deletes must
+    # not resurrect deleted rows (round-7 ADVICE finding)
     if keep:
-        df = spark.read.parquet(*[os.path.join(path, fn) for fn in keep])
+        df = _read_logical(spark, path, keep, manifest)
     else:
         # fully pruned: an empty frame with the table's schema (footer
         # read only — limit(0) scans no data pages)
-        df = spark.read.parquet(
-            *[os.path.join(path, fn) for fn in manifest["files"]]
-        ).limit(0)
+        df = _read_logical(spark, path, manifest["files"], manifest).limit(0)
     return df, len(keep), len(manifest["files"])
 
 
@@ -821,7 +841,7 @@ def read_manifest_bloom_pruned(spark, path: str, col: str, value, version: int |
     ]
     files = manifest["files"]
     if not cand:
-        df = spark.read.parquet(*[os.path.join(path, fn) for fn in files])
+        df = _read_logical(spark, path, files, manifest)
         return df, len(files), len(files)
     with open(os.path.join(path, f"_bloom-{col}-v{max(cand)}.json")) as f:
         index = _json.load(f)
@@ -847,10 +867,12 @@ def read_manifest_bloom_pruned(spark, path: str, col: str, value, version: int |
         bits = base64.b64decode(b64)
         if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
             keep.append(fn)
+    # logical read of the surviving files (renames + MoR deletes), same
+    # contract as read_manifest_pruned
     if keep:
-        df = spark.read.parquet(*[os.path.join(path, fn) for fn in keep])
+        df = _read_logical(spark, path, keep, manifest)
     else:
-        df = spark.read.parquet(*[os.path.join(path, fn) for fn in files]).limit(0)
+        df = _read_logical(spark, path, files, manifest).limit(0)
     return df, len(keep), len(files)
 
 
@@ -901,13 +923,13 @@ def optimize_zorder(
 def read_staged(spark, path: str):
     """Audit-side read of a WAP-staged snapshot (the staged pointer, not
     the head): the candidate table exactly as it would look after
-    publish."""
+    publish — including the carried-forward rename log and pending MoR
+    deletes (the audit must see what publish would publish)."""
     import os
 
     with open(os.path.join(path, "_staged-manifest.json")) as f:
         manifest = _json.load(f)
-    files = [os.path.join(path, fn) for fn in manifest["files"]]
-    return spark.read.parquet(*files), manifest
+    return _read_logical(spark, path, manifest["files"], manifest), manifest
 
 
 def publish_staged(path: str) -> dict:
@@ -991,7 +1013,9 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     import glob
     import os
     import shutil
+    import uuid
 
+    import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
     head_path = os.path.join(path, "manifest.json")
@@ -1002,9 +1026,18 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     for fn in head["files"]:
         s = stats.get(fn, {}).get(col)
         (touched if s is None or (s[0] <= hi and s[1] >= lo) else untouched).append(fn)
-    n_deleted, new_files = 0, []
+    n_deleted, new_files, n_physical_removed = 0, [], 0
+    # part-file names carry a uuid token: identity must never depend on
+    # the raced version number, or two same-verb committers computing
+    # the same next_v os.replace onto identical names before the OCC
+    # claim resolves and the winner's manifest references clobbered data
+    tok = uuid.uuid4().hex[:8]
     if touched:
-        victims = spark.read.parquet(*[os.path.join(path, fn) for fn in touched])
+        # victims read LOGICALLY (rename log + pending MoR deletes
+        # applied, scoped to the touched files) — a raw read would
+        # resurrect rows a delete_where_mor already removed, because
+        # the carried eq-delete entries scope to the OLD file names
+        victims = _read_logical(spark, path, touched, head)
         n_before = victims.count()
         survivors = victims.filter(~F.col(col).between(lo, hi))
         staging = os.path.join(path, "_delete_staging")
@@ -1012,29 +1045,50 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         next_v = head.get("version", 0) + 1
         n_surv = 0
         for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
-            import pyarrow.parquet as _pq
-
             n_rows = _pq.ParquetFile(part).metadata.num_rows
             if n_rows == 0:
                 continue  # empty task output: never list zero-row files
             n_surv += n_rows
-            visible = f"part-d{next_v}-{i:05d}.parquet"
+            visible = f"part-d{next_v}-{tok}-{i:05d}.parquet"
             os.replace(part, os.path.join(path, visible))
             new_files.append(visible)
         shutil.rmtree(staging, ignore_errors=True)
         n_deleted = n_before - n_surv
+        # manifest n_rows stays PHYSICAL: the rewrite also materialized
+        # any MoR-deleted rows in the touched files, so the physical
+        # delta is (physical touched rows) - (surviving rows)
+        n_physical_removed = (
+            sum(
+                _pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+                for fn in touched
+            )
+            - n_surv
+        )
+    touched_set = set(touched)
     manifest = {
         "version": head.get("version", 0) + 1,
         "files": sorted(untouched + new_files),
-        "n_rows": head["n_rows"] - n_deleted,
+        "n_rows": head["n_rows"] - n_physical_removed,
         "stats": {
             **{fn: stats[fn] for fn in untouched if fn in stats},
             **_footer_stats(path, new_files),
         },
         "op": "delete",
         "renames": head.get("renames", []),
-        "eq_deletes": head.get("eq_deletes", []),
+        # rewritten files already had their applicable MoR deletes
+        # materialized, so each carried entry drops them from its scope
+        # (entries left with no files are fully materialized: drop them)
+        "eq_deletes": [
+            e
+            for d in head.get("eq_deletes", [])
+            if (e := {**d, "files": [fn for fn in d["files"] if fn not in touched_set]})[
+                "files"
+            ]
+        ],
         "constraints": head.get("constraints", []),
+        # the streaming epoch ledger is table metadata like renames —
+        # dropping it would let a replayed epoch double-count
+        "batches": head.get("batches", []),
         # the logical predicate travels with the commit so a change-feed
         # consumer can apply the same retention delete downstream (the
         # deletion half of CDC that an insert-only row feed cannot carry)
@@ -1150,6 +1204,9 @@ def materialize_deletes(spark, path: str) -> dict:
     untouched = [fn for fn in head["files"] if fn not in applicable]
     new_files = []
     next_v = head.get("version", 0) + 1
+    import uuid
+
+    tok = uuid.uuid4().hex[:8]  # name identity never rides the raced version
     staging = os.path.join(path, "_mor_staging")
     # group files by their applicable delete set so each group rewrites once
     groups: dict[tuple, list[str]] = {}
@@ -1166,7 +1223,7 @@ def materialize_deletes(spark, path: str) -> dict:
         for i, part in enumerate(sorted(glob.glob(os.path.join(gdir, "part-*")))):
             if _pq.ParquetFile(part).metadata.num_rows == 0:
                 continue
-            visible = f"part-x{next_v}-{gi:03d}-{i:05d}.parquet"
+            visible = f"part-x{next_v}-{tok}-{gi:03d}-{i:05d}.parquet"
             os.replace(part, os.path.join(path, visible))
             new_files.append(visible)
         gi += 1
@@ -1217,6 +1274,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
     import glob
     import os
     import shutil
+    import uuid
 
     import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
@@ -1253,42 +1311,64 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
             .collect()
         }
     touched = sorted(hit) + unstatted
-    untouched = [fn for fn in head["files"] if fn not in set(touched)]
-    n_updated, new_files = 0, []
+    touched_set = set(touched)
+    untouched = [fn for fn in head["files"] if fn not in touched_set]
+    n_updated, new_files, n_physical_touched = 0, [], 0
     survivors_plus = updates
     if touched:
-        victims = spark.read.parquet(*[os.path.join(path, fn) for fn in touched])
+        # logical read of the victims (renames + pending MoR deletes,
+        # scoped to the touched files): a raw read would resurrect
+        # MoR-deleted rows into the rewritten files, whose new names
+        # fall outside every carried eq-delete entry's scope
+        victims = _read_logical(spark, path, touched, head)
         n_before = victims.count()
         kept = victims.join(F.broadcast(keys), key_col, "left_anti")
         n_updated = n_before - kept.count()
         survivors_plus = kept.unionByName(updates)
+        n_physical_touched = sum(
+            _pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows for fn in touched
+        )
     staging = os.path.join(path, "_merge_staging")
     survivors_plus.write.mode("overwrite").parquet(staging)
     next_v = head.get("version", 0) + 1
+    # uuid token: rewritten-file identity must not depend on the raced
+    # version number (see delete_where)
+    tok = uuid.uuid4().hex[:8]
     n_rows_new = 0
     for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
         n_rows = _pq.ParquetFile(part).metadata.num_rows
         if n_rows == 0:
             continue
         n_rows_new += n_rows
-        visible = f"part-m{next_v}-{i:05d}.parquet"
+        visible = f"part-m{next_v}-{tok}-{i:05d}.parquet"
         os.replace(part, os.path.join(path, visible))
         new_files.append(visible)
     shutil.rmtree(staging, ignore_errors=True)
     manifest = {
         "version": next_v,
         "files": sorted(untouched + new_files),
-        "n_rows": head["n_rows"] - n_updated + n_updates
-        if touched
-        else head["n_rows"] + n_updates,
+        # PHYSICAL row count: untouched files keep their rows; touched
+        # files are replaced wholesale by the rewritten output (which
+        # also materialized their pending MoR deletes)
+        "n_rows": head["n_rows"] - n_physical_touched + n_rows_new,
         "stats": {
             **{fn: stats[fn] for fn in untouched if fn in stats},
             **_footer_stats(path, new_files),
         },
         "op": "merge",
         "renames": head.get("renames", []),
-        "eq_deletes": head.get("eq_deletes", []),
+        # rewritten files had their applicable MoR deletes materialized:
+        # drop them from each entry's scope (empty entries drop entirely)
+        "eq_deletes": [
+            e
+            for d in head.get("eq_deletes", [])
+            if (e := {**d, "files": [fn for fn in d["files"] if fn not in touched_set]})[
+                "files"
+            ]
+        ],
         "constraints": head.get("constraints", []),
+        # streaming epoch ledger carries forward (table metadata)
+        "batches": head.get("batches", []),
     }
     # the merge's INSERT half is new data — prove it against the table's
     # CHECK constraints like any write (footer stats; rejects cleanly)
@@ -1307,7 +1387,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
     }
 
 
-def vacuum(path: str, keep_versions: int = 2) -> dict:
+def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) -> dict:
     """VACUUM the manifest table: physically delete part files that are
     unreachable from the newest `keep_versions` snapshots, and drop the
     older versioned manifests — the retention verb that reclaims the
@@ -1324,9 +1404,19 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     is never touched.  Returns {n_files_removed, n_manifests_removed,
     head_version, horizon_version}.  Driver-side metadata walk only —
     no data read; at 100 TB this is a listing + set difference, the
-    same cost profile as any table-format maintenance job."""
+    same cost profile as any table-format maintenance job.
+
+    RETENTION GRACE (`retention_seconds`, Delta's VACUUM retention
+    check): part files younger than the grace window are never deleted
+    even if no kept manifest lists them — an in-flight commit renames
+    its parts visible BEFORE claiming its manifest version, and a
+    graceless vacuum racing that window would delete data a manifest is
+    about to reference.  Tests/maintenance that KNOW no commit is in
+    flight pass `retention_seconds=0.0` explicitly (the analogue of
+    disabling Delta's retentionDurationCheck)."""
     import glob
     import os
+    import time
 
     with open(os.path.join(path, "manifest.json")) as f:
         head_version = _json.load(f)["version"]
@@ -1346,10 +1436,18 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
         with open(staged) as f:
             live.update(_json.load(f)["files"])
     n_files = 0
+    now = time.time()
     for part in glob.glob(os.path.join(path, "part-*")):
-        if os.path.basename(part) not in live:
-            os.remove(part)
-            n_files += 1
+        if os.path.basename(part) in live:
+            continue
+        try:
+            young = now - os.path.getmtime(part) < retention_seconds
+        except FileNotFoundError:
+            continue  # a racer already removed it
+        if young:
+            continue  # grace window: possibly an in-flight commit's part
+        os.remove(part)
+        n_files += 1
     n_manifests = 0
     for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
         v = int(os.path.basename(mf)[len("_manifest-v") : -len(".json")])
@@ -1588,6 +1686,9 @@ def restore_table(path: str, to_version: int) -> dict:
             "renames": target.get("renames", []),
             "eq_deletes": target.get("eq_deletes", []),
             "constraints": constraints,
+            # the epoch ledger follows the HEAD, not the restore target:
+            # restoring old data does not un-process later stream epochs
+            "batches": head.get("batches", []),
             "op": "restore",
             "restored_from": to_version,
         }
@@ -1631,6 +1732,9 @@ def shallow_clone(src: str, dst: str) -> dict:
             for d in head.get("eq_deletes", [])
         ],
         "constraints": head.get("constraints", []),
+        # the clone holds the source epochs' rows, so a stream resumed
+        # against the clone must still dedup those epochs
+        "batches": head.get("batches", []),
         "op": "clone",
         "cloned_from": {"path": os.path.abspath(src), "version": head.get("version", 0)},
     }

@@ -414,7 +414,7 @@ def test_pyds_vacuum_keeps_shared_and_staged_files(spark, tmp_path):
         w.commit([w.write(iter([Row(a=k)]))])
     stager = ManifestParquetWriter({"path": path, "staged": "true"}, overwrite=False)
     stager.commit([stager.write(iter([Row(a=99)]))])  # in-flight stage
-    audit = vacuum(path, keep_versions=2)  # horizon v3
+    audit = vacuum(path, keep_versions=2, retention_seconds=0.0)  # horizon v3
     # nothing removable: v3/v4 list all four append files cumulatively
     assert audit["n_files_removed"] == 0 and audit["n_manifests_removed"] == 2
     assert read_manifest(spark, path, version=3)[0].count() == 3
@@ -430,7 +430,7 @@ def test_pyds_vacuum_keeps_shared_and_staged_files(spark, tmp_path):
     w.commit([w.write(iter([Row(a=8)]))])  # v6
     # the stale stage still pins the v1-v4 files it references, so this
     # vacuum expires manifests v3/v4 but removes NO files
-    audit = vacuum(path, keep_versions=2)
+    audit = vacuum(path, keep_versions=2, retention_seconds=0.0)
     assert audit["n_files_removed"] == 0 and audit["n_manifests_removed"] == 2
     # discard is reference-counted against the SURVIVING manifests: with
     # v3/v4 expired, the stage was the last reference to the four append

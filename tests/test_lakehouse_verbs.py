@@ -83,7 +83,7 @@ def test_vacuum_respects_ref_pins(spark, table):
     full.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
         "overwrite"
     ).save()
-    out = P.vacuum(table, keep_versions=1)
+    out = P.vacuum(table, keep_versions=1, retention_seconds=0.0)
     # v2 expired (not pinned); v1 manifest + files survive on the tag
     assert out["n_manifests_removed"] == 1
     assert P.read_manifest_ref(spark, table, "pin")[0].count() == 50
@@ -91,7 +91,7 @@ def test_vacuum_respects_ref_pins(spark, table):
         P.read_manifest(spark, table, version=2)
     # dropping the ref makes the snapshot expirable on the next vacuum
     P.drop_ref(table, "pin")
-    P.vacuum(table, keep_versions=1)
+    P.vacuum(table, keep_versions=1, retention_seconds=0.0)
     with pytest.raises(FileNotFoundError):
         P.read_manifest(spark, table, version=1)
 
@@ -185,7 +185,7 @@ def test_shallow_clone_vacuum_hazard_is_one_directional(spark, table, tmp_path):
     dst = str(tmp_path / "clone")
     P.shallow_clone(table, dst)
     # the CLONE's vacuum owns only its own directory: source unaffected
-    P.vacuum(dst, keep_versions=1)
+    P.vacuum(dst, keep_versions=1, retention_seconds=0.0)
     assert P.read_manifest(spark, table)[0].count() == 100
     # the SOURCE's vacuum can strand the clone (the documented Delta
     # shallow-clone hazard, carried over deliberately)
@@ -193,7 +193,7 @@ def test_shallow_clone_vacuum_hazard_is_one_directional(spark, table, tmp_path):
     full.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
         "overwrite"
     ).save()
-    P.vacuum(table, keep_versions=1)
+    P.vacuum(table, keep_versions=1, retention_seconds=0.0)
     with pytest.raises(Exception):
         P.read_manifest(spark, dst)[0].count()
 

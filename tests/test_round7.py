@@ -1,0 +1,249 @@
+"""Round-7 ADVICE regression pins, all on the manifest table format
+(sources/pydatasource.py):
+
+  1. (high) delete_where / merge_upsert must APPLY pending merge-on-read
+     eq-deletes to the files they rewrite and re-scope the carried
+     entries — a raw rewrite resurrected MoR-deleted rows under new file
+     names outside every entry's scope.
+  2. (medium) the streaming epoch ledger (`batches`) is table metadata:
+     every manifest-producing commit carries it forward, so a replayed
+     epoch is detected even after interleaved batch/maintenance commits.
+  3. (medium) read_manifest_pruned / read_manifest_bloom_pruned /
+     read_staged read LOGICALLY (rename log + pending eq-deletes), not
+     raw physical files.
+  4. (medium) rewritten part files carry a uuid token so file identity
+     never depends on the raced version number.
+  5. (low) vacuum has a retention grace window: part files younger than
+     `retention_seconds` are never deleted (in-flight commit safety);
+     retention_seconds=0.0 restores immediate reclaim.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pytest
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t7")
+    P.register_sink(spark)
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id * 3 AS INT) AS v"
+    )
+    df.filter("id < 50").coalesce(2).write.format("rtbd_manifest_sink").option(
+        "path", path
+    ).mode("append").save()
+    df.filter("id >= 50").coalesce(2).write.format("rtbd_manifest_sink").option(
+        "path", path
+    ).mode("append").save()
+    return path
+
+
+# --- 1. CoW verbs vs pending MoR deletes ------------------------------------
+
+
+def test_delete_where_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    # single-file table so the CoW delete provably rewrites the file
+    # holding the MoR-deleted rows (the resurrection scenario)
+    path = str(tmp_path / "t7one")
+    P.register_sink(spark)
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id * 3 AS INT) AS v"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    # MoR-delete ids 0..19 (v = 0..57): logical table is ids 20..99
+    P.delete_where_mor(path, "v", 0, 59)
+    assert P.read_manifest(spark, path)[0].count() == 80
+    # CoW-delete ids 90..99 (v = 270..297) rewrites the one file.
+    # Before the fix the rewrite read RAW rows, resurrecting ids 0..19
+    # under a new file name outside the eq-delete entry's scope.
+    out = P.delete_where(spark, path, "v", 270, 297)
+    df, head = P.read_manifest(spark, path)
+    assert df.count() == 70
+    assert df.agg({"id": "min"}).first()[0] == 20
+    # the entry's only scoped file rewrote -> fully materialized -> dropped
+    assert head["eq_deletes"] == []
+    assert out["version"] == head["version"]
+    # physical bookkeeping: manifest n_rows matches the real rows on disk
+    assert head["n_rows"] == 70
+
+
+def test_delete_where_scopes_surviving_eq_delete_entries(spark, table):
+    # MoR delete scoped to ALL 4 files; then CoW-delete only the high-v
+    # files (v >= 150 lives in the id>=50 files): the carried entry must
+    # drop the rewritten files from its scope but keep the untouched ones
+    P.delete_where_mor(table, "v", 0, 30)  # ids 0..10
+    P.delete_where(spark, table, "v", 200, 297)  # rewrites the high files
+    df, head = P.read_manifest(spark, table)
+    # logical: 100 - 11 (mor) - 33 (ids 67..99) = 56
+    assert df.count() == 56
+    assert df.filter("id <= 10").count() == 0
+    ent = head["eq_deletes"]
+    assert len(ent) == 1
+    # scope shrank: no rewritten (part-d*) file is in the entry's list
+    assert all(not fn.startswith("part-d") for fn in ent[0]["files"])
+    assert 0 < len(ent[0]["files"]) < 4 + 1
+
+
+def test_merge_upsert_does_not_resurrect_mor_deleted_rows(spark, table):
+    P.delete_where_mor(table, "v", 0, 59)  # ids 0..19 logically gone
+    upd = spark.range(95, 105).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(9999 AS INT) AS v"
+    )
+    out = P.merge_upsert(spark, table, upd, "id")
+    assert out["n_updated"] == 5 and out["n_inserted"] == 5
+    df, head = P.read_manifest(spark, table)
+    assert df.count() == 85  # 80 logical + 5 inserts
+    assert df.filter("id < 20").count() == 0  # stayed deleted
+    assert df.filter("v = 9999").count() == 10
+    # physical == logical once every eq-delete scope is materialized
+    remaining_scope = {fn for d in head["eq_deletes"] for fn in d["files"]}
+    assert all(fn in set(head["files"]) for fn in remaining_scope)
+
+
+# --- 2. batches ledger survives interleaved commits --------------------------
+
+
+def _stream_commit(spark, path, batch_id, ids):
+    """Drive the streaming sink's epoch commit directly: task-side part
+    write + driver-side commit, the same calls the engine makes."""
+    from pyspark.sql import Row
+
+    w = P.ManifestStreamWriter({"path": path})
+    msg = P._write_part(path, iter([Row(id=i, k=i % 7, v=i * 3) for i in ids]))
+    w.commit([msg], batch_id)
+
+
+def test_epoch_ledger_survives_interleaved_commits(spark, table):
+    _stream_commit(spark, table, 0, range(1000, 1005))
+    assert P._latest_snapshot(table)["batches"] == [0]
+    # interleave NON-stream commits of every flavor that previously
+    # dropped the ledger: batch append, CoW delete, merge
+    extra = spark.range(2000, 2003).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id AS INT) AS v"
+    )
+    extra.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+        "append"
+    ).save()
+    P.delete_where(spark, table, "v", 2000, 2002)
+    upd = spark.range(3).selectExpr("id", "CAST(0 AS INT) AS k", "CAST(1 AS INT) AS v")
+    P.merge_upsert(spark, table, upd, "id")
+    assert P._latest_snapshot(table)["batches"] == [0]
+    # replay epoch 0: must be detected and dropped, table unchanged
+    head_before = P._latest_snapshot(table)
+    n_before = P.read_manifest(spark, table)[0].count()
+    _stream_commit(spark, table, 0, range(1000, 1005))
+    head_after = P._latest_snapshot(table)
+    assert head_after["version"] == head_before["version"]
+    assert P.read_manifest(spark, table)[0].count() == n_before
+    # a genuinely new epoch still lands
+    _stream_commit(spark, table, 1, range(5000, 5002))
+    assert P._latest_snapshot(table)["batches"] == [0, 1]
+    assert P.read_manifest(spark, table)[0].count() == n_before + 2
+
+
+def test_epoch_ledger_survives_overwrite_and_restore(spark, table):
+    _stream_commit(spark, table, 7, range(1000, 1003))
+    full, _ = P.read_manifest(spark, table)
+    full.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+        "overwrite"
+    ).save()
+    assert P._latest_snapshot(table)["batches"] == [7]
+    P.restore_table(table, 2)
+    assert P._latest_snapshot(table)["batches"] == [7]
+    # replay after overwrite+restore: still deduped
+    v = P._latest_snapshot(table)["version"]
+    _stream_commit(spark, table, 7, range(1000, 1003))
+    assert P._latest_snapshot(table)["version"] == v
+
+
+# --- 3. pruned / staged readers apply renames + MoR deletes ------------------
+
+
+def test_pruned_reads_apply_renames_and_mor_deletes(spark, table):
+    P.delete_where_mor(table, "v", 0, 59)  # ids 0..19 logically gone
+    P.rename_column(table, "k", "bucket")
+    pruned, n_scanned, n_total = P.read_manifest_pruned(spark, table, "id", 0, 49)
+    assert "bucket" in pruned.columns and "k" not in pruned.columns
+    assert pruned.count() == 30  # ids 20..49 only
+    assert n_scanned < n_total or n_total <= 2
+    # bloom-pruned point lookup on a deleted id: zero logical rows even
+    # though the physical file still holds it
+    P.build_bloom_index(spark, table, "id")
+    hit, _, _ = P.read_manifest_bloom_pruned(spark, table, "id", 5)
+    assert hit.filter("id = 5").count() == 0
+    live, _, _ = P.read_manifest_bloom_pruned(spark, table, "id", 25)
+    assert live.filter("id = 25").count() == 1
+    assert "bucket" in live.columns
+
+
+def test_read_staged_applies_carried_metadata(spark, table):
+    P.delete_where_mor(table, "v", 0, 59)
+    P.rename_column(table, "k", "bucket")
+    stage = spark.range(500, 505).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS bucket", "CAST(id AS INT) AS v"
+    )
+    stage.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).option(
+        "staged", "true"
+    ).mode("append").save()
+    df, staged = P.read_staged(spark, table)
+    assert "bucket" in df.columns and "k" not in df.columns
+    assert df.count() == 85  # 80 logical + 5 staged
+    assert df.filter("id < 20").count() == 0
+    P.discard_staged(table)
+
+
+# --- 4. rewritten part-file identity carries a uuid token --------------------
+
+
+def test_rewrite_filenames_carry_uuid_token(spark, table):
+    P.delete_where(spark, table, "v", 0, 29)
+    P.merge_upsert(
+        spark,
+        table,
+        spark.range(3).selectExpr("id", "CAST(0 AS INT) AS k", "CAST(50 AS INT) AS v"),
+        "id",
+    )
+    P.delete_where_mor(table, "v", 50, 50)
+    P.materialize_deletes(spark, table)
+    files = P._latest_snapshot(table)["files"]
+    pats = {
+        "d": re.compile(r"^part-d\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
+        "m": re.compile(r"^part-m\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
+        "x": re.compile(r"^part-x\d+-[0-9a-f]{8}-\d{3}-\d{5}\.parquet$"),
+    }
+    seen = set()
+    for fn in files:
+        for kind, pat in pats.items():
+            if fn.startswith(f"part-{kind}") and not fn.startswith("part-m0"):
+                assert pat.match(fn), fn
+                seen.add(kind)
+    assert "x" in seen  # materialize ran last; its files must survive
+
+
+# --- 5. vacuum retention grace ------------------------------------------------
+
+
+def test_vacuum_retention_grace_protects_young_files(spark, table):
+    full, _ = P.read_manifest(spark, table)
+    full.coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+        "overwrite"
+    ).save()
+    # default grace: just-written (and just-orphaned) parts are all young
+    out = P.vacuum(table, keep_versions=1)
+    assert out["n_files_removed"] == 0
+    on_disk = len(glob.glob(os.path.join(table, "part-*")))
+    live = len(P._latest_snapshot(table)["files"])
+    assert on_disk > live  # the appends' parts are orphaned but protected
+    # explicit zero-retention reclaims exactly the orphans
+    out = P.vacuum(table, keep_versions=1, retention_seconds=0.0)
+    assert out["n_files_removed"] == on_disk - live
+    assert len(glob.glob(os.path.join(table, "part-*"))) == live
+    assert P.read_manifest(spark, table)[0].count() == 100
