@@ -154,12 +154,18 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def _resize_stub(payload: bytes, w: int, h: int, real: bool = False) -> bytes:
-    """STUB resize kernel: no image codec ships in this container.  The
-    deterministic fake emits exactly w*h bytes by tiling/truncating the
-    source payload, so downstream schema/partitioning/batch-shape logic is
-    fully exercised; set real=True once PIL exists."""
+    """Resize kernel.  PNG payloads take the REAL codec path — the
+    module's own spec-compliant decoder/encoder (`png_decode` ->
+    `png_resize_nearest` -> `png_encode`), no external library needed.
+    Non-PNG payloads fall back to the deterministic fake (exactly w*h
+    bytes by tiling/truncating the source) so downstream schema/
+    partitioning/batch-shape logic is fully exercised; `real=True` makes
+    a non-PNG payload fail loudly instead (only genuinely absent codecs
+    — JPEG etc. — remain gated)."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return png_encode(png_resize_nearest(png_decode(bytes(payload)), h, w))
     if real:  # pragma: no cover - codec path for real deployments
-        raise NotImplementedError("image codecs unavailable in this container")
+        raise NotImplementedError("non-PNG image codecs (e.g. JPEG) unavailable in this container")
     n = w * h
     if not payload:
         return b"\x00" * n
@@ -172,9 +178,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage over the binary column: Arrow-batched `mapInPandas`,
     partition-preserving, emitting the resized payload plus typed metadata
-    carrying the target dimensions — the exact plumbing a real thumbnail/
-    normalization pass needs (swap `_resize_stub` for a PIL kernel; the
-    plan, schema, and batch shape do not change)."""
+    carrying the target dimensions.  PNG payloads resize through the
+    module's REAL codec (`png_decode`/`png_resize_nearest`/`png_encode`)
+    and come back as PNGs; other payloads use the deterministic stub
+    kernel — the exact plumbing a thumbnail/normalization pass needs
+    (the plan, schema, and batch shape are identical either way)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,7 +193,9 @@ def resize_images(
                     "payload": resized,
                     "meta": [
                         {
-                            "mime": "application/octet-stream",
+                            "mime": "image/png"
+                            if r[: len(_PNG_SIG)] == _PNG_SIG
+                            else "application/octet-stream",
                             "n_bytes": len(r),
                             "target_w": width,
                             "target_h": height,

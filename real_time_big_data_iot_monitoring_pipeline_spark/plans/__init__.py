@@ -25,7 +25,68 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # `queries()` iteration order.  The window below makes that ordering
 # EXPLICIT instead of an import-order side effect.
 #
-# ROUND-6 ROTATION (drafted 2026-08-14, round 6).  CORRECTNESS_r05.json
+# ROUND-7 ROTATION (drafted 2026-08-15, round 7).  CORRECTNESS_r06.json
+# came back 50/50 green; driver-hash union r1..r6 = 239 distinct
+# queries; 151 oracle-bearing registrations have never had a driver
+# row.  The round-6 verdict's structural directives, both executed
+# this round:
+#   * DRAIN, DON'T GROW — round-7 registrations are capped at ~10 new
+#     queries so the backlog converges (151 -> 112 -> ~60 -> ~10 by
+#     round 9 at 39 never-hashed slots/round);
+#   * AMENDED STALENESS POLICY (supersedes the round-6 text): each
+#     round's window = the pinned sentinel + 10 OLDEST-cohort refresh
+#     slots (oldest last-hash round first) + the remaining ~39 slots
+#     from the never-hashed backlog.  The old "never-hashed first"
+#     rule starved the round-2 reference-core rows (age 4 and
+#     climbing); reserving a fixed oldest-first quota makes both
+#     queues drain, and once the never-hashed backlog is empty the
+#     whole window reverts to oldest-first (target: no query's most
+#     recent driver row more than 3 rounds old, which is satisfiable
+#     at a frozen catalog: 396 queries / 50 slots ≈ 8 rounds full
+#     cycle, with the 10-slot quota cycling the reference core far
+#     faster).
+#
+# This window:
+#   * `flagship_window_agg` pinned (driver-green r1..r6);
+#   * 39 never-hashed slots, LAKEHOUSE-VERB FAMILY FIRST (the table
+#     format's contract — merge/MoR-delete/restore/branch/clone/
+#     zorder — per verdict item 7) plus `image_png_pipeline` (verdict
+#     item 6), then streaming joins and the text-corpus census family;
+#   * 10 oldest-cohort slots: the round-2 reference-core rows the
+#     verdict called out by name (`iqr_anomaly`, `regression_per_group`,
+#     `geo_status_map`, `rolling_avg_20`, `corr_matrix`) plus the
+#     streaming replays and first-hit dashboard queries from the same
+#     cohort.
+#
+# ROUND-8 DRAFT under the amended policy (assuming this window lands
+# green; 112 never-hashed remain — 39 below, the rest lead round 9):
+# hhi_market_concentration, mann_whitney_utest, acf_hourly_means,
+# spearman_qty_price, ks_two_sample_test, mutual_info_type_bucket,
+# wilson_ci_return_rate, xcorr_click_purchase, key_skew_audit,
+# theilsen_trend_per_type, trimmed_winsorized_means,
+# pythagorean_means_per_type, conformal_forecast_interval,
+# backtest_rolling_origin, kendall_tau_daily, psi_value_drift,
+# ab_cuped_adjustment, kfold_regression_stability,
+# nelson_aalen_hazard, revenue_bridge_decomposition, ab_power_mde,
+# cluster_bootstrap_ci, robust_stl_decomposition,
+# ab_sequential_monitoring, croston_intermittent_demand,
+# fdr_bh_correction, parquet_schema_evolution,
+# binaryfile_image_census, dynamic_partition_overwrite,
+# bpe_train_merges_batched, embedding_mmr_select, hybrid_search_rrf,
+# probe_calibration_ece, retrieval_ndcg_at_k,
+# feature_hashing_collisions, quantile_normalize_feature,
+# rag_context_packing, source_ablation_probe,
+# tokenizer_fertility_by_lang, props_variant_shredded,
+# recursive_cte_hierarchy, abc_classification (never-hashed slots;
+# the last three rotated out of round 7's window to make room for the
+# three round-7 registrations, which hash immediately instead of
+# joining the backlog), plus the 10
+# oldest-cohort slots from the round-2 cohort: histogram_value,
+# events_per_day, severity_rollup, alerts_threshold, status_colors,
+# clean_labels, distinct_types_sorted, ingestion_rate_window,
+# ma_diff_trend, topn_per_group.
+#
+# ROUND-6 ROTATION (retained for audit).  CORRECTNESS_r05.json
 # came back 50/50 green, so driver-hash history stands at
 # r1∪r2∪r3∪r4∪r5 = 197 distinct queries.  Exactly 46 oracle-bearing
 # queries have never had a driver row — the round-5 registrations plus
@@ -138,59 +199,64 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # window" only ever means "no fresh driver-side hash this round", never
 # "untested".
 DRIVER_WINDOW: tuple[str, ...] = (
-    # pinned sentinel (driver-green r1..r5)
+    # pinned sentinel (driver-green r1..r6)
     "flagship_window_agg",
-    # first driver rows: never hashed by any driver run (46)
-    "stream_scd2_apply",
-    "stream_hysteresis_alerts",
-    "stream_outer_interval_join",
-    "stream_topn_per_window",
-    "stream_dedup_then_window",
-    "audio_wav_features",
-    "dedup_ngram_containment",
-    "corpus_kl_drift",
-    "source_language_entropy",
-    "props_variant_stats",
-    "nation_product_profit",
-    "brand_value_concentration",
-    "dominant_part_suppliers",
-    "part_supplier_variety",
-    "region_nation_revenue_share",
-    "hierarchy_subtree_rollup",
-    "set_ops_multiplicity",
-    "weighted_median_price",
-    "chi2_type_value",
-    "grouped_weighted_median",
-    "pareto_frontier_customers",
-    "twap_per_user",
-    "ohlc_hourly_bars",
-    "exact_quantiles_distributed",
-    "poisson_bootstrap_ci",
-    "ab_conversion_ztest",
-    "kaplan_meier_repurchase",
-    "yoy_revenue_growth",
-    "customer_spend_gini",
-    "bm25_search_topk",
-    "embedding_distance_histogram",
-    "scd2_asof_lookup",
-    "bitemporal_asof_belief",
-    "domain_cap_sample",
-    "order_total_reconciliation",
-    "copurchase_triangles",
-    "ingestion_completeness_audit",
-    "group_exemplars",
-    "functional_dependency_audit",
-    "funnel_latency_profile",
-    "entity_match_sorted_neighborhood",
-    "pyds_sensor_fleet_summary",
-    "pyds_pushdown_single_sensor",
-    "pyds_stream_counts",
-    "pyds_sink_roundtrip",
-    "pyds_sink_time_travel",
-    # staleness refresh: oldest driver rows (round 2, age 4)
-    "filter_time_range",
-    "global_kpis",
-    "describe_stats",
+    # never-hashed backlog (39): image codec + full lakehouse-verb
+    # family first (round-6 verdict items 6/7), then streaming joins
+    # and the corpus-census family
+    "image_png_pipeline",
+    "pyds_stream_sink_roundtrip",
+    "pyds_sink_compaction",
+    "pyds_sink_stats_pruning",
+    "pyds_sink_write_audit_publish",
+    "pyds_sink_change_feed",
+    "pyds_sink_delete_where",
+    "pyds_sink_vacuum",
+    "pyds_manifest_stream_tail",
+    "pyds_medallion_bronze_silver",
+    "pyds_sink_schema_evolution",
+    "pyds_bloom_point_lookup",
+    "pyds_incremental_agg_from_cdf",
+    "pyds_optimize_zorder_pruning",
+    "pyds_sink_merge_upsert",
+    "pyds_rename_evolution",
+    "pyds_sink_mor_delete",
+    "pyds_sink_restore",
+    "pyds_branch_tag_travel",
+    "pyds_sink_check_constraint",
+    "pyds_shallow_clone_diverge",
+    "stream_topn_per_window_upsert",
+    "stream_full_outer_interval_join",
+    "stream_join_then_window",
+    "stream_session_timeout_close",
+    "stream_semi_interval_join",
+    "dedup_components_incremental_smalldelta",
+    "sample_allocation_hamilton",
+    "boilerplate_ngram_census",
+    "pad_waste_bucketing",
+    "text_readability_scores",
+    "heaps_law_vocab_growth",
+    "filter_yield_sweep",
+    "bigram_perplexity_score",
+    "capture_recapture_estimate",
+    "pmi_collocations",
+    # round-7 registrations (3 of this round's ≤10 cap), hashed
+    # immediately so they never join the backlog: each is a catalog-
+    # level pin of a round-7 ADVICE/verdict fix
+    "pyds_mor_then_cow_delete",
+    "pyds_pruned_read_logical",
+    "image_resize_generic_real",
+    # oldest-cohort refresh (10): round-2 reference-core rows, age 4
+    "iqr_anomaly",
+    "regression_per_group",
+    "geo_status_map",
+    "rolling_avg_20",
+    "corr_matrix",
+    "stream_tumbling_window",
+    "session_window_agg",
+    "sliding_window_agg",
+    "scan_recent_topn",
+    "group_type_stats",
 )
 
 

@@ -1630,3 +1630,102 @@ def pyds_shallow_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(side("clone_head", clone_head))
         .orderBy("side")
     )
+
+
+@register(
+    "pyds_mor_then_cow_delete",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total
+    FROM feed
+    WHERE reading_id NOT BETWEEN 2000 AND 4999
+    GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "merge-on-read", "copy-on-write", "delete"),
+)
+def pyds_mor_then_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR delete FOLLOWED BY an overlapping copy-on-write delete — the
+    round-7 ADVICE resurrection hazard, under the driver's value hash:
+    an O(1) merge-on-read delete removes readings 2000-3999 (predicate +
+    snapshot file list, no rewrite), then `delete_where(3000..4999)`
+    REWRITES the file that still physically holds 2000-3999.  The
+    rewrite must apply the pending eq-delete to its victims (the
+    rewritten file's new name falls outside the carried entry's scope,
+    so a raw rewrite would resurrect 2000-2999 — 18 000 rows instead of
+    17 000, a guaranteed hash break).  Census = feed minus 2000-4999.
+    Unit pins: tests/test_round7.py::test_delete_where_does_not_
+    resurrect_mor_deleted_rows."""
+    import tempfile
+
+    key = "_pyds_morcow_dir"
+    path = getattr(pyds_mor_then_cow_delete, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v3.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_morcow_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark).select("reading_id", "sensor_id", "temp_centi")
+        feed.repartitionByRange(4, "reading_id").write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.delete_where_mor(path, "reading_id", 2000, 3999)  # v2
+        out = pydatasource.delete_where(spark, path, "reading_id", 3000, 4999)  # v3
+        assert out["n_files_rewritten"] >= 1
+        setattr(pyds_mor_then_cow_delete, key, path)
+    back, _m = pydatasource.read_manifest(spark, path)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+    )
+
+
+@register(
+    "pyds_pruned_read_logical",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_c_total
+    FROM feed
+    WHERE reading_id < 5000 AND reading_id NOT BETWEEN 100 AND 199
+    GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "zone-map", "merge-on-read", "rename"),
+)
+def pyds_pruned_read_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-PRUNED read of a table carrying BOTH a pending MoR
+    delete AND a rename — the round-7 ADVICE reader gap, driver-hashed:
+    after `delete_where_mor(reading_id 100..199)` and
+    `rename_column(temp_centi -> temp_c)`, `read_manifest_pruned`
+    restricted to reading_id [0, 4999] must still scan only the
+    overlapping file (pruning works) while applying the rename log and
+    the eq-delete to what it scans (logical read) — the old raw-file
+    path returned deleted rows under the pre-rename column name.
+    Unit pins: tests/test_round7.py::test_pruned_reads_apply_renames_
+    and_mor_deletes."""
+    import tempfile
+
+    key = "_pyds_prunedlog_dir"
+    path = getattr(pyds_pruned_read_logical, key, None)
+    if path is None or not os.path.exists(os.path.join(path, "_manifest-v3.json")):
+        path = os.path.join(tempfile.mkdtemp(prefix="rtbd_pyds_prunedlog_"), "out")
+        pydatasource.register_sink(spark)
+        feed = _read(spark).select("reading_id", "sensor_id", "temp_centi")
+        feed.repartitionByRange(4, "reading_id").write.format(
+            "rtbd_manifest_sink"
+        ).option("path", path).mode("append").save()
+        pydatasource.delete_where_mor(path, "reading_id", 100, 199)  # v2
+        pydatasource.rename_column(path, "temp_centi", "temp_c")  # v3
+        setattr(pyds_pruned_read_logical, key, path)
+    pruned, n_scanned, n_total = pydatasource.read_manifest_pruned(
+        spark, path, "reading_id", 0, 4999
+    )
+    assert n_scanned < n_total, f"zone-map pruning broke: {n_scanned}/{n_total}"
+    return (
+        pruned.filter(F.col("reading_id") < 5000)  # predicate re-applied plan-side
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum("temp_c").cast("long").alias("temp_c_total"),
+        )
+    )

@@ -1970,3 +1970,48 @@ def image_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = multimodal.synth_png(ids, height=32, width=32)
     small = multimodal.png_resize(img, 8, 8)
     return multimodal.png_features(small)
+
+
+@register(
+    "image_resize_generic_real",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+        SELECT doc_id, unnest(generate_series(0, 5)) AS r FROM ids
+    ),
+    px AS (
+        SELECT doc_id,
+               (doc_id * 7 + ((r * 16) // 6) * 13 + ((c.c * 24) // 8) * 5) % 256 AS p
+        FROM g, (SELECT unnest(generate_series(0, 7)) AS c) c
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           ROUND(sum(p) / CAST(count(*) AS DOUBLE) + 1e-8, 4) AS mean_luma,
+           CAST(count(*) FILTER (WHERE p >= 128) AS BIGINT) AS n_bright,
+           CAST(min(p) AS BIGINT) AS luma_min,
+           CAST(max(p) AS BIGINT) AS luma_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("northstar", "multimodal", "image", "real-codec", "resize"),
+)
+def image_resize_generic_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC binary-column resize stage (`resize_images` — the
+    operator a mixed-media corpus calls, not the PNG-specific
+    `png_resize`) on its REAL codec path, closing round-6 verdict item
+    6: PNG payloads are detected by signature inside the kernel and
+    routed through the module's own decode -> nearest-neighbor ->
+    encode, so `NotImplementedError` now gates only genuinely absent
+    codecs (JPEG).  Every 10th document gets a NON-SQUARE 16x24
+    synthetic PNG, resized 24x16 -> 8x6 through `resize_images`, then
+    feature-decoded; the oracle regenerates the resized grid directly
+    (src = floor(out_idx * src_dim / out_dim)) — an aspect-ratio swap,
+    stride off-by-one, or filter slip breaks the hash.  Plan: three
+    chained map-only Arrow stages, no shuffle until the bounded result.
+    Unit pins: tests/test_round7.py::test_resize_images_real_png_path."""
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    img = multimodal.synth_png(ids, height=16, width=24)
+    small = multimodal.resize_images(img, width=8, height=6)
+    return multimodal.png_features(small)

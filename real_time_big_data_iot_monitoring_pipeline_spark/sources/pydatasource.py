@@ -511,11 +511,19 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                             os.path.join(self.path, visible),
                         )
                         files.append(visible)
+                new_stats = _footer_stats(self.path, files)
             manifest = {
                 "version": prev_version + 1,
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
                 "batches": batches + [batchId],
+                # footer stats per epoch commit give STREAMED tables the
+                # same zone maps batch commits get (pruned reads, targeted
+                # CoW deletes) — one footer read per new part, bounded
+                "stats": {**((prev or {}).get("stats", {})), **new_stats},
+                # explicit op (matches _append_deltas' containment
+                # classification of epoch appends)
+                "op": "append",
                 "renames": (prev or {}).get("renames", []),
                 "eq_deletes": (prev or {}).get("eq_deletes", []),
                 "constraints": (prev or {}).get("constraints", []),

@@ -494,3 +494,32 @@ def test_scd2_asof_lookup_broadcasts_dim(spark, sf_dir):
     plan = plan_of(REGISTRY["scd2_asof_lookup"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_plan_audit_covers_registry():
+    """PLAN_AUDIT.json can never lag the catalog again (round-6 verdict
+    item 3): the committed audit's key set must equal the registry's key
+    set exactly, and the suite — not the artifact — asserts the two
+    structural invariants the 100 TB argument rests on: zero
+    row-at-a-time Python UDFs and zero cartesian products anywhere."""
+    import json
+    import os
+
+    audit_path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    with open(audit_path) as f:
+        audit = json.load(f)
+    missing = sorted(set(REGISTRY) - set(audit))
+    stale = sorted(set(audit) - set(REGISTRY))
+    assert not missing, f"queries registered but never plan-audited: {missing}"
+    assert not stale, f"audit entries for unregistered queries: {stale}"
+    errs = {n: v["err"] for n, v in audit.items() if "err" in v}
+    assert not errs, f"plan-audit build errors: {errs}"
+    assert (
+        sum(v["counters"]["row_python_udfs"] for v in audit.values()) == 0
+    ), "row-at-a-time Python UDF found in an audited plan"
+    cartesians = [
+        n
+        for n, v in audit.items()
+        if v["counters"].get("cartesian_products", 0) > 0
+    ]
+    assert not cartesians, f"cartesian products in: {cartesians}"

@@ -247,3 +247,50 @@ def test_vacuum_retention_grace_protects_young_files(spark, table):
     assert out["n_files_removed"] == on_disk - live
     assert len(glob.glob(os.path.join(table, "part-*"))) == live
     assert P.read_manifest(spark, table)[0].count() == 100
+
+
+# --- 6. resize_images routes PNG payloads through the real codec -------------
+
+
+def test_resize_images_real_png_path(spark):
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import multimodal as M
+
+    docs = spark.range(3).selectExpr("id AS doc_id")
+    with_png = M.synth_png(docs, height=16, width=24)
+    out = M.resize_images(with_png, width=8, height=6).collect()
+    assert len(out) == 3
+    for r in sorted(out, key=lambda x: x["doc_id"]):
+        assert r["meta"]["mime"] == "image/png"
+        px = M.png_decode(bytes(r["payload"]))
+        assert px.shape == (6, 8)
+        # nearest-neighbor against the synthetic generator: p(r,c) =
+        # (doc_id*7 + src_r*13 + src_c*5) % 256 with src = floor(i*src/out)
+        for rr in range(6):
+            for cc in range(8):
+                src_r, src_c = (rr * 16) // 6, (cc * 24) // 8
+                assert px[rr, cc] == (r["doc_id"] * 7 + src_r * 13 + src_c * 5) % 256
+    # non-PNG payloads keep the deterministic stub (and its byte-count
+    # contract); real=True still gates genuinely absent codecs
+    assert len(M._resize_stub(b"abc", 8, 6)) == 48
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M._resize_stub(b"\xff\xd8\xff", 8, 6, real=True)  # JPEG magic
+
+
+# --- 7. stream epoch commits carry footer stats + explicit op ----------------
+
+
+def test_stream_epochs_record_footer_stats(spark, tmp_path):
+    """Streamed tables get the same zone maps batch commits get: each
+    epoch commit records per-file footer stats and an explicit
+    op=append, so pruned reads and targeted CoW deletes work on tables
+    that only ever saw stream writes."""
+    path = str(tmp_path / "tstream")
+    _stream_commit(spark, path, 0, range(0, 100))
+    _stream_commit(spark, path, 1, range(1000, 1100))
+    head = P._latest_snapshot(path)
+    assert head["op"] == "append"
+    assert len(head["stats"]) == 2  # one entry per epoch's part file
+    _df, n_scanned, n_total = P.read_manifest_pruned(spark, path, "id", 0, 99)
+    assert (n_scanned, n_total) == (1, 2)

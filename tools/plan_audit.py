@@ -46,6 +46,7 @@ def plan_stats(df) -> dict:
         "window_ops": len(re.findall(r"\bWindow \[|\bRunningWindowFunction\b", plan)),
         "python_arrow_ops": len(re.findall(r"\b(?:ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|FlatMapGroupsInPandasWithState)\b", plan)),
         "row_python_udfs": len(re.findall(r"\bBatchEvalPython\b", plan)),
+        "cartesian_products": len(re.findall(r"\bCartesianProduct\b", plan)),
         "scans": len(re.findall(r"\bFileScan parquet\b|\bBatchScan\b", plan)),
         "pushed_filter_scans": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
         "takeordered": len(re.findall(r"\bTakeOrderedAndProject\b", plan)),
