@@ -89,17 +89,27 @@ HEADLINE = [
 # bench read 39.3 s against a 24.2 s same-commit idle re-run purely from
 # box contention, and the normalized numbers make that self-explaining
 # instead of judge-forensics.
-CALIBRATION_REF_SEC = 0.34  # median of 3 probe medians, idle box, round 7
+# FASTEST observed probe time on this box (idle, post-warmup, round 7;
+# observed across repeated full runs: 0.25-0.29 idle, 0.48-1.04 under
+# co-tenant load, tracking headline totals 24.5 -> 31.4 s).  Min-as-
+# reference is deliberate: load_factor >= 1 by construction, so an idle
+# run has normalized == raw.  CAVEAT for loaded runs: the probe's short
+# CPU bursts degrade FASTER than the long-running headline mix, so
+# normalized numbers on a loaded box tend to UNDER-state true idle time
+# — read [normalized, raw] as a bracket around the idle number, and the
+# load_factor itself as the primary "was the box busy" signal.
+CALIBRATION_REF_SEC = 0.27
 
 
 def _calibration_probe(spark) -> float:
-    """Constant-work probe: 10M synthesized rows -> xxhash64 -> 4096-key
+    """Constant-work probe: 40M synthesized rows -> xxhash64 -> 4096-key
     hash aggregate, noop sink.  One untimed warm pass (codegen), then
-    the median of three timed passes."""
+    the median of three timed passes.  Sized ~1 s so scheduler noise
+    doesn't dominate; pure CPU + one tiny shuffle, zero I/O."""
     from pyspark.sql import functions as F
 
     df = (
-        spark.range(0, 10_000_000)
+        spark.range(0, 40_000_000)
         # pmod bounds the hash so the ANSI-mode sum can never overflow
         .select(
             (F.col("id") % 4096).alias("k"),
@@ -174,15 +184,8 @@ def main() -> None:
             REGISTRY[name].build(spark, warm_sf).write.format("noop").mode("overwrite").save()
     print(f"warmup: {time.perf_counter() - warm0:.2f}s (untimed)", file=sys.stderr)
 
-    calibration_sec = _calibration_probe(spark)
-    load_factor = (
-        round(calibration_sec / CALIBRATION_REF_SEC, 3) if CALIBRATION_REF_SEC else 1.0
-    )
-    print(
-        f"calibration probe: {calibration_sec:.3f}s "
-        f"(ref {CALIBRATION_REF_SEC}s, load factor {load_factor})",
-        file=sys.stderr,
-    )
+    calibration_pre = _calibration_probe(spark)
+    print(f"calibration probe (pre): {calibration_pre:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -202,6 +205,18 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # second probe sample AFTER the headline loop: the mean of the two
+    # brackets estimates host load DURING the timed region, not just at
+    # its start (a box that loads up mid-run still reads correctly)
+    calibration_post = _calibration_probe(spark)
+    calibration_sec = round((calibration_pre + calibration_post) / 2, 3)
+    load_factor = max(1.0, round(calibration_sec / CALIBRATION_REF_SEC, 3))
+    print(
+        f"calibration probe (post): {calibration_post:.3f}s — mean {calibration_sec}s, "
+        f"ref {CALIBRATION_REF_SEC}s, load factor {load_factor}",
+        file=sys.stderr,
+    )
 
     # ---- concurrent-dashboard mode (round-6 verdict item 8) -------------
     # The reference's real workload is N widget queries per 5 s refresh
@@ -267,6 +282,8 @@ def main() -> None:
                 # a loaded-box run reads as (raw high, normalized flat)
                 # instead of a phantom regression
                 "calibration_sec": calibration_sec,
+                "calibration_pre_sec": calibration_pre,
+                "calibration_post_sec": calibration_post,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 "load_factor": load_factor,
                 "value_normalized": round(total / load_factor, 3),
