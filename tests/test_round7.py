@@ -294,3 +294,30 @@ def test_stream_epochs_record_footer_stats(spark, tmp_path):
     assert len(head["stats"]) == 2  # one entry per epoch's part file
     _df, n_scanned, n_total = P.read_manifest_pruned(spark, path, "id", 0, 99)
     assert (n_scanned, n_total) == (1, 2)
+
+
+# --- 8. shallow clones apply carried MoR deletes (latent basename bug) --------
+
+
+def test_shallow_clone_applies_carried_mor_deletes(spark, tmp_path, table):
+    """A shallow clone rebases its eq-delete entries' file lists to
+    relative paths (../src/part-*); the reader used to match scopes by
+    BASENAME, so a clone of a table with pending MoR deletes silently
+    resurrected the deleted rows.  `_read_logical` matches on the
+    manifest-relative name, so clone reads now honor the carried
+    deletes."""
+    P.delete_where_mor(table, "v", 0, 59)  # ids 0..19 logically gone
+    assert P.read_manifest(spark, table)[0].count() == 80
+    dst = str(tmp_path / "clone")
+    P.shallow_clone(table, dst)
+    clone_df, clone_head = P.read_manifest(spark, dst)
+    assert clone_head["eq_deletes"] and all(
+        fn.startswith("..") for d in clone_head["eq_deletes"] for fn in d["files"]
+    )
+    assert clone_df.count() == 80  # was 100 under the basename match
+    assert clone_df.filter("id < 20").count() == 0
+    # and the clone's own CoW delete still materializes them INTO the clone
+    P.delete_where(spark, dst, "v", 270, 297)
+    assert P.read_manifest(spark, dst)[0].count() == 70
+    # source untouched
+    assert P.read_manifest(spark, table)[0].count() == 80
