@@ -210,20 +210,55 @@ class PartFileCommit(WriterCommitMessage):
 
 def _write_part(path: str, iterator) -> PartFileCommit:
     """Task-side part write shared by the batch and streaming writers:
-    rows land in an underscore-hidden (uncommitted) parquet file."""
+    rows land in an underscore-hidden (uncommitted) parquet file.
+
+    Rows stream through a BOUNDED chunk buffer (64k rows -> one parquet
+    row group via an incremental ParquetWriter) instead of materializing
+    the whole task partition as Python dicts — the un-chunked version
+    OOM'd the probe harness at 2M rows/task (tools/scale_probe_lakehouse
+    .py), and at 100 TB task partitions are sized by bytes, not by what
+    a Python list can hold.  Chunk schema is pinned to the first chunk's
+    inferred schema so later all-null chunks cannot drift the file
+    schema."""
     import os
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = [r.asDict() for r in iterator]
     fname = f"_uncommitted_{uuid.uuid4().hex}.parquet"
     os.makedirs(path, exist_ok=True)
-    if rows:
-        table = pa.Table.from_pylist(rows)
-        pq.write_table(table, os.path.join(path, fname))
-    return PartFileCommit(filename=fname if rows else "", n_rows=len(rows))
+    full = os.path.join(path, fname)
+    chunk_rows = 65536
+    writer = None
+    schema = None
+    n_rows = 0
+    batch: list[dict] = []
+
+    def flush() -> None:
+        nonlocal writer, schema, n_rows
+        if not batch:
+            return
+        table = (
+            pa.Table.from_pylist(batch)
+            if schema is None
+            else pa.Table.from_pylist(batch, schema=schema)
+        )
+        if writer is None:
+            schema = table.schema
+            writer = pq.ParquetWriter(full, schema)
+        writer.write_table(table)
+        n_rows += len(batch)
+        batch.clear()
+
+    for r in iterator:
+        batch.append(r.asDict())
+        if len(batch) >= chunk_rows:
+            flush()
+    flush()
+    if writer is not None:
+        writer.close()
+    return PartFileCommit(filename=fname if n_rows else "", n_rows=n_rows)
 
 
 def _footer_stats(path: str, files: list[str]) -> dict:
