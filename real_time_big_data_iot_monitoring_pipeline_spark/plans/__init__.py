@@ -58,6 +58,12 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #     streaming replays and first-hit dashboard queries from the same
 #     cohort.
 #
+# PRE-VALIDATION (round-7 close): the ENTIRE never-hashed backlog —
+# this window's 39, the round-8 draft below, and the round-9 remainder
+# (154 queries total incl. the 3 round-7 registrations) — was run
+# through tools/driver_sim.py at sf0.01 this round, ALL GREEN, so the
+# drain plan carries no known-red risk.
+#
 # ROUND-8 DRAFT under the amended policy (assuming this window lands
 # green; 112 never-hashed remain — 39 below, the rest lead round 9):
 # hhi_market_concentration, mann_whitney_utest, acf_hourly_means,
