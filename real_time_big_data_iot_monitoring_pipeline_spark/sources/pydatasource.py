@@ -1083,7 +1083,11 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         victims = _read_logical(spark, path, touched, head)
         n_before = victims.count()
         survivors = victims.filter(~F.col(col).between(lo, hi))
-        staging = os.path.join(path, "_delete_staging")
+        # staging dir carries the same uuid token as the part names:
+        # two concurrent deletes sharing a fixed staging path clobber
+        # each other's task files mid-write (caught by the round-7 OCC
+        # concurrency test)
+        staging = os.path.join(path, f"_delete_staging_{tok}")
         survivors.write.mode("overwrite").parquet(staging)
         next_v = head.get("version", 0) + 1
         n_surv = 0
@@ -1250,7 +1254,7 @@ def materialize_deletes(spark, path: str) -> dict:
     import uuid
 
     tok = uuid.uuid4().hex[:8]  # name identity never rides the raced version
-    staging = os.path.join(path, "_mor_staging")
+    staging = os.path.join(path, f"_mor_staging_{tok}")  # uuid: see delete_where
     # group files by their applicable delete set so each group rewrites once
     groups: dict[tuple, list[str]] = {}
     for fn, ds in applicable.items():
@@ -1371,12 +1375,12 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
         n_physical_touched = sum(
             _pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows for fn in touched
         )
-    staging = os.path.join(path, "_merge_staging")
+    # uuid token: rewritten-file identity (and the staging dir) must not
+    # depend on the raced version number (see delete_where)
+    tok = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f"_merge_staging_{tok}")
     survivors_plus.write.mode("overwrite").parquet(staging)
     next_v = head.get("version", 0) + 1
-    # uuid token: rewritten-file identity must not depend on the raced
-    # version number (see delete_where)
-    tok = uuid.uuid4().hex[:8]
     n_rows_new = 0
     for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
         n_rows = _pq.ParquetFile(part).metadata.num_rows

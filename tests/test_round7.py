@@ -321,3 +321,79 @@ def test_shallow_clone_applies_carried_mor_deletes(spark, tmp_path, table):
     assert P.read_manifest(spark, dst)[0].count() == 70
     # source untouched
     assert P.read_manifest(spark, table)[0].count() == 80
+
+
+# --- 9. OCC commit protocol under real thread concurrency ---------------------
+
+
+def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
+    """8 threads commit concurrently at the writer layer (the exact
+    task-write + driver-commit calls the engine makes): the OCC claim
+    must serialize them into 8 consecutive versions with every row
+    present exactly once — losers RECOMPUTE against the new snapshot
+    and retry, the lost-update scenario the hard-link claim exists to
+    prevent.  Driving the writer directly makes every thread race the
+    claim for the same version numbers simultaneously."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "tocc")
+
+    def append(i: int) -> None:
+        msg = P._write_part(
+            path,
+            iter(
+                Row(id=j, k=j % 7, v=j)
+                for j in range(i * 1000, i * 1000 + 100)
+            ),
+        )
+        P.ManifestParquetWriter({"path": path}, overwrite=False).commit([msg])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(append, range(8)))
+    df, head = P.read_manifest(spark, path)
+    assert head["version"] == 8
+    assert df.count() == 800
+    assert df.select("id").distinct().count() == 800
+    # every intermediate version is a readable, strictly-growing snapshot
+    sizes = [P.read_manifest(spark, path, version=v)[0].count() for v in range(1, 9)]
+    assert sizes == sorted(sizes) and sizes[-1] == 800
+    assert all(b - a == 100 for a, b in zip(sizes, sizes[1:]))
+
+
+def test_concurrent_delete_where_one_wins_loser_raises(spark, tmp_path):
+    """Two concurrent copy-on-write deletes computing the same next
+    version: exactly one claims it; the loser must RAISE (blind retry
+    would delete against a stale file list), and the winner's committed
+    files must be intact — the uuid part names guarantee the loser's
+    rewrite can never have clobbered them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "tocc2")
+    P.register_sink(spark)
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id AS INT) AS v"
+    ).coalesce(2).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+
+    def cow_delete(bounds):
+        try:
+            P.register_sink(spark)  # per-thread active-session lookup
+            return ("ok", P.delete_where(spark, path, "v", *bounds))
+        except RuntimeError as exc:
+            return ("lost", str(exc))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = list(ex.map(cow_delete, [(0, 99), (900, 999)]))
+    outcomes = sorted(r[0] for r in results)
+    # at least one wins; a loser (if the race materialized) raised cleanly
+    assert outcomes[0] in ("lost", "ok") and outcomes[-1] == "ok"
+    df, head = P.read_manifest(spark, path)
+    # the table reflects EXACTLY the winning delete(s): no partial state
+    n = df.count()
+    assert n == 1000 - 100 * outcomes.count("ok")
+    # every manifest-listed file exists on disk (no clobbered data)
+    for fn in head["files"]:
+        assert os.path.exists(os.path.join(path, fn)), fn
