@@ -436,10 +436,21 @@ class ManifestParquetWriter(DataSourceWriter):
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
                 "stats": {**prev_stats, **new_stats},
-                # the rename log is TABLE metadata: every commit carries
-                # it forward or renamed columns would silently revert
-                "renames": (prev or {}).get("renames", []),
-                "eq_deletes": (prev or {}).get("eq_deletes", []),
+                # the rename log is TABLE metadata: every APPEND carries
+                # it forward or renamed columns would silently revert.
+                # An OVERWRITE replaces every data file, so the old
+                # files' read-side mappings are cleared: a stale rename
+                # entry could otherwise MIS-rename a new file that
+                # legitimately reintroduces the old column name, and a
+                # stale eq-delete scopes to files no longer in the
+                # snapshot (the overwrite's input was read logically, so
+                # pending deletes are already materialized in its rows).
+                # Time-travel readers of pre-overwrite versions use those
+                # versions' own manifests, which retain their metadata.
+                "renames": [] if self.overwrite else (prev or {}).get("renames", []),
+                "eq_deletes": []
+                if self.overwrite
+                else (prev or {}).get("eq_deletes", []),
                 # CHECK constraints are table metadata: every commit
                 # carries them forward AND is validated against them
                 "constraints": (prev or {}).get("constraints", []),
@@ -1143,8 +1154,16 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     }
     # maintenance ops are OCC committers like any writer: claim or fail
     # loudly (the caller re-reads the new snapshot and re-plans the
-    # delete — blind retry would delete against stale file lists)
+    # delete — blind retry would delete against stale file lists).  A
+    # loser removes its own rewritten files before raising — no manifest
+    # lists them, so deleting them leaves the table untouched and spares
+    # vacuum the orphans.
     if not _claim_and_publish(path, manifest):
+        for fn in new_files:
+            try:
+                os.remove(os.path.join(path, fn))
+            except FileNotFoundError:
+                pass
         raise RuntimeError(
             f"delete_where lost the commit race for v{manifest['version']}: "
             "re-read the table and retry"
@@ -1291,6 +1310,12 @@ def materialize_deletes(spark, path: str) -> dict:
         "op": "materialize",
     }
     if not _claim_and_publish(path, manifest):
+        # loser cleanup: unlisted rewrites are pure orphans (see delete_where)
+        for fn in new_files:
+            try:
+                os.remove(os.path.join(path, fn))
+            except FileNotFoundError:
+                pass
         raise RuntimeError("materialize_deletes lost the commit race: retry")
     return {
         "n_files_rewritten": len(applicable),
@@ -1421,6 +1446,12 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
     # CHECK constraints like any write (footer stats; rejects cleanly)
     _enforce_constraints(path, new_files, manifest["constraints"])
     if not _claim_and_publish(path, manifest):
+        # loser cleanup: unlisted rewrites are pure orphans (see delete_where)
+        for fn in new_files:
+            try:
+                os.remove(os.path.join(path, fn))
+            except FileNotFoundError:
+                pass
         raise RuntimeError(
             f"merge_upsert lost the commit race for v{manifest['version']}: "
             "re-read the table and retry"

@@ -397,3 +397,48 @@ def test_concurrent_delete_where_one_wins_loser_raises(spark, tmp_path):
     # every manifest-listed file exists on disk (no clobbered data)
     for fn in head["files"]:
         assert os.path.exists(os.path.join(path, fn)), fn
+
+
+# --- 10. overwrite resets read-side metadata; losers clean up ------------------
+
+
+def test_overwrite_clears_renames_and_eq_deletes(spark, table):
+    """An overwrite replaces every data file, so the old files'
+    read-side mappings must clear: a stale rename entry would MIS-rename
+    a new file that legitimately reintroduces the old column name, and a
+    stale eq-delete would filter rows it was never scoped to.
+    Pre-overwrite versions keep their own metadata via their manifests."""
+    P.delete_where_mor(table, "v", 0, 59)  # v3
+    P.rename_column(table, "k", "bucket")  # v4
+    pre_v = P._latest_snapshot(table)["version"]
+    # new generation REINTRODUCES a column named k
+    spark.range(10).selectExpr(
+        "id", "CAST(id AS INT) AS k", "CAST(id AS INT) AS v"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", table).mode(
+        "overwrite"
+    ).save()
+    df, head = P.read_manifest(spark, table)
+    assert head["renames"] == [] and head["eq_deletes"] == []
+    assert "k" in df.columns and "bucket" not in df.columns  # NOT mis-renamed
+    assert df.count() == 10  # no stale delete filter
+    # time travel: the pre-overwrite snapshot still renames + deletes
+    old, _m = P.read_manifest(spark, table, version=pre_v)
+    assert "bucket" in old.columns and old.count() == 80
+
+
+def test_cow_loser_removes_its_rewrites(spark, table):
+    """A delete_where that loses the OCC claim must remove its own
+    rewritten part files before raising — they are manifest-unlisted
+    orphans that would otherwise sit until vacuum."""
+    import json as _json
+
+    # pre-claim the version delete_where will try to commit
+    head = P._latest_snapshot(table)
+    fake = {**head, "version": head["version"] + 1}
+    with open(os.path.join(table, f"_manifest-v{fake['version']}.json"), "w") as f:
+        _json.dump(fake, f)
+    before = set(glob.glob(os.path.join(table, "part-*")))
+    with pytest.raises(RuntimeError, match="lost the commit race"):
+        P.delete_where(spark, table, "v", 0, 297)
+    after = set(glob.glob(os.path.join(table, "part-*")))
+    assert after == before  # no orphaned part-d files
