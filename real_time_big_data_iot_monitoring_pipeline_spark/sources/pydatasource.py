@@ -2052,16 +2052,53 @@ def _arrow_to_ddl(schema) -> str:
 
 
 class ManifestFilePartition(InputPartition):
-    def __init__(self, filename: str):
+    def __init__(self, filename: str, renames: tuple = (), deletes: tuple = ()):
         self.filename = filename
+        # per-file LOGICAL-read metadata, resolved at planning time:
+        # ((from, to), ...) rename chain and ((col, lo, hi), ...) pending
+        # eq-delete predicates scoped to this file
+        self.renames = renames
+        self.deletes = deletes
+
+
+def _file_logical_metadata(path: str, manifest: dict) -> dict:
+    """Planning-time resolution of each file's applicable renames and
+    eq-delete predicates (the same per-file rules `_read_logical`
+    applies) — {filename: (renames, deletes)}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    renames = manifest.get("renames", [])
+    eq_deletes = manifest.get("eq_deletes", [])
+    out: dict[str, tuple] = {}
+    for fn in manifest["files"]:
+        app: tuple = ()
+        if renames:
+            cur = set(pq.read_schema(os.path.join(path, fn)).names)
+            acc = []
+            for r in renames:
+                if r["from"] in cur:
+                    acc.append((r["from"], r["to"]))
+                    cur.discard(r["from"])
+                    cur.add(r["to"])
+            app = tuple(acc)
+        dels = tuple(
+            (d["col"], d["lo"], d["hi"]) for d in eq_deletes if fn in set(d["files"])
+        )
+        out[fn] = (app, dels)
+    return out
 
 
 class ManifestBatchReader(DataSourceReader):
     """Batch half of the table source: one partition per manifest-listed
-    file.  (`read_manifest` remains the fast path — it hands the file
-    list to Spark's JVM parquet scan; this reader exists so the FORMAT
-    is complete: `spark.read.format("rtbd_manifest_table")` sees exactly
-    the committed snapshot.)"""
+    file, read LOGICALLY — each partition carries its file's applicable
+    rename chain and pending eq-delete predicates, resolved at planning
+    time, so the FORMAT agrees with `read_manifest` on tables carrying
+    schema-evolution or merge-on-read metadata (a raw per-file read
+    returned deleted rows and pre-rename column names — the same
+    round-7 ADVICE gap the pruned readers had).  `read_manifest`
+    remains the fast path (JVM parquet scan)."""
 
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
@@ -2071,14 +2108,25 @@ class ManifestBatchReader(DataSourceReader):
         import os
 
         with open(os.path.join(self.path, "manifest.json")) as f:
-            return [ManifestFilePartition(fn) for fn in _json.load(f)["files"]]
+            manifest = _json.load(f)
+        meta = _file_logical_metadata(self.path, manifest)
+        return [
+            ManifestFilePartition(fn, *meta[fn]) for fn in manifest["files"]
+        ]
 
     def read(self, partition: ManifestFilePartition):
         import os
 
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(os.path.join(self.path, partition.filename))
+        if partition.renames:
+            mapping = dict(partition.renames)
+            tbl = tbl.rename_columns([mapping.get(n, n) for n in tbl.column_names])
+        for col, lo, hi in partition.deletes:
+            c = pc.field(col)
+            tbl = tbl.filter(~((c >= lo) & (c <= hi)))
         cols = [tbl.column(n).to_pylist() for n in self.fields]
         return iter(list(zip(*cols)))
 
@@ -2168,10 +2216,27 @@ class ManifestTableDataSource(DataSource):
         if not path:
             raise ValueError("rtbd_manifest_table requires a path option")
         with open(os.path.join(path, "manifest.json")) as f:
-            files = _json.load(f)["files"]
+            manifest = _json.load(f)
+        files = manifest["files"]
         if not files:
             raise ValueError("rtbd_manifest_table: empty table has no schema")
-        return _arrow_to_ddl(pq.read_schema(os.path.join(path, files[0])))
+        ddl = _arrow_to_ddl(pq.read_schema(os.path.join(path, files[0])))
+        # the table's LOGICAL schema presents post-rename names: replay
+        # the rename log over the sampled footer's names (same per-file
+        # rule as the readers; ddl names are "name type" pairs)
+        renames = manifest.get("renames", [])
+        if renames:
+            parts = [p.strip().split(" ", 1) for p in ddl.split(", ")]
+            cur = {n for n, _t in parts}
+            for r in renames:
+                if r["from"] in cur:
+                    parts = [
+                        (r["to"] if n == r["from"] else n, t) for n, t in parts
+                    ]
+                    cur.discard(r["from"])
+                    cur.add(r["to"])
+            ddl = ", ".join(f"{n} {t}" for n, t in parts)
+        return ddl
 
     def reader(self, schema: StructType) -> ManifestBatchReader:
         return ManifestBatchReader(self.options, schema)

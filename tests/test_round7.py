@@ -442,3 +442,29 @@ def test_cow_loser_removes_its_rewrites(spark, table):
         P.delete_where(spark, table, "v", 0, 297)
     after = set(glob.glob(os.path.join(table, "part-*")))
     assert after == before  # no orphaned part-d files
+
+
+# --- 11. the rtbd_manifest_table FORMAT reads logically too -------------------
+
+
+def test_manifest_table_format_reads_logically(spark, table):
+    """`spark.read.format("rtbd_manifest_table")` must agree with
+    `read_manifest` on a table carrying a rename AND pending MoR
+    deletes: per-file rename chains and delete predicates resolve at
+    planning time and apply inside each partition's Arrow read."""
+    P.delete_where_mor(table, "v", 0, 59)  # ids 0..19 logically gone
+    P.rename_column(table, "k", "bucket")
+    fmt = (
+        spark.read.format("rtbd_manifest_table").option("path", table).load()
+    )
+    assert "bucket" in fmt.columns and "k" not in fmt.columns
+    assert fmt.count() == 80
+    assert fmt.filter("id < 20").count() == 0
+    ref, _m = P.read_manifest(spark, table)
+    assert sorted(fmt.columns) == sorted(ref.columns)
+    sym_diff = fmt.select(*sorted(fmt.columns)).exceptAll(
+        ref.select(*sorted(ref.columns))
+    ).count() + ref.select(*sorted(ref.columns)).exceptAll(
+        fmt.select(*sorted(fmt.columns))
+    ).count()
+    assert sym_diff == 0
