@@ -153,24 +153,51 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def _resize_stub(payload: bytes, w: int, h: int, real: bool = False) -> bytes:
-    """Resize kernel.  PNG payloads take the REAL codec path — the
-    module's own spec-compliant decoder/encoder (`png_decode` ->
-    `png_resize_nearest` -> `png_encode`), no external library needed.
-    Non-PNG payloads fall back to the deterministic fake (exactly w*h
-    bytes by tiling/truncating the source) so downstream schema/
-    partitioning/batch-shape logic is fully exercised; `real=True` makes
-    a non-PNG payload fail loudly instead (only genuinely absent codecs
-    — JPEG etc. — remain gated)."""
+def _resize_kernel(payload: bytes, w: int, h: int) -> tuple[bytes, str]:
+    """Resize one payload, returning (bytes, mime) with mime decided BY
+    CONSTRUCTION (which path produced the output — sniffing the result
+    would mislabel a stub output that happens to tile a PNG signature).
+    Decodable PNG payloads (the module's supported 8-bit grayscale
+    layout) take the REAL codec path — `png_decode` ->
+    `png_resize_nearest` -> `png_encode`, no external library needed.
+    Everything else — RGB/palette/16-bit PNGs the grayscale codec
+    doesn't parse, corrupt payloads, JPEGs — falls back to the
+    deterministic fake (exactly w*h bytes by tiling/truncating the
+    source) so a MIXED corpus flows through the stage instead of
+    failing the job."""
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
-        return png_encode(png_resize_nearest(png_decode(bytes(payload)), h, w))
-    if real:  # pragma: no cover - codec path for real deployments
-        raise NotImplementedError("non-PNG image codecs (e.g. JPEG) unavailable in this container")
+        import struct
+        import zlib
+
+        try:
+            return (
+                png_encode(png_resize_nearest(png_decode(bytes(payload)), h, w)),
+                "image/png",
+            )
+        except (ValueError, IndexError, struct.error, zlib.error):
+            # unsupported layout (RGB/palette/16-bit: ValueError) or a
+            # corrupt/truncated payload (bad chunk length: struct.error,
+            # bad deflate stream: zlib.error) -> stub fallback
+            pass
     n = w * h
     if not payload:
-        return b"\x00" * n
+        return b"\x00" * n, "application/octet-stream"
     reps = -(-n // len(payload))
-    return (payload * reps)[:n]
+    return (payload * reps)[:n], "application/octet-stream"
+
+
+def _resize_stub(payload: bytes, w: int, h: int, real: bool = False) -> bytes:
+    """Bytes-only wrapper over `_resize_kernel`.  `real=True` is the
+    deployment gate: any payload the real codec cannot decode fails
+    loudly (unsupported/corrupt PNG re-raises its decode error; non-PNG
+    raises NotImplementedError) instead of falling back to the stub."""
+    if real:  # pragma: no cover - codec path for real deployments
+        if payload[: len(_PNG_SIG)] == _PNG_SIG:
+            return png_encode(png_resize_nearest(png_decode(bytes(payload)), h, w))
+        raise NotImplementedError(
+            "non-PNG image codecs (e.g. JPEG) unavailable in this container"
+        )
+    return _resize_kernel(payload, w, h)[0]
 
 
 def resize_images(
@@ -186,21 +213,19 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["payload"].map(lambda p: _resize_stub(bytes(p), width, height))
+            pairs = [ _resize_kernel(bytes(p), width, height) for p in pdf["payload"] ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "payload": resized,
+                    "payload": [b for b, _m in pairs],
                     "meta": [
                         {
-                            "mime": "image/png"
-                            if r[: len(_PNG_SIG)] == _PNG_SIG
-                            else "application/octet-stream",
-                            "n_bytes": len(r),
+                            "mime": m,
+                            "n_bytes": len(b),
                             "target_w": width,
                             "target_h": height,
                         }
-                        for r in resized
+                        for b, m in pairs
                     ],
                 }
             )

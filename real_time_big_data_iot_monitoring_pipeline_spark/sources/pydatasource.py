@@ -217,9 +217,18 @@ def _write_part(path: str, iterator) -> PartFileCommit:
     the whole task partition as Python dicts — the un-chunked version
     OOM'd the probe harness at 2M rows/task (tools/scale_probe_lakehouse
     .py), and at 100 TB task partitions are sized by bytes, not by what
-    a Python list can hold.  Chunk schema is pinned to the first chunk's
-    inferred schema so later all-null chunks cannot drift the file
-    schema."""
+    a Python list can hold.
+
+    Schema handling: when the first chunk infers a fully-typed schema
+    (the common case) it is pinned and later chunks stream against it —
+    later all-null chunks become typed nulls, later type CONFLICTS fail
+    loudly.  When the first chunk leaves any column null-typed (all-None
+    prefix — e.g. data sorted nulls-first), pinning would crash on the
+    first real value, so the writer falls back to buffering the chunks
+    as ARROW tables and unifying schemas at close (permissive promotion:
+    null -> typed).  Arrow buffering is columnar — still ~20-50x smaller
+    than the old Python-dict materialization — and only engaged for the
+    null-prefix case streaming cannot type."""
     import os
     import uuid
 
@@ -232,6 +241,7 @@ def _write_part(path: str, iterator) -> PartFileCommit:
     chunk_rows = 65536
     writer = None
     schema = None
+    buffered: list[pa.Table] = []
     n_rows = 0
     batch: list[dict] = []
 
@@ -239,15 +249,20 @@ def _write_part(path: str, iterator) -> PartFileCommit:
         nonlocal writer, schema, n_rows
         if not batch:
             return
-        table = (
-            pa.Table.from_pylist(batch)
-            if schema is None
-            else pa.Table.from_pylist(batch, schema=schema)
-        )
-        if writer is None:
-            schema = table.schema
-            writer = pq.ParquetWriter(full, schema)
-        writer.write_table(table)
+        if schema is not None:
+            table = pa.Table.from_pylist(batch, schema=schema)
+            writer.write_table(table)
+        else:
+            table = pa.Table.from_pylist(batch)
+            if not buffered and not any(
+                pa.types.is_null(f.type) for f in table.schema
+            ):
+                # fully typed first chunk: pin and stream
+                schema = table.schema
+                writer = pq.ParquetWriter(full, schema)
+                writer.write_table(table)
+            else:
+                buffered.append(table)
         n_rows += len(batch)
         batch.clear()
 
@@ -258,6 +273,20 @@ def _write_part(path: str, iterator) -> PartFileCommit:
     flush()
     if writer is not None:
         writer.close()
+    elif buffered:
+        merged = pa.concat_tables(buffered, promote_options="permissive")
+        if any(pa.types.is_null(f.type) for f in merged.schema):
+            # a column null across the WHOLE partition: give it a
+            # concrete type so downstream footer reads see a real schema
+            merged = merged.cast(
+                pa.schema(
+                    [
+                        pa.field(f.name, pa.string() if pa.types.is_null(f.type) else f.type)
+                        for f in merged.schema
+                    ]
+                )
+            )
+        pq.write_table(merged, full)
     return PartFileCommit(filename=fname if n_rows else "", n_rows=n_rows)
 
 
@@ -630,39 +659,26 @@ def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_sche
     delete predicates always reference current names."""
     import os
 
-    fpaths = [os.path.join(path, fn) for fn in files]
+    fpaths = {fn: os.path.join(path, fn) for fn in files}
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    renames = manifest.get("renames", [])
-    eq_deletes = manifest.get("eq_deletes", [])
-    if not renames and not eq_deletes:
-        return reader.parquet(*fpaths)
-    import pyarrow.parquet as _pqm
-
+    if not manifest.get("renames") and not manifest.get("eq_deletes"):
+        return reader.parquet(*fpaths.values())
     from pyspark.sql import functions as F
 
-    del_sets = [(i, set(d["files"])) for i, d in enumerate(eq_deletes)]
+    # per-file rules resolved by the ONE shared resolver (also feeds the
+    # rtbd_manifest_table format reader) — files group by identical
+    # (rename chain, delete predicates) and each group reads once
+    meta = _file_logical_metadata(path, manifest, files)
     groups: dict[tuple, list[str]] = {}
-    for fn, fp in zip(files, fpaths):
-        app = ()
-        if renames:
-            cur = set(_pqm.ParquetFile(fp).schema_arrow.names)
-            acc = []
-            for r in renames:
-                if r["from"] in cur:
-                    acc.append((r["from"], r["to"]))
-                    cur.discard(r["from"])
-                    cur.add(r["to"])
-            app = tuple(acc)
-        dels = tuple(i for i, fset in del_sets if fn in fset)
-        groups.setdefault((app, dels), []).append(fp)
+    for fn in files:
+        groups.setdefault(meta[fn], []).append(fpaths[fn])
     frames = []
     for (app, dels), fps in groups.items():
         df = reader.parquet(*fps)
         for old, new in app:
             df = df.withColumnRenamed(old, new)
-        for i in dels:
-            d = eq_deletes[i]
-            df = df.filter(~F.col(d["col"]).between(d["lo"], d["hi"]))
+        for col, lo, hi in dels:
+            df = df.filter(~F.col(col).between(lo, hi))
         frames.append(df)
     out = frames[0]
     for extra in frames[1:]:
@@ -2061,18 +2077,27 @@ class ManifestFilePartition(InputPartition):
         self.deletes = deletes
 
 
-def _file_logical_metadata(path: str, manifest: dict) -> dict:
-    """Planning-time resolution of each file's applicable renames and
-    eq-delete predicates (the same per-file rules `_read_logical`
-    applies) — {filename: (renames, deletes)}."""
+def _file_logical_metadata(path: str, manifest: dict, files: list[str] | None = None) -> dict:
+    """Planning-time resolution of each file's applicable rename CHAIN
+    (ordered — multi-hop renames replay hop by hop over the evolving
+    name set) and eq-delete predicates.  THE single copy of the
+    per-file rules: `_read_logical` (JVM scans) and the
+    `rtbd_manifest_table` format reader both consume this, so the two
+    read paths cannot drift.  Returns {filename: (renames, deletes)}
+    over `files` (default: the whole snapshot).  Eq-delete scopes are
+    materialized as sets ONCE, not per file (a table-wide delete over F
+    files would otherwise cost O(F^2) planning)."""
     import os
 
     import pyarrow.parquet as pq
 
     renames = manifest.get("renames", [])
     eq_deletes = manifest.get("eq_deletes", [])
+    del_sets = [
+        ((d["col"], d["lo"], d["hi"]), set(d["files"])) for d in eq_deletes
+    ]
     out: dict[str, tuple] = {}
-    for fn in manifest["files"]:
+    for fn in files if files is not None else manifest["files"]:
         app: tuple = ()
         if renames:
             cur = set(pq.read_schema(os.path.join(path, fn)).names)
@@ -2083,9 +2108,7 @@ def _file_logical_metadata(path: str, manifest: dict) -> dict:
                     cur.discard(r["from"])
                     cur.add(r["to"])
             app = tuple(acc)
-        dels = tuple(
-            (d["col"], d["lo"], d["hi"]) for d in eq_deletes if fn in set(d["files"])
-        )
+        dels = tuple(pred for pred, fset in del_sets if fn in fset)
         out[fn] = (app, dels)
     return out
 
@@ -2122,8 +2145,14 @@ class ManifestBatchReader(DataSourceReader):
 
         tbl = pq.read_table(os.path.join(self.path, partition.filename))
         if partition.renames:
-            mapping = dict(partition.renames)
-            tbl = tbl.rename_columns([mapping.get(n, n) for n in tbl.column_names])
+            # replay the chain IN ORDER over the evolving name set — a
+            # one-shot dict mapping resolves a multi-hop rename
+            # (k->bucket, bucket->pail) only one hop, disagreeing with
+            # schema()/read_manifest
+            names = list(tbl.column_names)
+            for old, new in partition.renames:
+                names = [new if n == old else n for n in names]
+            tbl = tbl.rename_columns(names)
         for col, lo, hi in partition.deletes:
             c = pc.field(col)
             tbl = tbl.filter(~((c >= lo) & (c <= hi)))

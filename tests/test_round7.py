@@ -468,3 +468,76 @@ def test_manifest_table_format_reads_logically(spark, table):
         fmt.select(*sorted(fmt.columns))
     ).count()
     assert sym_diff == 0
+
+
+# --- 12. code-review pins: multi-hop renames, null-prefix writes, mixed PNGs --
+
+
+def test_manifest_table_format_multi_hop_rename(spark, table):
+    """Chained renames (k -> bucket -> pail) must replay IN ORDER in the
+    format reader — a one-shot dict mapping stops at the intermediate
+    name and crashes the scan against schema()'s final name."""
+    P.rename_column(table, "k", "bucket")
+    P.rename_column(table, "bucket", "pail")
+    fmt = spark.read.format("rtbd_manifest_table").option("path", table).load()
+    assert "pail" in fmt.columns and "bucket" not in fmt.columns
+    assert fmt.count() == 100
+    ref, _m = P.read_manifest(spark, table)
+    assert sorted(fmt.columns) == sorted(ref.columns)
+
+
+def test_write_part_null_prefix_column(spark, tmp_path):
+    """A task partition whose first 64k+ rows are all-None in some
+    column must still write: the chunked writer falls back to buffered
+    arrow tables with permissive schema promotion instead of pinning a
+    null-typed schema that crashes on the first real value."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "tnull")
+    n = 70_000  # > one 65536-row chunk of nulls, then real values
+    msg = P._write_part(
+        path,
+        iter(
+            Row(id=i, v=None if i < 66_000 else i * 2) for i in range(n)
+        ),
+    )
+    assert msg.n_rows == n
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(path, msg.filename))
+    assert tbl.num_rows == n
+    assert str(tbl.schema.field("v").type) == "int64"
+    assert tbl.column("v").null_count == 66_000
+    # whole-partition-null column gets a concrete type, not arrow null
+    msg2 = P._write_part(path, iter(Row(id=i, w=None) for i in range(10)))
+    tbl2 = pq.read_table(os.path.join(path, msg2.filename))
+    assert str(tbl2.schema.field("w").type) == "string"
+
+
+def test_resize_images_mixed_corpus_does_not_crash(spark):
+    """A mixed corpus — valid grayscale PNG, corrupt PNG-signature
+    payload, JPEG bytes — must flow through resize_images: only the
+    decodable PNG takes the real codec path, the rest fall back to the
+    deterministic stub instead of failing the job."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import multimodal as M
+
+    good = M.png_encode(M._synth_pixels(1, 16, 16))
+    corrupt = M._PNG_SIG + b"\x00\x01\x02garbage"
+    jpeg = b"\xff\xd8\xff\xe0" + b"x" * 50
+    import pandas as pd
+
+    rows = [(1, good), (2, corrupt), (3, jpeg)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.resize_images(df, width=8, height=4).collect()}
+    assert out[1]["meta"]["mime"] == "image/png"
+    assert M.png_decode(bytes(out[1]["payload"])).shape == (4, 8)
+    for bad in (2, 3):
+        assert out[bad]["meta"]["mime"] == "application/octet-stream"
+        assert len(out[bad]["payload"]) == 32  # stub: exactly w*h bytes
+    # real mode stays loud on both failure classes
+    import struct
+
+    with pytest.raises((ValueError, struct.error)):
+        M._resize_stub(corrupt, 8, 4, real=True)
+    with pytest.raises(NotImplementedError):
+        M._resize_stub(jpeg, 8, 4, real=True)
