@@ -213,7 +213,12 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pairs = [ _resize_kernel(bytes(p), width, height) for p in pdf["payload"] ]
+            # NULL payloads route to the empty-payload stub branch — a
+            # nullable binary column must not kill the task
+            pairs = [
+                _resize_kernel(b"" if p is None else bytes(p), width, height)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -208,7 +208,39 @@ class PartFileCommit(WriterCommitMessage):
     n_rows: int
 
 
-def _write_part(path: str, iterator) -> PartFileCommit:
+def _spark_to_arrow_schema(spark_schema):
+    """The Spark StructType the engine hands the writer, as an Arrow
+    schema (the inverse of `_arrow_to_ddl`, over the same supported
+    column set).  Returns None when any field falls outside the mapping
+    — the caller then uses value inference, never a wrong type."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = [
+        (T.LongType, pa.int64()),
+        (T.IntegerType, pa.int32()),
+        (T.ShortType, pa.int16()),
+        (T.ByteType, pa.int8()),
+        (T.DoubleType, pa.float64()),
+        (T.FloatType, pa.float32()),
+        (T.StringType, pa.string()),
+        (T.BooleanType, pa.bool_()),
+        (T.BinaryType, pa.binary()),
+        (T.DateType, pa.date32()),
+        (T.TimestampType, pa.timestamp("us")),
+    ]
+    fields = []
+    for f in spark_schema.fields:
+        for st, at in mapping:
+            if type(f.dataType) is st:
+                fields.append(pa.field(f.name, at, nullable=f.nullable))
+                break
+        else:
+            return None
+    return pa.schema(fields)
+
+
+def _write_part(path: str, iterator, schema=None) -> PartFileCommit:
     """Task-side part write shared by the batch and streaming writers:
     rows land in an underscore-hidden (uncommitted) parquet file.
 
@@ -219,16 +251,16 @@ def _write_part(path: str, iterator) -> PartFileCommit:
     .py), and at 100 TB task partitions are sized by bytes, not by what
     a Python list can hold.
 
-    Schema handling: when the first chunk infers a fully-typed schema
-    (the common case) it is pinned and later chunks stream against it —
-    later all-null chunks become typed nulls, later type CONFLICTS fail
-    loudly.  When the first chunk leaves any column null-typed (all-None
-    prefix — e.g. data sorted nulls-first), pinning would crash on the
-    first real value, so the writer falls back to buffering the chunks
-    as ARROW tables and unifying schemas at close (permissive promotion:
-    null -> typed).  Arrow buffering is columnar — still ~20-50x smaller
-    than the old Python-dict materialization — and only engaged for the
-    null-prefix case streaming cannot type."""
+    Schema handling: the REAL writers pass the table's Arrow `schema`
+    (from the engine's StructType via `_spark_to_arrow_schema`), so
+    every chunk — all-null prefixes included — streams against the true
+    types and one task's null skew can never stamp a type that disagrees
+    with its sibling part files.  Schema-less direct calls (probes,
+    tests) fall back to first-chunk inference; a null-typed first chunk
+    buffers Arrow tables until a later chunk types every column (then
+    pins, flushes the buffer through the writer, and resumes streaming),
+    and a column null across the WHOLE partition is stamped string —
+    the documented harness-mode guess the schema'd path never makes."""
     import os
     import uuid
 
@@ -239,8 +271,7 @@ def _write_part(path: str, iterator) -> PartFileCommit:
     os.makedirs(path, exist_ok=True)
     full = os.path.join(path, fname)
     chunk_rows = 65536
-    writer = None
-    schema = None
+    writer = None  # lazy: a zero-row task must leave NO file behind
     buffered: list[pa.Table] = []
     n_rows = 0
     batch: list[dict] = []
@@ -250,19 +281,23 @@ def _write_part(path: str, iterator) -> PartFileCommit:
         if not batch:
             return
         if schema is not None:
-            table = pa.Table.from_pylist(batch, schema=schema)
-            writer.write_table(table)
+            if writer is None:
+                writer = pq.ParquetWriter(full, schema)
+            writer.write_table(pa.Table.from_pylist(batch, schema=schema))
         else:
             table = pa.Table.from_pylist(batch)
-            if not buffered and not any(
-                pa.types.is_null(f.type) for f in table.schema
-            ):
-                # fully typed first chunk: pin and stream
-                schema = table.schema
+            buffered.append(table)
+            merged = (
+                table
+                if len(buffered) == 1
+                else pa.concat_tables(buffered, promote_options="permissive")
+            )
+            if not any(pa.types.is_null(f.type) for f in merged.schema):
+                # every column typed: pin, drain the buffer, stream on
+                schema = merged.schema
                 writer = pq.ParquetWriter(full, schema)
-                writer.write_table(table)
-            else:
-                buffered.append(table)
+                writer.write_table(merged)
+                buffered.clear()
         n_rows += len(batch)
         batch.clear()
 
@@ -275,17 +310,16 @@ def _write_part(path: str, iterator) -> PartFileCommit:
         writer.close()
     elif buffered:
         merged = pa.concat_tables(buffered, promote_options="permissive")
-        if any(pa.types.is_null(f.type) for f in merged.schema):
-            # a column null across the WHOLE partition: give it a
-            # concrete type so downstream footer reads see a real schema
-            merged = merged.cast(
-                pa.schema(
-                    [
-                        pa.field(f.name, pa.string() if pa.types.is_null(f.type) else f.type)
-                        for f in merged.schema
-                    ]
-                )
+        # schema-less mode, column null across the whole partition:
+        # stamp a concrete type so footer reads see a real schema
+        merged = merged.cast(
+            pa.schema(
+                [
+                    pa.field(f.name, pa.string() if pa.types.is_null(f.type) else f.type)
+                    for f in merged.schema
+                ]
             )
+        )
         pq.write_table(merged, full)
     return PartFileCommit(filename=fname if n_rows else "", n_rows=n_rows)
 
@@ -396,11 +430,15 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
 
 
 class ManifestParquetWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("rtbd_manifest_sink requires a path option")
         self.overwrite = overwrite
+        # the engine's StructType, mapped to Arrow so every task chunk
+        # streams against the TRUE types (see _write_part); None when a
+        # type falls outside the supported set (inference fallback)
+        self.arrow_schema = _spark_to_arrow_schema(schema) if schema is not None else None
         # WAP (write-audit-publish): staged=true commits the snapshot to
         # `_staged-manifest.json` WITHOUT moving the head pointer —
         # readers of the table see nothing until `publish_staged`
@@ -409,7 +447,7 @@ class ManifestParquetWriter(DataSourceWriter):
         self.staged = str(options.get("staged", "false")).lower() == "true"
 
     def write(self, iterator):
-        return _write_part(self.path, iterator)
+        return _write_part(self.path, iterator, self.arrow_schema)
 
     def commit(self, messages):
         import os
@@ -545,13 +583,14 @@ class ManifestStreamWriter(DataSourceStreamWriter):
     streaming twin of the cursor bug the stream READER fixed in round 5
     (`cf289ab`).  `abort` deletes the epoch's uncommitted parts."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("rtbd_manifest_sink requires a path option")
+        self.arrow_schema = _spark_to_arrow_schema(schema) if schema is not None else None
 
     def write(self, iterator):
-        return _write_part(self.path, iterator)
+        return _write_part(self.path, iterator, self.arrow_schema)
 
     def commit(self, messages, batchId: int) -> None:
         import os
@@ -634,10 +673,10 @@ class ManifestSinkDataSource(DataSource):
         return "rtbd_manifest_sink"
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestParquetWriter:
-        return ManifestParquetWriter(self.options, overwrite)
+        return ManifestParquetWriter(self.options, overwrite, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> ManifestStreamWriter:
-        return ManifestStreamWriter(self.options)
+        return ManifestStreamWriter(self.options, schema)
 
 
 def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_schema: bool = False):
@@ -662,7 +701,9 @@ def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_sche
     fpaths = {fn: os.path.join(path, fn) for fn in files}
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not manifest.get("renames") and not manifest.get("eq_deletes"):
-        return reader.parquet(*fpaths.values())
+        # iterate `files`, not the dict: both paths must treat a
+        # (pathological) duplicated filename identically
+        return reader.parquet(*[fpaths[fn] for fn in files])
     from pyspark.sql import functions as F
 
     # per-file rules resolved by the ONE shared resolver (also feeds the

@@ -113,11 +113,17 @@ def test_merge_upsert_does_not_resurrect_mor_deleted_rows(spark, table):
 
 def _stream_commit(spark, path, batch_id, ids):
     """Drive the streaming sink's epoch commit directly: task-side part
-    write + driver-side commit, the same calls the engine makes."""
+    write + driver-side commit, the same calls the engine makes —
+    including the engine-provided schema, so epoch files carry the SAME
+    column types as the fixture's batch appends (id bigint, k/v int)."""
+    import pyarrow as pa
     from pyspark.sql import Row
 
     w = P.ManifestStreamWriter({"path": path})
-    msg = P._write_part(path, iter([Row(id=i, k=i % 7, v=i * 3) for i in ids]))
+    schema = pa.schema([("id", pa.int64()), ("k", pa.int32()), ("v", pa.int32())])
+    msg = P._write_part(
+        path, iter([Row(id=i, k=i % 7, v=i * 3) for i in ids]), schema=schema
+    )
     w.commit([msg], batch_id)
 
 
@@ -512,6 +518,21 @@ def test_write_part_null_prefix_column(spark, tmp_path):
     msg2 = P._write_part(path, iter(Row(id=i, w=None) for i in range(10)))
     tbl2 = pq.read_table(os.path.join(path, msg2.filename))
     assert str(tbl2.schema.field("w").type) == "string"
+    # the REAL sink path passes the engine schema: an all-null task
+    # partition stamps the TRUE column type, never a string guess that
+    # would disagree with sibling part files
+    import pyarrow as pa
+
+    true_schema = pa.schema([("id", pa.int64()), ("w", pa.int64())])
+    msg3 = P._write_part(
+        path, iter(Row(id=i, w=None) for i in range(10)), schema=true_schema
+    )
+    tbl3 = pq.read_table(os.path.join(path, msg3.filename))
+    assert str(tbl3.schema.field("w").type) == "int64"
+    assert tbl3.column("w").null_count == 10
+    # zero-row task leaves NO file behind even with a schema
+    msg4 = P._write_part(path, iter([]), schema=true_schema)
+    assert msg4.filename == "" and msg4.n_rows == 0
 
 
 def test_resize_images_mixed_corpus_does_not_crash(spark):
@@ -526,11 +547,14 @@ def test_resize_images_mixed_corpus_does_not_crash(spark):
     jpeg = b"\xff\xd8\xff\xe0" + b"x" * 50
     import pandas as pd
 
-    rows = [(1, good), (2, corrupt), (3, jpeg)]
+    rows = [(1, good), (2, corrupt), (3, jpeg), (4, None)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in M.resize_images(df, width=8, height=4).collect()}
     assert out[1]["meta"]["mime"] == "image/png"
     assert M.png_decode(bytes(out[1]["payload"])).shape == (4, 8)
+    # NULL payload: empty-payload stub branch, not a task crash
+    assert out[4]["meta"]["mime"] == "application/octet-stream"
+    assert bytes(out[4]["payload"]) == b"\x00" * 32
     for bad in (2, 3):
         assert out[bad]["meta"]["mime"] == "application/octet-stream"
         assert len(out[bad]["payload"]) == 32  # stub: exactly w*h bytes
