@@ -273,28 +273,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query maps + dashboard widget breakdown go to stderr AND a
+    # side file; the single stdout line stays COMPACT (round-7 verdict
+    # "What's wrong #1": the 3.5 kB combined line outgrew the driver's
+    # tail capture and arrived head-clipped -> BENCH_r07.json had
+    # `"parsed": null`).  Keep the stdout line well under 1 kB.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_normalized": {n: round(t / load_factor, 3) for n, t in timings.items()},
+        "calibration_sec": calibration_sec,
+        "calibration_pre_sec": calibration_pre,
+        "calibration_post_sec": calibration_post,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "load_factor": load_factor,
+        "value_normalized": round(total / load_factor, 3),
+        "concurrent_dashboard": dashboard,
+        "sf": sf_val,
+    }
+    print("BENCH_DETAIL: " + json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: detail still on stderr
+        print(f"BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 # self-calibration (round-6 verdict item 5): normalized
                 # numbers divide out host load measured by the probe, so
                 # a loaded-box run reads as (raw high, normalized flat)
                 # instead of a phantom regression
-                "calibration_sec": calibration_sec,
-                "calibration_pre_sec": calibration_pre,
-                "calibration_post_sec": calibration_post,
-                "calibration_ref_sec": CALIBRATION_REF_SEC,
-                "load_factor": load_factor,
                 "value_normalized": round(total / load_factor, 3),
-                "queries_normalized": {
-                    n: round(t / load_factor, 3) for n, t in timings.items()
-                },
-                "concurrent_dashboard": dashboard,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_sec": calibration_sec,
+                "load_factor": load_factor,
+                "n_queries": len(timings),
+                "dashboard_wall_sec": dashboard["refresh_wall_sec"],
+                "dashboard_within_budget": dashboard["within_budget"],
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -252,20 +252,36 @@ AHASH_SCHEMA = T.StructType(
 
 
 def _ahash_bands_kernel(payload: bytes) -> tuple[int, int, int, int]:
-    """64-bit blockwise average-hash (aHash) of a byte payload, returned
-    as four 16-bit band values.  Bit i is set when block i's mean byte
+    """64-bit blockwise average-hash (aHash) of a payload, returned as
+    four 16-bit band values.  Bit i is set when block i's mean byte
     value exceeds the payload mean — compared via exact integer
     cross-multiplication (`block_sum * n > total * block_len`), no
     floats, so a SQL oracle replays it bit-for-bit.  Vectorized numpy:
     cumsum-difference block sums (handles empty blocks for payloads
     shorter than 64 bytes, unlike `np.add.reduceat`).
 
-    STUB disclosure: a real image pHash decodes pixels and DCTs them;
-    with no codecs in this container the kernel hashes the raw bytes —
-    the banding, join plan, and Hamming verification downstream are the
-    real thing and unchanged under a real kernel."""
+    Decodable PNG payloads (the module's 8-bit grayscale codec) take
+    the REAL pixel path (round-8 verdict item 4, mirroring
+    `_resize_kernel`): `png_decode` -> nearest-resize to 8x8 -> the 64
+    pixel bytes run through the same exact-integer block hash (64
+    blocks of 1 pixel each = the classic image aHash).  Hashing PIXELS
+    makes the hash invariant to re-encoding (filter/compression
+    choices change the file bytes but not the image), which is what a
+    perceptual near-dup pass needs.  Everything the codec can't parse
+    — non-PNG payloads, RGB/palette/16-bit PNGs, corrupt files — falls
+    back to hashing the raw bytes, so a mixed corpus flows and the
+    banding/Hamming machinery downstream is identical either way."""
     import numpy as np
 
+    payload = bytes(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        import struct
+        import zlib
+
+        try:
+            payload = png_resize_nearest(png_decode(payload), 8, 8).tobytes()
+        except (ValueError, IndexError, struct.error, zlib.error):
+            pass  # unsupported layout / corrupt payload -> byte mode
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     n = arr.size
     if n == 0:

@@ -1729,3 +1729,105 @@ def pyds_pruned_read_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("temp_c").cast("long").alias("temp_c_total"),
         )
     )
+
+
+@register(
+    "pyds_null_range_delete",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL}),
+    feedn AS (
+        SELECT reading_id, sensor_id, ts_us,
+               CASE WHEN reading_id % 10 = 0 THEN NULL ELSE temp_centi END AS temp_centi
+        FROM feed
+    ),
+    surv AS (
+        SELECT * FROM feedn
+        WHERE temp_centi IS NULL OR temp_centi NOT BETWEEN 2000 AND 3499
+    )
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN temp_centi IS NULL THEN 1 END) AS BIGINT) AS n_null_rows,
+           CAST(COALESCE(sum(temp_centi), 0) AS BIGINT) AS temp_total,
+           6753 AS n_deleted,
+           13247 AS mor_logical_rows,
+           TRUE AS paths_agree
+    FROM surv GROUP BY sensor_id
+    """,
+    tags=("connector", "python-datasource", "delete", "null-semantics"),
+)
+def pyds_null_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE range deletes — catalog pin of the round-8 ADVICE fix:
+    a row whose delete-column is NULL does not match `col BETWEEN lo
+    AND hi` and must SURVIVE the delete in EVERY path (standard SQL
+    three-valued logic; the pre-fix bare `~between()` evaluated to NULL
+    and silently dropped such rows).  The feed lands with temp_centi
+    NULLed on every 10th reading (2,000 NULL rows), then the same range
+    delete (`temp_centi BETWEEN 2000 AND 3499`, 6,753 non-null matches)
+    runs through THREE independent paths on two table copies:
+      (a) merge-on-read + logical read (read-side predicate),
+      (b) MoR + `materialize_deletes` (physical rewrite),
+      (c) copy-on-write `delete_where` (CoW rewrite).
+    The hashed result is the per-sensor survivor rollup over path (b)
+    — NULL counts intact (sensors 0/10/20/30/40 carry 400 NULLs each)
+    — plus `paths_agree`, a driver-verified flag that all three paths
+    produced row-identical tables, and the CoW audit's n_deleted.  A
+    single NULL row dropped anywhere breaks n_null_rows, n_rows,
+    mor_logical_rows, and paths_agree at once.  At 100 TB this is the
+    GDPR-erasure workload over nullable telemetry: the delete predicate
+    must never silently widen to `IS NULL`."""
+    import tempfile
+
+    key = "_pyds_nulldel"
+    state = getattr(pyds_null_range_delete, key, None)
+    if state is None or not os.path.exists(
+        os.path.join(state["mor"], "_manifest-v3.json")
+    ):
+        base = tempfile.mkdtemp(prefix="rtbd_pyds_nulldel_")
+        mor, cow = os.path.join(base, "mor"), os.path.join(base, "cow")
+        pydatasource.register_sink(spark)
+        feed = _read(spark).withColumn(
+            "temp_centi",
+            F.when(F.col("reading_id") % 10 == 0, F.lit(None).cast("int")).otherwise(
+                F.col("temp_centi")
+            ),
+        )
+        for p in (mor, cow):
+            feed.repartition(4).write.format("rtbd_manifest_sink").option(
+                "path", p
+            ).mode("append").save()  # v1
+        pydatasource.delete_where_mor(mor, "temp_centi", 2000, 3499)  # v2 (MoR)
+        cow_audit = pydatasource.delete_where(spark, cow, "temp_centi", 2000, 3499)
+        logical, _m = pydatasource.read_manifest(spark, mor)  # path (a)
+        n_mor_logical = logical.count()
+        pydatasource.materialize_deletes(spark, mor)  # v3 (physical)
+        mat, _m = pydatasource.read_manifest(spark, mor)  # path (b)
+        cowdf, _m = pydatasource.read_manifest(spark, cow)  # path (c)
+        cols = sorted(cowdf.columns)
+
+        def _symdiff(a: DataFrame, b: DataFrame) -> int:
+            return (
+                a.select(*cols).exceptAll(b.select(*cols)).count()
+                + b.select(*cols).exceptAll(a.select(*cols)).count()
+            )
+
+        state = {
+            "mor": mor,
+            "n_mor_logical": n_mor_logical,
+            "n_deleted_cow": cow_audit["n_deleted"],
+            # bounded driver scalars: three 20k-row table comparisons,
+            # computed once at build time and cached on the function
+            "paths_agree": _symdiff(logical, mat) == 0 and _symdiff(mat, cowdf) == 0,
+        }
+        setattr(pyds_null_range_delete, key, state)
+    back, _head = pydatasource.read_manifest(spark, state["mor"])
+    return (
+        back.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("temp_centi").isNull().cast("int")).cast("long").alias("n_null_rows"),
+            F.coalesce(F.sum("temp_centi"), F.lit(0)).cast("long").alias("temp_total"),
+        )
+        .withColumn("n_deleted", F.lit(state["n_deleted_cow"]).cast("int"))
+        .withColumn("mor_logical_rows", F.lit(state["n_mor_logical"]).cast("int"))
+        .withColumn("paths_agree", F.lit(state["paths_agree"]))
+    )

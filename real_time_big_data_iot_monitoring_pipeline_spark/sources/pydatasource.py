@@ -233,7 +233,14 @@ def _spark_to_arrow_schema(spark_schema):
     for f in spark_schema.fields:
         for st, at in mapping:
             if type(f.dataType) is st:
-                fields.append(pa.field(f.name, at, nullable=f.nullable))
+                # ALWAYS nullable (round-8 ADVICE, medium): Spark's
+                # nullable=False is advisory and occasionally wrong
+                # (joins, UDF outputs), and Arrow's from_pylist does NOT
+                # validate nullability — a None in a required int64
+                # column silently round-trips as 0.  Parquet optional
+                # columns cost nothing and Spark re-infers nullability
+                # on read, so required-ness buys nothing here.
+                fields.append(pa.field(f.name, at, nullable=True))
                 break
         else:
             return None
@@ -719,7 +726,10 @@ def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_sche
         for old, new in app:
             df = df.withColumnRenamed(old, new)
         for col, lo, hi in dels:
-            df = df.filter(~F.col(col).between(lo, hi))
+            # NULL-safe (round-8 ADVICE): a NULL delete-column value
+            # does not match the range predicate, so the row SURVIVES —
+            # bare ~between() evaluates to NULL and silently drops it
+            df = df.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
         frames.append(df)
     out = frames[0]
     for extra in frames[1:]:
@@ -1150,7 +1160,9 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
         # the carried eq-delete entries scope to the OLD file names
         victims = _read_logical(spark, path, touched, head)
         n_before = victims.count()
-        survivors = victims.filter(~F.col(col).between(lo, hi))
+        # NULL-safe: rows with a NULL delete-column don't match the
+        # range predicate and must survive the rewrite (round-8 ADVICE)
+        survivors = victims.filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
         # staging dir carries the same uuid token as the part names:
         # two concurrent deletes sharing a fixed staging path clobber
         # each other's task files mid-write (caught by the round-7 OCC
@@ -1320,9 +1332,13 @@ def materialize_deletes(spark, path: str) -> dict:
     if not deletes:
         return {"n_files_rewritten": 0, "version": head.get("version", 0)}
     applicable: dict[str, list[dict]] = {}
+    # hoisted live-set (round-8 ADVICE): rebuilding set(head['files'])
+    # inside the D*F inner loop made planning O(D*F^2) — same fix the
+    # round-7 _file_logical_metadata O(F) planning pass got
+    live = set(head["files"])
     for d in deletes:
         for fn in d["files"]:
-            if fn in set(head["files"]):
+            if fn in live:
                 applicable.setdefault(fn, []).append(d)
     untouched = [fn for fn in head["files"] if fn not in applicable]
     new_files = []
@@ -1340,7 +1356,8 @@ def materialize_deletes(spark, path: str) -> dict:
     for keyt, fns in groups.items():
         df = spark.read.parquet(*[os.path.join(path, fn) for fn in fns])
         for c, lo, hi in keyt:
-            df = df.filter(~F.col(c).between(lo, hi))
+            # NULL-safe: same survive-on-NULL contract as _read_logical
+            df = df.filter(F.col(c).isNull() | ~F.col(c).between(lo, hi))
         gdir = os.path.join(staging, str(gi))
         df.write.mode("overwrite").parquet(gdir)
         for i, part in enumerate(sorted(glob.glob(os.path.join(gdir, "part-*")))):
@@ -2196,7 +2213,10 @@ class ManifestBatchReader(DataSourceReader):
             tbl = tbl.rename_columns(names)
         for col, lo, hi in partition.deletes:
             c = pc.field(col)
-            tbl = tbl.filter(~((c >= lo) & (c <= hi)))
+            # NULL-safe: pc comparisons propagate nulls and filter()
+            # drops null-mask rows, so OR in an explicit is_null leg —
+            # same survive-on-NULL contract as the Spark-side readers
+            tbl = tbl.filter(pc.is_null(c) | ~((c >= lo) & (c <= hi)))
         cols = [tbl.column(n).to_pylist() for n in self.fields]
         return iter(list(zip(*cols)))
 

@@ -229,3 +229,155 @@ def test_streaming_writer_enforces_constraints(spark, table, tmp_path):
         if os.path.basename(f) not in listed
     ]
     assert orphans == []
+
+
+# --- round-8 verdict item 8: concurrency interleavings on the shared ledger ---
+
+
+def test_concurrent_mor_delete_races_cow_rewrite(spark, tmp_path):
+    """MoR delete (metadata-only commit, retries until claimed) racing a
+    CoW delete_where (file rewrite, raises on a lost claim): whatever
+    interleaving materializes, the final LOGICAL table must equal both
+    predicates applied — in particular the CoW rewrite must never
+    resurrect rows the MoR delete removed (its rewrite reads logically
+    and re-scopes carried entries), and the MoR entry must never
+    silently widen to the CoW's new file names."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "race_mor_cow")
+    P.register_sink(spark)
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id AS INT) AS v"
+    ).coalesce(4).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+
+    def mor():
+        return ("mor-ok", P.delete_where_mor(path, "v", 0, 199))
+
+    def cow():
+        try:
+            P.register_sink(spark)
+            return ("cow-ok", P.delete_where(spark, path, "v", 400, 599))
+        except RuntimeError as exc:
+            return ("cow-lost", str(exc))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa, fb = ex.submit(mor), ex.submit(cow)
+        ra, rb = fa.result(), fb.result()
+    assert ra[0] == "mor-ok"  # MoR retries its O(1) commit until claimed
+    if rb[0] == "cow-lost":  # loser raised cleanly -> reissue sequentially
+        rb = ("cow-ok", P.delete_where(spark, path, "v", 400, 599))
+    df, _h = P.read_manifest(spark, path)
+    got = sorted(r.v for r in df.collect())
+    want = [v for v in range(1000) if not (0 <= v <= 199 or 400 <= v <= 599)]
+    assert got == want, f"resurrection/over-delete: {len(got)} rows vs {len(want)}"
+    # physical rewrite agrees with the logical read
+    P.materialize_deletes(spark, path)
+    df2, head = P.read_manifest(spark, path)
+    assert sorted(r.v for r in df2.collect()) == want
+    assert not head.get("eq_deletes")
+
+
+def test_mor_then_cow_then_mor_interleave_sequential(spark, tmp_path):
+    """Deterministic version of every interleaving order: MoR-delete,
+    CoW-delete (must apply + re-scope the pending MoR entry), then a
+    SECOND MoR-delete scoped to the post-rewrite files, then
+    materialize.  Each step's logical read equals the predicate
+    algebra; the final physical table equals the final logical one."""
+    path = str(tmp_path / "seq_interleave")
+    P.register_sink(spark)
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "CAST(id AS INT) AS v"
+    ).coalesce(4).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    surviving = set(range(1000))
+
+    P.delete_where_mor(path, "v", 0, 99)
+    surviving -= set(range(0, 100))
+    assert {r.v for r in P.read_manifest(spark, path)[0].collect()} == surviving
+
+    P.delete_where(spark, path, "v", 500, 649)  # CoW over pending MoR
+    surviving -= set(range(500, 650))
+    assert {r.v for r in P.read_manifest(spark, path)[0].collect()} == surviving
+
+    P.delete_where_mor(path, "v", 900, 949)  # MoR over CoW-rewritten files
+    surviving -= set(range(900, 950))
+    assert {r.v for r in P.read_manifest(spark, path)[0].collect()} == surviving
+
+    P.materialize_deletes(spark, path)
+    df, head = P.read_manifest(spark, path)
+    assert {r.v for r in df.collect()} == surviving
+    assert not head.get("eq_deletes")
+
+
+def test_stream_epochs_race_batch_commits_shared_ledger(spark, tmp_path):
+    """Stream-epoch commits racing batch appends on the SAME version
+    ledger (the two paths that share `batches` since round 7): all
+    commits serialize, every row lands exactly once, the epoch ledger
+    survives the interleaved batch commits, and a replayed epoch is
+    still detected AFTER the race (idempotent no-op)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "race_stream_batch")
+
+    def stream_epoch(batch_id: int) -> None:
+        w = P.ManifestStreamWriter({"path": path})
+        msg = w.write(iter(Row(id=j, src=f"e{batch_id}") for j in range(100)))
+        w.commit([msg], batch_id)
+
+    def batch_append(i: int) -> None:
+        msg = P._write_part(
+            path, iter(Row(id=j, src=f"b{i}") for j in range(50))
+        )
+        P.ManifestParquetWriter({"path": path}, overwrite=False).commit([msg])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        futs = [ex.submit(stream_epoch, b) for b in range(4)]
+        futs += [ex.submit(batch_append, i) for i in range(4)]
+        for f in futs:
+            f.result()
+
+    df, head = P.read_manifest(spark, path)
+    assert head["version"] == 8
+    assert df.count() == 4 * 100 + 4 * 50
+    assert sorted(head["batches"]) == [0, 1, 2, 3]  # ledger intact
+    # replay epoch 2 after the race: must be a no-op that leaves no file
+    n_files_before = len(head["files"])
+    stream_epoch(2)
+    df2, head2 = P.read_manifest(spark, path)
+    assert head2["version"] == 8 and df2.count() == 600
+    assert len(head2["files"]) == n_files_before
+    assert sorted(head2["batches"]) == [0, 1, 2, 3]
+
+
+def test_epoch_replay_detected_after_interleaved_maintenance(spark, tmp_path):
+    """An epoch commits; a MoR delete, a CoW delete and a materialize
+    run; the SAME epoch replays (restart-after-commit window).  The
+    ledger must have ridden through every maintenance commit so the
+    replay is dropped — the resurrection-class scenario the round-7
+    ledger-carry fix targets, now including materialize_deletes."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "replay_after_maint")
+
+    def stream_epoch(batch_id: int) -> None:
+        w = P.ManifestStreamWriter({"path": path})
+        msg = w.write(iter(Row(id=j, v=j) for j in range(100)))
+        w.commit([msg], batch_id)
+
+    stream_epoch(0)
+    stream_epoch(1)
+    P.delete_where_mor(path, "v", 0, 9)
+    P.register_sink(spark)
+    P.delete_where(spark, path, "v", 20, 29)
+    P.materialize_deletes(spark, path)
+    n_before = P.read_manifest(spark, path)[0].count()
+    assert n_before == 2 * (100 - 10 - 10)
+    stream_epoch(1)  # replay
+    df, head = P.read_manifest(spark, path)
+    assert df.count() == n_before, "replayed epoch double-counted after maintenance"
+    assert sorted(head["batches"]) == [0, 1]

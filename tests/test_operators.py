@@ -557,6 +557,54 @@ def test_ahash_bands_match_python_reference(spark):
         assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
 
 
+def test_ahash_png_payloads_hash_pixels_not_bytes():
+    """Round-8 verdict item 4: decodable PNG payloads route through
+    `png_decode` -> 8x8 nearest-resize -> the exact-integer block hash,
+    so a RE-ENCODED copy of the same image (different filter policy =>
+    different file bytes) hashes EQUAL, while a byte-shuffled payload
+    (no longer a parseable PNG) falls back to byte mode and diverges."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    enc_a = multimodal.png_encode(px, policy="cycle")
+    enc_b = multimodal.png_encode(px, policy="fast")
+    assert enc_a != enc_b, "re-encode must change the file bytes for this test to bite"
+    h_a = multimodal._ahash_bands_kernel(enc_a)
+    assert h_a == multimodal._ahash_bands_kernel(enc_b), "pixel hash must survive re-encoding"
+    # the PNG path is exactly "hash the 8x8 nearest-resized pixel bytes"
+    small = multimodal.png_resize_nearest(px, 8, 8).tobytes()
+    assert small[: len(multimodal._PNG_SIG)] != multimodal._PNG_SIG
+    assert h_a == multimodal._ahash_bands_kernel(small)
+    # byte-shuffle: signature destroyed -> byte-mode fallback, different hash
+    shuffled = bytes(np.frombuffer(enc_a, dtype=np.uint8)[rng.permutation(len(enc_a))])
+    assert shuffled[: len(multimodal._PNG_SIG)] != multimodal._PNG_SIG
+    assert multimodal._ahash_bands_kernel(shuffled) != h_a
+    # corrupt-but-signed payload (CRC broken) must fall back, not raise
+    corrupt = enc_a[:20] + bytes([enc_a[20] ^ 0xFF]) + enc_a[21:]
+    multimodal._ahash_bands_kernel(corrupt)
+
+
+def test_phash_near_dups_reencoded_png(spark):
+    """End-to-end near-dup image detection on PIXELS: the same image
+    encoded twice with different filter policies pairs at Hamming 0;
+    a visually different image does not pair with either copy."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(20, 20), dtype=np.uint8)
+    other = 255 - img.T  # visually unrelated under aHash
+    rows = [
+        (1, bytearray(multimodal.png_encode(img, policy="cycle"))),
+        (2, bytearray(multimodal.png_encode(img, policy="fast"))),
+        (3, bytearray(multimodal.png_encode(other, policy="cycle"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in multimodal.phash_near_dups(df).collect()}
+    assert pairs.get((1, 2)) == 0, f"re-encoded copy must hash identical: {pairs}"
+    assert (1, 3) not in pairs and (2, 3) not in pairs, f"unrelated image paired: {pairs}"
+
+
 def test_hll_daily_union_consistency(spark):
     """Binding contracts for the rows-only HLL sketch query: (1) the
     cumulative union over stored per-day sketches equals a direct sketch

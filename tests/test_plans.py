@@ -523,3 +523,42 @@ def test_plan_audit_covers_registry():
         if v["counters"].get("cartesian_products", 0) > 0
     ]
     assert not cartesians, f"cartesian products in: {cartesians}"
+
+
+def test_backlog_arithmetic_derived():
+    """Round-8 verdict item 3: the rotation's backlog counts are DERIVED
+    from CORRECTNESS_r*.json ∪ the registry (tools/backlog_audit.py),
+    never hand-maintained — round 7's close note said 112 never-hashed
+    while the truth was 115, because three rows rotated out of the
+    window fell out of the hand count.  Invariants:
+      (a) the constants written into plans/__init__.py equal the
+          computed numbers (count can only SHRINK as rounds land, so
+          the assert is ≤ against the rotation-time pin, == at pin
+          time);
+      (b) EVERY never-hashed oracle-bearing query is in DRIVER_WINDOW
+          or ROUND9_DRAFT — a window draft cannot silently drop a row;
+      (c) the window and the draft never overlap (a slot is either
+          draining now or scheduled, not both)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from backlog_audit import compute_backlog
+
+    from real_time_big_data_iot_monitoring_pipeline_spark import plans
+
+    b = compute_backlog()
+    never = set(b["never_hashed"])
+    window = set(plans.DRIVER_WINDOW)
+    draft = set(plans.ROUND9_DRAFT)
+    assert b["n_never_hashed"] <= plans.NEVER_HASHED_AT_R8_ROTATION, (
+        f"computed {b['n_never_hashed']} > pinned "
+        f"{plans.NEVER_HASHED_AT_R8_ROTATION}: a query lost its driver row "
+        "or the pin was hand-edited without re-deriving"
+    )
+    assert b["n_ever_hashed"] >= plans.EVER_HASHED_THROUGH_R7
+    uncovered = sorted(never - window - draft)
+    assert not uncovered, f"never-hashed queries in NO window/draft: {uncovered}"
+    assert not window & draft, f"window/draft overlap: {sorted(window & draft)}"
+    unknown = sorted((draft | set(plans.ROUND9_OLDEST_COHORT)) - set(REGISTRY))
+    assert not unknown, f"draft names not registered: {unknown}"

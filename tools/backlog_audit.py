@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Driver-hash backlog audit (round-8 verdict item 3): derive the
+never-hashed count from CORRECTNESS_r*.json ∪ the registry instead of
+hand-maintained comments, so window drafts can't silently drop queries
+(the round-7 close note said 112 while the judge-computed truth was 115
+— the three queries rotated out to admit round-7 registrations fell out
+of the hand count).
+
+Definitions (the judge's):
+  * ever-hashed  = a query name appearing in ANY CORRECTNESS_r*.json
+    with hash_match=true (oracle-bearing) or rows_match=true (weaker
+    rows-only check for non-SQL-expressible ops);
+  * oracle-bearing = registry entries with a non-None oracle;
+  * never-hashed = oracle-bearing − ever-hashed.
+
+Run:  python tools/backlog_audit.py          # human summary
+      python tools/backlog_audit.py --names  # + the full name lists
+The unit test tests/test_plans.py::test_backlog_arithmetic asserts the
+policy constants in plans/__init__.py against compute_backlog().
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `python tools/backlog_audit.py` puts tools/ first
+    sys.path.insert(0, REPO)
+
+
+def load_hashed(repo: str = REPO) -> dict[str, int]:
+    """name -> latest round with a GREEN driver row (hash_match, or
+    rows_match for rows-only checks)."""
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        try:
+            data = json.load(open(f))
+        except (json.JSONDecodeError, OSError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or row.get("rows_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def compute_backlog(repo: str = REPO) -> dict:
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    hashed = load_hashed(repo)
+    oracle_bearing = sorted(n for n, q in REGISTRY.items() if getattr(q, "oracle", None))
+    rows_only = sorted(n for n, q in REGISTRY.items() if not getattr(q, "oracle", None))
+    ever = sorted(n for n in oracle_bearing if n in hashed)
+    never = sorted(n for n in oracle_bearing if n not in hashed)
+    return {
+        "n_registry": len(REGISTRY),
+        "n_oracle_bearing": len(oracle_bearing),
+        "n_rows_only": len(rows_only),
+        "n_ever_hashed": len(ever),
+        "n_never_hashed": len(never),
+        "never_hashed": never,
+        "rows_only": rows_only,
+        "latest_hash_round": hashed,
+    }
+
+
+def main() -> None:
+    b = compute_backlog()
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import (
+        DRIVER_WINDOW,
+        ROUND9_DRAFT,
+    )
+
+    drained = [n for n in b["never_hashed"] if n in DRIVER_WINDOW]
+    after = [n for n in b["never_hashed"] if n not in DRIVER_WINDOW]
+    uncovered = [n for n in after if n not in ROUND9_DRAFT]
+    print(
+        f"registry {b['n_registry']} | oracle-bearing {b['n_oracle_bearing']} "
+        f"| ever-hashed {b['n_ever_hashed']} | never-hashed {b['n_never_hashed']}"
+    )
+    print(
+        f"current DRIVER_WINDOW drains {len(drained)}; "
+        f"{len(after)} remain after this round; "
+        f"{len(uncovered)} NOT covered by ROUND9_DRAFT"
+    )
+    ages: dict[int, int] = {}
+    for n in b["latest_hash_round"].values():
+        ages[n] = ages.get(n, 0) + 1
+    print("last-hash round histogram:", dict(sorted(ages.items())))
+    if uncovered:
+        print("UNCOVERED (fix ROUND9_DRAFT):", uncovered)
+    if "--names" in sys.argv:
+        print("\nnever-hashed:")
+        for n in b["never_hashed"]:
+            marker = "  <- this window" if n in DRIVER_WINDOW else ""
+            print(f"  {n}{marker}")
+
+
+if __name__ == "__main__":
+    main()
