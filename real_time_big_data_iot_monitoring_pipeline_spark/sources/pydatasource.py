@@ -1139,9 +1139,14 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
-    head_path = os.path.join(path, "manifest.json")
-    with open(head_path) as f:
-        head = _json.load(f)
+    # plan against the LEDGER head, not the manifest.json convenience
+    # cache: a crash between claim and head-pointer update leaves the
+    # cache one version behind, and planning there guarantees losing
+    # the OCC claim (or missing a just-committed file list)
+    head = _latest_snapshot(path)
+    assert head is not None, "delete_where requires an existing table"
+    if col not in _logical_columns(path, head):
+        raise RuntimeError(f"delete_where: no such column {col!r}")
     stats = head.get("stats", {})
     touched, untouched = [], []
     for fn in head["files"]:
@@ -1245,6 +1250,28 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     }
 
 
+def _logical_columns(path: str, head: dict) -> set[str]:
+    """Current LOGICAL column set of a snapshot: union over data files
+    of their footer schema names with each file's applicable rename
+    chain applied (same hop-by-hop rule as `_file_logical_metadata`,
+    so the guard agrees with what readers actually produce).  Metadata
+    only — O(F) footer reads, same planning class as `_footer_stats`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    renames = head.get("renames", [])
+    out: set[str] = set()
+    for fn in head.get("files", []):
+        cur = set(pq.read_schema(os.path.join(path, fn)).names)
+        for r in renames:
+            if r["from"] in cur:
+                cur.discard(r["from"])
+                cur.add(r["to"])
+        out |= cur
+    return out
+
+
 def rename_column(path: str, old: str, new: str) -> dict:
     """METADATA-ONLY column rename on the manifest table — the schema
     evolution by-name reads cannot give you (rename the column and
@@ -1259,6 +1286,16 @@ def rename_column(path: str, old: str, new: str) -> dict:
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "rename_column requires an existing table"
+        cols = _logical_columns(path, head)
+        if old not in cols:
+            raise RuntimeError(
+                f"cannot rename {old!r}: no such column (current: {sorted(cols)})"
+            )
+        if new in cols:
+            raise RuntimeError(
+                f"cannot rename {old!r} -> {new!r}: column {new!r} already exists — "
+                "the rename would produce duplicate logical columns"
+            )
         if any(d["col"] == old for d in head.get("eq_deletes", [])):
             raise RuntimeError(
                 f"cannot rename {old!r}: pending merge-on-read deletes reference it — "
@@ -1299,6 +1336,10 @@ def delete_where_mor(path: str, col: str, lo, hi) -> dict:
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "delete_where_mor requires an existing table"
+        if col not in _logical_columns(path, head):
+            # fail at COMMIT time, not at first read: a committed delete
+            # on a typo'd column would break every later logical read
+            raise RuntimeError(f"delete_where_mor: no such column {col!r}")
         entry = {"col": col, "lo": lo, "hi": hi, "files": head["files"]}
         manifest = {
             **head,
@@ -1427,6 +1468,10 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
 
     head = _latest_snapshot(path)
     assert head is not None, "merge_upsert requires an existing table"
+    if key_col not in _logical_columns(path, head):
+        # same commit-time guard as the delete verbs: a typo'd merge key
+        # would die mid-rewrite (AnalysisException) instead of cleanly
+        raise RuntimeError(f"merge_upsert: no such column {key_col!r}")
     stats = head.get("stats", {})
     n_updates = updates.count()
     keys = updates.select(key_col).distinct()
@@ -1627,7 +1672,12 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
 def _footer_nulls(path: str, files: list[str], cols: list[str]) -> dict:
     """Per-file total null counts for the given columns, from parquet
     footers only.  Returns {file: {col: null_count | None}} — None when
-    any row group lacks the statistic (unprovable)."""
+    any row group lacks the statistic (unprovable).  A column ABSENT
+    from a file's schema counts as null_count = num_rows: under
+    schema-evolution merged reads (`unionByName(allowMissingColumns)`)
+    that file's rows carry NULL for the column, and the proof must see
+    what the reader produces — the pre-fix 0 silently PASSED a NOT NULL
+    constraint over files written before the column existed."""
     import os
 
     import pyarrow.parquet as pq
@@ -1636,11 +1686,13 @@ def _footer_nulls(path: str, files: list[str], cols: list[str]) -> dict:
     for fn in files:
         meta = pq.ParquetFile(os.path.join(path, fn)).metadata
         counts: dict[str, int | None] = {c: 0 for c in cols}
+        seen: set[str] = set()
         for rg in range(meta.num_row_groups):
             row_group = meta.row_group(rg)
             for ci in range(row_group.num_columns):
                 col = row_group.column(ci)
                 name = col.path_in_schema
+                seen.add(name)
                 if name not in counts or counts[name] is None:
                     continue
                 st = col.statistics
@@ -1648,8 +1700,22 @@ def _footer_nulls(path: str, files: list[str], cols: list[str]) -> dict:
                     counts[name] = None
                 else:
                     counts[name] += st.null_count
+        for c in cols:
+            if c not in seen:
+                counts[c] = meta.num_rows
         out[fn] = counts
     return out
+
+
+def _footer_row_counts(path: str, files: list[str]) -> dict:
+    """Per-file total row counts from parquet footers (metadata only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return {
+        fn: pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows for fn in files
+    }
 
 
 def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict]) -> None:
@@ -1668,12 +1734,22 @@ def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict
     range_cs = [c for c in constraints if c.get("lo") is not None or c.get("hi") is not None]
     null_cs = [c for c in constraints if c.get("not_null")]
     stats = _footer_stats(path, new_files)
-    nulls = _footer_nulls(path, new_files, [c["col"] for c in null_cs]) if null_cs else {}
+    null_cols = sorted({c["col"] for c in null_cs} | {c["col"] for c in range_cs})
+    nulls = _footer_nulls(path, new_files, null_cols) if null_cols else {}
+    counts = _footer_row_counts(path, new_files) if range_cs else {}
     err = None
     for fn in new_files:
         for c in range_cs:
             mm = stats.get(fn, {}).get(c["col"])
             if mm is None:
+                # parquet writes no min/max for an ALL-NULL column — and
+                # under SQL three-valued logic NULL satisfies a range
+                # CHECK (the predicate is not FALSE), so an all-null
+                # file is PROVEN valid by its null count alone.  Only a
+                # genuinely statless column stays unprovable-> reject.
+                nc = nulls.get(fn, {}).get(c["col"])
+                if nc is not None and nc == counts.get(fn):
+                    continue
                 err = f"constraint {c['name']!r}: no footer stats for {c['col']!r} in {fn} (unprovable)"
                 break
             lo, hi = c.get("lo"), c.get("hi")
@@ -1721,6 +1797,8 @@ def add_check_constraint(
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "add_check_constraint requires an existing table"
+        if head.get("files") and col not in _logical_columns(path, head):
+            raise RuntimeError(f"add_check_constraint: no such column {col!r}")
         if any(c["name"] == name for c in head.get("constraints", [])):
             raise RuntimeError(f"constraint {name!r} already exists")
         # prove the EXISTING data satisfies the constraint before
@@ -1756,24 +1834,53 @@ def drop_check_constraint(path: str, name: str) -> dict:
     raise RuntimeError("drop_check_constraint: could not claim a version in 64 attempts")
 
 
+def _physical_column(chain: tuple, logical: str) -> str:
+    """Invert a file's applied rename chain: the PHYSICAL footer name a
+    logical column has inside that file (walk the hops backwards)."""
+    cur = logical
+    for old, new in reversed(chain):
+        if cur == new:
+            cur = old
+    return cur
+
+
 def _enforce_existing(path: str, snapshot: dict, constraints: list[dict]) -> None:
     """Prove an EXISTING snapshot satisfies `constraints`, preferring
     the manifest's recorded stats and falling back to footers.  Raises
-    on violation or unprovability (same loud-fail rule as writes)."""
+    on violation or unprovability (same loud-fail rule as writes).
+    Constraint predicates reference CURRENT logical names; footer stats
+    and manifest stats are keyed by each file's PHYSICAL names, so the
+    proof resolves each file's rename chain first — without that, a
+    constraint added after a rename either read no stats at all (range:
+    spurious unprovable) or an all-zero null count (NOT NULL: unsound
+    accept).  A column ABSENT from a file entirely is all-NULL on the
+    merged read: that VIOLATES a NOT NULL constraint and vacuously
+    SATISFIES a range constraint (three-valued logic)."""
     range_cs = [c for c in constraints if c.get("lo") is not None or c.get("hi") is not None]
     null_cs = [c for c in constraints if c.get("not_null")]
+    if not (range_cs or null_cs):
+        return
+    meta = _file_logical_metadata(path, snapshot)
     stats = snapshot.get("stats", {})
-    missing = [
-        fn
-        for fn in snapshot["files"]
-        if any(stats.get(fn, {}).get(c["col"]) is None for c in range_cs)
-    ]
-    if missing and range_cs:
-        stats = {**stats, **_footer_stats(path, missing)}
     for fn in snapshot["files"]:
+        chain = meta[fn][0]
+        phys = {
+            c["col"]: _physical_column(chain, c["col"]) for c in range_cs + null_cs
+        }
+        fstats = None
         for c in range_cs:
-            mm = stats.get(fn, {}).get(c["col"])
+            pcol = phys[c["col"]]
+            mm = stats.get(fn, {}).get(pcol)
             if mm is None:
+                if fstats is None:
+                    fstats = _footer_stats(path, [fn])[fn]
+                mm = fstats.get(pcol)
+            if mm is None:
+                # all-NULL (or absent) column: vacuously valid iff the
+                # null count covers every row; else genuinely unprovable
+                nc = _footer_nulls(path, [fn], [pcol])[fn][pcol]
+                if nc is not None and nc == _footer_row_counts(path, [fn])[fn]:
+                    continue
                 raise RuntimeError(
                     f"constraint {c['name']!r}: no stats for {c['col']!r} in {fn} (unprovable)"
                 )
@@ -1783,11 +1890,10 @@ def _enforce_existing(path: str, snapshot: dict, constraints: list[dict]) -> Non
                     f"existing data violates constraint {c['name']!r}: "
                     f"{fn} has {c['col']} range {mm} outside [{lo}, {hi}]"
                 )
-    if null_cs:
-        nulls = _footer_nulls(path, snapshot["files"], [c["col"] for c in null_cs])
-        for fn in snapshot["files"]:
+        if null_cs:
+            nulls = _footer_nulls(path, [fn], sorted({phys[c["col"]] for c in null_cs}))[fn]
             for c in null_cs:
-                nc = nulls.get(fn, {}).get(c["col"])
+                nc = nulls[phys[c["col"]]]
                 if nc is None:
                     raise RuntimeError(
                         f"constraint {c['name']!r}: no null stats for {c['col']!r} in {fn}"

@@ -155,3 +155,183 @@ def test_materialize_deletes_hoists_live_set():
     assert "set(head[\"files\"])" not in src[loop:], (
         "per-iteration set() rebuild reintroduced"
     )
+
+
+# --- range CHECK constraints under SQL three-valued logic ---------------------
+
+
+def test_range_check_constraint_null_semantics(spark, tmp_path):
+    """CHECK (v BETWEEN lo AND hi) under three-valued logic: NULL rows
+    SATISFY the check (predicate not FALSE), so (a) a mixed null/valid
+    file commits, (b) an ALL-NULL file commits — proven vacuously valid
+    from footer null counts, where the pre-fix 'no min/max stats ->
+    unprovable' rule wrongly rejected it, (c) an out-of-range value
+    still rejects, and (d) add_check_constraint accepts EXISTING
+    all-null files the same way."""
+    path = str(tmp_path / "t8c")
+    P.register_sink(spark)
+    spark.range(10).selectExpr(
+        "id", "CAST(CASE WHEN id % 2 = 0 THEN NULL ELSE id + 100 END AS INT) AS v"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    P.add_check_constraint(path, "v_range", "v", lo=100, hi=200)
+    # (a) mixed nulls + in-range values
+    spark.sql(
+        "SELECT CAST(20 AS BIGINT) AS id, CAST(NULL AS INT) AS v "
+        "UNION ALL SELECT 21, 150"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    # (b) all-NULL file: vacuously valid
+    spark.sql(
+        "SELECT CAST(30 AS BIGINT) AS id, CAST(NULL AS INT) AS v"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    df, _h = P.read_manifest(spark, path)
+    assert df.count() == 13
+    # (c) out-of-range value still rejected, table untouched
+    with pytest.raises(Exception, match="constraint"):
+        spark.sql(
+            "SELECT CAST(40 AS BIGINT) AS id, CAST(999 AS INT) AS v"
+        ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+            "append"
+        ).save()
+    assert P.read_manifest(spark, path)[0].count() == 13
+    # (d) existing all-null data accepts a new range constraint
+    path2 = str(tmp_path / "t8c2")
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, CAST(NULL AS INT) AS v"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path2).mode(
+        "append"
+    ).save()
+    P.add_check_constraint(path2, "v_range", "v", lo=0, hi=1)
+
+
+# --- schema guards on the lakehouse verbs (round-8 self-review) ---------------
+
+
+def test_rename_guards_existence_and_collision(spark, tmp_path):
+    """rename_column must refuse (a) renaming a column that does not
+    exist (the reader's withColumnRenamed would silently no-op, leaving
+    a useless committed rename) and (b) renaming ONTO an existing name
+    (duplicate logical columns break every later select by name)."""
+    path = str(tmp_path / "tg1")
+    P.register_sink(spark)
+    spark.range(10).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.rename_column(path, "nope", "x")
+    with pytest.raises(RuntimeError, match="already exists"):
+        P.rename_column(path, "id", "v")
+    P.rename_column(path, "v", "w")  # legitimate rename still works
+    assert "w" in P.read_manifest(spark, path)[0].columns
+
+
+def test_delete_verbs_guard_nonexistent_column(spark, tmp_path):
+    """Both delete verbs fail at COMMIT time on a typo'd column — a
+    committed MoR delete on a missing column would break every later
+    logical read; the CoW verb would die mid-rewrite instead."""
+    path = str(tmp_path / "tg2")
+    P.register_sink(spark)
+    spark.range(10).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    v_before = P._latest_snapshot(path)["version"]
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.delete_where_mor(path, "nope", 0, 5)
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.delete_where(spark, path, "nope", 0, 5)
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.add_check_constraint(path, "c1", "nope", lo=0)
+    head = P._latest_snapshot(path)
+    assert head["version"] == v_before  # nothing committed
+    assert P.read_manifest(spark, path)[0].count() == 10
+
+
+def test_not_null_constraint_sees_schema_evolved_files(spark, tmp_path):
+    """Files written BEFORE a column existed are all-NULL for it on the
+    merged read, so a NOT NULL constraint on the evolved column must be
+    REFUSED — the pre-fix footer walk returned null_count 0 for a
+    column absent from the file and unsoundly accepted it."""
+    path = str(tmp_path / "tg3")
+    P.register_sink(spark)
+    spark.range(5).selectExpr("id").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    spark.range(5, 10).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    with pytest.raises(RuntimeError, match="null"):
+        P.add_check_constraint(path, "v_nn", "v", not_null=True)
+    # a RANGE constraint on the same column is vacuously fine for the
+    # old files (NULL satisfies a range CHECK) and proven for the new
+    P.add_check_constraint(path, "v_range", "v", lo=0, hi=100)
+
+
+def test_constraint_on_renamed_column_resolves_physical_stats(spark, tmp_path):
+    """add_check_constraint AFTER a rename: the proof must resolve each
+    file's PHYSICAL footer name through the rename chain — pre-fix the
+    range proof found no stats (spurious unprovable) and the NOT NULL
+    proof found a zero null count it never measured (unsound accept)."""
+    path = str(tmp_path / "tg4")
+    P.register_sink(spark)
+    spark.range(10).selectExpr("id", "CAST(id + 100 AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    P.rename_column(path, "v", "w")
+    P.add_check_constraint(path, "w_nn", "w", not_null=True)  # provable via 'v' footers
+    P.add_check_constraint(path, "w_range", "w", lo=100, hi=109)
+    with pytest.raises(RuntimeError, match="violates"):
+        P.add_check_constraint(path, "w_tight", "w", lo=100, hi=105)
+    # NOT NULL on a renamed column with real nulls still rejects
+    path2 = str(tmp_path / "tg4b")
+    spark.range(4).selectExpr(
+        "id", "CAST(CASE WHEN id = 2 THEN NULL ELSE id END AS INT) AS v"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path2).mode(
+        "append"
+    ).save()
+    P.rename_column(path2, "v", "w")
+    with pytest.raises(RuntimeError, match="null"):
+        P.add_check_constraint(path2, "w_nn", "w", not_null=True)
+
+
+def test_delete_where_plans_against_ledger_not_head_cache(spark, tmp_path):
+    """delete_where must plan against the versioned ledger: with the
+    manifest.json convenience cache missing (crash between claim and
+    head-pointer update), the verb still sees the latest snapshot."""
+    import os
+
+    path = str(tmp_path / "tg5")
+    P.register_sink(spark)
+    spark.range(100).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    os.remove(os.path.join(path, "manifest.json"))  # simulate lagging cache
+    res = P.delete_where(spark, path, "v", 0, 49)
+    assert res["n_deleted"] == 50
+    assert P.read_manifest(spark, path)[0].count() == 50
+
+
+def test_merge_upsert_null_keys_and_column_guard(spark, tmp_path):
+    """MERGE semantics under NULLs (standard SQL): a NULL-keyed update
+    row never matches (inserted), a NULL-keyed target row never matches
+    (kept, not updated); and a typo'd merge key fails at commit time."""
+    path = str(tmp_path / "tg6")
+    P.register_sink(spark)
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(1 AS BIGINT), 10), (2, 20), (CAST(NULL AS BIGINT), 30) AS t(k, v)"
+    ).coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    updates = spark.sql(
+        "SELECT * FROM VALUES (CAST(2 AS BIGINT), 99), (CAST(NULL AS BIGINT), 77) AS t(k, v)"
+    )
+    res = P.merge_upsert(spark, path, updates, "k")
+    assert res["n_updated"] == 1 and res["n_inserted"] == 1, res
+    rows = {(r.k, r.v) for r in P.read_manifest(spark, path)[0].collect()}
+    assert rows == {(1, 10), (2, 99), (None, 30), (None, 77)}, rows
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.merge_upsert(spark, path, updates.withColumnRenamed("k", "kk"), "kk")
