@@ -495,6 +495,7 @@ class ManifestParquetWriter(DataSourceWriter):
         # landed first, so the cumulative lists are stale and must be
         # rebuilt — never blind-retried.
         new_stats = _footer_stats(self.path, files)
+        new_cols = _footer_columns(self.path, files)
         n_new_rows = sum(m.n_rows for m in messages if m is not None)
         manifest = None
         for _attempt in range(64):
@@ -503,13 +504,17 @@ class ManifestParquetWriter(DataSourceWriter):
             if prev is not None and not self.overwrite:
                 prev_files, prev_rows = prev["files"], prev["n_rows"]
                 prev_stats = prev.get("stats", {})
+                prev_cols = prev.get("file_columns", {})
             else:
-                prev_files, prev_rows, prev_stats = [], 0, {}
+                prev_files, prev_rows, prev_stats, prev_cols = [], 0, {}, {}
             manifest = {
                 "version": prev_version + 1,
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
                 "stats": {**prev_stats, **new_stats},
+                # per-file column-name cache: verb planning reads THIS,
+                # not O(F) footers (carried like stats; reset on overwrite)
+                "file_columns": {**prev_cols, **new_cols},
                 # the rename log is TABLE metadata: every APPEND carries
                 # it forward or renamed columns would silently revert.
                 # An OVERWRITE replaces every data file, so the old
@@ -633,11 +638,13 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                         )
                         files.append(visible)
                 new_stats = _footer_stats(self.path, files)
+                new_cols = _footer_columns(self.path, files)
             manifest = {
                 "version": prev_version + 1,
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
                 "batches": batches + [batchId],
+                "file_columns": {**((prev or {}).get("file_columns", {})), **new_cols},
                 # footer stats per epoch commit give STREAMED tables the
                 # same zone maps batch commits get (pruned reads, targeted
                 # CoW deletes) — one footer read per new part, bounded
@@ -1205,6 +1212,10 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
             **{fn: stats[fn] for fn in untouched if fn in stats},
             **_footer_stats(path, new_files),
         },
+        "file_columns": {
+            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in set(untouched)},
+            **_footer_columns(path, new_files),
+        },
         "op": "delete",
         "renames": head.get("renames", []),
         # rewritten files already had their applicable MoR deletes
@@ -1261,9 +1272,13 @@ def _logical_columns(path: str, head: dict) -> set[str]:
     import pyarrow.parquet as pq
 
     renames = head.get("renames", [])
+    cache = head.get("file_columns", {})
     out: set[str] = set()
     for fn in head.get("files", []):
-        cur = set(pq.read_schema(os.path.join(path, fn)).names)
+        names = cache.get(fn)
+        if names is None:  # legacy manifest / staged path: one footer read
+            names = pq.read_schema(os.path.join(path, fn)).names
+        cur = set(names)
         for r in renames:
             if r["from"] in cur:
                 cur.discard(r["from"])
@@ -1421,6 +1436,10 @@ def materialize_deletes(spark, path: str) -> dict:
             **{fn: head.get("stats", {}).get(fn) for fn in untouched if fn in head.get("stats", {})},
             **_footer_stats(path, new_files),
         },
+        "file_columns": {
+            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in set(untouched)},
+            **_footer_columns(path, new_files),
+        },
         "eq_deletes": [],
         "op": "materialize",
     }
@@ -1545,6 +1564,10 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
         "stats": {
             **{fn: stats[fn] for fn in untouched if fn in stats},
             **_footer_stats(path, new_files),
+        },
+        "file_columns": {
+            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in set(untouched)},
+            **_footer_columns(path, new_files),
         },
         "op": "merge",
         "renames": head.get("renames", []),
@@ -1705,6 +1728,20 @@ def _footer_nulls(path: str, files: list[str], cols: list[str]) -> dict:
                 counts[c] = meta.num_rows
         out[fn] = counts
     return out
+
+
+def _footer_columns(path: str, files: list[str]) -> dict:
+    """Per-file PHYSICAL column names from parquet footers (metadata
+    only).  Committers record this in the manifest as `file_columns` so
+    later verb planning (`_logical_columns`, rename-chain resolution)
+    never re-reads O(F) footers — at 100 TB footer fetches are remote
+    round-trips, and the committer already has these footers open for
+    `_footer_stats`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return {fn: list(pq.read_schema(os.path.join(path, fn)).names) for fn in files}
 
 
 def _footer_row_counts(path: str, files: list[str]) -> dict:
@@ -1941,6 +1978,7 @@ def restore_table(path: str, to_version: int) -> dict:
             "files": target["files"],
             "n_rows": target["n_rows"],
             "stats": target.get("stats", {}),
+            "file_columns": target.get("file_columns", {}),
             "renames": target.get("renames", []),
             "eq_deletes": target.get("eq_deletes", []),
             "constraints": constraints,
@@ -1979,11 +2017,13 @@ def shallow_clone(src: str, dst: str) -> dict:
     rel = os.path.relpath(src, dst)
     files = [os.path.join(rel, fn) for fn in head["files"]]
     stats = {os.path.join(rel, fn): v for fn, v in head.get("stats", {}).items()}
+    fcols = {os.path.join(rel, fn): v for fn, v in head.get("file_columns", {}).items()}
     manifest = {
         "version": 1,
         "files": sorted(files),
         "n_rows": head["n_rows"],
         "stats": stats,
+        "file_columns": fcols,
         "renames": head.get("renames", []),
         "eq_deletes": [
             {**d, "files": [os.path.join(rel, fn) for fn in d["files"]]}
@@ -2264,7 +2304,12 @@ def _file_logical_metadata(path: str, manifest: dict, files: list[str] | None = 
     for fn in files if files is not None else manifest["files"]:
         app: tuple = ()
         if renames:
-            cur = set(pq.read_schema(os.path.join(path, fn)).names)
+            cached = manifest.get("file_columns", {}).get(fn)
+            cur = (
+                set(cached)
+                if cached is not None
+                else set(pq.read_schema(os.path.join(path, fn)).names)
+            )
             acc = []
             for r in renames:
                 if r["from"] in cur:

@@ -432,17 +432,28 @@ def test_overwrite_clears_renames_and_eq_deletes(spark, table):
     assert "bucket" in old.columns and old.count() == 80
 
 
-def test_cow_loser_removes_its_rewrites(spark, table):
+def test_cow_loser_removes_its_rewrites(spark, table, monkeypatch):
     """A delete_where that loses the OCC claim must remove its own
     rewritten part files before raising — they are manifest-unlisted
-    orphans that would otherwise sit until vacuum."""
+    orphans that would otherwise sit until vacuum.
+
+    The race is injected AT CLAIM TIME: since round 8 delete_where
+    plans against the versioned ledger (`_latest_snapshot`), a version
+    pre-claimed BEFORE planning is just the snapshot it builds on — the
+    loss only happens when a competing commit lands between the
+    snapshot read and the claim, which the wrapper below simulates."""
     import json as _json
 
-    # pre-claim the version delete_where will try to commit
-    head = P._latest_snapshot(table)
-    fake = {**head, "version": head["version"] + 1}
-    with open(os.path.join(table, f"_manifest-v{fake['version']}.json"), "w") as f:
-        _json.dump(fake, f)
+    real_claim = P._claim_and_publish
+
+    def racing_claim(path, manifest):
+        # a concurrent committer claims this exact version first
+        fake = {**P._latest_snapshot(path), "version": manifest["version"]}
+        with open(os.path.join(path, f"_manifest-v{fake['version']}.json"), "w") as f:
+            _json.dump(fake, f)
+        return real_claim(path, manifest)
+
+    monkeypatch.setattr(P, "_claim_and_publish", racing_claim)
     before = set(glob.glob(os.path.join(table, "part-*")))
     with pytest.raises(RuntimeError, match="lost the commit race"):
         P.delete_where(spark, table, "v", 0, 297)

@@ -335,3 +335,59 @@ def test_merge_upsert_null_keys_and_column_guard(spark, tmp_path):
     assert rows == {(1, 10), (2, 99), (None, 30), (None, 77)}, rows
     with pytest.raises(RuntimeError, match="no such column"):
         P.merge_upsert(spark, path, updates.withColumnRenamed("k", "kk"), "kk")
+
+
+def test_file_columns_cache_maintained_and_consulted(spark, tmp_path):
+    """Every commit records its files' column names in the manifest
+    (`file_columns`) so verb planning never re-reads O(F) footers; the
+    cache survives append/delete/merge/materialize/restore/clone, and a
+    legacy manifest without it still plans correctly via the footer
+    fallback."""
+    import json
+    import os
+
+    path = str(tmp_path / "tfc")
+    P.register_sink(spark)
+    spark.range(100).selectExpr("id", "CAST(id AS INT) AS v").coalesce(2).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    head = P._latest_snapshot(path)
+    assert set(head["file_columns"]) == set(head["files"])
+    assert all(sorted(c) == ["id", "v"] for c in head["file_columns"].values())
+
+    P.delete_where(spark, path, "v", 0, 9)
+    P.delete_where_mor(path, "v", 90, 99)
+    P.materialize_deletes(spark, path)
+    P.merge_upsert(
+        spark, path, spark.range(5).selectExpr("id", "CAST(99 AS INT) AS v"), "id"
+    )
+    head = P._latest_snapshot(path)
+    assert set(head["file_columns"]) == set(head["files"]), "cache drifted from file list"
+    P.restore_table(path, 1)
+    head = P._latest_snapshot(path)
+    assert set(head["file_columns"]) == set(head["files"])
+
+    # legacy manifest (cache stripped) still resolves logical columns
+    mf = os.path.join(path, f"_manifest-v{head['version']}.json")
+    m = json.load(open(mf))
+    m.pop("file_columns")
+    json.dump(m, open(mf, "w"))
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        json.dump(m, open(os.path.join(path, "manifest.json"), "w"))
+    assert P._logical_columns(path, P._latest_snapshot(path)) == {"id", "v"}
+
+
+def test_file_columns_cache_rides_clone_and_stream(spark, tmp_path):
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "tfc2")
+    w = P.ManifestStreamWriter({"path": path})
+    msg = w.write(iter(Row(id=j, v=j) for j in range(50)))
+    w.commit([msg], 0)
+    head = P._latest_snapshot(path)
+    assert set(head["file_columns"]) == set(head["files"])
+    dst = str(tmp_path / "tfc2_clone")
+    P.shallow_clone(path, dst)
+    chead = P._latest_snapshot(dst)
+    assert set(chead["file_columns"]) == set(chead["files"])
+    assert P._logical_columns(dst, chead) == {"id", "v"}
