@@ -1159,6 +1159,7 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     for fn in head["files"]:
         s = stats.get(fn, {}).get(col)
         (touched if s is None or (s[0] <= hi and s[1] >= lo) else untouched).append(fn)
+    untouched_set = set(untouched)
     n_deleted, new_files, n_physical_removed = 0, [], 0
     # part-file names carry a uuid token: identity must never depend on
     # the raced version number, or two same-verb committers computing
@@ -1213,7 +1214,9 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
             **_footer_stats(path, new_files),
         },
         "file_columns": {
-            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in set(untouched)},
+            # untouched-set hoisted: a per-iteration set() rebuild is the
+            # O(F^2) planning class the round-8 ADVICE flagged
+            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in untouched_set},
             **_footer_columns(path, new_files),
         },
         "op": "delete",
@@ -1266,7 +1269,9 @@ def _logical_columns(path: str, head: dict) -> set[str]:
     of their footer schema names with each file's applicable rename
     chain applied (same hop-by-hop rule as `_file_logical_metadata`,
     so the guard agrees with what readers actually produce).  Metadata
-    only — O(F) footer reads, same planning class as `_footer_stats`."""
+    only: the manifest's `file_columns` cache (recorded at commit time)
+    answers in O(F) dict lookups; files missing from the cache (legacy
+    manifests) fall back to one footer read each."""
     import os
 
     import pyarrow.parquet as pq
@@ -1397,6 +1402,7 @@ def materialize_deletes(spark, path: str) -> dict:
             if fn in live:
                 applicable.setdefault(fn, []).append(d)
     untouched = [fn for fn in head["files"] if fn not in applicable]
+    untouched_set = set(untouched)
     new_files = []
     next_v = head.get("version", 0) + 1
     import uuid
@@ -1437,7 +1443,9 @@ def materialize_deletes(spark, path: str) -> dict:
             **_footer_stats(path, new_files),
         },
         "file_columns": {
-            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in set(untouched)},
+            # untouched-set hoisted: a per-iteration set() rebuild is the
+            # O(F^2) planning class the round-8 ADVICE flagged
+            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in untouched_set},
             **_footer_columns(path, new_files),
         },
         "eq_deletes": [],
@@ -1523,6 +1531,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
     touched = sorted(hit) + unstatted
     touched_set = set(touched)
     untouched = [fn for fn in head["files"] if fn not in touched_set]
+    untouched_set = set(untouched)
     n_updated, new_files, n_physical_touched = 0, [], 0
     survivors_plus = updates
     if touched:
@@ -1566,7 +1575,9 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
             **_footer_stats(path, new_files),
         },
         "file_columns": {
-            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in set(untouched)},
+            # untouched-set hoisted: a per-iteration set() rebuild is the
+            # O(F^2) planning class the round-8 ADVICE flagged
+            **{fn: c for fn, c in head.get("file_columns", {}).items() if fn in untouched_set},
             **_footer_columns(path, new_files),
         },
         "op": "merge",
