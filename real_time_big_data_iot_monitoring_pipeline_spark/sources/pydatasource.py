@@ -395,6 +395,25 @@ def _latest_snapshot(path: str) -> dict | None:
     return None
 
 
+def _head_snapshot(path: str, version: int | None = None) -> dict:
+    """Snapshot for READ paths: an explicit `version` loads that
+    immutable manifest; otherwise the LEDGER head via `_latest_snapshot`
+    — never the manifest.json convenience cache, which can lag one
+    version after a crash between claim and head-pointer update (the
+    ledger is the commit truth; the cache is healed on the next commit
+    but readers must not wait for it).  Raises FileNotFoundError on a
+    missing table/version, matching the old open() behavior."""
+    import os
+
+    if version is not None:
+        with open(os.path.join(path, f"_manifest-v{version}.json")) as f:
+            return _json.load(f)
+    head = _latest_snapshot(path)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    return head
+
+
 def _claim_and_publish(path: str, manifest: dict) -> bool:
     """OPTIMISTIC CONCURRENCY commit: atomically CLAIM
     `_manifest-v{N}.json` via hard-link creation — `os.link` both fails
@@ -756,9 +775,7 @@ def read_manifest(spark, path: str, version: int | None = None, merge_schema: bo
     `_read_logical` (shared with the pruned/staged readers)."""
     import os
 
-    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
-    with open(os.path.join(path, name)) as f:
-        manifest = _json.load(f)
+    manifest = _head_snapshot(path, version)
     return _read_logical(spark, path, manifest["files"], manifest, merge_schema), manifest
 
 
@@ -776,9 +793,7 @@ def read_manifest_pruned(
     skipping.  Returns (df, n_files_scanned, n_files_total)."""
     import os
 
-    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
-    with open(os.path.join(path, name)) as f:
-        manifest = _json.load(f)
+    manifest = _head_snapshot(path, version)
     stats = manifest.get("stats", {})
     keep = []
     for fn in manifest["files"]:
@@ -828,9 +843,7 @@ def build_bloom_index(
     import pandas as pd
     from pyspark.sql import functions as F
 
-    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
-    with open(os.path.join(path, name)) as f:
-        manifest = _json.load(f)
+    manifest = _head_snapshot(path, version)
     files = manifest["files"]
     df = spark.read.parquet(*[os.path.join(path, fn) for fn in files])
     dtype = df.schema[col].dataType.simpleString()
@@ -886,8 +899,7 @@ def refresh_bloom_index(spark, path: str, col: str) -> dict:
     import os
     import re
 
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = _json.load(f)
+    manifest = _head_snapshot(path)
     pat = re.compile(rf"^_bloom-{re.escape(col)}-v(\d+)\.json$")
     cand = [int(m.group(1)) for fn in os.listdir(path) if (m := pat.match(fn))]
     if not cand:
@@ -897,7 +909,8 @@ def refresh_bloom_index(spark, path: str, col: str) -> dict:
     with open(os.path.join(path, f"_bloom-{col}-v{max(cand)}.json")) as f:
         old = _json.load(f)
     new_files = [fn for fn in manifest["files"] if fn not in old["filters"]]
-    filters = {fn: b64 for fn, b64 in old["filters"].items() if fn in set(manifest["files"])}
+    live = set(manifest["files"])  # hoisted: not rebuilt per filter entry
+    filters = {fn: b64 for fn, b64 in old["filters"].items() if fn in live}
     if new_files:
         import base64
 
@@ -958,9 +971,7 @@ def read_manifest_bloom_pruned(spark, path: str, col: str, value, version: int |
 
     from pyspark.sql import functions as F
 
-    name = "manifest.json" if version is None else f"_manifest-v{version}.json"
-    with open(os.path.join(path, name)) as f:
-        manifest = _json.load(f)
+    manifest = _head_snapshot(path, version)
     pat = re.compile(rf"^_bloom-{re.escape(col)}-v(\d+)\.json$")
     cand = [
         int(m.group(1))
@@ -1649,8 +1660,7 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
     import os
     import time
 
-    with open(os.path.join(path, "manifest.json")) as f:
-        head_version = _json.load(f)["version"]
+    head_version = _head_snapshot(path)["version"]
     horizon = max(1, head_version - keep_versions + 1)
     # named refs PIN their snapshots (Iceberg's retain-ref rule): a
     # tagged or branch-pinned version keeps its manifest AND its files
@@ -2210,8 +2220,7 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
     from pyspark.sql import functions as F
 
     if to_version is None:
-        with open(os.path.join(path, "manifest.json")) as f:
-            to_version = _json.load(f)["version"]
+        to_version = _head_snapshot(path)["version"]
     frames, commits = [], []
     for d in _append_deltas(path, since_version, to_version):
         if d["new_files"]:
@@ -2350,8 +2359,7 @@ class ManifestBatchReader(DataSourceReader):
     def partitions(self):
         import os
 
-        with open(os.path.join(self.path, "manifest.json")) as f:
-            manifest = _json.load(f)
+        manifest = _head_snapshot(self.path)
         meta = _file_logical_metadata(self.path, manifest)
         return [
             ManifestFilePartition(fn, *meta[fn]) for fn in manifest["files"]
@@ -2417,11 +2425,8 @@ class ManifestStreamReader(SimpleDataSourceStreamReader):
     def _head_version(self) -> int:
         import os
 
-        head = os.path.join(self.path, "manifest.json")
-        if not os.path.exists(head):
-            return 0
-        with open(head) as f:
-            return _json.load(f)["version"]
+        latest = _latest_snapshot(self.path)
+        return latest.get("version", 0) if latest else 0
 
     def _rows(self, v0: int, v1: int) -> list:
         import os
@@ -2467,8 +2472,7 @@ class ManifestTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("rtbd_manifest_table requires a path option")
-        with open(os.path.join(path, "manifest.json")) as f:
-            manifest = _json.load(f)
+        manifest = _head_snapshot(path)
         files = manifest["files"]
         if not files:
             raise ValueError("rtbd_manifest_table: empty table has no schema")

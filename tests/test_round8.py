@@ -391,3 +391,33 @@ def test_file_columns_cache_rides_clone_and_stream(spark, tmp_path):
     chead = P._latest_snapshot(dst)
     assert set(chead["file_columns"]) == set(chead["files"])
     assert P._logical_columns(dst, chead) == {"id", "v"}
+
+
+def test_readers_see_ledger_head_not_stale_cache(spark, tmp_path):
+    """Every read path resolves the LEDGER head even when the
+    manifest.json convenience cache lags (crash between claim and
+    head-pointer update): batch read, pruned read, format read, CDF
+    default bound, and the stream reader's head version."""
+    import json
+    import os
+
+    path = str(tmp_path / "tstale")
+    P.register_sink(spark)
+    spark.range(50).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    spark.range(50, 100).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    # simulate the lagging cache: head pointer rolled back to v1
+    v1 = json.load(open(os.path.join(path, "_manifest-v1.json")))
+    json.dump(v1, open(os.path.join(path, "manifest.json"), "w"))
+
+    assert P.read_manifest(spark, path)[0].count() == 100
+    df, n_scanned, n_total = P.read_manifest_pruned(spark, path, "v", 0, 99)
+    assert n_total == 2 and df.count() == 100
+    P.register(spark)
+    fmt = spark.read.format("rtbd_manifest_table").option("path", path).load()
+    assert fmt.count() == 100
+    deltas = P._append_deltas(path, 0, P._head_snapshot(path)["version"])
+    assert [d["version"] for d in deltas] == [1, 2]
