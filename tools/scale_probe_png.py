@@ -52,6 +52,55 @@ def main() -> None:
         f"(2 encodes + 2 decodes + resize per image, local[{cpus}])"
     )
 
+    # round-8 addition: perceptual-hash stage on the PIXEL path — the
+    # aHash kernel now decodes parseable PNGs and hashes the 8x8
+    # nearest-resize, so the near-dup stage pays one decode per image.
+    # The catalog's synth gradients all collapse to a handful of 8x8
+    # hashes (they are phase shifts of ONE pattern — quadratic pair
+    # blowup, measured 729k pairs over 5k images), so the probe builds
+    # DIVERSE per-id noise images with n/2 PLANTED near-dups: ids
+    # [n/2, n) re-encode id-n/2's pixels under a different filter
+    # policy, so exactly n/2 pairs must verify at Hamming 0.
+    import numpy as _np
+
+    half = n_images // 2
+
+    def _noise_png(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                base = int(d) % half
+                rng = _np.random.default_rng(base)
+                px = rng.integers(0, 256, size=(size, size), dtype=_np.uint8)
+                payloads.append(
+                    multimodal.png_encode(px, policy="cycle" if int(d) < half else "fast")
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    import pandas as pd
+
+    noise = ids.mapInPandas(
+        _noise_png, "doc_id long, payload binary"
+    ).cache()
+    noise.count()
+    t0 = time.time()
+    sig_n = multimodal.ahash_bands(noise).count()
+    t_hash = time.time() - t0
+    t0 = time.time()
+    pairs_df = multimodal.phash_near_dups(noise)
+    n_pairs = pairs_df.count()
+    t_pairs = time.time() - t0
+    planted = pairs_df.filter(
+        (F.col("id_b") - F.col("id_a") == half) & (F.col("hamming") == 0)
+    ).count()
+    noise.unpersist()
+    print(
+        f"phash pixel path: {sig_n} signatures in {t_hash:.1f}s = "
+        f"{sig_n / t_hash:.0f} img/s; banded near-dup join {t_pairs:.1f}s, "
+        f"{n_pairs} pairs ({planted}/{half} planted re-encodes verified at Hamming 0)"
+    )
+
     # driver-side filter-cost isolation (single core)
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.multimodal import (
         _synth_pixels,
