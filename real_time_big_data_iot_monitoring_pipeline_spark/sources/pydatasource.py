@@ -1427,10 +1427,16 @@ def materialize_deletes(spark, path: str) -> dict:
         groups.setdefault(keyt, []).append(fn)
     gi = 0
     for keyt, fns in groups.items():
-        df = spark.read.parquet(*[os.path.join(path, fn) for fn in fns])
-        for c, lo, hi in keyt:
-            # NULL-safe: same survive-on-NULL contract as _read_logical
-            df = df.filter(F.col(c).isNull() | ~F.col(c).between(lo, hi))
+        # LOGICAL read of the group (found by the round-8 model-based
+        # verb-sequence test): delete predicates reference CURRENT
+        # column names, but a raw parquet read surfaces each file's
+        # PHYSICAL (pre-rename) names — a rename committed before the
+        # MoR delete made the rewrite fail on an unresolvable column.
+        # `_read_logical` applies each file's rename chain AND its
+        # applicable eq-deletes (NULL-safe), so the rewritten files
+        # land under current names and the retained rename log no-ops
+        # on them per the per-file chain rule.
+        df = _read_logical(spark, path, fns, head)
         gdir = os.path.join(staging, str(gi))
         df.write.mode("overwrite").parquet(gdir)
         for i, part in enumerate(sorted(glob.glob(os.path.join(gdir, "part-*")))):

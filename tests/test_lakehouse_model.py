@@ -1,0 +1,145 @@
+"""Model-based property test of the manifest-table verb algebra
+(round 8): hypothesis drives RANDOM SEQUENCES of lakehouse verbs —
+append, CoW delete, MoR delete, materialize, rename, MERGE upsert,
+restore — against two implementations of the same contract:
+
+  * the real table (`sources/pydatasource.py`, through the sink and
+    the public verbs), read back logically after every commit;
+  * a pure-Python model (a dict of rows + a snapshot history) applying
+    the documented semantics: three-valued-logic range deletes (NULL
+    survives), MERGE on key equality (NULL keys insert), renames as
+    metadata, restore as a new commit of an old state.
+
+Hand-written tests pin known interleavings; this pins the ALGEBRA — any
+verb sequence the generator can reach must agree cell-for-cell.  The
+round-7/8 bug classes (MoR resurrection in CoW rewrites, NULL rows
+dropped by range deletes, stale rename application) are all reachable
+states of this machine."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
+
+# Each verb is (tag, payload) — payloads drawn small so sequences stay
+# fast (every verb is a real Spark commit on a tiny table).
+VERB = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 3)),
+    st.tuples(st.just("delete_cow"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
+    st.tuples(st.just("delete_mor"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
+    st.tuples(st.just("materialize"), st.none()),
+    st.tuples(st.just("rename"), st.none()),
+    st.tuples(st.just("merge"), st.integers(0, 3)),
+    st.tuples(st.just("restore"), st.integers(1, 6)),
+)
+
+
+def _batch_rows(batch: int):
+    """Deterministic 12-row batch; v is NULL on every 4th row."""
+    base = batch * 100
+    return [
+        (base + i, (base + i) % 5, None if i % 4 == 0 else (base + i) % 9)
+        for i in range(12)
+    ]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(verbs=st.lists(VERB, min_size=3, max_size=7))
+def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
+    import uuid
+
+    path = str(tmp_path_factory.mktemp("model") / f"t_{uuid.uuid4().hex[:8]}")
+    P.register_sink(spark)
+
+    # ---- model state ----
+    rows: dict[int, tuple] = {}  # id -> (k, v)
+    vcol = "v"  # current logical name of the value column
+    seq = 0  # append sequence: every append is a FRESH id range (append
+    # is not upsert — a repeated range would put duplicate rows in the
+    # table that the dict-shaped compare below cannot see)
+    history: list[tuple[dict, str]] = []  # per committed version
+
+    def mor_pending() -> bool:
+        return bool(P._latest_snapshot(path).get("eq_deletes"))
+
+    def snap():
+        history.append((dict(rows), vcol))
+
+    def spark_state():
+        df, _m = P.read_manifest(spark, path)
+        assert sorted(df.columns) == sorted(["id", "k", vcol]), df.columns
+        return {r["id"]: (r["k"], r[vcol]) for r in df.collect()}
+
+    def model_state():
+        return dict(rows)
+
+    # every sequence starts with one append so the table exists
+    first = _batch_rows(99)
+    spark.createDataFrame(first, "id long, k int, v int").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    rows.update({i: (k, v) for i, k, v in first})
+    snap()
+
+    for tag, payload in verbs:
+        if tag == "append":
+            batch = _batch_rows(seq + 2 * payload)
+            seq += 10
+            df = spark.createDataFrame(batch, f"id long, k int, {vcol} int")
+            df.coalesce(1).write.format("rtbd_manifest_sink").option(
+                "path", path
+            ).mode("append").save()
+            rows.update({i: (k, v) for i, k, v in batch})
+            snap()
+        elif tag in ("delete_cow", "delete_mor"):
+            lo, hi = sorted(payload)
+            if tag == "delete_cow":
+                P.delete_where(spark, path, vcol, lo, hi)
+            else:
+                P.delete_where_mor(path, vcol, lo, hi)
+            # three-valued logic: NULL v survives any range delete
+            rows = {
+                i: (k, v)
+                for i, (k, v) in rows.items()
+                if v is None or not (lo <= v <= hi)
+            }
+            snap()
+        elif tag == "materialize":
+            had_pending = mor_pending()
+            m = P.materialize_deletes(spark, path)
+            if had_pending:  # a real commit happened
+                snap()
+            else:
+                assert m["n_files_rewritten"] == 0  # no-op: no commit
+        elif tag == "rename":
+            new = "w" if vcol == "v" else "v"
+            if mor_pending():
+                with pytest.raises(RuntimeError, match="pending merge-on-read"):
+                    P.rename_column(path, vcol, new)
+            else:
+                P.rename_column(path, vcol, new)
+                vcol = new
+                snap()
+        elif tag == "merge":
+            upd = [(i, 7, 77 + payload) for i in sorted(rows)[: 2 + payload]]
+            upd.append((9000 + payload, 7, None))  # insert, NULL value
+            df = spark.createDataFrame(upd, f"id long, k int, {vcol} int")
+            P.merge_upsert(spark, path, df, "id")
+            rows.update({i: (k, v) for i, k, v in upd})
+            snap()
+        elif tag == "restore":
+            v = 1 + (payload % len(history))
+            P.restore_table(path, v)
+            rows, vcol = dict(history[v - 1][0]), history[v - 1][1]
+            snap()
+        assert spark_state() == model_state(), f"divergence after {tag}({payload})"
+
+    # terminal: materialize everything and compare once more physically
+    P.materialize_deletes(spark, path)
+    assert spark_state() == model_state()
+    head = P._latest_snapshot(path)
+    assert not head.get("eq_deletes")
+    assert set(head["file_columns"]) == set(head["files"])

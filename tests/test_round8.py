@@ -421,3 +421,28 @@ def test_readers_see_ledger_head_not_stale_cache(spark, tmp_path):
     assert fmt.count() == 100
     deltas = P._append_deltas(path, 0, P._head_snapshot(path)["version"])
     assert [d["version"] for d in deltas] == [1, 2]
+
+
+def test_materialize_after_rename_applies_chain(spark, tmp_path):
+    """Found by the model-based verb-sequence test: rename v->w, MoR
+    delete on w, then materialize — the physical rewrite must read each
+    file LOGICALLY (rename chain applied) or the predicate on the
+    current name fails to resolve against the file's pre-rename
+    columns.  The rewritten files land under current names and the
+    retained rename entry no-ops on them."""
+    path = str(tmp_path / "tmrn")
+    P.register_sink(spark)
+    spark.range(20).selectExpr("id", "CAST(id AS INT) AS v").coalesce(2).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    P.rename_column(path, "v", "w")
+    P.delete_where_mor(path, "w", 5, 9)
+    P.materialize_deletes(spark, path)
+    df, head = P.read_manifest(spark, path)
+    assert not head.get("eq_deletes")
+    assert sorted(df.columns) == ["id", "w"]
+    assert sorted(r.w for r in df.collect()) == [v for v in range(20) if not 5 <= v <= 9]
+    # the same shape through the Arrow format reader
+    P.register(spark)
+    fmt = spark.read.format("rtbd_manifest_table").option("path", path).load()
+    assert sorted(fmt.columns) == ["id", "w"] and fmt.count() == 15
