@@ -34,6 +34,8 @@ VERB = st.one_of(
     st.tuples(st.just("rename"), st.none()),
     st.tuples(st.just("merge"), st.integers(0, 3)),
     st.tuples(st.just("restore"), st.integers(1, 6)),
+    st.tuples(st.just("overwrite"), st.integers(0, 3)),
+    st.tuples(st.just("vacuum"), st.none()),
 )
 
 
@@ -61,6 +63,8 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     # is not upsert — a repeated range would put duplicate rows in the
     # table that the dict-shaped compare below cannot see)
     history: list[tuple[dict, str]] = []  # per committed version
+
+    horizon = 1  # oldest version still restorable (advanced by vacuum)
 
     def mor_pending() -> bool:
         return bool(P._latest_snapshot(path).get("eq_deletes"))
@@ -132,9 +136,31 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
             snap()
         elif tag == "restore":
             v = 1 + (payload % len(history))
-            P.restore_table(path, v)
-            rows, vcol = dict(history[v - 1][0]), history[v - 1][1]
+            if v < horizon:
+                # the target snapshot was vacuumed away: refuse loudly,
+                # commit nothing (Iceberg expire_snapshots behavior)
+                with pytest.raises(RuntimeError, match="cannot restore"):
+                    P.restore_table(path, v)
+            else:
+                P.restore_table(path, v)
+                rows, vcol = dict(history[v - 1][0]), history[v - 1][1]
+                snap()
+        elif tag == "overwrite":
+            # overwrite replaces every data file and RESETS read-side
+            # metadata (renames, eq-deletes); the frame is written under
+            # the CURRENT logical name, so vcol is unchanged
+            batch = _batch_rows(seq + 2 * payload)
+            seq += 10
+            df = spark.createDataFrame(batch, f"id long, k int, {vcol} int")
+            df.coalesce(1).write.format("rtbd_manifest_sink").option(
+                "path", path
+            ).mode("overwrite").save()
+            rows = {i: (k, v) for i, k, v in batch}
             snap()
+        elif tag == "vacuum":
+            res = P.vacuum(path, keep_versions=3, retention_seconds=0.0)
+            horizon = max(horizon, res["horizon_version"])
+            # no commit: vacuum reclaims, it does not change the table
         assert spark_state() == model_state(), f"divergence after {tag}({payload})"
 
     # terminal: materialize everything and compare once more physically
