@@ -1337,6 +1337,16 @@ def rename_column(path: str, old: str, new: str) -> dict:
                 f"cannot rename {old!r}: CHECK constraints reference it — "
                 "drop_check_constraint first (constraint predicates always use current names)"
             )
+        if any(c["col"] == new for c in head.get("constraints", [])):
+            # symmetric to-guard (found by the round-8 model machine's
+            # state space): renaming ONTO a constraint-referenced name
+            # re-activates that constraint against data the constraint
+            # never validated — a rename-then-restore-then-rename chain
+            # reaches it with the column's values outside the range
+            raise RuntimeError(
+                f"cannot rename {old!r} -> {new!r}: CHECK constraints reference "
+                f"{new!r} — drop_check_constraint first or pick another name"
+            )
         manifest = {
             **head,
             "version": head.get("version", 0) + 1,

@@ -36,6 +36,8 @@ VERB = st.one_of(
     st.tuples(st.just("restore"), st.integers(1, 6)),
     st.tuples(st.just("overwrite"), st.integers(0, 3)),
     st.tuples(st.just("vacuum"), st.none()),
+    st.tuples(st.just("constraint"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
+    st.tuples(st.just("drop_constraint"), st.none()),
 )
 
 
@@ -65,6 +67,25 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     history: list[tuple[dict, str]] = []  # per committed version
 
     horizon = 1  # oldest version still restorable (advanced by vacuum)
+    constraints: dict[str, tuple[str, int, int]] = {}  # name -> (col, lo, hi)
+    cn = 0
+
+    def batch_violates(batch, col) -> bool:
+        """Does writing `batch` under column name `col` violate any
+        ACTIVE constraint?  A constraint whose column name is not the
+        current value column is vacuously satisfied (the column is
+        absent from the write = all-NULL, and NULL passes a range
+        CHECK — mirrors the footer proof exactly)."""
+        return any(
+            ccol == col and any(v is not None and not (lo <= v <= hi) for _i, _k, v in batch)
+            for ccol, lo, hi in constraints.values()
+        )
+
+    def rows_violate(state_rows, col) -> bool:
+        return any(
+            ccol == col and any(v is not None and not (lo <= v <= hi) for _k, v in state_rows.values())
+            for ccol, lo, hi in constraints.values()
+        )
 
     def mor_pending() -> bool:
         return bool(P._latest_snapshot(path).get("eq_deletes"))
@@ -93,11 +114,18 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
             batch = _batch_rows(seq + 2 * payload)
             seq += 10
             df = spark.createDataFrame(batch, f"id long, k int, {vcol} int")
-            df.coalesce(1).write.format("rtbd_manifest_sink").option(
-                "path", path
-            ).mode("append").save()
-            rows.update({i: (k, v) for i, k, v in batch})
-            snap()
+            if batch_violates(batch, vcol):
+                with pytest.raises(Exception, match="constraint"):
+                    df.coalesce(1).write.format("rtbd_manifest_sink").option(
+                        "path", path
+                    ).mode("append").save()
+                # rejected commit: table untouched, no version consumed
+            else:
+                df.coalesce(1).write.format("rtbd_manifest_sink").option(
+                    "path", path
+                ).mode("append").save()
+                rows.update({i: (k, v) for i, k, v in batch})
+                snap()
         elif tag in ("delete_cow", "delete_mor"):
             lo, hi = sorted(payload)
             if tag == "delete_cow":
@@ -120,20 +148,29 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 assert m["n_files_rewritten"] == 0  # no-op: no commit
         elif tag == "rename":
             new = "w" if vcol == "v" else "v"
-            if mor_pending():
-                with pytest.raises(RuntimeError, match="pending merge-on-read"):
+            blocked = (
+                mor_pending()
+                or any(c[0] == vcol for c in constraints.values())  # from-guard
+                or any(c[0] == new for c in constraints.values())  # to-guard
+            )
+            if blocked:
+                with pytest.raises(RuntimeError, match="pending merge-on-read|CHECK constraints"):
                     P.rename_column(path, vcol, new)
             else:
                 P.rename_column(path, vcol, new)
                 vcol = new
                 snap()
         elif tag == "merge":
-            upd = [(i, 7, 77 + payload) for i in sorted(rows)[: 2 + payload]]
+            upd = [(i, 7, (3 * payload + i) % 9) for i in sorted(rows)[: 2 + payload]]
             upd.append((9000 + payload, 7, None))  # insert, NULL value
             df = spark.createDataFrame(upd, f"id long, k int, {vcol} int")
-            P.merge_upsert(spark, path, df, "id")
-            rows.update({i: (k, v) for i, k, v in upd})
-            snap()
+            if batch_violates(upd, vcol):
+                with pytest.raises(Exception, match="constraint"):
+                    P.merge_upsert(spark, path, df, "id")
+            else:
+                P.merge_upsert(spark, path, df, "id")
+                rows.update({i: (k, v) for i, k, v in upd})
+                snap()
         elif tag == "restore":
             v = 1 + (payload % len(history))
             if v < horizon:
@@ -141,26 +178,57 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 # commit nothing (Iceberg expire_snapshots behavior)
                 with pytest.raises(RuntimeError, match="cannot restore"):
                     P.restore_table(path, v)
+            elif rows_violate(history[v - 1][0], history[v - 1][1]):
+                # restore is validated against the CURRENT constraints:
+                # a target state violating one is refused, no commit
+                with pytest.raises(RuntimeError, match="violates constraint"):
+                    P.restore_table(path, v)
             else:
                 P.restore_table(path, v)
                 rows, vcol = dict(history[v - 1][0]), history[v - 1][1]
                 snap()
         elif tag == "overwrite":
             # overwrite replaces every data file and RESETS read-side
-            # metadata (renames, eq-deletes); the frame is written under
-            # the CURRENT logical name, so vcol is unchanged
+            # metadata (renames, eq-deletes) but CARRIES constraints
+            # (table metadata); written under the CURRENT logical name
             batch = _batch_rows(seq + 2 * payload)
             seq += 10
             df = spark.createDataFrame(batch, f"id long, k int, {vcol} int")
-            df.coalesce(1).write.format("rtbd_manifest_sink").option(
-                "path", path
-            ).mode("overwrite").save()
-            rows = {i: (k, v) for i, k, v in batch}
-            snap()
+            if batch_violates(batch, vcol):
+                with pytest.raises(Exception, match="constraint"):
+                    df.coalesce(1).write.format("rtbd_manifest_sink").option(
+                        "path", path
+                    ).mode("overwrite").save()
+            else:
+                df.coalesce(1).write.format("rtbd_manifest_sink").option(
+                    "path", path
+                ).mode("overwrite").save()
+                rows = {i: (k, v) for i, k, v in batch}
+                snap()
         elif tag == "vacuum":
             res = P.vacuum(path, keep_versions=3, retention_seconds=0.0)
             horizon = max(horizon, res["horizon_version"])
             # no commit: vacuum reclaims, it does not change the table
+        elif tag == "constraint":
+            lo, hi = sorted(payload)
+            name = f"c{cn}"
+            cn += 1
+            if any(v is not None and not (lo <= v <= hi) for _k, v in rows.values()):
+                with pytest.raises(RuntimeError, match="violates constraint"):
+                    P.add_check_constraint(path, name, vcol, lo=lo, hi=hi)
+            else:
+                P.add_check_constraint(path, name, vcol, lo=lo, hi=hi)
+                constraints[name] = (vcol, lo, hi)
+                snap()  # alter commits a version; rows unchanged
+        elif tag == "drop_constraint":
+            if constraints:
+                name = sorted(constraints)[0]
+                P.drop_check_constraint(path, name)
+                del constraints[name]
+                snap()  # alter commit
+            else:
+                with pytest.raises(RuntimeError, match="no such constraint"):
+                    P.drop_check_constraint(path, "c999")
         assert spark_state() == model_state(), f"divergence after {tag}({payload})"
 
     # terminal: materialize everything and compare once more physically

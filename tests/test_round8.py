@@ -446,3 +446,24 @@ def test_materialize_after_rename_applies_chain(spark, tmp_path):
     P.register(spark)
     fmt = spark.read.format("rtbd_manifest_table").option("path", path).load()
     assert sorted(fmt.columns) == ["id", "w"] and fmt.count() == 15
+
+
+def test_rename_onto_constraint_referenced_name_refused(spark, tmp_path):
+    """Found by the model machine's state space: renaming a column ONTO
+    a name an existing CHECK constraint references would re-activate
+    that constraint against data it never validated (reachable via
+    rename -> constrain -> restore -> re-rename).  The to-guard refuses
+    symmetrically with the from-guard."""
+    path = str(tmp_path / "tg7")
+    P.register_sink(spark)
+    spark.range(9).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1).write.format(
+        "rtbd_manifest_sink"
+    ).option("path", path).mode("append").save()
+    P.rename_column(path, "v", "w")  # v1 data now logically 'w'
+    P.add_check_constraint(path, "w_range", "w", lo=0, hi=8)
+    P.restore_table(path, 1)  # back to column 'v'; constraint on 'w' dormant
+    with pytest.raises(RuntimeError, match="CHECK constraints reference 'w'"):
+        P.rename_column(path, "v", "w")
+    P.drop_check_constraint(path, "w_range")
+    P.rename_column(path, "v", "w")  # allowed once the constraint is gone
+    assert "w" in P.read_manifest(spark, path)[0].columns
