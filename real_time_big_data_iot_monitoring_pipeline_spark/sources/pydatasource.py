@@ -569,7 +569,9 @@ class ManifestParquetWriter(DataSourceWriter):
             # WRITE-TIME CHECK-CONSTRAINT enforcement (footer-stats
             # proof, never a data scan): a violating commit removes its
             # own parts and raises — the table is untouched.
-            _enforce_constraints(self.path, files, manifest["constraints"])
+            _enforce_constraints(
+                self.path, files, manifest["constraints"], manifest.get("renames")
+            )
             if self.staged:
                 break
             if _claim_and_publish(self.path, manifest):
@@ -649,7 +651,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 for m in messages:
                     if m is not None and m.filename:
                         visible = m.filename.replace(
-                            "_uncommitted_", f"part-b{batchId}-", 1
+                            "_uncommitted_", f"part-batch{batchId}-", 1
                         )
                         os.replace(
                             os.path.join(self.path, m.filename),
@@ -678,7 +680,9 @@ class ManifestStreamWriter(DataSourceStreamWriter):
             # per-epoch CHECK enforcement — same footer-stats proof as
             # the batch writer; a violating epoch fails the stream query
             # with the table untouched
-            _enforce_constraints(self.path, files, manifest["constraints"])
+            _enforce_constraints(
+                self.path, files, manifest["constraints"], manifest.get("renames")
+            )
             if _claim_and_publish(self.path, manifest):
                 return
         raise RuntimeError(
@@ -1163,7 +1167,11 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     # the OCC claim (or missing a just-committed file list)
     head = _latest_snapshot(path)
     assert head is not None, "delete_where requires an existing table"
-    if col not in _logical_columns(path, head):
+    # zero-file snapshots (a delete emptied the table, or an empty
+    # overwrite) have an EMPTY logical column union — the guard would
+    # reject every column name; a delete there is a legitimate no-op
+    # (same escape as add_check_constraint, round-8 ADVICE)
+    if head.get("files") and col not in _logical_columns(path, head):
         raise RuntimeError(f"delete_where: no such column {col!r}")
     stats = head.get("stats", {})
     touched, untouched = [], []
@@ -1200,7 +1208,11 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
             if n_rows == 0:
                 continue  # empty task output: never list zero-row files
             n_surv += n_rows
-            visible = f"part-d{next_v}-{tok}-{i:05d}.parquet"
+            # verb prefix "del" cannot be a hex continuation of an
+            # appended `part-{uuid4hex}` name ('l' is not a hex digit) —
+            # the old `part-d{v}` prefix collided with ~1/16 of appends
+            # (round-8 verdict: the genuinely-flaky round-7 scope test)
+            visible = f"part-del{next_v}-{tok}-{i:05d}.parquet"
             os.replace(part, os.path.join(path, visible))
             new_files.append(visible)
         shutil.rmtree(staging, ignore_errors=True)
@@ -1377,15 +1389,20 @@ def delete_where_mor(path: str, col: str, lo, hi) -> dict:
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "delete_where_mor requires an existing table"
-        if col not in _logical_columns(path, head):
+        if head.get("files") and col not in _logical_columns(path, head):
             # fail at COMMIT time, not at first read: a committed delete
-            # on a typo'd column would break every later logical read
+            # on a typo'd column would break every later logical read.
+            # (Empty-table escape: zero files => empty column union;
+            # no entry is recorded — the delete scopes to nothing.)
             raise RuntimeError(f"delete_where_mor: no such column {col!r}")
         entry = {"col": col, "lo": lo, "hi": hi, "files": head["files"]}
         manifest = {
             **head,
             "version": head.get("version", 0) + 1,
-            "eq_deletes": head.get("eq_deletes", []) + [entry],
+            # an empty-scope entry would be pure noise every later read
+            # plans around — a MoR delete on a zero-file table commits
+            # as a no-op version bump instead
+            "eq_deletes": head.get("eq_deletes", []) + ([entry] if head.get("files") else []),
             "op": "delete_mor",
         }
         if _claim_and_publish(path, manifest):
@@ -1452,7 +1469,7 @@ def materialize_deletes(spark, path: str) -> dict:
         for i, part in enumerate(sorted(glob.glob(os.path.join(gdir, "part-*")))):
             if _pq.ParquetFile(part).metadata.num_rows == 0:
                 continue
-            visible = f"part-x{next_v}-{tok}-{gi:03d}-{i:05d}.parquet"
+            visible = f"part-mat{next_v}-{tok}-{gi:03d}-{i:05d}.parquet"
             os.replace(part, os.path.join(path, visible))
             new_files.append(visible)
         gi += 1
@@ -1522,9 +1539,11 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
 
     head = _latest_snapshot(path)
     assert head is not None, "merge_upsert requires an existing table"
-    if key_col not in _logical_columns(path, head):
+    if head.get("files") and key_col not in _logical_columns(path, head):
         # same commit-time guard as the delete verbs: a typo'd merge key
-        # would die mid-rewrite (AnalysisException) instead of cleanly
+        # would die mid-rewrite (AnalysisException) instead of cleanly.
+        # (Empty-table escape: merge into a zero-file snapshot is the
+        # insert-all bootstrap — guard must not reject it.)
         raise RuntimeError(f"merge_upsert: no such column {key_col!r}")
     stats = head.get("stats", {})
     n_updates = updates.count()
@@ -1586,7 +1605,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
         if n_rows == 0:
             continue
         n_rows_new += n_rows
-        visible = f"part-m{next_v}-{tok}-{i:05d}.parquet"
+        visible = f"part-mrg{next_v}-{tok}-{i:05d}.parquet"
         os.replace(part, os.path.join(path, visible))
         new_files.append(visible)
     shutil.rmtree(staging, ignore_errors=True)
@@ -1624,7 +1643,7 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
     }
     # the merge's INSERT half is new data — prove it against the table's
     # CHECK constraints like any write (footer stats; rejects cleanly)
-    _enforce_constraints(path, new_files, manifest["constraints"])
+    _enforce_constraints(path, new_files, manifest["constraints"], manifest.get("renames"))
     if not _claim_and_publish(path, manifest):
         # loser cleanup: unlisted rewrites are pure orphans (see delete_where)
         for fn in new_files:
@@ -1792,7 +1811,12 @@ def _footer_row_counts(path: str, files: list[str]) -> dict:
     }
 
 
-def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict]) -> None:
+def _enforce_constraints(
+    path: str,
+    new_files: list[str],
+    constraints: list[dict],
+    renames: list[dict] | None = None,
+) -> None:
     """Validate just-written part files against the table's CHECK
     constraints using footer statistics only: a range constraint is
     proven by every file's [min, max] landing inside [lo, hi]; NOT NULL
@@ -1800,7 +1824,18 @@ def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict
     column missing stats fails loudly rather than silently admitting
     bad data).  On violation the new files are deleted — no manifest
     lists them, so the table is untouched — and the commit raises.
-    Cost: one footer read per new file, independent of row count."""
+    Cost: one footer read per new file, independent of row count.
+
+    Constraint predicates reference CURRENT logical names, but a new
+    file may physically carry a PRE-RENAME name (a writer holding a
+    stale schema appends after rename_column(old->new); the
+    content-based chain rule in `_file_logical_metadata` then surfaces
+    its 'old' values as 'new' on every logical read).  The proof
+    therefore resolves each file's physical name per constrained column
+    through its applicable rename chain first — without that, footer
+    stats for 'new' are simply absent and the all-NULL vacuous pass for
+    range CHECKs silently admits real, possibly out-of-range values
+    (round-8 ADVICE)."""
     import os
 
     if not constraints or not new_files:
@@ -1808,20 +1843,40 @@ def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict
     range_cs = [c for c in constraints if c.get("lo") is not None or c.get("hi") is not None]
     null_cs = [c for c in constraints if c.get("not_null")]
     stats = _footer_stats(path, new_files)
-    null_cols = sorted({c["col"] for c in null_cs} | {c["col"] for c in range_cs})
+    # per-file physical resolution: replay the table's rename log over
+    # the file's physical name set (same hop-by-hop rule the readers
+    # use), then invert it for each constrained logical column
+    phys: dict[str, dict[str, str]] = {}
+    cols = {c["col"] for c in range_cs + null_cs}
+    if renames:
+        fcols = _footer_columns(path, new_files)
+        for fn in new_files:
+            cur = set(fcols[fn])
+            acc = []
+            for r in renames:
+                if r["from"] in cur:
+                    acc.append((r["from"], r["to"]))
+                    cur.discard(r["from"])
+                    cur.add(r["to"])
+            phys[fn] = {c: _physical_column(tuple(acc), c) for c in cols}
+    else:
+        ident = {c: c for c in cols}
+        phys = {fn: ident for fn in new_files}
+    null_cols = sorted({phys[fn][c] for fn in new_files for c in cols})
     nulls = _footer_nulls(path, new_files, null_cols) if null_cols else {}
     counts = _footer_row_counts(path, new_files) if range_cs else {}
     err = None
     for fn in new_files:
         for c in range_cs:
-            mm = stats.get(fn, {}).get(c["col"])
+            pcol = phys[fn][c["col"]]
+            mm = stats.get(fn, {}).get(pcol)
             if mm is None:
                 # parquet writes no min/max for an ALL-NULL column — and
                 # under SQL three-valued logic NULL satisfies a range
                 # CHECK (the predicate is not FALSE), so an all-null
                 # file is PROVEN valid by its null count alone.  Only a
                 # genuinely statless column stays unprovable-> reject.
-                nc = nulls.get(fn, {}).get(c["col"])
+                nc = nulls.get(fn, {}).get(pcol)
                 if nc is not None and nc == counts.get(fn):
                     continue
                 err = f"constraint {c['name']!r}: no footer stats for {c['col']!r} in {fn} (unprovable)"
@@ -1835,7 +1890,7 @@ def _enforce_constraints(path: str, new_files: list[str], constraints: list[dict
                 break
         if err is None:
             for c in null_cs:
-                nc = nulls.get(fn, {}).get(c["col"])
+                nc = nulls.get(fn, {}).get(phys[fn][c["col"]])
                 if nc is None:
                     err = f"constraint {c['name']!r}: no null stats for {c['col']!r} in {fn}"
                     break

@@ -87,8 +87,13 @@ def test_delete_where_scopes_surviving_eq_delete_entries(spark, table):
     assert df.filter("id <= 10").count() == 0
     ent = head["eq_deletes"]
     assert len(ent) == 1
-    # scope shrank: no rewritten (part-d*) file is in the entry's list
-    assert all(not fn.startswith("part-d") for fn in ent[0]["files"])
+    # scope shrank: no delete-rewritten file is in the entry's list.
+    # Full-pattern match, not a bare prefix: the old `part-d` prefix
+    # check also matched ~1/16 of plain appends (`part-{uuid4hex}` names
+    # starting with hex digit 'd'), which made this test flaky before
+    # the round-9 prefix disambiguation.
+    del_pat = re.compile(r"^part-del\d+-[0-9a-f]{8}-\d{5}\.parquet$")
+    assert all(not del_pat.match(fn) for fn in ent[0]["files"])
     assert 0 < len(ent[0]["files"]) < 4 + 1
 
 
@@ -220,18 +225,20 @@ def test_rewrite_filenames_carry_uuid_token(spark, table):
     P.delete_where_mor(table, "v", 50, 50)
     P.materialize_deletes(spark, table)
     files = P._latest_snapshot(table)["files"]
+    # verb prefixes are full words that can never continue the hex of an
+    # appended `part-{uuid4hex}` name, so a prefix test is unambiguous
     pats = {
-        "d": re.compile(r"^part-d\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
-        "m": re.compile(r"^part-m\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
-        "x": re.compile(r"^part-x\d+-[0-9a-f]{8}-\d{3}-\d{5}\.parquet$"),
+        "del": re.compile(r"^part-del\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
+        "mrg": re.compile(r"^part-mrg\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
+        "mat": re.compile(r"^part-mat\d+-[0-9a-f]{8}-\d{3}-\d{5}\.parquet$"),
     }
     seen = set()
     for fn in files:
         for kind, pat in pats.items():
-            if fn.startswith(f"part-{kind}") and not fn.startswith("part-m0"):
+            if fn.startswith(f"part-{kind}"):
                 assert pat.match(fn), fn
                 seen.add(kind)
-    assert "x" in seen  # materialize ran last; its files must survive
+    assert "mat" in seen  # materialize ran last; its files must survive
 
 
 # --- 5. vacuum retention grace ------------------------------------------------

@@ -1,0 +1,197 @@
+"""Round-9 pins: write-path constraint proofs resolve rename chains,
+verb guards admit zero-file snapshots, and verb part-file prefixes can
+never collide with appended `part-{uuid4hex}` names.
+
+Targets (round-8 ADVICE + verdict):
+  * ADVICE medium — `_enforce_constraints`' all-NULL vacuous pass for
+    range CHECKs inferred "absent => all-NULL" from the file's PHYSICAL
+    footer, so a stale-schema append (physical pre-rename name) after
+    rename_column(old->new) silently admitted real out-of-range values
+    that every logical read surfaces via the rename chain.
+  * ADVICE low — `_logical_columns` guards in delete_where /
+    delete_where_mor / merge_upsert rejected every column on a
+    zero-file snapshot (empty column union), breaking merge-as-insert
+    bootstrap into an emptied table.
+  * verdict "What's wrong #1" — the `part-d{v}-` rewrite prefix was a
+    hex continuation of appended uuid names (~1/16 of appends), making
+    the round-7 scope test genuinely flaky; prefixes are now full
+    non-hex-continuable words.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
+
+
+def _write(spark, path, df, mode="append"):
+    df.write.format("rtbd_manifest_sink").option("path", path).mode(mode).save()
+
+
+@pytest.fixture()
+def renamed_constrained(spark, tmp_path):
+    """Table: id,v in [100,109]; renamed v->w; range CHECK on w."""
+    path = str(tmp_path / "t9")
+    P.register_sink(spark)
+    _write(
+        spark,
+        path,
+        spark.range(10).selectExpr("id", "CAST(id + 100 AS INT) AS v").coalesce(1),
+    )
+    P.rename_column(path, "v", "w")
+    P.add_check_constraint(path, "w_range", "w", lo=0, hi=200)
+    return path
+
+
+# --- 1. write-path constraint proofs are rename-aware ------------------------
+
+
+def test_stale_schema_append_out_of_range_rejected(spark, renamed_constrained):
+    """A writer holding the pre-rename schema appends physical column
+    'v' with values outside the CHECK on 'w'.  The content-based chain
+    rule surfaces those values as 'w' on every logical read, so the
+    write-time proof must resolve w -> v and REJECT — pre-fix the
+    absent-'w' footer passed vacuously as all-NULL."""
+    path = renamed_constrained
+    bad = spark.range(3).selectExpr("id + 50 AS id", "CAST(500 AS INT) AS v").coalesce(1)
+    with pytest.raises(Exception, match="w_range"):
+        _write(spark, path, bad)
+    # the table is untouched: 10 rows, constraint still provable
+    df, head = P.read_manifest(spark, path)
+    assert df.count() == 10
+    assert head["n_rows"] == 10
+
+
+def test_stale_schema_append_in_range_accepted_and_read_as_renamed(
+    spark, renamed_constrained
+):
+    """The same stale-schema append with IN-range values must commit,
+    and logical reads surface them under the current name 'w'."""
+    path = renamed_constrained
+    ok = spark.range(3).selectExpr("id + 50 AS id", "CAST(150 AS INT) AS v").coalesce(1)
+    _write(spark, path, ok)
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 13
+    assert df.filter("w = 150").count() == 3
+    assert "v" not in df.columns
+
+
+def test_stale_schema_append_not_null_resolves_chain(spark, tmp_path):
+    """NOT NULL on a renamed column: a stale-schema append with zero
+    nulls in the physical pre-rename column is PROVABLE and must commit
+    (pre-fix: spurious all-NULL violation); one with real nulls must
+    still reject."""
+    path = str(tmp_path / "t9nn")
+    P.register_sink(spark)
+    _write(spark, path, spark.range(5).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1))
+    P.rename_column(path, "v", "w")
+    P.add_check_constraint(path, "w_nn", "w", not_null=True)
+    _write(spark, path, spark.range(5, 8).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1))
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 8 and df.filter("w IS NULL").count() == 0
+    bad = spark.range(8, 11).selectExpr(
+        "id", "CAST(CASE WHEN id = 9 THEN NULL ELSE id END AS INT) AS v"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="w_nn"):
+        _write(spark, path, bad)
+
+
+# --- 2. zero-file snapshots don't trip the column guards ---------------------
+
+
+@pytest.fixture()
+def emptied_table(spark, tmp_path):
+    """Table whose only file was removed by a full-range CoW delete —
+    head snapshot lists zero files."""
+    path = str(tmp_path / "t9e")
+    P.register_sink(spark)
+    _write(
+        spark,
+        path,
+        spark.range(6).selectExpr("id", "CAST(id % 3 AS INT) AS k", "CAST(id * 2 AS INT) AS v").coalesce(1),
+    )
+    P.delete_where(spark, path, "v", 0, 1000)
+    head = P._latest_snapshot(path)
+    assert head["files"] == [] and head["n_rows"] == 0
+    return path
+
+
+def test_merge_upsert_into_emptied_table_bootstraps(spark, emptied_table):
+    upd = spark.range(4).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS k", "CAST(99 AS INT) AS v"
+    )
+    out = P.merge_upsert(spark, emptied_table, upd, "id")
+    df, head = P.read_manifest(spark, emptied_table)
+    assert df.count() == 4
+    assert head["n_rows"] == 4
+    assert out["version"] == head["version"]
+
+
+def test_delete_verbs_noop_on_emptied_table(spark, emptied_table):
+    v0 = P._latest_snapshot(emptied_table)["version"]
+    out = P.delete_where(spark, emptied_table, "v", 0, 10)
+    assert out.get("n_deleted", 0) == 0
+    mor = P.delete_where_mor(emptied_table, "v", 0, 10)
+    # no empty-scope eq-delete entry is recorded
+    assert mor["eq_deletes"] == []
+    head = P._latest_snapshot(emptied_table)
+    assert head["files"] == [] and head["n_rows"] == 0
+    assert head["version"] > v0
+
+
+def test_guards_still_reject_unknown_columns_on_nonempty_tables(spark, tmp_path):
+    path = str(tmp_path / "t9g")
+    P.register_sink(spark)
+    _write(spark, path, spark.range(3).selectExpr("id", "CAST(id AS INT) AS v").coalesce(1))
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.delete_where(spark, path, "nope", 0, 1)
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.delete_where_mor(path, "nope", 0, 1)
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.merge_upsert(spark, path, spark.range(1).selectExpr("id", "CAST(1 AS INT) AS v"), "nope")
+
+
+# --- 3. verb part prefixes are not hex-continuable ----------------------------
+
+UUID_HEX = set("0123456789abcdef")
+VERB_PREFIXES = ("del", "mat", "mrg", "batch")
+
+
+def test_verb_prefixes_cannot_collide_with_append_uuid_names():
+    """Appended files are `part-{uuid4hex}...`: a verb prefix is
+    ambiguous iff it is a string of hex digits (the round-8 'part-d'
+    flake).  Every verb prefix must contain a non-hex character."""
+    for p in VERB_PREFIXES:
+        assert any(ch not in UUID_HEX for ch in p), p
+
+
+def test_rewrite_names_use_word_prefixes(spark, tmp_path):
+    path = str(tmp_path / "t9p")
+    P.register_sink(spark)
+    _write(
+        spark,
+        path,
+        spark.range(20).selectExpr("id", "CAST(id AS INT) AS v").repartition(2),
+    )
+    P.delete_where(spark, path, "v", 0, 4)
+    P.merge_upsert(
+        spark,
+        path,
+        spark.range(2).selectExpr("id", "CAST(77 AS INT) AS v"),
+        "id",
+    )
+    P.delete_where_mor(path, "v", 77, 77)
+    P.materialize_deletes(spark, path)
+    files = P._latest_snapshot(path)["files"]
+    pats = [
+        re.compile(r"^part-del\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
+        re.compile(r"^part-mrg\d+-[0-9a-f]{8}-\d{5}\.parquet$"),
+        re.compile(r"^part-mat\d+-[0-9a-f]{8}-\d{3}-\d{5}\.parquet$"),
+        re.compile(r"^part-[0-9a-f]{8,}"),  # plain appends
+    ]
+    for fn in files:
+        assert any(p.match(fn) for p in pats), fn

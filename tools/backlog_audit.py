@@ -15,8 +15,9 @@ Definitions (the judge's):
 
 Run:  python tools/backlog_audit.py          # human summary
       python tools/backlog_audit.py --names  # + the full name lists
-The unit test tests/test_plans.py::test_backlog_arithmetic asserts the
-policy constants in plans/__init__.py against compute_backlog().
+The unit test tests/test_plans.py::test_backlog_arithmetic_derived
+asserts the policy constants in plans/__init__.py against
+compute_backlog().
 """
 
 from __future__ import annotations
@@ -73,12 +74,12 @@ def main() -> None:
     b = compute_backlog()
     from real_time_big_data_iot_monitoring_pipeline_spark.plans import (
         DRIVER_WINDOW,
-        ROUND9_DRAFT,
+        ROUND10_DRAFT,
     )
 
     drained = [n for n in b["never_hashed"] if n in DRIVER_WINDOW]
     after = [n for n in b["never_hashed"] if n not in DRIVER_WINDOW]
-    uncovered = [n for n in after if n not in ROUND9_DRAFT]
+    uncovered = [n for n in after if n not in ROUND10_DRAFT]
     print(
         f"registry {b['n_registry']} | oracle-bearing {b['n_oracle_bearing']} "
         f"| ever-hashed {b['n_ever_hashed']} | never-hashed {b['n_never_hashed']}"
@@ -86,14 +87,14 @@ def main() -> None:
     print(
         f"current DRIVER_WINDOW drains {len(drained)}; "
         f"{len(after)} remain after this round; "
-        f"{len(uncovered)} NOT covered by ROUND9_DRAFT"
+        f"{len(uncovered)} NOT covered by ROUND10_DRAFT"
     )
     ages: dict[int, int] = {}
     for n in b["latest_hash_round"].values():
         ages[n] = ages.get(n, 0) + 1
     print("last-hash round histogram:", dict(sorted(ages.items())))
     if uncovered:
-        print("UNCOVERED (fix ROUND9_DRAFT):", uncovered)
+        print("UNCOVERED (fix ROUND10_DRAFT):", uncovered)
     if "--names" in sys.argv:
         print("\nnever-hashed:")
         for n in b["never_hashed"]:
