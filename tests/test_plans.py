@@ -536,7 +536,7 @@ def test_backlog_arithmetic_derived():
           the assert is ≤ against the rotation-time pin, == at pin
           time);
       (b) EVERY never-hashed oracle-bearing query is in DRIVER_WINDOW
-          or ROUND9_DRAFT — a window draft cannot silently drop a row;
+          or ROUND10_DRAFT — a window draft cannot silently drop a row;
       (c) the window and the draft never overlap (a slot is either
           draining now or scheduled, not both)."""
     import os
@@ -550,15 +550,15 @@ def test_backlog_arithmetic_derived():
     b = compute_backlog()
     never = set(b["never_hashed"])
     window = set(plans.DRIVER_WINDOW)
-    draft = set(plans.ROUND9_DRAFT)
-    assert b["n_never_hashed"] <= plans.NEVER_HASHED_AT_R8_ROTATION, (
+    draft = set(plans.ROUND10_DRAFT)
+    assert b["n_never_hashed"] <= plans.NEVER_HASHED_AT_R9_ROTATION, (
         f"computed {b['n_never_hashed']} > pinned "
-        f"{plans.NEVER_HASHED_AT_R8_ROTATION}: a query lost its driver row "
+        f"{plans.NEVER_HASHED_AT_R9_ROTATION}: a query lost its driver row "
         "or the pin was hand-edited without re-deriving"
     )
-    assert b["n_ever_hashed"] >= plans.EVER_HASHED_THROUGH_R7
+    assert b["n_ever_hashed"] >= plans.EVER_HASHED_THROUGH_R8
     uncovered = sorted(never - window - draft)
     assert not uncovered, f"never-hashed queries in NO window/draft: {uncovered}"
     assert not window & draft, f"window/draft overlap: {sorted(window & draft)}"
-    unknown = sorted((draft | set(plans.ROUND9_OLDEST_COHORT)) - set(REGISTRY))
+    unknown = sorted((draft | set(plans.ROUND10_OLDEST_COHORT)) - set(REGISTRY))
     assert not unknown, f"draft names not registered: {unknown}"
