@@ -638,13 +638,26 @@ class ManifestStreamWriter(DataSourceStreamWriter):
             batches = prev.get("batches", []) if prev else []
             if batchId in batches:
                 # replayed epoch: the table already holds this batch —
-                # drop the re-written parts, publish nothing
-                for m in messages:
-                    if m is not None and m.filename:
-                        try:
-                            os.remove(os.path.join(self.path, m.filename))
-                        except FileNotFoundError:
-                            pass
+                # drop the re-written parts, publish nothing.  The parts
+                # may already carry their VISIBLE names: an epoch that
+                # lost a claim to a concurrent committer of the SAME
+                # batchId renamed them on attempt 1 and only discovers
+                # the replay on retry — deleting by the stale
+                # `_uncommitted_` names alone leaked the renamed files
+                # forever (found by the round-9 concurrency model
+                # machine on its first run).
+                for fn in files or []:
+                    try:
+                        os.remove(os.path.join(self.path, fn))
+                    except FileNotFoundError:
+                        pass
+                if files is None:
+                    for m in messages:
+                        if m is not None and m.filename:
+                            try:
+                                os.remove(os.path.join(self.path, m.filename))
+                            except FileNotFoundError:
+                                pass
                 return
             if files is None:  # rename once; retries reuse the visible names
                 files = []

@@ -155,6 +155,61 @@ def test_guards_still_reject_unknown_columns_on_nonempty_tables(spark, tmp_path)
         P.merge_upsert(spark, path, spark.range(1).selectExpr("id", "CAST(1 AS INT) AS v"), "nope")
 
 
+# --- 2b. replayed epoch after a lost claim leaves no orphans ------------------
+
+
+def test_replayed_epoch_after_lost_claim_drops_renamed_parts(spark, tmp_path, monkeypatch):
+    """Round-9 concurrency-machine find (its first run): an epoch commit
+    that loses its claim to a CONCURRENT committer of the SAME batchId
+    has already renamed its parts visible; the retry's replay guard
+    deleted by the stale `_uncommitted_` names only, leaking the
+    renamed files forever (invisible to readers, but permanent disk
+    orphans no manifest references)."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t9r")
+    os.makedirs(path)
+
+    def epoch_parts(tag: str):
+        fn = f"_uncommitted_{tag}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array([5, 6], pa.int32())}),
+            os.path.join(path, fn),
+        )
+        return [P.PartFileCommit(fn, 2)]
+
+    P.ManifestStreamWriter({"path": path}).commit(epoch_parts("seed"), 0)
+
+    real_claim = P._claim_and_publish
+    fired = {}
+
+    def racing(p, manifest):
+        if not fired:
+            fired["x"] = 1
+            # a concurrent committer lands the SAME epoch first
+            P.ManifestStreamWriter({"path": path}).commit(epoch_parts("winner"), 7)
+        return real_claim(p, manifest)
+
+    monkeypatch.setattr(P, "_claim_and_publish", racing)
+    P.ManifestStreamWriter({"path": path}).commit(epoch_parts("loser"), 7)
+    monkeypatch.setattr(P, "_claim_and_publish", real_claim)
+
+    head = P._latest_snapshot(path)
+    assert head["batches"] == [0, 7]
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 4  # seed + winner, loser replay dropped
+    referenced = set()
+    for mf in _glob.glob(os.path.join(path, "_manifest-v*.json")):
+        referenced |= set(_json.load(open(mf)).get("files", []))
+    on_disk = {os.path.basename(f) for f in _glob.glob(os.path.join(path, "part-*"))}
+    assert on_disk == referenced  # pre-fix: the loser's renamed part leaked
+    assert not _glob.glob(os.path.join(path, "_uncommitted_*"))
+
+
 # --- 3. verb part prefixes are not hex-continuable ----------------------------
 
 UUID_HEX = set("0123456789abcdef")
