@@ -373,10 +373,146 @@ def _footer_stats(path: str, files: list[str]) -> dict:
     return out
 
 
-def _latest_snapshot(path: str) -> dict | None:
-    """Newest COMMITTED snapshot: the highest `_manifest-v*.json` (the
-    ledger — versioned entries are the commit truth, the head pointer is
-    a convenience cache), else the head, else None."""
+# --- chunked file lists (Iceberg manifest-list shape) -------------------------
+#
+# Small tables inline `files` / `stats` / `file_columns` in every
+# versioned manifest, exactly as before.  Past `_MANIFEST_INLINE_MAX`
+# files, a commit EXTERNALIZES them into immutable `_filelist-*.json`
+# chunks (≤ `_MANIFEST_INLINE_MAX` files each) and the manifest records
+# only the chunk names — so an append's metadata write is O(new files +
+# F/chunk) instead of O(F), and UNCHANGED chunks are REUSED across
+# commits (a chunk is reusable iff every file it lists survives into
+# the new snapshot; part files and their footer stats are immutable, so
+# subset survival is the whole reuse condition).  At F ~ 10^5 this is
+# the difference between every commit rewriting a ~10-100 MB JSON and
+# writing a few KB (the round-8 verdict's "known compaction" item in
+# the MoR docstring).  Readers resolve chunks back into the flat
+# {files, stats, file_columns} form behind the SAME snapshot API —
+# chunk files are immutable and cached per-process, and resolved
+# snapshots are memoized by (path, mtime, size), so repeat head reads
+# cost O(1) after the first touch.  Losing committers can orphan
+# chunks (written before the claim, like part files); `vacuum` removes
+# chunk files no surviving manifest references, under the same
+# retention grace as parts.
+
+_MANIFEST_INLINE_MAX = 2048  # tests monkeypatch this down to force chunking
+_CHUNK_CACHE: dict[str, dict] = {}  # abs chunk path -> parsed chunk (immutable)
+_RESOLVED_CACHE: dict[tuple, dict] = {}  # (abs manifest path, mtime_ns, size) -> resolved
+
+
+def _load_chunk(path: str, cname: str) -> dict:
+    import os
+
+    key = os.path.join(os.path.abspath(path), cname)
+    chunk = _CHUNK_CACHE.get(key)
+    if chunk is None:
+        with open(os.path.join(path, cname)) as f:
+            chunk = _json.load(f)
+        if len(_CHUNK_CACHE) > 256:  # bounded: FIFO eviction
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        _CHUNK_CACHE[key] = chunk
+    return chunk
+
+
+def _resolve_manifest(path: str, raw: dict) -> dict:
+    """Inline manifests pass through untouched; external ones merge
+    their chunks into the flat form every verb and reader consumes.
+    The chunk refs stay on the resolved dict (stripped keys would lose
+    the reuse hints `{**head, ...}` manifests carry into the next
+    commit's externalize)."""
+    if not raw.get("files_external") or "files" in raw:
+        return raw
+    files: list[str] = []
+    stats: dict = {}
+    fcols: dict = {}
+    for cname in raw.get("file_chunks", []):
+        chunk = _load_chunk(path, cname)
+        files.extend(chunk["files"])
+        stats.update(chunk.get("stats", {}))
+        fcols.update(chunk.get("file_columns", {}))
+    return {**raw, "files": sorted(files), "stats": stats, "file_columns": fcols}
+
+
+def _load_manifest_file(path: str, filename: str) -> dict:
+    """Load + chunk-resolve one manifest JSON, memoized for immutable
+    versioned entries (`_manifest-v{N}.json` is write-once by the OCC
+    claim; the mtime+size key guards against a recreated table reusing
+    the same path)."""
+    import os
+
+    full = os.path.join(path, filename)
+    st = os.stat(full)
+    key = (os.path.abspath(full), st.st_mtime_ns, st.st_size)
+    hit = _RESOLVED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(full) as f:
+        raw = _json.load(f)
+    resolved = _resolve_manifest(path, raw)
+    if raw.get("files_external"):  # memoize only where resolution costs
+        if len(_RESOLVED_CACHE) > 64:
+            _RESOLVED_CACHE.pop(next(iter(_RESOLVED_CACHE)))
+        _RESOLVED_CACHE[key] = resolved
+    return resolved
+
+
+def _externalize_files(path: str, manifest: dict) -> dict:
+    """Commit-side inverse of `_resolve_manifest`: decide inline vs
+    chunked for a flat manifest dict, reusing any still-valid chunks
+    named by the dict's carried hints or the current raw ledger head."""
+    import os
+    import uuid as _uuid
+
+    files = manifest.get("files")
+    flat = {k: v for k, v in manifest.items() if k not in ("files_external", "file_chunks")}
+    if files is None or len(files) <= _MANIFEST_INLINE_MAX:
+        return flat
+    fset = set(files)
+    stats = manifest.get("stats", {})
+    fcols = manifest.get("file_columns", {})
+    candidates = list(manifest.get("file_chunks", []))
+    prev_raw = _latest_snapshot_raw(path)
+    if prev_raw:
+        candidates += [c for c in prev_raw.get("file_chunks", []) if c not in candidates]
+    kept: list[str] = []
+    covered: set[str] = set()
+    for cname in candidates:
+        try:
+            chunk = _load_chunk(path, cname)
+        except FileNotFoundError:
+            continue
+        cf = chunk["files"]
+        if covered.isdisjoint(cf) and fset.issuperset(cf):
+            kept.append(cname)
+            covered.update(cf)
+    leftover = sorted(fset - covered)
+    new_chunks: list[str] = []
+    for i in range(0, len(leftover), _MANIFEST_INLINE_MAX):
+        part = leftover[i : i + _MANIFEST_INLINE_MAX]
+        cname = f"_filelist-{_uuid.uuid4().hex[:12]}.json"
+        payload = {
+            "files": part,
+            "stats": {fn: stats[fn] for fn in part if fn in stats},
+            "file_columns": {fn: fcols[fn] for fn in part if fn in fcols},
+        }
+        tmp = os.path.join(path, cname + ".tmp")
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+        os.replace(tmp, os.path.join(path, cname))
+        new_chunks.append(cname)
+    for k in ("files", "stats", "file_columns"):
+        flat.pop(k, None)
+    flat["files_external"] = True
+    flat["file_chunks"] = kept + new_chunks
+    flat["n_files"] = len(files)
+    return flat
+
+
+def _latest_snapshot_raw(path: str) -> dict | None:
+    """Newest committed ledger entry WITHOUT chunk resolution — the
+    committers' reuse-hint source and the head-pointer heal content
+    (healing with a resolved dict would inline an O(F) file list back
+    into `manifest.json` on every commit)."""
     import os
     import re
 
@@ -395,6 +531,28 @@ def _latest_snapshot(path: str) -> dict | None:
     return None
 
 
+def _latest_snapshot(path: str) -> dict | None:
+    """Newest COMMITTED snapshot: the highest `_manifest-v*.json` (the
+    ledger — versioned entries are the commit truth, the head pointer is
+    a convenience cache), else the head, else None.  Chunk-resolved:
+    callers always see the flat {files, stats, file_columns} form."""
+    import os
+    import re
+
+    pat = re.compile(r"^_manifest-v(\d+)\.json$")
+    try:
+        versions = [int(m.group(1)) for fn in os.listdir(path) if (m := pat.match(fn))]
+    except FileNotFoundError:
+        return None
+    if versions:
+        return _load_manifest_file(path, f"_manifest-v{max(versions)}.json")
+    head = os.path.join(path, "manifest.json")
+    if os.path.exists(head):
+        with open(head) as f:
+            return _resolve_manifest(path, _json.load(f))
+    return None
+
+
 def _head_snapshot(path: str, version: int | None = None) -> dict:
     """Snapshot for READ paths: an explicit `version` loads that
     immutable manifest; otherwise the LEDGER head via `_latest_snapshot`
@@ -406,8 +564,7 @@ def _head_snapshot(path: str, version: int | None = None) -> dict:
     import os
 
     if version is not None:
-        with open(os.path.join(path, f"_manifest-v{version}.json")) as f:
-            return _json.load(f)
+        return _load_manifest_file(path, f"_manifest-v{version}.json")
     head = _latest_snapshot(path)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path}")
@@ -431,6 +588,12 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
     import os
     import uuid
 
+    # past the inline threshold, the file list externalizes into reused
+    # +new `_filelist-*` chunks here — the single commit gate, so every
+    # verb and writer gets chunking without knowing about it.  A loser's
+    # freshly-written chunks are orphans exactly like its part files;
+    # vacuum reclaims both.
+    manifest = _externalize_files(path, manifest)
     versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
     tmpc = f"{versioned}.claim-{uuid.uuid4().hex}"
     with open(tmpc, "w") as f:
@@ -446,7 +609,7 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
     with open(tmp, "w") as f:
         _json.dump(manifest, f)
     os.replace(tmp, head)
-    latest = _latest_snapshot(path)
+    latest = _latest_snapshot_raw(path)
     if latest is not None and latest.get("version", 0) > manifest["version"]:
         tmp2 = tmp + ".heal"
         with open(tmp2, "w") as f:
@@ -1084,7 +1247,7 @@ def read_staged(spark, path: str):
     import os
 
     with open(os.path.join(path, "_staged-manifest.json")) as f:
-        manifest = _json.load(f)
+        manifest = _resolve_manifest(path, _json.load(f))
     return _read_logical(spark, path, manifest["files"], manifest), manifest
 
 
@@ -1128,14 +1291,14 @@ def discard_staged(path: str) -> int:
 
     staged_path = os.path.join(path, "_staged-manifest.json")
     with open(staged_path) as f:
-        staged = _json.load(f)
+        staged = _resolve_manifest(path, _json.load(f))
     referenced: set[str] = set()
     for mf in glob.glob(os.path.join(path, "_manifest-v*.json")) + [
         os.path.join(path, "manifest.json")
     ]:
         if os.path.exists(mf):
             with open(mf) as f:
-                referenced.update(_json.load(f)["files"])
+                referenced.update(_resolve_manifest(path, _json.load(f))["files"])
     removed = 0
     for fn in staged["files"]:
         if fn not in referenced:
@@ -1715,15 +1878,19 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
     # alive regardless of the horizon, until the ref is dropped
     pinned = {r["version"] for r in list_refs(path)}
     live: set[str] = set()
+    live_chunks: set[str] = set()
     for v in sorted(set(range(horizon, head_version + 1)) | pinned):
-        with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
-            live.update(_json.load(f)["files"])
+        snap = _load_manifest_file(path, f"_manifest-v{v}.json")
+        live.update(snap["files"])
+        live_chunks.update(snap.get("file_chunks", []))
     # an in-flight WAP stage is reachable (via the staged pointer) even
     # though no versioned manifest lists it yet — never vacuum it
     staged = os.path.join(path, "_staged-manifest.json")
     if os.path.exists(staged):
         with open(staged) as f:
-            live.update(_json.load(f)["files"])
+            s = _resolve_manifest(path, _json.load(f))
+        live.update(s["files"])
+        live_chunks.update(s.get("file_chunks", []))
     n_files = 0
     now = time.time()
     for part in glob.glob(os.path.join(path, "part-*")):
@@ -1743,9 +1910,25 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
         if v < horizon and v not in pinned:
             os.remove(mf)
             n_manifests += 1
+    # chunk GC: a `_filelist-*` chunk is live iff a SURVIVING manifest
+    # (or the WAP stage) references it; orphans come from expired
+    # manifests and losing committers.  Same retention grace as parts —
+    # an in-flight commit writes its chunks before its claim.
+    n_chunks = 0
+    for cf in glob.glob(os.path.join(path, "_filelist-*.json")):
+        if os.path.basename(cf) in live_chunks:
+            continue
+        try:
+            if now - os.path.getmtime(cf) < retention_seconds:
+                continue
+            os.remove(cf)
+            n_chunks += 1
+        except FileNotFoundError:
+            continue
     return {
         "n_files_removed": n_files,
         "n_manifests_removed": n_manifests,
+        "n_chunks_removed": n_chunks,
         "head_version": head_version,
         "horizon_version": horizon,
     }
@@ -2064,8 +2247,7 @@ def restore_table(path: str, to_version: int) -> dict:
     import os
 
     try:
-        with open(os.path.join(path, f"_manifest-v{to_version}.json")) as f:
-            target = _json.load(f)
+        target = _load_manifest_file(path, f"_manifest-v{to_version}.json")
     except FileNotFoundError:
         raise RuntimeError(
             f"cannot restore to v{to_version}: no such committed snapshot "
@@ -2262,8 +2444,7 @@ def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]
     import os
 
     def load(v: int) -> dict:
-        with open(os.path.join(path, f"_manifest-v{v}.json")) as f:
-            return _json.load(f)
+        return _load_manifest_file(path, f"_manifest-v{v}.json")
 
     prev_files = set(load(since_version)["files"]) if since_version >= 1 else set()
     out = []
@@ -2322,8 +2503,7 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
             df = df.unionByName(extra)
     else:
         # no data change in the range: empty frame with the table schema
-        with open(os.path.join(path, f"_manifest-v{to_version}.json")) as f:
-            head = _json.load(f)
+        head = _load_manifest_file(path, f"_manifest-v{to_version}.json")
         df = (
             spark.read.parquet(*[os.path.join(path, fn) for fn in head["files"]])
             .limit(0)

@@ -182,7 +182,7 @@ def _no_orphans(path: str) -> None:
     referenced: set[str] = set()
     for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
         with open(mf) as f:
-            referenced |= set(json.load(f).get("files", []))
+            referenced |= set(P._resolve_manifest(path, json.load(f)).get("files", []))
     on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))}
     orphans = on_disk - referenced
     assert not orphans, f"orphaned part files after race: {sorted(orphans)}"
@@ -195,17 +195,22 @@ def _no_orphans(path: str) -> None:
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pre_mor=st.booleans(),
+    chunked=st.booleans(),
     a=RACE_VERB,
     b=RACE_VERB,
 )
 def test_racing_verb_pairs_serialize_as_b_then_a(
-    spark, tmp_path_factory, monkeypatch, pre_mor, a, b
+    spark, tmp_path_factory, monkeypatch, pre_mor, chunked, a, b
 ):
     a_tag, a_payload = a
     b_tag, b_payload = b
     path = str(tmp_path_factory.mktemp("race") / f"t_{uuid.uuid4().hex[:8]}")
     P.register_sink(spark)
     model = Model()
+    # half the examples force CHUNKED manifests (file lists externalized
+    # into _filelist-* chunks at every commit) so the whole race algebra
+    # also runs against the round-9 manifest-compaction layer
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2 if chunked else 2048)
 
     # base state: one committed epoch so the table exists, plus an
     # optional pending MoR delete (forced when either side materializes,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
 
 import pytest
 
@@ -208,6 +209,141 @@ def test_replayed_epoch_after_lost_claim_drops_renamed_parts(spark, tmp_path, mo
     on_disk = {os.path.basename(f) for f in _glob.glob(os.path.join(path, "part-*"))}
     assert on_disk == referenced  # pre-fix: the loser's renamed part leaked
     assert not _glob.glob(os.path.join(path, "_uncommitted_*"))
+
+
+# --- 2c. chunked manifests (Iceberg manifest-list shape) ----------------------
+
+
+def _raw_manifest(path, version):
+    import json as _json
+
+    with open(os.path.join(path, f"_manifest-v{version}.json")) as f:
+        return _json.load(f)
+
+
+def test_chunked_manifest_externalizes_and_reuses_chunks(spark, tmp_path, monkeypatch):
+    """Past `_MANIFEST_INLINE_MAX` files a commit writes `_filelist-*`
+    chunks instead of inlining O(F) metadata, REUSING every chunk whose
+    files all survive — an append's manifest write is O(new + F/chunk).
+    Readers resolve behind the same snapshot API; vacuum GCs orphaned
+    chunks.  Threshold forced to 4 so a tiny table exercises it all."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 4)
+    path = str(tmp_path / "t9c")
+    P.register_sink(spark)
+    os.makedirs(path, exist_ok=True)
+    batch_counter = {"n": 0}
+
+    def append(lo, hi, nparts):
+        # in-process epoch commits (the sink's commit runs in a Python
+        # DataSource worker where the monkeypatched threshold is
+        # invisible; the epoch path is the same commit discipline)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = list(range(lo, hi))
+        msgs = []
+        for p in range(nparts):
+            chunk_ids = ids[p::nparts]
+            fn = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(chunk_ids, pa.int64()),
+                        "k": pa.array([i % 3 for i in chunk_ids], pa.int32()),
+                        "v": pa.array(chunk_ids, pa.int32()),
+                    }
+                ),
+                os.path.join(path, fn),
+            )
+            msgs.append(P.PartFileCommit(fn, len(chunk_ids)))
+        batch_counter["n"] += 1
+        P.ManifestStreamWriter({"path": path}).commit(msgs, batch_counter["n"])
+
+    append(0, 9, 3)  # 3 files: inline
+    raw1 = _raw_manifest(path, 1)
+    assert "files" in raw1 and not raw1.get("files_external")
+
+    append(9, 18, 3)  # 6 files: externalizes
+    raw2 = _raw_manifest(path, 2)
+    assert raw2.get("files_external") and "files" not in raw2
+    assert "stats" not in raw2 and "file_columns" not in raw2
+    head = P._latest_snapshot(path)
+    assert len(head["files"]) == 6 and head["n_rows"] == 18
+    assert set(head["file_columns"]) == set(head["files"])
+
+    append(18, 27, 3)  # 9 files: v2's chunks all survive -> all reused
+    raw3 = _raw_manifest(path, 3)
+    assert set(raw2["file_chunks"]) <= set(raw3["file_chunks"])
+    head = P._latest_snapshot(path)
+    assert len(head["files"]) == 9 and head["n_rows"] == 27
+
+    # the whole verb surface works unchanged on a chunked table
+    P.rename_column(path, "v", "w")
+    P.delete_where_mor(path, "w", 0, 2)  # ids 0..2 logically gone
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 24 and "w" in df.columns
+    P.delete_where(spark, path, "w", 20, 23)  # CoW: ids 20..23
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 20
+    P.materialize_deletes(spark, path)
+    upd = spark.range(3, 6).selectExpr("id", "CAST(9 AS INT) AS k", "CAST(99 AS INT) AS w")
+    P.merge_upsert(spark, path, upd, "id")
+    df, head = P.read_manifest(spark, path)
+    assert df.count() == 20 and df.filter("w = 99").count() == 3
+    # time travel to v3 still resolves its chunks
+    df3, _ = P.read_manifest(spark, path, version=3)
+    assert df3.count() == 27
+    # stats flow into chunks and back out (zone-map pruning intact)
+    assert any(head.get("stats", {}).values())
+
+    # vacuum: expired manifests' chunks are GC'd, live ones survive
+    res = P.vacuum(path, keep_versions=2, retention_seconds=0.0)
+    assert res["n_chunks_removed"] >= 0
+    import glob as _glob
+    import json as _json
+
+    live_chunks = set()
+    for mf in _glob.glob(os.path.join(path, "_manifest-v*.json")):
+        live_chunks |= set(_json.load(open(mf)).get("file_chunks", []))
+    on_disk = {os.path.basename(c) for c in _glob.glob(os.path.join(path, "_filelist-*.json"))}
+    assert on_disk == live_chunks
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 20
+
+
+def test_chunked_manifest_cow_delete_rewrites_only_touched_chunks(
+    spark, tmp_path, monkeypatch
+):
+    """A delete touching one file must not rewrite chunks whose files
+    all survive — chunk reuse is what bounds commit metadata I/O."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2)
+    path = str(tmp_path / "t9d")
+    P.register_sink(spark)
+    os.makedirs(path, exist_ok=True)
+    # 6 single-id files, ids 0..5 (v == id), via in-process epoch commits
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(6):
+        fn = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array([i], pa.int64()), "v": pa.array([i], pa.int32())}),
+            os.path.join(path, fn),
+        )
+        P.ManifestStreamWriter({"path": path}).commit([P.PartFileCommit(fn, 1)], i)
+    rawN = _raw_manifest(path, 6)
+    assert rawN.get("files_external")
+    P.delete_where(spark, path, "v", 5, 5)  # touches exactly one file
+    rawD = _raw_manifest(path, 7)
+    surviving = [
+        c
+        for c in rawN["file_chunks"]
+        if set(P._load_chunk(path, c)["files"]) <= set(P._latest_snapshot(path)["files"])
+    ]
+    # every fully-surviving chunk was reused verbatim
+    assert set(surviving) <= set(rawD["file_chunks"])
+    df, _ = P.read_manifest(spark, path)
+    assert df.count() == 5
 
 
 # --- 3. verb part prefixes are not hex-continuable ----------------------------
