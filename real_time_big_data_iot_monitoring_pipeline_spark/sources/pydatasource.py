@@ -456,17 +456,21 @@ def _load_manifest_file(path: str, filename: str) -> dict:
     return resolved
 
 
-def _externalize_files(path: str, manifest: dict) -> dict:
+def _externalize_files(path: str, manifest: dict) -> tuple[dict, list[str]]:
     """Commit-side inverse of `_resolve_manifest`: decide inline vs
     chunked for a flat manifest dict, reusing any still-valid chunks
-    named by the dict's carried hints or the current raw ledger head."""
+    named by the dict's carried hints or the current raw ledger head.
+    Returns (manifest, newly_written_chunk_names) — the claim deletes
+    the new chunks if it loses, so a 64-attempt contention loop can't
+    accumulate one orphan chunk set per failed attempt (reused chunks
+    belong to committed versions and are never touched)."""
     import os
     import uuid as _uuid
 
     files = manifest.get("files")
     flat = {k: v for k, v in manifest.items() if k not in ("files_external", "file_chunks")}
     if files is None or len(files) <= _MANIFEST_INLINE_MAX:
-        return flat
+        return flat, []
     fset = set(files)
     stats = manifest.get("stats", {})
     fcols = manifest.get("file_columns", {})
@@ -505,7 +509,7 @@ def _externalize_files(path: str, manifest: dict) -> dict:
     flat["files_external"] = True
     flat["file_chunks"] = kept + new_chunks
     flat["n_files"] = len(files)
-    return flat
+    return flat, new_chunks
 
 
 def _latest_snapshot_raw(path: str) -> dict | None:
@@ -593,7 +597,7 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
     # verb and writer gets chunking without knowing about it.  A loser's
     # freshly-written chunks are orphans exactly like its part files;
     # vacuum reclaims both.
-    manifest = _externalize_files(path, manifest)
+    manifest, new_chunks = _externalize_files(path, manifest)
     versioned = os.path.join(path, f"_manifest-v{manifest['version']}.json")
     tmpc = f"{versioned}.claim-{uuid.uuid4().hex}"
     with open(tmpc, "w") as f:
@@ -602,6 +606,14 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
         os.link(tmpc, versioned)
     except FileExistsError:
         os.remove(tmpc)
+        # loser cleanup: chunks written for THIS attempt are unlisted
+        # orphans (retry re-externalizes against the winner's head);
+        # reused chunks belong to committed versions and stay
+        for cn in new_chunks:
+            try:
+                os.remove(os.path.join(path, cn))
+            except FileNotFoundError:
+                pass
         return False
     os.remove(tmpc)
     head = os.path.join(path, "manifest.json")

@@ -180,12 +180,19 @@ def _no_orphans(path: str) -> None:
     (older versions keep their files for time travel — those are not
     orphans), and no staging residue survives."""
     referenced: set[str] = set()
+    ref_chunks: set[str] = set()
     for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
         with open(mf) as f:
-            referenced |= set(P._resolve_manifest(path, json.load(f)).get("files", []))
+            raw = json.load(f)
+        referenced |= set(P._resolve_manifest(path, raw).get("files", []))
+        ref_chunks |= set(raw.get("file_chunks", []))
     on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))}
     orphans = on_disk - referenced
     assert not orphans, f"orphaned part files after race: {sorted(orphans)}"
+    chunk_orphans = {
+        os.path.basename(c) for c in glob.glob(os.path.join(path, "_filelist-*.json"))
+    } - ref_chunks
+    assert not chunk_orphans, f"orphaned filelist chunks after race: {sorted(chunk_orphans)}"
     stray = glob.glob(os.path.join(path, "_uncommitted_*")) + glob.glob(
         os.path.join(path, "_*staging*")
     )
