@@ -346,6 +346,39 @@ def test_chunked_manifest_cow_delete_rewrites_only_touched_chunks(
     assert df.count() == 5
 
 
+def test_chunked_manifest_pinned_ref_protects_chunks_from_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """A tag pins its snapshot through vacuum (Iceberg retain-ref rule);
+    on a chunked table that must extend to the snapshot's `_filelist-*`
+    chunks, or the pinned version's file list evaporates."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2)
+    path = str(tmp_path / "t9v")
+    P.register_sink(spark)
+    os.makedirs(path, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(8):
+        fn = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array([i], pa.int64()), "v": pa.array([i], pa.int32())}),
+            os.path.join(path, fn),
+        )
+        P.ManifestStreamWriter({"path": path}).commit([P.PartFileCommit(fn, 1)], i)
+    P.create_tag(path, "keep4", version=4)
+    # churn far past the retention horizon
+    P.delete_where(spark, path, "v", 6, 7)
+    P.merge_upsert(
+        spark, path, spark.range(100, 103).selectExpr("id", "CAST(0 AS INT) AS v"), "id"
+    )
+    res = P.vacuum(path, keep_versions=1, retention_seconds=0.0)
+    assert res["horizon_version"] > 4
+    # the pinned snapshot still time-travels with its full file list
+    df4, _ = P.read_manifest(spark, path, version=4)
+    assert df4.count() == 4 and sorted(r.id for r in df4.collect()) == [0, 1, 2, 3]
+
+
 # --- 3. verb part prefixes are not hex-continuable ----------------------------
 
 UUID_HEX = set("0123456789abcdef")
