@@ -1914,13 +1914,19 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
             continue  # a racer already removed it
         if young:
             continue  # grace window: possibly an in-flight commit's part
-        os.remove(part)
+        try:
+            os.remove(part)
+        except FileNotFoundError:
+            continue  # a concurrent vacuum removed it between stat and here
         n_files += 1
     n_manifests = 0
     for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
         v = int(os.path.basename(mf)[len("_manifest-v") : -len(".json")])
         if v < horizon and v not in pinned:
-            os.remove(mf)
+            try:
+                os.remove(mf)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum beat us to it
             n_manifests += 1
     # chunk GC: a `_filelist-*` chunk is live iff a SURVIVING manifest
     # (or the WAP stage) references it; orphans come from expired
