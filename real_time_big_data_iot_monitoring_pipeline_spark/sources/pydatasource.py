@@ -463,7 +463,16 @@ def _externalize_files(path: str, manifest: dict) -> tuple[dict, list[str]]:
     Returns (manifest, newly_written_chunk_names) — the claim deletes
     the new chunks if it loses, so a 64-attempt contention loop can't
     accumulate one orphan chunk set per failed attempt (reused chunks
-    belong to committed versions and are never touched)."""
+    belong to committed versions and are never touched).
+
+    Reuse-liveness argument (why a reused chunk can never be a
+    vacuumed-away file): hints come from the snapshot the verb planned
+    against.  If that snapshot is still the ledger head at claim time,
+    vacuum cannot have expired it (the head always survives), so its
+    chunks are on disk; if any commit advanced the head in between, the
+    claim LOSES on the version collision and the retry re-plans with
+    fresh hints.  A winning manifest therefore only ever references
+    chunks of the live head plus its own new writes."""
     import os
     import uuid as _uuid
 
