@@ -61,6 +61,17 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 #     `corpus_token_budget`) LEAD ROUND10_OLDEST_COHORT below — as
 #     DATA, so they cannot be lost (the round-7 lesson).
 #
+# ROUND-10 PLAN (written now so the rotation is mechanical): window =
+# `flagship_window_agg` + ALL 38 of ROUND10_DRAFT (in order — the
+# backlog EMPTIES) + the first 11 of ROUND10_OLDEST_COHORT
+# (1 + 38 + 11 = 50).  From round 11 on, windows are flagship + 49
+# strictly-oldest rows (the refresh steady state: cohort ages from
+# tools/backlog_audit.py's histogram, oldest-first, r2 cohort right
+# after the remaining r3 rows).  The entire r10 universe — 38 draft +
+# 42 r3-cohort + 22 r2-cohort rows — was re-validated ALL GREEN against
+# the DuckDB oracle at sf0.01 on the final round-9 tree, so any r10 red
+# row indicates a code change since, not the query.
+#
 # AFTER THIS WINDOW lands green: never-hashed = 77 - 39 = 38 (all of
 # ROUND10_DRAFT, in order) — round 10 drains them ALL and the backlog
 # empties one round ahead of the round-11 crossover the round-8
