@@ -1,7 +1,9 @@
 """Model-based property test of the manifest-table verb algebra
-(round 8): hypothesis drives RANDOM SEQUENCES of lakehouse verbs —
-append, CoW delete, MoR delete, materialize, rename, MERGE upsert,
-restore — against two implementations of the same contract:
+(round 8; alphabet grown since): hypothesis drives RANDOM SEQUENCES of
+lakehouse verbs — append, CoW delete, MoR delete, materialize, rename,
+MERGE upsert, restore, overwrite, vacuum, CHECK constraints, and
+(round 9) immutable TAGS whose vacuum pinning keeps expired versions
+restorable — against two implementations of the same contract:
 
   * the real table (`sources/pydatasource.py`, through the sink and
     the public verbs), read back logically after every commit;
@@ -38,6 +40,7 @@ VERB = st.one_of(
     st.tuples(st.just("vacuum"), st.none()),
     st.tuples(st.just("constraint"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
     st.tuples(st.just("drop_constraint"), st.none()),
+    st.tuples(st.just("tag"), st.integers(0, 11)),
 )
 
 
@@ -69,6 +72,11 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     horizon = 1  # oldest version still restorable (advanced by vacuum)
     constraints: dict[str, tuple[str, int, int]] = {}  # name -> (col, lo, hi)
     cn = 0
+    # versions pinned by immutable tags: vacuum retains their manifests
+    # AND files, so they stay restorable BELOW the horizon (Iceberg's
+    # retain-ref rule — round-9 alphabet extension)
+    pinned_tags: set[int] = set()
+    tn = 0
 
     def batch_violates(batch, col) -> bool:
         """Does writing `batch` under column name `col` violate any
@@ -173,9 +181,12 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 snap()
         elif tag == "restore":
             v = 1 + (payload % len(history))
-            if v < horizon:
+            if v < horizon and v not in pinned_tags:
                 # the target snapshot was vacuumed away: refuse loudly,
-                # commit nothing (Iceberg expire_snapshots behavior)
+                # commit nothing (Iceberg expire_snapshots behavior).
+                # A TAGGED version below the horizon is NOT vacuumed —
+                # its manifest and files survive, so restore succeeds
+                # (the elif/else paths below).
                 with pytest.raises(RuntimeError, match="cannot restore"):
                     P.restore_table(path, v)
             elif rows_violate(history[v - 1][0], history[v - 1][1]):
@@ -229,6 +240,18 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
             else:
                 with pytest.raises(RuntimeError, match="no such constraint"):
                     P.drop_check_constraint(path, "c999")
+        elif tag == "tag":
+            v = 1 + (payload % len(history))
+            name = f"t{tn}"
+            tn += 1
+            if v < horizon and v not in pinned_tags:
+                # version already expired by vacuum: tagging refuses
+                with pytest.raises(RuntimeError, match="no such committed snapshot"):
+                    P.create_tag(path, name, v)
+            else:
+                P.create_tag(path, name, v)
+                pinned_tags.add(v)
+                # no snap: refs are side files, not table commits
         assert spark_state() == model_state(), f"divergence after {tag}({payload})"
 
     # terminal: materialize everything and compare once more physically
