@@ -2231,6 +2231,75 @@ def _physical_column(chain: tuple, logical: str) -> str:
     return cur
 
 
+def _enforce_logical_scan(
+    path: str,
+    fn: str,
+    chain: tuple,
+    dels: tuple,
+    range_cs: list[dict],
+    null_cs: list[dict],
+) -> None:
+    """Exact constraint proof for ONE file carrying pending MoR delete
+    predicates: read only the constrained + predicate columns, drop the
+    rows the (NULL-safe, three-valued) delete predicates remove, and
+    check the survivors.  Column names in both constraints and delete
+    predicates are CURRENT logical names; the file's physical names
+    resolve through its rename chain."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cons_cols = {c["col"] for c in range_cs + null_cs}
+    del_cols = {d[0] for d in dels}
+    phys = {col: _physical_column(chain, col) for col in cons_cols | del_cols}
+    schema_names = set(pq.read_schema(os.path.join(path, fn)).names)
+    read_cols = sorted({p for p in phys.values() if p in schema_names})
+    tbl = pq.read_table(os.path.join(path, fn), columns=read_cols)
+    keep = pa.array([True] * tbl.num_rows)
+    for dcol, lo, hi in dels:
+        p = phys[dcol]
+        if p not in schema_names:
+            continue  # column absent => all NULL => predicate never matches
+        col = tbl.column(p)
+        hit = pc.and_kleene(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+        # three-valued logic: NULL comparisons are NULL => row survives
+        keep = pc.and_(keep, pc.fill_null(pc.invert(hit), True))
+    for c in range_cs:
+        p = phys[c["col"]]
+        if p not in schema_names:
+            continue  # absent => all NULL => range CHECK vacuously holds
+        vals = pc.filter(tbl.column(p), keep)
+        lo, hi = c.get("lo"), c.get("hi")
+        mm = pc.min_max(vals).as_py()  # NULLs ignored; empty => (None, None)
+        if mm["min"] is None:
+            continue  # no surviving non-NULL values: vacuous
+        if (lo is not None and mm["min"] < lo) or (hi is not None and mm["max"] > hi):
+            raise RuntimeError(
+                f"existing data violates constraint {c['name']!r}: "
+                f"{fn} has {c['col']} range [{mm['min']}, {mm['max']}] "
+                f"outside [{lo}, {hi}] (logical scan, MoR deletes applied)"
+            )
+    for c in null_cs:
+        p = phys[c["col"]]
+        n_kept = pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+        if p not in schema_names:
+            if n_kept > 0:
+                raise RuntimeError(
+                    f"existing data violates constraint {c['name']!r}: "
+                    f"{fn} carries no {c['col']!r} column — all-NULL on the merged read"
+                )
+            continue
+        vals = pc.filter(tbl.column(p), keep)
+        nc = vals.null_count
+        if nc > 0:
+            raise RuntimeError(
+                f"existing data violates constraint {c['name']!r}: "
+                f"{fn} has {nc} null(s) in {c['col']} (logical scan, MoR deletes applied)"
+            )
+
+
 def _enforce_existing(path: str, snapshot: dict, constraints: list[dict]) -> None:
     """Prove an EXISTING snapshot satisfies `constraints`, preferring
     the manifest's recorded stats and falling back to footers.  Raises
@@ -2242,7 +2311,20 @@ def _enforce_existing(path: str, snapshot: dict, constraints: list[dict]) -> Non
     spurious unprovable) or an all-zero null count (NOT NULL: unsound
     accept).  A column ABSENT from a file entirely is all-NULL on the
     merged read: that VIOLATES a NOT NULL constraint and vacuously
-    SATISFIES a range constraint (three-valued logic)."""
+    SATISFIES a range constraint (three-valued logic).
+
+    Files scoped by PENDING MERGE-ON-READ deletes get an exact LOGICAL
+    micro-scan instead of the footer shortcut (round-9 model-machine
+    find): footer stats still contain the MoR-deleted rows, so a table
+    whose logical data satisfies the constraint was falsely refused
+    ("violates") whenever the deleted rows' values fell outside the
+    range — e.g. append, MoR-delete the out-of-range rows, then
+    add_check_constraint.  Physical stats are a SUPERSET of logical
+    rows (the proof was always sound, only over-refusing); the
+    micro-scan reads just the constrained + predicate columns of just
+    the delete-scoped files (column-pruned Arrow read), which at 100 TB
+    bounds the cost by the pending-delete scope — the same data a
+    materialize would have to touch anyway."""
     range_cs = [c for c in constraints if c.get("lo") is not None or c.get("hi") is not None]
     null_cs = [c for c in constraints if c.get("not_null")]
     if not (range_cs or null_cs):
@@ -2250,7 +2332,10 @@ def _enforce_existing(path: str, snapshot: dict, constraints: list[dict]) -> Non
     meta = _file_logical_metadata(path, snapshot)
     stats = snapshot.get("stats", {})
     for fn in snapshot["files"]:
-        chain = meta[fn][0]
+        chain, dels = meta[fn]
+        if dels:
+            _enforce_logical_scan(path, fn, chain, dels, range_cs, null_cs)
+            continue
         phys = {
             c["col"]: _physical_column(chain, c["col"]) for c in range_cs + null_cs
         }

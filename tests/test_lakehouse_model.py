@@ -41,6 +41,9 @@ VERB = st.one_of(
     st.tuples(st.just("constraint"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
     st.tuples(st.just("drop_constraint"), st.none()),
     st.tuples(st.just("tag"), st.integers(0, 11)),
+    st.tuples(st.just("branch"), st.integers(0, 11)),
+    st.tuples(st.just("advance"), st.integers(0, 11)),
+    st.tuples(st.just("drop_ref"), st.none()),
 )
 
 
@@ -69,14 +72,18 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     # table that the dict-shaped compare below cannot see)
     history: list[tuple[dict, str]] = []  # per committed version
 
-    horizon = 1  # oldest version still restorable (advanced by vacuum)
     constraints: dict[str, tuple[str, int, int]] = {}  # name -> (col, lo, hi)
     cn = 0
-    # versions pinned by immutable tags: vacuum retains their manifests
-    # AND files, so they stay restorable BELOW the horizon (Iceberg's
-    # retain-ref rule — round-9 alphabet extension)
-    pinned_tags: set[int] = set()
-    tn = 0
+    # PRECISE expiry model (round-9 extension): `removed` is exactly the
+    # set of versions whose manifests vacuum has deleted — a version
+    # expires iff it was below the horizon AND unpinned at some vacuum.
+    # Refs (immutable tags + movable branches) pin versions; MOVING a
+    # branch or DROPPING a ref un-pins, making the version vacuumable
+    # at the NEXT vacuum but not retroactively — which a simple
+    # monotone-horizon model cannot express.
+    removed: set[int] = set()
+    refs_model: dict[str, tuple[str, int]] = {}  # name -> (kind, version)
+    tn = bn = 0
 
     def batch_violates(batch, col) -> bool:
         """Does writing `batch` under column name `col` violate any
@@ -181,12 +188,12 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 snap()
         elif tag == "restore":
             v = 1 + (payload % len(history))
-            if v < horizon and v not in pinned_tags:
+            if v in removed:
                 # the target snapshot was vacuumed away: refuse loudly,
                 # commit nothing (Iceberg expire_snapshots behavior).
-                # A TAGGED version below the horizon is NOT vacuumed —
+                # A version PINNED at vacuum time is not in `removed` —
                 # its manifest and files survive, so restore succeeds
-                # (the elif/else paths below).
+                # (the elif/else paths below) even below the horizon.
                 with pytest.raises(RuntimeError, match="cannot restore"):
                     P.restore_table(path, v)
             elif rows_violate(history[v - 1][0], history[v - 1][1]):
@@ -218,8 +225,15 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 snap()
         elif tag == "vacuum":
             res = P.vacuum(path, keep_versions=3, retention_seconds=0.0)
-            horizon = max(horizon, res["horizon_version"])
-            # no commit: vacuum reclaims, it does not change the table
+            # no commit: vacuum reclaims, it does not change the table.
+            # Model the exact expiry: below-horizon versions unpinned
+            # RIGHT NOW are gone; pinned ones survive this vacuum.
+            pins = {v for _k, v in refs_model.values()}
+            removed |= {
+                v
+                for v in range(1, len(history) + 1)
+                if v < res["horizon_version"] and v not in pins
+            }
         elif tag == "constraint":
             lo, hi = sorted(payload)
             name = f"c{cn}"
@@ -244,14 +258,52 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
             v = 1 + (payload % len(history))
             name = f"t{tn}"
             tn += 1
-            if v < horizon and v not in pinned_tags:
+            if v in removed:
                 # version already expired by vacuum: tagging refuses
                 with pytest.raises(RuntimeError, match="no such committed snapshot"):
                     P.create_tag(path, name, v)
             else:
                 P.create_tag(path, name, v)
-                pinned_tags.add(v)
-                # no snap: refs are side files, not table commits
+                refs_model[name] = ("tag", v)
+                # no snap: refs are side files, not table commits.
+                # Spot-check the ref read path: AS OF 'tag' sees that
+                # version's row count exactly.
+                df_ref, _ = P.read_manifest_ref(spark, path, name)
+                assert df_ref.count() == len(history[v - 1][0])
+        elif tag == "branch":
+            v = 1 + (payload % len(history))
+            name = f"b{bn}"
+            bn += 1
+            if v in removed:
+                with pytest.raises(RuntimeError, match="no such committed snapshot"):
+                    P.create_branch(path, name, v)
+            else:
+                P.create_branch(path, name, v)
+                refs_model[name] = ("branch", v)
+        elif tag == "advance":
+            branches = sorted(n for n, (k, _v) in refs_model.items() if k == "branch")
+            v = 1 + (payload % len(history))
+            if not branches:
+                with pytest.raises(FileNotFoundError):
+                    P.advance_branch(path, "b999", v)
+            elif v in removed:
+                # moving onto an expired snapshot refuses; the branch
+                # stays where it was (still pinning its old target)
+                with pytest.raises(RuntimeError, match="cannot advance"):
+                    P.advance_branch(path, branches[0], v)
+            else:
+                P.advance_branch(path, branches[0], v)
+                refs_model[branches[0]] = ("branch", v)
+        elif tag == "drop_ref":
+            if refs_model:
+                name = sorted(refs_model)[0]
+                P.drop_ref(path, name)
+                del refs_model[name]
+                # the version it pinned becomes vacuumable at the NEXT
+                # vacuum — not retroactively (`removed` is unchanged)
+            else:
+                with pytest.raises(FileNotFoundError):
+                    P.drop_ref(path, "t999")
         assert spark_state() == model_state(), f"divergence after {tag}({payload})"
 
     # terminal: materialize everything and compare once more physically

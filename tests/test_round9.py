@@ -379,6 +379,63 @@ def test_chunked_manifest_pinned_ref_protects_chunks_from_vacuum(
     assert df4.count() == 4 and sorted(r.id for r in df4.collect()) == [0, 1, 2, 3]
 
 
+# --- 2d. constraint proofs see LOGICAL data under pending MoR deletes ---------
+
+
+def test_constraint_add_sees_logical_rows_under_pending_mor(spark, tmp_path):
+    """Round-9 model-machine find (latent since round 8): the
+    footer-stat proof behind add_check_constraint still saw
+    MoR-DELETED rows, so a logically-clean table was falsely refused
+    whenever the deleted rows fell outside the range.  Delete-scoped
+    files now get an exact column-pruned logical micro-scan."""
+    path = str(tmp_path / "t9m")
+    P.register_sink(spark)
+    # v in 0..8 plus NULLs; physically one file.  Logical survivors of
+    # the MoR delete below: 5 NULLs (ids 0,4,8,12,16) and v=8 (id 17).
+    _write(
+        spark,
+        path,
+        spark.range(18).selectExpr(
+            "id", "CAST(CASE WHEN id % 4 = 0 THEN NULL ELSE id % 9 END AS INT) AS v"
+        ).coalesce(1),
+    )
+    P.delete_where_mor(path, "v", 0, 7)
+    # pre-fix: "violates constraint" from the physical [0,8] footer range
+    P.add_check_constraint(path, "v_hi", "v", lo=8, hi=8)
+    # and a constraint the LOGICAL data does violate still refuses
+    with pytest.raises(RuntimeError, match="violates constraint"):
+        P.add_check_constraint(path, "v_zero", "v", lo=0, hi=0)
+    # NOT NULL keeps refusing (NULL rows survive the range delete)
+    with pytest.raises(RuntimeError, match="violates constraint"):
+        P.add_check_constraint(path, "v_nn", "v", not_null=True)
+
+
+def test_restore_validates_target_logically_under_pending_mor(spark, tmp_path):
+    """Restore to a version that carried pending MoR deletes: the
+    CURRENT constraints must be proven against that version's LOGICAL
+    rows, not its physical footers (which still contain rows the
+    pending deletes remove)."""
+    path = str(tmp_path / "t9n")
+    P.register_sink(spark)
+    _write(
+        spark,
+        path,
+        spark.range(18).selectExpr(
+            "id", "CAST(CASE WHEN id % 4 = 0 THEN NULL ELSE id % 9 END AS INT) AS v"
+        ).coalesce(1),
+    )
+    P.delete_where_mor(path, "v", 0, 7)  # v2: logical = 5 NULLs + v=8, pending
+    v2 = P._latest_snapshot(path)["version"]
+    P.materialize_deletes(spark, path)  # v3: physically clean
+    P.add_check_constraint(path, "v_hi", "v", lo=8, hi=8)  # passes on v3
+    # pre-fix: refused — v2's physical files still hold v in 0..7
+    out = P.restore_table(path, v2)
+    df, head = P.read_manifest(spark, path)
+    assert out["version"] == head["version"]
+    assert df.filter("v IS NOT NULL").select("v").distinct().count() == 1
+    assert df.count() == 6  # 5 NULLs + the one v=8 row (id 17)
+
+
 # --- 3. verb part prefixes are not hex-continuable ----------------------------
 
 UUID_HEX = set("0123456789abcdef")
