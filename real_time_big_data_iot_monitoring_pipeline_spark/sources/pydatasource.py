@@ -2257,7 +2257,7 @@ def _enforce_logical_scan(
     schema_names = set(pq.read_schema(os.path.join(path, fn)).names)
     read_cols = sorted({p for p in phys.values() if p in schema_names})
     tbl = pq.read_table(os.path.join(path, fn), columns=read_cols)
-    keep = pa.array([True] * tbl.num_rows)
+    keep = None  # None => no applicable predicate: every row survives
     for dcol, lo, hi in dels:
         p = phys[dcol]
         if p not in schema_names:
@@ -2265,12 +2265,13 @@ def _enforce_logical_scan(
         col = tbl.column(p)
         hit = pc.and_kleene(pc.greater_equal(col, lo), pc.less_equal(col, hi))
         # three-valued logic: NULL comparisons are NULL => row survives
-        keep = pc.and_(keep, pc.fill_null(pc.invert(hit), True))
+        surv = pc.fill_null(pc.invert(hit), True)
+        keep = surv if keep is None else pc.and_(keep, surv)
     for c in range_cs:
         p = phys[c["col"]]
         if p not in schema_names:
             continue  # absent => all NULL => range CHECK vacuously holds
-        vals = pc.filter(tbl.column(p), keep)
+        vals = tbl.column(p) if keep is None else pc.filter(tbl.column(p), keep)
         lo, hi = c.get("lo"), c.get("hi")
         mm = pc.min_max(vals).as_py()  # NULLs ignored; empty => (None, None)
         if mm["min"] is None:
@@ -2283,7 +2284,11 @@ def _enforce_logical_scan(
             )
     for c in null_cs:
         p = phys[c["col"]]
-        n_kept = pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+        n_kept = (
+            tbl.num_rows
+            if keep is None
+            else (pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
+        )
         if p not in schema_names:
             if n_kept > 0:
                 raise RuntimeError(
@@ -2291,7 +2296,7 @@ def _enforce_logical_scan(
                     f"{fn} carries no {c['col']!r} column — all-NULL on the merged read"
                 )
             continue
-        vals = pc.filter(tbl.column(p), keep)
+        vals = tbl.column(p) if keep is None else pc.filter(tbl.column(p), keep)
         nc = vals.null_count
         if nc > 0:
             raise RuntimeError(
