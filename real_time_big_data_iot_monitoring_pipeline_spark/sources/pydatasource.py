@@ -2631,35 +2631,70 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
     no rows.  Returns (df, commits): df has the table schema plus
     `_commit_version int`; commits is the per-version audit trail
     [{version, op, n_new_files}].  Driver work is manifest JSON only —
-    no data is read outside the delta files."""
+    no data is read outside the delta files.
+
+    Rows surface under the LOGICAL schema of the `to_version` snapshot:
+    each delta file's rename chain is resolved exactly as `_read_logical`
+    does (a feed spanning a rename_column otherwise unions pre- and
+    post-rename physical names and fails — Delta CDF likewise presents
+    the current read schema).  Pending MoR delete predicates are NOT
+    applied: the feed's contract is rows-as-appended — a row added at
+    v2 and deleted at v5 was still added at v2.
+
+    Schema evolution across the range: ADDITIVE changes (a later append
+    introduces new columns) union with nulls for the missing columns,
+    like `read_manifest(merge_schema=True)`.  An INCOMPATIBLE range —
+    resolved column sets that are not subset-nested, e.g. a feed
+    spanning a rename whose log a later restore/overwrite then reset,
+    leaving appends from different naming epochs — refuses loudly with
+    instructions to read sub-ranges split at the schema-reset commit
+    (Delta CDF likewise blocks non-additive schema changes mid-range)."""
     import os
 
     from pyspark.sql import functions as F
 
     if to_version is None:
         to_version = _head_snapshot(path)["version"]
+    to_m = _load_manifest_file(path, f"_manifest-v{to_version}.json")
     frames, commits = [], []
     for d in _append_deltas(path, since_version, to_version):
         if d["new_files"]:
-            frames.append(
-                spark.read.parquet(*[os.path.join(path, fn) for fn in d["new_files"]])
-                .withColumn("_commit_version", F.lit(d["version"]).cast("int"))
-            )
+            # group the delta's files by applicable rename chain (the
+            # to_version log replayed over each file's physical names)
+            meta = _file_logical_metadata(path, to_m, d["new_files"])
+            groups: dict[tuple, list[str]] = {}
+            for fn in d["new_files"]:
+                groups.setdefault(meta[fn][0], []).append(os.path.join(path, fn))
+            for app, fps in groups.items():
+                df = spark.read.parquet(*fps)
+                for old, new in app:
+                    df = df.withColumnRenamed(old, new)
+                frames.append(
+                    df.withColumn("_commit_version", F.lit(d["version"]).cast("int"))
+                )
         entry = {"version": d["version"], "op": d["op"], "n_new_files": len(d["new_files"])}
         if "predicate" in d:
             entry["predicate"] = d["predicate"]
         commits.append(entry)
     if frames:
+        colsets = [set(f.columns) for f in frames]
+        widest = max(colsets, key=len)
+        if not all(cs <= widest for cs in colsets):
+            bad = next(cs for cs in colsets if not cs <= widest)
+            raise RuntimeError(
+                f"change feed ({since_version}, {to_version}] spans an "
+                f"incompatible schema change: columns {sorted(bad)} vs "
+                f"{sorted(widest)} cannot union — read the feed in "
+                "sub-ranges split at the schema-reset commit"
+            )
         df = frames[0]
         for extra in frames[1:]:
-            df = df.unionByName(extra)
+            df = df.unionByName(extra, allowMissingColumns=True)
     else:
-        # no data change in the range: empty frame with the table schema
-        head = _load_manifest_file(path, f"_manifest-v{to_version}.json")
-        df = (
-            spark.read.parquet(*[os.path.join(path, fn) for fn in head["files"]])
-            .limit(0)
-            .withColumn("_commit_version", F.lit(0).cast("int"))
+        # no data change in the range: empty frame with the table's
+        # LOGICAL schema (rename log applied; limit(0) scans no pages)
+        df = _read_logical(spark, path, to_m["files"], to_m).limit(0).withColumn(
+            "_commit_version", F.lit(0).cast("int")
         )
     return df, commits
 

@@ -359,6 +359,97 @@ def test_pyds_change_feed_delta_inference_and_empty_range(spark, tmp_path):
     assert set(empty.columns) == {"a", "_commit_version"}
 
 
+def test_pyds_change_feed_spans_renames(spark, tmp_path):
+    """A change feed whose range spans a rename_column presents every
+    row under the LOGICAL schema of the to_version snapshot (Delta CDF
+    reads under the current schema): pre-rename files surface their
+    values under the new name via the per-file rename chain.  Before
+    the round-9 fix this union of pre- and post-rename physical names
+    failed with `Cannot resolve column name` — found while wiring the
+    CDF replay invariant into the sequential model machine."""
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_change_feed,
+        rename_column,
+    )
+
+    path = str(tmp_path / "cdfren")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10), Row(id=2, v=20)]))])  # v1
+    rename_column(path, "v", "w")  # v2 (dataChange=false)
+    w.commit([w.write(iter([Row(id=3, w=30)]))])  # v3, post-rename schema
+
+    df, commits = read_change_feed(spark, path, since_version=0)
+    assert set(df.columns) == {"id", "w", "_commit_version"}
+    assert sorted((r["id"], r["w"], r["_commit_version"]) for r in df.collect()) == [
+        (1, 10, 1),
+        (2, 20, 1),
+        (3, 30, 3),
+    ]
+    assert [(c["version"], c["op"], c["n_new_files"]) for c in commits] == [
+        (1, "append", 1),
+        (2, "rename", 0),
+        (3, "append", 1),
+    ]
+
+    # a feed truncated BEFORE the rename presents THAT snapshot's
+    # schema — the name as of to_version, not the head
+    df1, _ = read_change_feed(spark, path, since_version=0, to_version=1)
+    assert set(df1.columns) == {"id", "v", "_commit_version"}
+    assert sorted((r["id"], r["v"]) for r in df1.collect()) == [(1, 10), (2, 20)]
+
+    # an empty range on the renamed table still reports the logical
+    # schema (zero rows, footer-only)
+    df0, c0 = read_change_feed(spark, path, since_version=3, to_version=3)
+    assert c0 == [] and df0.count() == 0
+    assert set(df0.columns) == {"id", "w", "_commit_version"}
+
+
+def test_pyds_change_feed_schema_evolution_and_incompatible_ranges(spark, tmp_path):
+    """ADDITIVE schema evolution unions with nulls (a later append may
+    introduce columns); a range spanning a schema RESET (rename whose
+    log a restore then clears, leaving appends from two naming epochs)
+    refuses loudly instead of failing inside unionByName — and the
+    suggested sub-ranges work."""
+    import pytest
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        read_change_feed,
+        rename_column,
+        restore_table,
+    )
+
+    # additive: v2 adds an `extra` column — v1's rows surface NULL there
+    add = str(tmp_path / "cdfadd")
+    w = ManifestParquetWriter({"path": add}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10)]))])
+    w.commit([w.write(iter([Row(id=2, v=20, extra=7)]))])
+    df, _ = read_change_feed(spark, add, since_version=0)
+    assert set(df.columns) == {"id", "v", "extra", "_commit_version"}
+    assert sorted((r["id"], r["extra"]) for r in df.collect()) == [(1, None), (2, 7)]
+
+    # incompatible: append(v) / rename v->w / append(w) / restore v1 —
+    # the head's rename log is reset, so the two appends resolve to
+    # different same-size column sets that cannot union
+    path = str(tmp_path / "cdfreset")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10)]))])  # v1
+    rename_column(path, "v", "w")  # v2
+    w.commit([w.write(iter([Row(id=2, w=20)]))])  # v3
+    restore_table(path, 1)  # v4: renames reset to v1's (empty)
+    with pytest.raises(RuntimeError, match="incompatible schema change"):
+        read_change_feed(spark, path, since_version=0)
+    # the documented recovery: sub-ranges split at the reset commit
+    d1, _ = read_change_feed(spark, path, since_version=0, to_version=2)
+    d2, _ = read_change_feed(spark, path, since_version=2, to_version=3)
+    assert set(d1.columns) == {"id", "w", "_commit_version"} and d1.count() == 1
+    assert set(d2.columns) == {"id", "w", "_commit_version"} and d2.count() == 1
+
+
 def test_pyds_delete_where_cow_and_change_feed(spark, tmp_path):
     """Copy-on-write DELETE: only stat-overlapping files rewritten,
     fully-deleted files vanish without an empty replacement, the

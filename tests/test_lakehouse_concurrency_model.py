@@ -31,6 +31,16 @@ The round-8 sequential machine found a real bug on its first run; the
 resurrection-class bugs this machine targets hide in the re-plan step
 (a retry that reuses any part of the PRE-race plan — file lists,
 eq-delete scopes, batch ledgers — resurrects state B already rewrote).
+
+Round-9 continuation: the alphabet grew from 6 to 10 verbs — batch
+append/overwrite (real ManifestParquetWriter, driven in-process so the
+claim patch reaches the commit), restore-to-v1, and
+add_check_constraint — adding the races the first alphabet could not
+express: a constraint B lands mid-claim must be enforced by A's
+RE-PLAN ("commit rejected"), a restore must roll data back without
+un-processing stream epochs (terminal replay probe), and an overwrite
+must reset read-side metadata B just created (renames, MoR scopes)
+while carrying the ledger and constraints forward.
 """
 
 from __future__ import annotations
@@ -48,7 +58,12 @@ from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasourc
 
 # (tag, payload) verb encodings.  Epoch batch ids are drawn from a tiny
 # set so A and B racing the SAME epoch id (the replay-guard path) is a
-# reachable state.
+# reachable state.  Round-9 continuation: the alphabet grew to the
+# METADATA verbs — batch append/overwrite (driven through the real
+# ManifestParquetWriter, in-process so the claim patch applies),
+# restore-to-v1 (may it un-process stream epochs? — the terminal
+# replay probe says no), and add_check_constraint (a constraint B
+# lands mid-claim must be enforced by A's RE-PLAN, not A's stale plan).
 RACE_VERB = st.one_of(
     st.tuples(st.just("epoch"), st.tuples(st.integers(1, 2), st.integers(0, 3))),
     st.tuples(st.just("delete_cow"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
@@ -56,9 +71,13 @@ RACE_VERB = st.one_of(
     st.tuples(st.just("merge"), st.integers(0, 3)),
     st.tuples(st.just("materialize"), st.none()),
     st.tuples(st.just("rename"), st.none()),
+    st.tuples(st.just("append"), st.integers(0, 3)),
+    st.tuples(st.just("overwrite"), st.integers(0, 3)),
+    st.tuples(st.just("restore"), st.none()),
+    st.tuples(st.just("constraint"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
 )
 
-RETRY_FAMILY = {"epoch", "delete_mor", "rename"}
+RETRY_FAMILY = {"epoch", "delete_mor", "rename", "append", "overwrite", "restore", "constraint"}
 SINGLE_SHOT = {"delete_cow", "merge", "materialize"}
 
 
@@ -71,15 +90,11 @@ def _batch_rows(batch: int):
     ]
 
 
-def _epoch_commit(path: str, batch: int, batch_id: int, vcol: str) -> None:
-    """Drive the REAL streaming epoch commit path without a stream: one
-    task part written under the underscore-hidden contract, then the
-    driver-side `ManifestStreamWriter.commit` (replay guard, constraint
-    proof, OCC retry loop — the full epoch discipline)."""
+def _write_uncommitted_part(path: str, rows, vcol: str) -> str:
+    """One task part under the underscore-hidden contract."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = _batch_rows(batch)
     os.makedirs(path, exist_ok=True)  # the sink's task writer does this
     fn = f"_uncommitted_{uuid.uuid4().hex}.parquet"
     tbl = pa.table(
@@ -90,8 +105,31 @@ def _epoch_commit(path: str, batch: int, batch_id: int, vcol: str) -> None:
         }
     )
     pq.write_table(tbl, os.path.join(path, fn))
+    return fn
+
+
+def _epoch_commit(path: str, batch: int, batch_id: int, vcol: str) -> None:
+    """Drive the REAL streaming epoch commit path without a stream: one
+    task part written under the underscore-hidden contract, then the
+    driver-side `ManifestStreamWriter.commit` (replay guard, constraint
+    proof, OCC retry loop — the full epoch discipline)."""
+    rows = _batch_rows(batch)
+    fn = _write_uncommitted_part(path, rows, vcol)
     P.ManifestStreamWriter({"path": path}).commit(
         [P.PartFileCommit(fn, len(rows))], batch_id
+    )
+
+
+def _batch_commit(path: str, batch: int, vcol: str, overwrite: bool) -> None:
+    """Drive the REAL batch writer commit path in-process (the spark
+    `.save()` route commits in a separate Python worker, where the
+    claim patch cannot reach): one hidden task part, then the
+    driver-side `ManifestParquetWriter.commit` — rename-visible,
+    constraint proof per attempt, OCC retry loop."""
+    rows = _batch_rows(batch)
+    fn = _write_uncommitted_part(path, rows, vcol)
+    P.ManifestParquetWriter({"path": path}, overwrite=overwrite).commit(
+        [P.PartFileCommit(fn, len(rows))]
     )
 
 
@@ -106,6 +144,36 @@ class Model:
         self.vcol = "v"
         self.batches: set[int] = set()
         self.seq = 50  # fresh-id counter for merge inserts
+        # active CHECK constraints: name -> (col, lo, hi).  In the pair
+        # machine every add targets the vcol current at call time, and
+        # renames of constrained columns refuse, so col == vcol while
+        # a constraint is active.
+        self.constraints: dict[str, tuple[str, int, int]] = {}
+        self.cn_a = 0  # A-side constraint-name counter ("ca{n}")
+        self.cn_b = 0  # B-side counter ("cb{n}") — distinct namespaces,
+        # so a constraint/constraint race never collides on the name
+        # (the duplicate-name path is the sequential machine's job)
+        self.v1_rows: dict[int, tuple] = {}  # state at version 1
+        self.v1_vcol = "v"
+
+    def state_violates(self, rows: dict, state_vcol: str) -> bool:
+        """Would `rows` (a logical state whose value column is named
+        `state_vcol`) violate any ACTIVE constraint?  A constraint on a
+        column the state does not carry is vacuously satisfied
+        (absent = all-NULL, and NULL passes a range CHECK — the same
+        three-valued rule the footer proof applies)."""
+        return any(
+            ccol == state_vcol
+            and any(v is not None and not (lo <= v <= hi) for _k, v in rows.values())
+            for ccol, lo, hi in self.constraints.values()
+        )
+
+    def batch_violates(self, batch, batch_vcol: str) -> bool:
+        return any(
+            ccol == batch_vcol
+            and any(v is not None and not (lo <= v <= hi) for _i, _k, v in batch)
+            for ccol, lo, hi in self.constraints.values()
+        )
 
     def apply_epoch(self, batch: int, batch_id: int) -> bool:
         """Returns True iff the epoch COMMITS (not a replay)."""
@@ -149,8 +217,14 @@ def _run_verb(spark, path: str, model: Model, tag: str, payload) -> None:
         ]
         upd.append((9000 + payload, 7, None))
         df = spark.createDataFrame(upd, f"id long, k int, {model.vcol} int")
-        P.merge_upsert(spark, path, df, "id")
-        model.rows.update({i: (k, v) for i, k, v in upd})
+        if model.batch_violates(upd, model.vcol):
+            # reachable on the documented single-shot RECOVERY re-run:
+            # B landed a constraint the merge's update values violate
+            with pytest.raises(RuntimeError, match="commit rejected"):
+                P.merge_upsert(spark, path, df, "id")
+        else:
+            P.merge_upsert(spark, path, df, "id")
+            model.rows.update({i: (k, v) for i, k, v in upd})
     elif tag == "materialize":
         P.materialize_deletes(spark, path)
         # physical only: logical rows unchanged
@@ -162,9 +236,53 @@ def _run_verb(spark, path: str, model: Model, tag: str, payload) -> None:
         ):
             with pytest.raises(RuntimeError, match="pending merge-on-read"):
                 P.rename_column(path, model.vcol, new)
+        elif any(c[0] == model.vcol for c in model.constraints.values()):
+            with pytest.raises(RuntimeError, match="CHECK constraints"):
+                P.rename_column(path, model.vcol, new)
         else:
             P.rename_column(path, model.vcol, new)
             model.vcol = new
+    elif tag == "append":
+        batch = _batch_rows(20 + payload)
+        if model.batch_violates(batch, model.vcol):
+            with pytest.raises(RuntimeError, match="commit rejected"):
+                _batch_commit(path, 20 + payload, model.vcol, overwrite=False)
+        else:
+            _batch_commit(path, 20 + payload, model.vcol, overwrite=False)
+            model.rows.update({i: (k, v) for i, k, v in batch})
+    elif tag == "overwrite":
+        batch = _batch_rows(40 + payload)
+        if model.batch_violates(batch, model.vcol):
+            with pytest.raises(RuntimeError, match="commit rejected"):
+                _batch_commit(path, 40 + payload, model.vcol, overwrite=True)
+        else:
+            # replaces every row; resets renames + eq-deletes (the new
+            # table's schema is the written batch's physical names);
+            # constraints and the epoch ledger carry forward
+            _batch_commit(path, 40 + payload, model.vcol, overwrite=True)
+            model.rows = {i: (k, v) for i, k, v in batch}
+    elif tag == "restore":
+        # always targets v1 (the setup epoch commit) — the one version
+        # every scenario is guaranteed to have; validated against the
+        # CURRENT constraint set
+        if model.state_violates(model.v1_rows, model.v1_vcol):
+            with pytest.raises(RuntimeError, match="violates constraint"):
+                P.restore_table(path, 1)
+        else:
+            P.restore_table(path, 1)
+            model.rows = dict(model.v1_rows)
+            model.vcol = model.v1_vcol
+            # the epoch ledger follows the HEAD: model.batches unchanged
+    elif tag == "constraint":
+        lo, hi = sorted(payload)
+        name = f"cb{model.cn_b}"
+        model.cn_b += 1
+        if any(v is not None and not (lo <= v <= hi) for _k, v in model.rows.values()):
+            with pytest.raises(RuntimeError, match="violates constraint"):
+                P.add_check_constraint(path, name, model.vcol, lo=lo, hi=hi)
+        else:
+            P.add_check_constraint(path, name, model.vcol, lo=lo, hi=hi)
+            model.constraints[name] = (model.vcol, lo, hi)
     else:  # pragma: no cover
         raise AssertionError(tag)
 
@@ -224,6 +342,9 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
     # so materialize actually reaches its claim instead of no-opping)
     _epoch_commit(path, 99, 0, "v")
     model.apply_epoch(99, 0)
+    model.v1_rows = dict(model.rows)  # restore verbs always target v1
+    model.v1_vcol = "v"
+    assert P._latest_snapshot(path)["version"] == 1
     if pre_mor or "materialize" in (a_tag, b_tag):
         P.delete_where_mor(path, "v", 3, 4)
         model.apply_delete(3, 4)
@@ -272,19 +393,45 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
         # a rename against pending MoR deletes B just created, or a
         # delete/rename whose column B just renamed away.  Each refusal
         # is only legal if B is of the kind that causes it.
+        # A's plan is laid with the PRE-race vcol (model.vcol is read at
+        # call time, before B mutates it inside the claim) — exactly the
+        # stale-plan shape the re-plan discipline must survive
+        a_vcol = model.vcol
         try:
             if a_tag == "rename":
-                new = "w" if model.vcol == "v" else "v"
-                P.rename_column(path, model.vcol, new)
+                new = "w" if a_vcol == "v" else "v"
+                P.rename_column(path, a_vcol, new)
                 model.vcol = new
             elif a_tag == "delete_mor":
                 lo, hi = sorted(a_payload)
-                P.delete_where_mor(path, model.vcol, lo, hi)
+                P.delete_where_mor(path, a_vcol, lo, hi)
                 model.apply_delete(lo, hi)
-            else:  # epoch
+            elif a_tag == "epoch":
                 batch_id, batch = a_payload
-                _epoch_commit(path, batch, batch_id, model.vcol)
+                _epoch_commit(path, batch, batch_id, a_vcol)
                 model.apply_epoch(batch, batch_id)
+            elif a_tag == "append":
+                _batch_commit(path, 30 + a_payload, a_vcol, overwrite=False)
+                model.rows.update(
+                    {i: (k, v) for i, k, v in _batch_rows(30 + a_payload)}
+                )
+            elif a_tag == "overwrite":
+                _batch_commit(path, 50 + a_payload, a_vcol, overwrite=True)
+                model.rows = {i: (k, v) for i, k, v in _batch_rows(50 + a_payload)}
+                # overwrite resets the rename log: the table's logical
+                # schema becomes the written batch's physical names —
+                # the name A PLANNED with, even if B renamed mid-claim
+                model.vcol = a_vcol
+            elif a_tag == "restore":
+                P.restore_table(path, 1)
+                model.rows = dict(model.v1_rows)
+                model.vcol = model.v1_vcol
+            else:  # constraint
+                lo, hi = sorted(a_payload)
+                name = f"ca{model.cn_a}"
+                model.cn_a += 1
+                P.add_check_constraint(path, name, a_vcol, lo=lo, hi=hi)
+                model.constraints[name] = (a_vcol, lo, hi)
         except RuntimeError as exc:
             msg = str(exc)
             if "no such column" in msg:
@@ -293,17 +440,58 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
                 assert a_tag == "rename" and P._latest_snapshot(path).get(
                     "eq_deletes"
                 ), f"spurious MoR refusal: {msg}"
+            elif "CHECK constraints" in msg:
+                # a rename onto/off a column B just constrained
+                assert (
+                    a_tag == "rename" and b_tag == "constraint" and model.constraints
+                ), f"spurious constraint-rename refusal: {msg}"
             elif "already exists" in msg:
                 assert a_tag == "rename" and b_tag == "rename", msg
+            elif "violates constraint" in msg:
+                # add/restore proven against the post-B state must agree
+                # with the model's own arithmetic
+                if a_tag == "constraint":
+                    lo, hi = sorted(a_payload)
+                    assert any(
+                        v is not None and not (lo <= v <= hi)
+                        for _k, v in model.rows.values()
+                    ), f"spurious add-constraint refusal: {msg}"
+                else:
+                    assert a_tag == "restore" and model.state_violates(
+                        model.v1_rows, model.v1_vcol
+                    ), f"spurious restore refusal: {msg}"
+            elif "commit rejected" in msg:
+                # write-side enforcement of a constraint B landed
+                # mid-claim: A's re-plan (not A's stale plan) caught it
+                batch = {
+                    "epoch": _batch_rows(a_payload[1]) if a_tag == "epoch" else None,
+                    "append": _batch_rows(30 + a_payload)
+                    if a_tag == "append"
+                    else None,
+                    "overwrite": _batch_rows(50 + a_payload)
+                    if a_tag == "overwrite"
+                    else None,
+                }.get(a_tag)
+                assert batch is not None and b_tag == "constraint", msg
+                assert model.batch_violates(batch, a_vcol), (
+                    f"spurious write rejection: {msg}"
+                )
             else:
                 raise
             # refused => model unchanged (the verb applied nothing)
         monkeypatch.setattr(P, "_claim_and_publish", real_claim)
 
+    # B's expected refusals are arbitrated INSIDE _run_verb (live-state
+    # pytest.raises); anything that reached b_error is a genuine bug
+    assert fired["b_error"] is None, (
+        f"B={b_tag}({b_payload}) raised unexpectedly inside A={a_tag}'s "
+        f"claim: {fired['b_error']!r}"
+    )
+
     # ---- the model arbitrated B-then-A; the table must agree -------------
     assert _spark_state(spark, path, model) == dict(model.rows), (
         f"divergence after race A={a_tag}({a_payload}) B={b_tag}({b_payload}) "
-        f"pre_mor={pre_mor} b_error={fired['b_error']}"
+        f"pre_mor={pre_mor}"
     )
     _no_orphans(path)
 
@@ -313,3 +501,16 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
     head = P._latest_snapshot(path)
     assert not head.get("eq_deletes")
     assert set(head.get("file_columns", {})) == set(head["files"])
+
+    # terminal replay probe: every epoch id ever committed must stay in
+    # the ledger through ANY race outcome — in particular a restore must
+    # not un-process stream epochs (its data rolls back, its ledger
+    # follows the head).  Replaying each id with a FRESH batch number
+    # must no-op; a dropped id would admit batch 97's rows and diverge.
+    for bid in sorted(model.batches):
+        _epoch_commit(path, 97, bid, model.vcol)
+    assert _spark_state(spark, path, model) == dict(model.rows), (
+        f"epoch replay after race A={a_tag} B={b_tag} changed the table "
+        "— the ledger lost a committed batch id"
+    )
+    _no_orphans(path)

@@ -84,6 +84,10 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     removed: set[int] = set()
     refs_model: dict[str, tuple[str, int]] = {}  # name -> (kind, version)
     tn = bn = 0
+    # change-feed ledger: (version, physical value-col name, batch) for
+    # every APPEND-op commit — the only op the append-feed emits rows
+    # for (merge/overwrite/restore/delete are dataChange=false)
+    cdf_log: list[tuple[int, str, list[tuple]]] = []
 
     def batch_violates(batch, col) -> bool:
         """Does writing `batch` under column name `col` violate any
@@ -123,6 +127,7 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     ).option("path", path).mode("append").save()
     rows.update({i: (k, v) for i, k, v in first})
     snap()
+    cdf_log.append((len(history), "v", first))
 
     for tag, payload in verbs:
         if tag == "append":
@@ -141,6 +146,7 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 ).mode("append").save()
                 rows.update({i: (k, v) for i, k, v in batch})
                 snap()
+                cdf_log.append((len(history), vcol, batch))
         elif tag in ("delete_cow", "delete_mor"):
             lo, hi = sorted(payload)
             if tag == "delete_cow":
@@ -312,3 +318,40 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     head = P._latest_snapshot(path)
     assert not head.get("eq_deletes")
     assert set(head["file_columns"]) == set(head["files"])
+
+    # CHANGE-FEED replay invariant (round-9 continuation; wiring it
+    # found the rename-spanning union bug): over every still-loadable
+    # version the append feed must emit EXACTLY the rows of append-op
+    # commits in range, tagged with their commit version — deletes,
+    # merges, overwrites, restores and rewrites contribute nothing.
+    # A range whose appends resolve to DIFFERENT naming epochs (a
+    # rename log later reset by restore/overwrite) must refuse loudly
+    # with the schema-reset error instead of failing inside the union.
+    since0 = max(removed) + 1 if removed else 0
+    in_range = [(v, p, b) for v, p, b in cdf_log if v > since0]
+    renames = head.get("renames", [])
+
+    def resolved(pname: str) -> str:
+        # the same hop-by-hop replay _file_logical_metadata applies to
+        # a file physically carrying {id, k, pname}
+        cur, name = {"id", "k", pname}, pname
+        for r in renames:
+            if r["from"] in cur:
+                cur.discard(r["from"])
+                cur.add(r["to"])
+                if name == r["from"]:
+                    name = r["to"]
+        return name
+
+    names = {resolved(p) for _v, p, _b in in_range}
+    if len(names) > 1:
+        with pytest.raises(RuntimeError, match="incompatible schema change"):
+            P.read_change_feed(spark, path, since0)
+    else:
+        feed, _commits = P.read_change_feed(spark, path, since0)
+        name = names.pop() if names else vcol
+        got = {
+            (r["id"], r["k"], r[name], r["_commit_version"]) for r in feed.collect()
+        }
+        expect = {(i, k, v, ver) for ver, _p, batch in in_range for i, k, v in batch}
+        assert got == expect, f"change-feed divergence since v{since0}"
