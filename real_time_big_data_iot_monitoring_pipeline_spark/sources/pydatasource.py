@@ -2858,11 +2858,16 @@ class ManifestStreamReader(SimpleDataSourceStreamReader):
 
     Metadata-op interaction: rename / delete_mor / merge / materialize
     commits are dataChange=false here (no rows emitted — for `merge`
-    that is the documented CoW-MERGE change-feed limitation).  Tailing
-    from an offset BEFORE a rename emits the old files under their
-    ORIGINAL column names (the stream schema is fixed at start);
-    start a new stream — or read batch-side via `read_manifest`, which
-    applies the rename log — when consuming across a rename."""
+    that is the documented CoW-MERGE change-feed limitation).  Delta
+    files resolve their rename chains against the range's END manifest
+    (same rule as `read_change_feed`), so a stream whose schema matches
+    the table's current logical names keeps working across files
+    written under stale pre-rename schemas.  A rename that changes the
+    LOGICAL schema mid-stream cannot be served under the stream's fixed
+    start schema: it refuses loudly with a restart-the-stream error
+    (previously a bare KeyError from the arrow column lookup).  A field
+    the stream knows but an old delta file predates (additive schema
+    evolution) surfaces NULLs, matching `read_manifest(merge_schema)`."""
 
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
@@ -2884,11 +2889,35 @@ class ManifestStreamReader(SimpleDataSourceStreamReader):
 
         import pyarrow.parquet as pq
 
+        deltas = _append_deltas(self.path, v0, v1)
+        new_files = [fn for d in deltas for fn in d["new_files"]]
+        if not new_files:
+            return []
+        # per-file rename chains under the range's END manifest — the
+        # same logical-name rule as read_change_feed / _read_logical
+        end_m = _load_manifest_file(self.path, f"_manifest-v{v1}.json")
+        meta = _file_logical_metadata(self.path, end_m, new_files)
         out: list = []
-        for d in _append_deltas(self.path, v0, v1):
-            for fn in d["new_files"]:
-                tbl = pq.read_table(os.path.join(self.path, fn))
-                out.extend(zip(*[tbl.column(n).to_pylist() for n in self.fields]))
+        for fn in new_files:
+            tbl = pq.read_table(os.path.join(self.path, fn))
+            names = list(tbl.column_names)
+            for old, new in meta[fn][0]:
+                names = [new if n == old else n for n in names]
+            have = set(names)
+            missing = [n for n in self.fields if n not in have]
+            if missing and (have - set(self.fields)):
+                raise RuntimeError(
+                    f"rtbd_manifest_table stream: delta file {fn} resolves to "
+                    f"logical columns {sorted(have)}, which diverge from the "
+                    f"stream's fixed schema {self.fields} (column renamed "
+                    "mid-stream?) — restart the stream to adopt the new schema"
+                )
+            tbl = tbl.rename_columns(names)
+            cols = [
+                tbl.column(n).to_pylist() if n in have else [None] * tbl.num_rows
+                for n in self.fields
+            ]
+            out.extend(zip(*cols))
         return out
 
     def read(self, start: dict):

@@ -585,6 +585,57 @@ def test_pyds_manifest_table_incremental_tail(spark, tmp_path):
     assert os.path.exists(os.path.join(path, "_manifest-v3.json"))
 
 
+def test_pyds_manifest_stream_resolves_renames(spark, tmp_path):
+    """The manifest-table STREAM resolves each delta file's rename
+    chain against the range-end manifest (same rule as
+    read_change_feed): a stream reading under the current logical
+    names keeps working across files written with stale pre-rename
+    schemas; a rename that changes the logical schema mid-stream
+    refuses with a restart-the-stream error (previously a bare arrow
+    KeyError); a field an old delta file predates surfaces NULLs."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        ManifestStreamReader,
+        rename_column,
+    )
+
+    path = str(tmp_path / "streamren")
+    w = ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10)]))])  # v1, physical (id, v)
+    rename_column(path, "v", "w")  # v2
+    w.commit([w.write(iter([Row(id=2, v=20)]))])  # v3: STALE writer, physical v
+    w.commit([w.write(iter([Row(id=3, w=30)]))])  # v4, post-rename schema
+
+    def schema(*names):
+        return StructType([StructField(n, IntegerType()) for n in names])
+
+    # a stream under the CURRENT logical schema reads every epoch: the
+    # pre-rename file and the stale append both surface under `w`
+    cur = ManifestStreamReader({"path": path}, schema("id", "w"))
+    assert sorted(cur._rows(0, 4)) == [(1, 10), (2, 20), (3, 30)]
+
+    # a stream fixed at the PRE-rename schema cannot be served once the
+    # logical names moved: loud refusal, not a KeyError
+    stale = ManifestStreamReader({"path": path}, schema("id", "v"))
+    with pytest.raises(RuntimeError, match="restart the stream"):
+        stale._rows(0, 4)
+
+    # additive evolution: a stream that knows a column old delta files
+    # predate gets NULLs there, values where present
+    w.commit([w.write(iter([Row(id=4, w=40, extra=7)]))])  # v5 adds a column
+    wide = ManifestStreamReader({"path": path}, schema("id", "w", "extra"))
+    assert sorted(wide._rows(0, 5)) == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, None),
+        (4, 40, 7),
+    ]
+
+
 def test_pyds_change_feed_carries_delete_predicate(spark, tmp_path):
     """A CoW delete's logical predicate travels through the change-feed
     audit so downstream consumers can replay the retention delete —
