@@ -619,6 +619,32 @@ def _head_snapshot(path: str, version: int | None = None) -> dict:
     return head
 
 
+def _logical_schema_ddl(path: str, manifest: dict) -> str | None:
+    """The snapshot's LOGICAL schema as a DDL string: the first file's
+    footer names with the rename log replayed over them (same per-file
+    rule as the readers; driver-side metadata only).  None when the
+    snapshot has no files and no recorded `schema_ddl` to fall back on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = manifest.get("files") or []
+    if not files:
+        return manifest.get("schema_ddl")
+    ddl = _arrow_to_ddl(pq.read_schema(os.path.join(path, files[0])))
+    renames = manifest.get("renames", [])
+    if renames:
+        parts = [p.strip().split(" ", 1) for p in ddl.split(", ")]
+        cur = {n for n, _t in parts}
+        for r in renames:
+            if r["from"] in cur:
+                parts = [(r["to"] if n == r["from"] else n, t) for n, t in parts]
+                cur.discard(r["from"])
+                cur.add(r["to"])
+        ddl = ", ".join(f"{n} {t}" for n, t in parts)
+    return ddl
+
+
 def _claim_and_publish(path: str, manifest: dict) -> bool:
     """OPTIMISTIC CONCURRENCY commit: atomically CLAIM
     `_manifest-v{N}.json` via hard-link creation — `os.link` both fails
@@ -636,6 +662,16 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
     import os
     import uuid
 
+    # a commit that EMPTIES the file list (a delete removing every row,
+    # an empty overwrite) records the table's logical schema so the
+    # empty snapshot stays readable — derived from the pre-commit head
+    # at the single commit gate, so every verb gets it without knowing.
+    # DELETE FROM t must leave a readable, schema-stable empty table.
+    if not manifest.get("files") and "schema_ddl" not in manifest:
+        prev = _latest_snapshot(path)
+        ddl = _logical_schema_ddl(path, prev) if prev else None
+        if ddl is not None:
+            manifest["schema_ddl"] = ddl
     # past the inline threshold, the file list externalizes into reused
     # +new `_filelist-*` chunks here — the single commit gate, so every
     # verb and writer gets chunking without knowing about it.  A loser's
@@ -967,6 +1003,17 @@ def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_sche
     delete predicates always reference current names."""
     import os
 
+    if not files:
+        # an emptied table (DELETE removed every file / empty overwrite)
+        # reads as zero rows under the schema its emptying commit
+        # recorded — a parquet scan over no paths cannot infer one
+        ddl = manifest.get("schema_ddl")
+        if ddl is None:
+            raise RuntimeError(
+                "cannot read an empty snapshot with no recorded schema "
+                "(table emptied by a pre-schema_ddl commit?)"
+            )
+        return spark.createDataFrame([], ddl)
     fpaths = {fn: os.path.join(path, fn) for fn in files}
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not manifest.get("renames") and not manifest.get("eq_deletes"):
@@ -1081,7 +1128,13 @@ def build_bloom_index(
 
     manifest = _head_snapshot(path, version)
     files = manifest["files"]
-    df = spark.read.parquet(*[os.path.join(path, fn) for fn in files])
+    # LOGICAL read (rename chains + pending MoR deletes): `col` is a
+    # logical name — a raw scan of files physically carrying pre-rename
+    # names cannot resolve it (the builder-side twin of the round-7
+    # pruned-reader fix).  Excluding MoR-deleted rows only tightens the
+    # filter: a logical lookup of a deleted value correctly skips.
+    # input_file_name() still resolves per row under renames/filters.
+    df = _read_logical(spark, path, files, manifest)
     dtype = df.schema[col].dataType.simpleString()
     probes = F.array(
         *[
@@ -1154,7 +1207,10 @@ def refresh_bloom_index(spark, path: str, col: str) -> dict:
         from pyspark.sql import functions as F
 
         n_bits, n_hashes = old["n_bits"], old["n_hashes"]
-        df = spark.read.parquet(*[os.path.join(path, fn) for fn in new_files])
+        # logical read of just the delta files (same rename/MoR rules as
+        # the bootstrap build — a stale-schema append after a rename
+        # must index under the logical column)
+        df = _read_logical(spark, path, new_files, manifest)
         probes = F.array(
             *[
                 F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).cast("int")
@@ -2426,6 +2482,10 @@ def restore_table(path: str, to_version: int) -> dict:
             "batches": head.get("batches", []),
             "op": "restore",
             "restored_from": to_version,
+            # restoring TO an emptied snapshot keeps ITS recorded schema
+            # (the claim gate would otherwise re-derive from the current
+            # head, whose naming epoch may differ)
+            **({"schema_ddl": target["schema_ddl"]} if "schema_ddl" in target else {}),
         }
         if _claim_and_publish(path, manifest):
             return manifest
@@ -2474,6 +2534,8 @@ def shallow_clone(src: str, dst: str) -> dict:
         "batches": head.get("batches", []),
         "op": "clone",
         "cloned_from": {"path": os.path.abspath(src), "version": head.get("version", 0)},
+        # cloning an emptied source keeps its recorded schema readable
+        **({"schema_ddl": head["schema_ddl"]} if "schema_ddl" in head else {}),
     }
     if not _claim_and_publish(dst, manifest):
         raise RuntimeError("shallow_clone lost the commit race on a fresh target")
@@ -2812,6 +2874,11 @@ class ManifestBatchReader(DataSourceReader):
 
         manifest = _head_snapshot(self.path)
         meta = _file_logical_metadata(self.path, manifest)
+        if not manifest["files"]:
+            # an emptied table still plans: one sentinel partition that
+            # yields no rows (the engine calls read() regardless, and a
+            # zero-partition plan hands it a None partition)
+            return [ManifestFilePartition(None)]
         return [
             ManifestFilePartition(fn, *meta[fn]) for fn in manifest["files"]
         ]
@@ -2822,6 +2889,8 @@ class ManifestBatchReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        if partition.filename is None:  # empty-table sentinel
+            return iter([])
         tbl = pq.read_table(os.path.join(self.path, partition.filename))
         if partition.renames:
             # replay the chain IN ORDER over the evolving name set — a
@@ -2945,33 +3014,16 @@ class ManifestTableDataSource(DataSource):
         return "rtbd_manifest_table"
 
     def schema(self) -> str:
-        import os
-
-        import pyarrow.parquet as pq
-
         path = self.options.get("path")
         if not path:
             raise ValueError("rtbd_manifest_table requires a path option")
         manifest = _head_snapshot(path)
-        files = manifest["files"]
-        if not files:
+        # the table's LOGICAL schema presents post-rename names (the
+        # shared helper replays the rename log over the sampled footer);
+        # an emptied table serves the schema its emptying commit recorded
+        ddl = _logical_schema_ddl(path, manifest)
+        if ddl is None:
             raise ValueError("rtbd_manifest_table: empty table has no schema")
-        ddl = _arrow_to_ddl(pq.read_schema(os.path.join(path, files[0])))
-        # the table's LOGICAL schema presents post-rename names: replay
-        # the rename log over the sampled footer's names (same per-file
-        # rule as the readers; ddl names are "name type" pairs)
-        renames = manifest.get("renames", [])
-        if renames:
-            parts = [p.strip().split(" ", 1) for p in ddl.split(", ")]
-            cur = {n for n, _t in parts}
-            for r in renames:
-                if r["from"] in cur:
-                    parts = [
-                        (r["to"] if n == r["from"] else n, t) for n, t in parts
-                    ]
-                    cur.discard(r["from"])
-                    cur.add(r["to"])
-            ddl = ", ".join(f"{n} {t}" for n, t in parts)
         return ddl
 
     def reader(self, schema: StructType) -> ManifestBatchReader:

@@ -32,6 +32,12 @@ VERB = st.one_of(
     st.tuples(st.just("append"), st.integers(0, 3)),
     st.tuples(st.just("delete_cow"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
     st.tuples(st.just("delete_mor"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
+    # deletes on k (never NULL, values 0..4) can EMPTY the table — the
+    # zero-file states the round-9 schema_ddl work makes readable
+    st.tuples(
+        st.just("delete_k"),
+        st.tuples(st.integers(0, 4), st.integers(0, 4), st.booleans()),
+    ),
     st.tuples(st.just("materialize"), st.none()),
     st.tuples(st.just("rename"), st.none()),
     st.tuples(st.just("merge"), st.integers(0, 3)),
@@ -160,6 +166,16 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 if v is None or not (lo <= v <= hi)
             }
             snap()
+        elif tag == "delete_k":
+            lo, hi = sorted(payload[:2])
+            if payload[2]:
+                P.delete_where_mor(path, "k", lo, hi)
+            else:
+                P.delete_where(spark, path, "k", lo, hi)
+            # k is never NULL; [0, 4] removes EVERY row — the table may
+            # go zero-file and must stay readable under schema_ddl
+            rows = {i: (k, v) for i, (k, v) in rows.items() if not (lo <= k <= hi)}
+            snap()
         elif tag == "materialize":
             had_pending = mor_pending()
             m = P.materialize_deletes(spark, path)
@@ -169,13 +185,20 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 assert m["n_files_rewritten"] == 0  # no-op: no commit
         elif tag == "rename":
             new = "w" if vcol == "v" else "v"
+            head_live = P._latest_snapshot(path)
             blocked = (
-                mor_pending()
+                not head_live.get("files")  # empty column union: refuses
+                # only eq-deletes ON THE RENAMED COLUMN block (a pending
+                # MoR delete on k does not pin v/w)
+                or any(d["col"] == vcol for d in head_live.get("eq_deletes", []))
                 or any(c[0] == vcol for c in constraints.values())  # from-guard
                 or any(c[0] == new for c in constraints.values())  # to-guard
             )
             if blocked:
-                with pytest.raises(RuntimeError, match="pending merge-on-read|CHECK constraints"):
+                with pytest.raises(
+                    RuntimeError,
+                    match="pending merge-on-read|CHECK constraints|no such column",
+                ):
                     P.rename_column(path, vcol, new)
             else:
                 P.rename_column(path, vcol, new)

@@ -381,3 +381,97 @@ def test_epoch_replay_detected_after_interleaved_maintenance(spark, tmp_path):
     df, head = P.read_manifest(spark, path)
     assert df.count() == n_before, "replayed epoch double-counted after maintenance"
     assert sorted(head["batches"]) == [0, 1]
+
+
+def test_emptied_table_stays_readable_with_schema(spark, tmp_path):
+    """DELETE FROM t removing every row must leave a READABLE empty
+    table: the emptying commit records the logical schema (post-rename
+    names) as `schema_ddl`, and every reader — read_manifest, the
+    rtbd_manifest_table format, the change feed's empty branch — serves
+    zero rows under it instead of failing schema inference.  The schema
+    rides through restore (the target's own ddl, not re-derived from
+    the head's naming epoch) and shallow_clone; a merge into the empty
+    table bootstraps; verbs that need a column union still refuse
+    (rename) or no-op (MoR delete) exactly as the empty-union guards
+    dictate."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "emptied")
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10), Row(id=2, v=20)]))])  # v1
+    P.rename_column(path, "v", "w")  # v2: the recorded ddl must say `w`
+    P.register_sink(spark)
+    P.delete_where(spark, path, "w", 0, 100)  # v3: table emptied
+
+    df, m = P.read_manifest(spark, path)
+    assert m["files"] == [] and m["schema_ddl"] == "id bigint, w bigint"
+    assert df.columns == ["id", "w"] and df.count() == 0
+    fmt = spark.read.format("rtbd_manifest_table").option("path", path).load()
+    assert fmt.columns == ["id", "w"] and fmt.count() == 0
+    # pre-delete snapshots still time-travel
+    assert P.read_manifest(spark, path, version=2)[0].count() == 2
+
+    # empty-union guards: rename refuses, MoR delete records nothing
+    with pytest.raises(RuntimeError, match="no such column"):
+        P.rename_column(path, "w", "v")
+    P.delete_where_mor(path, "w", 0, 100)  # v4: no-op version bump
+    assert not P._latest_snapshot(path).get("eq_deletes")
+
+    # refill, then restore BACK to the empty snapshot: its own ddl rides
+    w.commit([w.write(iter([Row(id=3, w=30)]))])  # v5
+    assert P.read_manifest(spark, path)[0].count() == 1
+    P.restore_table(path, 3)  # v6: empty again
+    df6, m6 = P.read_manifest(spark, path)
+    assert df6.count() == 0 and m6["schema_ddl"] == "id bigint, w bigint"
+
+    # clone of the empty table reads; merge bootstraps the original
+    clone = str(tmp_path / "emptyclone")
+    P.shallow_clone(path, clone)
+    dc, mc = P.read_manifest(spark, clone)
+    assert dc.columns == ["id", "w"] and dc.count() == 0
+
+    P.merge_upsert(spark, path, spark.createDataFrame([(9, 99)], "id long, w bigint"), "id")
+    assert [tuple(r) for r in P.read_manifest(spark, path)[0].collect()] == [(9, 99)]
+
+    # change feed across the emptied epoch: append rows only, and an
+    # empty tail range serves the recorded schema
+    feed, commits = P.read_change_feed(spark, path, 3)
+    assert sorted(c["op"] for c in commits) == ["append", "delete_mor", "merge", "restore"]
+    assert sorted((r["id"], r["_commit_version"]) for r in feed.collect()) == [(3, 5)]
+
+
+def test_bloom_index_builds_logically_on_renamed_tables(spark, tmp_path):
+    """build_bloom_index / refresh_bloom_index index the LOGICAL column:
+    on a table carrying a rename (plus a stale-schema append physically
+    holding the pre-rename name and a pending MoR delete) the builders
+    previously raw-scanned the part files and could not resolve the
+    logical name at all — the builder-side twin of the round-7
+    pruned-reader fix.  Values MoR-deleted at build time are excluded,
+    so a logical point-lookup of a deleted value prunes every file."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "bloomren")
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    for base in (0, 100, 200):
+        w.commit([w.write(iter([Row(id=base + i, v=base + i) for i in range(10)]))])
+    P.rename_column(path, "v", "w")
+    w.commit([w.write(iter([Row(id=300 + i, v=300 + i) for i in range(10)]))])  # stale schema
+    w.commit([w.write(iter([Row(id=400 + i, w=400 + i) for i in range(10)]))])
+    P.delete_where_mor(path, "w", 105, 107)
+
+    idx = P.build_bloom_index(spark, path, "w", n_bits=1024)
+    assert len(idx["filters"]) == 5 and idx["col"] == "w"
+    df, kept, total = P.read_manifest_bloom_pruned(spark, path, "w", 205)
+    assert [r["id"] for r in df.filter("w = 205").collect()] == [205]
+    assert (kept, total) == (1, 5)  # one file's filter admits the value
+    # a value whose only rows are MoR-deleted: the build excluded it, so
+    # the probe prunes everything and the logical answer is still right
+    gone, kept2, _ = P.read_manifest_bloom_pruned(spark, path, "w", 106)
+    assert gone.filter("w = 106").count() == 0 and kept2 == 0
+
+    # incremental refresh indexes a NEW stale-schema delta file too
+    w.commit([w.write(iter([Row(id=500 + i, v=500 + i) for i in range(10)]))])
+    idx2 = P.refresh_bloom_index(spark, path, "w")
+    assert len(idx2["filters"]) == 6
+    df3, kept3, total3 = P.read_manifest_bloom_pruned(spark, path, "w", 505)
+    assert df3.filter("w = 505").count() == 1 and (kept3, total3) == (1, 6)
