@@ -1,9 +1,11 @@
 """Model-based property test of the manifest-table verb algebra
 (round 8; alphabet grown since): hypothesis drives RANDOM SEQUENCES of
-lakehouse verbs — append, CoW delete, MoR delete, materialize, rename,
-MERGE upsert, restore, overwrite, vacuum, CHECK constraints, and
-(round 9) immutable TAGS whose vacuum pinning keeps expired versions
-restorable — against two implementations of the same contract:
+lakehouse verbs — append, CoW delete, MoR delete, delete-on-k (reaches
+ZERO-FILE states), materialize, rename, MERGE upsert, restore,
+overwrite, vacuum, CHECK constraints, refs (immutable tags / movable
+branches with precise vacuum-pin expiry), and write-audit-publish
+(stage / audit-read / publish-or-refuse / discard) — against two
+implementations of the same contract:
 
   * the real table (`sources/pydatasource.py`, through the sink and
     the public verbs), read back logically after every commit;
@@ -50,6 +52,11 @@ VERB = st.one_of(
     st.tuples(st.just("branch"), st.integers(0, 11)),
     st.tuples(st.just("advance"), st.integers(0, 11)),
     st.tuples(st.just("drop_ref"), st.none()),
+    # write-audit-publish: stage an invisible append, audit-read it,
+    # publish (refused if the head moved since) or discard it
+    st.tuples(st.just("stage"), st.integers(0, 3)),
+    st.tuples(st.just("publish"), st.none()),
+    st.tuples(st.just("discard"), st.none()),
 )
 
 
@@ -94,6 +101,10 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
     # every APPEND-op commit — the only op the append-feed emits rows
     # for (merge/overwrite/restore/delete are dataChange=false)
     cdf_log: list[tuple[int, str, list[tuple]]] = []
+    # WAP state: (batch, base version at stage time, vcol at stage time)
+    # or None; a newer stage REPLACES the pointer (the old stage's parts
+    # are unreferenced until vacuum — invisible to every head reader)
+    staged: tuple[list[tuple], int, str] | None = None
 
     def batch_violates(batch, col) -> bool:
         """Does writing `batch` under column name `col` violate any
@@ -323,6 +334,58 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
             else:
                 P.advance_branch(path, branches[0], v)
                 refs_model[branches[0]] = ("branch", v)
+        elif tag == "stage":
+            batch = _batch_rows(seq + 2 * payload)
+            seq += 10
+            df = spark.createDataFrame(batch, f"id long, k int, {vcol} int")
+            writer = (
+                df.coalesce(1)
+                .write.format("rtbd_manifest_sink")
+                .option("path", path)
+                .option("staged", "true")
+                .mode("append")
+            )
+            if batch_violates(batch, vcol):
+                # stage-time enforcement: a violating candidate never
+                # even reaches the audit (parts removed, no pointer)
+                with pytest.raises(Exception, match="constraint"):
+                    writer.save()
+            else:
+                writer.save()
+                staged = (batch, len(history), vcol)
+                # the stage is INVISIBLE to head readers (the loop-end
+                # compare asserts that); the AUDIT read must see exactly
+                # base-rows ∪ candidate under current logical names
+                sdf, _sm = P.read_staged(spark, path)
+                audit = {r["id"]: (r["k"], r[vcol]) for r in sdf.collect()}
+                expect_audit = dict(rows)
+                expect_audit.update({i: (k, v) for i, k, v in batch})
+                assert audit == expect_audit, "audit read diverges from stage"
+        elif tag == "publish":
+            if staged is None:
+                with pytest.raises(FileNotFoundError):
+                    P.publish_staged(path)
+            elif staged[1] != len(history):
+                # the head moved since the stage was written: publish
+                # refuses (re-stage is the documented recovery) and the
+                # stale pointer SURVIVES the refusal
+                with pytest.raises(RuntimeError, match="no longer applies"):
+                    P.publish_staged(path)
+            else:
+                P.publish_staged(path)
+                batch, _base, svcol = staged
+                rows.update({i: (k, v) for i, k, v in batch})
+                snap()
+                # a published stage is an append commit to the feed
+                cdf_log.append((len(history), svcol, batch))
+                staged = None
+        elif tag == "discard":
+            if staged is None:
+                with pytest.raises(FileNotFoundError):
+                    P.discard_staged(path)
+            else:
+                P.discard_staged(path)
+                staged = None  # table untouched
         elif tag == "drop_ref":
             if refs_model:
                 name = sorted(refs_model)[0]
