@@ -1603,6 +1603,29 @@ def _logical_columns(path: str, head: dict) -> set[str]:
     return out
 
 
+def _check_rename_constraints(head: dict, old: str, new: str) -> None:
+    """Shared from-/to-guards: CHECK-constraint predicates always
+    reference current names, so renaming a constrained column — or
+    renaming ONTO a constraint-referenced name, which would re-activate
+    that constraint against data it never validated — refuses until the
+    constraint is dropped."""
+    if any(c["col"] == old for c in head.get("constraints", [])):
+        raise RuntimeError(
+            f"cannot rename {old!r}: CHECK constraints reference it — "
+            "drop_check_constraint first (constraint predicates always use current names)"
+        )
+    if any(c["col"] == new for c in head.get("constraints", [])):
+        # symmetric to-guard (found by the round-8 model machine's
+        # state space): renaming ONTO a constraint-referenced name
+        # re-activates that constraint against data the constraint
+        # never validated — a rename-then-restore-then-rename chain
+        # reaches it with the column's values outside the range
+        raise RuntimeError(
+            f"cannot rename {old!r} -> {new!r}: CHECK constraints reference "
+            f"{new!r} — drop_check_constraint first or pick another name"
+        )
+
+
 def rename_column(path: str, old: str, new: str) -> dict:
     """METADATA-ONLY column rename on the manifest table — the schema
     evolution by-name reads cannot give you (rename the column and
@@ -1618,6 +1641,37 @@ def rename_column(path: str, old: str, new: str) -> dict:
         head = _latest_snapshot(path)
         assert head is not None, "rename_column requires an existing table"
         cols = _logical_columns(path, head)
+        if not head.get("files") and head.get("schema_ddl"):
+            # ZERO-FILE table (emptied by a delete / empty overwrite):
+            # the column-union guard below would refuse every name, but
+            # the recorded logical schema says what exists.  The rename
+            # edits the ddl AND still appends a rename-log entry — a
+            # stale writer appending the OLD physical name later must
+            # chain to the new one exactly like on a populated table.
+            parts = [p.strip().split(" ", 1) for p in head["schema_ddl"].split(", ")]
+            names = {n for n, _t in parts}
+            if old not in names:
+                raise RuntimeError(
+                    f"cannot rename {old!r}: no such column (current: {sorted(names)})"
+                )
+            if new in names:
+                raise RuntimeError(
+                    f"cannot rename {old!r} -> {new!r}: column {new!r} already exists — "
+                    "the rename would produce duplicate logical columns"
+                )
+            _check_rename_constraints(head, old, new)
+            manifest = {
+                **head,
+                "version": head.get("version", 0) + 1,
+                "schema_ddl": ", ".join(
+                    f"{new if n == old else n} {t}" for n, t in parts
+                ),
+                "renames": head.get("renames", []) + [{"from": old, "to": new}],
+                "op": "rename",
+            }
+            if _claim_and_publish(path, manifest):
+                return manifest
+            continue
         if old not in cols:
             raise RuntimeError(
                 f"cannot rename {old!r}: no such column (current: {sorted(cols)})"
@@ -1632,21 +1686,7 @@ def rename_column(path: str, old: str, new: str) -> dict:
                 f"cannot rename {old!r}: pending merge-on-read deletes reference it — "
                 "run materialize_deletes first (delete predicates always use current names)"
             )
-        if any(c["col"] == old for c in head.get("constraints", [])):
-            raise RuntimeError(
-                f"cannot rename {old!r}: CHECK constraints reference it — "
-                "drop_check_constraint first (constraint predicates always use current names)"
-            )
-        if any(c["col"] == new for c in head.get("constraints", [])):
-            # symmetric to-guard (found by the round-8 model machine's
-            # state space): renaming ONTO a constraint-referenced name
-            # re-activates that constraint against data the constraint
-            # never validated — a rename-then-restore-then-rename chain
-            # reaches it with the column's values outside the range
-            raise RuntimeError(
-                f"cannot rename {old!r} -> {new!r}: CHECK constraints reference "
-                f"{new!r} — drop_check_constraint first or pick another name"
-            )
+        _check_rename_constraints(head, old, new)
         manifest = {
             **head,
             "version": head.get("version", 0) + 1,

@@ -411,16 +411,26 @@ def test_emptied_table_stays_readable_with_schema(spark, tmp_path):
     # pre-delete snapshots still time-travel
     assert P.read_manifest(spark, path, version=2)[0].count() == 2
 
-    # empty-union guards: rename refuses, MoR delete records nothing
+    # zero-file rename is a pure schema_ddl edit (no rename-log entry,
+    # nothing physical to chain) — renaming a MISSING column refuses
     with pytest.raises(RuntimeError, match="no such column"):
-        P.rename_column(path, "w", "v")
-    P.delete_where_mor(path, "w", 0, 100)  # v4: no-op version bump
+        P.rename_column(path, "nope", "v")
+    P.rename_column(path, "w", "u")  # v4
+    m4 = P._latest_snapshot(path)
+    assert m4["schema_ddl"] == "id bigint, u bigint"
+    # the rename-log entry still lands: a stale writer appending the
+    # old physical name later must chain to `u` like on a populated table
+    assert m4["renames"][-1] == {"from": "w", "to": "u"}
+    assert P.read_manifest(spark, path)[0].columns == ["id", "u"]
+    P.rename_column(path, "u", "w")  # v5: back
+    # MoR delete on the empty table records nothing (no-op version bump)
+    P.delete_where_mor(path, "w", 0, 100)  # v6
     assert not P._latest_snapshot(path).get("eq_deletes")
 
     # refill, then restore BACK to the empty snapshot: its own ddl rides
-    w.commit([w.write(iter([Row(id=3, w=30)]))])  # v5
+    w.commit([w.write(iter([Row(id=3, w=30)]))])  # v7
     assert P.read_manifest(spark, path)[0].count() == 1
-    P.restore_table(path, 3)  # v6: empty again
+    P.restore_table(path, 3)  # v8: empty again
     df6, m6 = P.read_manifest(spark, path)
     assert df6.count() == 0 and m6["schema_ddl"] == "id bigint, w bigint"
 
@@ -436,8 +446,10 @@ def test_emptied_table_stays_readable_with_schema(spark, tmp_path):
     # change feed across the emptied epoch: append rows only, and an
     # empty tail range serves the recorded schema
     feed, commits = P.read_change_feed(spark, path, 3)
-    assert sorted(c["op"] for c in commits) == ["append", "delete_mor", "merge", "restore"]
-    assert sorted((r["id"], r["_commit_version"]) for r in feed.collect()) == [(3, 5)]
+    assert sorted(c["op"] for c in commits) == [
+        "append", "delete_mor", "merge", "rename", "rename", "restore",
+    ]
+    assert sorted((r["id"], r["_commit_version"]) for r in feed.collect()) == [(3, 7)]
 
 
 def test_bloom_index_builds_logically_on_renamed_tables(spark, tmp_path):
