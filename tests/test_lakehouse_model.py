@@ -57,6 +57,10 @@ VERB = st.one_of(
     st.tuples(st.just("stage"), st.integers(0, 3)),
     st.tuples(st.just("publish"), st.none()),
     st.tuples(st.just("discard"), st.none()),
+    # layout rewrite: logical rows unchanged, one overwrite commit that
+    # implicitly materializes pending MoR deletes (the input is read
+    # logically) and resets the rename log
+    st.tuples(st.just("zorder"), st.none()),
 )
 
 
@@ -387,6 +391,13 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
             else:
                 P.discard_staged(path)
                 staged = None  # table untouched
+        elif tag == "zorder":
+            P.optimize_zorder(spark, path, ("id", "k"), bits=4, n_files=4)
+            # one overwrite commit; logical rows identical (pending MoR
+            # deletes were applied by the logical input read and the
+            # entry list reset — physical becomes logical)
+            snap()
+            assert not P._latest_snapshot(path).get("eq_deletes")
         elif tag == "drop_ref":
             if refs_model:
                 name = sorted(refs_model)[0]
@@ -398,6 +409,16 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 with pytest.raises(FileNotFoundError):
                     P.drop_ref(path, "t999")
         assert spark_state() == model_state(), f"divergence after {tag}({payload})"
+
+    # terminal: a shallow clone of the FINAL state — whatever it is
+    # (pending MoR deletes, rename chains, constraints, zero files) —
+    # must read cell-identical to the source before any materialize
+    import uuid as _uuid
+
+    clone = f"{path}_clone_{_uuid.uuid4().hex[:6]}"
+    P.shallow_clone(path, clone)
+    cdf_clone, _cm = P.read_manifest(spark, clone)
+    assert {r["id"]: (r["k"], r[vcol]) for r in cdf_clone.collect()} == model_state()
 
     # terminal: materialize everything and compare once more physically
     P.materialize_deletes(spark, path)
