@@ -167,3 +167,116 @@ def test_concurrent_replayed_epochs_commit_exactly_once(spark, tmp_path, monkeyp
     on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))}
     assert on_disk <= referenced
     assert not glob.glob(os.path.join(path, "_uncommitted_*"))
+
+
+@pytest.mark.parametrize("inline_max", [2048, 3])
+def test_constraint_add_races_violating_append(spark, tmp_path, monkeypatch, inline_max):
+    """TRUE-THREAD soundness race: valid batch appenders, ONE poison
+    appender (v=999), and ONE thread adding CHECK (v BETWEEN 0 AND 96)
+    all fight for claims with no coordination.  Serializability forces
+    EXACTLY ONE of {poison commits, constraint lands}: the constraint's
+    _enforce_existing proof must refuse if the poison row is already in
+    (add-side soundness), and the poison's write-time proof must refuse
+    if the constraint is already in (write-side soundness).  Both
+    succeeding is an unsound interleaving; both failing is impossible
+    against committed-only snapshots.  Plus the standard physical
+    invariants: contiguous versions, footer-true n_rows, no orphans."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", inline_max)
+    path = str(tmp_path / f"crace_{inline_max}")
+    os.makedirs(path)
+
+    def _append(batch_base: int, vs: list[int]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fn = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([batch_base + j for j in range(len(vs))], pa.int64()),
+                    "v": pa.array(vs, pa.int32()),
+                }
+            ),
+            os.path.join(path, fn),
+        )
+        P.ManifestParquetWriter({"path": path}, overwrite=False).commit(
+            [P.PartFileCommit(fn, len(vs))]
+        )
+
+    _append(0, [1, 2, 3, 4])  # the table exists before the race
+    n_valid = 3
+    outcome = {"poison": None, "constraint": None}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(n_valid + 2)
+
+    def valid_worker(t: int) -> None:
+        try:
+            barrier.wait()
+            for e in range(4):
+                base = 1000 * (t + 1) + 10 * e
+                _append(base, [(base + j) % 97 for j in range(4)])
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def poison_worker() -> None:
+        try:
+            barrier.wait()
+            _append(9000, [999])
+            outcome["poison"] = "committed"
+        except RuntimeError as exc:
+            assert "commit rejected" in str(exc), exc
+            outcome["poison"] = "rejected"
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def constraint_worker() -> None:
+        try:
+            barrier.wait()
+            P.add_check_constraint(path, "v_range", "v", lo=0, hi=96)
+            outcome["constraint"] = "landed"
+        except RuntimeError as exc:
+            assert "violates constraint" in str(exc), exc
+            outcome["constraint"] = "refused"
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=valid_worker, args=(t,)) for t in range(n_valid)]
+    threads += [threading.Thread(target=poison_worker), threading.Thread(target=constraint_worker)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    # the soundness fork: exactly one side won
+    assert {outcome["poison"], outcome["constraint"]} in (
+        {"committed", "refused"},
+        {"rejected", "landed"},
+    ), outcome
+    head = P._latest_snapshot(path)
+    has_constraint = any(c["name"] == "v_range" for c in head.get("constraints", []))
+    assert has_constraint == (outcome["constraint"] == "landed")
+    df, _ = P.read_manifest(spark, path)
+    poison_rows = df.filter("v = 999").count()
+    assert poison_rows == (1 if outcome["poison"] == "committed" else 0)
+    # valid appends all landed regardless of the fork
+    assert df.count() == 4 + n_valid * 4 * 4 + poison_rows
+
+    # physical invariants: contiguous versions, footer-true counts, no orphans
+    versions = sorted(
+        int(os.path.basename(m)[len("_manifest-v") : -len(".json")])
+        for m in glob.glob(os.path.join(path, "_manifest-v*.json"))
+    )
+    assert versions == list(range(1, head["version"] + 1))
+    import pyarrow.parquet as pq
+
+    n_physical = sum(
+        pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows for fn in head["files"]
+    )
+    assert head["n_rows"] == n_physical == df.count()
+    referenced: set[str] = set()
+    for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
+        with open(mf) as f:
+            referenced |= set(P._resolve_manifest(path, json.load(f))["files"])
+    assert {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))} <= referenced
+    assert not glob.glob(os.path.join(path, "_uncommitted_*"))
