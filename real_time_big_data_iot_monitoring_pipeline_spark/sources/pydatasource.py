@@ -1323,12 +1323,33 @@ def optimize_zorder(
     so `read_manifest_pruned` skips on BOTH dimensions where a
     single-key sort helps only one (the measured argument lives in
     `layout_zorder_stats`/`layout_hilbert_stats`; this applies it to
-    the table format's own write path).  Commits through the same OCC
-    claim as every writer."""
+    the table format's own write path).
+
+    CONCURRENCY: single-shot CoW discipline, like `delete_where` /
+    `materialize_deletes` — the rewrite stages its files, then claims
+    EXACTLY the version after the snapshot it read.  A commit landing
+    in between loses the claim: the rewrite removes its staged files
+    and raises `lost the commit race` (re-run to rewrite the new
+    snapshot).  The previous implementation committed through the
+    sink's blind-overwrite retry, which RE-CLAIMED at the new head and
+    silently replaced a concurrent append's rows with the stale
+    pre-append row set — Delta/Iceberg OPTIMIZE refuses on exactly
+    this conflict (found by extending the true-thread races to mixed
+    verb storms)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
     assert len(cols) == 2, "z-order rewrite clusters exactly two columns"
-    df, _manifest = read_manifest(spark, path)
+    head = _latest_snapshot(path)
+    assert head is not None, "optimize_zorder requires an existing table"
+    if not head.get("files"):
+        return head  # zero-file table: nothing to rewrite, no commit
+    df = _read_logical(spark, path, head["files"], head)
     a, b = cols
     terms = []
     for i in range(bits):
@@ -1336,19 +1357,55 @@ def optimize_zorder(
         terms.append(f"(((({a}) % {1 << bits}) div {p}) % 2) * {4 ** i}")
         terms.append(f"(((({b}) % {1 << bits}) div {p}) % 2) * {2 * 4 ** i}")
     z = df.withColumn("__z", F.expr(" + ".join(terms)))
-    register_sink(spark)
+    tok = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f"_zorder_staging_{tok}")
     (
         z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.format("rtbd_manifest_sink")
-        .option("path", path)
-        .mode("overwrite")
-        .save()
+        .write.mode("overwrite")
+        .parquet(staging)
     )
-    out = _latest_snapshot(path)
-    assert out is not None
-    return out
+    next_v = head.get("version", 0) + 1
+    new_files, n_rows = [], 0
+    for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
+        nr = _pq.ParquetFile(part).metadata.num_rows
+        if nr == 0:
+            continue  # never list zero-row files
+        # 'z' is not a hex digit: the prefix cannot collide with
+        # appended `part-{uuid4hex}` names (round-8 verdict rule)
+        visible = f"part-zorder{next_v}-{tok}-{i:05d}.parquet"
+        os.replace(part, os.path.join(path, visible))
+        new_files.append(visible)
+        n_rows += nr
+    shutil.rmtree(staging, ignore_errors=True)
+    manifest = {
+        "version": next_v,
+        "files": sorted(new_files),
+        "n_rows": n_rows,
+        "stats": _footer_stats(path, new_files),
+        "file_columns": _footer_columns(path, new_files),
+        # a rewrite restates rows already emitted: dataChange=false to
+        # the change feed, exactly like compaction
+        "op": "overwrite",
+        # the input was read LOGICALLY: rename chains and pending MoR
+        # deletes are materialized into the rewritten files
+        "renames": [],
+        "eq_deletes": [],
+        "constraints": head.get("constraints", []),
+        "batches": head.get("batches", []),
+    }
+    if not _claim_and_publish(path, manifest):
+        for fn in new_files:
+            try:
+                os.remove(os.path.join(path, fn))
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(
+            "optimize_zorder lost the commit race: the table changed during "
+            "the rewrite — re-run against the new snapshot"
+        )
+    return manifest
 
 
 def read_staged(spark, path: str):

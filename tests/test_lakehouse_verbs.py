@@ -487,3 +487,52 @@ def test_bloom_index_builds_logically_on_renamed_tables(spark, tmp_path):
     assert len(idx2["filters"]) == 6
     df3, kept3, total3 = P.read_manifest_bloom_pruned(spark, path, "w", 505)
     assert df3.filter("w = 505").count() == 1 and (kept3, total3) == (1, 6)
+
+
+def test_zorder_refuses_instead_of_eating_concurrent_append(spark, tmp_path, monkeypatch):
+    """OPTIMIZE ZORDER is a rewrite that PROMISES logical rows unchanged
+    — so a commit landing between its snapshot read and its claim must
+    make it refuse (single-shot CoW discipline), never re-claim at the
+    new head: the old sink-overwrite path silently replaced the
+    concurrent append's rows with the stale pre-append row set
+    (Delta/Iceberg OPTIMIZE raises a conflict on exactly this).  The
+    loser removes every staged file; the documented recovery — re-run —
+    rewrites the post-append snapshot."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "zrace")
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=i, k=i % 5, v=i) for i in range(20)]))])
+
+    real_claim = P._claim_and_publish
+    fired = {"done": False}
+
+    def racing_claim(p, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent append serializes between zorder's read and
+            # its claim
+            w.commit([w.write(iter([Row(id=100 + i, k=0, v=0) for i in range(3)]))])
+        return real_claim(p, manifest)
+
+    monkeypatch.setattr(P, "_claim_and_publish", racing_claim)
+    with pytest.raises(RuntimeError, match="optimize_zorder lost the commit race"):
+        P.optimize_zorder(spark, path, ("id", "k"), bits=4, n_files=4)
+    monkeypatch.setattr(P, "_claim_and_publish", real_claim)
+
+    # the append survived; the loser staged nothing into the table
+    df, head = P.read_manifest(spark, path)
+    assert df.count() == 23
+    assert not glob.glob(os.path.join(path, "part-zorder*")), "loser left staged files"
+    assert not glob.glob(os.path.join(path, "_zorder_staging_*"))
+
+    # recovery: re-run rewrites the POST-append snapshot
+    out = P.optimize_zorder(spark, path, ("id", "k"), bits=4, n_files=4)
+    df2, _ = P.read_manifest(spark, path)
+    assert df2.count() == 23 and out["op"] == "overwrite"
+    assert sorted(r["id"] for r in df2.collect()) == sorted(
+        list(range(20)) + [100, 101, 102]
+    )
+    # the rewrite is dataChange=false to the feed
+    feed, commits = P.read_change_feed(spark, path, 0)
+    assert feed.count() == 23  # the two appends only, never the rewrite
