@@ -75,10 +75,14 @@ RACE_VERB = st.one_of(
     st.tuples(st.just("overwrite"), st.integers(0, 3)),
     st.tuples(st.just("restore"), st.none()),
     st.tuples(st.just("constraint"), st.tuples(st.integers(0, 8), st.integers(0, 8))),
+    # the round-9 conflict-safe layout rewrite (single-shot CoW) and the
+    # WAP publish (its own family: a version guard, not a retry loop)
+    st.tuples(st.just("zorder"), st.none()),
+    st.tuples(st.just("publish"), st.none()),
 )
 
 RETRY_FAMILY = {"epoch", "delete_mor", "rename", "append", "overwrite", "restore", "constraint"}
-SINGLE_SHOT = {"delete_cow", "merge", "materialize"}
+SINGLE_SHOT = {"delete_cow", "merge", "materialize", "zorder"}
 
 
 def _batch_rows(batch: int):
@@ -155,6 +159,7 @@ class Model:
         # (the duplicate-name path is the sequential machine's job)
         self.v1_rows: dict[int, tuple] = {}  # state at version 1
         self.v1_vcol = "v"
+        self.staged_batch: list[tuple] | None = None  # WAP candidate
 
     def state_violates(self, rows: dict, state_vcol: str) -> bool:
         """Would `rows` (a logical state whose value column is named
@@ -228,6 +233,14 @@ def _run_verb(spark, path: str, model: Model, tag: str, payload) -> None:
     elif tag == "materialize":
         P.materialize_deletes(spark, path)
         # physical only: logical rows unchanged
+    elif tag == "zorder":
+        P.optimize_zorder(spark, path, ("id", "k"), bits=4, n_files=4)
+        # physical only: logical rows unchanged (reads logically, resets
+        # rename log and MoR entries into the rewritten files)
+    elif tag == "publish":
+        P.publish_staged(path)
+        model.rows.update({i: (k, v) for i, k, v in model.staged_batch})
+        model.staged_batch = None
     elif tag == "rename":
         new = "w" if model.vcol == "v" else "v"
         if any(
@@ -299,7 +312,11 @@ def _no_orphans(path: str) -> None:
     orphans), and no staging residue survives."""
     referenced: set[str] = set()
     ref_chunks: set[str] = set()
-    for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
+    for mf in glob.glob(os.path.join(path, "_manifest-v*.json")) + glob.glob(
+        # an in-flight WAP stage legitimately references parts no
+        # versioned manifest lists yet (vacuum honors the same rule)
+        os.path.join(path, "_staged-manifest.json")
+    ):
         with open(mf) as f:
             raw = json.load(f)
         referenced |= set(P._resolve_manifest(path, raw).get("files", []))
@@ -348,6 +365,14 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
     if pre_mor or "materialize" in (a_tag, b_tag):
         P.delete_where_mor(path, "v", 3, 4)
         model.apply_delete(3, 4)
+    if "publish" in (a_tag, b_tag):
+        # a WAP stage exists before the race, so publish verbs have a
+        # candidate; the pointer is invisible to every head reader
+        model.staged_batch = _batch_rows(70)
+        fn = _write_uncommitted_part(path, model.staged_batch, "v")
+        P.ManifestParquetWriter({"path": path, "staged": "true"}, overwrite=False).commit(
+            [P.PartFileCommit(fn, len(model.staged_batch))]
+        )
 
     # ---- the race: B fires inside A's first claim attempt ----------------
     real_claim = P._claim_and_publish
@@ -365,7 +390,22 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
     monkeypatch.setattr(P, "_claim_and_publish", racing_claim)
     v_before = P._latest_snapshot(path)["version"]
 
-    if a_tag in SINGLE_SHOT:
+    if a_tag == "publish":
+        # its own family: a pre-claim VERSION GUARD plus one claim — if B
+        # commits mid-claim, publish refuses ("re-stage" is the recovery)
+        # and the stale pointer survives; if B refused/no-oped, the claim
+        # is free and the publish lands.
+        try:
+            P.publish_staged(path)
+            model.rows.update({i: (k, v) for i, k, v in model.staged_batch})
+            model.staged_batch = None
+        except RuntimeError as exc:
+            assert "no longer applies" in str(exc)
+            assert P._latest_snapshot(path)["version"] > v_before, (
+                f"publish refused without a competing commit: {exc}"
+            )
+        monkeypatch.setattr(P, "_claim_and_publish", real_claim)
+    elif a_tag in SINGLE_SHOT:
         try:
             _run_verb(spark, path, model, a_tag, a_payload)
             a_lost = False
