@@ -1516,7 +1516,8 @@ def delete_where(spark, path: str, col: str, lo, hi) -> dict:
     # overwrite) have an EMPTY logical column union — the guard would
     # reject every column name; a delete there is a legitimate no-op
     # (same escape as add_check_constraint, round-8 ADVICE)
-    if head.get("files") and col not in _logical_columns(path, head):
+    cols = _logical_columns(path, head)
+    if cols and col not in cols:
         raise RuntimeError(f"delete_where: no such column {col!r}")
     stats = head.get("stats", {})
     touched, untouched = [], []
@@ -1657,6 +1658,12 @@ def _logical_columns(path: str, head: dict) -> set[str]:
                 cur.discard(r["from"])
                 cur.add(r["to"])
         out |= cur
+    if not out and head.get("schema_ddl"):
+        # zero-file snapshot: the recorded logical schema still knows the
+        # columns, so verb guards can catch typos on emptied tables
+        # instead of skipping the check (tables emptied before schema_ddl
+        # existed return the empty set — callers keep the old escape)
+        out = {p.strip().split(" ", 1)[0] for p in head["schema_ddl"].split(", ")}
     return out
 
 
@@ -1774,11 +1781,13 @@ def delete_where_mor(path: str, col: str, lo, hi) -> dict:
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "delete_where_mor requires an existing table"
-        if head.get("files") and col not in _logical_columns(path, head):
+        cols = _logical_columns(path, head)
+        if cols and col not in cols:
             # fail at COMMIT time, not at first read: a committed delete
             # on a typo'd column would break every later logical read.
-            # (Empty-table escape: zero files => empty column union;
-            # no entry is recorded — the delete scopes to nothing.)
+            # (Zero-file tables validate against the recorded schema_ddl;
+            # no entry is recorded either way — the delete scopes to
+            # nothing on an empty table.)
             raise RuntimeError(f"delete_where_mor: no such column {col!r}")
         entry = {"col": col, "lo": lo, "hi": hi, "files": head["files"]}
         manifest = {
@@ -1924,11 +1933,13 @@ def merge_upsert(spark, path: str, updates, key_col: str) -> dict:
 
     head = _latest_snapshot(path)
     assert head is not None, "merge_upsert requires an existing table"
-    if head.get("files") and key_col not in _logical_columns(path, head):
+    cols = _logical_columns(path, head)
+    if cols and key_col not in cols:
         # same commit-time guard as the delete verbs: a typo'd merge key
         # would die mid-rewrite (AnalysisException) instead of cleanly.
-        # (Empty-table escape: merge into a zero-file snapshot is the
-        # insert-all bootstrap — guard must not reject it.)
+        # (A merge into a zero-file snapshot is the insert-all bootstrap
+        # — validated against the recorded schema_ddl when one exists,
+        # skipped only on pre-schema_ddl empty tables.)
         raise RuntimeError(f"merge_upsert: no such column {key_col!r}")
     stats = head.get("stats", {})
     n_updates = updates.count()
@@ -2337,7 +2348,8 @@ def add_check_constraint(
     for _attempt in range(64):
         head = _latest_snapshot(path)
         assert head is not None, "add_check_constraint requires an existing table"
-        if head.get("files") and col not in _logical_columns(path, head):
+        cols = _logical_columns(path, head)
+        if cols and col not in cols:
             raise RuntimeError(f"add_check_constraint: no such column {col!r}")
         if any(c["name"] == name for c in head.get("constraints", [])):
             raise RuntimeError(f"constraint {name!r} already exists")
@@ -2755,7 +2767,14 @@ def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]
     import os
 
     def load(v: int) -> dict:
-        return _load_manifest_file(path, f"_manifest-v{v}.json")
+        try:
+            return _load_manifest_file(path, f"_manifest-v{v}.json")
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"change feed: snapshot v{v} has been expired by vacuum — "
+                "tail from a later since_version (the earliest surviving "
+                "snapshot), or raise vacuum retention for feed consumers"
+            ) from None
 
     prev_files = set(load(since_version)["files"]) if since_version >= 1 else set()
     out = []

@@ -536,3 +536,42 @@ def test_zorder_refuses_instead_of_eating_concurrent_append(spark, tmp_path, mon
     # the rewrite is dataChange=false to the feed
     feed, commits = P.read_change_feed(spark, path, 0)
     assert feed.count() == 23  # the two appends only, never the rewrite
+
+
+def test_empty_table_guards_catch_typos_and_expired_feed_is_loud(spark, tmp_path):
+    """Zero-file tables validate verb column names against the recorded
+    schema_ddl (a typo'd delete/merge/constraint refuses at commit time
+    instead of silently no-opping), and a change feed tailing from a
+    vacuum-expired snapshot raises the documented retention error, not
+    a bare FileNotFoundError."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "guards")
+    P.register_sink(spark)
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10)]))])  # v1
+    P.delete_where(spark, path, "v", 0, 100)  # v2: emptied, ddl recorded
+
+    with pytest.raises(RuntimeError, match="delete_where: no such column"):
+        P.delete_where(spark, path, "nope", 0, 1)
+    with pytest.raises(RuntimeError, match="delete_where_mor: no such column"):
+        P.delete_where_mor(path, "nope", 0, 1)
+    with pytest.raises(RuntimeError, match="merge_upsert: no such column"):
+        P.merge_upsert(spark, path, spark.createDataFrame([(1, 2)], "nope long, v int"), "nope")
+    with pytest.raises(RuntimeError, match="add_check_constraint: no such column"):
+        P.add_check_constraint(path, "c0", "nope", lo=0, hi=1)
+    # valid columns still work on the empty table (no-op delete, bootstrap)
+    P.delete_where_mor(path, "v", 0, 1)  # v3, records nothing
+    assert not P._latest_snapshot(path).get("eq_deletes")
+    P.merge_upsert(spark, path, spark.createDataFrame([(9, 99)], "id long, v int"), "id")
+
+    # expired-feed error: bury v1/v2 under the horizon and vacuum
+    for i in range(3):
+        w.commit([w.write(iter([Row(id=100 + i, v=i)]))])
+    P.vacuum(path, keep_versions=2, retention_seconds=0.0)
+    with pytest.raises(RuntimeError, match="expired by vacuum"):
+        P.read_change_feed(spark, path, since_version=1)
+    # tailing from the earliest surviving snapshot works
+    head_v = P._latest_snapshot(path)["version"]
+    feed, _ = P.read_change_feed(spark, path, since_version=head_v - 1)
+    assert feed.count() == 1
