@@ -619,6 +619,14 @@ def _head_snapshot(path: str, version: int | None = None) -> dict:
     return head
 
 
+def _parse_ddl(ddl: str) -> list[tuple[str, str]]:
+    """Split a sink-family DDL string ('name type, name type, …') into
+    (name, type) pairs — the ONE parser for every schema_ddl consumer,
+    kept in lockstep with `_arrow_to_ddl`'s emission (whose type names
+    never contain ', ')."""
+    return [tuple(p.strip().split(" ", 1)) for p in ddl.split(", ")]
+
+
 def _logical_schema_ddl(path: str, manifest: dict) -> str | None:
     """The snapshot's LOGICAL schema as a DDL string: the first file's
     footer names with the rename log replayed over them (same per-file
@@ -634,7 +642,7 @@ def _logical_schema_ddl(path: str, manifest: dict) -> str | None:
     ddl = _arrow_to_ddl(pq.read_schema(os.path.join(path, files[0])))
     renames = manifest.get("renames", [])
     if renames:
-        parts = [p.strip().split(" ", 1) for p in ddl.split(", ")]
+        parts = _parse_ddl(ddl)
         cur = {n for n, _t in parts}
         for r in renames:
             if r["from"] in cur:
@@ -669,7 +677,14 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
     # DELETE FROM t must leave a readable, schema-stable empty table.
     if not manifest.get("files") and "schema_ddl" not in manifest:
         prev = _latest_snapshot(path)
-        ddl = _logical_schema_ddl(path, prev) if prev else None
+        try:
+            ddl = _logical_schema_ddl(path, prev) if prev else None
+        except ValueError:
+            # a column type outside _arrow_to_ddl's DDL set (inference-
+            # fallback writes allow more than the sink family emits):
+            # the emptying commit must still SUCCEED — the empty read
+            # then fails with the documented no-recorded-schema error
+            ddl = None
         if ddl is not None:
             manifest["schema_ddl"] = ddl
     # past the inline threshold, the file list externalizes into reused
@@ -984,7 +999,14 @@ class ManifestSinkDataSource(DataSource):
         return ManifestStreamWriter(self.options, schema)
 
 
-def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_schema: bool = False):
+def _read_logical(
+    spark,
+    path: str,
+    files: list[str],
+    manifest: dict,
+    merge_schema: bool = False,
+    apply_deletes: bool = True,
+):
     """Read a SUBSET of a snapshot's files as LOGICAL rows: the
     snapshot's rename log and pending merge-on-read eq-deletes are
     applied, restricted to the given file list.  This is the one
@@ -1000,7 +1022,14 @@ def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_sche
     exactly to the files in its recorded snapshot list (rows appended
     later survive).  Renames apply before delete filters —
     `rename_column` refuses to rename a column with pending deletes, so
-    delete predicates always reference current names."""
+    delete predicates always reference current names.
+
+    `apply_deletes=False` gives a RENAME-ONLY read of the physical rows
+    (pending MoR deletes NOT filtered) — for consumers whose contract is
+    a superset over any restorable state, like the Bloom index builders:
+    a filter built excluding MoR-deleted values turns into a FALSE
+    NEGATIVE after restore_table resurrects them (an index at version k
+    serves every read at version >= k)."""
     import os
 
     if not files:
@@ -1034,7 +1063,7 @@ def _read_logical(spark, path: str, files: list[str], manifest: dict, merge_sche
         df = reader.parquet(*fps)
         for old, new in app:
             df = df.withColumnRenamed(old, new)
-        for col, lo, hi in dels:
+        for col, lo, hi in dels if apply_deletes else ():
             # NULL-safe (round-8 ADVICE): a NULL delete-column value
             # does not match the range predicate, so the row SURVIVES —
             # bare ~between() evaluates to NULL and silently drops it
@@ -1128,13 +1157,15 @@ def build_bloom_index(
 
     manifest = _head_snapshot(path, version)
     files = manifest["files"]
-    # LOGICAL read (rename chains + pending MoR deletes): `col` is a
-    # logical name — a raw scan of files physically carrying pre-rename
-    # names cannot resolve it (the builder-side twin of the round-7
-    # pruned-reader fix).  Excluding MoR-deleted rows only tightens the
-    # filter: a logical lookup of a deleted value correctly skips.
-    # input_file_name() still resolves per row under renames/filters.
-    df = _read_logical(spark, path, files, manifest)
+    # RENAME-ONLY logical read: `col` is a logical name — a raw scan of
+    # files physically carrying pre-rename names cannot resolve it (the
+    # builder-side twin of the round-7 pruned-reader fix).  Pending MoR
+    # deletes are deliberately NOT applied: the filter must stay a
+    # SUPERSET over every restorable state — an index built excluding a
+    # deleted value false-negatives after restore_table resurrects it
+    # (an index at version k serves every read at version >= k).
+    # input_file_name() still resolves per row under the renames.
+    df = _read_logical(spark, path, files, manifest, apply_deletes=False)
     dtype = df.schema[col].dataType.simpleString()
     probes = F.array(
         *[
@@ -1207,10 +1238,10 @@ def refresh_bloom_index(spark, path: str, col: str) -> dict:
         from pyspark.sql import functions as F
 
         n_bits, n_hashes = old["n_bits"], old["n_hashes"]
-        # logical read of just the delta files (same rename/MoR rules as
-        # the bootstrap build — a stale-schema append after a rename
-        # must index under the logical column)
-        df = _read_logical(spark, path, new_files, manifest)
+        # rename-only read of just the delta files (same rules as the
+        # bootstrap build — a stale-schema append after a rename must
+        # index under the logical column; MoR deletes never excluded)
+        df = _read_logical(spark, path, new_files, manifest, apply_deletes=False)
         probes = F.array(
             *[
                 F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).cast("int")
@@ -1359,13 +1390,17 @@ def optimize_zorder(
     z = df.withColumn("__z", F.expr(" + ".join(terms)))
     tok = uuid.uuid4().hex[:8]
     staging = os.path.join(path, f"_zorder_staging_{tok}")
-    (
-        z.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
+    try:
+        (
+            z.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # no staging residue
+        raise
     next_v = head.get("version", 0) + 1
     new_files, n_rows = [], 0
     for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
@@ -1663,7 +1698,7 @@ def _logical_columns(path: str, head: dict) -> set[str]:
         # columns, so verb guards can catch typos on emptied tables
         # instead of skipping the check (tables emptied before schema_ddl
         # existed return the empty set — callers keep the old escape)
-        out = {p.strip().split(" ", 1)[0] for p in head["schema_ddl"].split(", ")}
+        out = {n for n, _t in _parse_ddl(head["schema_ddl"])}
     return out
 
 
@@ -1712,7 +1747,7 @@ def rename_column(path: str, old: str, new: str) -> dict:
             # edits the ddl AND still appends a rename-log entry — a
             # stale writer appending the OLD physical name later must
             # chain to the new one exactly like on a populated table.
-            parts = [p.strip().split(" ", 1) for p in head["schema_ddl"].split(", ")]
+            parts = _parse_ddl(head["schema_ddl"])
             names = {n for n, _t in parts}
             if old not in names:
                 raise RuntimeError(
@@ -2833,7 +2868,14 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
 
     if to_version is None:
         to_version = _head_snapshot(path)["version"]
-    to_m = _load_manifest_file(path, f"_manifest-v{to_version}.json")
+    try:
+        to_m = _load_manifest_file(path, f"_manifest-v{to_version}.json")
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"change feed: snapshot v{to_version} has been expired by vacuum — "
+            "read within surviving snapshots, or raise vacuum retention "
+            "for feed consumers"
+        ) from None
     frames, commits = [], []
     for d in _append_deltas(path, since_version, to_version):
         if d["new_files"]:

@@ -476,10 +476,17 @@ def test_bloom_index_builds_logically_on_renamed_tables(spark, tmp_path):
     df, kept, total = P.read_manifest_bloom_pruned(spark, path, "w", 205)
     assert [r["id"] for r in df.filter("w = 205").collect()] == [205]
     assert (kept, total) == (1, 5)  # one file's filter admits the value
-    # a value whose only rows are MoR-deleted: the build excluded it, so
-    # the probe prunes everything and the logical answer is still right
+    # a MoR-deleted value STAYS in the filter (superset contract): the
+    # file is scanned, the LOGICAL read drops the row — zero results
     gone, kept2, _ = P.read_manifest_bloom_pruned(spark, path, "w", 106)
-    assert gone.filter("w = 106").count() == 0 and kept2 == 0
+    assert gone.filter("w = 106").count() == 0 and kept2 == 1
+    # ...because an index at version k serves every LATER version too:
+    # restoring the pre-delete snapshot resurrects w=106, and a filter
+    # built excluding it would false-negative here (review finding)
+    pre_delete_v = P._latest_snapshot(path)["version"] - 1
+    P.restore_table(path, pre_delete_v)
+    back, kept3, _ = P.read_manifest_bloom_pruned(spark, path, "w", 106)
+    assert back.filter("w = 106").count() == 1 and kept3 == 1
 
     # incremental refresh indexes a NEW stale-schema delta file too
     w.commit([w.write(iter([Row(id=500 + i, v=500 + i) for i in range(10)]))])
@@ -571,7 +578,45 @@ def test_empty_table_guards_catch_typos_and_expired_feed_is_loud(spark, tmp_path
     P.vacuum(path, keep_versions=2, retention_seconds=0.0)
     with pytest.raises(RuntimeError, match="expired by vacuum"):
         P.read_change_feed(spark, path, since_version=1)
+    # an explicitly-passed expired to_version is equally loud (review
+    # finding: it used to escape as a bare FileNotFoundError)
+    with pytest.raises(RuntimeError, match="expired by vacuum"):
+        P.read_change_feed(spark, path, since_version=0, to_version=1)
     # tailing from the earliest surviving snapshot works
     head_v = P._latest_snapshot(path)["version"]
     feed, _ = P.read_change_feed(spark, path, since_version=head_v - 1)
     assert feed.count() == 1
+
+
+def test_emptying_commit_survives_unsupported_ddl_types(spark, tmp_path):
+    """The schema_ddl gate must never make an emptying commit FAIL: a
+    table carrying a column type outside _arrow_to_ddl's DDL set (the
+    inference-fallback writes allow more than the sink family emits)
+    still deletes-to-empty successfully — the commit just records no
+    schema_ddl, and the empty read fails with the documented
+    no-recorded-schema error instead of an unhandled ValueError mid-
+    commit (review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "weird")
+    os.makedirs(path)
+    fn = "_uncommitted_weirdtypes.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "tags": pa.array([[1, 2], [3]], pa.list_(pa.int32())),  # no DDL mapping
+            }
+        ),
+        os.path.join(path, fn),
+    )
+    P.ManifestParquetWriter({"path": path}, overwrite=False).commit(
+        [P.PartFileCommit(fn, 2)]
+    )
+    P.register_sink(spark)
+    P.delete_where(spark, path, "id", 0, 10)  # empties the table
+    head = P._latest_snapshot(path)
+    assert head["files"] == [] and "schema_ddl" not in head
+    with pytest.raises(RuntimeError, match="no recorded schema"):
+        P.read_manifest(spark, path)
