@@ -413,6 +413,17 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                     P.drop_ref(path, "t999")
         assert spark_state() == model_state(), f"divergence after {tag}({payload})"
 
+    # terminal: every live ref resolves to EXACTLY its pinned version's
+    # logical state (that version's rename chain and MoR deletes applied
+    # under its own column names) — tags after arbitrary later verbs,
+    # branches after advances, all guaranteed readable by vacuum pinning
+    for name, (_kind, v) in refs_model.items():
+        rows_v, vcol_v = history[v - 1]
+        df_ref, _m = P.read_manifest_ref(spark, path, name)
+        assert {r["id"]: (r["k"], r[vcol_v]) for r in df_ref.collect()} == rows_v, (
+            f"ref {name} diverges from version {v}"
+        )
+
     # terminal: a shallow clone of the FINAL state — whatever it is
     # (pending MoR deletes, rename chains, constraints, zero files) —
     # must read cell-identical to the source before any materialize
