@@ -2186,10 +2186,50 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
             n_chunks += 1
         except FileNotFoundError:
             continue
+    # STRAY RECLAMATION: a CRASHED writer's residue — hidden task parts
+    # (`_uncommitted_*`, from a task that died before commit/abort),
+    # verb staging directories (`_delete_staging_*`/`_zorder_staging_*`,
+    # from a rewrite that died mid-job), and claim/head tmp files — is
+    # referenced by nothing and would otherwise leak FOREVER (abort only
+    # runs when the engine survives to call it).  Reclaimed past the
+    # same retention grace; dirs use their NEWEST inner mtime so a slow
+    # in-flight writer still filling the dir is never swept.
+    import shutil
+
+    n_strays = 0
+    stray_files = (
+        glob.glob(os.path.join(path, "_uncommitted_*"))
+        + glob.glob(os.path.join(path, "_manifest-*.claim-*"))
+        + glob.glob(os.path.join(path, "_manifest-head-*.tmp*"))
+        + glob.glob(os.path.join(path, "_staged-manifest.json.tmp"))
+    )
+    for stray in stray_files:
+        try:
+            if now - os.path.getmtime(stray) < retention_seconds:
+                continue
+            os.remove(stray)
+            n_strays += 1
+        except FileNotFoundError:
+            continue
+    for d in glob.glob(os.path.join(path, "_*staging_*")):
+        if not os.path.isdir(d):
+            continue
+        try:
+            newest = max(
+                [os.path.getmtime(d)]
+                + [os.path.getmtime(f) for f in glob.glob(os.path.join(d, "*"))]
+            )
+        except FileNotFoundError:
+            continue  # the owning writer is actively mutating it
+        if now - newest < retention_seconds:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        n_strays += 1
     return {
         "n_files_removed": n_files,
         "n_manifests_removed": n_manifests,
         "n_chunks_removed": n_chunks,
+        "n_strays_removed": n_strays,
         "head_version": head_version,
         "horizon_version": horizon,
     }

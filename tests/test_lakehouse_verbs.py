@@ -620,3 +620,85 @@ def test_emptying_commit_survives_unsupported_ddl_types(spark, tmp_path):
     assert head["files"] == [] and "schema_ddl" not in head
     with pytest.raises(RuntimeError, match="no recorded schema"):
         P.read_manifest(spark, path)
+
+
+def test_vacuum_reclaims_crashed_writer_residue(spark, tmp_path):
+    """CRASH RECOVERY, storage half: a writer that dies mid-flight
+    leaves residue nothing references — hidden task parts
+    (`_uncommitted_*`: abort only runs if the engine survives), verb
+    staging directories, claim/head tmp files.  Vacuum reclaims all of
+    it past the retention grace (it leaked FOREVER before); young
+    residue survives the grace, because it may belong to an in-flight
+    commit."""
+    import time
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "crashres")
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10)]))])  # the live table
+
+    old = time.time() - 10_000
+    strays = [
+        "_uncommitted_deadtask.parquet",
+        "_manifest-v9.json.claim-deadbeef",
+        "_manifest-head-v9.tmp",
+        "_staged-manifest.json.tmp",
+    ]
+    for fn in strays:
+        with open(os.path.join(path, fn), "w") as f:
+            f.write("x")
+        os.utime(os.path.join(path, fn), (old, old))
+    for d in ("_delete_staging_dead", "_zorder_staging_dead"):
+        os.makedirs(os.path.join(path, d))
+        with open(os.path.join(path, d, "part-x"), "w") as f:
+            f.write("x")
+        os.utime(os.path.join(path, d, "part-x"), (old, old))
+        os.utime(os.path.join(path, d), (old, old))
+    # young residue: must survive the grace window
+    with open(os.path.join(path, "_uncommitted_inflight.parquet"), "w") as f:
+        f.write("x")
+
+    out = P.vacuum(path, keep_versions=10, retention_seconds=600.0)
+    assert out["n_strays_removed"] == 6, out
+    for fn in strays:
+        assert not os.path.exists(os.path.join(path, fn))
+    assert not glob.glob(os.path.join(path, "_*staging_*"))
+    assert os.path.exists(os.path.join(path, "_uncommitted_inflight.parquet"))
+    # the table is untouched
+    assert P.read_manifest(spark, path)[0].count() == 1
+
+
+def test_head_pointer_crash_heals_from_ledger(spark, tmp_path):
+    """CRASH RECOVERY, metadata half: a committer that dies BETWEEN
+    claiming `_manifest-v{N}.json` and moving the head pointer leaves
+    manifest.json one version behind.  Readers must still see vN (the
+    ledger, not the pointer cache, is the source of truth — discovered
+    by the O(1+lag) upward probe), and the next commit continues at
+    vN+1, healing the pointer."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "crashhead")
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter([Row(id=1, v=10)]))])  # v1
+    w.commit([w.write(iter([Row(id=2, v=20)]))])  # v2
+
+    # simulate the crash: v3 exists in the ledger, head pointer still v2
+    with open(os.path.join(path, "_manifest-v2.json")) as f:
+        m2 = _json.load(f)
+    m3 = {**m2, "version": 3, "op": "alter"}
+    with open(os.path.join(path, "_manifest-v3.json"), "w") as f:
+        _json.dump(m3, f)
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert _json.load(f)["version"] == 2  # the pointer IS stale
+
+    assert P._latest_snapshot(path)["version"] == 3
+    assert P.read_manifest(spark, path)[0].count() == 2  # v3's (copied) state
+
+    # the next commit plans against v3 and heals the pointer
+    w.commit([w.write(iter([Row(id=3, v=30)]))])  # must claim v4
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert _json.load(f)["version"] == 4
+    assert P.read_manifest(spark, path)[0].count() == 3
