@@ -61,6 +61,10 @@ VERB = st.one_of(
     # implicitly materializes pending MoR deletes (the input is read
     # logically) and resets the rename log
     st.tuples(st.just("zorder"), st.none()),
+    # CRASH CHAOS: regress the manifest.json pointer CACHE to an older
+    # version (a committer died between claim and head move) — the
+    # ledger is the source of truth, so nothing downstream may notice
+    st.tuples(st.just("stale_head"), st.integers(0, 11)),
 )
 
 
@@ -401,6 +405,25 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
                 snap()
                 assert not P._latest_snapshot(path).get("eq_deletes")
             # zero-file table: documented no-op, no version consumed
+        elif tag == "stale_head":
+            # pick any still-loadable older version and overwrite the
+            # pointer cache with ITS manifest — the table must not
+            # change (ledger probe discovers the true head), and every
+            # later verb must plan against the ledger, not the cache
+            import os as _os
+
+            candidates = [
+                v
+                for v in range(1, len(history) + 1)
+                if v not in removed
+            ]
+            v = candidates[payload % len(candidates)]
+            with open(_os.path.join(path, f"_manifest-v{v}.json")) as f:
+                stale = f.read()
+            with open(_os.path.join(path, "manifest.json"), "w") as f:
+                f.write(stale)
+            assert P._latest_snapshot(path)["version"] == len(history)
+            # no model change, no snap: nothing was committed
         elif tag == "drop_ref":
             if refs_model:
                 name = sorted(refs_model)[0]
