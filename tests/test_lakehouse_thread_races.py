@@ -280,3 +280,130 @@ def test_constraint_add_races_violating_append(spark, tmp_path, monkeypatch, inl
             referenced |= set(P._resolve_manifest(path, json.load(f))["files"])
     assert {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))} <= referenced
     assert not glob.glob(os.path.join(path, "_uncommitted_*"))
+
+
+def test_mixed_verb_storm_under_true_threads(spark, tmp_path, monkeypatch):
+    """CAPSTONE storm: epoch committers, batch appenders, a MoR-delete/
+    materialize maintenance loop, and the conflict-safe zorder rewrite
+    all race with NO coordination — single-shot losers retry, retry
+    families re-plan.  The deletes match nothing, so the final logical
+    rows must be EXACTLY the union of every append/epoch, no matter how
+    the rewrites interleave (the pre-fix zorder ATE concurrent appends
+    here); plus the standard physical invariants."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 3)  # chunked throughout
+    path = str(tmp_path / "storm")
+    os.makedirs(path)
+    _commit_epoch(path, 0, [9000 + j for j in range(4)])  # table exists
+
+    def _append(ids: list[int]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fn = f"_uncommitted_{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([i % 97 for i in ids], pa.int32()),
+                }
+            ),
+            os.path.join(path, fn),
+        )
+        P.ManifestParquetWriter({"path": path}, overwrite=False).commit(
+            [P.PartFileCommit(fn, len(ids))]
+        )
+
+    def _retry(fn) -> None:
+        for _ in range(30):
+            try:
+                fn()
+                return
+            except RuntimeError as exc:
+                if "lost the commit race" not in str(exc):
+                    raise
+        raise AssertionError("verb starved after 30 lost races")
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(6)
+
+    def epoch_worker(t: int) -> None:
+        try:
+            barrier.wait()
+            for e in range(3):
+                bid = t * 10 + e + 1
+                _commit_epoch(path, bid, [bid * 100 + j for j in range(4)])
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def append_worker(t: int) -> None:
+        try:
+            barrier.wait()
+            for e in range(3):
+                base = 50_000 + t * 1000 + e * 100
+                _append([base + j for j in range(4)])
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def maintenance_worker() -> None:
+        try:
+            barrier.wait()
+            for _ in range(2):
+                P.delete_where_mor(path, "v", 200, 300)  # matches nothing
+                _retry(lambda: P.materialize_deletes(spark, path))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def zorder_worker() -> None:
+        try:
+            barrier.wait()
+            for _ in range(2):
+                _retry(lambda: P.optimize_zorder(spark, path, ("id", "v"), bits=4, n_files=3))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = (
+        [threading.Thread(target=epoch_worker, args=(t,)) for t in range(2)]
+        + [threading.Thread(target=append_worker, args=(t,)) for t in range(2)]
+        + [threading.Thread(target=maintenance_worker), threading.Thread(target=zorder_worker)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    head = P._latest_snapshot(path)
+    # exactly-once ledger across every rewrite interleaving
+    assert sorted(head["batches"]) == [0] + [t * 10 + e + 1 for t in range(2) for e in range(3)]
+    # the final logical rows are the union of every append/epoch
+    expected_ids = {9000 + j for j in range(4)}
+    expected_ids |= {b * 100 + j for b in head["batches"] if b != 0 for j in range(4)}
+    expected_ids |= {50_000 + t * 1000 + e * 100 + j for t in range(2) for e in range(3) for j in range(4)}
+    df, _ = P.read_manifest(spark, path)
+    assert {r["id"] for r in df.collect()} == expected_ids
+    assert not head.get("eq_deletes") or df.count() == len(expected_ids)
+    # contiguous version chain, footer-true counts, no orphans
+    versions = sorted(
+        int(os.path.basename(m)[len("_manifest-v") : -len(".json")])
+        for m in glob.glob(os.path.join(path, "_manifest-v*.json"))
+    )
+    assert versions == list(range(1, head["version"] + 1))
+    import pyarrow.parquet as pq
+
+    n_physical = sum(
+        pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows for fn in head["files"]
+    )
+    assert head["n_rows"] == n_physical
+    referenced: set[str] = set()
+    ref_chunks: set[str] = set()
+    for mf in glob.glob(os.path.join(path, "_manifest-v*.json")):
+        with open(mf) as f:
+            raw = json.load(f)
+        referenced |= set(P._resolve_manifest(path, raw)["files"])
+        ref_chunks |= set(raw.get("file_chunks", []))
+    assert {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))} <= referenced
+    assert {
+        os.path.basename(c) for c in glob.glob(os.path.join(path, "_filelist-*.json"))
+    } <= ref_chunks
+    assert not glob.glob(os.path.join(path, "_uncommitted_*"))
+    assert not glob.glob(os.path.join(path, "_*staging_*"))
