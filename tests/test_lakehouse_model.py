@@ -78,12 +78,18 @@ def _batch_rows(batch: int):
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(verbs=st.lists(VERB, min_size=3, max_size=7))
-def test_verb_sequences_match_model(spark, tmp_path_factory, verbs):
+@given(verbs=st.lists(VERB, min_size=3, max_size=7), chunked=st.booleans())
+def test_verb_sequences_match_model(spark, tmp_path_factory, monkeypatch, verbs, chunked):
     import uuid
 
     path = str(tmp_path_factory.mktemp("model") / f"t_{uuid.uuid4().hex[:8]}")
     P.register_sink(spark)
+    # half the examples force CHUNKED manifests (file lists externalized
+    # into _filelist-* chunks at every commit) so the whole sequential
+    # algebra — incl. restore/refs/WAP/stale-head — also runs against
+    # the round-9 manifest-compaction layer (the race machine already
+    # did; the sequential machine only ever saw inline manifests)
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2 if chunked else 2048)
 
     # ---- model state ----
     rows: dict[int, tuple] = {}  # id -> (k, v)
