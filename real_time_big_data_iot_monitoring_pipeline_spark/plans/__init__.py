@@ -25,69 +25,72 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # `queries()` iteration order.  The window below makes that ordering
 # EXPLICIT instead of an import-order side effect.
 #
-# ROUND-9 ROTATION (drafted 2026-08-15, round 9).  CORRECTNESS_r08.json
-# came back 50/50 green (zero err).  Arithmetic is DERIVED
-# (`tools/backlog_audit.py::compute_backlog()` from CORRECTNESS_r*.json
-# ∪ the registry; tests/test_plans.py::test_backlog_arithmetic_derived
-# asserts this file's constants against it every suite run):
-#   registry 400 | oracle-bearing 394 | ever-hashed r1..r8 = 317 |
-#   never-hashed at rotation = 77 (exactly the round-8 ROUND9_DRAFT,
+# ROUND-10 ROTATION (drafted 2026-08-16, round 10).  CORRECTNESS_r09.json
+# came back 50/50 green (zero err) — the round-9 window ran exactly as
+# drafted.  Arithmetic is DERIVED (`tools/backlog_audit.py::
+# compute_backlog()` from CORRECTNESS_r*.json ∪ the registry;
+# tests/test_plans.py::test_backlog_arithmetic_derived asserts this
+# file's constants against it every suite run):
+#   registry 400 | oracle-bearing 394 | ever-hashed r1..r9 = 356 |
+#   never-hashed at rotation = 38 (exactly the round-9 ROUND10_DRAFT,
 #   in order).
 #
-# STALENESS POLICY (amended round 7, unchanged): each round's window =
-# the pinned sentinel + 10 oldest/refresh slots + ~39 never-hashed
-# backlog slots; registration freeze (≤10 new/round, each hashed
-# in-window immediately) until the backlog drains.
+# This window (1 + 38 + 11 = 50), EXACTLY as pre-committed in round 9
+# (the round-9 verdict's "Next round" item 1):
+#   * `flagship_window_agg` pinned (driver-green r1..r9);
+#   * 38 never-hashed slots: ALL of the round-9 ROUND10_DRAFT, in
+#     draft order — the backlog EMPTIES this round, one round ahead
+#     of the round-8 verdict's projected crossover;
+#   * 11 oldest-cohort slots: the first 11 of the round-9
+#     ROUND10_OLDEST_COHORT — the 3 r3-cohort rows round 9 deferred
+#     (`corpus_shard_stats`, `corpus_split_counts`,
+#     `corpus_token_budget`) first, then the next 8 of the r3 cohort.
+#   The full r10 universe was re-validated ALL GREEN against the
+#   DuckDB oracle at sf0.01 on the final round-9 tree, so any red row
+#   this round indicates a code change since, not the query.
 #
-# This window (1 + 39 + 3 + 7 = 50):
-#   * `flagship_window_agg` pinned (driver-green r1..r8);
-#   * 39 never-hashed slots: the FIRST 39 of the round-8 draft, in
-#     draft order, led by the four rows round 8 deferred
-#     (`quantile_normalize_feature`, `rag_context_packing`,
-#     `source_ablation_probe`, `tokenizer_fertility_by_lang`) — the
-#     round-8 verdict's item 2, executed exactly as drafted;
-#   * 3 refresh slots for the multimodal stragglers the round-8
-#     verdict NAMED in item 6 (`multimodal_phash_neardups` re-hash
-#     post-pixel-path — its last row predates the round-8
-#     png_decode-backed kernel; `audio_wav_features` d6;
-#     `image_resize_generic_real` d7).  NOTE: the verdict believed
-#     these were "in ROUND9_DRAFT already"; they never were (all
-#     three are EVER-hashed, so they are refresh rows, not backlog) —
-#     honoring item 6 therefore takes 3 of this round's 10 refresh
-#     slots, and the r3 cohort gets the remaining 7;
-#   * 7 oldest-cohort slots: the first 7 of the round-3 cohort
-#     (`ROUND9_OLDEST_COHORT` as written in round 8); the 3 deferred
-#     rows (`corpus_shard_stats`, `corpus_split_counts`,
-#     `corpus_token_budget`) LEAD ROUND10_OLDEST_COHORT below — as
-#     DATA, so they cannot be lost (the round-7 lesson).
+# STALENESS POLICY (amended round 10 — the round-9 verdict's item 2):
+# with the never-hashed backlog empty after this round, windows become
+# flagship + 49 refresh slots drawn from a CHURN-AWARE priority queue
+# (tools/backlog_audit.py::refresh_queue): rows whose implementing
+# code changed since their last green hash come first — ordered by
+# churn RECENCY (the round the unvalidated change landed in, newest
+# first: that is the code no driver hash has ever attested), then hash
+# age, then name — followed by non-churned rows strictly oldest-first.
+# Churn attribution is function-granular at the plans layer and
+# module-granular below it (see the tool's docstring).  First
+# beneficiaries, per the round-9 verdict: the 26 pyds_* rows whose
+# engine (`sources/pydatasource.py`) was rewritten ~1,000 lines in
+# round 9 while their last hard hashes sat at d6–d8 — they lead
+# ROUND11_OLDEST_COHORT below.
 #
-# ROUND-10 PLAN (written now so the rotation is mechanical): window =
-# `flagship_window_agg` + ALL 38 of ROUND10_DRAFT (in order — the
-# backlog EMPTIES) + the first 11 of ROUND10_OLDEST_COHORT
-# (1 + 38 + 11 = 50).  From round 11 on, windows are flagship + 49
-# strictly-oldest rows (the refresh steady state: cohort ages from
-# tools/backlog_audit.py's histogram, oldest-first, r2 cohort right
-# after the remaining r3 rows).  The entire r10 universe — 38 draft +
-# 42 r3-cohort + 22 r2-cohort rows — was re-validated ALL GREEN against
-# the DuckDB oracle at sf0.01 on the final round-9 tree, so any r10 red
-# row indicates a code change since, not the query.
-#
-# AFTER THIS WINDOW lands green: never-hashed = 77 - 39 = 38 (all of
-# ROUND10_DRAFT, in order) — round 10 drains them ALL and the backlog
-# empties one round ahead of the round-11 crossover the round-8
-# verdict projected.  Cohort ages after r9: 22 r2-rows at age 7,
-# 42 r3-rows at age 6 (both in ROUND10_OLDEST_COHORT order: the 3
-# deferred r3 rows first, then — backlog empty — round 11+ windows
-# go strictly oldest-first through the r2 cohort).
-#
-# (Round-8 rotation text removed from this header; retained verbatim
-# in git history.)
+# REGISTRATION PLAN (the round-9 verdict's item 5, decided now as
+# data): option (a) — the freeze LAPSES once this window lands green.
+# From round 11 on, ≤10 new registrations per round, each hashed
+# in-window immediately (they take window slots ahead of the refresh
+# queue, exactly like rounds 5–7 did).  The first two, chosen for
+# user value (they tie ref:spark_streaming.py:152-181 to the hardened
+# chunked-manifest sink):
+#   1. `stream_manifest_sink_restart` — the REAL windowed_aggregate_
+#      stream written through ManifestStreamWriter with a mid-stream
+#      restart; asserts exactly-once across the restart boundary.
+#   2. `stream_schema_evolution_feed` — rename_column mid-stream;
+#      the change feed and the tail stay correct across the epoch.
+ROUND11_REGISTRATION_PLAN: tuple[str, ...] = (
+    "stream_manifest_sink_restart",
+    "stream_schema_evolution_feed",
+)
 
-# Never-hashed backlog AFTER this window, in drain-priority order —
-# DATA, not comment, so window drafts can't silently drop rows; round
-# 10's never-hashed slots take ALL 38.  Coverage is suite-enforced:
-# every never-hashed query must appear in DRIVER_WINDOW or here.
-ROUND10_DRAFT: tuple[str, ...] = (
+# Never-hashed backlog AFTER this window: EMPTY — every oracle-bearing
+# registration has a green driver hash once CORRECTNESS_r10.json lands.
+# Kept as data so the suite's coverage invariant (every never-hashed
+# query ∈ DRIVER_WINDOW ∪ ROUND11_DRAFT) stays mechanical.
+ROUND11_DRAFT: tuple[str, ...] = ()
+
+# The round-10 window's never-hashed slots (positions 1-38), exactly
+# the round-9 ROUND10_DRAFT in order — retained as a named constant so
+# the window construction below is self-describing data.
+_R10_BACKLOG_SLOTS: tuple[str, ...] = (
     "fellegi_sunter_linkage",
     "from_csv_permissive_surface",
     "ranking_semantics_surface",
@@ -128,11 +131,10 @@ ROUND10_DRAFT: tuple[str, ...] = (
     "association_rules_single_item",
 )
 
-# Oldest-cohort refresh schedule for round 10+: the 3 r3-cohort rows
-# deferred this round FIRST, then the rest of the r3 cohort (age 6
-# after r9), then the 22 r2-cohort rows (age 7) — strictly oldest-first
-# once the never-hashed backlog empties after round 10.
-ROUND10_OLDEST_COHORT: tuple[str, ...] = (
+# The round-10 window's oldest-cohort slots (positions 39-49): the
+# first 11 of the round-9 ROUND10_OLDEST_COHORT, exactly as written —
+# the 3 deferred r3 rows first.
+_R10_COHORT_SLOTS: tuple[str, ...] = (
     "corpus_shard_stats",
     "corpus_split_counts",
     "corpus_token_budget",
@@ -144,7 +146,107 @@ ROUND10_OLDEST_COHORT: tuple[str, ...] = (
     "dedup_minhash_lsh_checked",
     "dedup_simhash_checked",
     "embedding_dedup_components",
+)
+
+# Round-11+ refresh schedule: the first 98 entries (two rounds' worth)
+# of the churn-aware priority queue described above, derived by
+# tools/backlog_audit.py::refresh_queue(exclude=DRIVER_WINDOW) on the
+# round-10 rotation tree and pinned here as DATA so the next rotation
+# is mechanical.  MEMBERSHIP of this prefix is suite-asserted against
+# the live derivation (order within it can shift as round-10 commits
+# touch engine files — the close stamp re-derives and re-pins exact
+# order).  Leads with the 26 pyds_* rows (engine rewritten in round 9,
+# hashes d6-d8), then the round-9-churned multimodal/embedding rows,
+# then churned-by-older-edits rows oldest-first, then the non-churned
+# r2/r3 cohort remainder strictly oldest-first.
+ROUND11_OLDEST_COHORT: tuple[str, ...] = (
+    "pyds_sink_roundtrip",
+    "pyds_sink_time_travel",
+    "pyds_stream_counts",
+    "pyds_bloom_point_lookup",
+    "pyds_branch_tag_travel",
+    "pyds_incremental_agg_from_cdf",
+    "pyds_manifest_stream_tail",
+    "pyds_medallion_bronze_silver",
+    "pyds_mor_then_cow_delete",
+    "pyds_optimize_zorder_pruning",
+    "pyds_pruned_read_logical",
+    "pyds_rename_evolution",
+    "pyds_shallow_clone_diverge",
+    "pyds_sink_change_feed",
+    "pyds_sink_check_constraint",
+    "pyds_sink_compaction",
+    "pyds_sink_delete_where",
+    "pyds_sink_merge_upsert",
+    "pyds_sink_mor_delete",
+    "pyds_sink_restore",
+    "pyds_sink_schema_evolution",
+    "pyds_sink_stats_pruning",
+    "pyds_sink_vacuum",
+    "pyds_sink_write_audit_publish",
+    "pyds_stream_sink_roundtrip",
+    "pyds_null_range_delete",
+    "embedding_kmeans_clusters",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "image_png_pipeline",
+    "embedding_cosine_neardups",
+    "embedding_cosine_topk",
+    "embedding_ivf_kmeans_topk",
+    "embedding_ivf_topk",
+    "stream_interval_join",
+    "acctbal_decile_profile",
+    "stream_dead_letter_rate",
+    "stream_dedup_exact",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_static_join",
+    "dedup_components_incremental",
+    "stream_available_now_catchup",
+    "stream_dedup_bounded",
+    "stream_dim_refresh_join",
+    "stream_late_data_audit",
+    "stream_stateful_extremes",
+    "stream_update_upsert",
+    "curation_pipeline",
+    "dedup_components",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_portable",
+    "elapsed_seconds_feature",
+    "regression_quality_gate",
+    "tfidf_top_terms",
+    "rolling_median_smooth",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "unigram_logprob_score",
+    "bigram_logprob_score",
+    "cms_heavy_hitters",
+    "corpus_chunk_overlap",
+    "corpus_pack_sequences",
+    "dedup_minhash_incremental",
+    "embedding_neardups_lsh_checked",
+    "text_pii_scrub",
+    "text_redact_terms",
+    "text_truncate_tokens",
+    "vocab_build_topk",
+    "embedding_norm_stats",
+    "resample_gap_fill",
+    "sessionize_events",
     "embedding_ivf_multiprobe_topk",
+    "resample_interpolate",
+    "salted_join_brand_revenue",
+    "salted_type_stats",
+    "json_props_stats",
+    "rollup_type_user",
+    "filter_equality",
+    "last_value_per_group",
+    "pivot_type_by_day",
     "filter_compound_bool",
     "grouped_percentiles",
     "histogram_equidepth",
@@ -155,91 +257,22 @@ ROUND10_OLDEST_COHORT: tuple[str, ...] = (
     "props_struct_extract",
     "range_join_price_bands",
     "rank_events_per_user",
-    "resample_interpolate",
     "returned_items_report",
-    "revenue_filter_agg",
-    "rolling_median_smooth",
-    "salted_join_brand_revenue",
-    "salted_type_stats",
-    "semi_join_customers",
-    "set_ops_users",
-    "stream_interval_join",
-    "term_frequency",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_normalize",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "top_customers_by_revenue",
-    "unigram_logprob_score",
-    "unshipped_orders_topk",
-    "volume_shipping",
 )
 
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()
 # by tests/test_plans.py::test_backlog_arithmetic_derived; update BOTH
 # when rotating — the test fails loudly on any hand-count drift):
-NEVER_HASHED_AT_R9_ROTATION = 77
-EVER_HASHED_THROUGH_R8 = 317
+NEVER_HASHED_AT_R10_ROTATION = 38
+EVER_HASHED_THROUGH_R9 = 356
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # pinned sentinel (driver-green r1..r8)
-    "flagship_window_agg",
-    # never-hashed backlog (39): the first 39 of round 8's draft, in
-    # draft order — the four round-8-deferred rows lead
-    "quantile_normalize_feature",
-    "rag_context_packing",
-    "source_ablation_probe",
-    "tokenizer_fertility_by_lang",
-    "sliding_distinct_users",
-    "cdc_apply_scd1",
-    "lateral_top3_orders",
-    "table_profile_lineitem",
-    "attribution_last_touch",
-    "layout_zorder_stats",
-    "fuzzy_join_deletion1",
-    "array_hof_surface",
-    "session_window_dynamic_gap",
-    "udtf_chunk_text",
-    "spatial_grid_neighbor_join",
-    "impute_group_median",
-    "setsim_prefix_filter_join",
-    "phrase_search_postings",
-    "changepoint_binary_segmentation",
-    "try_cast_dirty_parse",
-    "filtered_aggregates_sql",
-    "map_hof_surface",
-    "collation_caseinsensitive_stats",
-    "xml_ingest_extract",
-    "explode_outer_surface",
-    "bitmap_distinct_users",
-    "udtf_longest_streak",
-    "url_parse_census",
-    "hash_integrity_census",
-    "observe_metrics_audit",
-    "parameterized_sql_surface",
-    "priority_sample_topk",
-    "merge_into_orders",
-    "bfs_shortest_hops",
-    "bitmap_retention_intersect",
-    "incremental_join_delta",
-    "k_anonymity_audit",
-    "unpivot_day_type_counts",
-    "listagg_group_by_all",
-    # multimodal refresh (3): the round-8 verdict item-6 rows — phash
-    # re-hashed post-pixel-path, WAV features, generic image resize
-    "multimodal_phash_neardups",
-    "audio_wav_features",
-    "image_resize_generic_real",
-    # oldest-cohort refresh (7): the first 7 of the round-3 cohort
-    "anti_join_customers",
-    "asof_join_events",
-    "avg_order_by_priority",
-    "big_orders_customers",
-    "bigram_counts",
-    "clip_values",
-    "corpus_sample_stratified",
+    # pinned sentinel (driver-green r1..r9)
+    ("flagship_window_agg",)
+    # never-hashed backlog (38): ALL of the round-9 draft, in order
+    + _R10_BACKLOG_SLOTS
+    # oldest-cohort refresh (11): first 11 of the round-9 cohort
+    + _R10_COHORT_SLOTS
 )
 
 

@@ -536,29 +536,57 @@ def test_backlog_arithmetic_derived():
           the assert is ≤ against the rotation-time pin, == at pin
           time);
       (b) EVERY never-hashed oracle-bearing query is in DRIVER_WINDOW
-          or ROUND10_DRAFT — a window draft cannot silently drop a row;
+          or ROUND11_DRAFT — a window draft cannot silently drop a row;
       (c) the window and the draft never overlap (a slot is either
-          draining now or scheduled, not both)."""
+          draining now or scheduled, not both);
+      (d) round-9 verdict item 2: the pinned ROUND11_OLDEST_COHORT is a
+          faithful prefix of the churn-aware refresh queue — same
+          MEMBERSHIP as the live derivation's first 98 (exact order is
+          re-derived and re-pinned at the round-10 close stamp, since
+          in-round engine edits legally bump churn recency within the
+          prefix), and it leads with every pydatasource-churned row."""
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from backlog_audit import compute_backlog
+    from backlog_audit import compute_backlog, compute_churn, refresh_queue
 
     from real_time_big_data_iot_monitoring_pipeline_spark import plans
 
     b = compute_backlog()
     never = set(b["never_hashed"])
     window = set(plans.DRIVER_WINDOW)
-    draft = set(plans.ROUND10_DRAFT)
-    assert b["n_never_hashed"] <= plans.NEVER_HASHED_AT_R9_ROTATION, (
+    draft = set(plans.ROUND11_DRAFT)
+    assert b["n_never_hashed"] <= plans.NEVER_HASHED_AT_R10_ROTATION, (
         f"computed {b['n_never_hashed']} > pinned "
-        f"{plans.NEVER_HASHED_AT_R9_ROTATION}: a query lost its driver row "
+        f"{plans.NEVER_HASHED_AT_R10_ROTATION}: a query lost its driver row "
         "or the pin was hand-edited without re-deriving"
     )
-    assert b["n_ever_hashed"] >= plans.EVER_HASHED_THROUGH_R8
+    assert b["n_ever_hashed"] >= plans.EVER_HASHED_THROUGH_R9
     uncovered = sorted(never - window - draft)
     assert not uncovered, f"never-hashed queries in NO window/draft: {uncovered}"
     assert not window & draft, f"window/draft overlap: {sorted(window & draft)}"
-    unknown = sorted((draft | set(plans.ROUND10_OLDEST_COHORT)) - set(REGISTRY))
+    unknown = sorted((draft | set(plans.ROUND11_OLDEST_COHORT)) - set(REGISTRY))
     assert not unknown, f"draft names not registered: {unknown}"
+    # (d) churn-aware refresh queue pin
+    cohort = plans.ROUND11_OLDEST_COHORT
+    assert len(cohort) == len(set(cohort)) == 98
+    assert not set(cohort) & window, "cohort rows already in this window"
+    derived = refresh_queue(exclude=plans.DRIVER_WINDOW)
+    assert set(cohort) == set(derived[: len(cohort)]), (
+        "pinned ROUND11_OLDEST_COHORT membership drifted from the live "
+        "churn-aware derivation — re-pin from "
+        "tools/backlog_audit.py::refresh_queue"
+    )
+    churned = compute_churn()
+    pyds_churned = {
+        n
+        for n, c in churned.items()
+        if n not in window
+        and any("pydatasource" in r for r in c["reasons"])
+    }
+    head = set(cohort[: len(pyds_churned)])
+    assert pyds_churned <= set(cohort[:40]), (
+        "pydatasource-churned rows must lead the round-11 refresh queue: "
+        f"{sorted(pyds_churned - head)}"
+    )

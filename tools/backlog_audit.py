@@ -22,14 +22,19 @@ compute_backlog().
 
 from __future__ import annotations
 
+import ast
 import glob
+import inspect
 import json
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:  # `python tools/backlog_audit.py` puts tools/ first
     sys.path.insert(0, REPO)
+
+PKG = "real_time_big_data_iot_monitoring_pipeline_spark"
 
 
 def load_hashed(repo: str = REPO) -> dict[str, int]:
@@ -70,16 +75,266 @@ def compute_backlog(repo: str = REPO) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Churn-aware staleness (round-9 verdict item 2).  The age-based refresh
+# policy measures HASH age, not CODE churn: round 9 rewrote ~1,000 lines of
+# pkg/sources/pydatasource.py while every pyds_* row's last hard hash stayed
+# at d6-d8.  Here we derive, per query, whether any file implementing it
+# changed since the commit that landed its latest green driver hash; churned
+# rows jump the oldest-first queue at the next rotation
+# (plans/__init__.py::ROUND11_OLDEST_COHORT leads with them as pinned data).
+#
+# Attribution is FUNCTION-granular at the plans layer (the wide fan-out
+# point — a plans file holds dozens of unrelated builders) and
+# module-granular below it: a query churns iff
+#   (a) its builder's own top-level def changed (ast source segment at the
+#       anchor commit vs the working tree),
+#   (b) a top-level helper in the same plans module changed AND the builder's
+#       source references it by name, or
+#   (c) the builder's source uses an imported package binding whose file's
+#       transitive pkg-internal import closure intersects the files changed
+#       since the anchor (engine modules like sources/pydatasource.py fan in
+#       here — module granularity below plans/ is deliberate: engine edits
+#       can move behavior reached through any entry point).
+# Pure module granularity marked 212/356 rows churned after round 9 —
+# useless as a priority signal; this attribution keeps the set actionable.
+# Over-approximation still only costs refresh priority, never a skipped
+# refresh (age-ordering continues underneath).
+# ---------------------------------------------------------------------------
+
+
+def _module_rel_file(modname: str, repo: str = REPO) -> str | None:
+    rel = modname.replace(".", "/")
+    for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+        if os.path.exists(os.path.join(repo, cand)):
+            return cand
+    return None
+
+
+def _direct_imports(rel: str, repo: str = REPO) -> set[str]:
+    """Package-internal files imported by `rel` (repo-relative paths)."""
+    try:
+        tree = ast.parse(open(os.path.join(repo, rel)).read())
+    except (OSError, SyntaxError):
+        return set()
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            mods.update(a.name for a in node.names if a.name.startswith(PKG))
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+            mods.add(node.module)
+            # `from pkg.operators import dedup` names a submodule, not an attr
+            mods.update(f"{node.module}.{a.name}" for a in node.names)
+    return {f for m in mods if (f := _module_rel_file(m, repo))}
+
+
+def _dep_closure(rel: str, repo: str = REPO, _memo: dict | None = None) -> set[str]:
+    memo = _memo if _memo is not None else {}
+    if rel in memo:
+        return memo[rel]
+    memo[rel] = {rel}  # break cycles
+    out = {rel}
+    for dep in _direct_imports(rel, repo):
+        out |= _dep_closure(dep, repo, memo)
+    memo[rel] = out
+    return out
+
+
+def _git(repo: str, *args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", repo, *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _changed_since_round(rnd: int, repo: str = REPO) -> set[str] | None:
+    """Files changed (committed or working-tree) since CORRECTNESS_r{rnd}
+    landed; None when the anchor commit cannot be resolved."""
+    fname = f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        log = _git(repo, "log", "--diff-filter=A", "--format=%H", "--", fname)
+        anchor = log.split()[-1] if log.split() else None
+        if not anchor:
+            return None
+        return set(_git(repo, "diff", "--name-only", anchor).split())
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def _top_level_defs(src: str) -> dict[str, str]:
+    """name -> source segment for every top-level def/class in `src`."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out[node.name] = ast.get_source_segment(src, node) or ""
+    return out
+
+
+def _file_at(rel: str, commit: str | None, repo: str = REPO) -> str:
+    if commit is None:
+        try:
+            return open(os.path.join(repo, rel)).read()
+        except OSError:
+            return ""
+    try:
+        return _git(repo, "show", f"{commit}:{rel}")
+    except subprocess.CalledProcessError:
+        return ""
+
+
+def _import_bindings(rel: str, repo: str = REPO) -> dict[str, str]:
+    """Local binding name -> repo-relative file, for every package-internal
+    import in `rel` (e.g. `from pkg.sources import pydatasource as pyds`
+    yields {'pyds': 'pkg/sources/pydatasource.py'})."""
+    try:
+        tree = ast.parse(open(os.path.join(repo, rel)).read())
+    except (OSError, SyntaxError):
+        return {}
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG) and (f := _module_rel_file(a.name, repo)):
+                    out[a.asname or a.name.split(".")[0]] = f
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+            mod_file = _module_rel_file(node.module, repo)
+            for a in node.names:
+                # `from pkg.operators import windows` binds a submodule;
+                # `from pkg.operators.windows import rolling_mean` binds an
+                # attr — charge it to the defining module's file either way.
+                sub = _module_rel_file(f"{node.module}.{a.name}", repo)
+                if sub or mod_file:
+                    out[a.asname or a.name] = sub or mod_file
+    return out
+
+
+def _anchor_commit(rnd: int, repo: str = REPO) -> str | None:
+    fname = f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        log = _git(repo, "log", "--diff-filter=A", "--format=%H", "--", fname)
+        return log.split()[-1] if log.split() else None
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def compute_churn(repo: str = REPO) -> dict:
+    """name -> {last_round, churn_round, reasons} for every ever-hashed
+    registry query whose implementation changed since the commit that landed
+    its latest green driver hash.  `reasons` entries: "builder" (own def
+    edited), "helper:<name>" (referenced module-local def edited), or a
+    repo-relative engine file whose import closure changed.  `churn_round`
+    is the round DURING which the most recent implicated change landed
+    (higher = fresher unvalidated code = higher refresh priority)."""
+    import re as _re
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    hashed = load_hashed(repo)
+    max_round = max(hashed.values(), default=0)
+    anchors = {r: _anchor_commit(r, repo) for r in range(1, max_round + 1)}
+    changed_by_round = {
+        r: (_changed_since_round(r, repo) if anchors[r] else None) for r in anchors
+    }
+
+    def last_changed_round(path: str) -> int:
+        """Round during which `path` most recently changed: 1 + the highest
+        correctness anchor whose diff-to-worktree still contains it (the
+        current, in-flight round is max_round + 1)."""
+        best = 0
+        for r, files in changed_by_round.items():
+            if files is not None and path in files:
+                best = max(best, r + 1)
+        return best
+    closure_memo: dict = {}
+    defs_cache: dict[tuple[str, str | None], dict[str, str]] = {}
+    bindings_cache: dict[str, dict[str, str]] = {}
+
+    def defs(rel: str, commit: str | None) -> dict[str, str]:
+        key = (rel, commit)
+        if key not in defs_cache:
+            defs_cache[key] = _top_level_defs(_file_at(rel, commit, repo))
+        return defs_cache[key]
+
+    churned: dict[str, dict] = {}
+    for name, rnd in sorted(hashed.items()):
+        if name not in REGISTRY:
+            continue
+        changed = changed_by_round.get(rnd)
+        if changed is None:
+            continue
+        src_file = inspect.getsourcefile(REGISTRY[name].build)
+        if not src_file:
+            continue
+        rel = os.path.relpath(src_file, repo)
+        try:
+            builder_src = inspect.getsource(REGISTRY[name].build)
+        except (OSError, TypeError):
+            builder_src = ""
+        reasons: list[str] = []
+        implicated: set[str] = set()
+        if rel in changed:
+            old = defs(rel, anchors[rnd])
+            new = defs(rel, None)
+            bname = REGISTRY[name].build.__name__
+            if old.get(bname) != new.get(bname):
+                reasons.append("builder")
+                implicated.add(rel)
+            for dname, dsrc in new.items():
+                if dname != bname and old.get(dname) != dsrc and _re.search(
+                    rf"\b{_re.escape(dname)}\b", builder_src
+                ):
+                    reasons.append(f"helper:{dname}")
+                    implicated.add(rel)
+        if rel not in bindings_cache:
+            bindings_cache[rel] = _import_bindings(rel, repo)
+        for binding, dep_file in sorted(bindings_cache[rel].items()):
+            if dep_file in reasons:
+                continue
+            if _re.search(rf"\b{_re.escape(binding)}\b", builder_src):
+                hits = _dep_closure(dep_file, repo, closure_memo) & changed
+                if hits:
+                    reasons.append(dep_file)
+                    implicated |= hits
+        if reasons:
+            churned[name] = {
+                "last_round": rnd,
+                "churn_round": max((last_changed_round(f) for f in implicated), default=rnd + 1),
+                "reasons": sorted(set(reasons)),
+            }
+    return churned
+
+
+def refresh_queue(exclude: tuple[str, ...] = (), repo: str = REPO) -> list[str]:
+    """The round-11+ refresh priority order over every ever-hashed query not
+    in `exclude` (pass the current DRIVER_WINDOW):  churned rows first —
+    ordered by churn recency (most recent unvalidated change first), then
+    hash age, then name — followed by non-churned rows oldest-first.  The
+    rotation constants in plans/__init__.py pin a prefix of this queue as
+    data; tests/test_plans.py asserts the pin against this derivation."""
+    hashed = load_hashed(repo)
+    churned = compute_churn(repo)
+    rows = [n for n in hashed if n not in set(exclude)]
+    churn_first = sorted(
+        (n for n in rows if n in churned),
+        key=lambda n: (-churned[n]["churn_round"], hashed[n], n),
+    )
+    fresh = sorted((n for n in rows if n not in churned), key=lambda n: (hashed[n], n))
+    return churn_first + fresh
+
+
 def main() -> None:
     b = compute_backlog()
     from real_time_big_data_iot_monitoring_pipeline_spark.plans import (
         DRIVER_WINDOW,
-        ROUND10_DRAFT,
+        ROUND11_DRAFT,
     )
 
     drained = [n for n in b["never_hashed"] if n in DRIVER_WINDOW]
     after = [n for n in b["never_hashed"] if n not in DRIVER_WINDOW]
-    uncovered = [n for n in after if n not in ROUND10_DRAFT]
+    uncovered = [n for n in after if n not in ROUND11_DRAFT]
     print(
         f"registry {b['n_registry']} | oracle-bearing {b['n_oracle_bearing']} "
         f"| ever-hashed {b['n_ever_hashed']} | never-hashed {b['n_never_hashed']}"
@@ -87,14 +342,25 @@ def main() -> None:
     print(
         f"current DRIVER_WINDOW drains {len(drained)}; "
         f"{len(after)} remain after this round; "
-        f"{len(uncovered)} NOT covered by ROUND10_DRAFT"
+        f"{len(uncovered)} NOT covered by the next draft"
     )
     ages: dict[int, int] = {}
     for n in b["latest_hash_round"].values():
         ages[n] = ages.get(n, 0) + 1
     print("last-hash round histogram:", dict(sorted(ages.items())))
     if uncovered:
-        print("UNCOVERED (fix ROUND10_DRAFT):", uncovered)
+        print("UNCOVERED (fix the draft):", uncovered)
+    churned = compute_churn()
+    waiting = sorted(n for n in churned if n not in DRIVER_WINDOW)
+    print(
+        f"churned since last hash: {len(churned)} "
+        f"({len(waiting)} NOT in the current window -> next rotation leads with them)"
+    )
+    if "--churn" in sys.argv or "--names" in sys.argv:
+        for n in sorted(churned):
+            marker = " <- this window" if n in DRIVER_WINDOW else ""
+            c = churned[n]
+            print(f"  {n} (last d{c['last_round']}): {', '.join(c['reasons'])}{marker}")
     if "--names" in sys.argv:
         print("\nnever-hashed:")
         for n in b["never_hashed"]:
