@@ -622,9 +622,21 @@ def _head_snapshot(path: str, version: int | None = None) -> dict:
 def _parse_ddl(ddl: str) -> list[tuple[str, str]]:
     """Split a sink-family DDL string ('name type, name type, …') into
     (name, type) pairs — the ONE parser for every schema_ddl consumer,
-    kept in lockstep with `_arrow_to_ddl`'s emission (whose type names
-    never contain ', ')."""
-    return [tuple(p.strip().split(" ", 1)) for p in ddl.split(", ")]
+    kept in lockstep with `_arrow_to_ddl`'s emission.  Splits on the
+    LAST space of each fragment (type names are single tokens, column
+    names may contain spaces) and refuses malformed fragments loudly —
+    a 1-tuple here used to surface as an opaque unpack ValueError in
+    whichever consumer hit it first."""
+    parts: list[tuple[str, str]] = []
+    for frag in ddl.split(", "):
+        name_type = frag.strip().rsplit(" ", 1)
+        if len(name_type) != 2 or not name_type[0] or not name_type[1]:
+            raise ValueError(
+                f"malformed schema_ddl fragment {frag!r} in {ddl!r}: "
+                "expected '<name> <type>' pairs separated by ', '"
+            )
+        parts.append((name_type[0], name_type[1]))
+    return parts
 
 
 def _logical_schema_ddl(path: str, manifest: dict) -> str | None:
@@ -675,7 +687,17 @@ def _claim_and_publish(path: str, manifest: dict) -> bool:
     # empty snapshot stays readable — derived from the pre-commit head
     # at the single commit gate, so every verb gets it without knowing.
     # DELETE FROM t must leave a readable, schema-stable empty table.
-    if not manifest.get("files") and "schema_ddl" not in manifest:
+    # RESTORE/CLONE manifests are exempt: they copy their TARGET
+    # snapshot's state verbatim — if the target was a schema-less empty
+    # snapshot, deriving from the CURRENT head would stamp the wrong
+    # naming epoch onto it (exactly what their explicit schema_ddl
+    # propagation exists to prevent), so the restored state must stay
+    # schema-less instead of inheriting the head's schema.
+    if (
+        not manifest.get("files")
+        and "schema_ddl" not in manifest
+        and manifest.get("op") not in ("restore", "clone")
+    ):
         prev = _latest_snapshot(path)
         try:
             ddl = _logical_schema_ddl(path, prev) if prev else None
@@ -836,6 +858,21 @@ class ManifestParquetWriter(DataSourceWriter):
                 # commit-level op).
                 "op": "overwrite" if self.overwrite else "append",
             }
+            # A ZERO-FILE commit that REPLACES the table state (mode
+            # 'overwrite', or the very first commit of a fresh table)
+            # records the WRITER'S declared schema: an empty overwrite
+            # resets the table to the new schema instead of reading
+            # back under the old head's post-rename columns, and an
+            # empty first write leaves a readable table.  The commit
+            # gate's pre-commit-head derivation remains the fallback
+            # for verbs that empty an EXISTING table in place (DELETE
+            # FROM t), where the old schema is exactly right.
+            if (
+                not manifest["files"]
+                and self.arrow_schema is not None
+                and (self.overwrite or prev is None)
+            ):
+                manifest["schema_ddl"] = _arrow_to_ddl(self.arrow_schema)
             # WRITE-TIME CHECK-CONSTRAINT enforcement (footer-stats
             # proof, never a data scan): a violating commit removes its
             # own parts and raises — the table is untouched.
@@ -2215,9 +2252,14 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
         if not os.path.isdir(d):
             continue
         try:
+            # NEWEST mtime RECURSIVELY: Spark writes staging output under
+            # nested _temporary/<n>/task_*/ subdirs, and deep task
+            # activity does not bump the shallow mtimes — a max over the
+            # dir and its direct children would let a rewrite running
+            # longer than the retention be swept MID-JOB.
             newest = max(
-                [os.path.getmtime(d)]
-                + [os.path.getmtime(f) for f in glob.glob(os.path.join(d, "*"))]
+                os.path.getmtime(p)
+                for p in [d] + glob.glob(os.path.join(d, "**"), recursive=True)
             )
         except FileNotFoundError:
             continue  # the owning writer is actively mutating it
@@ -2861,6 +2903,10 @@ def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]
             "version": v,
             "op": op,
             "new_files": sorted(cur - prev_files) if op == "append" else [],
+            # the version's cumulative rename log rides along so the feed
+            # can detect naming-epoch splits (a rename a later restore/
+            # overwrite reset) without re-reading manifests
+            "renames": m.get("renames", []),
         }
         if "predicate" in m:
             entry["predicate"] = m["predicate"]
@@ -2894,14 +2940,19 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
     applied: the feed's contract is rows-as-appended — a row added at
     v2 and deleted at v5 was still added at v2.
 
-    Schema evolution across the range: ADDITIVE changes (a later append
-    introduces new columns) union with nulls for the missing columns,
-    like `read_manifest(merge_schema=True)`.  An INCOMPATIBLE range —
-    resolved column sets that are not subset-nested, e.g. a feed
-    spanning a rename whose log a later restore/overwrite then reset,
-    leaving appends from different naming epochs — refuses loudly with
-    instructions to read sub-ranges split at the schema-reset commit
-    (Delta CDF likewise blocks non-additive schema changes mid-range)."""
+    Schema evolution across the range: ADDITIVE changes union with
+    nulls for the missing columns, exactly like
+    `read_manifest(merge_schema=True)` — including MUTUALLY-additive
+    sets (two stale-schema appends with disjoint extras, e.g. {id,a}
+    and {id,b}), which the batch reader serves by unioning with nulls
+    both ways, so the feed must too.  Two incompatibilities are
+    PROVABLE and refuse loudly with instructions to read sub-ranges
+    split at the schema-reset commit (Delta CDF likewise blocks
+    non-additive schema changes mid-range): a naming-epoch SPLIT — a
+    rename recorded within the range whose from/to names both surface
+    across the frames, i.e. one logical column arrived under two names
+    because a later restore/overwrite reset the rename log — and a
+    same-name TYPE conflict."""
     import os
 
     from pyspark.sql import functions as F
@@ -2917,7 +2968,12 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
             "for feed consumers"
         ) from None
     frames, commits = [], []
+    range_renames: set[tuple[str, str]] = set()
     for d in _append_deltas(path, since_version, to_version):
+        # rename logs are cumulative per version, so any version in the
+        # range carries every entry recorded up to it — including ones a
+        # later restore/overwrite reset out of the to_version log
+        range_renames.update((r["from"], r["to"]) for r in d.get("renames", []))
         if d["new_files"]:
             # group the delta's files by applicable rename chain (the
             # to_version log replayed over each file's physical names)
@@ -2937,16 +2993,35 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
             entry["predicate"] = d["predicate"]
         commits.append(entry)
     if frames:
-        colsets = [set(f.columns) for f in frames]
-        widest = max(colsets, key=len)
-        if not all(cs <= widest for cs in colsets):
-            bad = next(cs for cs in colsets if not cs <= widest)
-            raise RuntimeError(
-                f"change feed ({since_version}, {to_version}] spans an "
-                f"incompatible schema change: columns {sorted(bad)} vs "
-                f"{sorted(widest)} cannot union — read the feed in "
-                "sub-ranges split at the schema-reset commit"
-            )
+        # additive evolution unions with nulls both ways (the subset-of-
+        # widest check here used to falsely refuse mutually-additive
+        # disjoint-extra sets the batch reader happily merges).  The two
+        # PROVABLE incompatibilities: (a) a naming-epoch SPLIT — a rename
+        # recorded in the range whose from/to names BOTH surface across
+        # the resolved frames means one logical column arrived under two
+        # names (the reset left appends from different epochs; unioning
+        # would silently fork it into two half-null columns); (b) a
+        # same-name type conflict.
+        all_cols = set().union(*(set(f.columns) for f in frames))
+        for old_name, new_name in sorted(range_renames):
+            if old_name in all_cols and new_name in all_cols:
+                raise RuntimeError(
+                    f"change feed ({since_version}, {to_version}] spans an "
+                    f"incompatible schema change: {old_name!r} was renamed to "
+                    f"{new_name!r} within the range but a later schema reset "
+                    "left appends from both naming epochs — read the feed in "
+                    "sub-ranges split at the schema-reset commit"
+                )
+        seen_types: dict[str, str] = {}
+        for f in frames:
+            for cname, ctype in f.dtypes:
+                if seen_types.setdefault(cname, ctype) != ctype:
+                    raise RuntimeError(
+                        f"change feed ({since_version}, {to_version}] spans an "
+                        f"incompatible schema change: column {cname!r} appears "
+                        f"as both {seen_types[cname]} and {ctype} — read the "
+                        "feed in sub-ranges split at the schema-reset commit"
+                    )
         df = frames[0]
         for extra in frames[1:]:
             df = df.unionByName(extra, allowMissingColumns=True)
