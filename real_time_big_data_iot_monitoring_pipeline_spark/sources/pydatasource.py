@@ -2239,6 +2239,11 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
         + glob.glob(os.path.join(path, "_manifest-*.claim-*"))
         + glob.glob(os.path.join(path, "_manifest-head-*.tmp*"))
         + glob.glob(os.path.join(path, "_staged-manifest.json.tmp"))
+        # a writer killed mid-chunk-write leaves a torn _filelist tmp
+        # (found by the crash-injection machine on its first run) —
+        # committed chunks never keep the .tmp suffix (os.replace), so
+        # any survivor is residue
+        + glob.glob(os.path.join(path, "_filelist-*.json.tmp"))
     )
     for stray in stray_files:
         try:

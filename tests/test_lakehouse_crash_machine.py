@@ -1,0 +1,391 @@
+"""CRASH-INJECTION MACHINE (round-9 verdict "Next round" item 4).
+
+The sequential/race/thread machines cover verb ALGEBRA and
+INTERLEAVINGS; the remaining bug class is TORN STATE: a writer killed
+mid-commit.  This machine enumerates every driver-side write-path
+operation of each verb — part-file renames, `_filelist-*` chunk writes,
+the claim tmp JSON, the `os.link` claim itself, the claim-tmp removal,
+the head-pointer tmp write and its `os.replace` — and kills the verb at
+each one in turn.  JSON writes are killed TORN (half the payload
+flushed, then the crash), so truncated chunks and half-written claim
+tmps are materialized exactly as power loss would leave them.
+
+After every injected crash, the full reader surface is asserted:
+
+  * ATOMICITY  — the head read sees EXACTLY the pre-crash or the
+    post-crash snapshot (columns and row multiset), never a blend;
+  * DURABILITY — time-travel to the pre-crash version still returns
+    the pre-crash rows bit-for-bit;
+  * FEED       — the change feed over the full range still walks
+    (the ledger heals a claim-present/pointer-absent crash);
+  * LIVENESS   — retrying the verb succeeds and lands on the verb's
+    own retry contract (append re-appends its delta; overwrite /
+    delete / restore / zorder converge on the post state; a replayed
+    STREAM EPOCH lands exactly once via the batch ledger);
+  * RECLAMATION — `vacuum(retention_seconds=0)` removes every stray
+    (`.claim-*`, `*.tmp`, orphan parts) without touching live state.
+
+Run `pydatasource.py`'s healing path (`_ledger_head_version`: claim
+durable, pointer stale) under every crash that lands between the link
+and the pointer replace — previously exercised by a single pin.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
+
+
+class InjectedCrash(RuntimeError):
+    pass
+
+
+class _Injector:
+    def __init__(self, table: str, nth: int):
+        self.table = os.path.abspath(table)
+        self.nth = nth
+        self.count = 0
+        self.fired: str | None = None
+
+    def _qual(self, args) -> bool:
+        return any(
+            isinstance(a, str) and os.path.abspath(a).startswith(self.table)
+            for a in args
+        )
+
+    def bump(self, desc: str) -> bool:
+        self.count += 1
+        if self.count == self.nth:
+            self.fired = desc
+            return True
+        return False
+
+
+@contextlib.contextmanager
+def crash_at(table: str, nth: int):
+    """Kill the nth driver-side write-path op under `table`: os.link /
+    os.replace / os.remove raise; a JSON dump writes HALF its payload
+    first (a torn file, as power loss leaves it)."""
+    inj = _Injector(table, nth)
+    real = {"link": os.link, "replace": os.replace, "remove": os.remove}
+
+    def mk(name):
+        r = real[name]
+
+        def wrapper(*a, **k):
+            if inj._qual(a) and inj.bump(f"{name}:{os.path.basename(str(a[-1]))}"):
+                raise InjectedCrash(inj.fired)
+            return r(*a, **k)
+
+        return wrapper
+
+    real_dump = P._json.dump
+
+    def torn_dump(obj, fp, **k):
+        name = getattr(fp, "name", "")
+        if isinstance(name, str) and inj._qual((name,)) and inj.bump(
+            f"torn-dump:{os.path.basename(name)}"
+        ):
+            payload = json.dumps(obj)
+            fp.write(payload[: max(1, len(payload) // 2)])
+            fp.flush()
+            raise InjectedCrash(inj.fired)
+        return real_dump(obj, fp, **k)
+
+    os.link, os.replace, os.remove = mk("link"), mk("replace"), mk("remove")
+    P._json.dump = torn_dump
+    try:
+        yield inj
+    finally:
+        os.link, os.replace, os.remove = real["link"], real["replace"], real["remove"]
+        P._json.dump = real_dump
+
+
+# --- state helpers -----------------------------------------------------------
+
+
+def _state(spark, path, version=None):
+    df, m = P.read_manifest(spark, path, version=version)
+    cols = sorted(df.columns)
+    rows = sorted((tuple(r[c] for c in cols) for r in df.collect()), key=repr)
+    return cols, rows, m
+
+
+def _append_batch(path, rows):
+    w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+    w.commit([w.write(iter(rows))])
+
+
+def _setup_two_commits(spark, path):
+    _append_batch(path, [Row(id=i, v=i * 10) for i in range(3)])
+    _append_batch(path, [Row(id=i, v=i * 10) for i in range(3, 6)])
+
+
+# --- the sweep ----------------------------------------------------------------
+
+
+def _sweep(spark, tmp_path, name, setup, verb, retry_check, max_points=60):
+    """Run `verb` once per injection point k=1.. until the verb completes
+    with no injection left to fire (k exceeded its op count).  Returns
+    the number of crash points exercised."""
+    # reference run: the verb's uninjected post state
+    ref = str(tmp_path / f"{name}-ref")
+    setup(spark, ref)
+    pre_cols, pre_rows, pre_m = _state(spark, ref)
+    verb(spark, ref)
+    post_cols, post_rows, _ = _state(spark, ref)
+
+    exercised = 0
+    for k in range(1, max_points + 1):
+        path = str(tmp_path / f"{name}-{k}")
+        setup(spark, path)
+        with crash_at(path, k) as inj:
+            try:
+                verb(spark, path)
+                completed = True
+            except InjectedCrash:
+                completed = False
+        if inj.fired is None:
+            assert completed
+            break
+        exercised += 1
+        # ATOMICITY: the head is exactly pre or post, never a blend
+        cols, rows, head_m = _state(spark, path)
+        assert (cols, rows) in ((pre_cols, pre_rows), (post_cols, post_rows)), (
+            f"{name}: torn head state after crash at {inj.fired!r}: "
+            f"cols={cols} rows={rows[:4]}…"
+        )
+        crashed_committed = (cols, rows) == (post_cols, post_rows)
+        # DURABILITY: the pre-crash version still time-travels exactly
+        tcols, trows, _ = _state(spark, path, version=pre_m["version"])
+        assert (tcols, trows) == (pre_cols, pre_rows), (
+            f"{name}: pre-crash snapshot v{pre_m['version']} damaged by "
+            f"crash at {inj.fired!r}"
+        )
+        # FEED: the full-range walk still works (ledger heals stale heads)
+        df, _commits = P.read_change_feed(spark, path, since_version=0)
+        assert "_commit_version" in df.columns
+        df.count()
+        # LIVENESS + verb retry contract
+        retry_check(spark, path, crashed_committed, (pre_cols, pre_rows), (post_cols, post_rows))
+        # RECLAMATION: vacuum with zero retention clears every stray
+        P.vacuum(path, keep_versions=50, retention_seconds=0)
+        strays = (
+            glob.glob(os.path.join(path, "*.claim-*"))
+            + glob.glob(os.path.join(path, "*.tmp"))
+            + glob.glob(os.path.join(path, "_uncommitted_*"))
+        )
+        assert not strays, f"{name}: strays survive vacuum after {inj.fired!r}: {strays}"
+        # the table still reads after reclamation
+        _state(spark, path)
+    else:
+        pytest.fail(f"{name}: more than {max_points} injection points — raise the cap")
+    assert exercised >= 3, f"{name}: sweep exercised only {exercised} crash points"
+    return exercised
+
+
+# --- verb cases ----------------------------------------------------------------
+
+
+def _retry_converges_on_post(runner):
+    """Retry must succeed and land the table on the verb's post state."""
+
+    def check(spark, path, crashed_committed, pre, post):
+        runner(spark, path)
+        cols, rows, _ = _state(spark, path)
+        assert (cols, rows) == post
+
+    return check
+
+
+def test_crash_sweep_append(spark, tmp_path):
+    delta = [Row(id=i, v=i * 10) for i in range(6, 9)]
+
+    def verb(spark_, path):
+        _append_batch(path, delta)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        # whatever snapshot the crash left, a retry appends the delta
+        # ON TOP of it exactly once
+        _, rows_at_crash, _ = _state(spark_, path)
+        _append_batch(path, delta)
+        cols, rows, _ = _state(spark_, path)
+        expect = sorted(rows_at_crash + [(r.id, r.v) for r in delta], key=repr)
+        assert rows == expect
+
+    _sweep(spark, tmp_path, "append", _setup_two_commits, verb, retry)
+
+
+def test_crash_sweep_append_chunked(spark, tmp_path, monkeypatch):
+    """The same append sweep with the file list externalized into
+    `_filelist-*` chunks — the torn-dump points now include truncated
+    CHUNK files (the round-9 verdict's named case)."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2)
+    P._CHUNK_CACHE.clear()
+    P._RESOLVED_CACHE.clear()
+
+    def setup(spark_, path):
+        for lo in (0, 3, 6):
+            _append_batch(path, [Row(id=i, v=i * 10) for i in range(lo, lo + 3)])
+
+    delta = [Row(id=i, v=i * 10) for i in range(9, 12)]
+
+    def verb(spark_, path):
+        _append_batch(path, delta)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        _, rows_at_crash, _ = _state(spark_, path)
+        _append_batch(path, delta)
+        _, rows, _ = _state(spark_, path)
+        assert rows == sorted(rows_at_crash + [(r.id, r.v) for r in delta], key=repr)
+
+    _sweep(spark, tmp_path, "append-chunked", setup, verb, retry)
+
+
+def test_crash_sweep_overwrite(spark, tmp_path):
+    def verb(spark_, path):
+        w = P.ManifestParquetWriter({"path": path}, overwrite=True)
+        w.commit([w.write(iter([Row(id=100, v=1000)]))])
+
+    _sweep(
+        spark,
+        tmp_path,
+        "overwrite",
+        _setup_two_commits,
+        verb,
+        _retry_converges_on_post(lambda s, p: verb(s, p)),
+    )
+
+
+def test_crash_sweep_rename(spark, tmp_path):
+    def verb(spark_, path):
+        P.rename_column(path, "v", "w")
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        if crashed_committed:
+            # the rename landed before the crash; retrying it must refuse
+            # (old name gone) and leave the table on the post state
+            with pytest.raises(Exception):
+                P.rename_column(path, "v", "w")
+        else:
+            P.rename_column(path, "v", "w")
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == post
+
+    _sweep(spark, tmp_path, "rename", _setup_two_commits, verb, retry)
+
+
+def test_crash_sweep_mor_delete(spark, tmp_path):
+    def verb(spark_, path):
+        P.delete_where_mor(path, "v", 10, 30)
+
+    _sweep(
+        spark,
+        tmp_path,
+        "mor-delete",
+        _setup_two_commits,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.delete_where_mor(p, "v", 10, 30)),
+    )
+
+
+def test_crash_sweep_cow_delete(spark, tmp_path):
+    def verb(spark_, path):
+        P.delete_where(spark_, path, "v", 10, 30)
+
+    _sweep(
+        spark,
+        tmp_path,
+        "cow-delete",
+        _setup_two_commits,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.delete_where(s, p, "v", 10, 30)),
+    )
+
+
+def test_crash_sweep_restore(spark, tmp_path):
+    def verb(spark_, path):
+        P.restore_table(path, 1)
+
+    _sweep(
+        spark,
+        tmp_path,
+        "restore",
+        _setup_two_commits,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.restore_table(p, 1)),
+    )
+
+
+def test_crash_sweep_zorder(spark, tmp_path):
+    def verb(spark_, path):
+        try:
+            P.optimize_zorder(spark_, path, ("id", "v"), bits=4, n_files=2)
+        except InjectedCrash:
+            raise
+        except RuntimeError as exc:
+            # "lost the commit race" must not surface here: nothing races
+            raise AssertionError(f"zorder refused with no concurrent commit: {exc}")
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        # zorder is a pure layout rewrite: whatever side of the crash the
+        # table landed on, a retry leaves CONTENT identical to post
+        verb(spark_, path)
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == post
+
+    _sweep(spark, tmp_path, "zorder", _setup_two_commits, verb, retry)
+
+
+def test_crash_sweep_stream_epoch_exactly_once(spark, tmp_path):
+    """The money case: an epoch commit crashes anywhere in its write
+    path, the engine replays the epoch with FRESH task parts (as a real
+    restart does), and the batch ledger guarantees the epoch's rows land
+    EXACTLY once — never zero, never twice."""
+    delta = [Row(id=i, v=i * 10) for i in range(6, 9)]
+
+    def verb(spark_, path):
+        w = P.ManifestStreamWriter({"path": path})
+        w.commit([w.write(iter(delta))], batchId=7)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        w = P.ManifestStreamWriter({"path": path})  # fresh parts = real replay
+        w.commit([w.write(iter(delta))], batchId=7)
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == post, (
+            "replayed epoch after crash must land exactly once: "
+            f"{len(rows)} rows vs expected {len(post[1])}"
+        )
+
+    _sweep(spark, tmp_path, "stream-epoch", _setup_two_commits, verb, retry)
+
+
+# --- external corruption of the head-pointer CACHE ---------------------------
+
+
+def test_truncated_head_cache_heals(spark, tmp_path):
+    """manifest.json is a convenience cache, written with os.replace —
+    the protocol can't tear it, but disk corruption can.  A truncated
+    cache must not break reads (full-scan fallback) and the next commit
+    must heal it."""
+    path = str(tmp_path / "headcache")
+    _setup_two_commits(spark, path)
+    _, rows_before, m = _state(spark, path)
+    cache = os.path.join(path, "manifest.json")
+    with open(cache) as f:
+        content = f.read()
+    with open(cache, "w") as f:
+        f.write(content[: len(content) // 2])
+    cols, rows, m2 = _state(spark, path)
+    assert rows == rows_before and m2["version"] == m["version"]
+    _append_batch(path, [Row(id=99, v=990)])
+    with open(cache) as f:
+        healed = json.load(f)  # parses again
+    assert healed["version"] == m["version"] + 1
