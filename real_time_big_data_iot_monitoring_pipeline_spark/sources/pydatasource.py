@@ -2172,7 +2172,17 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
     live: set[str] = set()
     live_chunks: set[str] = set()
     for v in sorted(set(range(horizon, head_version + 1)) | pinned):
-        snap = _load_manifest_file(path, f"_manifest-v{v}.json")
+        try:
+            snap = _load_manifest_file(path, f"_manifest-v{v}.json")
+        except FileNotFoundError:
+            # already expired by an earlier (possibly crashed) vacuum
+            # with a tighter horizon — an expired snapshot contributes
+            # no live files (found by the crash-injection machine:
+            # vacuum(keep_versions=1) then vacuum(keep_versions=50)
+            # crashed on the gap).  The HEAD must always exist.
+            if v == head_version:
+                raise
+            continue
         live.update(snap["files"])
         live_chunks.update(snap.get("file_chunks", []))
     # an in-flight WAP stage is reachable (via the staged pointer) even
@@ -2244,6 +2254,11 @@ def vacuum(path: str, keep_versions: int = 2, retention_seconds: float = 600.0) 
         # committed chunks never keep the .tmp suffix (os.replace), so
         # any survivor is residue
         + glob.glob(os.path.join(path, "_filelist-*.json.tmp"))
+        # ref verbs killed between their tmp write and the link/replace
+        # leave `.claim` / `.mv-*` residue (same machine, second run);
+        # the live refs themselves are `_ref-*.json` and never match
+        + glob.glob(os.path.join(path, "_ref-*.json.claim"))
+        + glob.glob(os.path.join(path, "_ref-*.json.mv-*"))
     )
     for stray in stray_files:
         try:

@@ -131,7 +131,7 @@ def _setup_two_commits(spark, path):
 # --- the sweep ----------------------------------------------------------------
 
 
-def _sweep(spark, tmp_path, name, setup, verb, retry_check, max_points=60):
+def _sweep(spark, tmp_path, name, setup, verb, retry_check, max_points=60, check_cdf=True):
     """Run `verb` once per injection point k=1.. until the verb completes
     with no injection left to fire (k exceeded its op count).  Returns
     the number of crash points exercised."""
@@ -169,16 +169,21 @@ def _sweep(spark, tmp_path, name, setup, verb, retry_check, max_points=60):
             f"{name}: pre-crash snapshot v{pre_m['version']} damaged by "
             f"crash at {inj.fired!r}"
         )
-        # FEED: the full-range walk still works (ledger heals stale heads)
-        df, _commits = P.read_change_feed(spark, path, since_version=0)
-        assert "_commit_version" in df.columns
-        df.count()
+        # FEED: the full-range walk still works (ledger heals stale
+        # heads).  Skipped for verbs that legally EXPIRE old snapshots
+        # (vacuum) — there the loud expired-snapshot refusal is correct.
+        if check_cdf:
+            df, _commits = P.read_change_feed(spark, path, since_version=0)
+            assert "_commit_version" in df.columns
+            df.count()
         # LIVENESS + verb retry contract
         retry_check(spark, path, crashed_committed, (pre_cols, pre_rows), (post_cols, post_rows))
         # RECLAMATION: vacuum with zero retention clears every stray
         P.vacuum(path, keep_versions=50, retention_seconds=0)
         strays = (
             glob.glob(os.path.join(path, "*.claim-*"))
+            + glob.glob(os.path.join(path, "*.claim"))
+            + glob.glob(os.path.join(path, "*.mv-*"))
             + glob.glob(os.path.join(path, "*.tmp"))
             + glob.glob(os.path.join(path, "_uncommitted_*"))
         )
@@ -187,7 +192,8 @@ def _sweep(spark, tmp_path, name, setup, verb, retry_check, max_points=60):
         _state(spark, path)
     else:
         pytest.fail(f"{name}: more than {max_points} injection points — raise the cap")
-    assert exercised >= 3, f"{name}: sweep exercised only {exercised} crash points"
+    # every verb has at least tmp-write + atomic-move in its path
+    assert exercised >= 2, f"{name}: sweep exercised only {exercised} crash points"
     return exercised
 
 
@@ -365,6 +371,123 @@ def test_crash_sweep_stream_epoch_exactly_once(spark, tmp_path):
         )
 
     _sweep(spark, tmp_path, "stream-epoch", _setup_two_commits, verb, retry)
+
+
+def test_crash_sweep_merge_upsert(spark, tmp_path):
+    def _updates(spark_):
+        return spark_.createDataFrame([Row(id=2, v=222), Row(id=10, v=100)])
+
+    def verb(spark_, path):
+        P.merge_upsert(spark_, path, _updates(spark_), "id")
+
+    _sweep(
+        spark,
+        tmp_path,
+        "merge",
+        _setup_two_commits,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.merge_upsert(s, p, _updates(s), "id")),
+    )
+
+
+def test_crash_sweep_materialize_deletes(spark, tmp_path):
+    def setup(spark_, path):
+        _setup_two_commits(spark_, path)
+        P.delete_where_mor(path, "v", 10, 30)
+
+    def verb(spark_, path):
+        P.materialize_deletes(spark_, path)
+
+    _sweep(
+        spark,
+        tmp_path,
+        "materialize",
+        setup,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.materialize_deletes(s, p)),
+    )
+
+
+def test_crash_sweep_publish_staged(spark, tmp_path):
+    """WAP publish crashed anywhere: the table lands on exactly the
+    audited snapshot or stays on the base — and a retry (or the version
+    conflict it correctly raises once the claim is durable) converges."""
+
+    def setup(spark_, path):
+        _setup_two_commits(spark_, path)
+        w = P.ManifestParquetWriter({"path": path, "staged": "true"}, overwrite=False)
+        w.commit([w.write(iter([Row(id=50, v=500)]))])
+
+    def verb(spark_, path):
+        P.publish_staged(path)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        try:
+            P.publish_staged(path)
+        except (RuntimeError, FileNotFoundError):
+            pass  # claim already durable (conflict) or pointer consumed
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == post
+
+    _sweep(spark, tmp_path, "wap-publish", setup, verb, retry)
+
+
+def test_crash_sweep_create_tag(spark, tmp_path):
+    def verb(spark_, path):
+        P.create_tag(path, "t1", 1)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        try:
+            P.create_tag(path, "t1", 1)
+        except RuntimeError as exc:
+            assert "already exists" in str(exc)
+        assert P.resolve_ref(path, "t1") == 1
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == pre  # refs never move data
+
+    _sweep(spark, tmp_path, "tag", _setup_two_commits, verb, retry)
+
+
+def test_crash_sweep_advance_branch(spark, tmp_path):
+    def setup(spark_, path):
+        _setup_two_commits(spark_, path)
+        P.create_branch(path, "b1", 1)
+
+    def verb(spark_, path):
+        P.advance_branch(path, "b1", 2)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        P.advance_branch(path, "b1", 2)  # branch moves are idempotent
+        assert P.resolve_ref(path, "b1") == 2
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == pre
+
+    _sweep(spark, tmp_path, "branch", setup, verb, retry)
+
+
+def test_crash_sweep_vacuum_itself(spark, tmp_path):
+    """A crash DURING vacuum must never damage live state: the head
+    still reads, the retry finishes the reclamation."""
+
+    def setup(spark_, path):
+        _setup_two_commits(spark_, path)
+        # create reclaimables: a CoW delete expires the originals...
+        P.delete_where(spark_, path, "v", 10, 30)
+        # ...plus crashed-writer residue of every stripe
+        for stray in ("_uncommitted_dead.parquet", "_manifest-v9.json.claim-dead",
+                      "_filelist-dead.json.tmp", "_ref-dead.json.claim"):
+            with open(os.path.join(path, stray), "w") as f:
+                f.write("{")
+
+    def verb(spark_, path):
+        P.vacuum(path, keep_versions=1, retention_seconds=0)
+
+    def retry(spark_, path, crashed_committed, pre, post):
+        P.vacuum(path, keep_versions=50, retention_seconds=0)
+        cols, rows, _ = _state(spark_, path)
+        assert (cols, rows) == pre == post  # vacuum never moves data
+
+    _sweep(spark, tmp_path, "vacuum", setup, verb, retry, check_cdf=False)
 
 
 # --- external corruption of the head-pointer CACHE ---------------------------

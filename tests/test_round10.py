@@ -226,3 +226,20 @@ def test_change_feed_refuses_same_name_type_conflict(spark, tmp_path):
     _append(spark, path, spark.range(2, 4).selectExpr("id", "CAST(id AS STRING) AS x"))
     with pytest.raises(RuntimeError, match="incompatible schema change: column 'x'"):
         P.read_change_feed(spark, path, since_version=0)
+
+
+# --- found by the crash machine, but a plain sequential bug: -----------------
+
+
+def test_vacuum_widening_keep_versions_after_tight_vacuum(spark, table):
+    """vacuum(keep_versions=1) then vacuum(keep_versions=50) used to
+    crash on the expired manifests in the widened horizon — an expired
+    snapshot contributes no live files and must be skipped (the head
+    itself must still exist)."""
+    _append(spark, table, spark.range(20, 25).selectExpr("id", "CAST(id AS INT) AS k"))
+    _append(spark, table, spark.range(25, 30).selectExpr("id", "CAST(id AS INT) AS k"))
+    P.vacuum(table, keep_versions=1, retention_seconds=0)
+    res = P.vacuum(table, keep_versions=50, retention_seconds=0)
+    assert res["head_version"] == 3
+    df, _ = P.read_manifest(spark, table)
+    assert df.count() == 30
