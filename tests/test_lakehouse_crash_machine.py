@@ -512,3 +512,92 @@ def test_truncated_head_cache_heals(spark, tmp_path):
     with open(cache) as f:
         healed = json.load(f)  # parses again
     assert healed["version"] == m["version"] + 1
+
+
+# --- chunked-manifest variants of the rewrite verbs ---------------------------
+
+
+def test_crash_sweep_cow_delete_chunked(spark, tmp_path, monkeypatch):
+    """CoW delete with the file list externalized: chunk REUSE decisions
+    and new-chunk writes are in the crash path."""
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2)
+    P._CHUNK_CACHE.clear()
+    P._RESOLVED_CACHE.clear()
+
+    def setup(spark_, path):
+        for lo in (0, 3, 6):
+            _append_batch(path, [Row(id=i, v=i * 10) for i in range(lo, lo + 3)])
+
+    def verb(spark_, path):
+        P.delete_where(spark_, path, "v", 10, 30)
+
+    _sweep(
+        spark,
+        tmp_path,
+        "cow-delete-chunked",
+        setup,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.delete_where(s, p, "v", 10, 30)),
+    )
+
+
+def test_crash_sweep_restore_chunked(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(P, "_MANIFEST_INLINE_MAX", 2)
+    P._CHUNK_CACHE.clear()
+    P._RESOLVED_CACHE.clear()
+
+    def setup(spark_, path):
+        for lo in (0, 3, 6):
+            _append_batch(path, [Row(id=i, v=i * 10) for i in range(lo, lo + 3)])
+
+    def verb(spark_, path):
+        P.restore_table(path, 1)
+
+    _sweep(
+        spark,
+        tmp_path,
+        "restore-chunked",
+        setup,
+        verb,
+        _retry_converges_on_post(lambda s, p: P.restore_table(p, 1)),
+    )
+
+
+# --- a CONCURRENT COMMITTER (not just a reader) heals crash residue ----------
+
+
+def test_claim_durable_pointer_stale_healed_by_next_committer(spark, tmp_path):
+    """Crash EXACTLY between the os.link claim and the head-pointer
+    update, then let a second writer commit: it must discover the
+    durable claim via the ledger probe, build ON TOP of it (never
+    clobber its version), and heal the head cache."""
+    path = str(tmp_path / "heal")
+    _setup_two_commits(spark, path)
+    # find the crash point right AFTER the link: its desc is the
+    # removal of the claim tmp
+    fired = None
+    for k in range(1, 20):
+        p2 = str(tmp_path / f"heal-{k}")
+        _setup_two_commits(spark, p2)
+        with crash_at(p2, k) as inj:
+            try:
+                _append_batch(p2, [Row(id=9, v=90)])
+            except InjectedCrash:
+                pass
+        if inj.fired and inj.fired.startswith("remove:") and ".claim-" in inj.fired:
+            fired, path = inj.fired, p2
+            break
+    assert fired, "never reached the post-link claim-tmp removal op"
+    # the claim for v3 is durable; manifest.json still says v2
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert json.load(f)["version"] == 2
+    assert os.path.exists(os.path.join(path, "_manifest-v3.json"))
+    # concurrent committer: must land at v4, not clobber v3
+    _append_batch(path, [Row(id=10, v=100)])
+    with open(os.path.join(path, "manifest.json")) as f:
+        healed = json.load(f)
+    assert healed["version"] == 4, f"head cache not healed: {healed['version']}"
+    cols, rows, m = _state(spark, path)
+    assert m["version"] == 4
+    assert len(rows) == 8  # 6 setup + crashed-but-durable 1 + concurrent 1
+    assert (9, 90) in rows and (10, 100) in rows
