@@ -601,3 +601,85 @@ def test_claim_durable_pointer_stale_healed_by_next_committer(spark, tmp_path):
     assert m["version"] == 4
     assert len(rows) == 8  # 6 setup + crashed-but-durable 1 + concurrent 1
     assert (9, 90) in rows and (10, 100) in rows
+
+
+# --- DOUBLE crash: the retry itself crashes over the first crash's residue ---
+
+
+def _double_sweep(spark, tmp_path, name, setup, verb, final_expected, max_points=14):
+    """Crash the verb at point i, then crash the RETRY at point j, then
+    let a final retry run clean — recovery must work over recovery
+    residue, and the final state must be a legal composition."""
+    pairs = 0
+    for i in range(1, max_points + 1):
+        first_fired = None
+        for j in range(1, max_points + 1):
+            path = str(tmp_path / f"{name}-{i}-{j}")
+            setup(spark, path)
+            pre_cols, pre_rows, _ = _state(spark, path)
+            with crash_at(path, i) as inj1:
+                try:
+                    verb(spark, path)
+                except InjectedCrash:
+                    pass
+            if inj1.fired is None:
+                return pairs  # i exceeded the verb's op count
+            first_fired = inj1.fired
+            with crash_at(path, j) as inj2:
+                try:
+                    verb(spark, path)
+                except InjectedCrash:
+                    pass
+            # clean final retry
+            verb(spark, path)
+            cols, rows, _ = _state(spark, path)
+            ok = final_expected(pre_rows, rows, inj1, inj2)
+            assert ok, (
+                f"{name}: illegal state after crashes at {first_fired!r} then "
+                f"{inj2.fired!r}: {len(rows)} rows"
+            )
+            pairs += 1
+            if inj2.fired is None:
+                break  # j exceeded the retry's op count
+    return pairs
+
+
+def test_double_crash_stream_epoch_still_exactly_once(spark, tmp_path):
+    """Two crashes and three replays of the SAME epoch: the ledger must
+    still land its rows exactly once."""
+    delta = [Row(id=i, v=i * 10) for i in range(6, 9)]
+
+    def verb(spark_, path):
+        w = P.ManifestStreamWriter({"path": path})
+        w.commit([w.write(iter(delta))], batchId=7)
+
+    def final_expected(pre_rows, rows, inj1, inj2):
+        return rows == sorted(pre_rows + [(r.id, r.v) for r in delta], key=repr)
+
+    pairs = _double_sweep(
+        spark, tmp_path, "dbl-epoch", _setup_two_commits, verb, final_expected
+    )
+    assert pairs >= 10, f"only {pairs} crash pairs exercised"
+
+
+def test_double_crash_append_deltas_count(spark, tmp_path):
+    """Batch appends make no idempotence claim — but every DURABLE claim
+    must count exactly once: after two crashed attempts and one clean
+    one, the row multiset is pre + k*delta where k = number of attempts
+    that got their claim durable (1..3), never a partial delta."""
+    delta = [(i, i * 10) for i in range(6, 9)]
+
+    def verb(spark_, path):
+        _append_batch(path, [Row(id=i, v=v) for i, v in delta])
+
+    def final_expected(pre_rows, rows, inj1, inj2):
+        extra = len(rows) - len(pre_rows)
+        if extra % len(delta) != 0:
+            return False  # a torn partial delta
+        k = extra // len(delta)
+        return 1 <= k <= 3 and rows == sorted(pre_rows + delta * k, key=repr)
+
+    pairs = _double_sweep(
+        spark, tmp_path, "dbl-append", _setup_two_commits, verb, final_expected
+    )
+    assert pairs >= 10, f"only {pairs} crash pairs exercised"
