@@ -683,3 +683,210 @@ def test_double_crash_append_deltas_count(spark, tmp_path):
         spark, tmp_path, "dbl-append", _setup_two_commits, verb, final_expected
     )
     assert pairs >= 10, f"only {pairs} crash pairs exercised"
+
+
+# --- crash UNDER true concurrent committers -----------------------------------
+
+
+@contextlib.contextmanager
+def crash_thread_at(table: str, nth: int, thread_name: str = "crasher"):
+    """Like crash_at, but only ops issued by the named thread count —
+    concurrent committers run the REAL path untouched."""
+    import threading
+
+    inj = _Injector(table, nth)
+    real = {"link": os.link, "replace": os.replace, "remove": os.remove}
+
+    def mk(name):
+        r = real[name]
+
+        def wrapper(*a, **k):
+            if (
+                threading.current_thread().name == thread_name
+                and inj._qual(a)
+                and inj.bump(f"{name}:{os.path.basename(str(a[-1]))}")
+            ):
+                raise InjectedCrash(inj.fired)
+            return r(*a, **k)
+
+        return wrapper
+
+    real_dump = P._json.dump
+
+    def torn_dump(obj, fp, **k):
+        name = getattr(fp, "name", "")
+        if (
+            threading.current_thread().name == thread_name
+            and isinstance(name, str)
+            and inj._qual((name,))
+            and inj.bump(f"torn-dump:{os.path.basename(name)}")
+        ):
+            payload = json.dumps(obj)
+            fp.write(payload[: max(1, len(payload) // 2)])
+            fp.flush()
+            raise InjectedCrash(inj.fired)
+        return real_dump(obj, fp, **k)
+
+    os.link, os.replace, os.remove = mk("link"), mk("replace"), mk("remove")
+    P._json.dump = torn_dump
+    try:
+        yield inj
+    finally:
+        os.link, os.replace, os.remove = real["link"], real["replace"], real["remove"]
+        P._json.dump = real_dump
+
+
+def test_crash_under_concurrent_appenders(spark, tmp_path):
+    """One writer crashes at EVERY point of its commit path while two
+    uncoordinated writers append concurrently: the survivors' rows land
+    exactly once, the crasher's delta lands 0 or 1 times (then exactly
+    once more on retry), and the ledger/head heal around the residue."""
+    import threading
+
+    delta_a = [(100 + i, 1) for i in range(3)]
+    delta_b = [(200 + i, 2) for i in range(3)]
+    delta_c = [(300 + i, 3) for i in range(3)]
+
+    for k in range(1, 12):
+        path = str(tmp_path / f"cc-{k}")
+        _setup_two_commits(spark, path)
+        errs: list[BaseException] = []
+
+        def crasher(p=path):
+            try:
+                _append_batch(p, [Row(id=i, v=v) for i, v in delta_a])
+            except InjectedCrash:
+                pass
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        def committer(delta, p=path):
+            try:
+                _append_batch(p, [Row(id=i, v=v) for i, v in delta])
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        with crash_thread_at(path, k) as inj:
+            ts = [
+                threading.Thread(target=crasher, name="crasher"),
+                threading.Thread(target=committer, args=(delta_b,), name="b"),
+                threading.Thread(target=committer, args=(delta_c,), name="c"),
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        assert not errs, f"k={k}: survivor committer failed: {errs}"
+        if inj.fired is None:
+            break  # k exceeded the crasher's op count — sweep done
+        cols, rows, m = _state(spark, path)
+        ids = [r[0] for r in rows]
+        assert len(ids) == len(set(ids)), f"k={k}: duplicated rows: {sorted(rows)}"
+        for i, v in delta_b + delta_c:
+            assert (i, v) in rows, f"k={k}: survivor row ({i},{v}) LOST after {inj.fired!r}"
+        n_a = sum(1 for r in rows if r in delta_a)
+        assert n_a in (0, len(delta_a)), f"k={k}: torn crasher delta ({n_a} rows)"
+        # retry: the crasher's delta must land exactly once more
+        _append_batch(path, [Row(id=i + 1000, v=v) for i, v in delta_a])
+        cols2, rows2, m2 = _state(spark, path)
+        assert len(rows2) == len(rows) + len(delta_a)
+        assert m2["version"] > m["version"]
+        # the head cache healed past every racer
+        with open(os.path.join(path, "manifest.json")) as f:
+            assert json.load(f)["version"] == m2["version"]
+    else:
+        pytest.fail("crasher had more than 11 injection points")
+
+
+def test_crash_under_concurrent_epochs_exactly_once(spark, tmp_path):
+    """A stream epoch commit crashes at every point while a DIFFERENT
+    epoch and a batch append race it: every epoch lands exactly once
+    (the crashed one after its replay), the batch rows exactly once."""
+    import threading
+
+    delta7 = [(700 + i, 7) for i in range(3)]
+    delta8 = [(800 + i, 8) for i in range(3)]
+    batch = [(900 + i, 9) for i in range(3)]
+
+    def epoch(p, rows, bid):
+        w = P.ManifestStreamWriter({"path": p})
+        w.commit([w.write(iter([Row(id=i, v=v) for i, v in rows]))], batchId=bid)
+
+    for k in range(1, 14):
+        path = str(tmp_path / f"ce-{k}")
+        _setup_two_commits(spark, path)
+        errs: list[BaseException] = []
+
+        def crasher(p=path):
+            try:
+                epoch(p, delta7, 7)
+            except InjectedCrash:
+                pass
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        def other(p=path):
+            try:
+                epoch(p, delta8, 8)
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        def appender(p=path):
+            try:
+                _append_batch(p, [Row(id=i, v=v) for i, v in batch])
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        with crash_thread_at(path, k) as inj:
+            ts = [
+                threading.Thread(target=crasher, name="crasher"),
+                threading.Thread(target=other, name="e8"),
+                threading.Thread(target=appender, name="b"),
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        assert not errs, f"k={k}: survivor failed: {errs}"
+        if inj.fired is None:
+            break
+        # replay the crashed epoch with fresh parts (a real restart)
+        epoch(path, delta7, 7)
+        cols, rows, m = _state(spark, path)
+        for i, v in delta7 + delta8 + batch:
+            assert (i, v) in rows, f"k={k}: row ({i},{v}) missing after {inj.fired!r}"
+        assert len(rows) == 6 + 9, (
+            f"k={k}: exactly-once broken after {inj.fired!r}: {len(rows)} rows"
+        )
+        assert 7 in m.get("batches", []) and 8 in m.get("batches", [])
+    else:
+        pytest.fail("epoch crasher had more than 13 injection points")
+
+
+# --- byte-level truncation fuzz of the head-pointer cache ---------------------
+
+
+def test_head_cache_truncated_at_every_byte(spark, tmp_path):
+    """manifest.json truncated at EVERY byte offset: metadata reads must
+    heal via the ledger probe at each one (the cache is a hint, never
+    the truth), and the next commit repairs the cache."""
+    path = str(tmp_path / "fuzzhead")
+    _setup_two_commits(spark, path)
+    cache = os.path.join(path, "manifest.json")
+    with open(cache, "rb") as f:
+        payload = f.read()
+    for cut in range(len(payload)):
+        with open(cache, "wb") as f:
+            f.write(payload[:cut])
+        head = P._head_snapshot(path)
+        assert head["version"] == 2 and head["n_rows"] == 6, (
+            f"cut={cut}: ledger probe failed over the torn cache"
+        )
+    # a torn PREFIX that is itself valid JSON of a wrong shape
+    with open(cache, "w") as f:
+        f.write('{"version": "not-an-int"}')
+    assert P._head_snapshot(path)["version"] == 2
+    # the next commit heals the cache
+    _append_batch(path, [Row(id=9, v=90)])
+    with open(cache) as f:
+        assert json.load(f)["version"] == 3
