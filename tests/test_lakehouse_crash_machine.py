@@ -890,3 +890,103 @@ def test_head_cache_truncated_at_every_byte(spark, tmp_path):
     _append_batch(path, [Row(id=9, v=90)])
     with open(cache) as f:
         assert json.load(f)["version"] == 3
+
+
+# --- DISK-FULL (ENOSPC): the process survives, the cleanup paths run ---------
+
+
+@contextlib.contextmanager
+def enospc_at(table: str, nth: int):
+    """Like crash_at, but the nth op raises OSError(ENOSPC) — the verb's
+    own error handling (abort, loser cleanup, staged-file removal) runs,
+    which a hard crash never exercises."""
+    import errno
+
+    inj = _Injector(table, nth)
+    real = {"link": os.link, "replace": os.replace}
+
+    def mk(name):
+        r = real[name]
+
+        def wrapper(*a, **k):
+            if inj._qual(a) and inj.bump(f"{name}:{os.path.basename(str(a[-1]))}"):
+                raise OSError(errno.ENOSPC, "No space left on device (injected)")
+            return r(*a, **k)
+
+        return wrapper
+
+    real_dump = P._json.dump
+
+    def failing_dump(obj, fp, **k):
+        name = getattr(fp, "name", "")
+        if isinstance(name, str) and inj._qual((name,)) and inj.bump(
+            f"dump:{os.path.basename(name)}"
+        ):
+            payload = json.dumps(obj)
+            fp.write(payload[: max(1, len(payload) // 2)])
+            fp.flush()
+            raise OSError(errno.ENOSPC, "No space left on device (injected)")
+        return real_dump(obj, fp, **k)
+
+    os.link, os.replace = mk("link"), mk("replace")
+    P._json.dump = failing_dump
+    try:
+        yield inj
+    finally:
+        os.link, os.replace = real["link"], real["replace"]
+        P._json.dump = real_dump
+
+
+@pytest.mark.parametrize(
+    "vname, verb",
+    [
+        ("append", lambda s, p: _append_batch(p, [Row(id=9, v=90)])),
+        ("mor-delete", lambda s, p: P.delete_where_mor(p, "v", 10, 30)),
+        ("rename", lambda s, p: P.rename_column(p, "v", "w")),
+        ("restore", lambda s, p: P.restore_table(p, 1)),
+        (
+            "epoch",
+            lambda s, p: P.ManifestStreamWriter({"path": p}).commit(
+                [P.ManifestStreamWriter({"path": p}).write(iter([Row(id=9, v=90)]))],
+                batchId=5,
+            ),
+        ),
+    ],
+)
+def test_enospc_surfaces_and_table_stays_consistent(spark, tmp_path, vname, verb):
+    """Every write-path op hit by ENOSPC: the verb must RAISE (never
+    swallow a failed commit into a fake success), the table must read
+    exactly pre or post, and the op must be retryable once space is
+    back."""
+    for k in range(1, 30):
+        path = str(tmp_path / f"{vname}-{k}")
+        _setup_two_commits(spark, path)
+        pre_cols, pre_rows, _ = _state(spark, path)
+        with enospc_at(path, k) as inj:
+            raised = False
+            try:
+                verb(spark, path)
+            except OSError:
+                raised = True
+            except RuntimeError as exc:
+                # acceptable: the verb wrapped the failure loudly
+                raised = True
+                assert "space" in str(exc).lower() or "contention" in str(exc).lower(), exc
+        if inj.fired is None:
+            assert not raised
+            break
+        cols, rows, m = _state(spark, path)
+        committed = (cols, rows) != (pre_cols, pre_rows)
+        if not committed:
+            assert raised, (
+                f"{vname}: ENOSPC at {inj.fired!r} swallowed — verb reported "
+                "success but the table never changed (silent data loss)"
+            )
+        # space comes back; the verb must work again
+        try:
+            verb(spark, path)
+        except Exception as exc:  # noqa: BLE001 - rename-after-commit legally refuses
+            assert vname == "rename" and committed, exc
+        _state(spark, path)
+    else:
+        pytest.fail(f"{vname}: more than 29 ENOSPC points")
