@@ -65,6 +65,15 @@ VERB = st.one_of(
     # version (a committer died between claim and head move) — the
     # ledger is the source of truth, so nothing downstream may notice
     st.tuples(st.just("stale_head"), st.integers(0, 11)),
+    # TORN CRASH verbs (round 10, from the crash-injection machine): an
+    # append / a stream epoch killed at write-path op N — residue (torn
+    # claim tmps, renamed-but-unclaimed parts, stale pointers) now
+    # interacts with EVERY LATER VERB in the sequence, which the
+    # machine's one-shot sweeps cannot reach.  The model branches on the
+    # LEDGER's verdict (version consumed or not); the epoch verb replays
+    # itself and must land exactly once either way.
+    st.tuples(st.just("crashed_append"), st.tuples(st.integers(0, 3), st.integers(1, 7))),
+    st.tuples(st.just("crashed_epoch"), st.tuples(st.integers(0, 3), st.integers(1, 9))),
 )
 
 
@@ -175,6 +184,51 @@ def test_verb_sequences_match_model(spark, tmp_path_factory, monkeypatch, verbs,
                 df.coalesce(1).write.format("rtbd_manifest_sink").option(
                     "path", path
                 ).mode("append").save()
+                rows.update({i: (k, v) for i, k, v in batch})
+                snap()
+                cdf_log.append((len(history), vcol, batch))
+        elif tag in ("crashed_append", "crashed_epoch"):
+            import pyarrow as pa
+            from pyspark.sql import Row
+
+            from test_lakehouse_crash_machine import InjectedCrash, crash_at
+
+            batch_i, point = payload
+            batch = _batch_rows(seq + 2 * batch_i)
+            seq += 10
+            if batch_violates(batch, vcol):
+                continue  # constraint rejection is the append verb's turf
+            arrow_schema = pa.schema(
+                [("id", pa.int64()), ("k", pa.int32()), (vcol, pa.int32())]
+            )
+            brows = [Row(**{"id": i, "k": k, vcol: v}) for i, k, v in batch]
+            before_v = P._latest_snapshot(path)["version"]
+            if tag == "crashed_append":
+                w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+                w.arrow_schema = arrow_schema
+                with crash_at(path, point):
+                    try:
+                        w.commit([w.write(iter(brows))])
+                    except InjectedCrash:
+                        pass
+                committed = P._latest_snapshot(path)["version"] > before_v
+            else:
+                bid = 50_000 + seq  # unique epoch id per verb instance
+
+                def _epoch():
+                    w = P.ManifestStreamWriter({"path": path})
+                    w.arrow_schema = arrow_schema
+                    w.commit([w.write(iter(brows))], batchId=bid)
+
+                with crash_at(path, point):
+                    try:
+                        _epoch()
+                    except InjectedCrash:
+                        pass
+                _epoch()  # replay with fresh parts — must land exactly once
+                assert P._latest_snapshot(path)["version"] == before_v + 1
+                committed = True
+            if committed:
                 rows.update({i: (k, v) for i, k, v in batch})
                 snap()
                 cdf_log.append((len(history), vcol, batch))
