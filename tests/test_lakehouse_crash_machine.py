@@ -990,3 +990,107 @@ def test_enospc_surfaces_and_table_stays_consistent(spark, tmp_path, vname, verb
         _state(spark, path)
     else:
         pytest.fail(f"{vname}: more than 29 ENOSPC points")
+
+
+def test_enospc_cow_verbs_surface_and_stay_consistent(spark, tmp_path):
+    """ENOSPC during the Spark-backed rewrite verbs (CoW delete, zorder,
+    merge): the verb surfaces the failure, the staged rewrite never
+    becomes the head partially, and the verb succeeds once space is
+    back."""
+    cases = [
+        ("cow-delete", lambda s, p: P.delete_where(s, p, "v", 10, 30)),
+        ("zorder", lambda s, p: P.optimize_zorder(s, p, ("id", "v"), bits=4, n_files=2)),
+        (
+            "merge",
+            lambda s, p: P.merge_upsert(
+                s, p, s.createDataFrame([Row(id=2, v=222)]), "id"
+            ),
+        ),
+    ]
+    for vname, verb in cases:
+        for k in range(1, 40):
+            path = str(tmp_path / f"{vname}-{k}")
+            _setup_two_commits(spark, path)
+            pre_cols, pre_rows, _ = _state(spark, path)
+            with enospc_at(path, k) as inj:
+                raised = False
+                try:
+                    verb(spark, path)
+                except (OSError, RuntimeError):
+                    raised = True
+            if inj.fired is None:
+                assert not raised
+                break
+            cols, rows, _ = _state(spark, path)
+            committed = (cols, rows) != (pre_cols, pre_rows)
+            if not committed:
+                assert raised, (
+                    f"{vname}: ENOSPC at {inj.fired!r} swallowed into success"
+                )
+            verb(spark, path)  # space back: must work
+            _state(spark, path)
+        else:
+            pytest.fail(f"{vname}: more than 39 ENOSPC points")
+
+
+# --- reader STORM racing a crashing writer ------------------------------------
+
+
+def test_reader_storm_during_crashing_writers(spark, tmp_path):
+    """Four uncoordinated reader threads hammer head reads, time-travel
+    and the change feed WHILE a writer crashes at every commit-path op
+    and another writer commits normally: no reader may ever see a torn
+    snapshot (row multiset not equal to any committed version) or an
+    unexpected error."""
+    import threading
+
+    path = str(tmp_path / "storm")
+    _setup_two_commits(spark, path)
+    # committed row counts only ever grow by whole 3-row deltas: any
+    # multiple of 3 in [6, 6 + 16*3] is a legal snapshot, anything else
+    # is torn (the reader cannot know WHICH commits landed yet, only
+    # that every visible state is a whole-delta composition)
+    reader_errs: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                head = P._head_snapshot(path)
+                assert head["n_rows"] % 3 == 0 and 6 <= head["n_rows"] <= 54, head["n_rows"]
+                # time-travel to the base version stays exact
+                base = P._head_snapshot(path, version=2)
+                assert base["n_rows"] == 6
+                deltas = P._append_deltas(path, 0, head["version"])
+                assert deltas[-1]["version"] == head["version"]
+            except BaseException as e:  # noqa: BLE001
+                reader_errs.append(e)
+                return
+
+    readers = [threading.Thread(target=reader, name=f"r{i}") for i in range(4)]
+    for t in readers:
+        t.start()
+    try:
+
+        for k in range(1, 9):
+            delta = [Row(id=1000 * k + i, v=k) for i in range(3)]
+            with crash_thread_at(path, k) as inj:
+
+                def crasher():
+                    try:
+                        _append_batch(path, delta)
+                    except InjectedCrash:
+                        pass
+
+                t = threading.Thread(target=crasher, name="crasher")
+                t.start()
+                t.join()
+            # a clean committer advances the table over the residue
+            _append_batch(path, [Row(id=2000 * k + i, v=-k) for i in range(3)])
+            if inj.fired is None:
+                break
+    finally:
+        stop.set()
+        for t in readers:
+            t.join()
+    assert not reader_errs, f"reader saw a torn/failed state: {reader_errs[:3]}"
