@@ -340,9 +340,16 @@ def _no_orphans(path: str) -> None:
     chunked=st.booleans(),
     a=RACE_VERB,
     b=RACE_VERB,
+    # round-10 crash dimension: when set, the interloper B is REPLACED
+    # by an append that CRASHES at write-path op N inside A's claim
+    # window — A must compose over B's torn residue exactly as over a
+    # clean commit (B serializes before A iff its claim got durable);
+    # the residue is vacuum-reclaimed before the orphan audit, which is
+    # the documented recovery
+    b_crash=st.one_of(st.none(), st.integers(1, 7)),
 )
 def test_racing_verb_pairs_serialize_as_b_then_a(
-    spark, tmp_path_factory, monkeypatch, pre_mor, chunked, a, b
+    spark, tmp_path_factory, monkeypatch, pre_mor, chunked, a, b, b_crash
 ):
     a_tag, a_payload = a
     b_tag, b_payload = b
@@ -381,10 +388,30 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
     def racing_claim(p, manifest):
         if not fired["done"]:
             fired["done"] = True
-            try:
-                _run_verb(spark, path, model, b_tag, b_payload)
-            except Exception as exc:  # semantic refusals (e.g. rename block)
-                fired["b_error"] = exc
+            if b_crash is not None:
+                # the interloper CRASHES mid-commit: residue on disk, a
+                # version consumed iff its claim got durable — the model
+                # branches on the ledger's verdict
+                from pyspark.sql import Row
+
+                from test_lakehouse_crash_machine import InjectedCrash, crash_at
+
+                batch = _batch_rows(85)
+                before_v = P._latest_snapshot(path)["version"]
+                w = P.ManifestParquetWriter({"path": path}, overwrite=False)
+                fn = _write_uncommitted_part(path, batch, model.vcol)
+                with crash_at(path, b_crash):
+                    try:
+                        w.commit([P.PartFileCommit(fn, len(batch))])
+                    except InjectedCrash:
+                        pass
+                if P._latest_snapshot(path)["version"] > before_v:
+                    model.rows.update({i: (k, v) for i, k, v in batch})
+            else:
+                try:
+                    _run_verb(spark, path, model, b_tag, b_payload)
+                except Exception as exc:  # semantic refusals (e.g. rename block)
+                    fired["b_error"] = exc
         return real_claim(p, manifest)
 
     monkeypatch.setattr(P, "_claim_and_publish", racing_claim)
@@ -531,8 +558,14 @@ def test_racing_verb_pairs_serialize_as_b_then_a(
     # ---- the model arbitrated B-then-A; the table must agree -------------
     assert _spark_state(spark, path, model) == dict(model.rows), (
         f"divergence after race A={a_tag}({a_payload}) B={b_tag}({b_payload}) "
-        f"pre_mor={pre_mor}"
+        f"pre_mor={pre_mor} b_crash={b_crash}"
     )
+    if b_crash is not None:
+        # a crashed interloper legitimately leaves residue (renamed-but-
+        # unclaimed parts, torn tmps); the documented recovery is vacuum,
+        # after which the orphan audit must hold as usual
+        P.vacuum(path, keep_versions=10**6, retention_seconds=0)
+        assert _spark_state(spark, path, model) == dict(model.rows)
     _no_orphans(path)
 
     # terminal: materialize pending deletes and compare physically
