@@ -1094,3 +1094,47 @@ def test_reader_storm_during_crashing_writers(spark, tmp_path):
         for t in readers:
             t.join()
     assert not reader_errs, f"reader saw a torn/failed state: {reader_errs[:3]}"
+
+
+def test_crash_sweep_shallow_clone(spark, tmp_path):
+    """Clone killed at every op: the TARGET either has no table at all
+    or is the complete clone (never a half-wired reference set); a retry
+    refuses on a committed clone and succeeds otherwise; divergence
+    isolation holds over the residue."""
+    for k in range(1, 30):
+        src = str(tmp_path / f"src-{k}")
+        dst = str(tmp_path / f"dst-{k}")
+        _setup_two_commits(spark, src)
+        _, src_rows, _ = _state(spark, src)
+        with crash_at(dst, k) as inj:
+            try:
+                P.shallow_clone(src, dst)
+            except InjectedCrash:
+                pass
+        if inj.fired is None:
+            break
+        try:
+            _, rows, m = _state(spark, dst)
+            committed = True
+            assert rows == src_rows and m["op"] == "clone", (
+                f"k={k}: torn clone after {inj.fired!r}"
+            )
+        except FileNotFoundError:
+            committed = False
+        # retry: a committed clone refuses (fresh-target contract),
+        # an uncommitted one completes
+        try:
+            P.shallow_clone(src, dst)
+            assert not committed, f"k={k}: double-clone accepted"
+        except RuntimeError as exc:
+            assert committed and "already has a table" in str(exc), exc
+        _, rows, _ = _state(spark, dst)
+        assert rows == src_rows
+        # divergence isolation over the residue: the clone's own append
+        # and vacuum never touch the source
+        _append_batch(dst, [Row(id=77, v=770)])
+        P.vacuum(dst, keep_versions=50, retention_seconds=0)
+        _, src_after, _ = _state(spark, src)
+        assert src_after == src_rows, f"k={k}: clone activity mutated the SOURCE"
+    else:
+        pytest.fail("shallow_clone had more than 29 injection points")
