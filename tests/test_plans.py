@@ -609,3 +609,16 @@ def test_backlog_arithmetic_derived():
         "pydatasource-churned rows must lead the round-11 refresh queue: "
         f"{sorted(pyds_churned - head)}"
     )
+
+
+def test_round11_registration_plan_not_preregistered():
+    """The registration freeze holds through round 10: the two queries
+    planned as data for round 11 (plans/__init__.py::
+    ROUND11_REGISTRATION_PLAN) must NOT exist in the registry yet —
+    accidental early registration would silently grow the never-hashed
+    backlog the round-10 window just drained."""
+    from real_time_big_data_iot_monitoring_pipeline_spark import plans
+
+    early = sorted(set(plans.ROUND11_REGISTRATION_PLAN) & set(REGISTRY))
+    assert not early, f"round-11 planned queries registered early: {early}"
+    assert len(plans.ROUND11_REGISTRATION_PLAN) <= 10  # <=10 new/round policy
