@@ -1138,3 +1138,31 @@ def test_crash_sweep_shallow_clone(spark, tmp_path):
         assert src_after == src_rows, f"k={k}: clone activity mutated the SOURCE"
     else:
         pytest.fail("shallow_clone had more than 29 injection points")
+
+
+# --- a stream whose CHECKPOINTED offset was vacuumed away ---------------------
+
+
+def test_stream_tail_over_vacuumed_offsets_refuses_then_resumes(spark, tmp_path):
+    """A restarting stream replays from its WAL offset.  If vacuum
+    expired that version's manifest while the stream was down, the
+    replay must refuse LOUDLY (never silently skip rows), and tailing
+    from the earliest surviving snapshot must work."""
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "st")
+    for lo in (0, 3, 6, 9):
+        _append_batch(path, [Row(id=i, v=i * 10) for i in range(lo, lo + 3)])
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    reader = P.ManifestStreamReader({"path": path}, schema)
+    P.vacuum(path, keep_versions=2, retention_seconds=0)  # v1, v2 expire
+    with pytest.raises(RuntimeError, match="expired by vacuum"):
+        list(reader.readBetweenOffsets({"version": 1}, {"version": 4}))
+    rows = list(reader.readBetweenOffsets({"version": 3}, {"version": 4}))
+    assert sorted(rows) == [(i, i * 10) for i in range(9, 12)]
+    # and the live cursor keeps tailing new appends
+    _append_batch(path, [Row(id=99, v=990)])
+    it, end = reader.read({"version": 4})
+    assert end["version"] == 5 and list(it) == [(99, 990)]
