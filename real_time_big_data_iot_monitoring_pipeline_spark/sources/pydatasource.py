@@ -866,13 +866,21 @@ class ManifestParquetWriter(DataSourceWriter):
             # empty first write leaves a readable table.  The commit
             # gate's pre-commit-head derivation remains the fallback
             # for verbs that empty an EXISTING table in place (DELETE
-            # FROM t), where the old schema is exactly right.
-            if (
-                not manifest["files"]
-                and self.arrow_schema is not None
-                and (self.overwrite or prev is None)
-            ):
-                manifest["schema_ddl"] = _arrow_to_ddl(self.arrow_schema)
+            # FROM t), where the old schema is exactly right.  When the
+            # writer's schema fell OUTSIDE the supported DDL set
+            # (arrow_schema is None — inference fallback), an explicit
+            # None marker is stamped instead: the commit gate must NOT
+            # fall through to the stale pre-commit head (the round-9
+            # bug #1 path — the reset would read back under the old
+            # head's post-rename columns); the empty table instead
+            # fails loudly with the documented no-recorded-schema
+            # error on read.
+            if not manifest["files"] and (self.overwrite or prev is None):
+                manifest["schema_ddl"] = (
+                    _arrow_to_ddl(self.arrow_schema)
+                    if self.arrow_schema is not None
+                    else None
+                )
             # WRITE-TIME CHECK-CONSTRAINT enforcement (footer-stats
             # proof, never a data scan): a violating commit removes its
             # own parts and raises — the table is untouched.
@@ -2972,7 +2980,13 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
     rename recorded within the range whose from/to names both surface
     across the frames, i.e. one logical column arrived under two names
     because a later restore/overwrite reset the rename log — and a
-    same-name TYPE conflict."""
+    same-name TYPE conflict with NO common Spark type (int vs string);
+    widening-compatible numeric changes (int vs bigint vs double)
+    coerce to the least-common type through the union, exactly like
+    the batch reader's rename-group union path (its single-scan fast
+    path can refuse the same files at the parquet mergeSchema level —
+    the feed, which always reads per-delta frames, is never stricter
+    than the union semantics)."""
     import os
 
     from pyspark.sql import functions as F
@@ -3032,16 +3046,32 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
                     "left appends from both naming epochs — read the feed in "
                     "sub-ranges split at the schema-reset commit"
                 )
+        # widening-compatible numeric conflicts (int vs bigint vs double
+        # for the same column) are NOT incompatibilities: the batch
+        # reader (`read_manifest(merge_schema=True)`, rename-group
+        # union path) serves exactly these files through Spark's union
+        # type coercion, which resolves to the least-common numeric
+        # type — so the feed must too, or it contradicts the
+        # evolves-like-the-batch-reader contract.  Refuse only when no
+        # common Spark type exists
+        # (e.g. int vs string), which the union below cannot coerce.
+        numeric_widen = ("tinyint", "smallint", "int", "bigint", "float", "double")
         seen_types: dict[str, str] = {}
         for f in frames:
             for cname, ctype in f.dtypes:
-                if seen_types.setdefault(cname, ctype) != ctype:
-                    raise RuntimeError(
-                        f"change feed ({since_version}, {to_version}] spans an "
-                        f"incompatible schema change: column {cname!r} appears "
-                        f"as both {seen_types[cname]} and {ctype} — read the "
-                        "feed in sub-ranges split at the schema-reset commit"
-                    )
+                prev_t = seen_types.setdefault(cname, ctype)
+                if prev_t == ctype:
+                    continue
+                if prev_t in numeric_widen and ctype in numeric_widen:
+                    seen_types[cname] = max(prev_t, ctype, key=numeric_widen.index)
+                    continue
+                raise RuntimeError(
+                    f"change feed ({since_version}, {to_version}] spans an "
+                    f"incompatible schema change: column {cname!r} appears "
+                    f"as both {prev_t} and {ctype}, which have no common "
+                    "Spark type — read the feed in sub-ranges split at the "
+                    "schema-reset commit"
+                )
         df = frames[0]
         for extra in frames[1:]:
             df = df.unionByName(extra, allowMissingColumns=True)

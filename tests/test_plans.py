@@ -604,10 +604,9 @@ def test_backlog_arithmetic_derived():
         if n not in window
         and any("pydatasource" in r for r in c["reasons"])
     }
-    head = set(cohort[: len(pyds_churned)])
     assert pyds_churned <= set(cohort[:40]), (
         "pydatasource-churned rows must lead the round-11 refresh queue: "
-        f"{sorted(pyds_churned - head)}"
+        f"{sorted(pyds_churned - set(cohort[:40]))}"
     )
 
 

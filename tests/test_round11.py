@@ -1,0 +1,104 @@
+"""Round-11 pins: the round-10 ADVICE findings on the manifest table
+format (sources/pydatasource.py), each fixed this round.
+
+  1. (low) read_change_feed used to refuse WIDENING-compatible numeric
+     type changes (int vs bigint vs double for the same column) that
+     read_manifest(merge_schema=True) happily serves through Spark's
+     union type coercion — contradicting the feed's evolves-like-the-
+     batch-reader contract.  Now only conflicts with NO common Spark
+     type (int vs string) refuse.
+  2. (low) the empty-overwrite schema reset only fired when the
+     writer's schema mapped into the supported Arrow set; an
+     inference-fallback writer (arrow_schema None) fell through to the
+     commit gate's pre-commit-head derivation, so the round-9 bug #1
+     (reset reads back under the old head's post-rename columns)
+     persisted on that path.  Now an explicit schema_ddl=None marker
+     is stamped: the table fails loudly with the documented
+     no-recorded-schema error instead of silently inheriting the old
+     naming epoch.
+
+(The other two round-10 ADVICE findings were test/tool hygiene: the
+test_plans cohort failure message now reports the same set it asserts,
+and backlog_audit's _changed_since_round delegates to _anchor_commit
+and degrades to None without git history.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
+
+
+def _append(spark, path, df):
+    df.coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+
+
+# --- 1: change feed widens numeric type conflicts like the batch reader ------
+
+
+def test_change_feed_widens_numeric_type_conflict(spark, tmp_path):
+    # appends across two naming epochs, each widening the x column:
+    # int under (id), bigint under (rid), double under (pid).  The batch
+    # reader resolves each file's rename chain and UNIONS the groups —
+    # Spark's union coercion widens x to double — so the feed must
+    # serve the same range widened identically, not refuse it.
+    path = str(tmp_path / "cfw")
+    P.register_sink(spark)
+    _append(spark, path, spark.range(3).selectExpr("id", "CAST(id AS INT) AS x"))
+    P.rename_column(path, "id", "rid")
+    _append(
+        spark, path, spark.range(3, 6).selectExpr("id AS rid", "CAST(id * 10 AS BIGINT) AS x")
+    )
+    P.rename_column(path, "rid", "pid")
+    _append(
+        spark, path, spark.range(6, 9).selectExpr("id AS pid", "CAST(id / 2.0 AS DOUBLE) AS x")
+    )
+    batch = P.read_manifest(spark, path, merge_schema=True)[0]
+    assert dict(batch.dtypes)["x"] == "double" and batch.count() == 9
+    df, commits = P.read_change_feed(spark, path, since_version=0)
+    assert dict(df.dtypes)["x"] == "double"
+    got = {r["pid"]: (r["x"], r["_commit_version"]) for r in df.collect()}
+    assert got[0] == (0.0, 1) and got[4] == (40.0, 3) and got[7] == (3.5, 5)
+    assert [c["op"] for c in commits] == ["append", "rename", "append", "rename", "append"]
+
+
+def test_change_feed_still_refuses_non_widenable_conflict(spark, tmp_path):
+    path = str(tmp_path / "cfr")
+    P.register_sink(spark)
+    _append(spark, path, spark.range(2).selectExpr("id", "CAST(id AS BIGINT) AS x"))
+    _append(spark, path, spark.range(2, 4).selectExpr("id", "CAST(id AS STRING) AS x"))
+    with pytest.raises(RuntimeError, match="no common\\s+Spark type"):
+        P.read_change_feed(spark, path, since_version=0)
+
+
+# --- 2: empty overwrite with an unsupported (inference-fallback) schema ------
+
+
+def test_empty_overwrite_unsupported_schema_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "eow")
+    P.register_sink(spark)
+    _append(spark, path, spark.range(5).selectExpr("id", "CAST(id % 2 AS INT) AS k"))
+    # make the old logical schema distinctive via a rename: the bug read
+    # the reset table back under these post-rename columns
+    P.rename_column(path, "k", "kk")
+    # array<bigint> is outside _spark_to_arrow_schema's mapping, so the
+    # writer's arrow_schema is None (inference fallback) — and the
+    # overwrite is EMPTY, so inference never sees a value either
+    empty = spark.range(0).selectExpr("id", "array(id) AS vals")
+    empty.coalesce(1).write.format("rtbd_manifest_sink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    head = P._latest_snapshot(path)
+    assert "schema_ddl" in head and head["schema_ddl"] is None, (
+        "empty inference-fallback overwrite must stamp the explicit "
+        f"no-schema marker, got {head.get('schema_ddl')!r}"
+    )
+    with pytest.raises(Exception, match="no recorded schema"):
+        P.read_manifest(spark, path)
+    # pre-overwrite snapshots remain time-travel readable under their
+    # own naming epoch
+    old, _ = P.read_manifest(spark, path, version=2)
+    assert old.columns == ["id", "kk"] and old.count() == 5

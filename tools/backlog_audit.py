@@ -148,13 +148,12 @@ def _git(repo: str, *args: str) -> str:
 
 def _changed_since_round(rnd: int, repo: str = REPO) -> set[str] | None:
     """Files changed (committed or working-tree) since CORRECTNESS_r{rnd}
-    landed; None when the anchor commit cannot be resolved."""
-    fname = f"CORRECTNESS_r{rnd:02d}.json"
+    landed; None when the anchor commit cannot be resolved (e.g. a shallow
+    clone with no history for the correctness artifacts)."""
+    anchor = _anchor_commit(rnd, repo)
+    if anchor is None:
+        return None
     try:
-        log = _git(repo, "log", "--diff-filter=A", "--format=%H", "--", fname)
-        anchor = log.split()[-1] if log.split() else None
-        if not anchor:
-            return None
         return set(_git(repo, "diff", "--name-only", anchor).split())
     except (subprocess.CalledProcessError, OSError):
         return None
@@ -235,9 +234,7 @@ def compute_churn(repo: str = REPO) -> dict:
     hashed = load_hashed(repo)
     max_round = max(hashed.values(), default=0)
     anchors = {r: _anchor_commit(r, repo) for r in range(1, max_round + 1)}
-    changed_by_round = {
-        r: (_changed_since_round(r, repo) if anchors[r] else None) for r in anchors
-    }
+    changed_by_round = {r: _changed_since_round(r, repo) for r in anchors}
 
     def last_changed_round(path: str) -> int:
         """Round during which `path` most recently changed: 1 + the highest
