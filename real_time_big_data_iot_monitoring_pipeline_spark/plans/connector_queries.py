@@ -1831,3 +1831,110 @@ def pyds_null_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mor_logical_rows", F.lit(state["n_mor_logical"]).cast("int"))
         .withColumn("paths_agree", F.lit(state["paths_agree"]))
     )
+
+
+_EVOLVE_SPLIT = _N_ROWS // 2
+
+
+@register(
+    "stream_schema_evolution_feed",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temperature_centi_total,
+           CAST(sum(CASE WHEN reading_id < {_EVOLVE_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_phase1,
+           CAST(sum(CASE WHEN reading_id >= {_EVOLVE_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_phase2,
+           CAST(sum(CASE WHEN reading_id >= {_EVOLVE_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=(
+        "connector",
+        "python-datasource",
+        "streaming-sink",
+        "schema-evolution",
+        "rename",
+        "change-feed",
+        "restart",
+    ),
+)
+def stream_schema_evolution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION UNDER A LIVE STREAM: `rename_column` lands
+    MID-STREAM between two runs of the `rtbd_sensors` -> manifest-sink
+    pipeline, and the CHANGE FEED must stay correct across the naming
+    epoch — the contract a downstream incremental consumer needs when
+    the table it tails evolves while it runs (reference
+    spark_streaming.py:152-181's sink, which being a raw JDBC append
+    cannot evolve at all).
+
+    Shape: run 1 streams the feed's first half (epoch commits under
+    `temp_centi`), stops mid-feed; a metadata-only
+    `pydatasource.rename_column` evolves the column to
+    `temperature_centi`; run 2 RESUMES FROM THE CHECKPOINT (the offset
+    cursor continues at the split row — restart exactly-once) and
+    streams the second half, writing under the NEW name.  The hashed
+    result is built ENTIRELY from `read_change_feed`: the full feed
+    (since 0) must surface BOTH epochs' rows under the current logical
+    name — pre-rename files resolve through the rename chain, a naive
+    union of physical names would fork the column — with
+    `_commit_version` splitting phases exactly at the rename commit;
+    and the TAIL (since the rename version) must carry exactly the
+    post-rename rows, none of the earlier epochs'.  A dropped epoch, a
+    replayed epoch, a mis-renamed frame, or a tail that leaks
+    pre-rename rows all break the per-sensor counts/sums against the
+    oracle's regeneration of the plain feed formula (which knows
+    nothing of the rename).  Scale: the rename is O(1) metadata; the
+    feed reads only delta files of the requested range."""
+    import tempfile
+
+    key = "_stream_evolve_state"
+    state = getattr(stream_schema_evolution_feed, key, None)
+    if state is None or not os.path.exists(os.path.join(state[0], "manifest.json")):
+        base = tempfile.mkdtemp(prefix="rtbd_stream_evolve_")
+        path, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pydatasource.register(spark)
+        pydatasource.register_sink(spark)
+
+        def run(n_rows: int, rename: bool) -> None:
+            stream = (
+                spark.readStream.format("rtbd_sensors")
+                .option("n_rows", n_rows)
+                .option("n_sensors", _N_SENSORS)
+                .option("rows_per_batch", 2_500)
+                .load()
+            )
+            if rename:
+                stream = stream.withColumnRenamed("temp_centi", "temperature_centi")
+            q = (
+                stream.writeStream.format("rtbd_manifest_sink")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        # run 1: first half of the feed, physical column `temp_centi`
+        run(_EVOLVE_SPLIT, rename=False)
+        # MID-STREAM metadata-only evolution
+        rename_v = pydatasource.rename_column(path, "temp_centi", "temperature_centi")[
+            "version"
+        ]
+        # run 2: checkpoint resume at the split row, NEW physical name
+        run(_N_ROWS, rename=True)
+        state = (path, rename_v)
+        setattr(stream_schema_evolution_feed, key, state)
+    path, rename_v = state
+    feed, _commits = pydatasource.read_change_feed(spark, path, since_version=0)
+    tail, _ = pydatasource.read_change_feed(spark, path, since_version=rename_v)
+    full = feed.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("temperature_centi").cast("long").alias("temperature_centi_total"),
+        F.sum((F.col("_commit_version") < rename_v).cast("long")).alias("n_phase1"),
+        F.sum((F.col("_commit_version") > rename_v).cast("long")).alias("n_phase2"),
+    )
+    tails = tail.groupBy("sensor_id").agg(F.count(F.lit(1)).cast("long").alias("n_tail"))
+    return full.join(tails, "sensor_id")

@@ -1672,3 +1672,113 @@ def stream_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
         pipeline.run_stream_to_parquet(joined, result, output_mode="append")
     return spark.read.parquet(result).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_manifest_sink_restart",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           ROUND((sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value))) + 1e-8, 4) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS reading_count
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "manifest-sink", "restart", "exactly-once", "T1", "T2", "T4", "T7"),
+)
+def stream_manifest_sink_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL windowed-aggregate stream (`pipeline.
+    windowed_aggregate_stream`, reference spark_streaming.py:152-176)
+    written through the crash-hardened manifest STREAMING sink
+    (`ManifestStreamWriter`) with a MID-STREAM RESTART — the composition
+    the reference's Kafka->windowed-agg->JDBC pipeline
+    (spark_streaming.py:152-181) needs to survive a driver bounce, which
+    its raw append sink cannot prove.
+
+    Replay shape: the events table is split at its event-time midpoint;
+    RUN 1 streams the first half (4 event-time-ordered slices,
+    watermarked 10-minute append mode — only SEALED windows emit, each
+    an exactly-once manifest epoch), then STOPS.  RUN 2 starts a fresh
+    query on the SAME checkpoint: window state, watermark, and the
+    sink's epoch ledger must all recover — it streams the second half,
+    then a far-future flush sentinel (written only after the second
+    half drains, so watermark ordering is never racy) seals every real
+    window.  The hashed result is the per-window aggregate read back
+    FROM THE SINK TABLE: a lost epoch, a replayed epoch (batchId
+    ledger), a window emitted twice across the restart boundary, or
+    watermark state lost at restart all break counts against the
+    oracle, which just aggregates the whole events table.  The
+    sentinel's own window is never sealed, so it never surfaces (and is
+    filtered defensively).  Scale: state is (event_type x open windows)
+    sized, epochs commit O(new files) manifests — the restart cost is
+    reading one checkpoint, independent of history length."""
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource
+
+    e = load_table(spark, sf_dir, "events")
+    _, table = _stream_dirs(sf_dir, "result_manifest_restart")
+    staging, ckpt = table + "_staging", table + "_ckpt"
+    done = table + "_done"
+
+    def start_query():
+        stream = pipeline.file_source(spark, staging, schema=e.schema, max_files_per_trigger=2)
+        agg = pipeline.windowed_aggregate_stream(
+            stream, ts_col="ts", key_col="event_type", window="5 minutes",
+            watermark="10 minutes", metrics=("value",),
+        ).select(
+            "event_type",
+            F.unix_seconds(F.col("window_start")).alias("window_start"),
+            "avg_value",
+            "min_value",
+            "max_value",
+            "reading_count",
+        )
+        return (
+            agg.writeStream.format("rtbd_manifest_sink")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    if not os.path.exists(done):
+        pydatasource.register_sink(spark)
+        bounds = e.agg(
+            F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+        ).first()
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+        # RUN 1: first event-time half, then a clean stop mid-feed
+        pipeline.stage_event_time_slices(
+            e.filter(F.unix_micros("ts") < mid), staging, ts_col="ts", n_slices=4
+        )
+        q1 = start_query()
+        q1.processAllAvailable()
+        q1.stop()
+        q1.awaitTermination(30)
+        # RUN 2: same checkpoint — recovered state continues the feed
+        pipeline.stage_event_time_slices(
+            e.filter(F.unix_micros("ts") >= mid), staging, ts_col="ts", n_slices=4
+        )
+        q2 = start_query()
+        q2.processAllAvailable()
+        # flush sentinel strictly AFTER the second half drains: +1 day
+        # pushes the watermark past every real window end
+        mx = e.agg(F.max("ts").alias("mx")).first()["mx"]
+        sentinel = spark.createDataFrame(
+            [(-1, mx, -1, "__flush__", 0.0, None)], schema=e.schema
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr("interval 1 day")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(staging)
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination(30)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    back, _m = pydatasource.read_manifest(spark, table)
+    return back.filter(F.col("event_type") != "__flush__")

@@ -102,3 +102,39 @@ def test_empty_overwrite_unsupported_schema_fails_loudly(spark, tmp_path):
     # own naming epoch
     old, _ = P.read_manifest(spark, path, version=2)
     assert old.columns == ["id", "kk"] and old.count() == 5
+
+
+# --- round-10 verdict item 3: the bench envelope rule is stamped -------------
+
+
+def test_bench_envelope_stamp_self_consistent():
+    """The envelope (normalized <= 20 s AND calibration_spread <= 0.2 s,
+    raw <= 24.5 s evaluated only near-idle) is computed and stamped by
+    bench.py itself; this asserts the committed BENCH_DETAIL.json's
+    envelope block is self-consistent with the file's own numbers under
+    exactly the constants in bench.py — a close note can say "envelope
+    held" only if the artifact agrees."""
+    import json
+    import os
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, root)
+    import bench
+
+    with open(os.path.join(root, "BENCH_DETAIL.json")) as fh:
+        d = json.load(fh)
+    if "envelope" not in d:
+        pytest.skip("BENCH_DETAIL.json predates the round-11 envelope rule")
+    env = d["envelope"]
+    assert env["normalized_ok"] == (
+        d["value_normalized"] <= bench.ENVELOPE_NORMALIZED_SEC
+    )
+    assert env["spread_ok"] == (d["calibration_spread"] <= bench.ENVELOPE_SPREAD_SEC)
+    assert env["within"] == (env["normalized_ok"] and env["spread_ok"])
+    if d["load_factor"] < 1.1:
+        assert env["raw_ok"] == (d["value"] <= bench.ENVELOPE_RAW_IDLE_SEC)
+    else:
+        assert env["raw_ok"] is None
+    assert str(bench.ENVELOPE_NORMALIZED_SEC) in env["rule"]
+    assert str(bench.ENVELOPE_SPREAD_SEC) in env["rule"]

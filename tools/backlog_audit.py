@@ -326,12 +326,12 @@ def main() -> None:
     b = compute_backlog()
     from real_time_big_data_iot_monitoring_pipeline_spark.plans import (
         DRIVER_WINDOW,
-        ROUND11_DRAFT,
+        ROUND12_DRAFT,
     )
 
     drained = [n for n in b["never_hashed"] if n in DRIVER_WINDOW]
     after = [n for n in b["never_hashed"] if n not in DRIVER_WINDOW]
-    uncovered = [n for n in after if n not in ROUND11_DRAFT]
+    uncovered = [n for n in after if n not in ROUND12_DRAFT]
     print(
         f"registry {b['n_registry']} | oracle-bearing {b['n_oracle_bearing']} "
         f"| ever-hashed {b['n_ever_hashed']} | never-hashed {b['n_never_hashed']}"
