@@ -213,12 +213,17 @@ ROUND11_OLDEST_COHORT: tuple[str, ...] = (
 # pinned here as DATA so the next rotation is mechanical.  MEMBERSHIP of
 # this prefix is suite-asserted against the live derivation (order
 # within it can shift as round-11 commits touch engine files — the
-# close stamp re-derives and re-pins exact order).  Leads with the 37
-# still-churned rows the 47-slot round-11 window could not fit
-# (round-10 verdict item 2: round 12 must drain them — backlog audit
-# then shows churned-unhashed = 0), followed by the non-churned
-# remainder strictly oldest-first (the 22 r2-cohort rows among them).
+# close stamp re-derives and re-pins exact order).  Leads with the 3
+# CUPED-family queries churned IN round 11 (the sf0.1 ANSI-overflow
+# fix — freshest unvalidated change first), then the 37 still-churned
+# rows the 47-slot round-11 window could not fit (round-10 verdict
+# item 2: round 12 must drain them — backlog audit then shows
+# churned-unhashed = 0), followed by the non-churned remainder
+# strictly oldest-first (the r2-cohort remainder among them).
 ROUND12_OLDEST_COHORT: tuple[str, ...] = (
+    "ab_cuped_adjustment",
+    "ab_power_mde",
+    "kfold_regression_stability",
     "stream_stateful_extremes",
     "stream_update_upsert",
     "curation_pipeline",
@@ -314,9 +319,6 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
     "bloom_prune_semijoin",
     "bpe_apply_tokenize",
     "bpe_pair_counts",
-    "bpe_train_merges",
-    "brand_basket_affinity",
-    "corpus_weighted_sample",
 )
 
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()

@@ -2871,9 +2871,15 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop that shrinks the experiment's confidence intervals —
     `ab_conversion_ztest`'s power upgrade.  Exactness: x, y are exact
     cents; theta/xbar are identically-derived doubles; each adjusted
-    value quantizes to centi-cents BEFORE the second-moment sums
-    (bounding sum(y2^2) within int64), so both variances come from
-    exact integer moments.  Plan: one per-user aggregate (map-side
+    value quantizes to centi-cents BEFORE the second-moment sums, and
+    the variance NUMERATORS (n*sum(v^2) - sum(v)^2) are computed in
+    DECIMAL(38,0) — exact to ~1e38 — because at sf0.1 row counts
+    sum(y2)^2 already exceeds int64 (found by the round-11 full-catalog
+    sweep: ANSI multiplyExact overflow in the final hash agg; the
+    DuckDB oracle was never at risk — its sums are int128).  The exact
+    integer numerator then divides as a double, so sf0.01 values are
+    bit-identical to the int64 formulation and the scale ceiling moves
+    to ~1e10 users.  Plan: one per-user aggregate (map-side
     combinable), a 1-row moment broadcast, one final hash agg."""
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("long")
@@ -2888,13 +2894,19 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("arm", (F.col("user_id") % 2).cast("int"))
     )
+    # theta moments in DECIMAL(38,0): n*sxy / sx*sy sit within ~20x of
+    # the int64 cliff at sf0.1 (ab_cuped_adjustment's final-agg
+    # numerators crossed the same cliff — round-11 sweep find); exact
+    # decimals move the ceiling to ~1e38, and the double cast of the
+    # exact integer matches the oracle's int128 arithmetic bit-for-bit
+    xdm, ydm = F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")
     mom = F.broadcast(
         per_user.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(xdm).alias("sx"),
+            F.sum(ydm).alias("sy"),
+            F.sum(xdm * xdm).alias("sxx"),
+            F.sum(xdm * ydm).alias("sxy"),
         ).select(
             F.expr(
                 "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
@@ -2908,30 +2920,23 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor((y - th * (x - xbar)) * 100 + 0.5 + 1e-8) AS BIGINT)").alias("y2"),
     )
     n = F.count(F.lit(1))
+    # second moments in DECIMAL(38,0): sum(v)^2 alone exceeds int64 at
+    # sf0.1 user counts (ANSI overflow, round-11 sweep find) — the
+    # decimal lattice keeps the numerator EXACT to ~1e38, matching the
+    # oracle's int128 sums value-for-value
+    yd = F.col("y").cast("decimal(38,0)")
+    y2d = F.col("y2").cast("decimal(38,0)")
+    nd = n.cast("decimal(38,0)")
+    var_y_num = nd * F.sum(yd * yd) - F.sum(yd) * F.sum(yd)
+    var_adj_num = nd * F.sum(y2d * y2d) - F.sum(y2d) * F.sum(y2d)
     return adj.groupBy("arm").agg(
         n.cast("long").alias("n_users"),
         round_det(F.sum("y") / (100.0 * n), 4).alias("mean_y"),
-        round_det(
-            (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
-            / (1.0 * n * (n - 1)),
-            4,
-        ).alias("var_y_cents2"),
+        round_det(var_y_num / (1.0 * n * (n - 1)), 4).alias("var_y_cents2"),
         round_det(F.sum("y2") / (10000.0 * n), 4).alias("mean_adj"),
+        round_det(var_adj_num / (10000.0 * n * (n - 1)), 4).alias("var_adj_cents2"),
         round_det(
-            (n * F.sum(F.col("y2") * F.col("y2")) - F.sum("y2") * F.sum("y2"))
-            / (10000.0 * n * (n - 1)),
-            4,
-        ).alias("var_adj_cents2"),
-        round_det(
-            (
-                F.lit(1.0)
-                - (
-                    (n * F.sum(F.col("y2") * F.col("y2")) - F.sum("y2") * F.sum("y2"))
-                    / 10000.0
-                )
-                / (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
-            )
-            * 100,
+            (F.lit(1.0) - (var_adj_num / 10000.0) / var_y_num) * 100,
             4,
         ).alias("var_reduction_pct"),
     )
@@ -2993,35 +2998,42 @@ def kfold_regression_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (day - F.col("d0")).alias("x"),
         as_cents(F.col("value")).alias("y"),
     )
+    # moments in DECIMAL(38,0): n*syy and sy*sy sit within ~10x of the
+    # int64 cliff at sf0.1 event counts (ab_cuped_adjustment's final
+    # agg crossed the same cliff — round-11 sweep find); the exact
+    # decimal lattice matches the oracle's int128 sums value-for-value
+    # and the OUTPUT n stays bigint for schema parity
+    xd, yd = F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")
     mom = rows_.groupBy("fold").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
     )
     return mom.select(
         "fold",
         "n",
         round_det(
             F.expr(
-                "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+                "CAST(nd * sxy - sx * sy AS DOUBLE) / CAST(nd * sxx - sx * sx AS DOUBLE)"
             ),
             8,
         ).alias("slope_cents_per_day"),
         round_det(
             F.expr(
                 "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
-                " - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+                " - CAST(nd * sxy - sx * sy AS DOUBLE) / CAST(nd * sxx - sx * sx AS DOUBLE)"
                 "   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
             ),
             6,
         ).alias("intercept_cents"),
         round_det(
             F.expr(
-                "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)"
-                " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"
+                "CAST(nd * sxy - sx * sy AS DOUBLE) * CAST(nd * sxy - sx * sy AS DOUBLE)"
+                " / (CAST(nd * sxx - sx * sx AS DOUBLE) * CAST(nd * syy - sy * sy AS DOUBLE))"
             ),
             6,
         ).alias("r2"),
@@ -3316,13 +3328,19 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("arm", (F.col("user_id") % 2).cast("int"))
     )
+    # theta moments in DECIMAL(38,0): n*sxy / sx*sy sit within ~20x of
+    # the int64 cliff at sf0.1 (ab_cuped_adjustment's final-agg
+    # numerators crossed the same cliff — round-11 sweep find); exact
+    # decimals move the ceiling to ~1e38, and the double cast of the
+    # exact integer matches the oracle's int128 arithmetic bit-for-bit
+    xdm, ydm = F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")
     mom = F.broadcast(
         per_user.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(xdm).alias("sx"),
+            F.sum(ydm).alias("sy"),
+            F.sum(xdm * xdm).alias("sxx"),
+            F.sum(xdm * ydm).alias("sxy"),
         ).select(
             F.expr(
                 "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
@@ -3335,14 +3353,20 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.expr("CAST(floor((y - th * (x - xbar)) * 100 + 0.5 + 1e-8) AS BIGINT)").alias("y2"),
     )
+    # second moments in DECIMAL(38,0): per-row y2*y2 alone approaches
+    # int64 at sf0.1 and the sums cross it well before 10x (same cliff
+    # as ab_cuped_adjustment — round-11 sweep find); the double
+    # conversions below are value-identical on the exact integers
+    yda = F.col("y").cast("decimal(38,0)")
+    y2da = F.col("y2").cast("decimal(38,0)")
     counts = adj.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(yda * yda).alias("syy"),
         F.sum("y2").cast("long").alias("sy2"),
-        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("sy2y2"),
+        F.sum(y2da * y2da).alias("sy2y2"),
     )
     raw = counts.select(
         F.lit("raw").alias("metric"),

@@ -138,3 +138,26 @@ def test_bench_envelope_stamp_self_consistent():
         assert env["raw_ok"] is None
     assert str(bench.ENVELOPE_NORMALIZED_SEC) in env["rule"]
     assert str(bench.ENVELOPE_SPREAD_SEC) in env["rule"]
+
+
+# --- sf0.1 ANSI-overflow pin (round-11 full-catalog sweep find) ---------------
+
+
+def test_cuped_family_survives_sf01_scale(spark):
+    """The round-11 sweep caught `ab_cuped_adjustment` overflowing int64
+    in its final hash agg at sf0.1 (sum(y2)^2 past 2^63 under ANSI
+    multiplyExact) — the first catalog query to fail ONLY at scale.
+    The CUPED family's second moments now ride a DECIMAL(38,0) lattice
+    (exact to ~1e38, value-identical at every scale below).  Pin: the
+    three hardened queries execute to completion at sf0.1, the scale
+    that crashed."""
+    import os
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not present")
+    for name in ("ab_cuped_adjustment", "kfold_regression_stability", "ab_power_mde"):
+        rows = REGISTRY[name].build(spark, sf01).collect()
+        assert rows, f"{name} returned no rows at sf0.1"

@@ -468,3 +468,66 @@ def test_checkpoint_commit_log_tamper_lands_exactly_once(spark, tmp_path):
     assert sorted(head["batches"]) == sorted(set(head["batches"])), "ledger dup"
     got = back.groupBy("sensor_id").count().collect()
     assert all(r["count"] == 600 for r in got)
+
+
+def _sigkill_victim(path):
+    """Runs in a forked child: stream an endless feed through the REAL
+    task-side writer so the parent can SIGKILL it mid-write (no
+    exception path, no abort — the process just dies)."""
+    from pyspark.sql import Row
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.sources import (
+        pydatasource as PP,
+    )
+
+    def rows():
+        i = 0
+        while True:
+            yield Row(id=i, v=i * 10)
+            i += 1
+
+    PP._write_part(path, rows())
+
+
+def test_sigkilled_worker_leaves_only_reclaimable_residue(spark, tmp_path):
+    """The hardest executor-death shape: the worker process is SIGKILLed
+    mid-part-write — no Python exception, no abort(), an open parquet
+    stream torn at an arbitrary byte.  The residue must be invisible to
+    every reader, later commits must proceed, and vacuum must reclaim it
+    past the retention grace (and spare it inside the grace window)."""
+    import multiprocessing as mp
+    import time
+
+    path = str(tmp_path / "sigkill")
+    _setup_two_commits(spark, path)
+    proc = mp.get_context("fork").Process(target=_sigkill_victim, args=(path,))
+    proc.start()
+    deadline = time.time() + 30
+    torn = []
+    while time.time() < deadline:
+        torn = [
+            f
+            for f in glob.glob(os.path.join(path, "_uncommitted_*"))
+            if os.path.getsize(f) > 0
+        ]
+        if torn:
+            break
+        time.sleep(0.05)
+    proc.kill()
+    proc.join()
+    assert torn, "victim never materialized its uncommitted part"
+    # invisible: head read and change feed unaffected
+    cols, rows, _ = _state(spark, path)
+    assert [r[0] for r in rows] == list(range(6))
+    # later commits proceed over the residue
+    _append_batch(path, [Row(id=i, v=i * 10) for i in range(6, 9)])
+    _, rows2, _ = _state(spark, path)
+    assert [r[0] for r in rows2] == list(range(9))
+    df, _ = P.read_change_feed(spark, path, since_version=0)
+    assert df.count() == 9
+    # retention grace spares it; aged-out reclamation removes it
+    P.vacuum(path, keep_versions=50, retention_seconds=600)
+    assert any(os.path.exists(t) for t in torn), "grace window violated"
+    P.vacuum(path, keep_versions=50, retention_seconds=0)
+    assert not glob.glob(os.path.join(path, "_uncommitted_*")), "SIGKILL residue leaked"
+    _state(spark, path)
