@@ -60,10 +60,16 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # queue (tools/backlog_audit.py::refresh_queue): rows whose
 # implementing code changed since their last green hash come first —
 # ordered by churn RECENCY, then hash age, then name — followed by
-# non-churned rows strictly oldest-first.  After this round ~51 of the
-# 84 round-10-churned rows remain (incl. the 22 r2-cohort rows); the
-# round-12 window drains them — backlog audit must then show
-# churned-unhashed = 0 (round-10 verdict item 2).
+# non-churned rows strictly oldest-first.  After this round 55 churned
+# rows await refresh: the 37 round-10-churned rows the 47-slot window
+# could not fit, PLUS the 14 queries the round-11 scale audit hardened
+# (decimal moments; each verified oracle-MATCH at sf0.01 AND sf0.1 on
+# this tree) and a handful of helper-churned neighbors.  55 > the 47
+# refresh slots a 2-registration round-12 window carries — the honest
+# cost of fixing real scale bugs mid-cycle: round 12 either trades its
+# registration slots for refresh or accepts a ~6-row spill to round 13
+# (the spilled rows would be freshly-verified scale-audit rows, the
+# lowest-risk class in the queue).
 #
 # Registered THIS round (the round-10 verdict's item 1; the round-10
 # freeze lapsed when its window landed green) — both have DuckDB
@@ -213,17 +219,33 @@ ROUND11_OLDEST_COHORT: tuple[str, ...] = (
 # pinned here as DATA so the next rotation is mechanical.  MEMBERSHIP of
 # this prefix is suite-asserted against the live derivation (order
 # within it can shift as round-11 commits touch engine files — the
-# close stamp re-derives and re-pins exact order).  Leads with the 3
-# CUPED-family queries churned IN round 11 (the sf0.1 ANSI-overflow
-# fix — freshest unvalidated change first), then the 37 still-churned
-# rows the 47-slot round-11 window could not fit (round-10 verdict
-# item 2: round 12 must drain them — backlog audit then shows
-# churned-unhashed = 0), followed by the non-churned remainder
-# strictly oldest-first (the r2-cohort remainder among them).
+# close stamp re-derives and re-pins exact order).  Leads with the 14
+# queries churned IN round 11 (the scale audit's decimal hardening —
+# freshest unvalidated change first; all 14 verified oracle-MATCH at
+# sf0.01 AND sf0.1 when hardened), then the 37 still-churned rows the
+# 47-slot round-11 window could not fit (round-10 verdict item 2:
+# round 12 must drain them — backlog audit then shows churned-unhashed
+# = 0), followed by the non-churned remainder strictly oldest-first
+# (the r2-cohort remainder among them).
 ROUND12_OLDEST_COHORT: tuple[str, ...] = (
+    "anova_value_by_type",
+    "text_zipf_fit",
+    "tfidf_similar_pairs",
+    "corpus_kl_drift",
+    "customer_spend_gini",
+    "heaps_law_vocab_growth",
     "ab_cuped_adjustment",
     "ab_power_mde",
+    "fdr_bh_correction",
+    "kendall_tau_daily",
     "kfold_regression_stability",
+    "mann_whitney_utest",
+    "spearman_qty_price",
+    "average_precision_doclen_lang",
+    "effect_size_cohens_d",
+    "fano_factor_burstiness",
+    "levene_variance_test",
+    "roc_auc_doclen_lang",
     "stream_stateful_extremes",
     "stream_update_upsert",
     "curation_pipeline",
@@ -304,21 +326,6 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
     "late_supplier_blame",
     "mad_anomaly",
     "market_share_by_year",
-    "null_rate_audit",
-    "order_month_streaks",
-    "order_priority_exists",
-    "promo_revenue_share",
-    "running_revenue_share",
-    "scd2_customer_history",
-    "small_qty_order_revenue",
-    "top_supplier_revenue",
-    "trailing_week_revenue",
-    "anova_value_by_type",
-    "asof_join_nearest",
-    "benford_digit_audit",
-    "bloom_prune_semijoin",
-    "bpe_apply_tokenize",
-    "bpe_pair_counts",
 )
 
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()

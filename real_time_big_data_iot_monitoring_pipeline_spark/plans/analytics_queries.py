@@ -689,7 +689,8 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("x").alias("s"),
-            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")).alias("ss"),
             F.count_distinct("event_type").cast("long").alias("k"),
         )
     )
@@ -1492,7 +1493,8 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         round_det(F.sum("cents") / 100.0, 2).alias("total_spend"),
         round_det(
-            (2.0 * F.sum(F.col("i") * F.col("cents")))
+            # decimal(38,0): rank*cents sums are n^2-law (round-11 scale audit)
+            (2.0 * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")))
             / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
@@ -1761,10 +1763,13 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ry2") - (F.col("n") + 1)).alias("dy"),
         )
     )
+    # decimal(38,0): rank-diff moments are n^3-law — already within 11x
+    # of int64 at sf0.1 (round-11 scale audit)
+    dxd, dyd = F.col("dx").cast("decimal(38,0)"), F.col("dy").cast("decimal(38,0)")
     mom = d.agg(
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(dxd * dyd).alias("sxy"),
+        F.sum(dxd * dxd).alias("sxx"),
+        F.sum(dyd * dyd).alias("syy"),
     )
     return mom.crossJoin(F.broadcast(tot)).select(
         F.col("n").cast("long").alias("n_rows"),
@@ -3935,7 +3940,8 @@ def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vc").alias("s"),
-        F.sum(F.col("vc") * F.col("vc")).alias("q"),
+        # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+        F.sum(F.col("vc").cast("decimal(38,0)") * F.col("vc").cast("decimal(38,0)")).alias("q"),
     )
     tot = F.broadcast(
         cells.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"), F.count(F.lit(1)).alias("m"))

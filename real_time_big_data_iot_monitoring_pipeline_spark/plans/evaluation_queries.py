@@ -371,7 +371,10 @@ def roc_auc_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tot").cast("long").alias("n"),
         F.sum("n_pos").cast("long").alias("n1"),
         (F.sum("n_tot") - F.sum("n_pos")).cast("long").alias("n0"),
-        F.sum(F.col("n_pos") * F.col("midrank2")).cast("long").alias("s2"),
+        # decimal(38,0): rank-sum is n^2-law (round-11 scale audit)
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)") * F.col("midrank2").cast("decimal(38,0)")
+        ).alias("s2"),
     )
     return (
         a.where((F.col("n1") > 0) & (F.col("n0") > 0))
@@ -381,7 +384,11 @@ def roc_auc_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n0",
             round_det(
-                (F.col("s2") - F.col("n1") * (F.col("n1") + 1))
+                (
+                    F.col("s2")
+                    - F.col("n1").cast("decimal(38,0)")
+                    * (F.col("n1") + 1).cast("decimal(38,0)")
+                )
                 / (2.0 * F.col("n1") * F.col("n0")),
                 6,
             ).alias("auc"),
@@ -731,10 +738,12 @@ def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("arm"),
         as_cents(F.col("value")).alias("vc"),
     )
+    # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+    vcd = F.col("vc").cast("decimal(38,0)")
     m = arms.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vc").alias("s"),
-        F.sum(F.col("vc") * F.col("vc")).alias("q"),
+        F.sum(vcd * vcd).alias("q"),
     )
     w = m.agg(
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
@@ -835,10 +844,12 @@ def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = v.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("vc") - F.col("med")).alias("z")
     )
+    # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+    zd = F.col("z").cast("decimal(38,0)")
     g = z.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("z").alias("s"),
-        F.sum(F.col("z") * F.col("z")).alias("q"),
+        F.sum(zd * zd).alias("q"),
     )
     tot = F.broadcast(
         g.agg(
@@ -951,7 +962,11 @@ def average_precision_doclen_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     a = terms.groupBy("source").agg(
         F.sum("n_pos").cast("long").alias("n1"),
-        F.sum(F.col("n_pos") * F.col("prec_nano")).cast("long").alias("s"),
+        # decimal(38,0): nano-quantized rank products are n*1e9-law
+        # (round-11 scale audit)
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)") * F.col("prec_nano").cast("decimal(38,0)")
+        ).alias("s"),
     )
     tot = g.groupBy("source").agg(F.sum("n_tot").cast("long").alias("n"))
     return (
@@ -1004,10 +1019,13 @@ def fano_factor_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.unix_seconds(F.col("ts")) / F.lit(86400)).cast("long").alias("day"),
     ).agg(F.count(F.lit(1)).alias("c"))
+    # decimal(38,0): per-day counts grow with corpus volume, so c*c is
+    # quadratic-in-volume per cell (round-11 scale audit)
+    cd = F.col("c").cast("decimal(38,0)")
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.sum(cd * cd).alias("q"),
     )
     return m.select(
         "event_type",

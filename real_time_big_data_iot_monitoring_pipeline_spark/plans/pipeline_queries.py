@@ -647,7 +647,11 @@ def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    norm2 = wt.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+    # decimal(38,0): micro-nat idf weights square to ~4e14 per term — a
+    # long document overflows int64 (round-11 scale audit)
+    norm2 = wt.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)")).alias("nn")
+    )
     rare = wt.filter(F.col("df").between(2, 10)).select("doc_id", "term")
     cand = (
         rare.alias("a")
@@ -666,7 +670,11 @@ def tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(wa, "id_a")
         .join(wb, (F.col("id_b") == F.col("wb_id")) & (F.col("tok_a") == F.col("tok_b")))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("d"))
+        .agg(
+            F.sum(
+                F.col("w_a").cast("decimal(38,0)") * F.col("w_b").cast("decimal(38,0)")
+            ).alias("d")
+        )
     )
     na = norm2.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("nn_a"))
     nb = norm2.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nn_b"))
@@ -969,10 +977,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLS slope/intercept of ln(freq) ~ ln(rank) — the corpus-statistics
     health check (natural text fits slope ~ -1; heavy machine spam or
     template boilerplate bends it).  Same exact-moment trick as the
-    closed-form regressions: ln values quantize to milli-nat integers,
-    so the five OLS moments are exact int64 sums under any partitioning
-    (milli not micro: x^2 sums must stay < 2^63 at million-term
-    vocabularies) and the two float divisions are fixed-order.  Ranks
+    closed-form regressions: ln values quantize to milli-nat integers
+    and the five OLS moments ride a DECIMAL(38,0) lattice — exact to
+    ~1e38 under any partitioning (the int64 formulation sat within
+    1.3x of 2^63 at sf0.1's ~3e5 shingle types; a 100 TB vocabulary is
+    far past it) — and the two float divisions are fixed-order.  Ranks
     come from `operators/windows.global_row_number` (range repartition +
     per-partition rank + 1-row broadcast offsets), so even a
     million-term vocabulary never funnels through a single-task
@@ -997,15 +1006,22 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mq = lambda c: F.floor(F.log(c.cast("double")) * 1000 + F.lit(0.5 + 1e-8)).cast("long")  # noqa: E731
     q = r.select(mq(F.col("rank")).alias("x"), mq(F.col("freq")).alias("y"))
+    # OLS moments on the DECIMAL(38,0) lattice: at sf0.1's ~3e5 shingle
+    # types n*sxx already sits at ~7e18 — within 1.3x of the int64 cliff
+    # the round-11 sweep caught in the CUPED family — and a 100 TB
+    # vocabulary (1e9+ types) is far past it; exact decimals move the
+    # ceiling to ~1e38 and match the oracle's int128 sums exactly
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nd, sxd, syd = dec(F.col("n")), dec(F.col("sx")), dec(F.col("sy"))
+    slope = (nd * F.col("sxy") - sxd * syd).cast("double") / (
+        nd * F.col("sxx") - sxd * sxd
     ).cast("double")
     return s.select(
         F.col("n").cast("long").alias("n_terms"),

@@ -143,14 +143,41 @@ def test_bench_envelope_stamp_self_consistent():
 # --- sf0.1 ANSI-overflow pin (round-11 full-catalog sweep find) ---------------
 
 
-def test_cuped_family_survives_sf01_scale(spark):
-    """The round-11 sweep caught `ab_cuped_adjustment` overflowing int64
-    in its final hash agg at sf0.1 (sum(y2)^2 past 2^63 under ANSI
-    multiplyExact) — the first catalog query to fail ONLY at scale.
-    The CUPED family's second moments now ride a DECIMAL(38,0) lattice
-    (exact to ~1e38, value-identical at every scale below).  Pin: the
-    three hardened queries execute to completion at sf0.1, the scale
-    that crashed."""
+# Every query whose integer sum-of-products law is super-linear in data
+# volume (or rides >=1e6 quanta), moved to the DECIMAL(38,0) lattice by
+# the round-11 scale audit.  The audit's trigger: the full-catalog sweep
+# caught `ab_cuped_adjustment` overflowing int64 at sf0.1 (sum(y2)^2
+# past 2^63 under ANSI multiplyExact) — the first catalog query to fail
+# ONLY at scale — and a source sweep of every integer moment site found
+# ten more within 1.3-100x of the same cliff (n^2 rank sums, n^3
+# rank-diff moments, quadratic-in-volume daily counts, micro/nano-
+# quantized products).  Sites bounded by STRUCTURE (hour grids,
+# <=k-row fits, bbox dimensions, name-frequency pairs) keep int64 with
+# documented headroom.
+_DECIMAL_HARDENED = (
+    "ab_cuped_adjustment",
+    "kfold_regression_stability",
+    "ab_power_mde",
+    "anova_value_by_type",
+    "customer_spend_gini",
+    "spearman_qty_price",
+    "fdr_bh_correction",
+    "roc_auc_doclen_lang",
+    "effect_size_cohens_d",
+    "levene_variance_test",
+    "average_precision_doclen_lang",
+    "fano_factor_burstiness",
+    "tfidf_similar_pairs",
+    "text_zipf_fit",
+)
+
+
+def test_decimal_hardened_queries_survive_sf01_scale(spark):
+    """Pin: every decimal-hardened query executes to completion at
+    sf0.1 — the scale where the int64 formulation first crashed (all
+    fourteen were verified value-identical against their DuckDB oracles
+    at sf0.01 AND sf0.1 when hardened; the oracles were never at risk —
+    DuckDB sums in int128)."""
     import os
 
     from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
@@ -158,6 +185,6 @@ def test_cuped_family_survives_sf01_scale(spark):
     sf01 = "/root/testdata/sf0.1"
     if not os.path.isdir(sf01):
         pytest.skip("sf0.1 fixtures not present")
-    for name in ("ab_cuped_adjustment", "kfold_regression_stability", "ab_power_mde"):
+    for name in _DECIMAL_HARDENED:
         rows = REGISTRY[name].build(spark, sf01).collect()
         assert rows, f"{name} returned no rows at sf0.1"
