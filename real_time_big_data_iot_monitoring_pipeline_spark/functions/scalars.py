@@ -131,9 +131,10 @@ def std_fixed(col: Column, decimals: int = 2, out: int = 4) -> Column:
     """Order-independent sample stddev via exact integer moments:
     var = (Σx² − (Σx)²/n) / (n−1) over the cents representation."""
     c = as_cents(col, decimals)
+    cd = c.cast("decimal(38,0)")  # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
     n = F.count(col).cast("double")
     sx = F.sum(c).cast("double")
-    sxx = F.sum(c * c).cast("double")
+    sxx = F.sum(cd * cd).cast("double")
     scale = float(10 ** decimals)
     return round_det(F.sqrt(F.try_divide(sxx - sx * sx / n, n - F.lit(1.0))) / F.lit(scale), out)
 
@@ -142,12 +143,14 @@ def corr_int(x: Column, y: Column, out: int = 4) -> Column:
     """Order-independent Pearson correlation of two INTEGER-valued columns
     via exact moments (corr is scale/shift-invariant, so fixed-decimal
     inputs are passed as their integer representations)."""
+    xd = x.cast("decimal(38,0)")  # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+    yd = y.cast("decimal(38,0)")
     n = F.count(F.lit(1)).cast("double")
     sx = F.sum(x).cast("double")
     sy = F.sum(y).cast("double")
-    sxx = F.sum(x * x).cast("double")
-    syy = F.sum(y * y).cast("double")
-    sxy = F.sum(x * y).cast("double")
+    sxx = F.sum(xd * xd).cast("double")
+    syy = F.sum(yd * yd).cast("double")
+    sxy = F.sum(xd * yd).cast("double")
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     # try_divide: ANSI mode errors on x/0; DuckDB yields NULL — match it.

@@ -65,9 +65,10 @@ def describe_stats(df: DataFrame, col: str) -> DataFrame:
     variation, range."""
     c = F.col(col)
     cc = as_cents(c)
+    ccd = cc.cast("decimal(38,0)")  # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
     n = F.count(c).cast("double")
     sx = F.sum(cc).cast("double")
-    sxx = F.sum(cc * cc).cast("double")
+    sxx = F.sum(ccd * ccd).cast("double")
     mean_u = sx / (F.lit(100.0) * F.count(c))
     # try_divide on every 0-able denominator: ANSI mode raises on x/0,
     # while the DuckDB oracle yields NULL — try_divide matches the oracle.

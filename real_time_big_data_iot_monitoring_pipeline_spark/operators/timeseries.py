@@ -217,13 +217,17 @@ def seasonal_anomaly_census(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(cents).alias("s1"),
-            F.sum(cents * cents).alias("s2"),
+            # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+            F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).alias("s2"),
         )
         .withColumn("mean_v", F.col("s1") / (100.0 * F.col("n")))
         .withColumn(
             "std_v",
             F.sqrt(
-                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+                )
                 / (F.col("n") * (F.col("n") - F.lit(1)).cast("double"))
             )
             / 100.0,

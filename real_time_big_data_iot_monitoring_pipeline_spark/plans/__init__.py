@@ -60,16 +60,13 @@ from real_time_big_data_iot_monitoring_pipeline_spark.plans.registry import REGI
 # queue (tools/backlog_audit.py::refresh_queue): rows whose
 # implementing code changed since their last green hash come first —
 # ordered by churn RECENCY, then hash age, then name — followed by
-# non-churned rows strictly oldest-first.  After this round 55 churned
-# rows await refresh: the 37 round-10-churned rows the 47-slot window
-# could not fit, PLUS the 14 queries the round-11 scale audit hardened
-# (decimal moments; each verified oracle-MATCH at sf0.01 AND sf0.1 on
-# this tree) and a handful of helper-churned neighbors.  55 > the 47
-# refresh slots a 2-registration round-12 window carries — the honest
-# cost of fixing real scale bugs mid-cycle: round 12 either trades its
-# registration slots for refresh or accepts a ~6-row spill to round 13
-# (the spilled rows would be freshly-verified scale-audit rows, the
-# lowest-risk class in the queue).
+# non-churned rows strictly oldest-first.  The round-11 scale audit's
+# second wave (shared helpers + the TPC-H revenue expression) widened
+# churn to most of the catalog — see the ROUND-11 AMENDMENT note above
+# ROUND12_OLDEST_COHORT: refresh proceeds effectively oldest-first,
+# every hardened value is bit-identical pre-cliff, and each
+# directly-edited query was verified oracle-MATCH at sf0.01 AND sf0.1
+# this round, so the wide churn carries no un-validated risk class.
 #
 # Registered THIS round (the round-10 verdict's item 1; the round-10
 # freeze lapsed when its window landed green) — both have DuckDB
@@ -219,44 +216,44 @@ ROUND11_OLDEST_COHORT: tuple[str, ...] = (
 # pinned here as DATA so the next rotation is mechanical.  MEMBERSHIP of
 # this prefix is suite-asserted against the live derivation (order
 # within it can shift as round-11 commits touch engine files — the
-# close stamp re-derives and re-pins exact order).  Leads with the 14
-# queries churned IN round 11 (the scale audit's decimal hardening —
-# freshest unvalidated change first; all 14 verified oracle-MATCH at
-# sf0.01 AND sf0.1 when hardened), then the 37 still-churned rows the
-# 47-slot round-11 window could not fit (round-10 verdict item 2:
-# round 12 must drain them — backlog audit then shows churned-unhashed
-# = 0), followed by the non-churned remainder strictly oldest-first
-# (the r2-cohort remainder among them).
+# close stamp re-derives and re-pins exact order).  ROUND-11 AMENDMENT:
+# the scale audit's second wave edited SHARED integer-moment helpers
+# (functions/scalars, operators/aggregates, the TPC-H revenue
+# expression), which churns a large fraction of the catalog at once
+# even under the new BINDING-level attribution (tools/backlog_audit.py:
+# an imported helper FUNCTION whose own def + same-file references are
+# unchanged no longer churns its users — that alone cut the wave from
+# 313 to 209 rows).  With churn that wide, the churned block orders by
+# hash age, so this prefix is effectively the OLDEST-HASHED 98 (the
+# d2/d3 cohorts first) — the correct priority anyway: every hardened
+# value is bit-identical pre-cliff, and each directly-edited query was
+# verified oracle-MATCH at sf0.01 AND sf0.1 on this tree.  The
+# churned-drain-to-zero target becomes multi-round by construction;
+# the signal re-sharpens as hashes land.
 ROUND12_OLDEST_COHORT: tuple[str, ...] = (
-    "anova_value_by_type",
-    "text_zipf_fit",
-    "tfidf_similar_pairs",
-    "corpus_kl_drift",
-    "customer_spend_gini",
-    "heaps_law_vocab_growth",
-    "ab_cuped_adjustment",
-    "ab_power_mde",
-    "fdr_bh_correction",
-    "kendall_tau_daily",
-    "kfold_regression_stability",
-    "mann_whitney_utest",
-    "spearman_qty_price",
-    "average_precision_doclen_lang",
-    "effect_size_cohens_d",
-    "fano_factor_burstiness",
-    "levene_variance_test",
-    "roc_auc_doclen_lang",
-    "stream_stateful_extremes",
-    "stream_update_upsert",
     "curation_pipeline",
     "dedup_components",
     "dedup_minhash_portable",
     "dedup_ngram_jaccard",
     "dedup_simhash_portable",
     "elapsed_seconds_feature",
+    "embedding_norm_stats",
+    "json_props_stats",
     "regression_quality_gate",
+    "resample_gap_fill",
+    "rollup_type_user",
+    "sessionize_events",
     "tfidf_top_terms",
+    "embedding_ivf_multiprobe_topk",
+    "histogram_equidepth",
+    "join_star_revenue",
+    "pricing_summary",
+    "resample_interpolate",
+    "returned_items_report",
+    "revenue_filter_agg",
     "rolling_median_smooth",
+    "salted_join_brand_revenue",
+    "salted_type_stats",
     "text_fingerprint",
     "text_lang_id",
     "text_normalize",
@@ -264,68 +261,74 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
     "text_repetition_ratio",
     "text_token_stats",
     "unigram_logprob_score",
+    "unshipped_orders_topk",
+    "volume_shipping",
     "bigram_logprob_score",
     "cms_heavy_hitters",
     "corpus_chunk_overlap",
     "corpus_pack_sequences",
+    "corpus_sample_mixture",
     "dedup_minhash_incremental",
+    "embedding_ivf_persisted_multiprobe",
+    "embedding_ivf_persisted_topk",
+    "embedding_lsh_topk_checked",
     "embedding_neardups_lsh_checked",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
     "text_pii_scrub",
     "text_redact_terms",
     "text_truncate_tokens",
     "vocab_build_topk",
-    "embedding_norm_stats",
-    "resample_gap_fill",
-    "sessionize_events",
-    "embedding_ivf_multiprobe_topk",
-    "resample_interpolate",
-    "salted_join_brand_revenue",
-    "salted_type_stats",
-    "json_props_stats",
-    "rollup_type_user",
-    "filter_equality",
-    "last_value_per_group",
-    "pivot_type_by_day",
-    "filter_compound_bool",
-    "grouped_percentiles",
-    "histogram_equidepth",
-    "join_dim_broadcast",
-    "join_star_revenue",
-    "outer_join_order_counts",
-    "pricing_summary",
-    "props_struct_extract",
-    "range_join_price_bands",
-    "rank_events_per_user",
-    "returned_items_report",
-    "revenue_filter_agg",
-    "semi_join_customers",
-    "set_ops_users",
-    "term_frequency",
-    "top_customers_by_revenue",
-    "unshipped_orders_topk",
-    "volume_shipping",
-    "acctbal_relative_standing",
-    "asof_join_forward_tolerance",
-    "bucketed_join_revenue",
-    "bucketed_key_lookup",
-    "cohort_retention",
-    "corpus_sample_mixture",
-    "customer_order_distribution",
-    "customer_order_gap_stats",
-    "disjunctive_part_revenue",
-    "embedding_ivf_persisted_multiprobe",
-    "embedding_ivf_persisted_topk",
-    "embedding_lsh_topk_checked",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "ewma_batch_per_user",
-    "fk_orphan_audit",
-    "funnel_conversion",
-    "idle_rich_customers",
-    "incremental_agg_merge",
-    "late_supplier_blame",
-    "mad_anomaly",
-    "market_share_by_year",
+    "anova_value_by_type",
+    "bpe_apply_tokenize",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "corpus_weighted_sample",
+    "customer_rfm_segments",
+    "dedup_cut_spans",
+    "dedup_exact_substring",
+    "dedup_survivorship",
+    "embedding_ann_recall",
+    "embedding_covariance_matrix",
+    "embedding_ivf_append_search",
+    "embedding_label_centroids",
+    "embedding_linear_probe",
+    "embedding_pq_topk",
+    "events_debounce",
+    "feature_standardize",
+    "lang_id_confusion_matrix",
+    "seasonal_anomaly_census",
+    "stream_stateful_extremes",
+    "stream_update_upsert",
+    "text_gopher_census",
+    "text_zipf_fit",
+    "tfidf_similar_pairs",
+    "vocab_oov_rate",
+    "corpus_kl_drift",
+    "customer_spend_gini",
+    "dedup_ngram_containment",
+    "describe_stats",
+    "domain_cap_sample",
+    "embedding_distance_histogram",
+    "entity_match_sorted_neighborhood",
+    "exact_quantiles_distributed",
+    "global_kpis",
+    "grouped_weighted_median",
+    "kaplan_meier_repurchase",
+    "pareto_frontier_customers",
+    "stream_dedup_then_window",
+    "stream_hysteresis_alerts",
+    "stream_outer_interval_join",
+    "stream_scd2_apply",
+    "stream_topn_per_window",
+    "twap_per_user",
+    "weighted_median_price",
+    "bigram_perplexity_score",
+    "boilerplate_ngram_census",
+    "corr_matrix",
+    "dedup_components_incremental_smalldelta",
+    "filter_yield_sweep",
+    "geo_status_map",
 )
 
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()

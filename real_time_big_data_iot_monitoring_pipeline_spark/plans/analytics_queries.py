@@ -1016,7 +1016,12 @@ def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     dur = F.col("next_us") - F.col("us")
     return seq.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
-        round_det(F.sum(F.col("val_cents") * dur) / (100.0 * F.sum(dur)), 4).alias("twap"),
+        # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+        round_det(
+            F.sum(F.col("val_cents").cast("decimal(38,0)") * dur.cast("decimal(38,0)"))
+            / (100.0 * F.sum(dur)),
+            4,
+        ).alias("twap"),
         F.sum(dur).cast("long").alias("span_us"),
     )
 
@@ -1572,21 +1577,29 @@ def mann_whitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = global_running_sum(g, ["cents"], "t", out="run").withColumn(
         "cb", F.col("run") - F.col("t")
     )
+    # decimal(38,0): exact past the int64 cliff (round-11 scale audit): rank sums are
+    # n^2-law and the tie term is n^3 on tie groups
+    ad, td = F.col("a").cast("decimal(38,0)"), F.col("t").cast("decimal(38,0)")
     s = r.agg(
         F.sum("a").alias("n1"),
         F.sum("t").alias("n"),
-        F.sum(F.col("a") * (2 * F.col("cb") + F.col("t") + 1)).alias("r1_twice"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum(ad * (2 * F.col("cb") + F.col("t") + 1).cast("decimal(38,0)")).alias("r1_twice"),
+        F.sum(td * td * td - td).alias("ties"),
     )
     n1, n = F.col("n1"), F.col("n")
-    num = F.col("r1_twice") - n1 * (n1 + 1) - n1 * (n - n1)
-    var = (n1 * (n - n1) / F.lit(12.0)) * (
+    n1d = n1.cast("decimal(38,0)")
+    num = (
+        F.col("r1_twice")
+        - n1d * (n1 + 1).cast("decimal(38,0)")
+        - n1d * (n - n1).cast("decimal(38,0)")
+    )
+    var = (n1d * (n - n1).cast("decimal(38,0)") / F.lit(12.0)) * (
         (n + 1) - F.col("ties") / (n.cast("double") * (n - 1))
     )
     return s.select(
         n1.cast("long").alias("n_click"),
         (n - n1).cast("long").alias("n_view"),
-        ((F.col("r1_twice") - n1 * (n1 + 1)) / F.lit(2.0)).alias("u_stat"),
+        ((F.col("r1_twice") - n1d * (n1 + 1).cast("decimal(38,0)")) / F.lit(2.0)).alias("u_stat"),
         F.col("ties").cast("long").alias("tie_term"),
         round_det(num / (F.lit(2.0) * F.sqrt(var)), 4).alias("z_score"),
     )

@@ -574,17 +574,22 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of row count."""
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+    centsd = cents.cast("decimal(38,0)")
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
+        F.sum(centsd * centsd).alias("s2"),
     )
     st = m.select(
         "event_type",
         (F.col("s1") / (100.0 * F.col("n"))).alias("mu"),
         (
             F.sqrt(
-                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+                )
                 / (F.col("n") * (F.col("n") - F.lit(1)).cast("double"))
             )
             / 100.0

@@ -242,7 +242,12 @@ def revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             round_det(
-                F.sum(as_cents(F.col("l_extendedprice")) * as_cents(F.col("l_discount"))) / 10000.0, 2
+                F.sum(
+                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                    * as_cents(F.col("l_discount")).cast("decimal(38,0)")
+                )
+                / 10000.0,
+                2
             ).alias("promo_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -285,7 +290,10 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             round_det(
-                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                F.sum(
+                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                ) / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -382,7 +390,10 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             round_det(
-                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                F.sum(
+                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                ) / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -477,7 +488,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             round_det(
-                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                F.sum(
+                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                ) / 10000.0,
                 2,
             ).alias("volume")
         )

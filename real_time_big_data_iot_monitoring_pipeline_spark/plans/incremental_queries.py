@@ -437,8 +437,10 @@ def _join_partials(o: DataFrame, li: DataFrame) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
+            # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
             F.sum(
-                as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))
+                as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
             ).alias("rev_micro"),
         )
     )

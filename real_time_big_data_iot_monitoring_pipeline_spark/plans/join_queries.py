@@ -95,7 +95,10 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             round_det(
-                F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+                F.sum(
+                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                ) / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -141,8 +144,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             round_det(F.sum("l_quantity"), 2).alias("sum_qty"),
             round_det(F.sum(epc) / 100.0, 2).alias("sum_base_price"),
-            round_det(F.sum(epc * (100 - dc)) / 10000.0, 2).alias("sum_disc_price"),
-            round_det(F.sum(epc * (100 - dc) * (100 + tc)) / 1000000.0, 2).alias("sum_charge"),
+            # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+            round_det(
+                F.sum(epc.cast("decimal(38,0)") * (100 - dc).cast("decimal(38,0)")) / 10000.0,
+                2,
+            ).alias("sum_disc_price"),
+            round_det(
+                F.sum(
+                    epc.cast("decimal(38,0)")
+                    * (100 - dc).cast("decimal(38,0)")
+                    * (100 + tc).cast("decimal(38,0)")
+                )
+                / 1000000.0,
+                2,
+            ).alias("sum_charge"),
             round_det(F.sum("l_quantity") / F.count("l_quantity"), 4).alias("avg_qty"),
             round_det(F.sum(epc) / (F.lit(100.0) * F.count(epc)), 4).alias("avg_price"),
             round_det(F.sum(dc) / (F.lit(100.0) * F.count(dc)), 4).alias("avg_disc"),

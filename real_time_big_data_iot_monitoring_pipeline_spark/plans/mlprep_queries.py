@@ -2069,15 +2069,17 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("nb"),
         F.sum("conf6").cast("long").alias("s_conf"),
         F.sum("o").cast("long").alias("s_o"),
-        F.sum((F.col("conf6") - F.col("o6")) * (F.col("conf6") - F.col("o6")))
-        .cast("long")
-        .alias("s_sq"),
+        # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
+        F.sum(
+            (F.col("conf6") - F.col("o6")).cast("decimal(38,0)")
+            * (F.col("conf6") - F.col("o6")).cast("decimal(38,0)")
+        ).alias("s_sq"),
     )
     tot = F.broadcast(
         b.agg(
             F.sum("nb").cast("long").alias("n"),
             F.sum("s_o").cast("long").alias("so"),
-            F.sum("s_sq").cast("long").alias("ssq"),
+            F.sum("s_sq").alias("ssq"),
         )
     )
     cbar = F.col("s_conf") / (1000000.0 * F.col("nb"))

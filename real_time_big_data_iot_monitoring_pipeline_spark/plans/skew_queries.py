@@ -74,7 +74,11 @@ def salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         round_det(
-            F.sum(as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))) / 10000.0,
+            F.sum(
+                as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+            )
+            / 10000.0,
             2,
         ).alias("revenue"),
     )

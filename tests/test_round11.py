@@ -169,6 +169,27 @@ _DECIMAL_HARDENED = (
     "fano_factor_burstiness",
     "tfidf_similar_pairs",
     "text_zipf_fit",
+    # second wave (catalog-wide audit tool, tools/overflow_audit.py):
+    # shared integer-moment helpers (std_fixed / corr_int /
+    # describe_stats / seasonal_anomaly_census), the TPC-H revenue
+    # product family (sum_charge crosses int64 near sf10), rank-sum
+    # U-test (n^2 + n^3 tie term), micro/nano-quanta products
+    "describe_stats",
+    "corr_matrix",
+    "seasonal_anomaly_census",
+    "feature_standardize",
+    "twap_per_user",
+    "mann_whitney_utest",
+    "brier_score_decomposition",
+    "revenue_filter_agg",
+    "unshipped_orders_topk",
+    "returned_items_report",
+    "volume_shipping",
+    "join_star_revenue",
+    "pricing_summary",
+    "salted_join_brand_revenue",
+    "incremental_join_delta",
+    "incremental_agg_merge",
 )
 
 
@@ -188,3 +209,24 @@ def test_decimal_hardened_queries_survive_sf01_scale(spark):
     for name in _DECIMAL_HARDENED:
         rows = REGISTRY[name].build(spark, sf01).collect()
         assert rows, f"{name} returned no rows at sf0.1"
+
+
+def test_overflow_audit_clean():
+    """Standing invariant: every integer sum-of-products site in the
+    catalog source is either DECIMAL-GUARDED or whitelisted as
+    structurally bounded with a recorded bound (tools/overflow_audit.py
+    — the mechanical form of the round-11 scale audit).  A new query
+    that sums an unguarded integer product fails here before it can
+    reintroduce the sf0.1 overflow class."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from overflow_audit import scan
+
+    out = scan()
+    assert out["n_flagged"] == 0, (
+        "unguarded integer sum-of-products sites (harden to decimal(38,0) "
+        f"or whitelist with a bound): {out['flagged']}"
+    )
+    assert out["n_guarded"] >= 48 and out["n_bounded"] >= 10

@@ -159,6 +159,23 @@ def _changed_since_round(rnd: int, repo: str = REPO) -> set[str] | None:
         return None
 
 
+def _non_def_residue(src: str) -> str:
+    """The module source with every top-level def/class segment removed —
+    the imports/constants a helper def could close over.  Compared at the
+    anchor vs the worktree to decide whether binding-level churn
+    granularity is sound for a file (see compute_churn)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    lines = src.splitlines()
+    drop: set[int] = set()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            drop.update(range(node.lineno - 1, (node.end_lineno or node.lineno)))
+    return "\n".join(l for i, l in enumerate(lines) if i not in drop)
+
+
 def _top_level_defs(src: str) -> dict[str, str]:
     """name -> source segment for every top-level def/class in `src`."""
     try:
@@ -292,9 +309,42 @@ def compute_churn(repo: str = REPO) -> dict:
                 continue
             if _re.search(rf"\b{_re.escape(binding)}\b", builder_src):
                 hits = _dep_closure(dep_file, repo, closure_memo) & changed
-                if hits:
-                    reasons.append(dep_file)
-                    implicated |= hits
+                if not hits:
+                    continue
+                # BINDING-level granularity (round-11): helper modules
+                # like functions/scalars.py are wide fan-out points just
+                # like the plans layer — a one-helper edit there used to
+                # churn every round_det user in the catalog (313/400
+                # after the scale audit), saturating the priority
+                # signal.  When the bound name is a top-level def of the
+                # DIRECTLY-bound file, that file is the only hit, and
+                # the file's non-def residue (imports/constants the def
+                # could close over) is unchanged, churn only if THAT
+                # def's source changed.  Module bindings, transitive
+                # hits, and residue changes keep the safe module-granular
+                # over-approximation.
+                if hits == {dep_file}:
+                    old_defs = defs(dep_file, anchors[rnd])
+                    new_defs = defs(dep_file, None)
+                    if (binding in old_defs or binding in new_defs) and _non_def_residue(
+                        _file_at(dep_file, anchors[rnd], repo)
+                    ) == _non_def_residue(_file_at(dep_file, None, repo)):
+                        # the bound def AND every same-file def it
+                        # references by name must be unchanged (a helper
+                        # calling a changed sibling helper still churns)
+                        body = new_defs.get(binding, old_defs.get(binding, ""))
+                        sibs = {
+                            d
+                            for d in set(old_defs) | set(new_defs)
+                            if d != binding and _re.search(rf"\b{_re.escape(d)}\b", body)
+                        }
+                        if all(
+                            old_defs.get(d) == new_defs.get(d)
+                            for d in sibs | {binding}
+                        ):
+                            continue
+                reasons.append(dep_file)
+                implicated |= hits
         if reasons:
             churned[name] = {
                 "last_round": rnd,
