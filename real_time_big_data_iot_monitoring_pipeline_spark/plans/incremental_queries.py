@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     as_cents,
+    sum_product_exact,
     round_det,
     utc_ts,
 )
@@ -438,9 +439,8 @@ def _join_partials(o: DataFrame, li: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
-            F.sum(
-                as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+            sum_product_exact(
+                as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))
             ).alias("rev_micro"),
         )
     )

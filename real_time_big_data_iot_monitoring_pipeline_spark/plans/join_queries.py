@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import (
     as_cents,
+    sum_product_exact,
     avg_fixed,
     round_det,
     utc_ts,
@@ -95,9 +96,9 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             round_det(
-                F.sum(
-                    as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                    * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+                sum_product_exact(
+                    as_cents(F.col("l_extendedprice"))
+                    * (100 - as_cents(F.col("l_discount")))
                 ) / 10000.0,
                 2,
             ).alias("revenue")
@@ -146,17 +147,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.sum(epc) / 100.0, 2).alias("sum_base_price"),
             # decimal(38,0): exact past the int64 cliff (round-11 scale audit)
             round_det(
-                F.sum(epc.cast("decimal(38,0)") * (100 - dc).cast("decimal(38,0)")) / 10000.0,
-                2,
+                sum_product_exact(epc * (100 - dc)) / 10000.0, 2
             ).alias("sum_disc_price"),
             round_det(
-                F.sum(
-                    epc.cast("decimal(38,0)")
-                    * (100 - dc).cast("decimal(38,0)")
-                    * (100 + tc).cast("decimal(38,0)")
-                )
-                / 1000000.0,
-                2,
+                sum_product_exact(epc * (100 - dc) * (100 + tc)) / 1000000.0, 2
             ).alias("sum_charge"),
             round_det(F.sum("l_quantity") / F.count("l_quantity"), 4).alias("avg_qty"),
             round_det(F.sum(epc) / (F.lit(100.0) * F.count(epc)), 4).alias("avg_price"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents, round_det
+from real_time_big_data_iot_monitoring_pipeline_spark.functions.scalars import as_cents, round_det, sum_product_exact
 from real_time_big_data_iot_monitoring_pipeline_spark.operators.skew import (
     salted_join,
     salted_value_stats,
@@ -74,9 +74,8 @@ def salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         round_det(
-            F.sum(
-                as_cents(F.col("l_extendedprice")).cast("decimal(38,0)")
-                * (100 - as_cents(F.col("l_discount"))).cast("decimal(38,0)")
+            sum_product_exact(
+                as_cents(F.col("l_extendedprice")) * (100 - as_cents(F.col("l_discount")))
             )
             / 10000.0,
             2,

@@ -229,4 +229,8 @@ def test_overflow_audit_clean():
         "unguarded integer sum-of-products sites (harden to decimal(38,0) "
         f"or whitelist with a bound): {out['flagged']}"
     )
-    assert out["n_guarded"] >= 48 and out["n_bounded"] >= 10
+    # (the TPC-H revenue family moved from decimal-guarded F.sum sites
+    # to the split-accumulator helper `sum_product_exact`, whose partial
+    # sums are Mult-free by construction — hence fewer guarded sites
+    # than wave 2's peak of 48)
+    assert out["n_guarded"] >= 35 and out["n_bounded"] >= 10
