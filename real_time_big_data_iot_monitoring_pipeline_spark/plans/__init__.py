@@ -245,9 +245,13 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
     "sessionize_events",
     "tfidf_top_terms",
     "embedding_ivf_multiprobe_topk",
+    "grouped_percentiles",
     "histogram_equidepth",
+    "join_dim_broadcast",
     "join_star_revenue",
+    "outer_join_order_counts",
     "pricing_summary",
+    "range_join_price_bands",
     "resample_interpolate",
     "returned_items_report",
     "revenue_filter_agg",
@@ -260,29 +264,54 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
     "text_quality_score",
     "text_repetition_ratio",
     "text_token_stats",
+    "top_customers_by_revenue",
     "unigram_logprob_score",
     "unshipped_orders_topk",
     "volume_shipping",
+    "acctbal_relative_standing",
     "bigram_logprob_score",
+    "bucketed_join_revenue",
+    "bucketed_key_lookup",
     "cms_heavy_hitters",
+    "cohort_retention",
     "corpus_chunk_overlap",
     "corpus_pack_sequences",
     "corpus_sample_mixture",
+    "customer_order_gap_stats",
     "dedup_minhash_incremental",
+    "disjunctive_part_revenue",
     "embedding_ivf_persisted_multiprobe",
     "embedding_ivf_persisted_topk",
     "embedding_lsh_topk_checked",
     "embedding_neardups_lsh_checked",
     "embedding_quantize_int8",
     "embedding_random_projection",
+    "ewma_batch_per_user",
+    "funnel_conversion",
+    "idle_rich_customers",
+    "incremental_agg_merge",
+    "mad_anomaly",
+    "market_share_by_year",
+    "null_rate_audit",
+    "order_month_streaks",
+    "order_priority_exists",
+    "promo_revenue_share",
+    "running_revenue_share",
+    "scd2_customer_history",
+    "small_qty_order_revenue",
     "text_pii_scrub",
     "text_redact_terms",
     "text_truncate_tokens",
+    "top_supplier_revenue",
+    "trailing_week_revenue",
     "vocab_build_topk",
     "anova_value_by_type",
+    "benford_digit_audit",
+    "bloom_prune_semijoin",
     "bpe_apply_tokenize",
     "bpe_pair_counts",
     "bpe_train_merges",
+    "brand_basket_affinity",
     "corpus_weighted_sample",
     "customer_rfm_segments",
     "dedup_cut_spans",
@@ -294,41 +323,12 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
     "embedding_label_centroids",
     "embedding_linear_probe",
     "embedding_pq_topk",
+    "event_markov_transitions",
     "events_debounce",
     "feature_standardize",
+    "holt_forecast_per_user",
+    "jsonl_ingest_audit",
     "lang_id_confusion_matrix",
-    "seasonal_anomaly_census",
-    "stream_stateful_extremes",
-    "stream_update_upsert",
-    "text_gopher_census",
-    "text_zipf_fit",
-    "tfidf_similar_pairs",
-    "vocab_oov_rate",
-    "corpus_kl_drift",
-    "customer_spend_gini",
-    "dedup_ngram_containment",
-    "describe_stats",
-    "domain_cap_sample",
-    "embedding_distance_histogram",
-    "entity_match_sorted_neighborhood",
-    "exact_quantiles_distributed",
-    "global_kpis",
-    "grouped_weighted_median",
-    "kaplan_meier_repurchase",
-    "pareto_frontier_customers",
-    "stream_dedup_then_window",
-    "stream_hysteresis_alerts",
-    "stream_outer_interval_join",
-    "stream_scd2_apply",
-    "stream_topn_per_window",
-    "twap_per_user",
-    "weighted_median_price",
-    "bigram_perplexity_score",
-    "boilerplate_ngram_census",
-    "corr_matrix",
-    "dedup_components_incremental_smalldelta",
-    "filter_yield_sweep",
-    "geo_status_map",
 )
 
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()
