@@ -2847,9 +2847,12 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events CROSS JOIN mn GROUP BY user_id
     ),
     mom AS (
+        -- second-moment sums stay HUGEINT (no BIGINT cast): they cross
+        -- 2^63 at the same scale the Spark side was decimal-hardened
+        -- for, and they only feed CAST(... AS DOUBLE) arithmetic below
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+               sum(x * x) AS sxx, sum(x * y) AS sxy
         FROM per_user
     ),
     theta AS (
@@ -2894,7 +2897,9 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) — exact to ~1e38 — because at sf0.1 row counts
     sum(y2)^2 already exceeds int64 (found by the round-11 full-catalog
     sweep: ANSI multiplyExact overflow in the final hash agg; the
-    DuckDB oracle was never at risk — its sums are int128).  The exact
+    DuckDB oracle's aggregate sums are int128, and round 12 removed the
+    BIGINT casts its CTEs put on the second-moment sums so the oracle
+    truly holds to ~1e38 too, not just to the same 2^63 cliff).  The exact
     integer numerator then divides as a double, so sf0.01 values are
     bit-identical to the int64 formulation and the scale ceiling moves
     to ~1e10 users.  Plan: one per-user aggregate (map-side
@@ -3278,9 +3283,12 @@ _Z_ALPHA, _Z_BETA = 1.959963984540054, 0.8416212335729143
         FROM events CROSS JOIN mn GROUP BY user_id
     ),
     mom AS (
+        -- second-moment sums stay HUGEINT (no BIGINT cast): they cross
+        -- 2^63 at the same scale the Spark side was decimal-hardened
+        -- for, and they only feed CAST(... AS DOUBLE) arithmetic below
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+               sum(x * x) AS sxx, sum(x * y) AS sxy
         FROM per_user
     ),
     theta AS (
@@ -3297,8 +3305,8 @@ _Z_ALPHA, _Z_BETA = 1.959963984540054, 0.8416212335729143
         SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(y2) AS BIGINT) AS sy2, CAST(sum(y2 * y2) AS BIGINT) AS sy2y2
+               CAST(sum(y) AS BIGINT) AS sy, sum(y * y) AS syy,
+               CAST(sum(y2) AS BIGINT) AS sy2, sum(y2 * y2) AS sy2y2
         FROM adj
     ),
     metric_variants AS (

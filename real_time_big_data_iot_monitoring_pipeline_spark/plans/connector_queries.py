@@ -1938,3 +1938,236 @@ def stream_schema_evolution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tails = tail.groupBy("sensor_id").agg(F.count(F.lit(1)).cast("long").alias("n_tail"))
     return full.join(tails, "sensor_id")
+
+
+@register(
+    "pyds_clone_vacuum_isolation",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT 'clone_head' AS side,
+           CAST(count(*) + 100 AS BIGINT) AS n_rows,
+           CAST(sum(temp_centi) + 100 * 3000 AS BIGINT) AS temp_centi_total,
+           4 AS src_files_reclaimed,
+           TRUE AS cross_table_intact
+    FROM feed
+    UNION ALL
+    SELECT 'src_head' AS side,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(temp_centi) AS BIGINT),
+           4, TRUE
+    FROM feed
+    ORDER BY side
+    """,
+    tags=(
+        "connector",
+        "python-datasource",
+        "shallow-clone",
+        "vacuum",
+        "cross-table",
+        "isolation",
+    ),
+)
+def pyds_clone_vacuum_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE REACHABILITY UNDER VACUUM (round-12 registration —
+    the oracle-checked twin of the round-11 multi-table crash sweeps,
+    tests/test_round11_machines.py:219-358): vacuum on a shallow
+    clone's SOURCE must never reclaim data files the clone still
+    references, and vacuum on the CLONE must never touch the source's
+    directory at all — the invariant Delta/Iceberg shallow clones need
+    before either table's retention job is safe to run unattended
+    (the reference persists to a single Postgres table,
+    ref:spark_streaming.py:52-75, where the hazard cannot even be
+    expressed).
+
+    Shape: the feed lands in the source as two appends (4 part files),
+    then a compaction overwrite (v3) makes those four files
+    reclaimable; `shallow_clone` references v3's files zero-copy; the
+    clone diverges with a 100-row append into its OWN directory.  Then
+    both retention jobs run with the tightest legal policy
+    (keep_versions=1, retention 0): the source's vacuum may reclaim
+    EXACTLY the 4 pre-compaction files (`src_files_reclaimed` pins the
+    count — one more would strand the clone, one fewer would leak);
+    the clone's vacuum must leave the source's directory listing
+    byte-identical and the clone readable (`cross_table_intact`).  The
+    hashed totals then prove both tables still read EXACTLY: source
+    head = the untouched feed, clone head = feed + its own append —
+    a reclaimed live file breaks the clone's count, a vacuum that
+    leaked into the source breaks the source's.  Scale: vacuum is
+    O(files below the horizon) metadata work; reachability is decided
+    per-manifest, never by scanning data."""
+    import glob
+    import tempfile
+
+    key = "_pyds_clone_vac_state"
+    state = getattr(pyds_clone_vacuum_isolation, key, None)
+    if state is None or not os.path.exists(state[0]):
+        base = tempfile.mkdtemp(prefix="rtbd_pyds_clonevac_")
+        src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        half = _N_ROWS // 2
+        for cond in (F.col("reading_id") < half, F.col("reading_id") >= half):
+            feed.filter(cond).repartition(2).write.format("rtbd_manifest_sink").option(
+                "path", src
+            ).mode("append").save()  # v1 + v2: four part files
+        live, _m = pydatasource.read_manifest(spark, src)
+        live.repartition(2).write.format("rtbd_manifest_sink").option("path", src).mode(
+            "overwrite"
+        ).save()  # v3 compaction: v1/v2's files become reclaimable
+        pydatasource.shallow_clone(src, dst)  # references v3 == src head
+        extra = spark.range(_N_ROWS, _N_ROWS + 100).selectExpr(
+            "id AS reading_id",
+            f"CAST(id % {_N_SENSORS} AS INT) AS sensor_id",
+            f"CAST({pydatasource.BASE_US} + id * {pydatasource.INTERVAL_US} AS BIGINT) AS ts_us",
+            "CAST(3000 AS INT) AS temp_centi",
+        )
+        extra.coalesce(1).write.format("rtbd_manifest_sink").option("path", dst).mode(
+            "append"
+        ).save()  # divergence: a dst-owned file
+        clone_pre = pydatasource.read_manifest(spark, dst)[0].count()
+        # retention on the SOURCE: reclaims exactly the 4 pre-compaction
+        # files; the head files the clone references must survive
+        audit = pydatasource.vacuum(src, keep_versions=1, retention_seconds=0)
+        src_listing = sorted(os.listdir(src))
+        # retention on the CLONE: may only touch dst-owned artifacts
+        pydatasource.vacuum(dst, keep_versions=1, retention_seconds=0)
+        intact = (
+            sorted(os.listdir(src)) == src_listing
+            and pydatasource.read_manifest(spark, dst)[0].count() == clone_pre
+        )
+        state = (src, dst, int(audit["n_files_removed"]), bool(intact))
+        setattr(pyds_clone_vacuum_isolation, key, state)
+    src, dst, n_reclaimed, intact = state
+
+    def side(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+            F.lit(n_reclaimed).cast("int").alias("src_files_reclaimed"),
+            F.lit(intact).alias("cross_table_intact"),
+        )
+
+    src_df, _ = pydatasource.read_manifest(spark, src)
+    clone_df, _ = pydatasource.read_manifest(spark, dst)
+    return side("src_head", src_df).unionByName(side("clone_head", clone_df)).orderBy("side")
+
+
+@register(
+    "stream_offset_cursor_audit",
+    oracle=f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(temp_centi) AS BIGINT) AS temp_centi_total,
+           TRUE AS ledger_unique,
+           TRUE AS replay_was_noop
+    FROM feed GROUP BY sensor_id
+    """,
+    tags=(
+        "connector",
+        "python-datasource",
+        "streaming-source",
+        "offset-cursor",
+        "checkpoint",
+        "replay",
+        "exactly-once",
+    ),
+)
+def stream_offset_cursor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MANIFEST STREAM TAIL UNDER AN INDUCED CURSOR REPLAY
+    (round-12 registration — the oracle-checked twin of the round-11
+    cursor-fault machine, tests/test_round11_machines.py:362-489):
+    output must stay EXACTLY-ONCE when the engine's offset cursor is
+    forced to replay — the contract the reference's Kafka consumer
+    leans on its broker for (ref:spark_streaming.py:125-130) expressed
+    against this engine's own table-as-stream offsets (the manifest
+    version IS the cursor).
+
+    Shape, three runs of the same table-to-table stream
+    (`rtbd_manifest_table` -> `rtbd_manifest_sink`, one checkpoint):
+    run 1 tails the feed's first two appends; then the checkpoint's
+    newest offsets+commits PAIR is erased — the on-disk image of an
+    engine that died after the sink committed the epoch but before the
+    checkpoint recorded it (the at-least-once window every streaming
+    engine has).  Run 2 re-plans that batch from the prior cursor and
+    re-commits it under the SAME batchId: the sink's epoch ledger must
+    drop the replay bit-exactly (`replay_was_noop` pins that the sink's
+    row count did not move).  Only after the replay drains does the
+    third append land — run 3's recovered cursor must emit it exactly
+    once.  The hashed result reads the SINK back: per-sensor counts
+    equal the plain feed formula (a doubled replay, a dropped epoch,
+    or a cursor that rewound past the replayed range all break it),
+    and `ledger_unique` pins that no batchId committed twice.  The
+    new-data append is sequenced strictly AFTER the replay drains
+    because a re-planned batch that also swallowed new offsets would
+    be deduped away with them — the documented batchId-idempotence
+    hazard this query is shaped to avoid and the docs pin.  Scale:
+    recovery reads one checkpoint + one ledger head, independent of
+    history length; each epoch commits O(new files) metadata."""
+    import tempfile
+
+    key = "_stream_cursor_state"
+    state = getattr(stream_offset_cursor_audit, key, None)
+    if state is None or not os.path.exists(state[0]):
+        base = tempfile.mkdtemp(prefix="rtbd_stream_cursor_")
+        src = os.path.join(base, "table")
+        out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+        pydatasource.register_sink(spark)
+        feed = _read(spark)
+        two_thirds = 2 * (_N_ROWS // 3)
+        half = two_thirds // 2
+        for cond in (
+            F.col("reading_id") < half,
+            (F.col("reading_id") >= half) & (F.col("reading_id") < two_thirds),
+        ):
+            feed.filter(cond).repartition(2).write.format("rtbd_manifest_sink").option(
+                "path", src
+            ).mode("append").save()
+
+        def run() -> None:
+            q = (
+                spark.readStream.format("rtbd_manifest_table")
+                .option("path", src)
+                .load()
+                .writeStream.format("rtbd_manifest_sink")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()  # run 1: drains the first two appends
+        n_before = pydatasource.read_manifest(spark, out)[0].count()
+        # forge the crash window: erase the newest offsets+commits pair
+        # (incl. Hadoop checksum sidecars — a stale .crc makes the
+        # replayed batch's log rename fail as phantom concurrent use)
+        newest = max(
+            int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+        )
+        for d in ("commits", "offsets"):
+            for f in (str(newest), f".{newest}.crc"):
+                p = os.path.join(ckpt, d, f)
+                if os.path.exists(p):
+                    os.remove(p)
+        run()  # run 2: induced replay of the final epoch -> ledger dedups
+        replay_noop = pydatasource.read_manifest(spark, out)[0].count() == n_before
+        feed.filter(F.col("reading_id") >= two_thirds).repartition(2).write.format(
+            "rtbd_manifest_sink"
+        ).option("path", src).mode("append").save()  # new data AFTER the replay drains
+        run()  # run 3: the recovered cursor emits the new commit exactly once
+        head = pydatasource.read_manifest(spark, out)[1]
+        ledger_unique = sorted(head["batches"]) == sorted(set(head["batches"]))
+        state = (out, bool(replay_noop), bool(ledger_unique))
+        setattr(stream_offset_cursor_audit, key, state)
+    out, replay_noop, ledger_unique = state
+    back, _ = pydatasource.read_manifest(spark, out)
+    return back.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.sum("temp_centi").cast("long").alias("temp_centi_total"),
+        F.lit(ledger_unique).alias("ledger_unique"),
+        F.lit(replay_noop).alias("replay_was_noop"),
+    )

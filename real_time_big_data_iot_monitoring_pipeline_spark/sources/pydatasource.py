@@ -2943,6 +2943,53 @@ def _append_deltas(path: str, since_version: int, to_version: int) -> list[dict]
     return out
 
 
+_INTEGRAL_LADDER = ("tinyint", "smallint", "int", "bigint")
+_FRACTIONAL_LADDER = ("float", "double")
+# max base-10 digits an integral type can need (bigint: 19 digits + sign
+# headroom -> 20, matching Spark's DecimalType.LongDecimal precision)
+_INTEGRAL_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
+
+def _widen_types(a: str, b: str) -> str | None:
+    """Spark-union-coercion twin for the change-feed compatibility gate:
+    the widened Spark type name for two conflicting column types, or
+    None when no common Spark type exists (int vs string).  Mirrors
+    Spark's findWiderTypeForTwo where it matters (round-11 ADVICE #3):
+    integral+fractional resolves to DOUBLE, never float — a float
+    result would silently lose integer precision above 2^24 — and
+    decimal conflicts widen component-wise (integral joins at its digit
+    count, fractional at double, capped at precision 38) instead of
+    refusing despite a common type existing."""
+    import re
+
+    if a == b:
+        return a
+    if a in _INTEGRAL_LADDER and b in _INTEGRAL_LADDER:
+        return max(a, b, key=_INTEGRAL_LADDER.index)
+    if a in _FRACTIONAL_LADDER and b in _FRACTIONAL_LADDER:
+        return max(a, b, key=_FRACTIONAL_LADDER.index)
+    if {a, b} <= set(_INTEGRAL_LADDER + _FRACTIONAL_LADDER):
+        return "double"
+
+    def dec_ps(t: str) -> tuple[int, int] | None:
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    pa, pb = dec_ps(a), dec_ps(b)
+    if pa and pb:
+        s = max(pa[1], pb[1])
+        i = max(pa[0] - pa[1], pb[0] - pb[1])
+        return f"decimal({min(38, i + s)},{s})"
+    for dec, other in ((pa, b), (pb, a)):
+        if dec:
+            if other in _INTEGRAL_LADDER:
+                i = max(dec[0] - dec[1], _INTEGRAL_DIGITS[other])
+                return f"decimal({min(38, i + dec[1])},{dec[1]})"
+            if other in _FRACTIONAL_LADDER:
+                return "double"
+    return None
+
+
 def read_change_feed(spark, path: str, since_version: int, to_version: int | None = None):
     """CHANGE-FEED (incremental) read of the manifest table: the rows
     ADDED by commits in (since_version, to_version], each tagged with
@@ -3050,20 +3097,19 @@ def read_change_feed(spark, path: str, since_version: int, to_version: int | Non
         # for the same column) are NOT incompatibilities: the batch
         # reader (`read_manifest(merge_schema=True)`, rename-group
         # union path) serves exactly these files through Spark's union
-        # type coercion, which resolves to the least-common numeric
-        # type — so the feed must too, or it contradicts the
+        # type coercion — so the feed must too, or it contradicts the
         # evolves-like-the-batch-reader contract.  Refuse only when no
         # common Spark type exists
         # (e.g. int vs string), which the union below cannot coerce.
-        numeric_widen = ("tinyint", "smallint", "int", "bigint", "float", "double")
         seen_types: dict[str, str] = {}
         for f in frames:
             for cname, ctype in f.dtypes:
                 prev_t = seen_types.setdefault(cname, ctype)
                 if prev_t == ctype:
                     continue
-                if prev_t in numeric_widen and ctype in numeric_widen:
-                    seen_types[cname] = max(prev_t, ctype, key=numeric_widen.index)
+                widened = _widen_types(prev_t, ctype)
+                if widened is not None:
+                    seen_types[cname] = widened
                     continue
                 raise RuntimeError(
                     f"change feed ({since_version}, {to_version}] spans an "

@@ -82,7 +82,7 @@ def compute_backlog(repo: str = REPO) -> dict:
 # at d6-d8.  Here we derive, per query, whether any file implementing it
 # changed since the commit that landed its latest green driver hash; churned
 # rows jump the oldest-first queue at the next rotation
-# (plans/__init__.py::ROUND11_OLDEST_COHORT leads with them as pinned data).
+# (plans/__init__.py::ROUND12_OLDEST_COHORT leads with them as pinned data).
 #
 # Attribution is FUNCTION-granular at the plans layer (the wide fan-out
 # point — a plans file holds dozens of unrelated builders) and
@@ -329,19 +329,25 @@ def compute_churn(repo: str = REPO) -> dict:
                     if (binding in old_defs or binding in new_defs) and _non_def_residue(
                         _file_at(dep_file, anchors[rnd], repo)
                     ) == _non_def_residue(_file_at(dep_file, None, repo)):
-                        # the bound def AND every same-file def it
-                        # references by name must be unchanged (a helper
-                        # calling a changed sibling helper still churns)
-                        body = new_defs.get(binding, old_defs.get(binding, ""))
-                        sibs = {
-                            d
-                            for d in set(old_defs) | set(new_defs)
-                            if d != binding and _re.search(rf"\b{_re.escape(d)}\b", body)
-                        }
-                        if all(
-                            old_defs.get(d) == new_defs.get(d)
-                            for d in sibs | {binding}
-                        ):
+                        # the bound def AND every same-file def reachable
+                        # from it by name must be unchanged (a helper
+                        # calling a changed sibling helper still churns).
+                        # TRANSITIVE closure, fixed-point over bodies
+                        # (round-11 ADVICE #1: the old depth-1 scan let a
+                        # sibling that itself calls a changed third
+                        # same-file def escape detection)
+                        all_defs = set(old_defs) | set(new_defs)
+                        reach = {binding}
+                        frontier = [binding]
+                        while frontier:
+                            body = new_defs.get(
+                                (d := frontier.pop()), old_defs.get(d, "")
+                            )
+                            for s in all_defs - reach:
+                                if _re.search(rf"\b{_re.escape(s)}\b", body):
+                                    reach.add(s)
+                                    frontier.append(s)
+                        if all(old_defs.get(d) == new_defs.get(d) for d in reach):
                             continue
                 reasons.append(dep_file)
                 implicated |= hits
@@ -376,12 +382,12 @@ def main() -> None:
     b = compute_backlog()
     from real_time_big_data_iot_monitoring_pipeline_spark.plans import (
         DRIVER_WINDOW,
-        ROUND12_DRAFT,
+        ROUND13_DRAFT,
     )
 
     drained = [n for n in b["never_hashed"] if n in DRIVER_WINDOW]
     after = [n for n in b["never_hashed"] if n not in DRIVER_WINDOW]
-    uncovered = [n for n in after if n not in ROUND12_DRAFT]
+    uncovered = [n for n in after if n not in ROUND13_DRAFT]
     print(
         f"registry {b['n_registry']} | oracle-bearing {b['n_oracle_bearing']} "
         f"| ever-hashed {b['n_ever_hashed']} | never-hashed {b['n_never_hashed']}"
