@@ -325,6 +325,77 @@ ROUND13_OLDEST_COHORT: tuple[str, ...] = (
     "text_gopher_census",
 )
 
+# Rotating sf0.1 EXECUTION cohort (round-11 verdict item 3).  The CUPED
+# find proved gate-scale green is NOT scale green: `ab_cuped_adjustment`
+# was green at the sf0.01 driver gate and overflowed int64 only at
+# sf0.1.  The overflow audit closes that CLASS mechanically, but other
+# scale-only classes (array builds, per-group explosion, exact
+# percentile memory) have no mechanical scan — so the suite EXECUTES a
+# rotating 40-query cohort at sf0.1 and compares it against DuckDB on
+# the same sf0.1 fixtures (tests/test_round12.py::
+# test_sf01_execution_cohort_oracle_match), covering the full catalog
+# every ~10 rounds.  Derivation is mechanical: all oracle-bearing
+# registry names sorted, chunked by 40; round N runs chunk
+# (N - 12) mod nchunks.  Pinned as DATA (and asserted == the live
+# derivation) so a registry change at rotation time re-pins loudly
+# instead of silently shifting the chunk boundaries mid-round.
+SF01_EXECUTION_ROUND = 12
+SF01_EXECUTION_CHUNK_SIZE = 40
+SF01_EXECUTION_COHORT: tuple[str, ...] = (
+    "ab_conversion_ztest",
+    "ab_cuped_adjustment",
+    "ab_power_mde",
+    "ab_sequential_monitoring",
+    "abc_classification",
+    "acctbal_decile_profile",
+    "acctbal_relative_standing",
+    "acf_hourly_means",
+    "alerts_threshold",
+    "anova_value_by_type",
+    "anti_join_customers",
+    "array_hof_surface",
+    "asof_join_events",
+    "asof_join_forward_tolerance",
+    "asof_join_nearest",
+    "association_rules_single_item",
+    "attribution_last_touch",
+    "attribution_position_weighted",
+    "audio_wav_features",
+    "average_precision_doclen_lang",
+    "avg_order_by_priority",
+    "backtest_rolling_origin",
+    "benford_digit_audit",
+    "benford_digit_census",
+    "bfs_shortest_hops",
+    "big_orders_customers",
+    "bigram_counts",
+    "bigram_logprob_score",
+    "bigram_perplexity_score",
+    "binaryfile_image_census",
+    "bitemporal_asof_belief",
+    "bitmap_distinct_users",
+    "bitmap_retention_intersect",
+    "bloom_prune_semijoin",
+    "bm25_search_topk",
+    "boilerplate_ngram_census",
+    "bpe_apply_tokenize",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+)
+
+
+def sf01_rotation_chunk(round_no: int, chunk_size: int = SF01_EXECUTION_CHUNK_SIZE) -> tuple[str, ...]:
+    """The derivation behind SF01_EXECUTION_COHORT (kept next to the pin
+    so the suite asserts pin == derivation every run)."""
+    import math
+
+    names = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+    nchunks = math.ceil(len(names) / chunk_size)
+    i = (round_no - 12) % nchunks
+    return tuple(names[i * chunk_size : (i + 1) * chunk_size])
+
+
 # Derived-arithmetic pins (asserted == tools/backlog_audit.compute_backlog()
 # by tests/test_plans.py::test_backlog_arithmetic_derived; update BOTH
 # when rotating — the test fails loudly on any hand-count drift):
@@ -365,5 +436,8 @@ __all__ = [
     "ROUND13_DRAFT",
     "ROUND12_OLDEST_COHORT",
     "ROUND13_OLDEST_COHORT",
+    "SF01_EXECUTION_ROUND",
+    "SF01_EXECUTION_COHORT",
+    "sf01_rotation_chunk",
     "ordered_registry",
 ]

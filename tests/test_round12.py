@@ -220,3 +220,62 @@ def test_perf_churn_stamp_matches_derivation():
         f"PERF.md churn stamp is stale (recorded {recorded} != derived "
         f"{derived}): re-run `python tools/close_stamp.py --write`"
     )
+
+
+# --- round-11 verdict #3: rotating sf0.1 EXECUTION + oracle cohort -----------
+
+
+_SF01_DIR = "/root/testdata/sf0.1"
+
+
+def test_sf01_cohort_pin_matches_derivation():
+    """The pinned sf0.1 cohort equals the mechanical derivation (all
+    oracle-bearing names sorted, chunk (round-12) mod nchunks) — a
+    registry change at rotation time re-pins loudly instead of silently
+    shifting chunk boundaries."""
+    from real_time_big_data_iot_monitoring_pipeline_spark import plans
+
+    assert plans.SF01_EXECUTION_COHORT == plans.sf01_rotation_chunk(
+        plans.SF01_EXECUTION_ROUND
+    )
+    assert len(plans.SF01_EXECUTION_COHORT) == plans.SF01_EXECUTION_CHUNK_SIZE
+
+
+@pytest.fixture(scope="module")
+def oracle_sf01():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{_SF01_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _sf01_cohort():
+    from real_time_big_data_iot_monitoring_pipeline_spark import plans
+
+    return plans.SF01_EXECUTION_COHORT
+
+
+@pytest.mark.parametrize("name", _sf01_cohort())
+def test_sf01_execution_cohort_oracle_match(name, spark, oracle_sf01):
+    """EXECUTE the rotating cohort at sf0.1 (10x the driver's gate
+    scale) and compare against DuckDB on the same sf0.1 fixtures — the
+    standing form of the sweep that caught the CUPED overflow: a query
+    green at every smaller scale but wrong-or-crashing at sf0.1 fails
+    here.  Full catalog coverage every ~10 rounds."""
+    import os
+
+    if not os.path.isdir(_SF01_DIR):
+        pytest.skip("sf0.1 fixtures not present")
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from tests.compare import assert_frames_match
+
+    q = REGISTRY[name]
+    spark_pdf = q.build(spark, _SF01_DIR).toPandas()
+    oracle_pdf = oracle_sf01.sql(q.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{name}@sf0.1")
