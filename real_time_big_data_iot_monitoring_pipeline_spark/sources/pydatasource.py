@@ -932,13 +932,47 @@ class ManifestStreamWriter(DataSourceStreamWriter):
     (`cf289ab`).  `abort` deletes the epoch's uncommitted parts."""
 
     def __init__(self, options, schema=None):
+        import hashlib
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("rtbd_manifest_sink requires a path option")
         self.arrow_schema = _spark_to_arrow_schema(schema) if schema is not None else None
+        # Epoch-ledger SCOPE (round 12): batchIds are per-QUERY counters
+        # (every engine query starts at 0), so a bare-batchId ledger
+        # cross-dedups CONCURRENT queries writing the same table — the
+        # second query's epoch 0 would be silently dropped as a
+        # "replay" of the first's (found by the round-12
+        # concurrent-streaming-sinks machine before any query hit it).
+        # The checkpoint location is the engine's durable identity for
+        # a query across restarts (the engine forwards it in the write
+        # options, lowercased), so scoped ledger entries are
+        # "<sha1(ckpt)[:12]>:<batchId>".  Writers constructed without a
+        # checkpoint (direct API use, single-writer by definition) keep
+        # the legacy bare-int entries.
+        ckpt = options.get("checkpointlocation") or options.get("checkpointLocation")
+        self.ledger_scope = (
+            hashlib.sha1(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+            if ckpt
+            else None
+        )
 
     def write(self, iterator):
         return _write_part(self.path, iterator, self.arrow_schema)
+
+    def _ledger_key(self, batchId: int):
+        return f"{self.ledger_scope}:{batchId}" if self.ledger_scope else batchId
+
+    def _replayed(self, batchId: int, batches: list) -> bool:
+        """Is this epoch already in the table?  Scoped queries also match
+        a legacy bare-int entry of the same batchId (pre-round-12 ledgers
+        were written by checkpointed single-writer queries, so across an
+        engine upgrade the int entry IS this query's own commit); direct
+        unscoped writers never match scoped entries."""
+        if self._ledger_key(batchId) in batches:
+            return True
+        return self.ledger_scope is not None and batchId in batches
 
     def commit(self, messages, batchId: int) -> None:
         import os
@@ -951,7 +985,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
             prev_rows = prev["n_rows"] if prev else 0
             prev_version = prev.get("version", 0) if prev else 0
             batches = prev.get("batches", []) if prev else []
-            if batchId in batches:
+            if self._replayed(batchId, batches):
                 # replayed epoch: the table already holds this batch —
                 # drop the re-written parts, publish nothing.  The parts
                 # may already carry their VISIBLE names: an epoch that
@@ -992,7 +1026,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 "version": prev_version + 1,
                 "files": sorted(prev_files + files),
                 "n_rows": prev_rows + n_new_rows,
-                "batches": batches + [batchId],
+                "batches": batches + [self._ledger_key(batchId)],
                 "file_columns": {**((prev or {}).get("file_columns", {})), **new_cols},
                 # footer stats per epoch commit give STREAMED tables the
                 # same zone maps batch commits get (pruned reads, targeted
