@@ -214,6 +214,16 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Staged-fixture dirs keyed by sf_dir (stage once per session+dataset).
+# NOT a bare function attribute: these stage sf_dir-DERIVED content, so a
+# scale-blind cache poisons any later call at another scale in the same
+# session (found by the round-12 sf0.1 rotation: the sf0.001 oracle-parity
+# leg staged binaryfile_image_census's 25-file corpus first, and the sf0.1
+# leg then read it back against a 250-row oracle).
+_SCHEMA_EVO_STAGED: dict[str, str] = {}
+_BINFILE_STAGED: dict[str, str] = {}
+
+
 @register(
     "parquet_schema_evolution",
     oracle="""
@@ -249,13 +259,15 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg formalize in metadata; here it is the raw-parquet
     version).  The audit counts per-generation presence and the exact
     cents total over the generation that HAS the column — a dropped or
-    misaligned column breaks the hash.  Staged once per session; the
-    read is the query."""
+    misaligned column breaks the hash.  Staged once per session PER
+    DATASET (keyed by sf_dir — a session-wide cache would serve one
+    dataset's staging to a query over another, the cross-scale
+    contamination the sf0.1 rotation caught in binaryfile_image_census);
+    the read is the query."""
     import os
     import tempfile
 
-    key = "_schema_evo_dir"
-    path = getattr(parquet_schema_evolution, key, None)
+    path = _SCHEMA_EVO_STAGED.get(sf_dir)
     if path is None or not os.path.exists(path):
         path = tempfile.mkdtemp(prefix="rtbd_schema_evo_") + "/t"
         o = load_table(spark, sf_dir, "orders")
@@ -267,7 +279,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v1.write.mode("overwrite").parquet(path)
         v2.write.mode("append").parquet(path)
-        setattr(parquet_schema_evolution, key, path)
+        _SCHEMA_EVO_STAGED[sf_dir] = path
     t = spark.read.option("mergeSchema", "true").parquet(path)
     return t.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -322,8 +334,7 @@ def binaryfile_image_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from real_time_big_data_iot_monitoring_pipeline_spark.operators import multimodal
 
-    key = "_binfile_dir"
-    path = getattr(binaryfile_image_census, key, None)
+    path = _BINFILE_STAGED.get(sf_dir)
     if path is None or not os.path.exists(path):
         path = tempfile.mkdtemp(prefix="rtbd_binfile_") + "/imgs"
         os.makedirs(path, exist_ok=True)
@@ -341,7 +352,7 @@ def binaryfile_image_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload = multimodal.png_encode(multimodal._synth_pixels(int(doc_id), 16, 16))
             with open(os.path.join(path, f"{doc_id}.png"), "wb") as f:
                 f.write(payload)
-        setattr(binaryfile_image_census, key, path)
+        _BINFILE_STAGED[sf_dir] = path
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")

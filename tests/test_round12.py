@@ -279,3 +279,70 @@ def test_sf01_execution_cohort_oracle_match(name, spark, oracle_sf01):
     spark_pdf = q.build(spark, _SF01_DIR).toPandas()
     oracle_pdf = oracle_sf01.sql(q.oracle).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"{name}@sf0.1")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 find #2 (caught BY the new sf0.1 rotation, first full-suite run):
+# staged-fixture session caches that ignore the dataset.
+# binaryfile_image_census cached its staged file corpus in a bare function
+# attribute, so the sf0.001 oracle-parity leg staged 25 PNGs and the sf0.1
+# rotation leg then read THEM back against a 250-row oracle — a wrong
+# answer from cross-DATASET contamination, invisible at any single scale.
+# (parquet_schema_evolution had the identical latent bug; every other
+# staging cache in plans/ already keys on sf_dir or stages fixed synthetic
+# content.)  Two pins: the behavior, and the pattern.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["binaryfile_image_census", "parquet_schema_evolution"])
+def test_staged_fixture_cache_keys_on_dataset(name, spark):
+    """Run the same staged-fixture query at two different sf_dirs in ONE
+    session, each against its own DuckDB oracle — the exact shape that
+    failed pre-fix (the second scale must restage, not reuse)."""
+    import os
+
+    import duckdb
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from tests.compare import assert_frames_match
+
+    q = REGISTRY[name]
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"{sf_dir} fixtures not present")
+        con = duckdb.connect()
+        for t in ("orders", "documents"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        spark_pdf = q.build(spark, sf_dir).toPandas()
+        oracle_pdf = con.sql(q.oracle).df()
+        assert_frames_match(spark_pdf, oracle_pdf, f"{name}@{sf_dir}")
+        con.close()
+
+
+def test_no_scale_blind_staging_cache():
+    """AST invariant over plans/*.py: a query function whose staging
+    reads fixture tables (load_table) must NOT cache that staging in a
+    bare function attribute (getattr/setattr on itself) — only in an
+    sf_dir-keyed store.  Function-attribute caches remain fine for the
+    pyds_*/stream_* family, whose staged content is fixed synthetic
+    data with no dataset dependence."""
+    import ast
+    import glob
+    import os
+
+    import real_time_big_data_iot_monitoring_pipeline_spark.plans as plans_pkg
+
+    plans_dir = os.path.dirname(plans_pkg.__file__)
+    offenders = []
+    for fn in sorted(glob.glob(os.path.join(plans_dir, "*.py"))):
+        src = open(fn).read()
+        for node in ast.walk(ast.parse(src)):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            body = ast.get_source_segment(src, node) or ""
+            if "load_table(" in body and "setattr(" in body and "getattr(" in body:
+                offenders.append(f"{os.path.basename(fn)}:{node.lineno} {node.name}")
+    assert not offenders, (
+        "sf_dir-dependent staging cached scale-blind (key the cache by "
+        f"sf_dir instead — see _BINFILE_STAGED): {offenders}"
+    )
