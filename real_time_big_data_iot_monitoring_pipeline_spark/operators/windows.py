@@ -94,6 +94,35 @@ def rolling_median(
     return df.withColumn(out, round_det(F.expr(f"percentile({col}, 0.5)").over(w), 4))
 
 
+def _ranged_pinned(df: DataFrame, cols) -> DataFrame:
+    """Range-repartition on the ordering, stamp ``spark_partition_id``,
+    and PIN the result with a lazy ``localCheckpoint`` before it is
+    consumed twice (the rank/prefix pass and the per-partition-count
+    pass that feeds the broadcast offset map).
+
+    The pin is load-bearing for CORRECTNESS, not a cache.  Without it
+    the two consumers compile to two INDEPENDENT range exchanges
+    (column pruning narrows the count branch's projection, so
+    ReuseExchange cannot dedup them), and nothing makes two executions
+    of a range exchange agree on partition identity: AQE coalesces each
+    exchange by ITS OWN runtime byte sizes (the narrow count branch
+    coalesces harder than the wide rank branch), and boundary sampling
+    is seeded per execution.  Divergent pid spaces feed an offset map
+    built for one partitioning into ranks computed under another —
+    observed as `layout_zorder_stats` at sf0.1 collapsing its 64 NTILE
+    buckets to 29 while every smaller scale stayed green (round-12
+    full-catalog sf0.1 sweep; the custkey layout in the same plan was
+    unaffected only because its two exchanges happened to coalesce
+    alike).  Materializing the ranged pass once makes every consumer
+    read the SAME physical partitions, and also REMOVES a full
+    key-column range shuffle (the count branch re-shuffled before).
+    The pin is executor-local MEMORY_AND_DISK with lineage truncation —
+    the same tradeoff `kcore_decomposition` already prices for its
+    iterative peeling."""
+    ranged = df.repartitionByRange(*cols).withColumn("_gnt_pid", F.spark_partition_id())
+    return ranged.localCheckpoint(eager=False)
+
+
 def global_ntile(df: DataFrame, order_cols, n: int, out: str = "band") -> DataFrame:
     """Exact NTILE(n) over a TOTAL order WITHOUT a data-sized global
     window — the scale-safe replacement for ``Window.orderBy`` banding
@@ -159,7 +188,7 @@ def global_running_sum(df: DataFrame, order_cols, weight_col: str, out: str = "r
     Requires a unique ordering — this is the scale-safe kernel for
     weighted medians / quantile fences / running shares."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*cols).withColumn("_gnt_pid", F.spark_partition_id())
+    ranged = _ranged_pinned(df, cols)
     local = ranged.withColumn(
         "_gnt_ws",
         F.sum(weight_col).over(
@@ -192,7 +221,7 @@ def global_running_max(
     rows"), and the first row's prefix is NULL.  Requires a unique
     ordering."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*cols).withColumn("_gnt_pid", F.spark_partition_id())
+    ranged = _ranged_pinned(df, cols)
     frame_end = 0 if inclusive else -1
     local = ranged.withColumn(
         "_gnt_lm",
@@ -244,7 +273,7 @@ def _global_rank(df: DataFrame, order_cols) -> DataFrame:
     range repartition + per-partition row_number + a P-entry broadcast
     offset map — no data-sized single-partition exchange anywhere."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*cols).withColumn("_gnt_pid", F.spark_partition_id())
+    ranged = _ranged_pinned(df, cols)
     local = ranged.withColumn(
         "_gnt_rn", F.row_number().over(Window.partitionBy("_gnt_pid").orderBy(*cols))
     )

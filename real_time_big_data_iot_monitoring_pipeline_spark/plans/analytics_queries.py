@@ -1236,9 +1236,9 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     arms AS (
         SELECT CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
-               CAST(sum(converted) FILTER (WHERE in_a) AS BIGINT) AS c_a,
+               CAST(COALESCE(sum(converted) FILTER (WHERE in_a), 0) AS BIGINT) AS c_a,
                CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS n_b,
-               CAST(sum(converted) FILTER (WHERE NOT in_a) AS BIGINT) AS c_b
+               CAST(COALESCE(sum(converted) FILTER (WHERE NOT in_a), 0) AS BIGINT) AS c_b
         FROM assign
     )
     SELECT n_a, c_a, n_b, c_b,

@@ -2039,8 +2039,9 @@ def bitmap_retention_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(grp) AS BIGINT) AS n_rows,
            CAST(min(grp) AS BIGINT) AS min_k,
            CAST(count(*) FILTER (WHERE grp < 5) AS BIGINT) AS classes_below_5,
-           CAST(sum(grp) FILTER (WHERE grp < 5) AS BIGINT) AS rows_below_5,
-           ROUND(sum(grp) FILTER (WHERE grp < 5) / CAST(sum(grp) AS DOUBLE) + 1e-8, 6)
+           CAST(COALESCE(sum(grp) FILTER (WHERE grp < 5), 0) AS BIGINT) AS rows_below_5,
+           ROUND(COALESCE(sum(grp) FILTER (WHERE grp < 5), 0)
+                 / CAST(sum(grp) AS DOUBLE) + 1e-8, 6)
                AS reidentifiable_rate
     FROM g
     """,
@@ -2832,8 +2833,9 @@ def nulls_ordering_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(grp) AS BIGINT) AS n_rows,
            CAST(min(l) AS BIGINT) AS min_l,
            CAST(count(*) FILTER (WHERE l < 3) AS BIGINT) AS classes_below_3,
-           CAST(sum(grp) FILTER (WHERE l < 3) AS BIGINT) AS rows_below_3,
-           ROUND(sum(grp) FILTER (WHERE l < 3) / CAST(sum(grp) AS DOUBLE) + 1e-8, 6)
+           CAST(COALESCE(sum(grp) FILTER (WHERE l < 3), 0) AS BIGINT) AS rows_below_3,
+           ROUND(COALESCE(sum(grp) FILTER (WHERE l < 3), 0)
+                 / CAST(sum(grp) AS DOUBLE) + 1e-8, 6)
                AS homogeneous_rate
     FROM g
     """,

@@ -346,3 +346,79 @@ def test_no_scale_blind_staging_cache():
         "sf_dir-dependent staging cached scale-blind (key the cache by "
         f"sf_dir instead — see _BINFILE_STAGED): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 finds #3/#4 (full-catalog sf0.1 oracle sweep — the one-shot run of
+# the rotation over all 398 oracle-bearing queries):
+#   #3 The global_* rank kernels (operators/windows.py) derived their
+#      broadcast offset map from a SECOND execution of the range exchange;
+#      AQE coalesces the wide rank exchange and the pruned count exchange
+#      differently, so the pid spaces diverge and the offsets corrupt the
+#      global ranks (layout_zorder_stats@sf0.1: 64 ntile buckets -> 29,
+#      max_span_day 127 -> 191; green at every smaller scale).  Fixed by
+#      pinning the ranged pass with a lazy localCheckpoint
+#      (windows._ranged_pinned) so both consumers read the SAME physical
+#      partitions — which also drops the count branch's full range shuffle.
+#   #4 Oracle SQL used `sum(x) FILTER (WHERE p)` where the Spark side uses
+#      sum(CASE WHEN p THEN x ELSE 0): over an EMPTY filter set SQL yields
+#      NULL, Spark yields 0 — invisible until a scale where the predicate
+#      first selects nothing (l_diversity_audit@sf0.1: no class has l<3).
+#      Oracles now COALESCE those sums (l_diversity/k_anonymity/ab_ztest);
+#      count FILTER and structurally-non-empty filters are unaffected.
+# ---------------------------------------------------------------------------
+
+_SWEEP_FOUND = [
+    "layout_zorder_stats",
+    "layout_hilbert_stats",
+    "l_diversity_audit",
+    "k_anonymity_audit",
+    "ab_conversion_ztest",
+]
+
+
+@pytest.mark.parametrize("name", _SWEEP_FOUND)
+def test_sf01_sweep_finds_stay_green(name, spark):
+    """Execute the round-12 sweep's finds (and their latent siblings) at
+    sf0.1 against DuckDB — the scale where each first went wrong."""
+    import os
+
+    import duckdb
+
+    if not os.path.isdir(_SF01_DIR):
+        pytest.skip("sf0.1 fixtures not present")
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from tests.compare import assert_frames_match
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{_SF01_DIR}/{t}.parquet'")
+    q = REGISTRY[name]
+    spark_pdf = q.build(spark, _SF01_DIR).toPandas()
+    oracle_pdf = con.sql(q.oracle).df()
+    con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{name}@sf0.1")
+
+
+def test_global_rank_kernels_pin_their_ranged_pass():
+    """AST invariant: every global_* kernel in operators/windows.py that
+    both range-repartitions and reads spark_partition_id must construct
+    its ranged frame through _ranged_pinned — a raw repartitionByRange
+    consumed twice reintroduces the divergent-pid-space wrong-answer
+    class (find #3)."""
+    import ast
+    import os
+
+    from real_time_big_data_iot_monitoring_pipeline_spark.operators import windows as W
+
+    src = open(os.path.abspath(W.__file__)).read()
+    offenders = []
+    for node in ast.walk(ast.parse(src)):
+        if not isinstance(node, ast.FunctionDef) or node.name == "_ranged_pinned":
+            continue
+        body = ast.get_source_segment(src, node) or ""
+        if ".repartitionByRange(" in body and "_gnt" in body:
+            offenders.append(node.name)
+    assert not offenders, (
+        f"kernels must build their ranged pass via _ranged_pinned: {offenders}"
+    )
