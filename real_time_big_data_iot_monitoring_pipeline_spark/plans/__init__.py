@@ -226,16 +226,43 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
 # close stamp re-derives and re-pins exact order).
 ROUND13_OLDEST_COHORT: tuple[str, ...] = (
     "anova_value_by_type",
+    "customer_rfm_segments",
+    "text_zipf_fit",
     "customer_spend_gini",
+    "entity_match_sorted_neighborhood",
+    "exact_quantiles_distributed",
+    "grouped_weighted_median",
+    "kaplan_meier_repurchase",
+    "pareto_frontier_customers",
     "twap_per_user",
+    "weighted_median_price",
+    "pad_waste_bucketing",
+    "regression_per_group",
+    "rolling_avg_20",
     "ab_cuped_adjustment",
     "ab_power_mde",
+    "abc_classification",
+    "binaryfile_image_census",
     "fdr_bh_correction",
     "kendall_tau_daily",
     "kfold_regression_stability",
     "ks_two_sample_test",
+    "ma_diff_trend",
     "mann_whitney_utest",
+    "nelson_aalen_hazard",
+    "parquet_schema_evolution",
+    "probe_calibration_ece",
+    "psi_value_drift",
     "spearman_qty_price",
+    "topn_per_group",
+    "trimmed_winsorized_means",
+    "layout_zorder_stats",
+    "quantile_normalize_feature",
+    "brier_score_decomposition",
+    "decision_stump_exact_split",
+    "layout_hilbert_stats",
+    "acctbal_decile_profile",
+    "embedding_kmeans_clusters",
     "pyds_bloom_point_lookup",
     "pyds_branch_tag_travel",
     "pyds_incremental_agg_from_cdf",
@@ -296,33 +323,6 @@ ROUND13_OLDEST_COHORT: tuple[str, ...] = (
     "bpe_apply_tokenize",
     "bpe_pair_counts",
     "bpe_train_merges",
-    "brand_basket_affinity",
-    "corpus_weighted_sample",
-    "customer_rfm_segments",
-    "dedup_cut_spans",
-    "dedup_exact_substring",
-    "dedup_survivorship",
-    "embedding_ann_recall",
-    "embedding_covariance_matrix",
-    "embedding_ivf_append_search",
-    "embedding_label_centroids",
-    "embedding_linear_probe",
-    "embedding_pq_topk",
-    "event_markov_transitions",
-    "events_debounce",
-    "feature_standardize",
-    "holt_forecast_per_user",
-    "jsonl_ingest_audit",
-    "lang_id_confusion_matrix",
-    "multi_grain_rollup",
-    "open_orders_backlog",
-    "seasonal_anomaly_census",
-    "ship_delay_profile",
-    "snapshot_cdc_diff",
-    "stream_stateful_extremes",
-    "stream_update_upsert",
-    "supplier_nation_share",
-    "text_gopher_census",
 )
 
 # Rotating sf0.1 EXECUTION cohort (round-11 verdict item 3).  The CUPED
