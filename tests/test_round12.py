@@ -422,3 +422,65 @@ def test_global_rank_kernels_pin_their_ranged_pass():
     assert not offenders, (
         f"kernels must build their ranged pass via _ranged_pinned: {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Config-axis pin (round-12 find #3 follow-through): the kernel bug was
+# CONFIG-dependent — wrong at local[32]/32 shuffle partitions, green at
+# local[8]/8 — because AQE coalescing divergence needs runtime byte-size
+# differences.  Full-scale config sweeps live in tools/driver_sim.py (env
+# overrides RTBD_SIM_TZ / RTBD_SIM_SHUFFLE / RTBD_SIM_MASTER; round-12 ran
+# the whole catalog green under America/New_York and under shuffle=200 at
+# sf0.1).  This suite-scale pin covers the axis the suite itself never
+# touches: the partition-sensitive kernel family under EXTREME shuffle
+# partition counts — 200 (cluster default: most partitions empty at suite
+# scale, the empty-pid edge for offset maps) and 5 (fewer partitions than
+# the default, boundary crowding).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shuffle", ["200", "5"])
+def test_kernel_queries_shuffle_partition_axis(shuffle, spark):
+    import ast
+    import glob
+    import os
+
+    import duckdb
+
+    from real_time_big_data_iot_monitoring_pipeline_spark import plans as plans_pkg
+    from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
+    from tests.compare import assert_frames_match
+
+    sf_dir = os.environ.get("RTBD_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # the kernel-using registered queries, derived (not hand-pinned) so a
+    # new global_* call site joins the axis automatically
+    names = set()
+    for fn in glob.glob(os.path.join(os.path.dirname(plans_pkg.__file__), "*.py")):
+        src = open(fn).read()
+        for node in ast.walk(ast.parse(src)):
+            if isinstance(node, ast.FunctionDef) and node.name in REGISTRY:
+                b = ast.get_source_segment(src, node) or ""
+                if any(k in b for k in (
+                    "global_ntile(", "global_row_number(",
+                    "global_running_sum(", "global_running_max(",
+                )):
+                    names.add(node.name)
+    assert len(names) >= 20, f"kernel family shrank unexpectedly: {sorted(names)}"
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    try:
+        for name in sorted(names):
+            q = REGISTRY[name]
+            assert_frames_match(
+                q.build(spark, sf_dir).toPandas(),
+                con.sql(q.oracle).df(),
+                f"{name}@shuffle={shuffle}",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        con.close()

@@ -32,8 +32,19 @@ def main() -> int:
     from real_time_big_data_iot_monitoring_pipeline_spark.plans import DRIVER_WINDOW, REGISTRY
     from real_time_big_data_iot_monitoring_pipeline_spark.session import get_session
 
-    spark = get_session(master="local[32]", shuffle_partitions=32,
-                        extra_conf={"spark.ui.enabled": "false"})
+    # Config-axis overrides (round-12: the global-rank kernel bug was
+    # CONFIG-dependent — wrong at local[32]/32 shuffle partitions, green
+    # at local[8]/8 — so the sweep must be runnable under the configs a
+    # real driver might use: its own timezone, a cluster-like shuffle
+    # partition count, a different core count).
+    extra = {"spark.ui.enabled": "false"}
+    if os.environ.get("RTBD_SIM_TZ"):
+        extra["spark.sql.session.timeZone"] = os.environ["RTBD_SIM_TZ"]
+    spark = get_session(
+        master=os.environ.get("RTBD_SIM_MASTER", "local[32]"),
+        shuffle_partitions=int(os.environ.get("RTBD_SIM_SHUFFLE", "32")),
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
