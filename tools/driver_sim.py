@@ -40,6 +40,8 @@ def main() -> int:
     extra = {"spark.ui.enabled": "false"}
     if os.environ.get("RTBD_SIM_TZ"):
         extra["spark.sql.session.timeZone"] = os.environ["RTBD_SIM_TZ"]
+    if os.environ.get("RTBD_SIM_AQE"):
+        extra["spark.sql.adaptive.enabled"] = os.environ["RTBD_SIM_AQE"]
     spark = get_session(
         master=os.environ.get("RTBD_SIM_MASTER", "local[32]"),
         shuffle_partitions=int(os.environ.get("RTBD_SIM_SHUFFLE", "32")),
