@@ -117,26 +117,31 @@ def minhash_signatures(
     """MinHash signature per document as ONE array column:
     sig[i] = min over shingles of xxhash64(shingle, i).
 
-    Per-shingle hashes are an array built by a single higher-order
-    `transform` (seeding by mixing the index into the hash input gives
-    `num_hashes` families from one JVM primitive); per-document the
-    element-wise mins are `num_hashes` min-aggregates packed into one
-    array on output — partial (map-side) aggregation applies, so the
-    shuffle carries one signature row per document, and downstream
-    operators see a single narrow array column instead of 64 named
-    columns (which measurably bloated codegen/planning on the bench).
-    The seed fan-out is row-exploded rather than an array transform:
-    higher-order array lambdas run interpreted, measured ~9x slower."""
+    Per-shingle the `num_hashes` seeded hashes are `num_hashes` flat
+    codegen expressions (`xxhash64(shingle, s)`), and the per-document
+    element-wise mins are `num_hashes` min-aggregates over ONE hash
+    aggregation keyed on the document id, packed into a single array
+    column on output.  This deliberately avoids BOTH slow shapes
+    measured on the bench: higher-order array lambdas (interpreted, no
+    whole-stage codegen — ~9x slower) and the seed-exploded row fan-out
+    (explode x num_hashes multiplies the rows entering the aggregation
+    hash map by num_hashes and needs a SECOND shuffle to re-pack the
+    (doc, seed) partial mins into the signature array — measured 0.82 s
+    -> 0.62 s at sf0.1 when the explode+double-agg was replaced by this
+    single wide aggregation; round-12 optimization).  Partial (map-side)
+    aggregation still applies — the shuffle carries one num_hashes-wide
+    partial row per (document x map partition), and downstream operators
+    see a single narrow array column instead of 64 named columns (which
+    measurably bloated codegen/planning on the bench)."""
     sh = word_shingles(df, id_col, text_col, k)
-    hh = sh.select(
-        id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
-    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
     return (
-        hh.select(id_col, "s", F.xxhash64(F.col("shingle"), F.col("s")).alias("a"))
-        .groupBy(id_col, "s")
-        .agg(F.min("a").alias("m"))
-        .groupBy(id_col)
-        .agg(F.expr("transform(array_sort(collect_list(struct(s, m))), x -> x.m)").alias("sig"))
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -359,23 +364,24 @@ def minhash_signatures_portable(
 ) -> DataFrame:
     """(id, sig) with the portable hash family
     h_i(s) = ((2i+1)*H(s) + 1000003*i) mod p — every stage reproducible
-    in ANSI SQL.  Seed fan-out as EXPLODED ROWS, not an array transform:
-    higher-order array lambdas run interpreted (no whole-stage codegen)
-    and measured ~9x slower than the row-exploded scalar expression +
-    min aggregation (27s -> 3s at sf0.1).  Rows stay map-side until the
-    (doc, seed) partial min."""
+    in ANSI SQL.  The base hash H(s) crosses the Arrow boundary ONCE per
+    shingle; the seed fan-out is `num_hashes` flat affine expressions
+    feeding `num_hashes` min-aggregates in ONE doc-keyed aggregation
+    (not an array transform — higher-order array lambdas run interpreted
+    and measured ~9x slower; not exploded rows either — the explode
+    multiplied aggregation-input rows by num_hashes and required a
+    second shuffle to re-pack the (doc, seed) mins; round-12
+    optimization, same rewrite as `minhash_signatures`)."""
     sh = word_shingles(df, id_col, text_col, k)
-    hh = sh.select(id_col, _portable_hash(F.col("shingle")).alias("h")).select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
-    )
+    hh = sh.select(id_col, _portable_hash(F.col("shingle")).alias("h"))
+    mins = [
+        F.min(((2 * s + 1) * F.col("h") + 1000003 * s) % PORTABLE_P).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
     return (
-        hh.select(
-            id_col, "s", (((2 * F.col("s") + 1) * F.col("h") + 1000003 * F.col("s")) % PORTABLE_P).alias("a")
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("a").alias("m"))
-        .groupBy(id_col)
-        .agg(F.expr("transform(array_sort(collect_list(struct(s, m))), x -> x.m)").alias("sig"))
+        hh.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig"))
     )
 
 

