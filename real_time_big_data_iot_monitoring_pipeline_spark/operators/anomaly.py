@@ -24,11 +24,19 @@ from pyspark.sql import functions as F
 
 
 def iqr_bounds(df: DataFrame, cols: Sequence[str], k: float = 1.5) -> DataFrame:
-    """One-row frame of (lower, upper) IQR fences per metric."""
+    """One-row frame of (lower, upper) IQR fences per metric.
+
+    Both quantiles of a metric come from ONE `percentile(c, array(.25,
+    .75))` aggregate: the exact-percentile buffer holds every value of
+    the column, so asking for q1 and q3 separately doubled the
+    aggregation state and the merge work per metric (2 buffers per
+    column -> 1; round-12 optimization — same interpolation, bit-equal
+    results)."""
     aggs = []
     for c in cols:
-        q1 = F.expr(f"percentile({c}, 0.25)")
-        q3 = F.expr(f"percentile({c}, 0.75)")
+        qs = F.expr(f"percentile({c}, array(0.25, 0.75))")
+        q1 = F.element_at(qs, 1)
+        q3 = F.element_at(qs, 2)
         iqr = q3 - q1
         aggs.append((q1 - F.lit(k) * iqr).alias(f"{c}_lower"))
         aggs.append((q3 + F.lit(k) * iqr).alias(f"{c}_upper"))

@@ -225,18 +225,28 @@ def tfidf_top_terms(
     toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")).filter(
         F.length("term") > 0
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # `tf` feeds BOTH the df-count aggregation and the scoring join:
+    # cache it so the corpus is tokenized+aggregated once, not once per
+    # reference (the un-cached plan re-ran the full explode+agg for each
+    # subtree AND let the planner broadcast the corpus-sized tf side;
+    # round-12 optimization).
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "term",
-        "df",
-        F.floor(
-            (F.log(F.col("n_docs").cast("double") / F.col("df")) + F.lit(1.0)) * F.lit(1e6)
-            + F.lit(0.5 + 1e-8)
+    # Broadcast the VOCABULARY-sized idf table, never the corpus-sized
+    # (doc, term) tf side: tf grows with the corpus, idf with the
+    # vocabulary — at 100 TB the former cannot be a build side.
+    idf = F.broadcast(
+        dfreq.crossJoin(F.broadcast(n_docs)).select(
+            "term",
+            "df",
+            F.floor(
+                (F.log(F.col("n_docs").cast("double") / F.col("df")) + F.lit(1.0)) * F.lit(1e6)
+                + F.lit(0.5 + 1e-8)
+            )
+            .cast("long")
+            .alias("idf_micro"),
         )
-        .cast("long")
-        .alias("idf_micro"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(), F.col("term"))
     return (

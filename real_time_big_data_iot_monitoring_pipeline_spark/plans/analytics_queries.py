@@ -498,7 +498,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    ranks = pagerank_micro(edges, iterations=3)
+    # broadcast_ranks: the trade graph's node set is customers ∪
+    # suppliers — dimension-bounded, never fact-sized — so the rank table
+    # broadcasts and the checkpointed edge table is never re-shuffled
+    # (3x SortMergeJoin -> BroadcastHashJoin; round-12 optimization)
+    ranks = pagerank_micro(edges, iterations=3, broadcast_ranks=True)
     return (
         ranks.filter(F.col("node") >= 10_000_000)
         .select((F.col("node") - 10_000_000).alias("s_suppkey"), "rank_micro")
