@@ -1761,11 +1761,16 @@ def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two LEFT equi-joins on those tables (broadcast at fixture scale,
     key-shuffled at corpus scale) — never a per-row Python LM."""
     docs = _docs(spark, sf_dir)
+    # cache the tokenized corpus: four independent subtrees read it (the
+    # unigram model, the bigram model, the eval bigrams, and the corpus
+    # totals) and each otherwise re-runs the split+filter tokenize over
+    # every document (measured 0.91 -> 0.82 s at sf0.1; the tokenize is
+    # the query's only full-corpus map — round-12 optimization)
     toks = docs.select(
         "doc_id",
         "source",
         F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0).alias("ws"),
-    )
+    ).cache()
     train = toks.where(F.col("doc_id") % 2 == 0)
     ev = toks.where(F.col("doc_id") % 2 == 1)
     uni = (
