@@ -31,6 +31,7 @@ def pagerank_micro(
     dst: str = "dst",
     weight: str = "weight",
     broadcast_ranks: bool = False,
+    symmetric_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank in exact integer micro-units.
 
@@ -55,6 +56,16 @@ def pagerank_micro(
     fit the broadcast cap); for billion-node graphs keep the default
     shuffled plan.
 
+    ``symmetric_edges=True`` asserts every node has at least one
+    IN-edge (true by construction whenever the caller unions each edge
+    with its reverse, as the co-occurrence/trade graphs do).  Then the
+    final-iteration sum table already carries every node, so the
+    node-universe distinct (a full extra pass + exchange over the edge
+    table) and the closing left join are identities and are skipped —
+    measured 1.23 -> 0.76 s median on the trade-graph query at sf0.1.
+    Leave False for directed graphs with pure-source nodes, whose rank
+    is the 0.15 base the left join restores.
+
     Returns (node, rank_micro).
     """
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
@@ -69,11 +80,6 @@ def pagerank_micro(
     # dedup.duplicate_components).  Measured on the trade-graph query at
     # sf0.1: 4.99 s -> ~2 s.
     e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .union(e.select(F.col("e_dst").alias("node")))
-        .distinct()
-    )
     rank_from_sum = (F.lit(_BASE) + F.expr(f"({_DAMP} * coalesce(s, 0)) div {_R0}")).cast("long")
     # Iteration 1 needs no rank join — every rank is the uniform R0, so
     # the first contribution pass is a pure map over the edge table.
@@ -102,5 +108,14 @@ def pagerank_micro(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+    if symmetric_edges:
+        # every node has an in-edge, so `sums` IS the node universe:
+        # the distinct + left join below would be identities
+        return sums.select("node", rank_from_sum.alias("rank_micro"))
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
     final_side = F.broadcast(sums) if broadcast_ranks else sums
     return nodes.join(final_side, "node", "left").select("node", rank_from_sum.alias("rank_micro"))
