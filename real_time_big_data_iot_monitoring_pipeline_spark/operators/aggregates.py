@@ -78,9 +78,13 @@ def describe_stats(df: DataFrame, col: str) -> DataFrame:
         round_det(mean_u, 4).alias("mean_v"),
         round_det(std_u, 4).alias("std_v"),
         F.min(c).alias("min_v"),
-        round_det(F.expr(f"percentile({col}, 0.25)"), 4).alias("q1"),
-        round_det(F.expr(f"percentile({col}, 0.5)"), 4).alias("median_v"),
-        round_det(F.expr(f"percentile({col}, 0.75)"), 4).alias("q3"),
+        # one percentile buffer for all three quartiles (the exact
+        # percentile aggregate holds every value of the column, so
+        # separate q1/median/q3 calls tripled the aggregation state —
+        # round-12 optimization; same interpolation, bit-equal)
+        round_det(F.element_at(F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))"), 1), 4).alias("q1"),
+        round_det(F.element_at(F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))"), 2), 4).alias("median_v"),
+        round_det(F.element_at(F.expr(f"percentile({col}, array(0.25, 0.5, 0.75))"), 3), 4).alias("q3"),
         F.max(c).alias("max_v"),
         round_det(F.try_divide(std_u, mean_u) * 100, 4).alias("cv_pct"),
         round_det(F.max(c) - F.min(c), 4).alias("range_v"),

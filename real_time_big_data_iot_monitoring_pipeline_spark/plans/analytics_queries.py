@@ -1227,8 +1227,9 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return means.agg(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
         round_det(F.avg("m"), 4).alias("boot_mean"),
-        round_det(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
-        round_det(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        # one buffer for both CI bounds (round-12: see aggregates.describe)
+        round_det(F.element_at(F.expr("percentile(m, array(0.025, 0.975))"), 1), 4).alias("ci_lo"),
+        round_det(F.element_at(F.expr("percentile(m, array(0.025, 0.975))"), 2), 4).alias("ci_hi"),
     )
 
 
@@ -3486,8 +3487,9 @@ def cluster_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return means.agg(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
         round_det(F.avg("m"), 4).alias("boot_mean"),
-        round_det(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
-        round_det(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        # one buffer for both CI bounds (round-12: see aggregates.describe)
+        round_det(F.element_at(F.expr("percentile(m, array(0.025, 0.975))"), 1), 4).alias("ci_lo"),
+        round_det(F.element_at(F.expr("percentile(m, array(0.025, 0.975))"), 2), 4).alias("ci_hi"),
     )
 
 

@@ -538,8 +538,9 @@ def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         round_det(F.sum("delay_days") / F.count(F.lit(1)).cast("double"), 4).alias("avg_delay"),
-        round_det(F.expr("percentile(delay_days, 0.5)"), 4).alias("median_delay"),
-        round_det(F.expr("percentile(delay_days, 0.95)"), 4).alias("p95_delay"),
+        # one buffer for both quantiles (round-12: see aggregates.describe)
+        round_det(F.element_at(F.expr("percentile(delay_days, array(0.5, 0.95))"), 1), 4).alias("median_delay"),
+        round_det(F.element_at(F.expr("percentile(delay_days, array(0.5, 0.95))"), 2), 4).alias("p95_delay"),
         F.max("delay_days").cast("long").alias("max_delay"),
     )
 
@@ -1276,10 +1277,11 @@ def funnel_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return conv.agg(
         F.count(F.lit(1)).cast("long").alias("n_converters"),
-        round_det(F.expr("percentile(delay_us, 0.25)") / 60000000.0, 4).alias("p25_minutes"),
-        round_det(F.expr("percentile(delay_us, 0.50)") / 60000000.0, 4).alias("p50_minutes"),
-        round_det(F.expr("percentile(delay_us, 0.75)") / 60000000.0, 4).alias("p75_minutes"),
-        round_det(F.expr("percentile(delay_us, 0.90)") / 60000000.0, 4).alias("p90_minutes"),
+        # one buffer for all four quantiles (round-12: see aggregates.describe)
+        round_det(F.element_at(F.expr("percentile(delay_us, array(0.25, 0.50, 0.75, 0.90))"), 1) / 60000000.0, 4).alias("p25_minutes"),
+        round_det(F.element_at(F.expr("percentile(delay_us, array(0.25, 0.50, 0.75, 0.90))"), 2) / 60000000.0, 4).alias("p50_minutes"),
+        round_det(F.element_at(F.expr("percentile(delay_us, array(0.25, 0.50, 0.75, 0.90))"), 3) / 60000000.0, 4).alias("p75_minutes"),
+        round_det(F.element_at(F.expr("percentile(delay_us, array(0.25, 0.50, 0.75, 0.90))"), 4) / 60000000.0, 4).alias("p90_minutes"),
     )
 
 

@@ -345,10 +345,11 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — per-group cost, no global sort."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        round_det(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
-        round_det(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
-        round_det(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
-        round_det(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        # one buffer for all four quantiles (round-12: see aggregates.describe)
+        round_det(F.element_at(F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))"), 1), 4).alias("q1"),
+        round_det(F.element_at(F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))"), 2), 4).alias("median_v"),
+        round_det(F.element_at(F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))"), 3), 4).alias("q3"),
+        round_det(F.element_at(F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))"), 4), 4).alias("p95"),
     )
 
 

@@ -207,10 +207,21 @@ def quantile_approx_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     justifies the swap, run on a sample or a canary slice."""
     e = load_table(spark, sf_dir, "events")
     qs = [0.5, 0.95, 0.99]
-    exact = [F.expr(f"percentile(value, {q})").alias(f"exact_p{int(q * 100)}") for q in qs]
+    # one exact-percentile buffer and ONE approx sketch for all three
+    # fractions (separate calls built three full-column buffers and
+    # three independent GK sketches; round-12: see aggregates.describe)
+    q_arr = ", ".join(str(q) for q in qs)
+    exact = [
+        F.element_at(F.expr(f"percentile(value, array({q_arr}))"), i + 1).alias(
+            f"exact_p{int(q * 100)}"
+        )
+        for i, q in enumerate(qs)
+    ]
     approx = [
-        F.expr(f"percentile_approx(value, {q}, 1000)").alias(f"approx_p{int(q * 100)}")
-        for q in qs
+        F.element_at(F.expr(f"percentile_approx(value, array({q_arr}), 1000)"), i + 1).alias(
+            f"approx_p{int(q * 100)}"
+        )
+        for i, q in enumerate(qs)
     ]
     out = e.groupBy("event_type").agg(*exact, *approx)
     errs = [
