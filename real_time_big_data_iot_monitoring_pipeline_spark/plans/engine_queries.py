@@ -571,7 +571,10 @@ def fuzzy_join_deletion1(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         sub_pairs.unionByName(indel)
         .distinct()
-        .filter(F.levenshtein("name_a", "name_b") == 1)
+        # banded verify (round-12): levenshtein with threshold=1 runs the
+        # O(band*n) early-exit DP and returns -1 past the band — the ==1
+        # predicate is value-identical to the unbounded distance
+        .filter(F.levenshtein("name_a", "name_b", 1) == 1)
     )
     deg = (
         pairs.select(F.col("name_a").alias("name"))

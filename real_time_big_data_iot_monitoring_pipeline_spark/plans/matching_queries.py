@@ -147,8 +147,11 @@ def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(blocked_pairs("substr(name, length(name) - 1, 2)"))
         .dropDuplicates(["name_l", "name_r"])
     )
+    # banded verify (round-12): threshold=2 runs the O(band*n) early-exit
+    # DP and returns -1 past the band; between(1, 2) keeps the identical
+    # pair set and the surviving distances (1 or 2) are exact either way
     hits = cand.withColumn(
-        "lev_distance", F.levenshtein(F.col("name_l"), F.col("name_r"))
+        "lev_distance", F.levenshtein(F.col("name_l"), F.col("name_r"), 2)
     ).filter(F.col("lev_distance").between(1, 2))
     one_dirty = F.col("name_l").contains("~") != F.col("name_r").contains("~")
     suffix_only = F.substring("name_l", 1, 2) != F.substring("name_r", 1, 2)
@@ -392,8 +395,11 @@ def entity_match_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("r.n_recs").alias("cnt_r"),
         )
         cand = joined if cand is None else cand.unionByName(joined)
+    # banded verify (round-12): threshold=2 runs the O(band*n) early-exit
+    # DP and returns -1 past the band; between(1, 2) keeps the identical
+    # pair set and the surviving distances (1 or 2) are exact either way
     hits = cand.withColumn(
-        "lev_distance", F.levenshtein(F.col("name_l"), F.col("name_r"))
+        "lev_distance", F.levenshtein(F.col("name_l"), F.col("name_r"), 2)
     ).filter(F.col("lev_distance").between(1, 2))
     one_dirty = F.col("name_l").contains("~") != F.col("name_r").contains("~")
     return hits.groupBy(F.col("lev_distance").cast("int").alias("lev_distance")).agg(
@@ -532,11 +538,12 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, r = clean.alias("l"), dirty.alias("r")
     score = (
         F.when(
-            F.levenshtein(F.col("l.phone"), F.col("r.phone")) <= 1,
+            # banded: distance<=1 iff threshold-1 levenshtein returns >=0
+            F.levenshtein(F.col("l.phone"), F.col("r.phone"), 1) >= 0,
             F.lit(_FS_W["phone"][0]),
         ).otherwise(F.lit(_FS_W["phone"][1]))
         + F.when(
-            F.levenshtein(F.col("l.name"), F.col("r.name")) <= 1,
+            F.levenshtein(F.col("l.name"), F.col("r.name"), 1) >= 0,
             F.lit(_FS_W["name"][0]),
         ).otherwise(F.lit(_FS_W["name"][1]))
         + F.when(
