@@ -225,25 +225,63 @@ ROUND12_OLDEST_COHORT: tuple[str, ...] = (
 # within it can shift as round-12 commits touch engine files — the
 # close stamp re-derives and re-pins exact order).
 ROUND13_OLDEST_COHORT: tuple[str, ...] = (
+    "dedup_minhash_incremental",
+    "embedding_neardups_lsh_checked",
+    "text_pii_scrub",
+    "text_redact_terms",
+    "text_truncate_tokens",
+    "vocab_build_topk",
     "anova_value_by_type",
+    "bpe_apply_tokenize",
+    "bpe_pair_counts",
+    "bpe_train_merges",
     "customer_rfm_segments",
+    "dedup_cut_spans",
+    "dedup_exact_substring",
+    "dedup_survivorship",
+    "entity_match_candidates",
+    "feature_standardize",
+    "lang_id_confusion_matrix",
+    "pagerank_trade_graph",
+    "ship_delay_profile",
+    "text_gopher_census",
     "text_zipf_fit",
+    "tfidf_similar_pairs",
+    "vocab_oov_rate",
+    "corpus_kl_drift",
     "customer_spend_gini",
+    "dedup_ngram_containment",
+    "describe_stats",
     "entity_match_sorted_neighborhood",
     "exact_quantiles_distributed",
+    "funnel_latency_profile",
+    "global_kpis",
     "grouped_weighted_median",
     "kaplan_meier_repurchase",
     "pareto_frontier_customers",
+    "poisson_bootstrap_ci",
     "twap_per_user",
     "weighted_median_price",
+    "bigram_perplexity_score",
+    "boilerplate_ngram_census",
+    "dedup_components_incremental_smalldelta",
+    "filter_yield_sweep",
+    "geo_status_map",
+    "heaps_law_vocab_growth",
+    "iqr_anomaly",
     "pad_waste_bucketing",
+    "pmi_collocations",
     "regression_per_group",
     "rolling_avg_20",
+    "text_readability_scores",
     "ab_cuped_adjustment",
     "ab_power_mde",
     "abc_classification",
     "binaryfile_image_census",
+    "bpe_train_merges_batched",
+    "cluster_bootstrap_ci",
     "fdr_bh_correction",
+    "histogram_value",
     "kendall_tau_daily",
     "kfold_regression_stability",
     "ks_two_sample_test",
@@ -256,73 +294,35 @@ ROUND13_OLDEST_COHORT: tuple[str, ...] = (
     "spearman_qty_price",
     "topn_per_group",
     "trimmed_winsorized_means",
+    "fuzzy_join_deletion1",
     "layout_zorder_stats",
+    "multimodal_phash_neardups",
     "quantile_normalize_feature",
+    "rag_context_packing",
+    "setsim_prefix_filter_join",
+    "tokenizer_fertility_by_lang",
     "brier_score_decomposition",
+    "cohens_kappa_agreement",
+    "corpus_shard_stats",
+    "corpus_token_budget",
+    "cube_type_day_stats",
     "decision_stump_exact_split",
+    "decontamination_overlap",
+    "dedup_canonical",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh_checked",
+    "dedup_simhash_checked",
+    "embedding_dedup_components",
+    "fellegi_sunter_linkage",
+    "kcore_decomposition",
     "layout_hilbert_stats",
+    "naive_bayes_lang_classifier",
     "acctbal_decile_profile",
+    "dedup_components_incremental",
+    "embedding_cosine_neardups",
     "embedding_kmeans_clusters",
-    "pyds_bloom_point_lookup",
-    "pyds_branch_tag_travel",
-    "pyds_incremental_agg_from_cdf",
-    "pyds_manifest_stream_tail",
-    "pyds_medallion_bronze_silver",
-    "pyds_mor_then_cow_delete",
-    "pyds_null_range_delete",
-    "pyds_optimize_zorder_pruning",
-    "pyds_pruned_read_logical",
-    "pyds_rename_evolution",
-    "pyds_shallow_clone_diverge",
-    "pyds_sink_change_feed",
-    "pyds_sink_check_constraint",
-    "pyds_sink_compaction",
-    "pyds_sink_delete_where",
-    "pyds_sink_merge_upsert",
-    "pyds_sink_mor_delete",
-    "pyds_sink_restore",
-    "pyds_sink_roundtrip",
-    "pyds_sink_schema_evolution",
-    "pyds_sink_stats_pruning",
-    "pyds_sink_time_travel",
-    "pyds_sink_vacuum",
-    "pyds_sink_write_audit_publish",
-    "pyds_stream_counts",
-    "pyds_stream_sink_roundtrip",
-    "stream_manifest_sink_restart",
-    "stream_schema_evolution_feed",
-    "dedup_minhash_incremental",
-    "disjunctive_part_revenue",
-    "embedding_ivf_persisted_multiprobe",
-    "embedding_ivf_persisted_topk",
-    "embedding_lsh_topk_checked",
-    "embedding_neardups_lsh_checked",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "ewma_batch_per_user",
-    "funnel_conversion",
-    "idle_rich_customers",
-    "incremental_agg_merge",
-    "mad_anomaly",
-    "market_share_by_year",
-    "null_rate_audit",
-    "order_month_streaks",
-    "order_priority_exists",
-    "promo_revenue_share",
-    "running_revenue_share",
-    "scd2_customer_history",
-    "small_qty_order_revenue",
-    "text_pii_scrub",
-    "text_redact_terms",
-    "text_truncate_tokens",
-    "top_supplier_revenue",
-    "trailing_week_revenue",
-    "vocab_build_topk",
-    "benford_digit_audit",
-    "bloom_prune_semijoin",
-    "bpe_apply_tokenize",
-    "bpe_pair_counts",
-    "bpe_train_merges",
+    "multimodal_decode",
+    "multimodal_frame_sample",
 )
 
 # Rotating sf0.1 EXECUTION cohort (round-11 verdict item 3).  The CUPED
