@@ -225,6 +225,7 @@ def main() -> None:
     print(f"calibration probe (pre): {probes[0]:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    build_secs: dict[str, float] = {}
     quartiles = {(len(HEADLINE) * k) // 4 for k in (1, 2, 3)}
     for qi, name in enumerate(HEADLINE):
         if qi in quartiles:
@@ -235,19 +236,30 @@ def main() -> None:
                 file=sys.stderr,
             )
         q = REGISTRY[name]
-        df = q.build(spark, sf_dir)  # plan construction + any bounded
-        # seed collects (kmeans_refine etc.) happen here, untimed
-        # Force analysis + Catalyst optimization + physical planning
-        # untimed too: driver-side plan compilation is not engine work
-        # (codegen compile + execution still land inside the timed save).
-        # explain() materializes the executed plan via the PUBLIC API;
-        # swallow its stdout.
-        import contextlib
-        import io
-
-        with contextlib.redirect_stdout(io.StringIO()):
-            df.explain("formatted")
+        # Round-13 (round-12 verdict "What's wrong #1" / next-round #2):
+        # the timer now starts BEFORE q.build().  build() was untimed on
+        # the theory that it is "plan construction + bounded seed
+        # collects", but eager localCheckpoints (kcore's base edge set,
+        # pagerank_micro's weighted edge table, the BPE word tables)
+        # EXECUTE real engine work during build() — leaving them untimed
+        # made every added checkpoint move work out of the timed region.
+        #
+        # One untimed staging pass first: queries that model an AT-REST
+        # layout (bucketed tables, the persisted IVF index, the
+        # incremental component store) write that fixture on their FIRST
+        # build() per sf_dir and memoize only the PATH — that is input
+        # layout, not engine work (the long-standing HEADLINE framing).
+        # Eager checkpoints are NOT memoized: they re-execute inside the
+        # timed build() below, so checkpoint work is now honestly timed.
+        q.build(spark, sf_dir)
+        # Timed region = a fresh build() + the noop save: driver-side
+        # plan compilation (tens of ms) rides along, identical for every
+        # query and round-comparable; build_sec is stamped per query in
+        # BENCH_DETAIL so the split stays visible.  The old-methodology
+        # numbers are preserved in OPTIMIZATION_r13.md for the re-baseline.
         t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        build_secs[name] = round(time.perf_counter() - t0, 3)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
@@ -354,6 +366,10 @@ def main() -> None:
         "queries_normalized": {
             n: round(t / load_factor_applied, 3) for n, t in timings.items()
         },
+        # per-query build() share of the timed number (plan construction,
+        # bounded seed collects, eager checkpoints) — kept visible so the
+        # timed-region change above stays auditable
+        "queries_build_sec": build_secs,
         "calibration_sec": calibration_sec,
         "calibration_samples": probes,
         "calibration_spread": calibration_spread,

@@ -174,8 +174,15 @@ def histogram_equidepth(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
     (same linear interpolation — `grouped_percentiles` proves it), so
     bucket membership is exact."""
     qs = [(i + 1) / nbins for i in range(nbins - 1)]
+    # ONE exact-percentile buffer for all nbins-1 cutpoints (round-13,
+    # guide §5 — the round-12 iqr_bounds consolidation applied here):
+    # nbins-1 scalar percentile() calls each hold EVERY value of the
+    # column in their own aggregation buffer; the array form computes the
+    # identical interpolated cutpoints from a single buffer.
+    q_arr = ", ".join(str(q) for q in qs)
+    cut_arr = F.expr(f"percentile({col}, array({q_arr}))")
     cuts = df.agg(
-        *[F.expr(f"percentile({col}, {q})").alias(f"_c{i}") for i, q in enumerate(qs)]
+        *[F.element_at(cut_arr, i + 1).alias(f"_c{i}") for i in range(len(qs))]
     )
     bin_expr = sum(
         F.when(F.col(col) > F.col(f"_c{i}"), 1).otherwise(0) for i in range(nbins - 1)

@@ -205,8 +205,16 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 5,
+    broadcast_idf: bool = True,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
+
+    `broadcast_idf` (round-12 ADVICE): the idf build side is VOCABULARY-
+    sized, not corpus-sized — natural-language vocabularies plateau in
+    the tens of millions of terms (a few hundred MB as (term, df, long)
+    rows), inside broadcast range but NOT unbounded; a caller whose term
+    space is open-ended (URLs, k-mers) passes False to keep the shuffled
+    term-keyed join reachable instead of failing on the 8 GB broadcast cap.
 
     tf = term count in the doc; idf = ln(N/df) + 1 (df = number of docs
     containing the term).  Three hash aggregations — (doc, term), (term),
@@ -238,18 +246,18 @@ def tfidf_top_terms(
     # `.cache()` on tf was measured WORSE — 1.41 s — the materialization
     # barrier serializes the broadcast build against the stream side;
     # round-12 optimization.)
-    idf = F.broadcast(
-        dfreq.crossJoin(F.broadcast(n_docs)).select(
-            "term",
-            "df",
-            F.floor(
-                (F.log(F.col("n_docs").cast("double") / F.col("df")) + F.lit(1.0)) * F.lit(1e6)
-                + F.lit(0.5 + 1e-8)
-            )
-            .cast("long")
-            .alias("idf_micro"),
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        F.floor(
+            (F.log(F.col("n_docs").cast("double") / F.col("df")) + F.lit(1.0)) * F.lit(1e6)
+            + F.lit(0.5 + 1e-8)
         )
+        .cast("long")
+        .alias("idf_micro"),
     )
+    if broadcast_idf:
+        idf = F.broadcast(idf)
     w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(), F.col("term"))
     return (
         tf.join(idf, "term")

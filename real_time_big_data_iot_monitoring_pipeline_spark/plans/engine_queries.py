@@ -546,41 +546,61 @@ def fuzzy_join_deletion1(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; output is the neighbor-count histogram — the 'how collision-
     prone is my key space' audit."""
     names = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name")).distinct()
+    # Round-13 restructure (guide §2.3 "shuffle keys and metadata", §2.4;
+    # round-12 verdict next-round #3 — the candidate-pair distinct was
+    # 1.9 s of the 3.75 s decomposition).  Three shuffles leave the plan:
+    #   1. the global var .distinct() — repeated characters (zero runs)
+    #      emit IDENTICAL variants, but only WITHIN one name's own
+    #      deletion array, so `array_distinct` before the explode dedups
+    #      map-side (the word_shingles discipline) and the full
+    #      (name, variant) string exchange disappears;
+    #   2. the candidate joins key on xxhash64(variant) — 8 fixed bytes
+    #      ride the exchange instead of the variant string.  Equal
+    #      variants always collide (recall is preserved BY CONSTRUCTION);
+    #      a 64-bit collision can only ADD a candidate pair, and the
+    #      exact banded verify removes it — precision is restored exactly;
+    #   3. the full-width candidate-pair .distinct() — the verify runs
+    #      FIRST (banded levenshtein is map-side and cheap; round-12
+    #      measured verify-before-distinct a wash while the distinct
+    #      still followed), and dedup folds into count_distinct at the
+    #      degree aggregation, which operates on the verified TRUE pairs
+    #      (orders of magnitude fewer rows than the candidate set).
     var = names.select(
         "name",
         F.explode(F.expr(
-            "transform(sequence(1, length(name)),"
-            " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"
+            "array_distinct(transform(sequence(1, length(name)),"
+            " i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"
         )).alias("variant"),
-    ).distinct()
-    # repeated characters (zero runs in the key) emit IDENTICAL variants;
-    # deduping before the join shrinks every bucket without changing the
-    # candidate PAIR set (duplicates only re-derive the same pair)
-    a = var.select(F.col("name").alias("name_a"), "variant")
-    b = var.select(F.col("name").alias("name_b"), "variant")
+    )
+    vh = var.select("name", F.xxhash64("variant").alias("vh"))
+    a = vh.select(F.col("name").alias("name_a"), "vh")
+    b = vh.select(F.col("name").alias("name_b"), "vh")
     sub_pairs = (
-        a.join(b, "variant")
+        a.join(b, "vh")
         .filter(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
     )
-    n2 = names.select(F.col("name").alias("nm"))
-    indel = var.join(n2, var.variant == n2.nm).select(
+    n2 = names.select(F.col("name").alias("nm"), F.xxhash64("name").alias("vh"))
+    indel = vh.join(n2, "vh").select(
         F.least(F.col("name"), F.col("nm")).alias("name_a"),
         F.greatest(F.col("name"), F.col("nm")).alias("name_b"),
     )
     pairs = (
         sub_pairs.unionByName(indel)
-        .distinct()
         # banded verify (round-12): levenshtein with threshold=1 runs the
         # O(band*n) early-exit DP and returns -1 past the band — the ==1
-        # predicate is value-identical to the unbounded distance
+        # predicate is value-identical to the unbounded distance.  Also
+        # kills every hash-collision false candidate (and the lev=0 self
+        # rows a collision in the indel branch could fabricate).
         .filter(F.levenshtein("name_a", "name_b", 1) == 1)
     )
     deg = (
-        pairs.select(F.col("name_a").alias("name"))
-        .unionByName(pairs.select(F.col("name_b").alias("name")))
+        pairs.select(F.col("name_a").alias("name"), F.col("name_b").alias("partner"))
+        .unionByName(
+            pairs.select(F.col("name_b").alias("name"), F.col("name_a").alias("partner"))
+        )
         .groupBy("name")
-        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .agg(F.count_distinct("partner").alias("n_neighbors"))
     )
     return deg.groupBy(F.col("n_neighbors").cast("long").alias("n_neighbors")).agg(
         F.count(F.lit(1)).cast("long").alias("n_names")
@@ -1004,21 +1024,34 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.dedup import word_shingles
 
     sh = word_shingles(docs, k=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
+    # Round-13 restructure (guide §2.3/§2.4, round-12 verdict next-round
+    # #3): ONE doc-keyed aggregation replaces the per-doc rank WINDOW
+    # (exchange + sort), the separate sizes aggregation (+ two closing
+    # joins), and the exploded posting-list verify.  `array_sort` over
+    # (df, shingle) structs IS the rarest-first total order the window
+    # produced (struct ordering = lexicographic on fields; shingle is
+    # unique within a doc, so the order is total and identical to
+    # row_number over ORDER BY df, shingle); the prefix is a slice, the
+    # set size is the array length, and the exact intersection is
+    # `array_intersect` on the per-doc shingle arrays (distinct by
+    # construction in word_shingles).  The verify now shuffles each
+    # doc's bounded shingle array once per side instead of candidate ×
+    # posting-list rows — at 100 TB the candidate-pair explosion never
+    # rides an exchange.  Arrays are doc-length-bounded, the same
+    # per-doc state bound the minhash signature build carries.
+    base = (
         sh.join(dfreq, "shingle")
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("p"),
+            F.count(F.lit(1)).alias("sz"),
         )
-        .join(sizes, "doc_id")
     )
-    prefix = ranked.filter(
-        F.col("r") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select("doc_id", "shingle")
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    prefix = base.select(
+        "doc_id", F.explode(F.slice("p", F.lit(1), plen)).alias("s")
+    ).select("doc_id", F.col("s.shingle").alias("shingle"))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
@@ -1026,23 +1059,21 @@ def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(
-            sb,
-            (F.col("id_b") == F.col("sb_id")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    arrs = base.select(
+        "doc_id", F.expr("transform(p, x -> x.shingle)").alias("ws"), "sz"
     )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    wa = arrs.select(
+        F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"), F.col("sz").alias("sz_a")
+    )
+    wb = arrs.select(
+        F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"), F.col("sz").alias("sz_b")
+    )
+    inter_c = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", "sz_a", "sz_b", inter_c.alias("inter"))
         .filter(round_det(jac, 6) >= t)
         .select("id_a", "id_b", round_det(jac, 6).alias("jaccard"))
     )

@@ -19,6 +19,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     tag, suffix = sys.argv[1], sys.argv[2]
     only = sys.argv[3:]
 
