@@ -1775,8 +1775,16 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tot = base.agg(F.count(F.lit(1)).alias("n"))
+    # Round-13 (guide §3.1; round-12 verdict next-round #5): the x-side
+    # rank table is DOMAIN-bounded (l_quantity is 1..50 at every scale),
+    # but it reaches the planner as a checkpointed RDD with no size
+    # estimate, so the un-hinted plan picked BuildLeft and broadcast the
+    # FACT-sized (x, y) base rows into it — unboundable at 100 TB.  The
+    # explicit hint builds the ~50-row rank table and streams base.  The
+    # y side (price cents, unbounded distinct values) stays a shuffled
+    # equi-join on purpose.
     d = (
-        base.join(rank2("x"), "x")
+        base.join(F.broadcast(rank2("x")), "x")
         .join(rank2("y"), "y")
         .crossJoin(F.broadcast(tot))
         .select(

@@ -111,9 +111,35 @@ class SensorBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: RangePartition):
-        yield from gen_rows(
-            partition.start, partition.end, self.n_sensors, self.only_sensor
+        # Round-13 (guide §4.2): the feed is a pure arithmetic function
+        # of the reading index, so generate it VECTORIZED and hand Spark
+        # Arrow RecordBatches instead of yielding Python tuples row by
+        # row (the row path re-entered the interpreter per reading).
+        # Same stride semantics as gen_rows, which remains the scalar
+        # reference (the streaming reader and the unit tests use it).
+        import numpy as np
+        import pyarrow as pa
+
+        if self.only_sensor is None:
+            idx = np.arange(partition.start, partition.end, dtype=np.int64)
+        elif not 0 <= self.only_sensor < self.n_sensors:
+            return iter([])
+        else:
+            first = partition.start + (
+                (self.only_sensor - partition.start) % self.n_sensors
+            )
+            idx = np.arange(first, partition.end, self.n_sensors, dtype=np.int64)
+        temp = (idx * KNUTH) % 4294967296 % TEMP_MOD + TEMP_OFF
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(idx, type=pa.int64()),
+                pa.array((idx % self.n_sensors).astype(np.int32), type=pa.int32()),
+                pa.array(BASE_US + idx * INTERVAL_US, type=pa.int64()),
+                pa.array(temp.astype(np.int32), type=pa.int32()),
+            ],
+            names=["reading_id", "sensor_id", "ts_us", "temp_centi"],
         )
+        return iter([batch]) if batch.num_rows else iter([])
 
 
 class SensorStreamReader(SimpleDataSourceStreamReader):
@@ -3310,8 +3336,14 @@ class ManifestBatchReader(DataSourceReader):
             # drops null-mask rows, so OR in an explicit is_null leg —
             # same survive-on-NULL contract as the Spark-side readers
             tbl = tbl.filter(pc.is_null(c) | ~((c >= lo) & (c <= hi)))
-        cols = [tbl.column(n).to_pylist() for n in self.fields]
-        return iter(list(zip(*cols)))
+        # Round-13 (guide §4.2): return Arrow RecordBatches directly —
+        # the Python DataSource API accepts them since Spark 4 — instead
+        # of materializing every row as a Python tuple (to_pylist + zip
+        # built the whole file as objects before the first row crossed
+        # the boundary).  select() both orders the columns to the read
+        # schema and keeps the old loud KeyError contract for a file
+        # missing a schema column.
+        return iter(tbl.select(self.fields).to_batches())
 
 
 class ManifestStreamReader(SimpleDataSourceStreamReader):
