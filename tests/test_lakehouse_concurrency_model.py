@@ -51,6 +51,9 @@ import os
 import uuid
 
 import pytest
+
+# round-13: close-gate-only sweep leg (model-based concurrency interleavings) — see pytest.ini
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

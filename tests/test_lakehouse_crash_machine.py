@@ -38,6 +38,9 @@ import json
 import os
 
 import pytest
+
+# round-13: close-gate-only sweep leg (crash-injection kill-point sweeps) — see pytest.ini
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 
 from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P

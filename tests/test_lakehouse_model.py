@@ -23,6 +23,9 @@ states of this machine."""
 from __future__ import annotations
 
 import pytest
+
+# round-13: close-gate-only sweep leg (model-based verb-sequence enumeration) — see pytest.ini
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -31,6 +31,9 @@ import uuid
 
 import pytest
 
+# round-13: close-gate-only sweep leg (true-thread race sweeps) — see pytest.ini
+pytestmark = pytest.mark.slow
+
 from real_time_big_data_iot_monitoring_pipeline_spark.sources import pydatasource as P
 
 

@@ -16,6 +16,9 @@ import hashlib
 import pandas as pd
 import pytest
 
+# round-13: close-gate-only sweep leg (per-query partition-count fuzz sweep) — see pytest.ini
+pytestmark = pytest.mark.slow
+
 from real_time_big_data_iot_monitoring_pipeline_spark.plans import REGISTRY
 from tests.compare import normalize
 

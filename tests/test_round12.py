@@ -261,6 +261,7 @@ def _sf01_cohort():
     return plans.SF01_EXECUTION_COHORT
 
 
+@pytest.mark.slow  # round-13: 40 queries EXECUTED at sf0.1 — close-gate leg
 @pytest.mark.parametrize("name", _sf01_cohort())
 def test_sf01_execution_cohort_oracle_match(name, spark, oracle_sf01):
     """EXECUTE the rotating cohort at sf0.1 (10x the driver's gate
@@ -439,6 +440,7 @@ def test_global_rank_kernels_pin_their_ranged_pass():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # round-13: config-axis kernel sweep (~70 s) — close-gate leg
 @pytest.mark.parametrize("shuffle", ["200", "5"])
 def test_kernel_queries_shuffle_partition_axis(shuffle, spark):
     import ast
