@@ -1767,43 +1767,71 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from real_time_big_data_iot_monitoring_pipeline_spark.operators.windows import global_running_sum
 
-    def rank2(col: str) -> DataFrame:
-        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
-        r = global_running_sum(g, [col], "t", out="run")
-        return r.select(
-            col, (2 * (F.col("run") - F.col("t")) + F.col("t") + 1).alias(f"r{col}2")
-        )
-
-    tot = base.agg(F.count(F.lit(1)).alias("n"))
-    # Round-13 (guide §3.1; round-12 verdict next-round #5): the x-side
-    # rank table is DOMAIN-bounded (l_quantity is 1..50 at every scale),
-    # but it reaches the planner as a checkpointed RDD with no size
-    # estimate, so the un-hinted plan picked BuildLeft and broadcast the
-    # FACT-sized (x, y) base rows into it — unboundable at 100 TB.  The
-    # explicit hint builds the ~50-row rank table and streams base.  The
-    # y side (price cents, unbounded distinct values) stays a shuffled
-    # equi-join on purpose.
-    d = (
-        base.join(F.broadcast(rank2("x")), "x")
-        .join(rank2("y"), "y")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            (F.col("rx2") - (F.col("n") + 1)).alias("dx"),
-            (F.col("ry2") - (F.col("n") + 1)).alias("dy"),
+    # Round-13 restructure (guide §2.4 "two operations keyed the same
+    # way share one exchange", §5; round-12 verdict next-round #5).
+    # Two observations delete every row-sized join-back:
+    #   1. x is DOMAIN-bounded (l_quantity is 1..50 at every scale), so
+    #      its rank kernel collapses to a bounded seed collect — the
+    #      kmeans_refine / PQ-LUT discipline: collect the ~50 (x, count)
+    #      rows and compute the exact integer prefix-sum ranks (and n,
+    #      and the whole Sxx moment = Σ t·dx²) in Python.  This deletes
+    #      the x-side range exchange + offset pass, both `tot` scan
+    #      subtrees, and the fact-side broadcast the un-hinted planner
+    #      picked (base has parquet statistics, the checkpointed rank
+    #      kernel has none, so BuildLeft landed on the FACT table —
+    #      unboundable at 100 TB).
+    #   2. the y-side moments only need PER-DISTINCT-y sums: with dx
+    #      attached map-side (broadcast LocalRelation join — no
+    #      shuffle), the SAME groupBy(y) that feeds the rank kernel
+    #      also carries sdx = Σ dx, and Sxy = Σ_y dy·sdx,
+    #      Syy = Σ_y t·dy² — so rows are NEVER joined back: the old
+    #      row-sized sort-merge join (exchange + two sorts) is gone and
+    #      the only remaining machinery is the y aggregation + the rank
+    #      kernel's range exchange.
+    # Exact-integer algebra throughout.  Honest sf0.1 reading: a WASH
+    # (3.02 -> 3.04 s warm med at local[8]) — the deleted row-sized SMJ
+    # is offset by the added gx collect job, and the remaining floor is
+    # the y rank kernel itself; the win is the PLAN (row-sized
+    # sort-merge join + one range exchange gone), which is what matters
+    # at 100 TB.  An F.broadcast hint alone measured WORSE (3.02 ->
+    # 3.22: the broadcast build serializes the rank subtree as its own
+    # job) — recorded so round 14 doesn't re-try it.
+    gx = sorted(
+        (r["x"], r["t"])
+        for r in base.groupBy("x").agg(F.count(F.lit(1)).alias("t")).collect()
+    )
+    n = sum(t for _, t in gx)
+    run, rx_rows, sxx = 0, [], 0
+    for xv, t in gx:
+        rx2 = 2 * run + t + 1  # doubled tie-averaged rank: 2*(cum - t) + t + 1
+        rx_rows.append((xv, rx2 - (n + 1)))
+        sxx += t * (rx2 - (n + 1)) ** 2  # exact Python int — no overflow
+        run += t
+    dx_local = spark.createDataFrame(rx_rows, "x long, dx long")
+    gy = (
+        base.join(F.broadcast(dx_local), "x")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.col("dx").cast("decimal(38,0)")).alias("sdx"),
         )
     )
+    ry = global_running_sum(gy, ["y"], "t", out="run")
     # decimal(38,0): rank-diff moments are n^3-law — already within 11x
     # of int64 at sf0.1 (round-11 scale audit)
-    dxd, dyd = F.col("dx").cast("decimal(38,0)"), F.col("dy").cast("decimal(38,0)")
-    mom = d.agg(
-        F.sum(dxd * dyd).alias("sxy"),
-        F.sum(dxd * dxd).alias("sxx"),
-        F.sum(dyd * dyd).alias("syy"),
+    dyd = (2 * (F.col("run") - F.col("t")) + F.col("t") + 1 - F.lit(n + 1)).cast(
+        "decimal(38,0)"
     )
-    return mom.crossJoin(F.broadcast(tot)).select(
-        F.col("n").cast("long").alias("n_rows"),
+    mom = ry.agg(
+        F.sum(dyd * F.col("sdx")).alias("sxy"),
+        F.sum(dyd * dyd * F.col("t").cast("decimal(38,0)")).alias("syy"),
+    )
+    # float(sxx) is the round-to-nearest double of the exact integer —
+    # bit-identical to the old decimal(38,0) -> double cast
+    return mom.select(
+        F.lit(n).cast("long").alias("n_rows"),
         round_det(
-            F.col("sxy") / F.sqrt(F.col("sxx").cast("double") * F.col("syy")), 6
+            F.col("sxy") / F.sqrt(F.lit(float(sxx)) * F.col("syy")), 6
         ).alias("spearman_rho"),
     )
 
