@@ -121,9 +121,23 @@ CALIBRATION_REF_SEC = 0.27
 #   * the nominal raw envelope (<= ENVELOPE_RAW_IDLE_SEC) is evaluated
 #     ONLY when load_factor < 1.1 (near-idle box, where raw == the
 #     box-to-box comparable number) — raw_ok is null otherwise.
-ENVELOPE_NORMALIZED_SEC = 20.0
+# Round-13 RE-PIN (methodology change, round-12 verdict next-round #2):
+# the timed region now starts BEFORE q.build(), so eager checkpoints,
+# bounded seed collects and driver-side plan compilation are inside the
+# measured number (they were untimed through round 12 — the
+# untimed-build loophole).  Measured on the re-baselined tree:
+# build() adds ~21 s across the 36 headline queries at sf0.1
+# (BENCH_DETAIL.queries_build_sec), moving the 32-core normalized total
+# from ~14 to ~25 and the quiet local[8] raw total to 43.2 s at
+# load_factor 1.0.  The OLD thresholds (20.0 / 24.5) therefore gate the
+# old timed region; the new ceilings carry the same ~12% headroom over
+# the re-baselined totals.  `value_exec_only` in the output remains the
+# old-methodology-comparable number (26.3 s on the re-baseline run —
+# equal to the round-12 driver total at the same measured load, i.e.
+# the timer change, not a slowdown, explains the raw jump).
+ENVELOPE_NORMALIZED_SEC = 28.0
 ENVELOPE_SPREAD_SEC = 0.2
-ENVELOPE_RAW_IDLE_SEC = 24.5
+ENVELOPE_RAW_IDLE_SEC = 47.0
 
 
 def _calibration_probe(spark) -> float:
@@ -332,6 +346,12 @@ def main() -> None:
     print(f"concurrent dashboard: {wall:.2f}s wall for {len(WIDGETS)} widgets", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Old-methodology-comparable number (rounds 1-12 timed ONLY the noop
+    # save on a pre-built plan): the save-only share of the new timed
+    # region.  `value` (build+save) is the honest number going forward;
+    # this field exists so the round-over-round comparison across the
+    # round-13 timer change stays mechanical.
+    total_exec_only = round(sum(t - build_secs[n] for n, t in timings.items()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # envelope evaluation (round-11 rule, see constants above) — only
@@ -377,6 +397,7 @@ def main() -> None:
         "load_factor": load_factor,
         "load_factor_applied": load_factor_applied,
         "value_normalized": value_normalized,
+        "value_exec_only": total_exec_only,
         "envelope": envelope,
         "concurrent_dashboard": dashboard,
         "sf": sf_val,
@@ -402,6 +423,8 @@ def main() -> None:
                 # skipped (applied factor 1.0) below load_factor 1.1
                 # where the correction is noise (round-8 verdict #2).
                 "value_normalized": value_normalized,
+                # save-only share — comparable to the round-<=12 timer
+                "value_exec_only": total_exec_only,
                 # gated on `applies` (round-11 ADVICE #5): a run at any
                 # other scale would otherwise stamp a misleading verdict
                 "envelope_within": envelope["within"] if envelope["applies"] else None,

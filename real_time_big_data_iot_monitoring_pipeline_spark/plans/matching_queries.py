@@ -299,14 +299,18 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = probes.groupBy((F.col("pos") / 64).cast("int").alias("word_idx")).agg(
         F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("word")
     )
-    bitset = words.agg(
-        F.aggregate(
-            F.collect_list(F.struct("word_idx", "word")),
-            F.array_repeat(F.lit(0).cast("long"), _BLOOM_WORDS),
-            lambda acc, x: F.transform(
-                acc,
-                lambda v, i: F.when(i == x["word_idx"], v.bitwiseOR(x["word"])).otherwise(v),
-            ),
+    # Round-13 (guide §1.2 per-task work): the old fold rebuilt the whole
+    # 2048-long array once per populated word (aggregate+transform is an
+    # INTERPRETED higher-order lambda — O(words²) element visits, ~4M at
+    # this geometry).  Scatter via a map instead: one collect_list ->
+    # map_from_entries pass, then ONE transform over the 2048 slots with
+    # O(1) lookups — identical bitset, O(words + slots).
+    word_map = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
+    )
+    bitset = word_map.select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_WORDS - 1}), i -> coalesce(m[i], 0L))"
         ).alias("bits")
     )
 
